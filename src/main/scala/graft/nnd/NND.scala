@@ -1,0 +1,262 @@
+package graft.nnd
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+import org.apache.spark.util.LongAccumulator
+
+import graft.core.{Edge, Neighbor, NeighborList, Similarity}
+
+import scala.collection.mutable
+import scala.util.Random
+
+/** Distributed approximate K-nearest-neighbor graph construction
+  * (NN-Descent), Spark-SQL-native.
+  *
+  * Same capability as the reference `NND.buildGraph` (`/root/reference/
+  * src/main/scala/com/github/fvictorio/nnd/NND.scala:66`): blocked random
+  * initialization, iterative local-join refinement with reverse-edge
+  * ρ-sampling, δ early termination, partition-gated similarity, and
+  * finished-row passthrough — but declared as DataFrame transforms so
+  * Catalyst handles column pruning / AQE, with typed per-group logic only
+  * for the two genuinely imperative steps (random in-bucket draws, the
+  * Av×Av local join).
+  *
+  * Scale design notes (vs the reference's hand-rolled RDD rounds):
+  *  - The reference's light/heavy message split (features shuffled only to
+  *    consumers that need them, `NND.scala:40-60`) becomes an explicit
+  *    two-table layout: a narrow edge table `(src, dst, sim)` plus one
+  *    features join per iteration. Features cross the wire exactly once
+  *    per iteration (the adjacency build), like the reference's G3/G4.
+  *  - All randomness is seeded per (node, iteration) — the reference used
+  *    global unseeded `Random` in two places (`NND.scala:98,148`), which
+  *    is nondeterministic under task retries; ours is retry-safe.
+  *  - Each iteration's graph is `localCheckpoint`ed: under Catalyst,
+  *    unbounded lineage growth (plan analysis cost) is the iterative
+  *    killer; truncating per iteration keeps round cost flat.
+  */
+// Internal row shapes: top-level (not object-nested private) because
+// Catalyst's generated (de)serializer code must be able to access them.
+private[nnd] final case class NodeRow(id: Long, features: Array[Float], partition: Long)
+private[nnd] final case class BucketedNode(bucket: Long, id: Long, features: Array[Float], partition: Long)
+/** A candidate edge; `isOld` marks members of the previous iteration's
+  * list (the reference's B flag — old entries win dedup and don't count
+  * as updates, `NND.scala:228-246`). */
+private[nnd] final case class Cand(src: Long, dst: Long, sim: Double, isOld: Boolean)
+private[nnd] final case class AdjRow(src: Long, dst: Long, features: Array[Float], partition: Long)
+
+object NND {
+
+  /** Reference parameter regime (`/root/reference/README.md:43-48`). */
+  final case class Params(
+      k: Int = 10,
+      maxIterations: Int = 5,
+      earlyTermination: Double = 0.01,
+      sampleRate: Double = 1.0,
+      bucketsPerInstance: Int = 4,
+      seed: Long = 42L)
+
+  /** Build the approximate K-NN graph.
+    *
+    * @param input DataFrame with columns `id: LONG`, `features:
+    *   ARRAY<FLOAT>`; optional `partition: LONG` (logical grouping — the
+    *   graph is built independently per partition) and `finished: BOOLEAN`
+    *   (excluded from construction, passed through with null neighbors).
+    *   Extra columns (e.g. `label`) pass through untouched.
+    * @return the input columns plus `neighbors: ARRAY<STRUCT<id LONG,
+    *   similarity DOUBLE>>` sorted by descending similarity (null for
+    *   finished/isolated rows).
+    */
+  def buildGraph(input: DataFrame, p: Params = Params()): DataFrame = {
+    val spark = input.sparkSession
+    import spark.implicits._
+
+    val base = {
+      var df = input
+      if (!df.columns.contains("partition")) df = df.withColumn("partition", lit(0L))
+      if (!df.columns.contains("finished")) df = df.withColumn("finished", lit(false))
+      df
+    }
+
+    val nodes = base
+      .filter(!col("finished"))
+      .select(col("id").cast("long").as("id"),
+        col("features").cast("array<float>").as("features"),
+        col("partition").cast("long").as("partition"))
+      .as[NodeRow]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    // Per-logical-partition counts: cardinality = number of logical
+    // partitions (small by construction), so a driver map + broadcast is
+    // the right shape even at 100 TB (reference closure-captures the same
+    // map, NND.scala:77-90).
+    val counts: Map[Long, Long] =
+      nodes.groupBy($"partition").count().as[(Long, Long)].collect().toMap
+
+    if (counts.isEmpty) {
+      nodes.unpersist()
+      return base.withColumn("neighbors",
+        lit(null).cast("array<struct<id:bigint,similarity:double>>"))
+    }
+
+    val n = counts.values.sum
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val k = p.k
+    val bpi = p.bucketsPerInstance
+    val seed = p.seed
+    val maxBuckets =
+      math.max(1L, math.ceil(counts.values.max.toDouble * bpi / (2.0 * k)).toLong)
+
+    // --- Blocked random init (reference G1, NND.scala:87-102) ---
+    // Deterministic per-node bucket choice seeded by the feature hash
+    // (reference F4, NND.scala:88-89); bucket ids namespaced per logical
+    // partition so initial candidates never cross partitions.
+    val bucketed: Dataset[BucketedNode] = nodes.flatMap { nd =>
+      val nb = math.max(1L,
+        math.ceil(bcCounts.value(nd.partition).toDouble * bpi / (2.0 * k)).toLong).toInt
+      val r = new Random(seed ^ java.util.Arrays.hashCode(nd.features).toLong)
+      r.shuffle((1 to nb).toVector)
+        .take(bpi)
+        .map(b => BucketedNode(maxBuckets * nd.partition + b, nd.id, nd.features, nd.partition))
+    }
+
+    val initCands: Dataset[Cand] = bucketed
+      .groupByKey(_.bucket)
+      .flatMapGroups { (bucket, it) =>
+        val members = dedupById(it)
+        members.iterator.flatMap { nd =>
+          // K random in-bucket draws with replacement, self excluded
+          // (reference NND.scala:98-99) — seeded per (bucket, node).
+          val r = new Random(mix(seed, bucket, nd.id))
+          Iterator.tabulate(k)(_ => members(r.nextInt(members.length)))
+            .filter(_.id != nd.id)
+            .map(c => Cand(nd.id, c.id,
+              Similarity.partitionGated(nd.features, nd.partition, c.features, c.partition),
+              isOld = false))
+        }
+      }
+
+    var graph: Dataset[NeighborList] =
+      mergeTopK(initCands, k, None).localCheckpoint(true)
+
+    // --- Iterative refinement (reference C1 loop, NND.scala:111-263) ---
+    var finished = false
+    var iter = 0
+    while (!finished && iter < p.maxIterations) {
+      val acc = spark.sparkContext.longAccumulator(s"nnd-updates-$iter")
+
+      val edges: Dataset[Edge] =
+        graph.flatMap(nl => nl.neighbors.iterator.map(nb => Edge(nl.id, nb.id, nb.similarity)))
+
+      // Reverse-edge ρ-sample (reference G2+G3, NND.scala:116-169): each
+      // node keeps ceil(ρ·|Rv|) (min 1) of its incoming edges,
+      // deterministically ordered by a per-iteration hash.
+      val wPart = Window.partitionBy($"dst")
+      val wOrd = wPart.orderBy(xxhash64($"src", $"dst", lit(iter), lit(seed)))
+      val sampledRev = edges.toDF()
+        .withColumn("rn", row_number().over(wOrd))
+        .withColumn("cnt", count(lit(1)).over(wPart))
+        .filter($"rn" <= greatest(ceil($"cnt" * p.sampleRate), lit(1L)))
+        .select($"dst".as("src"), $"src".as("dst"))
+
+      // Adjacency set Av = Bv ∪ sample(Rv) (reference G4): the ONLY place
+      // features are shuffled — one narrow-ids union, one join against the
+      // node table (reference sends features point-to-point in G3/G4; a
+      // shuffle join on dst is the relational equivalent).
+      val adj: Dataset[AdjRow] = edges.select($"src", $"dst")
+        .union(sampledRev)
+        .dropDuplicates("src", "dst")
+        .join(nodes.toDF().select($"id".as("dst"), $"features", $"partition"), "dst")
+        .select($"src", $"dst", $"features", $"partition")
+        .as[AdjRow]
+
+      // Local join (reference G5, NND.scala:199-217): within each Av,
+      // introduce every ordered pair (u, p) as a candidate edge u→p.
+      val pairCands: Dataset[Cand] = adj
+        .groupByKey(_.src)
+        .flatMapGroups { (_, it) =>
+          val a = it.toArray
+          val out = new mutable.ArrayBuffer[Cand](a.length * math.max(a.length - 1, 0))
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < a.length) {
+              if (i != j && a(i).dst != a(j).dst) {
+                out += Cand(a(i).dst, a(j).dst,
+                  Similarity.partitionGated(
+                    a(i).features, a(i).partition, a(j).features, a(j).partition),
+                  isOld = false)
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+
+      val oldCands: Dataset[Cand] = edges.map(e => Cand(e.src, e.dst, e.sim, isOld = true))
+
+      val newGraph =
+        mergeTopK(pairCands.unionByName(oldCands), k, Some(acc)).localCheckpoint(true)
+
+      val prev = graph
+      graph = newGraph
+      prev.unpersist()
+      iter += 1
+
+      // δ-convergence (Dong et al.; reference C3, NND.scala:259-262).
+      val ratio = acc.value.toDouble / (k.toDouble * n.toDouble)
+      if (ratio <= p.earlyTermination) finished = true
+    }
+
+    // Final reassembly (reference J1 left outer join, NND.scala:274-278).
+    val result = base.join(
+      graph.toDF().select($"id", $"neighbors"),
+      Seq("id"), "left_outer")
+
+    nodes.unpersist()
+    result
+  }
+
+  /** Bounded top-K neighbor-list merge with dedup-by-id where old (B)
+    * entries win — the reference's A4/A7/W1 composite (`NND.scala:104-109,
+    * 228-242`). Counts surviving new entries into `acc` (the reference's
+    * update accumulator, `NND.scala:244-246`). Tie-break on (sim desc,
+    * dst asc) for determinism (the reference's stable sort order is
+    * shuffle-order-dependent). */
+  private def mergeTopK(
+      cands: Dataset[Cand],
+      k: Int,
+      acc: Option[LongAccumulator]): Dataset[NeighborList] = {
+    import cands.sparkSession.implicits._
+    cands.groupByKey(_.src).mapGroups { (src, it) =>
+      val best = new mutable.LongMap[Cand]()
+      it.foreach { c =>
+        best.get(c.dst) match {
+          case Some(cur) => if (!cur.isOld && c.isOld) best.update(c.dst, c)
+          case None => best.update(c.dst, c)
+        }
+      }
+      val top = best.values.toArray
+        .sortWith((x, y) => x.sim > y.sim || (x.sim == y.sim && x.dst < y.dst))
+        .take(k)
+      acc.foreach(_.add(top.count(!_.isOld)))
+      NeighborList(src, top.map(c => Neighbor(c.dst, c.sim)).toSeq)
+    }
+  }
+
+  private def dedupById(it: Iterator[BucketedNode]): Array[BucketedNode] = {
+    val seen = new mutable.LongMap[BucketedNode]()
+    it.foreach(n => if (!seen.contains(n.id)) seen.update(n.id, n))
+    seen.values.toArray.sortBy(_.id)
+  }
+
+  /** splitmix64-style mix for per-(bucket,node) deterministic seeds. */
+  private def mix(a: Long, b: Long, c: Long): Long = {
+    var z = a ^ (b * 0x9E3779B97F4A7C15L) ^ (c * 0xC2B2AE3D27D4EB4FL)
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z ^ (z >>> 31)
+  }
+}

@@ -1,0 +1,88 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.core.Similarity
+import graft.nnd.NND
+
+/** NND correctness: recall against a brute-force exact k-NN oracle plus
+  * the reference's structural invariants (SURVEY.md §5 — the reference
+  * itself ships zero tests). */
+class NNDSpec extends SparkSpec {
+
+  private val K = 10
+
+  private def embeddings = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("features"),
+      col("label").cast("long").as("label"))
+
+  private lazy val result = {
+    val df = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 5))
+    df.select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+  }
+
+  private lazy val exact: Map[Long, Set[Long]] = {
+    val pts = embeddings.select("id", "features").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    pts.map { case (id, f) =>
+      id -> pts.filter(_._1 != id)
+        .map { case (oid, of) => (oid, Similarity.l2Sim(f, of)) }
+        .sortBy { case (oid, s) => (-s, oid) }
+        .take(K).map(_._1).toSet
+    }.toMap
+  }
+
+  test("recall@10 vs brute-force oracle >= 0.80") {
+    val recalls = result.collect { case (id, Some(nbrs)) =>
+      val got = nbrs.map(_._1).toSet
+      exact(id).intersect(got).size.toDouble / K
+    }
+    assert(recalls.nonEmpty)
+    val mean = recalls.sum / recalls.size
+    info(s"mean recall@10 = $mean over ${recalls.size} nodes")
+    assert(mean >= 0.80, s"recall $mean too low")
+  }
+
+  test("invariants: <=K neighbors, no self-loops, sim in (0,1], sorted desc") {
+    assert(result.nonEmpty)
+    result.foreach { case (id, nbrsOpt) =>
+      val nbrs = nbrsOpt.getOrElse(Seq.empty)
+      assert(nbrs.size <= K)
+      assert(!nbrs.exists(_._1 == id), s"self-loop at $id")
+      nbrs.foreach { case (_, s) => assert(s > 0.0 && s <= 1.0, s"sim $s out of range") }
+      assert(nbrs.map(_._2).sliding(2).forall(w => w.size < 2 || w(0) >= w(1)), "not sorted")
+    }
+  }
+
+  test("deterministic across runs") {
+    val again = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 5))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    assert(again == result)
+  }
+
+  test("partition gating: neighbors never cross logical partitions") {
+    val parted = embeddings.withColumn("partition", col("label") % 2)
+    val out = NND.buildGraph(parted, NND.Params(k = K, maxIterations = 2))
+      .select("id", "partition", "neighbors").collect()
+    val part = out.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.foreach { r =>
+      Option(r.getSeq[Row](2)).getOrElse(Seq.empty).foreach { n =>
+        assert(part(n.getLong(0)) == r.getLong(1),
+          s"cross-partition edge ${r.getLong(0)} -> ${n.getLong(0)}")
+      }
+    }
+  }
+
+  test("finished rows pass through with null neighbors") {
+    val marked = embeddings.withColumn("finished", col("id") < 50)
+    val out = NND.buildGraph(marked, NND.Params(k = K, maxIterations = 1))
+    assert(out.count() == 500)
+    assert(out.filter(col("finished") && col("neighbors").isNotNull).count() == 0)
+    assert(out.filter(!col("finished") && col("neighbors").isNotNull).count() > 400)
+  }
+}
