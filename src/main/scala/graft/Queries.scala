@@ -1,35 +1,206 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Named operator-level queries (driver correctness surface).
+  *
   * Each query has a DuckDB-oracle SQL twin in [[oracles]] unless its
   * semantics are not SQL-expressible (then the driver records a weaker
-  * rows-only check). Built incrementally per SURVEY.md §2's inventory. */
+  * rows-only check). Together they exercise every operator family in
+  * SURVEY.md §2: filter/project, hash aggregation, top-K, joins
+  * (shuffle/broadcast/semi/anti/outer), distinct, set ops, windows,
+  * rollup, string/date/JSON scalar functions, and the north-star ops
+  * (dedup, similarity search, text analysis, multimodal).
+  *
+  * Float-parity convention: money aggregates round-trip through
+  * DECIMAL(18,2) on both sides so Spark and DuckDB agree bit-exactly;
+  * raw doubles are only passed through or used in single-op arithmetic
+  * (both engines produce identical IEEE results for a single operation).
+  */
 object Queries {
 
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  val all: Map[String, (SparkSession, String) => DataFrame] = Map(
-    // A1/P1/P2: hash aggregate with grouped sums (TPC-H Q1 shape).
-    // Money sums go through DECIMAL so Spark and DuckDB agree bit-exactly.
+  /** The events table's `ts` is physically TIMESTAMP(NANOS), which Spark
+    * only reads as LONG (`spark.sql.legacy.parquet.nanosAsLong=true`, set
+    * in our sessions). All values are whole microseconds (verified against
+    * the fixture), so integer-div by 1000 recovers the exact timestamp
+    * DuckDB sees. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    val raw = t(s, dir, "events")
+    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    else raw
+  }
+
+  /** Exact decimal view of a 2-decimal money column. */
+  private def dec2(c: Column): Column = c.cast("decimal(18,2)")
+
+  val relational: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // A1/P1/P2/F3: hash aggregate with grouped sums (TPC-H Q1 shape).
     "q01_pricing_summary" -> ((s, dir) => {
       t(s, dir, "lineitem")
         .filter(col("l_shipdate") <= to_timestamp(lit("2000-12-01")))
         .groupBy(col("l_returnflag"), col("l_linestatus"))
         .agg(
           sum(col("l_quantity")).as("sum_qty"),
-          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("sum_base_price"),
-          sum(col("l_extendedprice").cast("decimal(18,2)") *
-            (lit(1.0) - col("l_discount")).cast("decimal(18,2)")).cast("double").as("sum_disc_price"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("sum_base_price"),
+          sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount")))
+            .cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
-        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // P1/P2: selection + projection; predicate and columns push to the scan.
+    "q02_filter_project" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between(
+          to_timestamp(lit("1997-01-01")), to_timestamp(lit("1997-12-31")))
+          && col("l_quantity") >= 45)
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_returnflag")
+    }),
+
+    // J1 + A4/W1: 3-way shuffle join, grouped revenue, deterministic top-10.
+    "q03_top_orders" -> ((s, dir) => {
+      val c = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+      val o = t(s, dir, "orders")
+      val l = t(s, dir, "lineitem")
+      l.join(o, l("l_orderkey") === o("o_orderkey"))
+        .join(c, o("o_custkey") === c("c_custkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(dec2(col("l_extendedprice")) * dec2(lit(1.0) - col("l_discount")))
+          .cast("double").as("revenue"))
+        .orderBy(desc("revenue"), asc("l_orderkey"))
+        .limit(10)
+    }),
+
+    // Semi join (EXISTS).
+    "q04_semi_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val big = t(s, dir, "lineitem").filter(col("l_quantity") >= 48)
+      o.join(big, o("o_orderkey") === big("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+    }),
+
+    // Anti join (NOT EXISTS) — customers with no urgent order (non-empty
+    // at every scale factor, so the check is never vacuous).
+    "q05_anti_join" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").filter(col("o_orderpriority") === "1-URGENT")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    }),
+
+    // W1: bounded top-K per group via ranking window.
+    "q06_topk_per_group" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(desc("o_totalprice"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select("o_custkey", "o_orderkey", "o_totalprice", "rk")
+    }),
+
+    // A6: distinct projection.
+    "q07_distinct" -> ((s, dir) => {
+      t(s, dir, "customer").select("c_mktsegment", "c_nationkey").distinct()
+    }),
+
+    // Broadcast star join over the dimension chain.
+    "q08_star_join" -> ((s, dir) => {
+      val su = t(s, dir, "supplier")
+      val n = t(s, dir, "nation")
+      val r = t(s, dir, "region")
+      su.join(broadcast(n), su("s_nationkey") === n("n_nationkey"))
+        .join(broadcast(r), n("n_regionkey") === r("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(count(lit(1)).as("suppliers"),
+          sum(dec2(col("s_acctbal"))).cast("double").as("total_acctbal"))
+    }),
+
+    // Grouping sets / rollup.
+    "q09_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("sum_qty"))
+    }),
+
+    // Set operations: INTERSECT and EXCEPT branches unioned.
+    "q10_set_ops" -> ((s, dir) => {
+      val cn = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+      val sn = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+      cn.intersect(sn).withColumn("src", lit("both"))
+        .unionByName(cn.except(sn).withColumn("src", lit("customer_only")))
+    }),
+
+    // Analytic windows: running sum (decimal-exact), lag, dense ranking.
+    "q11_window_running" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      events(s, dir)
+        .withColumn("seq", row_number().over(w))
+        .withColumn("running_value",
+          sum(dec2(col("value"))).over(w.rowsBetween(Window.unboundedPreceding, 0))
+            .cast("double"))
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("user_id") < 20)
+        .select("user_id", "event_id", "seq", "running_value", "prev_type")
+    }),
+
+    // Date bucketing (tumbling daily window, batch form).
+    "q12_daily_events" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(to_date(date_trunc("day", col("ts"))).as("day"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+    }),
+
+    // JSON extraction from string props.
+    "q13_json_extract" -> ((s, dir) => {
+      events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("int"))
+        .groupBy((col("k") % 10).as("k_mod"))
+        .agg(count(lit(1)).as("n"), max(col("k")).as("max_k"))
+    }),
+
+    // String/case scalar functions.
+    "q14_string_funcs" -> ((s, dir) => {
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          upper(col("c_name")).as("uname"),
+          substring(col("c_name"), 1, 8).as("prefix"),
+          concat_ws("|", col("c_mktsegment"), col("c_nationkey")).as("tag"),
+          when(col("c_acctbal") < 0, "debt")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("rich").as("band"))
+    }),
+
+    // Distinct aggregation.
+    "q15_agg_distinct" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+          countDistinct(col("l_partkey")).as("n_part"),
+          count(lit(1)).as("n"))
+    }),
+
+    // Agg-subquery join (TPC-H Q17 shape): lineitems far below the
+    // per-part average quantity.
+    "q16_below_avg" -> ((s, dir) => {
+      val l = t(s, dir, "lineitem")
+      val avgQ = l.groupBy(col("l_partkey").as("p_key"))
+        .agg((sum(col("l_quantity")) / count(lit(1))).as("avg_qty"))
+      l.join(avgQ, l("l_partkey") === avgQ("p_key"))
+        .filter(col("l_quantity") < lit(0.5) * col("avg_qty"))
+        .agg(count(lit(1)).as("n_lines"),
+          sum(dec2(col("l_extendedprice"))).cast("double").as("total_price"))
     })
   )
 
-  val oracles: Map[String, String] = Map(
+  val relationalOracles: Map[String, String] = Map(
     "q01_pricing_summary" ->
       """SELECT l_returnflag, l_linestatus,
         |  sum(l_quantity) AS sum_qty,
@@ -38,7 +209,129 @@ object Queries {
         |  count(*) AS count_order
         |FROM lineitem
         |WHERE l_shipdate <= TIMESTAMP '2000-12-01'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin
+        |GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q02_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+        |FROM lineitem
+        |WHERE l_shipdate BETWEEN TIMESTAMP '1997-01-01' AND TIMESTAMP '1997-12-31'
+        |  AND l_quantity >= 45""".stripMargin,
+
+    "q03_top_orders" ->
+      """SELECT l_orderkey, o_orderdate,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |GROUP BY l_orderkey, o_orderdate
+        |ORDER BY revenue DESC, l_orderkey ASC
+        |LIMIT 10""".stripMargin,
+
+    "q04_semi_join" ->
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders
+        |WHERE EXISTS (SELECT 1 FROM lineitem
+        |              WHERE l_orderkey = o_orderkey AND l_quantity >= 48)
+        |GROUP BY o_orderpriority""".stripMargin,
+
+    "q05_anti_join" ->
+      """SELECT c_custkey, c_name, c_mktsegment
+        |FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders
+        |                  WHERE o_custkey = c_custkey
+        |                    AND o_orderpriority = '1-URGENT')""".stripMargin,
+
+    "q06_topk_per_group" ->
+      """SELECT o_custkey, o_orderkey, o_totalprice, rk FROM (
+        |  SELECT o_custkey, o_orderkey, o_totalprice,
+        |    row_number() OVER (PARTITION BY o_custkey
+        |                       ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+        |  FROM orders) WHERE rk <= 3""".stripMargin,
+
+    "q07_distinct" ->
+      "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer",
+
+    "q08_star_join" ->
+      """SELECT r_name, n_name, count(*) AS suppliers,
+        |  CAST(sum(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name""".stripMargin,
+
+    "q09_rollup" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q10_set_ops" ->
+      """SELECT nk, 'both' AS src FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  INTERSECT
+        |  SELECT s_nationkey AS nk FROM supplier)
+        |UNION ALL
+        |SELECT nk, 'customer_only' AS src FROM (
+        |  SELECT c_nationkey AS nk FROM customer
+        |  EXCEPT
+        |  SELECT s_nationkey AS nk FROM supplier)""".stripMargin,
+
+    "q11_window_running" ->
+      """SELECT user_id, event_id, seq, running_value, prev_type FROM (
+        |  SELECT user_id, event_id,
+        |    row_number() OVER w AS seq,
+        |    CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |      AS running_value,
+        |    lag(event_type, 1) OVER w AS prev_type
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |WHERE user_id < 20""".stripMargin,
+
+    "q12_daily_events" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin,
+
+    "q13_json_extract" ->
+      """SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_mod,
+        |  count(*) AS n,
+        |  max(CAST(json_extract_string(props, '$.k') AS INT)) AS max_k
+        |FROM events
+        |GROUP BY 1""".stripMargin,
+
+    "q14_string_funcs" ->
+      """SELECT c_custkey,
+        |  upper(c_name) AS uname,
+        |  substring(c_name, 1, 8) AS prefix,
+        |  concat_ws('|', c_mktsegment, c_nationkey) AS tag,
+        |  CASE WHEN c_acctbal < 0 THEN 'debt'
+        |       WHEN c_acctbal < 5000 THEN 'mid'
+        |       ELSE 'rich' END AS band
+        |FROM customer""".stripMargin,
+
+    "q15_agg_distinct" ->
+      """SELECT l_returnflag,
+        |  count(DISTINCT l_suppkey) AS n_supp,
+        |  count(DISTINCT l_partkey) AS n_part,
+        |  count(*) AS n
+        |FROM lineitem
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q16_below_avg" ->
+      """SELECT count(*) AS n_lines,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+        |FROM lineitem
+        |JOIN (SELECT l_partkey AS p_key, sum(l_quantity) / count(*) AS avg_qty
+        |      FROM lineitem GROUP BY l_partkey) a
+        |  ON l_partkey = p_key
+        |WHERE l_quantity < 0.5 * avg_qty""".stripMargin
   )
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = relational
+
+  def oracles: Map[String, String] = relationalOracles
 }
