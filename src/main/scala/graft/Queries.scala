@@ -331,7 +331,214 @@ object Queries {
         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin
   )
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = relational
+  // ---- North-star pipeline ops (SURVEY.md §2.9): dedup, text analysis,
+  // similarity search, multimodal, streaming, and the NND graph itself ----
 
-  def oracles: Map[String, String] = relationalOracles
+  import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+
+  private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("features"))
+
+  val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Exact dedup: one hash shuffle on the text key.
+    "d01_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    // Exact near-dup pairs by 3-gram shingle Jaccard.
+    "d02_jaccard_pairs" -> ((s, dir) =>
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 0.7)),
+
+    // MinHash+LSH near-dup: linear candidate generation + exact verify.
+    // Same oracle as d02 — LSH recall at J>=0.7 with 8 bands of 4 makes
+    // the verified output equal the exact join (validated in tests).
+    "d03_minhash_pairs" -> ((s, dir) =>
+      Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 0.7)),
+
+    // SimHash near-dup candidates (hash-dependent — rows-only check;
+    // covered by DedupSpec against the Jaccard ground truth).
+    "d04_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 12)),
+
+    // Embedding-cosine near-dup (full pair scan; ids only so no float
+    // crosses the compare — threshold margin validated in tests).
+    "d05_embedding_pairs" -> ((s, dir) =>
+      Dedup.embeddingPairs(emb(s, dir), "id", "features", 0.5)
+        .select("id_a", "id_b")),
+
+    // Token statistics.
+    "t01_token_stats" -> ((s, dir) =>
+      TextAnalysis.tokenStats(docs(s, dir))
+        .select("doc_id", "n_tokens", "n_distinct", "ttr", "mean_token_len")),
+
+    // Quality scoring.
+    "t02_quality" -> ((s, dir) =>
+      TextAnalysis.qualityScore(docs(s, dir))
+        .select("doc_id", "stopword_ratio", "quality")),
+
+    // Language ID heuristic.
+    "t03_langid" -> ((s, dir) =>
+      TextAnalysis.languageId(docs(s, dir)).select("doc_id", "pred_lang")),
+
+    // Bag-of-words fingerprint.
+    "t04_fingerprint" -> ((s, dir) =>
+      TextAnalysis.fingerprint(docs(s, dir)).select("doc_id", "fingerprint")),
+
+    // Corpus term document-frequency.
+    "t05_term_doc_freq" -> ((s, dir) => TextAnalysis.termDocFreq(docs(s, dir))),
+
+    // Exact ANN baseline: brute-force cosine top-10 for 20 query vectors
+    // (ids+ranks only; rank-boundary gaps >> float error, see tests).
+    "s01_ann_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.bruteForceTopK(e, e.filter(col("id") < 20), 10)
+        .select("query_id", "rank", "nbr_id")
+    }),
+
+    // LSH ANN (bucketed scale path; recall vs s01 checked in tests).
+    "s02_ann_lsh" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.lshTopK(e, e.filter(col("id") < 20), 10)
+        .select("query_id", "rank", "nbr_id")
+    }),
+
+    // Multimodal: binary media column + stub decode (metadata only —
+    // deterministic byte-derived dims so the full decode path is
+    // oracle-checkable).
+    "m01_media_meta" -> ((s, dir) =>
+      Multimodal.decode(Multimodal.asMedia(docs(s, dir)))
+        .toDF().select("doc_id", "media_size", "width", "height")),
+
+    // Multimodal: frame sampling over the binary column.
+    "m02_frame_sample" -> ((s, dir) =>
+      Multimodal.sampleFrames(Multimodal.asMedia(docs(s, dir)))),
+
+    // Structured Streaming path: tumbling daily window over a streaming
+    // read of events, drained synchronously — must equal the batch SQL.
+    "st01_stream_daily" -> ((s, dir) =>
+      graft.streaming.EventsStream.dailyAggregates(s, dir)),
+
+    // The NND K-NN graph itself (approximate — rows-only check; recall
+    // vs the brute-force oracle is covered in NNDSpec).
+    "n01_knn_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").as("features"))
+      graft.nnd.NND.buildGraph(e, graft.nnd.NND.Params(k = 10, maxIterations = 5))
+        .filter(col("neighbors").isNotNull)
+        .select(col("id"), posexplode(col("neighbors")).as(Seq("rank", "nbr")))
+        .select(col("id"), col("rank"), col("nbr.id").as("nbr_id"))
+    })
+  )
+
+  private val shingleCte =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id AS id, s FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+      |      ELSE [text] END) AS s
+      |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+      |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |inter AS (
+      |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, x.n + y.n - inter AS union_sz,
+      |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7""".stripMargin
+
+  val pipelineOracles: Map[String, String] = Map(
+    "d01_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text""".stripMargin,
+
+    "d02_jaccard_pairs" -> shingleCte,
+    "d03_minhash_pairs" -> shingleCte,
+
+    "d05_embedding_pairs" ->
+      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
+        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin,
+
+    "t01_token_stats" ->
+      """SELECT doc_id,
+        |  len(w) AS n_tokens,
+        |  len(list_distinct(w)) AS n_distinct,
+        |  CAST(len(list_distinct(w)) AS DOUBLE) / len(w) AS ttr,
+        |  CAST(list_sum(list_transform(w, x -> length(x))) AS DOUBLE) / len(w) AS mean_token_len
+        |FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)""".stripMargin,
+
+    "t02_quality" ->
+      """SELECT doc_id,
+        |  CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w) AS stopword_ratio,
+        |  (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |    + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS quality
+        |FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)""".stripMargin,
+
+    "t03_langid" ->
+      """SELECT doc_id,
+        |  CASE
+        |    WHEN s_en = g THEN 'en' WHEN s_de = g THEN 'de' WHEN s_es = g THEN 'es'
+        |    WHEN s_fr = g THEN 'fr' WHEN s_zh = g THEN 'zh' ELSE 'und' END AS pred_lang
+        |FROM (
+        |  SELECT doc_id,
+        |    CAST(len(list_filter(w, x -> x IN ('the','a','order','table','key'))) AS DOUBLE) / len(w) AS s_en,
+        |    CAST(len(list_filter(w, x -> x IN ('customer','hash','join','group','row'))) AS DOUBLE) / len(w) AS s_de,
+        |    CAST(len(list_filter(w, x -> x IN ('slow','agg','data','scan','part'))) AS DOUBLE) / len(w) AS s_es,
+        |    CAST(len(list_filter(w, x -> x IN ('scan','batch','data','merge','filter'))) AS DOUBLE) / len(w) AS s_fr,
+        |    CAST(len(list_filter(w, x -> x IN ('join','small','row','stream','window'))) AS DOUBLE) / len(w) AS s_zh,
+        |    greatest(
+        |      CAST(len(list_filter(w, x -> x IN ('the','a','order','table','key'))) AS DOUBLE) / len(w),
+        |      CAST(len(list_filter(w, x -> x IN ('customer','hash','join','group','row'))) AS DOUBLE) / len(w),
+        |      CAST(len(list_filter(w, x -> x IN ('slow','agg','data','scan','part'))) AS DOUBLE) / len(w),
+        |      CAST(len(list_filter(w, x -> x IN ('scan','batch','data','merge','filter'))) AS DOUBLE) / len(w),
+        |      CAST(len(list_filter(w, x -> x IN ('join','small','row','stream','window'))) AS DOUBLE) / len(w)) AS g
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))""".stripMargin,
+
+    "t04_fingerprint" ->
+      """SELECT doc_id,
+        |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint
+        |FROM documents""".stripMargin,
+
+    "t05_term_doc_freq" ->
+      """SELECT term, count(*) AS doc_freq FROM (
+        |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+        |GROUP BY term""".stripMargin,
+
+    "s01_ann_brute" ->
+      """SELECT query_id, rank, nbr_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 20)
+        |WHERE rank <= 10""".stripMargin,
+
+    "m01_media_meta" ->
+      """SELECT doc_id,
+        |  octet_length(CAST(text AS BLOB)) AS media_size,
+        |  16 + octet_length(CAST(text AS BLOB)) % 624 AS width,
+        |  16 + ascii(text) AS height
+        |FROM documents""".stripMargin,
+
+    "m02_frame_sample" ->
+      """SELECT doc_id, n_frames, frame_id,
+        |  least(64, media_size - frame_id * 64) AS frame_len
+        |FROM (
+        |  SELECT doc_id, octet_length(CAST(text AS BLOB)) AS media_size,
+        |    CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) AS n_frames
+        |  FROM documents), unnest(range(0, n_frames)) AS u(frame_id)
+        |WHERE frame_id % 2 = 0""".stripMargin,
+
+    "st01_stream_daily" ->
+      """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2""".stripMargin
+  )
+
+  def all: Map[String, (SparkSession, String) => DataFrame] = relational ++ pipeline
+
+  def oracles: Map[String, String] = relationalOracles ++ pipelineOracles
 }

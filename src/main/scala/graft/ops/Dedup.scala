@@ -1,0 +1,191 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.Similarity
+
+/** Deduplication operators for large-scale document/embedding pipelines.
+  *
+  * Five strategies, ordered by cost/recall trade-off:
+  *  - exact (hash groupBy on the raw text) — one shuffle;
+  *  - fingerprint (bag-of-words md5 clusters) — one shuffle on a 16-byte key;
+  *  - n-gram Jaccard (shingle-set similarity join) — exact near-dup, pair
+  *    generation bounded by shared-shingle co-occurrence;
+  *  - MinHash + LSH (banded signatures → candidate pairs → exact verify) —
+  *    the 100 TB scale path: candidate generation is linear in corpus size,
+  *    the quadratic step only runs inside LSH buckets;
+  *  - SimHash (64-bit sketch, banded hamming candidates).
+  *
+  * Everything is `functions._` compositions (codegen'd, partial-agg
+  * friendly); no driver-side loops, no UDFs.
+  */
+object Dedup {
+
+  /** 3-gram word shingles of a space-tokenized text column. Guarded for
+    * texts shorter than n tokens (falls back to the whole text as one
+    * shingle). */
+  def shingles(text: Column, n: Int = 3): Column = {
+    val words = split(text, " ")
+    when(size(words) >= n,
+      transform(sequence(lit(1), size(words) - (n - 1)),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+      .otherwise(array(text))
+  }
+
+  /** Distinct (id, shingle) pairs — the set representation used by both
+    * the exact Jaccard join and MinHash signatures. */
+  def shingleSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s")).distinct()
+
+  /** Exact duplicate clusters: one row per distinct text with the kept
+    * (minimum) id and the copy count. */
+  def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(col(textCol))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
+  /** Near-duplicate pairs by exact shingle-set Jaccard >= threshold.
+    * The join key is the shingle itself, so only documents sharing at
+    * least one shingle ever meet — no quadratic blow-up on a sparse
+    * corpus. */
+  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
+    val sh = shingleSet(df, idCol, textCol).cache()
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = sh.as("a").join(sh.as("b"),
+        col("a.s") === col("b.s") && col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+  }
+
+  /** MinHash signatures: for each id, the minimum of `numHashes` seeded
+    * xxhash64 values over its shingle set — one aggregation, partial-agg
+    * (map-side min) applies. */
+  def minhashSignatures(sh: DataFrame, numHashes: Int): DataFrame = {
+    val aggs = (0 until numHashes).map(i => min(xxhash64(lit(i), col("s"))).as(s"h$i"))
+    sh.groupBy("id").agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** MinHash + LSH near-duplicate pairs, verified by exact Jaccard.
+    *
+    * Bands of `rowsPerBand` signature slots are hashed to buckets; only
+    * documents colliding in at least one band become candidates (linear
+    * candidate generation — the scale path). Candidates are then verified
+    * with the exact shingle-set Jaccard, so the output equals
+    * [[jaccardPairs]] up to LSH recall (>= 1 - (1-t^r)^b; ~1-2e-4 at
+    * t=0.9 with 8 bands of 4).
+    */
+  def minhashLshPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sh = shingleSet(df, idCol, textCol).cache()
+    val sigs = minhashSignatures(sh, numHashes)
+
+    val bandCols = (0 until bands).map { b =>
+      val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
+    }
+    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+
+    val candidates = buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+
+    // Exact verify: intersect sizes over the shingle sets, candidates only.
+    val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(sh.select(col("id").as("doc_a"), col("s")), "doc_a")
+      .join(sh.select(col("id").as("doc_b"), col("s").as("s2")), "doc_b")
+      .filter(col("s") === col("s2"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sz.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sz.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+  }
+
+  /** 64-bit SimHash per document: sign-aggregated bit votes of token
+    * hashes weighted by term frequency. */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol).as("id"),
+        explode(split(col(textCol), " ")).as("w"))
+      .groupBy("id", "w").agg(count(lit(1)).as("cnt"))
+      .withColumn("h", xxhash64(col("w")))
+    val votes = (0 until 64).map { b =>
+      sum(when(col("h").bitwiseAND(lit(1L << b)) =!= 0, col("cnt"))
+        .otherwise(-col("cnt"))).as(s"v$b")
+    }
+    val voted = tok.groupBy("id").agg(votes.head, votes.tail: _*)
+    val sig = (0 until 64).map { b =>
+      when(col(s"v$b") > 0, lit(1L << b)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+    voted.select(col("id"), sig.as("simhash"))
+  }
+
+  /** SimHash near-duplicate candidate pairs with hamming distance <=
+    * maxHamming, blocked on 16-bit bands (a pair within hamming 3 of a
+    * 64-bit signature must agree exactly on at least one of 4 bands). */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    val sigs = simhash(df, idCol, textCol)
+    val bandCols = (0 until 4).map { i =>
+      struct(lit(i).as("band"),
+        shiftright(col("simhash"), i * 16).bitwiseAND(lit(0xFFFFL)).as("bh"))
+    }
+    val buckets = sigs.select(col("id"), col("simhash"),
+        explode(array(bandCols: _*)).as("bb"))
+      .select(col("id"), col("simhash"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Embedding near-duplicate pairs: cosine >= threshold. `blockCol`
+    * optionally restricts comparisons to equal-key blocks (coarse
+    * quantization / label blocking — the scale path; pass None for the
+    * exact full cross product). */
+  def embeddingPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      blockCol: Option[String] = None): DataFrame = {
+    // Norms are hoisted to one pass per row (N, not N²); the final
+    // dot/(na*nb) is the same expression tree as cosineCol, so values are
+    // bit-identical to the naive form.
+    val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"),
+      Similarity.normCol(col(vecCol)).as("n_a"))
+    val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
+      blockCol.map(col).getOrElse(lit(0)).as("blk"),
+      Similarity.normCol(col(vecCol)).as("n_b"))
+    a.join(b, Seq("blk"))
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("cosine",
+        Similarity.dotCol(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,76 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: media as opaque BINARY columns with typed
+  * metadata, decoded / feature-extracted / frame-sampled via distributed
+  * per-partition transforms.
+  *
+  * The container has no image/audio codecs, so the decode kernel is a
+  * clearly-marked DETERMINISTIC STUB (derives fake dimensions/features
+  * from the raw bytes). Everything around it — the binary schema, the
+  * mapPartitions batch shape, partition-preserving execution, frame
+  * explode — is real and tested; swapping the stub for a JNI/codec call
+  * changes no plumbing.
+  */
+object Multimodal {
+
+  /** A decoded media row: fake metadata derived deterministically from
+    * bytes. */
+  final case class MediaMeta(
+      doc_id: Long,
+      media_size: Long,
+      width: Int,
+      height: Int,
+      channels: Int,
+      feature8: Array[Float])
+
+  /** Wrap a text table as opaque media blobs (the fixture has no real
+    * binary column; production would read image/audio bytes directly). */
+  def asMedia(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("doc_id"),
+      col(textCol).cast("binary").as("media"),
+      lit("application/octet-stream").as("media_type"))
+
+  /** STUB decode: in production this calls the codec; here dimensions and
+    * an 8-float feature vector are derived from the bytes so the
+    * distributed plumbing (schema, batching, partition shape) is
+    * exercised end-to-end and remains deterministic. */
+  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
+    val w = 16 + (bytes.length % 624)
+    val h = 16 + (if (bytes.nonEmpty) bytes(0) & 0xff else 0)
+    val feats = Array.tabulate(8)(i =>
+      if (bytes.length > i) (bytes(i) & 0xff) / 255.0f else 0.0f)
+    (w, h, 3, feats)
+  }
+
+  /** Distributed decode: one pass per partition over the binary column
+    * (the Scala analog of a batched decode UDF — rows stream through
+    * without driver involvement). */
+  def decode(media: DataFrame): Dataset[MediaMeta] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          val (w, h, c, f) = decodeStub(bytes)
+          MediaMeta(id, bytes.length.toLong, w, h, c, f)
+        }
+      }
+  }
+
+  /** Frame sampling: split each blob into fixed-size frames and emit one
+    * row per sampled frame (every `stride`-th). Pure Column ops —
+    * codegen'd, no UDF. */
+  def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 2): DataFrame = {
+    val nFrames = ceil(length(col("media")).cast("double") / frameSize).cast("int")
+    media
+      .withColumn("n_frames", nFrames)
+      .withColumn("frame_id",
+        explode(filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0)))
+      .withColumn("frame",
+        expr(s"substring(media, frame_id * $frameSize + 1, $frameSize)"))
+      .select(col("doc_id"), col("n_frames"), col("frame_id"), length(col("frame")).as("frame_len"))
+  }
+}

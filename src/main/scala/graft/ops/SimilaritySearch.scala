@@ -1,0 +1,110 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.Similarity
+
+import scala.util.Random
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * Two paths:
+  *  - [[bruteForceTopK]]: exact cosine top-k via a broadcast join of the
+  *    (small) query set against the corpus — the baseline and the oracle
+  *    for recall tests. Scales linearly in corpus size with no shuffle of
+  *    the corpus (queries are broadcast).
+  *  - [[lshTopK]]: random-hyperplane LSH bucketing with multiprobe —
+  *    the 100 TB path: corpus is bucketed once (one narrow shuffle),
+  *    queries probe their own bucket plus all hamming-1 neighbors, and
+  *    only in-bucket candidates are scored.
+  */
+object SimilaritySearch {
+
+  /** Exact top-k by cosine: every (query, corpus) pair via broadcast of
+    * the query side, ranked per query with a deterministic id tie-break. */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    // Norms hoisted to one pass per row; dot/(nq*nc) is the same
+    // expression tree as cosineCol, so values are bit-identical.
+    val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+      Similarity.normCol(col("features")).as("n_c"))
+    val q = queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      Similarity.normCol(col("features")).as("n_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        Similarity.dotCol(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
+  }
+
+  /** Seeded random hyperplanes for sign-bit LSH. */
+  def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Float]] = {
+    val r = new Random(seed)
+    Array.fill(numPlanes)(Array.fill(dim)((r.nextGaussian()).toFloat))
+  }
+
+  /** Sign-bit bucket id of a vector column against fixed hyperplanes
+    * (pure Column expression — codegen'd, no UDF). */
+  def bucketOf(vec: Column, planes: Array[Array[Float]]): Column =
+    planes.zipWithIndex.map { case (p, i) =>
+      when(Similarity.dotCol(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce((a, b) => a.bitwiseOR(b))
+
+  /** All XOR masks with at most `radius` bits set among `numPlanes` bits
+    * (multiprobe neighborhood of a bucket). */
+  def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
+    def combos(bits: List[Int], choose: Int): Seq[Long] =
+      if (choose == 0) Seq(0L)
+      else bits match {
+        case Nil => Seq.empty
+        case b :: rest =>
+          combos(rest, choose - 1).map(_ | (1L << b)) ++ combos(rest, choose)
+      }
+    (0 to radius).flatMap(r => combos((0 until numPlanes).toList, r))
+  }
+
+  /** ANN top-k via random-hyperplane LSH with hamming-`probeRadius`
+    * multiprobe.
+    *
+    * The corpus is hashed to 2^numPlanes buckets; each query probes every
+    * bucket within hamming distance `probeRadius` of its own, then ranks
+    * candidates by exact cosine. Recall vs [[bruteForceTopK]] is checked
+    * in tests. Defaults (5 planes, radius 2 → 16 of 32 buckets probed)
+    * suit weakly-clustered corpora like the synthetic fixture; strongly
+    * clustered real embeddings support more planes / smaller radius for a
+    * bigger candidate-set reduction.
+    */
+  def lshTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numPlanes: Int = 5,
+      probeRadius: Int = 2,
+      seed: Long = 42L): DataFrame = {
+    val dim = corpus.select(size(col("features"))).first().getInt(0)
+    val planes = hyperplanes(dim, numPlanes, seed)
+
+    val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+        Similarity.normCol(col("features")).as("n_c"))
+      .withColumn("bucket", bucketOf(col("v_c"), planes))
+    val probes = probeMasks(numPlanes, probeRadius)
+      .map(m => col("bucket").bitwiseXOR(lit(m)))
+    val q = queries.select(col("id").as("query_id"), col("features").as("v_q"),
+        Similarity.normCol(col("features")).as("n_q"))
+      .withColumn("bucket", bucketOf(col("v_q"), planes))
+      .withColumn("probe", explode(array(probes: _*)))
+      .select(col("query_id"), col("v_q"), col("n_q"), col("probe").as("bucket"))
+
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    c.join(broadcast(q), Seq("bucket"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        Similarity.dotCol(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
+  }
+}

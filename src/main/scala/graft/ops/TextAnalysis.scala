@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale document pipelines: token
+  * statistics, quality scoring, language identification, and document
+  * fingerprinting. All are pure `functions._` compositions (whole-stage
+  * codegen, no UDFs) and have exact DuckDB-SQL twins, so every operator is
+  * oracle-checkable. Designed shuffle-free: each is a per-row projection;
+  * only explicit aggregations (term frequencies) shuffle.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokenizer (documents fixture is space-separated). */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Per-language marker-word profiles for the n-gram/stopword language-ID
+    * heuristic. Fixed lists so the scorer is deterministic and
+    * SQL-expressible. */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "a", "order", "table", "key"),
+    "de" -> Seq("customer", "hash", "join", "group", "row"),
+    "es" -> Seq("slow", "agg", "data", "scan", "part"),
+    "fr" -> Seq("scan", "batch", "data", "merge", "filter"),
+    "zh" -> Seq("join", "small", "row", "stream", "window"))
+
+  /** Ratio of tokens found in `words` (overlap score, one IEEE division —
+    * bit-stable across engines). */
+  def overlapRatio(toks: Column, words: Seq[String]): Column = {
+    val inList = (x: Column) => words.map(x === lit(_)).reduce(_ || _)
+    size(filter(toks, x => inList(x))).cast("double") / size(toks)
+  }
+
+  /** Token statistics: total, distinct, type-token ratio, mean token
+    * length. */
+  def tokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    df.withColumn("n_tokens", size(tk))
+      .withColumn("n_distinct", size(array_distinct(tk)))
+      .withColumn("ttr", col("n_distinct").cast("double") / col("n_tokens"))
+      .withColumn("mean_token_len",
+        aggregate(tk, lit(0L), (acc, x) => acc + length(x)).cast("double") / col("n_tokens"))
+  }
+
+  /** Heuristic quality score in [0,1]: mixes length band, lexical
+    * diversity and stopword presence (the classic C4/Gopher-style filter
+    * shape, re-expressed as deterministic arithmetic). */
+  def qualityScore(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val stop = overlapRatio(tk, Seq("the", "a", "of", "and", "in"))
+    val ttr = size(array_distinct(tk)).cast("double") / size(tk)
+    val lenOk = when(size(tk).between(20, 90), lit(1.0)).otherwise(lit(0.5))
+    df.withColumn("stopword_ratio", stop)
+      .withColumn("quality",
+        lenOk * lit(0.4) + ttr * lit(0.3) + least(stop * lit(10.0), lit(1.0)) * lit(0.3))
+  }
+
+  /** Language ID: argmax of per-language marker overlap, fixed tie order
+    * (profile order). */
+  def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = tokens(col(textCol))
+    val scored = langProfiles.foldLeft(df) { case (d, (lang, words)) =>
+      d.withColumn(s"score_$lang", overlapRatio(tk, words))
+    }
+    val best = greatest(langProfiles.map { case (l, _) => col(s"score_$l") }: _*)
+    // foldRight gives profile-order priority on ties (first match wins).
+    val pred = langProfiles.foldRight(lit("und"): Column) { case ((l, _), acc) =>
+      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+    }
+    scored.withColumn("pred_lang", pred)
+  }
+
+  /** Bag-of-words fingerprint: md5 of the sorted distinct token set.
+    * Identical fingerprints = identical vocabularies (near-dup clusters for
+    * shuffled word-soup documents). */
+  def fingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("fingerprint",
+      md5(array_join(array_sort(array_distinct(tokens(col(textCol)))), " ")))
+
+  /** Corpus-level term document-frequency (one shuffle: explode + count
+    * distinct docs per term; partial aggregation applies). */
+  def termDocFreq(df: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
+      .groupBy("term")
+      .agg(count(lit(1)).as("doc_freq"))
+}

@@ -1,0 +1,64 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import java.util.concurrent.atomic.AtomicInteger
+
+/** Structured Streaming ingest of the events table.
+  *
+  * The reference is batch-only (SURVEY.md §2.8); this provides the
+  * streaming surface a production pipeline needs: file-source streaming
+  * read → event-time watermark → tumbling-window aggregation. For
+  * verification the stream is driven synchronously to completion against
+  * the static fixture via a memory sink, so the result is a normal batch
+  * DataFrame whose content must equal the equivalent batch SQL — i.e. the
+  * streaming path itself is oracle-checked.
+  */
+object EventsStream {
+
+  private val runId = new AtomicInteger(0)
+
+  /** Schema as stored (ts is physical TIMESTAMP(NANOS) → LONG under
+    * `nanosAsLong`). */
+  private val eventsSchema = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Daily tumbling-window counts/sums per event type, computed through a
+    * streaming query with a 1-day watermark and drained to completion. */
+  def dailyAggregates(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"events_stream_daily_${runId.incrementAndGet()}"
+    // The file stream source requires a directory; the fixture is a single
+    // parquet file, so expose it through a temp dir of symlinks.
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 day")
+      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+      .select(to_date(col("win.start")).as("day"), col("event_type"), col("n"), col("total_value"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    // Materialize: the memory table lives in the session; copy out rows so
+    // the result survives the query being stopped.
+    spark.table(name)
+  }
+}
