@@ -1,0 +1,136 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.GraftColumnBridge
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the vector-similarity hot loops.
+  *
+  * The `zip_with`/`aggregate` higher-order-function forms in
+  * [[graft.core.Similarity]] are correct and oracle-parity-exact, but
+  * allocate an intermediate array and evaluate a lambda per element. These
+  * expressions generate a tight primitive loop instead (whole-stage
+  * codegen'd), with the SAME arithmetic — promote each float to double,
+  * multiply/subtract, accumulate left-to-right — so results are
+  * bit-identical to the HOF forms and to the DuckDB oracles.
+  *
+  * Both inputs must be ARRAY<FLOAT> (the engine's canonical embedding
+  * type, SURVEY.md §1.4).
+  */
+abstract class VectorFold extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case ArrayType(FloatType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType)) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires two ARRAY<FLOAT> arguments, got " +
+        s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+  }
+
+  /** Java source for the loop body given element accessors; accumulates
+    * into a local `s`. */
+  protected def loopBody(a: String, b: String, i: String): String
+
+  /** JVM fold for the interpreted path. */
+  protected def fold(a: ArrayData, b: ArrayData): Double
+
+  /** Java epilogue turning the accumulator into the result (default:
+    * identity). */
+  protected def epilogue(s: String): String = s
+
+  override def nullSafeEval(a: Any, b: Any): Any =
+    fold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("s")
+      s"""
+         |final int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  throw new IllegalArgumentException("vector size mismatch: " +
+         |    $n + " vs " + $b.numElements());
+         |}
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  ${loopBody(a, b, i).replace("ACC", s)}
+         |}
+         |${ev.value} = ${epilogue(s)};
+       """.stripMargin
+    })
+}
+
+/** dot(a, b) = Σ (double)a_i * (double)b_i — bit-identical to
+  * `aggregate(zip_with(cast(a), cast(b), (x,y) -> x*y), 0D, +)`. */
+case class VectorDot(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "vector_dot"
+  override protected def loopBody(a: String, b: String, i: String): String =
+    s"ACC += (double)$a.getFloat($i) * (double)$b.getFloat($i);"
+  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector size mismatch: $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** l2(a, b) = sqrt(Σ ((double)a_i - (double)b_i)^2) — bit-identical to the
+  * HOF form in Similarity.l2Col. */
+case class VectorL2(left: Expression, right: Expression) extends VectorFold {
+  override def prettyName: String = "vector_l2"
+  override protected def loopBody(a: String, b: String, i: String): String =
+    s"""double d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
+       |  ACC += d * d;""".stripMargin
+  override protected def epilogue(s: String): String = s"java.lang.Math.sqrt($s)"
+  override protected def fold(a: ArrayData, b: ArrayData): Double = {
+    val n = a.numElements()
+    require(n == b.numElements(), s"vector size mismatch: $n vs ${b.numElements()}")
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d
+      i += 1
+    }
+    math.sqrt(s)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Column-level entry points for the native expressions. */
+object VectorFunctions {
+  def vector_dot(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VectorDot(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def vector_l2(a: Column, b: Column): Column =
+    GraftColumnBridge.column(VectorL2(GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def vector_norm(a: Column): Column = {
+    import org.apache.spark.sql.functions.sqrt
+    sqrt(vector_dot(a, a))
+  }
+
+  def vector_cosine(a: Column, b: Column): Column =
+    vector_dot(a, b) / (vector_norm(a) * vector_norm(b))
+
+  /** The reference NND similarity kernel, 1/(1+L2). */
+  def vector_l2_sim(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.functions.lit
+    lit(1.0) / (lit(1.0) + vector_l2(a, b))
+  }
+}

@@ -177,14 +177,14 @@ object Dedup {
     // bit-identical to the naive form.
     val a = df.select(col(idCol).as("id_a"), col(vecCol).as("v_a"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"),
-      Similarity.normCol(col(vecCol)).as("n_a"))
+      graft.functions.VectorFunctions.vector_norm(col(vecCol)).as("n_a"))
     val b = df.select(col(idCol).as("id_b"), col(vecCol).as("v_b"),
       blockCol.map(col).getOrElse(lit(0)).as("blk"),
-      Similarity.normCol(col(vecCol)).as("n_b"))
+      graft.functions.VectorFunctions.vector_norm(col(vecCol)).as("n_b"))
     a.join(b, Seq("blk"))
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
-        Similarity.dotCol(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+        graft.functions.VectorFunctions.vector_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

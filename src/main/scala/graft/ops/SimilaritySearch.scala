@@ -28,13 +28,13 @@ object SimilaritySearch {
     // Norms hoisted to one pass per row; dot/(nq*nc) is the same
     // expression tree as cosineCol, so values are bit-identical.
     val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-      Similarity.normCol(col("features")).as("n_c"))
+      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_c"))
     val q = queries.select(col("id").as("query_id"), col("features").as("v_q"),
-      Similarity.normCol(col("features")).as("n_q"))
+      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_q"))
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        Similarity.dotCol(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cosine")
@@ -50,7 +50,7 @@ object SimilaritySearch {
     * (pure Column expression — codegen'd, no UDF). */
   def bucketOf(vec: Column, planes: Array[Array[Float]]): Column =
     planes.zipWithIndex.map { case (p, i) =>
-      when(Similarity.dotCol(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
+      when(graft.functions.VectorFunctions.vector_dot(vec, typedlit(p.toSeq)) >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce((a, b) => a.bitwiseOR(b))
 
   /** All XOR masks with at most `radius` bits set among `numPlanes` bits
@@ -88,12 +88,12 @@ object SimilaritySearch {
     val planes = hyperplanes(dim, numPlanes, seed)
 
     val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-        Similarity.normCol(col("features")).as("n_c"))
+        graft.functions.VectorFunctions.vector_norm(col("features")).as("n_c"))
       .withColumn("bucket", bucketOf(col("v_c"), planes))
     val probes = probeMasks(numPlanes, probeRadius)
       .map(m => col("bucket").bitwiseXOR(lit(m)))
     val q = queries.select(col("id").as("query_id"), col("features").as("v_q"),
-        Similarity.normCol(col("features")).as("n_q"))
+        graft.functions.VectorFunctions.vector_norm(col("features")).as("n_q"))
       .withColumn("bucket", bucketOf(col("v_q"), planes))
       .withColumn("probe", explode(array(probes: _*)))
       .select(col("query_id"), col("v_q"), col("n_q"), col("probe").as("bucket"))
@@ -102,7 +102,7 @@ object SimilaritySearch {
     c.join(broadcast(q), Seq("bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        Similarity.dotCol(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cosine")
