@@ -1,6 +1,27 @@
 package graft
+
+import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
+
+import java.util.concurrent.atomic.AtomicLong
+
+/** Per-round benchmark: runs every declared query on SPARK_GRAFT_SF_DIR and
+  * prints ONE JSON line with per-query wall time plus shuffle telemetry
+  * (total + max single-stage shuffle-write bytes — the reference's
+  * headline metric, `/root/reference/README.md:74-77`). */
 object Bench {
+
+  private val curShuffle = new AtomicLong(0L)
+  private val maxStageShuffle = new AtomicLong(0L)
+
+  private class ShuffleListener extends SparkListener {
+    override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+      val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
+      curShuffle.addAndGet(w)
+      maxStageShuffle.updateAndGet(m => math.max(m, w))
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -11,15 +32,36 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.addSparkListener(new ShuffleListener)
+
+    // Warm the JIT/codegen paths so the first measured query isn't
+    // charged session bring-up.
+    try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
+    catch { case _: Throwable => }
+
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+      // Let stage-completed events from the previous query drain.
+      Thread.sleep(150)
+      curShuffle.set(0L)
+      maxStageShuffle.set(0L)
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val secs = (System.nanoTime() - t0) / 1e9
+      Thread.sleep(150)
+      (name, secs, curShuffle.get(), maxStageShuffle.get())
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val sh = results.map { case (k, _, b, _) => "\"" + k + "\":" + b }
+      .mkString("{", ",", "}")
+    val mx = results.map { case (k, _, _, m) => "\"" + k + "\":" + m }
+      .mkString("{", ",", "}")
+    val total = results.map(_._2).sum
+    val totalShuffle = results.map(_._3).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+      s""""shuffle_bytes":$sh,"max_stage_shuffle_bytes":$mx,""" +
+      s""""total_shuffle_bytes":$totalShuffle,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -331,6 +331,165 @@ object Queries {
         |WHERE l_quantity < 0.5 * avg_qty""".stripMargin
   )
 
+  val relational2: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // Sessionization: 30-minute-gap sessions via lag + running sum
+    // (exact integer-microsecond arithmetic on both sides).
+    "q17_sessionize" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, 0)
+      events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .select("user_id", "event_id", "session_id")
+    }),
+
+    // Discrete percentiles via deterministic rank picks (exact-element
+    // semantics — no interpolation, so no float divergence).
+    "q18_percentile_disc" -> ((s, dir) => {
+      val w = Window.partitionBy(col("l_returnflag"))
+        .orderBy(col("l_quantity"), col("l_orderkey"), col("l_linenumber"))
+      t(s, dir, "lineitem")
+        .withColumn("rn", row_number().over(w))
+        .withColumn("cnt", count(lit(1)).over(Window.partitionBy(col("l_returnflag"))))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          min(when(col("rn") === ceil(col("cnt") * 0.5), col("l_quantity"))).as("p50"),
+          min(when(col("rn") === ceil(col("cnt") * 0.9), col("l_quantity"))).as("p90"))
+    }),
+
+    // Full outer join of two aggregates.
+    "q19_full_outer" -> ((s, dir) => {
+      val c = t(s, dir, "customer").groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"))
+      val su = t(s, dir, "supplier").groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"))
+      c.join(su, Seq("nk"), "full_outer")
+    }),
+
+    // Left outer join null handling: per-order count of heavy lines
+    // (zero-preserving).
+    "q20_left_join_count" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val heavy = t(s, dir, "lineitem").filter(col("l_quantity") >= 49)
+      o.join(heavy, o("o_orderkey") === heavy("l_orderkey"), "left_outer")
+        .groupBy(col("o_orderkey"))
+        .agg(count(col("l_orderkey")).as("n_heavy"))
+    }),
+
+    // Argmax (max_by) with a decimal-exact composite ordering key.
+    "q21_argmax" -> ((s, dir) => {
+      val ord = dec2(col("o_totalprice")) * 1000000 + col("o_orderkey")
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(max_by(col("o_orderkey"), ord).as("best_order"),
+          max(dec2(col("o_totalprice"))).cast("double").as("best_price"))
+    }),
+
+    // Cube over two grouping dimensions.
+    "q22_cube" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .cube(col("l_returnflag"), col("l_linestatus"))
+        .agg(count(lit(1)).as("n"))
+    }),
+
+    // As-of join expressed as a single sort-based window (the scalable
+    // form — no inequality join): for each purchase, the most recent
+    // click of the same user at or before it.
+    "q23_asof_join" -> ((s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, 0)
+      events(s, dir)
+        .withColumn("last_click_id",
+          last(when(col("event_type") === "click", col("event_id")), ignoreNulls = true).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("last_click_id"))
+    }),
+
+    // Pivot (fixed value list) — conditional aggregation in the oracle.
+    "q24_pivot" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(col("user_id") % 10 as "user_mod")
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .withColumnsRenamed(Map(
+          "click" -> "n_click", "error" -> "n_error", "purchase" -> "n_purchase",
+          "signup" -> "n_signup", "view" -> "n_view"))
+    })
+  )
+
+  val relational2Oracles: Map[String, String] = Map(
+    "q17_sessionize" ->
+      """SELECT user_id, event_id,
+        |  CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        |FROM (
+        |  SELECT user_id, event_id, ts,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events)""".stripMargin,
+
+    "q18_percentile_disc" ->
+      """SELECT l_returnflag,
+        |  min(CASE WHEN rn = ceil(cnt * 0.5) THEN l_quantity END) AS p50,
+        |  min(CASE WHEN rn = ceil(cnt * 0.9) THEN l_quantity END) AS p90
+        |FROM (
+        |  SELECT l_returnflag, l_quantity,
+        |    row_number() OVER (PARTITION BY l_returnflag
+        |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rn,
+        |    count(*) OVER (PARTITION BY l_returnflag) AS cnt
+        |  FROM lineitem)
+        |GROUP BY l_returnflag""".stripMargin,
+
+    "q19_full_outer" ->
+      """SELECT coalesce(c.nk, s.nk) AS nk, n_cust, n_supp FROM
+        |  (SELECT c_nationkey AS nk, count(*) AS n_cust FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN
+        |  (SELECT s_nationkey AS nk, count(*) AS n_supp FROM supplier GROUP BY 1) s
+        |USING (nk)""".stripMargin,
+
+    "q20_left_join_count" ->
+      """SELECT o_orderkey, count(l_orderkey) AS n_heavy
+        |FROM orders
+        |LEFT JOIN (SELECT * FROM lineitem WHERE l_quantity >= 49) l
+        |  ON o_orderkey = l_orderkey
+        |GROUP BY o_orderkey""".stripMargin,
+
+    "q21_argmax" ->
+      """SELECT o_custkey,
+        |  arg_max(o_orderkey, CAST(o_totalprice AS DECIMAL(18,2)) * 1000000 + o_orderkey) AS best_order,
+        |  CAST(max(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS best_price
+        |FROM orders
+        |GROUP BY o_custkey""".stripMargin,
+
+    "q22_cube" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY CUBE (l_returnflag, l_linestatus)""".stripMargin,
+
+    "q23_asof_join" ->
+      """SELECT user_id, event_id AS purchase_id, last_click_id FROM (
+        |  SELECT user_id, event_id, event_type,
+        |    last_value(CASE WHEN event_type = 'click' THEN event_id END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
+        |  FROM events)
+        |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q24_pivot" ->
+      """SELECT user_id % 10 AS user_mod,
+        |  count(*) FILTER (event_type = 'click') AS n_click,
+        |  count(*) FILTER (event_type = 'error') AS n_error,
+        |  count(*) FILTER (event_type = 'purchase') AS n_purchase,
+        |  count(*) FILTER (event_type = 'signup') AS n_signup,
+        |  count(*) FILTER (event_type = 'view') AS n_view
+        |FROM events
+        |GROUP BY 1""".stripMargin
+  )
+
   // ---- North-star pipeline ops (SURVEY.md §2.9): dedup, text analysis,
   // similarity search, multimodal, streaming, and the NND graph itself ----
 
@@ -538,7 +697,9 @@ object Queries {
         |GROUP BY 1, 2""".stripMargin
   )
 
-  def all: Map[String, (SparkSession, String) => DataFrame] = relational ++ pipeline
+  def all: Map[String, (SparkSession, String) => DataFrame] =
+    relational ++ relational2 ++ pipeline
 
-  def oracles: Map[String, String] = relationalOracles ++ pipelineOracles
+  def oracles: Map[String, String] =
+    relationalOracles ++ relational2Oracles ++ pipelineOracles
 }

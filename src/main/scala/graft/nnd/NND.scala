@@ -151,14 +151,21 @@ object NND {
 
       // Reverse-edge ρ-sample (reference G2+G3, NND.scala:116-169): each
       // node keeps ceil(ρ·|Rv|) (min 1) of its incoming edges,
-      // deterministically ordered by a per-iteration hash.
-      val wPart = Window.partitionBy($"dst")
-      val wOrd = wPart.orderBy(xxhash64($"src", $"dst", lit(iter), lit(seed)))
-      val sampledRev = edges.toDF()
-        .withColumn("rn", row_number().over(wOrd))
-        .withColumn("cnt", count(lit(1)).over(wPart))
-        .filter($"rn" <= greatest(ceil($"cnt" * p.sampleRate), lit(1L)))
-        .select($"dst".as("src"), $"src".as("dst"))
+      // deterministically ordered by a per-iteration hash. At ρ >= 1 (the
+      // reference default regime) the sample is the whole reverse set, so
+      // the ranking window — a full shuffle+sort per iteration — is
+      // skipped entirely.
+      val sampledRev =
+        if (p.sampleRate >= 1.0) edges.toDF().select($"dst".as("src"), $"src".as("dst"))
+        else {
+          val wPart = Window.partitionBy($"dst")
+          val wOrd = wPart.orderBy(xxhash64($"src", $"dst", lit(iter), lit(seed)))
+          edges.toDF()
+            .withColumn("rn", row_number().over(wOrd))
+            .withColumn("cnt", count(lit(1)).over(wPart))
+            .filter($"rn" <= greatest(ceil($"cnt" * p.sampleRate), lit(1L)))
+            .select($"dst".as("src"), $"src".as("dst"))
+        }
 
       // Adjacency set Av = Bv ∪ sample(Rv) (reference G4): the ONLY place
       // features are shuffled — one narrow-ids union, one join against the

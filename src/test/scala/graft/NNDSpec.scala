@@ -78,6 +78,19 @@ class NNDSpec extends SparkSpec {
     }
   }
 
+  test("rho-sampling path (sampleRate < 1) converges with decent recall") {
+    val out = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 5, sampleRate = 0.5))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => n.getLong(0))))
+      .toMap
+    val recalls = out.collect { case (id, Some(nbrs)) =>
+      exact(id).intersect(nbrs.toSet).size.toDouble / K
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"mean recall@10 at rho=0.5 = $mean")
+    assert(mean >= 0.6, s"recall $mean too low")
+  }
+
   test("finished rows pass through with null neighbors") {
     val marked = embeddings.withColumn("finished", col("id") < 50)
     val out = NND.buildGraph(marked, NND.Params(k = K, maxIterations = 1))
