@@ -79,11 +79,16 @@ object NND {
       df
     }
 
+    // Persisted pre-partitioned on id: every per-iteration features join
+    // (adjacency build) then reuses this partitioning, so the feature
+    // table itself is never re-shuffled across iterations — only the
+    // narrow id-pair side moves.
     val nodes = base
       .filter(!col("finished"))
       .select(col("id").cast("long").as("id"),
         col("features").cast("array<float>").as("features"),
         col("partition").cast("long").as("partition"))
+      .repartition(col("id"))
       .as[NodeRow]
       .persist(StorageLevel.MEMORY_AND_DISK)
 
@@ -138,14 +143,13 @@ object NND {
       }
 
     var graph: Dataset[NeighborList] =
-      mergeTopK(initCands, k, None).localCheckpoint(true)
+      mergeTopK(initCands, k).map(g => NeighborList(g._1, g._2.neighbors))
+        .localCheckpoint(true)
 
     // --- Iterative refinement (reference C1 loop, NND.scala:111-263) ---
     var finished = false
     var iter = 0
     while (!finished && iter < p.maxIterations) {
-      val acc = spark.sparkContext.longAccumulator(s"nnd-updates-$iter")
-
       val edges: Dataset[Edge] =
         graph.flatMap(nl => nl.neighbors.iterator.map(nb => Edge(nl.id, nb.id, nb.similarity)))
 
@@ -170,10 +174,14 @@ object NND {
       // Adjacency set Av = Bv ∪ sample(Rv) (reference G4): the ONLY place
       // features are shuffled — one narrow-ids union, one join against the
       // node table (reference sends features point-to-point in G3/G4; a
-      // shuffle join on dst is the relational equivalent).
+      // shuffle join on dst is the relational equivalent). `nodes` is
+      // persisted pre-partitioned on id, so only the narrow id-pairs side
+      // shuffles here — features leave their partition exactly once, into
+      // the adjacency grouping. Duplicate (src,dst) pairs (a node both a
+      // forward and sampled-reverse neighbor) are deduped inside the
+      // per-group array instead of a dedicated dropDuplicates shuffle.
       val adj: Dataset[AdjRow] = edges.select($"src", $"dst")
         .union(sampledRev)
-        .dropDuplicates("src", "dst")
         .join(nodes.toDF().select($"id".as("dst"), $"features", $"partition"), "dst")
         .select($"src", $"dst", $"features", $"partition")
         .as[AdjRow]
@@ -183,7 +191,7 @@ object NND {
       val pairCands: Dataset[Cand] = adj
         .groupByKey(_.src)
         .flatMapGroups { (_, it) =>
-          val a = it.toArray
+          val a = dedupByDst(it)
           val out = new mutable.ArrayBuffer[Cand](a.length * math.max(a.length - 1, 0))
           var i = 0
           while (i < a.length) {
@@ -204,8 +212,12 @@ object NND {
 
       val oldCands: Dataset[Cand] = edges.map(e => Cand(e.src, e.dst, e.sim, isOld = true))
 
-      val newGraph =
-        mergeTopK(pairCands.unionByName(oldCands), k, Some(acc)).localCheckpoint(true)
+      // Merge with map-side partial aggregation; the per-node updated
+      // count rides in the merged result, so convergence needs no
+      // accumulator (deterministic under task retries).
+      val merged = mergeTopK(pairCands.unionByName(oldCands), k).localCheckpoint(true)
+      val updates = merged.map(_._2.updated.toLong).reduce(_ + _)
+      val newGraph = merged.map(g => NeighborList(g._1, g._2.neighbors))
 
       val prev = graph
       graph = newGraph
@@ -213,7 +225,7 @@ object NND {
       iter += 1
 
       // δ-convergence (Dong et al.; reference C3, NND.scala:259-262).
-      val ratio = acc.value.toDouble / (k.toDouble * n.toDouble)
+      val ratio = updates.toDouble / (k.toDouble * n.toDouble)
       if (ratio <= p.earlyTermination) finished = true
     }
 
@@ -228,35 +240,25 @@ object NND {
 
   /** Bounded top-K neighbor-list merge with dedup-by-id where old (B)
     * entries win — the reference's A4/A7/W1 composite (`NND.scala:104-109,
-    * 228-242`). Counts surviving new entries into `acc` (the reference's
-    * update accumulator, `NND.scala:244-246`). Tie-break on (sim desc,
-    * dst asc) for determinism (the reference's stable sort order is
-    * shuffle-order-dependent). */
-  private def mergeTopK(
-      cands: Dataset[Cand],
-      k: Int,
-      acc: Option[LongAccumulator]): Dataset[NeighborList] = {
+    * 228-242`) — via [[TopKAggregator]], which (unlike a mapGroups pass)
+    * gets map-side partial aggregation like the reference's
+    * `reduceByKey`. Tie-break on (sim desc, dst asc) for determinism
+    * (the reference's stable sort order is shuffle-order-dependent). */
+  private def mergeTopK(cands: Dataset[Cand], k: Int): Dataset[(Long, TopKResult)] = {
     import cands.sparkSession.implicits._
-    cands.groupByKey(_.src).mapGroups { (src, it) =>
-      val best = new mutable.LongMap[Cand]()
-      it.foreach { c =>
-        best.get(c.dst) match {
-          case Some(cur) => if (!cur.isOld && c.isOld) best.update(c.dst, c)
-          case None => best.update(c.dst, c)
-        }
-      }
-      val top = best.values.toArray
-        .sortWith((x, y) => x.sim > y.sim || (x.sim == y.sim && x.dst < y.dst))
-        .take(k)
-      acc.foreach(_.add(top.count(!_.isOld)))
-      NeighborList(src, top.map(c => Neighbor(c.dst, c.sim)).toSeq)
-    }
+    cands.groupByKey(_.src).agg(new TopKAggregator(k).toColumn)
   }
 
   private def dedupById(it: Iterator[BucketedNode]): Array[BucketedNode] = {
     val seen = new mutable.LongMap[BucketedNode]()
     it.foreach(n => if (!seen.contains(n.id)) seen.update(n.id, n))
     seen.values.toArray.sortBy(_.id)
+  }
+
+  private def dedupByDst(it: Iterator[AdjRow]): Array[AdjRow] = {
+    val seen = new mutable.LongMap[AdjRow]()
+    it.foreach(r => if (!seen.contains(r.dst)) seen.update(r.dst, r))
+    seen.values.toArray.sortBy(_.dst)
   }
 
   /** splitmix64-style mix for per-(bucket,node) deterministic seeds. */

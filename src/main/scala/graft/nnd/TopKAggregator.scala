@@ -1,0 +1,76 @@
+package graft.nnd
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+import graft.core.Neighbor
+
+/** Bounded top-K buffer: parallel arrays sorted by (sim desc, dst asc),
+  * deduped by dst with old-entry-wins flag merging, truncated to K. */
+final case class TopKBuf(dst: Array[Long], sim: Array[Double], old: Array[Boolean])
+
+/** Merged neighbor list plus how many entries are new this iteration
+  * (the reference's per-node `updated` count, `NND.scala:244-246`). */
+final case class TopKResult(neighbors: Seq[Neighbor], updated: Int)
+
+/** Typed bounded top-K merge aggregator — the Spark-SQL equivalent of the
+  * reference's `reduceByKey` neighbor-list combine (A4/A7/W1,
+  * `/root/reference/src/main/scala/com/github/fvictorio/nnd/
+  * NND.scala:104-109,228-242`).
+  *
+  * Being an `Aggregator`, it gets MAP-SIDE PARTIAL AGGREGATION: each map
+  * partition pre-merges its candidates down to <= K per key before the
+  * shuffle, cutting the candidate shuffle from O(|Av|^2) rows per node to
+  * O(K · partitions-touching-the-key) — the same effect as the
+  * reference's `reduceByKey` vs `groupByKey`.
+  *
+  * Truncating partial buffers to K is exact: a candidate dropped from a
+  * partial buffer is dominated by K better candidates that all reach the
+  * final merge, so it can never belong to the final top-K; and since a
+  * duplicate's similarity is identical in both copies, flag loss on a
+  * dropped copy cannot change the surviving entry's `old` status for any
+  * entry that makes the final list.
+  */
+final class TopKAggregator(k: Int) extends Aggregator[Cand, TopKBuf, TopKResult] {
+
+  override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty, Array.empty)
+
+  override def reduce(b: TopKBuf, c: Cand): TopKBuf =
+    merge(b, TopKBuf(Array(c.dst), Array(c.sim), Array(c.isOld)))
+
+  override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
+    // Two-pointer merge of (sim desc, dst asc)-sorted runs with dedup by
+    // dst (old flag ORs — sim of duplicates is identical by construction).
+    val n = math.min(a.dst.length + b.dst.length, 2 * k)
+    val dst = new Array[Long](n)
+    val sim = new Array[Double](n)
+    val old = new Array[Boolean](n)
+    var i = 0; var j = 0; var o = 0
+    while (o < n && (i < a.dst.length || j < b.dst.length)) {
+      val takeA =
+        j >= b.dst.length || (i < a.dst.length &&
+          (a.sim(i) > b.sim(j) || (a.sim(i) == b.sim(j) && a.dst(i) <= b.dst(j))))
+      val (d, s, ol) =
+        if (takeA) { val r = (a.dst(i), a.sim(i), a.old(i)); i += 1; r }
+        else { val r = (b.dst(j), b.sim(j), b.old(j)); j += 1; r }
+      // dedup: equal (sim, dst) neighbors are adjacent in the merged order
+      if (o > 0 && dst(o - 1) == d && sim(o - 1) == s) {
+        old(o - 1) = old(o - 1) || ol
+      } else if (o < k) {
+        dst(o) = d; sim(o) = s; old(o) = ol; o += 1
+      } else {
+        // beyond K and not a duplicate of the last kept entry: dominated
+        o = o // no-op; remaining inputs can still dedup against kept tail
+      }
+    }
+    TopKBuf(dst.take(o), sim.take(o), old.take(o))
+  }
+
+  override def finish(b: TopKBuf): TopKResult = {
+    val nbrs = Array.tabulate(b.dst.length)(i => Neighbor(b.dst(i), b.sim(i))).toSeq
+    TopKResult(nbrs, b.old.count(!_))
+  }
+
+  override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
+  override def outputEncoder: Encoder[TopKResult] = Encoders.product[TopKResult]
+}
