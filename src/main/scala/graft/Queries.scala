@@ -576,6 +576,16 @@ object Queries {
     "st01_stream_daily" -> ((s, dir) =>
       graft.streaming.EventsStream.dailyAggregates(s, dir)),
 
+    // Similarity search over the built K-NN graph: greedy beam search
+    // (approximate — rows-only; recall vs brute force in OpsSpec).
+    "s03_graph_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val g = graft.nnd.NND.buildGraph(e, graft.nnd.NND.Params(k = 10, maxIterations = 3))
+        .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      graft.ops.GraphSearch.searchGraph(g, e, e.filter(col("id") < 20), k = 10)
+        .select("query_id", "rank", "nbr_id")
+    }),
+
     // The NND K-NN graph itself (approximate — rows-only check; recall
     // vs the brute-force oracle is covered in NNDSpec).
     "n01_knn_graph" -> ((s, dir) => {

@@ -1,0 +1,86 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions._
+
+/** Greedy beam search over a built K-NN graph (the reference's output
+  * put to its canonical use: approximate similarity search seeded from a
+  * fixed entry set and expanded along graph edges — Dong et al.'s
+  * search-on-NN-graph companion to NND construction).
+  *
+  * Entirely relational: each hop is (frontier ⋈ adjacency) → score via
+  * the native cosine expression → bounded per-query beam via a ranking
+  * window. The corpus features join stays narrow (only newly discovered
+  * candidates are scored), and the query side is broadcast.
+  */
+object GraphSearch {
+
+  /** @param graph   output of [[graft.nnd.NND.buildGraph]]: (id, neighbors)
+    * @param corpus  (id, features) — the vectors the graph was built over
+    * @param queries (id, features) — search queries (small side, broadcast)
+    * @param k       results per query
+    * @param beam    frontier width per hop
+    * @param hops    expansion rounds
+    * @param seeds   size of the shared deterministic entry-point set
+    */
+  def searchGraph(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      beam: Int = 20,
+      hops: Int = 3,
+      seeds: Int = 8): DataFrame = {
+
+    val adj = graph
+      .select(col("id").as("node"), explode(col("neighbors")).as("nb"))
+      .select(col("node"), col("nb.id").as("nbr"))
+
+    val c = corpus.select(col("id").as("node"), col("features").as("v_c"),
+      vector_norm(col("features")).as("n_c"))
+    val q = broadcast(queries.select(col("id").as("query_id"),
+      col("features").as("v_q"), vector_norm(col("features")).as("n_q")))
+
+    def score(cands: DataFrame): DataFrame =
+      cands.join(c, "node").join(q, "query_id")
+        .withColumn("cosine", vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        .select("query_id", "node", "cosine")
+
+    // Deterministic shared entry points: smallest feature-hash nodes.
+    val seedNodes = corpus.select(col("id").as("node"))
+      .orderBy(xxhash64(col("node")), col("node")).limit(seeds)
+
+    val wBeam = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("node"))
+
+    var visited = score(q.select("query_id").crossJoin(seedNodes))
+    var hop = 0
+    while (hop < hops) {
+      val frontier = visited
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= beam)
+        .select("query_id", "node")
+      val discovered = frontier.join(adj, "node")
+        .select(col("query_id"), col("nbr").as("node"))
+        .distinct()
+        .join(visited.select(col("query_id"), col("node"), lit(1).as("seen")),
+          Seq("query_id", "node"), "left_anti")
+      visited = visited
+        .unionByName(score(discovered))
+        // bound state growth: keep a generous multiple of the beam
+        .withColumn("rk", row_number().over(wBeam))
+        .filter(col("rk") <= 4 * beam)
+        .drop("rk")
+        .localCheckpoint(true)
+      hop += 1
+    }
+
+    visited
+      .filter(col("query_id") =!= col("node"))
+      .withColumn("rank", row_number().over(wBeam))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("cosine"))
+  }
+}

@@ -48,6 +48,24 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.6, s"recall $mean too low for 5-plane hamming-2 multiprobe")
   }
 
+  test("graph search recall@10 vs brute force >= 0.5") {
+    val g = graft.nnd.NND.buildGraph(emb, graft.nnd.NND.Params(k = 10, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    val queries = emb.filter(col("id") < 50)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val gs = graft.ops.GraphSearch.searchGraph(g, emb, queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (qid, truth) =>
+      gs.getOrElse(qid, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"graph-search mean recall@10 = $mean")
+    assert(mean >= 0.5, s"recall $mean too low")
+  }
+
   test("embedding near-dup threshold has a safe float margin") {
     val cos = Dedup.embeddingPairs(emb, "id", "features", 0.0)
       .select("cosine").collect().map(_.getDouble(0))

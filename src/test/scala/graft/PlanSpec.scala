@@ -1,0 +1,43 @@
+package graft
+
+/** Physical-plan audits: the optimizations we rely on for scale must
+  * actually appear in the executed plans (SURVEY.md §4). */
+class PlanSpec extends SparkSpec {
+
+  private def plan(name: String): String = {
+    val df = Queries.all(name)(spark, sf0001)
+    df.collect()
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("q02: filter and projection push down to the parquet scan") {
+    val p = plan("q02_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)")
+      || p.contains("GreaterThanOrEqual(l_quantity"), s"no pushed filters:\n$p")
+    assert(p.contains("ReadSchema: struct<l_orderkey:bigint,l_linenumber:int,l_quantity:double"),
+      s"scan reads more columns than the projection needs:\n$p")
+  }
+
+  test("q08: dimension joins broadcast") {
+    val p = plan("q08_star_join")
+    assert(p.contains("BroadcastHashJoin"), s"no broadcast join:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"dimension join fell back to sort-merge:\n$p")
+  }
+
+  test("q01: aggregation is partial (map-side combine before the shuffle)") {
+    val p = plan("q01_pricing_summary")
+    assert(p.contains("partial_sum") || p.contains("partial_count"),
+      s"no partial aggregation:\n$p")
+  }
+
+  test("q04: semi join stays a join (no subquery materialization)") {
+    val p = plan("q04_semi_join")
+    assert(p.contains("LeftSemi"), s"no semi join:\n$p")
+  }
+
+  test("whole-stage codegen spans cover the scan-filter-project pipelines") {
+    val p = plan("q02_filter_project")
+    assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
+      s"filter not inside a codegen span:\n$p")
+  }
+}
