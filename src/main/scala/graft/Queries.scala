@@ -408,6 +408,29 @@ object Queries {
         .select(col("user_id"), col("event_id").as("purchase_id"), col("last_click_id"))
     }),
 
+    // SQL-text surface: a correlated scalar subquery through spark.sql
+    // (Catalyst decorrelates it into a join) — parts priced above their
+    // brand's average. Decimal-exact average on both sides.
+    "q25_scalar_subquery" -> ((s, dir) => {
+      t(s, dir, "part").createOrReplaceTempView("part")
+      s.sql(
+        """SELECT p.p_brand, count(*) AS n
+          |FROM part p
+          |WHERE p.p_retailprice > (
+          |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+          |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+          |GROUP BY p.p_brand""".stripMargin)
+    }),
+
+    // Explicit GROUPING SETS through the SQL surface.
+    "q26_grouping_sets" -> ((s, dir) => {
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT l_returnflag, l_linestatus, count(*) AS n
+          |FROM lineitem
+          |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
+    }),
+
     // Pivot (fixed value list) — conditional aggregation in the oracle.
     "q24_pivot" -> ((s, dir) => {
       events(s, dir)
@@ -478,6 +501,19 @@ object Queries {
         |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click_id
         |  FROM events)
         |WHERE event_type = 'purchase'""".stripMargin,
+
+    "q25_scalar_subquery" ->
+      """SELECT p.p_brand, count(*) AS n
+        |FROM part p
+        |WHERE p.p_retailprice > (
+        |  SELECT CAST(sum(CAST(p2.p_retailprice AS DECIMAL(18,2))) AS DOUBLE) / count(*)
+        |  FROM part p2 WHERE p2.p_brand = p.p_brand)
+        |GROUP BY p.p_brand""".stripMargin,
+
+    "q26_grouping_sets" ->
+      """SELECT l_returnflag, l_linestatus, count(*) AS n
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
 
     "q24_pivot" ->
       """SELECT user_id % 10 AS user_mod,
@@ -575,6 +611,12 @@ object Queries {
     // read of events, drained synchronously — must equal the batch SQL.
     "st01_stream_daily" -> ((s, dir) =>
       graft.streaming.EventsStream.dailyAggregates(s, dir)),
+
+    // Custom stateful streaming (mapGroupsWithState): per-user session
+    // counts, drained to completion — oracle-checked against the batch
+    // sessionization SQL.
+    "st02_stateful_sessions" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionCountsStateful(s, dir)),
 
     // Similarity search over the built K-NN graph: greedy beam search
     // (approximate — rows-only; recall vs brute force in OpsSpec).
@@ -698,6 +740,19 @@ object Queries {
         |    CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) AS n_frames
         |  FROM documents), unnest(range(0, n_frames)) AS u(frame_id)
         |WHERE frame_id % 2 = 0""".stripMargin,
+
+    "st02_stateful_sessions" ->
+      """SELECT user_id,
+        |  CAST(sum(new_sess) AS BIGINT) AS n_sessions,
+        |  count(*) AS n_events
+        |FROM (
+        |  SELECT user_id,
+        |    CASE WHEN lag(epoch_us(ts), 1) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts), 1) OVER w > 1800000000
+        |      THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+        |GROUP BY user_id""".stripMargin,
 
     "st01_stream_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

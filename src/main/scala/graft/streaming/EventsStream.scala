@@ -2,9 +2,16 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import org.apache.spark.sql.types._
 
 import java.util.concurrent.atomic.AtomicInteger
+
+/** Per-user sessionization state carried across micro-batches. */
+final case class SessState(lastTsUs: Long, sessions: Long, events: Long)
+
+/** One stateful-sessionization output row. */
+final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
 /** Structured Streaming ingest of the events table.
   *
@@ -59,6 +66,52 @@ object EventsStream {
     finally q.stop()
     // Materialize: the memory table lives in the session; copy out rows so
     // the result survives the query being stopped.
+    spark.table(name)
+  }
+
+  /** Custom stateful streaming: per-user session counting (30-minute gap
+    * rule) via `mapGroupsWithState` — the arbitrary-state surface a
+    * production pipeline needs for logic windowed aggregation can't
+    * express. State (last event time, session/event counters) persists
+    * across micro-batches; events inside a batch are ordered in-group.
+    * Drained to completion, the result must equal the batch
+    * sessionization (checked in OpsSpec). */
+  def sessionCountsStateful(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val name = s"events_stream_sessions_${runId.incrementAndGet()}"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_state")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+
+    val updateFn = (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessState]) => {
+      val sorted = rows.toArray.sortBy(identity) // (tsUs, event_id)
+      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+      sorted.foreach { case (tsUs, _) =>
+        val newSession = st.lastTsUs == Long.MinValue || tsUs - st.lastTsUs > 1800000000L
+        st = SessState(tsUs, st.sessions + (if (newSession) 1 else 0), st.events + 1)
+      }
+      state.update(st)
+      UserSessions(userId, st.sessions, st.events)
+    }
+
+    val out = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .select(expr("ts div 1000").as("tsUs"), col("event_id"), col("user_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
+        (uid, it, st) => updateFn(uid, it.map(r => (r._1, r._2)), st)
+      }
+
+    val q = out.writeStream
+      .outputMode(OutputMode.Update())
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
     spark.table(name)
   }
 }

@@ -83,6 +83,22 @@ class OpsSpec extends SparkSpec {
     assert(out.sortBy(_.doc_id).map(_.width).toSeq == again.sortBy(_.doc_id).map(_.width).toSeq)
   }
 
+  test("stateful streaming sessionization equals the batch computation") {
+    val streamed = graft.streaming.EventsStream.sessionCountsStateful(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Queries.events(spark, sf001)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch)
+  }
+
   test("streaming daily aggregate equals the batch computation") {
     val streamed = graft.streaming.EventsStream.dailyAggregates(spark, sf001)
       .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
