@@ -431,6 +431,42 @@ object Queries {
           |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin)
     }),
 
+    // Range join, rewritten scalably: "events within 1 hour before each
+    // purchase by the same user". A naive inequality join plans as a
+    // nested loop; bucketing both sides by hour and equi-joining on
+    // (user, bucket) with the purchase probing its own and the previous
+    // bucket turns it into a hash join + residual filter.
+    "q27_range_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+        .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("us"))
+      val purchases = events(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"),
+          unix_micros(col("ts")).as("p_us"))
+        .withColumn("bucket", explode(array(
+          floor(col("p_us") / 3600000000L), floor(col("p_us") / 3600000000L) - 1)))
+      val cand = ev.withColumn("bucket", floor(col("us") / 3600000000L))
+      purchases.join(cand, Seq("user_id", "bucket"))
+        .filter(col("us") >= col("p_us") - 3600000000L && col("us") < col("p_us"))
+        .groupBy(col("user_id"), col("purchase_id"))
+        .agg(count(lit(1)).as("n_prior_events"))
+    }),
+
+    // Vector centroid per label with a fold-deterministic sum: values
+    // are accumulated in vec_id order on both sides, so the double
+    // arithmetic is bit-identical.
+    "q28_centroids" -> ((s, dir) => {
+      t(s, dir, "embeddings")
+        .select(col("label"), col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy("label", "pos")
+        .agg(sort_array(collect_list(struct(col("vec_id"), col("v")))).as("vals"),
+          count(lit(1)).as("n"))
+        .withColumn("comp_sum",
+          aggregate(col("vals"), lit(0.0), (acc, x) => acc + x.getField("v").cast("double")))
+        .withColumn("centroid_comp", col("comp_sum") / col("n"))
+        .filter(col("pos") < 4)
+        .select("label", "pos", "centroid_comp")
+    }),
+
     // Pivot (fixed value list) — conditional aggregation in the oracle.
     "q24_pivot" -> ((s, dir) => {
       events(s, dir)
@@ -514,6 +550,28 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q27_range_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, count(*) AS n_prior_events
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
+        |  ON p.user_id = e.user_id
+        | AND e.us >= p.p_us - 3600000000 AND e.us < p.p_us
+        |GROUP BY p.user_id, p.event_id""".stripMargin,
+
+    "q28_centroids" ->
+      """SELECT label, pos, comp_sum / n AS centroid_comp FROM (
+        |  SELECT label, pos,
+        |    list_aggregate(list_transform(
+        |      list(v ORDER BY vec_id), x -> CAST(x AS DOUBLE)), 'sum') AS comp_sum,
+        |    count(*) AS n
+        |  FROM (
+        |    SELECT label, vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+        |      unnest(embedding) AS v
+        |    FROM embeddings)
+        |  GROUP BY label, pos)
+        |WHERE pos < 4""".stripMargin,
 
     "q24_pivot" ->
       """SELECT user_id % 10 AS user_mod,

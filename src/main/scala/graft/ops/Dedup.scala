@@ -45,12 +45,37 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** Drop shingles that appear in more than `maxDocFraction` of the
+    * corpus. Hot shingles are the skew bomb in a similarity join: a
+    * shingle shared by f documents contributes f² join rows, so a single
+    * stop-phrase can dominate the whole shuffle at corpus scale. Capping
+    * document frequency bounds per-key fan-out; Jaccard is then computed
+    * over the capped shingle universe (the standard df-cap
+    * approximation — discriminative shingles are rare by definition, so
+    * near-dup pairs keep their score). */
+  def capDocFreq(sh: DataFrame, nDocs: Long, maxDocFraction: Double): DataFrame = {
+    val cap = math.max(1L, (nDocs * maxDocFraction).toLong)
+    val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
+    sh.join(rare.select("s"), "s")
+  }
+
   /** Near-duplicate pairs by exact shingle-set Jaccard >= threshold.
     * The join key is the shingle itself, so only documents sharing at
     * least one shingle ever meet — no quadratic blow-up on a sparse
-    * corpus. */
-  def jaccardPairs(df: DataFrame, idCol: String, textCol: String, threshold: Double): DataFrame = {
-    val sh = shingleSet(df, idCol, textCol).cache()
+    * corpus. `maxDocFraction` optionally caps shingle document frequency
+    * (see [[capDocFreq]]) — the defense the 100 TB deployment needs
+    * against stop-phrase skew. */
+  def jaccardPairs(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxDocFraction: Option[Double] = None): DataFrame = {
+    val raw = shingleSet(df, idCol, textCol)
+    val sh = maxDocFraction
+      .map(f => capDocFreq(raw, df.count(), f))
+      .getOrElse(raw)
+      .cache()
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))

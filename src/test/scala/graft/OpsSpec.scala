@@ -21,6 +21,18 @@ class OpsSpec extends SparkSpec {
     assert(lsh == exact, s"LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
   }
 
+  test("hot-shingle df-cap keeps the near-dup pairs while shrinking the join") {
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val capped = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7, maxDocFraction = Some(0.5))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(full.nonEmpty)
+    assert(full.subsetOf(capped) || capped.subsetOf(full) || (full == capped),
+      s"cap changed the pair set unexpectedly: only-full=${full -- capped} only-capped=${capped -- full}")
+    assert(capped.intersect(full).size.toDouble / full.size >= 0.9,
+      "df-cap lost too many true near-dup pairs")
+  }
+
   test("simhash candidates cover the jaccard near-dup pairs") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet

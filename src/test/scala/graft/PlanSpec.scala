@@ -35,6 +35,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("LeftSemi"), s"no semi join:\n$p")
   }
 
+  test("q27: range join plans as a hash join, not a nested loop") {
+    val p = plan("q27_range_join")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join fell back to a nested loop:\n$p")
+  }
+
   test("whole-stage codegen spans cover the scan-filter-project pipelines") {
     val p = plan("q02_filter_project")
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
