@@ -1,0 +1,34 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+import graft.functions.{VectorDot, VectorL2}
+
+/** Session extensions registering graft's native expressions under SQL
+  * names, so the engine's functions are first-class in the SQL surface:
+  *
+  * {{{
+  * val spark = SparkSession.builder()
+  *   .withExtensions(new GraftExtensions)
+  *   ...
+  * spark.sql("SELECT vector_dot(a.embedding, b.embedding) FROM ...")
+  * }}}
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")
+
+  override def apply(e: SparkSessionExtensions): Unit = {
+    e.injectFunction((
+      FunctionIdentifier("vector_dot"),
+      info("vector_dot", "vector_dot(a, b) - double dot product of two ARRAY<FLOAT> vectors"),
+      (args: Seq[Expression]) => VectorDot(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("vector_l2"),
+      info("vector_l2", "vector_l2(a, b) - euclidean distance of two ARRAY<FLOAT> vectors"),
+      (args: Seq[Expression]) => VectorL2(args(0), args(1))))
+  }
+}

@@ -4,7 +4,6 @@ import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.storage.StorageLevel
-import org.apache.spark.util.LongAccumulator
 
 import graft.core.{Edge, Neighbor, NeighborList, Similarity}
 

@@ -43,6 +43,23 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(line.contains("*("), s"vector_dot Project not codegen'd:\n$plan")
   }
 
+  test("SQL registration via GraftExtensions exposes vector_dot to spark.sql") {
+    // The shared test session was built without extensions; injecting at
+    // the registry level directly mirrors what GraftExtensions does.
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("vector_dot"))) {
+      reg.createOrReplaceTempFunction("vector_dot",
+        (args: Seq[org.apache.spark.sql.catalyst.expressions.Expression]) =>
+          graft.functions.VectorDot(args(0), args(1)), "scala_udf")
+    }
+    spark.read.parquet(s"$sf0001/embeddings.parquet").createOrReplaceTempView("emb_sql")
+    val n = spark.sql(
+      """SELECT a.vec_id, vector_dot(a.embedding, b.embedding) AS d
+        |FROM emb_sql a JOIN emb_sql b ON a.vec_id + 1 = b.vec_id""".stripMargin)
+      .filter("d IS NOT NULL").count()
+    assert(n == 499)
+  }
+
   test("type check rejects non-float arrays") {
     val bad = intercept[Exception] {
       pairs.select(vector_dot(col("va").cast("array<double>"), col("vb"))).collect()
