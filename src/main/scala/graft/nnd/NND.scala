@@ -215,7 +215,8 @@ object NND {
       // count rides in the merged result, so convergence needs no
       // accumulator (deterministic under task retries).
       val merged = mergeTopK(pairCands.unionByName(oldCands), k).localCheckpoint(true)
-      val updates = merged.map(_._2.updated.toLong).reduce(_ + _)
+      val updates = merged.map(_._2.updated.toLong).toDF("u")
+        .agg(coalesce(sum($"u"), lit(0L))).as[Long].head()
       val newGraph = merged.map(g => NeighborList(g._1, g._2.neighbors))
 
       val prev = graph

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.Row
+
+import graft.nnd.NND
+
+/** Degenerate-input robustness for the library entry points. */
+class EdgeCasesSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mkNodes(n: Int) = {
+    val rows = (0 until n).map(i => (i.toLong, Array.tabulate(8)(j => (i * 8 + j).toFloat / 100f)))
+    rows.toDF("id", "features")
+  }
+
+  test("NND: fewer nodes than K still produces a complete graph") {
+    val out = NND.buildGraph(mkNodes(3), NND.Params(k = 10, maxIterations = 2))
+    val got = out.select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(_.getLong(0)).toSet))
+      .toMap
+    assert(got.size == 3)
+    // every node should know both others (only 2 candidates exist)
+    got.foreach { case (id, nbrs) =>
+      assert(nbrs.exists(_.nonEmpty), s"node $id has no neighbors")
+      assert(!nbrs.get.contains(id))
+    }
+  }
+
+  test("NND: single node yields null neighbors, not a crash") {
+    val out = NND.buildGraph(mkNodes(1), NND.Params(k = 5, maxIterations = 2))
+    assert(out.count() == 1)
+  }
+
+  test("NND: all rows finished passes everything through") {
+    val out = NND.buildGraph(mkNodes(5).withColumn("finished", lit(true)),
+      NND.Params(k = 3, maxIterations = 2))
+    assert(out.count() == 5)
+    assert(out.filter(col("neighbors").isNotNull).count() == 0)
+  }
+
+  test("NND: two logical partitions build disjoint graphs") {
+    val parted = mkNodes(40).withColumn("partition", col("id") % 2)
+    val out = NND.buildGraph(parted, NND.Params(k = 3, maxIterations = 2))
+    val part = out.select("id", "partition").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    out.select("id", "neighbors").collect().foreach { r =>
+      Option(r.getSeq[Row](1)).getOrElse(Seq.empty).foreach { nb =>
+        assert(part(nb.getLong(0)) == part(r.getLong(0)))
+      }
+    }
+  }
+
+  test("dedup and text ops handle short/empty-ish texts") {
+    val df = Seq((1L, "one"), (2L, "two words"), (3L, "three word text"),
+      (4L, "three word text")).toDF("doc_id", "text")
+    val ex = graft.ops.Dedup.exact(df, "doc_id", "text").collect()
+    assert(ex.length == 3)
+    val pairs = graft.ops.Dedup.jaccardPairs(df, "doc_id", "text", 0.9).collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((3L, 4L)))
+    val stats = graft.ops.TextAnalysis.tokenStats(df).select("n_tokens").as[Int].collect()
+    assert(stats.sorted.toSeq == Seq(1, 2, 3, 3))
+  }
+}

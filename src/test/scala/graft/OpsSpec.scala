@@ -111,6 +111,60 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("stateful streaming carries state across micro-batches") {
+    import spark.implicits._
+    // Split events into two time-ordered parquet files and feed them as
+    // separate micro-batches: sessions spanning the split boundary only
+    // count once iff state survives between batches.
+    val ev = Queries.events(spark, sf001).orderBy("ts", "event_id")
+    val cut = ev.select(unix_micros(col("ts"))).orderBy("unix_micros(ts)")
+      .collect()(ev.count().toInt / 2).getLong(0)
+    val dir = java.nio.file.Files.createTempDirectory("graft_two_batches").toString
+    val raw = spark.read.parquet(s"$sf001/events.parquet") // ts as raw long nanos
+    raw.filter(expr("ts div 1000") <= cut).coalesce(1)
+      .write.parquet(s"$dir/in/b0")
+    raw.filter(expr("ts div 1000") > cut).coalesce(1)
+      .write.parquet(s"$dir/in/b1")
+
+    val schema = raw.schema
+    val name = "two_batch_sessions"
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/b*")
+      .select(expr("ts div 1000").as("tsUs"), col("event_id"), col("user_id"))
+      .as[(Long, Long, Long)]
+      .groupByKey(_._3)
+      .mapGroupsWithState[graft.streaming.SessState, graft.streaming.UserSessions](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) { (uid, it, st) =>
+        val sorted = it.map(r => (r._1, r._2)).toArray.sortBy(identity)
+        var s = st.getOption.getOrElse(graft.streaming.SessState(Long.MinValue, 0L, 0L))
+        sorted.foreach { case (tsUs, _) =>
+          val fresh = s.lastTsUs == Long.MinValue || tsUs - s.lastTsUs > 1800000000L
+          s = graft.streaming.SessState(tsUs, s.sessions + (if (fresh) 1 else 0), s.events + 1)
+        }
+        st.update(s)
+        graft.streaming.UserSessions(uid, s.sessions, s.events)
+      }
+    val q = stream.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    // last update per user = final state
+    val streamed = spark.table(name).groupBy("user_id")
+      .agg(max("n_sessions").as("s"), max("n_events").as("e"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Queries.events(spark, sf001)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .groupBy("user_id")
+      .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(streamed == batch, "cross-batch state lost or double-counted")
+  }
+
   test("streaming daily aggregate equals the batch computation") {
     val streamed = graft.streaming.EventsStream.dailyAggregates(spark, sf001)
       .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
