@@ -670,6 +670,14 @@ object Queries {
     "st01_stream_daily" -> ((s, dir) =>
       graft.streaming.EventsStream.dailyAggregates(s, dir)),
 
+    // IVF ANN (trained coarse quantizer, nProbe cells per query —
+    // approximate; recall vs brute force in OpsSpec).
+    "s04_ann_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.ivfTopK(e, e.filter(col("id") < 20), 10)
+        .select("query_id", "rank", "nbr_id")
+    }),
+
     // Custom stateful streaming (mapGroupsWithState): per-user session
     // counts, drained to completion — oracle-checked against the batch
     // sessionization SQL.

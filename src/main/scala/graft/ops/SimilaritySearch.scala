@@ -5,6 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.core.Similarity
+import graft.functions.VectorFunctions
 
 import scala.util.Random
 
@@ -64,6 +65,101 @@ object SimilaritySearch {
           combos(rest, choose - 1).map(_ | (1L << b)) ++ combos(rest, choose)
       }
     (0 to radius).flatMap(r => combos((0 until numPlanes).toList, r))
+  }
+
+  /** Train IVF coarse centroids with a few Lloyd iterations over a
+    * deterministic sample (driver-side on the sample only — the corpus
+    * itself is never collected). Returns `nCells` centroids. */
+  def trainIvfCentroids(
+      corpus: DataFrame,
+      nCells: Int,
+      sampleSize: Int = 2048,
+      iterations: Int = 5,
+      seed: Long = 42L): Array[Array[Float]] = {
+    val sample = corpus
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .select(col("features")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    // deterministic init: first nCells sample points (hash-shuffled order)
+    var centroids = sample.take(nCells).map(_.clone())
+    var it = 0
+    while (it < iterations) {
+      val sums = Array.fill(centroids.length)(new Array[Double](dim))
+      val counts = new Array[Long](centroids.length)
+      sample.foreach { v =>
+        var best = 0; var bestD = Double.MaxValue
+        var c = 0
+        while (c < centroids.length) {
+          val d = Similarity.l2(v, centroids(c))
+          if (d < bestD) { bestD = d; best = c }
+          c += 1
+        }
+        counts(best) += 1
+        var j = 0
+        while (j < dim) { sums(best)(j) += v(j); j += 1 }
+      }
+      centroids = centroids.zipWithIndex.map { case (old, c) =>
+        if (counts(c) == 0) old
+        else Array.tabulate(dim)(j => (sums(c)(j) / counts(c)).toFloat)
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  /** Nearest-centroid cell id of a vector column (pure Column expression
+    * over the broadcast-as-literals centroid set). Implemented as an
+    * array argmin — a conditional fold would reference its accumulator
+    * twice per centroid and blow the expression tree up exponentially. */
+  def cellOf(vec: Column, centroids: Array[Array[Float]]): Column = {
+    val dists = centroids.indices.map { i =>
+      struct(VectorFunctions.vector_l2(vec, typedlit(centroids(i).toSeq)).as("d"),
+        lit(i).as("cell"))
+    }
+    element_at(array_sort(array(dists: _*)), 1).getField("cell")
+  }
+
+  /** ANN top-k via IVF: the corpus is partitioned into Voronoi cells of
+    * trained coarse centroids; each query scans only its `nProbe`
+    * nearest cells. The centroid set is tiny (driver-trained on a
+    * deterministic sample) and ships as literals, so cell assignment is
+    * a codegen'd projection — the corpus shuffles once, on cell id. */
+  def ivfTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 16,
+      nProbe: Int = 4,
+      seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nCells, seed = seed)
+
+    val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+        VectorFunctions.vector_norm(col("features")).as("n_c"))
+      .withColumn("cell", cellOf(col("v_c"), centroids))
+
+    // query side: explode the nProbe nearest cells
+    val qBase = queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      VectorFunctions.vector_norm(col("features")).as("n_q"))
+    val cellDists = centroids.indices.map { i =>
+      struct(VectorFunctions.vector_l2(col("v_q"), typedlit(centroids(i).toSeq)).as("d"),
+        lit(i).as("cell"))
+    }
+    val q = qBase
+      .withColumn("probe", slice(array_sort(array(cellDists: _*)), 1, nProbe))
+      .withColumn("pc", explode(col("probe")))
+      .select(col("query_id"), col("v_q"), col("n_q"), col("pc.cell").as("cell"))
+
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
   }
 
   /** ANN top-k via random-hyperplane LSH with hamming-`probeRadius`

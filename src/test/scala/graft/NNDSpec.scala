@@ -78,6 +78,28 @@ class NNDSpec extends SparkSpec {
     }
   }
 
+  test("bench-scale (sf0.1, 2000 vectors): recall@10 >= 0.75") {
+    val emb01 = spark.read.parquet("/root/testdata/sf0.1/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"))
+    val got = NND.buildGraph(emb01, NND.Params(k = K, maxIterations = 5))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(_.getLong(0)).toSet))
+      .toMap
+    val pts = emb01.collect().map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    val byId = pts.toMap
+    val recalls = got.collect { case (id, Some(nbrs)) =>
+      val f = byId(id)
+      val truth = pts.filter(_._1 != id)
+        .map { case (oid, of) => (oid, Similarity.l2Sim(f, of)) }
+        .sortBy { case (oid, s) => (-s, oid) }
+        .take(K).map(_._1).toSet
+      truth.intersect(nbrs).size.toDouble / K
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"sf0.1 mean recall@10 = $mean over ${recalls.size} nodes")
+    assert(mean >= 0.75, s"recall $mean too low at bench scale")
+  }
+
   test("rho-sampling path (sampleRate < 1) converges with decent recall") {
     val out = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 5, sampleRate = 0.5))
       .select("id", "neighbors").collect()

@@ -60,6 +60,22 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.6, s"recall $mean too low for 5-plane hamming-2 multiprobe")
   }
 
+  test("IVF ANN recall@10 vs brute force >= 0.5") {
+    val queries = emb.filter(col("id") < 50)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val ivf = SimilaritySearch.ivfTopK(emb, queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      ivf.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"IVF ANN mean recall@10 = $mean (16 cells, 4 probes)")
+    assert(mean >= 0.5, s"recall $mean too low")
+  }
+
   test("graph search recall@10 vs brute force >= 0.5") {
     val g = graft.nnd.NND.buildGraph(emb, graft.nnd.NND.Params(k = 10, maxIterations = 3))
       .filter(col("neighbors").isNotNull).select("id", "neighbors")
