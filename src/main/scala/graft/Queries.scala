@@ -639,6 +639,10 @@ object Queries {
     // Corpus term document-frequency.
     "t05_term_doc_freq" -> ((s, dir) => TextAnalysis.termDocFreq(docs(s, dir))),
 
+    // TF-IDF: top-3 scored terms per document (deterministic ln/product
+    // arithmetic, id tie-breaks).
+    "t06_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
+
     // Exact ANN baseline: brute-force cosine top-10 for 20 query vectors
     // (ids+ranks only; rank-boundary gaps >> float error, see tests).
     "s01_ann_brute" -> ((s, dir) => {
@@ -781,6 +785,25 @@ object Queries {
       """SELECT term, count(*) AS doc_freq FROM (
         |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
         |GROUP BY term""".stripMargin,
+
+    "t06_tfidf" ->
+      """WITH tf AS (
+        |  SELECT doc_id, term, count(*) AS tf FROM (
+        |    SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY doc_id, term),
+        |dfreq AS (
+        |  SELECT term, count(*) AS doc_freq FROM (
+        |    SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY term),
+        |n AS (SELECT count(*) AS n_docs FROM documents)
+        |SELECT doc_id, rk, term, score FROM (
+        |  SELECT tf.doc_id, tf.term,
+        |    round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6) AS score,
+        |    row_number() OVER (PARTITION BY tf.doc_id
+        |      ORDER BY round(tf.tf * ln(CAST(n.n_docs AS DOUBLE) / dfreq.doc_freq), 6) DESC,
+        |               tf.term ASC) AS rk
+        |  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n)
+        |WHERE rk <= 3""".stripMargin,
 
     "s01_ann_brute" ->
       """SELECT query_id, rank, nbr_id FROM (

@@ -84,4 +84,26 @@ object TextAnalysis {
     df.select(col(idCol), explode(array_distinct(tokens(col(textCol)))).as("term"))
       .groupBy("term")
       .agg(count(lit(1)).as("doc_freq"))
+
+  /** Top-`n` TF-IDF terms per document. tf = in-doc term count,
+    * idf = ln(N/df). `ln` differs by 1 ulp between the JVM and other
+    * libm implementations, so for cross-engine verification the score is
+    * rounded to `roundDigits` BEFORE ranking (rounding after would let a
+    * 1-ulp difference flip ranks); ties break on the term. */
+  def tfidfTopTerms(df: DataFrame, n: Int,
+      idCol: String = "doc_id", textCol: String = "text",
+      roundDigits: Int = 6): DataFrame = {
+    val nDocs = df.count()
+    val tf = df.select(col(idCol).as("doc_id"), explode(tokens(col(textCol))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = termDocFreq(df, idCol, textCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("doc_id").orderBy(desc("score"), asc("term"))
+    tf.join(dfreq, "term")
+      .withColumn("score",
+        round(col("tf") * log(lit(nDocs.toDouble) / col("doc_freq")), roundDigits))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= n)
+      .select("doc_id", "rk", "term", "score")
+  }
 }
