@@ -113,6 +113,29 @@ class NNDSpec extends SparkSpec {
     assert(mean >= 0.6, s"recall $mean too low")
   }
 
+  test("reference-compatible API: RDD[(Long, Node)] in, RDD[(Long, NodeWithNeighbors)] out") {
+    import org.apache.spark.ml.linalg.Vectors
+    import graft.nnd.{NNDCompat, Node}
+    val rows = embeddings.collect().map { r =>
+      val vec = Vectors.dense(r.getSeq[Float](1).map(_.toDouble).toArray)
+      (r.getLong(0), Node(vec, Some(r.getLong(2)), finished = r.getLong(0) < 10))
+    }
+    val rdd = spark.sparkContext.parallelize(rows.toSeq, 4)
+    val out = NNDCompat.buildGraph(rdd, 10, 3, 0.01, 1.0, 4).collect().toMap
+    assert(out.size == 500)
+    // original features/labels pass through untouched
+    rows.foreach { case (id, n) =>
+      assert(out(id).features == n.features && out(id).label == n.label)
+    }
+    assert(out.filter(_._2.finished).forall(_._2.neighbors == null))
+    val active = out.filterNot(_._2.finished)
+    assert(active.count(_._2.neighbors != null) > 450)
+    active.values.filter(_.neighbors != null).foreach { n =>
+      assert(n.neighbors.size <= 10)
+      assert(n.neighbors.forall { case (_, s) => s > 0 && s <= 1.0 })
+    }
+  }
+
   test("finished rows pass through with null neighbors") {
     val marked = embeddings.withColumn("finished", col("id") < 50)
     val out = NND.buildGraph(marked, NND.Params(k = K, maxIterations = 1))

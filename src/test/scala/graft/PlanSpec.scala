@@ -41,6 +41,36 @@ class PlanSpec extends SparkSpec {
       s"range join fell back to a nested loop:\n$p")
   }
 
+  test("bucketed tables co-locate the join: no exchange before the sort-merge") {
+    import org.apache.spark.sql.functions._
+    val o = Queries.t(spark, sf0001, "orders")
+    val l = Queries.t(spark, sf0001, "lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    o.write.bucketBy(8, "o_orderkey").sortBy("o_orderkey").saveAsTable("b_orders")
+    l.write.bucketBy(8, "l_orderkey").sortBy("l_orderkey").saveAsTable("b_lineitem")
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = spark.table("b_lineitem").join(spark.table("b_orders"),
+        col("l_orderkey") === col("o_orderkey"))
+        .groupBy("o_orderpriority").agg(count(lit(1)).as("n"))
+      j.collect()
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin"), s"expected a sort-merge join:\n$p")
+      // No exchange on the JOIN keys (the later groupBy exchange on
+      // o_orderpriority is expected and unrelated).
+      assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+        && !p.contains("Exchange hashpartitioning(o_orderkey"),
+        s"bucketed join still shuffles on the join keys:\n$p")
+      assert(p.contains("Bucketed: true"), s"scan not bucketed:\n$p")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      spark.sql("DROP TABLE IF EXISTS b_orders")
+      spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    }
+  }
+
   test("whole-stage codegen spans cover the scan-filter-project pipelines") {
     val p = plan("q02_filter_project")
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
