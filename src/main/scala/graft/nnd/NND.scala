@@ -75,6 +75,12 @@ object NND {
     *   finished/isolated rows).
     */
   def buildGraph(input: DataFrame, p: Params = Params()): DataFrame = {
+    require(input.columns.contains("id") && input.columns.contains("features"),
+      s"buildGraph input needs 'id' and 'features' columns; got [${input.columns.mkString(", ")}]")
+    require(p.k > 0, s"k must be positive, got ${p.k}")
+    require(p.sampleRate > 0, s"sampleRate must be positive, got ${p.sampleRate}")
+    require(p.bucketsPerInstance > 0,
+      s"bucketsPerInstance must be positive, got ${p.bucketsPerInstance}")
     val spark = input.sparkSession
     import spark.implicits._
 

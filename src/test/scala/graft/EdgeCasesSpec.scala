@@ -52,6 +52,31 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
+  test("buildGraph rejects malformed inputs with clear messages") {
+    val noFeatures = mkNodes(5).drop("features")
+    val e1 = intercept[IllegalArgumentException] {
+      NND.buildGraph(noFeatures)
+    }
+    assert(e1.getMessage.contains("features"))
+    val e2 = intercept[IllegalArgumentException] {
+      NND.buildGraph(mkNodes(5), NND.Params(k = 0))
+    }
+    assert(e2.getMessage.contains("k must be positive"))
+  }
+
+  test("approximate aggregates land within tolerance of exact") {
+    val li = spark.read.parquet(s"$sf001/lineitem.parquet")
+    val (approx, exact) = (
+      li.agg(approx_count_distinct("l_partkey").as("a")).head().getLong(0),
+      li.select("l_partkey").distinct().count())
+    assert(math.abs(approx - exact).toDouble / exact < 0.05,
+      s"approx_count_distinct $approx vs exact $exact")
+    val (p50a, p50e) = (
+      li.agg(percentile_approx(col("l_quantity"), lit(0.5), lit(1000))).head().getDouble(0),
+      li.selectExpr("percentile(l_quantity, 0.5)").head().getDouble(0))
+    assert(math.abs(p50a - p50e) <= 1.0, s"approx p50 $p50a vs exact $p50e")
+  }
+
   test("dedup and text ops handle short/empty-ish texts") {
     val df = Seq((1L, "one"), (2L, "two words"), (3L, "three word text"),
       (4L, "three word text")).toDF("doc_id", "text")
