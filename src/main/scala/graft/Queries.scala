@@ -408,6 +408,16 @@ object Queries {
         .select(col("user_id"), col("event_id").as("purchase_id"), col("last_click_id"))
     }),
 
+    // Date-part extraction (ISO day-of-week aligned across engines:
+    // Spark weekday()+1 == DuckDB isodow).
+    "q29_date_parts" -> ((s, dir) => {
+      events(s, dir)
+        .groupBy(year(col("ts")).as("y"), month(col("ts")).as("m"),
+          (weekday(col("ts")) + 1).as("isodow"))
+        .agg(count(lit(1)).as("n"),
+          sum(dec2(col("value"))).cast("double").as("total_value"))
+    }),
+
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
@@ -550,6 +560,13 @@ object Queries {
       """SELECT l_returnflag, l_linestatus, count(*) AS n
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())""".stripMargin,
+
+    "q29_date_parts" ->
+      """SELECT year(ts) AS y, month(ts) AS m, isodow(ts) AS isodow,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events
+        |GROUP BY 1, 2, 3""".stripMargin,
 
     "q27_range_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, count(*) AS n_prior_events

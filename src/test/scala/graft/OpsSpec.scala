@@ -102,6 +102,22 @@ class OpsSpec extends SparkSpec {
     assert(margin > 1e-4, "threshold too close to a data point for float parity")
   }
 
+  test("salted aggregation and salted join match their unsalted results") {
+    val ev = Queries.events(spark, sf001)
+    val unsalted = ev.groupBy(col("event_type")).count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val salted = graft.ops.Skew.saltedCounts(ev, col("event_type"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(salted == unsalted)
+
+    val dim = ev.select(col("event_type")).distinct()
+      .withColumn("weight", length(col("event_type")))
+    val plain = ev.join(dim, "event_type").agg(sum("weight")).head().getLong(0)
+    val viaSalt = graft.ops.Skew.saltedJoin(ev, dim, "event_type")
+      .agg(sum("weight")).head().getLong(0)
+    assert(viaSalt == plain)
+  }
+
   test("multimodal decode is deterministic and partition-shaped") {
     val media = Multimodal.asMedia(docs)
     val out = Multimodal.decode(media).collect()
