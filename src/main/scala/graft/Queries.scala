@@ -686,6 +686,15 @@ object Queries {
     "m02_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(docs(s, dir)))),
 
+    // Multimodal: stub resize (aspect-preserving target dimensions).
+    "m03_resize" -> ((s, dir) =>
+      Multimodal.resize(Multimodal.decode(Multimodal.asMedia(docs(s, dir))).toDF())
+        .select("doc_id", "width", "height", "new_w", "new_h")),
+
+    // Rolling-hash content fingerprint (order-sensitive).
+    "t07_rolling_fp" -> ((s, dir) =>
+      TextAnalysis.rollingFingerprint(docs(s, dir)).select("doc_id", "rolling_fp")),
+
     // Structured Streaming path: tumbling daily window over a streaming
     // read of events, drained synchronously — must equal the batch SQL.
     "st01_stream_daily" -> ((s, dir) =>
@@ -839,6 +848,22 @@ object Queries {
         |  octet_length(CAST(text AS BLOB)) AS media_size,
         |  16 + octet_length(CAST(text AS BLOB)) % 624 AS width,
         |  16 + ascii(text) AS height
+        |FROM documents""".stripMargin,
+
+    "m03_resize" ->
+      """SELECT doc_id,
+        |  16 + octet_length(CAST(text AS BLOB)) % 624 AS width,
+        |  16 + ascii(text) AS height,
+        |  64 AS new_w,
+        |  greatest(1, CAST(floor((16 + ascii(text)) * 64.0 / (16 + octet_length(CAST(text AS BLOB)) % 624) + 0.5) AS INT)) AS new_h
+        |FROM documents""".stripMargin,
+
+    "t07_rolling_fp" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
+        |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_fp
         |FROM documents""".stripMargin,
 
     "m02_frame_sample" ->

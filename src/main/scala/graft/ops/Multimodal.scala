@@ -60,6 +60,18 @@ object Multimodal {
       }
   }
 
+  /** STUB resize: computes the target dimensions a real resampler would
+    * produce (aspect-preserving to `targetW` wide) from the decoded
+    * metadata — pure deterministic arithmetic (floor(x+0.5), not
+    * banker's rounding, so it is engine-portable). The pixel resample
+    * itself is the codec stub's job in production. */
+  def resize(meta: DataFrame, targetW: Int = 64): DataFrame =
+    meta
+      .withColumn("new_w", lit(targetW))
+      .withColumn("new_h",
+        greatest(lit(1),
+          floor(col("height") * lit(targetW.toDouble) / col("width") + lit(0.5)).cast("int")))
+
   /** Frame sampling: split each blob into fixed-size frames and emit one
     * row per sampled frame (every `stride`-th). Pure Column ops —
     * codegen'd, no UDF. */

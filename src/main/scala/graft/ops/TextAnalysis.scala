@@ -85,6 +85,19 @@ object TextAnalysis {
       .groupBy("term")
       .agg(count(lit(1)).as("doc_freq"))
 
+  /** Rolling polynomial (Rabin-Karp-style) content fingerprint over the
+    * raw characters: h = (h*31 + code) mod 1e9+7, folded left-to-right —
+    * exact integer arithmetic, portable across engines. Order-sensitive
+    * (unlike the bag-of-words md5), so it distinguishes permuted
+    * near-duplicates. */
+  def rollingFingerprint(df: DataFrame, textCol: String = "text"): DataFrame =
+    df.withColumn("rolling_fp",
+      aggregate(
+        transform(filter(split(col(textCol), ""), c => c =!= ""),
+          c => ascii(c).cast("long")),
+        lit(0L),
+        (h, c) => (h * 31L + c) % 1000000007L))
+
   /** Top-`n` TF-IDF terms per document. tf = in-doc term count,
     * idf = ln(N/df). `ln` differs by 1 ulp between the JVM and other
     * libm implementations, so for cross-engine verification the score is
