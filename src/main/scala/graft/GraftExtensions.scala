@@ -18,17 +18,19 @@ import graft.functions.{VectorDot, VectorL2}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  private def info(name: String, usage: String) =
-    new ExpressionInfo(classOf[VectorDot].getName, null, name, usage, "")
+  private def info(clazz: Class[_], name: String, usage: String) =
+    new ExpressionInfo(clazz.getName, null, name, usage, "")
 
   override def apply(e: SparkSessionExtensions): Unit = {
     e.injectFunction((
       FunctionIdentifier("vector_dot"),
-      info("vector_dot", "vector_dot(a, b) - double dot product of two ARRAY<FLOAT> vectors"),
+      info(classOf[VectorDot], "vector_dot",
+        "vector_dot(a, b) - double dot product of two ARRAY<FLOAT> vectors"),
       (args: Seq[Expression]) => VectorDot(args(0), args(1))))
     e.injectFunction((
       FunctionIdentifier("vector_l2"),
-      info("vector_l2", "vector_l2(a, b) - euclidean distance of two ARRAY<FLOAT> vectors"),
+      info(classOf[VectorL2], "vector_l2",
+        "vector_l2(a, b) - euclidean distance of two ARRAY<FLOAT> vectors"),
       (args: Seq[Expression]) => VectorL2(args(0), args(1))))
   }
 }

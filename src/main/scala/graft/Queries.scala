@@ -486,6 +486,9 @@ object Queries {
         .withColumnsRenamed(Map(
           "click" -> "n_click", "error" -> "n_error", "purchase" -> "n_purchase",
           "signup" -> "n_signup", "view" -> "n_view"))
+        // empty pivot cells are NULL in Spark but 0 under the oracle's
+        // FILTER counts
+        .na.fill(0L, Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view"))
     })
   )
 

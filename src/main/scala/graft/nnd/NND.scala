@@ -130,13 +130,20 @@ object NND {
     // Deterministic per-node bucket choice seeded by the feature hash
     // (reference F4, NND.scala:88-89); bucket ids namespaced per logical
     // partition so initial candidates never cross partitions.
+    // O(bpi) distinct-draw per node (NOT the reference's full
+    // Fisher-Yates over all nb bucket ids, NND.scala:91, which is
+    // O(nodes-per-partition) work and garbage PER NODE — quadratic total
+    // and an overflow at nb > 2^31).
     val bucketed: Dataset[BucketedNode] = nodes.flatMap { nd =>
       val nb = math.max(1L,
-        math.ceil(bcCounts.value(nd.partition).toDouble * bpi / (2.0 * k)).toLong).toInt
+        math.ceil(bcCounts.value(nd.partition).toDouble * bpi / (2.0 * k)).toLong)
       val r = new Random(seed ^ java.util.Arrays.hashCode(nd.features).toLong)
-      r.shuffle((1 to nb).toVector)
-        .take(bpi)
+      val picks = mutable.LinkedHashSet.empty[Long]
+      val want = math.min(bpi.toLong, nb).toInt
+      while (picks.size < want) picks += 1L + math.floorMod(r.nextLong(), nb)
+      picks.iterator
         .map(b => BucketedNode(maxBuckets * nd.partition + b, nd.id, nd.features, nd.partition))
+        .toSeq
     }
 
     val initCands: Dataset[Cand] = bucketed

@@ -71,11 +71,14 @@ object Dedup {
       textCol: String,
       threshold: Double,
       maxDocFraction: Option[Double] = None): DataFrame = {
+    // localCheckpoint (not cache) so the shingle set's distinct shuffle
+    // runs once without pinning storage for the application lifetime —
+    // the checkpointed RDD is released with the returned plan.
     val raw = shingleSet(df, idCol, textCol)
     val sh = maxDocFraction
       .map(f => capDocFreq(raw, df.count(), f))
       .getOrElse(raw)
-      .cache()
+      .localCheckpoint()
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -115,7 +118,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingleSet(df, idCol, textCol).cache()
+    val sh = shingleSet(df, idCol, textCol).localCheckpoint()
     val sigs = minhashSignatures(sh, numHashes)
 
     val bandCols = (0 until bands).map { b =>

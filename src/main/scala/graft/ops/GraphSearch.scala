@@ -69,9 +69,10 @@ object GraphSearch {
           Seq("query_id", "node"), "left_anti")
       visited = visited
         .unionByName(score(discovered))
-        // bound state growth: keep a generous multiple of the beam
+        // bound state growth: keep a generous multiple of the beam, but
+        // never fewer rows than the caller asked for
         .withColumn("rk", row_number().over(wBeam))
-        .filter(col("rk") <= 4 * beam)
+        .filter(col("rk") <= math.max(4 * beam, k + 1))
         .drop("rk")
         .localCheckpoint(true)
       hop += 1

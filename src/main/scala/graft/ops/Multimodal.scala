@@ -79,8 +79,13 @@ object Multimodal {
     val nFrames = ceil(length(col("media")).cast("double") / frameSize).cast("int")
     media
       .withColumn("n_frames", nFrames)
+      // sequence(0, -1) would yield [0, -1] (Spark sequences auto-step
+      // backward), so zero-frame media must map to an empty array — the
+      // explode then drops the row, matching the oracle semantics.
       .withColumn("frame_id",
-        explode(filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0)))
+        explode(when(col("n_frames") > 0,
+          filter(sequence(lit(0), col("n_frames") - 1), i => i % stride === 0))
+          .otherwise(array().cast("array<int>"))))
       .withColumn("frame",
         expr(s"substring(media, frame_id * $frameSize + 1, $frameSize)"))
       .select(col("doc_id"), col("n_frames"), col("frame_id"), length(col("frame")).as("frame_len"))

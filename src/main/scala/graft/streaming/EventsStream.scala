@@ -112,6 +112,11 @@ object EventsStream {
       .start()
     try q.processAllAvailable()
     finally q.stop()
+    // The memory sink in Update mode appends one row per user per
+    // micro-batch (no upsert); the counters are monotone, so max() per
+    // user is the final state regardless of how many batches ran.
     spark.table(name)
+      .groupBy("user_id")
+      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
   }
 }

@@ -57,6 +57,19 @@ class NNDSpec extends SparkSpec {
     }
   }
 
+  test("invariant to physical partitioning (task-placement independence)") {
+    val repartitioned = NND.buildGraph(embeddings.repartition(13), NND.Params(k = K, maxIterations = 2))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    val baseline = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 2))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    assert(repartitioned == baseline,
+      "results depend on physical partitioning — not retry/placement safe")
+  }
+
   test("deterministic across runs") {
     val again = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 5))
       .select("id", "neighbors").collect()
