@@ -418,6 +418,13 @@ object Queries {
           sum(dec2(col("value"))).cast("double").as("total_value"))
     }),
 
+    // Deterministic stratified sample: exactly 5 orders per order status,
+    // chosen by a portable md5 draw — reproducible across runs, engines,
+    // and physical partitionings (no rand(), no partition-local state).
+    "q30_stratified_sample" -> ((s, dir) =>
+      graft.ops.Sampling.stratifiedSample(t(s, dir, "orders"), "o_orderstatus", "o_orderkey", 5)
+        .select("o_orderkey", "o_orderstatus", "rk")),
+
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
@@ -571,6 +578,13 @@ object Queries {
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    "q30_stratified_sample" ->
+      """SELECT o_orderkey, o_orderstatus, rk FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+        |  FROM orders) WHERE rk <= 5""".stripMargin,
+
     "q27_range_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, count(*) AS n_prior_events
         |FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
@@ -637,6 +651,17 @@ object Queries {
     "d05_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingPairs(emb(s, dir), "id", "features", 0.5)
         .select("id_a", "id_b")),
+
+    // Near-dup CLUSTERS: connected components over the Jaccard pair
+    // graph — every doc gets a cluster id (min doc id in its component)
+    // and a keep flag on the canonical representative.
+    "d06_dedup_clusters" -> ((s, dir) =>
+      Dedup.clusterNearDups(docs(s, dir), "doc_id", "text", 0.7)
+        .select(col("id").as("doc_id"), col("component"), col("keep"))),
+
+    // Word-bigram repetition signals (Gopher/C4-style quality filters).
+    "t08_repetition" -> ((s, dir) =>
+      TextAnalysis.repetitionStats(docs(s, dir))),
 
     // Token statistics.
     "t01_token_stats" -> ((s, dir) =>
@@ -771,6 +796,45 @@ object Queries {
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b
         |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin,
+
+    "d06_dedup_clusters" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+        |SELECT id AS doc_id, min(r) AS component,
+        |  CAST(id = min(r) AS INT) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
+
+    "t08_repetition" ->
+      """SELECT doc_id,
+        |  CAST(len(bg) AS BIGINT) AS n_bigrams,
+        |  CAST(len(list_distinct(bg)) AS BIGINT) AS n_distinct_bigrams,
+        |  top_n AS top_bigram_n,
+        |  CAST(top_n AS DOUBLE) / len(bg) AS top_bigram_frac,
+        |  CAST(len(bg) - len(list_distinct(bg)) AS DOUBLE) / len(bg) AS dup_bigram_frac
+        |FROM (
+        |  SELECT doc_id, bg,
+        |    (SELECT max(c) FROM (SELECT count(*) AS c FROM unnest(bg) AS t(x) GROUP BY x)) AS top_n
+        |  FROM (
+        |    SELECT doc_id, [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bg
+        |    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
+        |    WHERE len(w) >= 2))""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT doc_id,

@@ -151,6 +151,25 @@ object Dedup {
       .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
   }
 
+  /** Near-duplicate CLUSTERS: connected components of the exact-Jaccard
+    * pair graph, one row per document with its cluster id (min doc id in
+    * the component) and a keep flag (1 on the canonical representative).
+    * This is the step that turns pairwise near-dup detection into an
+    * actual deduplicated corpus: `filter(keep = 1)` drops every
+    * transitive duplicate while keeping exactly one doc per cluster.
+    * Singleton documents keep themselves. */
+  def clusterNearDups(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxDocFraction: Option[Double] = None): DataFrame = {
+    val pairs = jaccardPairs(df, idCol, textCol, threshold, maxDocFraction)
+      .select(col("doc_a"), col("doc_b"))
+    Components.connectedComponents(df.select(col(idCol)), pairs)
+      .withColumn("keep", (col("id") === col("component")).cast("int"))
+  }
+
   /** 64-bit SimHash per document: sign-aggregated bit votes of token
     * hashes weighted by term frequency. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

@@ -98,6 +98,34 @@ object TextAnalysis {
         lit(0L),
         (h, c) => (h * 31L + c) % 1000000007L))
 
+  /** Word-bigram repetition statistics — the Gopher/C4-style repetition
+    * quality signals (duplicated n-gram mass flags boilerplate and
+    * degenerate generations): per document, the bigram count, distinct
+    * bigram count, the most-frequent-bigram count and its fraction of all
+    * bigrams, and the duplicate-bigram fraction. Two aggregations (per
+    * (doc, bigram), then per doc), both partial-agg friendly; fractions
+    * are single IEEE divisions of exact integers, so bit-stable across
+    * engines. Documents with fewer than two tokens have no bigrams and
+    * are dropped. */
+  def repetitionStats(df: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val w = tokens(col(textCol))
+    val bigrams = transform(sequence(lit(1), size(w) - 1),
+      i => concat_ws(" ", slice(w, i, lit(2))))
+    val perBigram = df.filter(size(w) >= 2)
+      .select(col(idCol), explode(bigrams).as("b"))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).as("c"))
+    perBigram.groupBy(col(idCol))
+      .agg(sum(col("c")).as("n_bigrams"),
+        count(lit(1)).as("n_distinct_bigrams"),
+        max(col("c")).as("top_bigram_n"))
+      .withColumn("top_bigram_frac",
+        col("top_bigram_n").cast("double") / col("n_bigrams"))
+      .withColumn("dup_bigram_frac",
+        (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
+  }
+
   /** Top-`n` TF-IDF terms per document. tf = in-doc term count,
     * idf = ln(N/df). `ln` differs by 1 ulp between the JVM and other
     * libm implementations, so for cross-engine verification the score is

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ops.{Components, Dedup, Sampling, TextAnalysis}
+
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def cc(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] =
+    Components.connectedComponents(nodes.toDF("id"), edges.toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+
+  test("disjoint cliques, a chain, and singletons") {
+    val edges = Seq[(Long, Long)](
+      (1L, 2L), (2L, 3L), (1L, 3L), // clique {1,2,3}
+      (10L, 11L), (11L, 12L), (12L, 13L), (13L, 14L), // chain {10..14}
+      (20L, 21L))
+    val got = cc((1L to 3L) ++ (10L to 14L) ++ Seq(20L, 21L, 30L), edges)
+    assert(got == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L, 13L -> 10L, 14L -> 10L,
+      20L -> 20L, 21L -> 20L, 30L -> 30L))
+  }
+
+  test("long chain converges via pointer doubling (adversarial diameter)") {
+    val n = 200L
+    val edges = (1L until n).map(i => (i, i + 1))
+    val got = cc(1L to n, edges)
+    assert(got.values.toSet == Set(1L))
+  }
+
+  test("edge endpoints absent from the node list are absorbed; duplicate and reversed edges are fine") {
+    val got = cc(Seq(5L), Seq((7L, 6L), (6L, 7L), (7L, 6L), (6L, 5L)))
+    assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
+  }
+
+  test("clusterNearDups keeps exactly one doc per cluster and all singletons") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val clustered = Dedup.clusterNearDups(docs, "doc_id", "text", 0.7).cache()
+    val total = docs.count()
+    assert(clustered.count() == total)
+    // every component's kept doc is its minimum member
+    val badKeep = clustered
+      .groupBy("component")
+      .agg(min(col("id")).as("lo"), sum(col("keep")).as("kept"))
+      .filter(col("kept") =!= 1 || col("lo") =!= col("component"))
+      .count()
+    assert(badKeep == 0)
+    // the pair graph is reproduced: every near-dup pair lands in one component
+    val pairs = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+    val comp = clustered.select(col("id"), col("component"))
+    val split = pairs
+      .join(comp.toDF("doc_a", "ca"), "doc_a")
+      .join(comp.toDF("doc_b", "cb"), "doc_b")
+      .filter(col("ca") =!= col("cb")).count()
+    assert(split == 0)
+    clustered.unpersist()
+  }
+
+  test("repetitionStats agrees with a brute-force recount on a hand sample") {
+    val df = Seq(
+      (1L, "a b a b a"), // bigrams: ab ba ab ba -> top 2/4, distinct 2
+      (2L, "x y z"), // 2 distinct bigrams
+      (3L, "solo") // no bigrams -> dropped
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.repetitionStats(df)
+      .select("doc_id", "n_bigrams", "n_distinct_bigrams", "top_bigram_n")
+      .as[(Long, Long, Long, Long)].collect().map { case (k, a, b, c) => k -> ((a, b, c)) }.toMap
+    assert(got == Map(1L -> ((4L, 2L, 2L)), 2L -> ((2L, 2L, 1L))))
+  }
+
+  test("stratifiedSample is invariant to physical partitioning and exact per stratum") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val a = Sampling.stratifiedSample(orders, "o_orderstatus", "o_orderkey", 5)
+      .select("o_orderkey", "rk").as[(Long, Int)].collect().toSet
+    val b = Sampling.stratifiedSample(orders.repartition(17), "o_orderstatus", "o_orderkey", 5)
+      .select("o_orderkey", "rk").as[(Long, Int)].collect().toSet
+    assert(a == b)
+    val perStratum = Sampling.stratifiedSample(orders, "o_orderstatus", "o_orderkey", 5)
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    assert(perStratum.values.forall(_ == 5L))
+  }
+
+  test("hashSample hits the target fraction within tolerance and is a pure row filter") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val total = orders.count().toDouble
+    val frac = Sampling.hashSample(orders, "o_orderkey", 0.2).count() / total
+    assert(math.abs(frac - 0.2) < 0.03, s"got $frac, want ~0.2")
+    // deterministic: same rows on re-run
+    val s1 = Sampling.hashSample(orders, "o_orderkey", 0.2).select("o_orderkey").as[Long].collect().toSet
+    val s2 = Sampling.hashSample(orders.repartition(7), "o_orderkey", 0.2).select("o_orderkey").as[Long].collect().toSet
+    assert(s1 == s2)
+  }
+}
