@@ -38,6 +38,18 @@ object Dedup {
   def shingleSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s")).distinct()
 
+  /** [[shingleSet]] with shingles xxhash64'd to LONG keys BEFORE the
+    * distinct: the dedup shuffle, the similarity join, and every
+    * downstream aggregation move 8-byte keys instead of ~20-60-byte
+    * strings, and join probes are long compares instead of string
+    * compares. Set sizes and intersection counts are preserved up to
+    * 64-bit collisions (P ≈ d²/2⁶⁵ for d distinct shingles — ~10⁻⁸ even
+    * at a billion shingles), so Jaccard scores are unchanged. */
+  def hashedShingleSet(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol).as("id"), explode(shingles(col(textCol))).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("s"))
+      .distinct()
+
   /** Exact duplicate clusters: one row per distinct text with the kept
     * (minimum) id and the copy count. */
   def exact(df: DataFrame, idCol: String, textCol: String): DataFrame =
@@ -74,7 +86,7 @@ object Dedup {
     // localCheckpoint (not cache) so the shingle set's distinct shuffle
     // runs once without pinning storage for the application lifetime —
     // the checkpointed RDD is released with the returned plan.
-    val raw = shingleSet(df, idCol, textCol)
+    val raw = hashedShingleSet(df, idCol, textCol)
     val sh = maxDocFraction
       .map(f => capDocFreq(raw, df.count(), f))
       .getOrElse(raw)
@@ -118,7 +130,7 @@ object Dedup {
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sh = shingleSet(df, idCol, textCol).localCheckpoint()
+    val sh = hashedShingleSet(df, idCol, textCol).localCheckpoint()
     val sigs = minhashSignatures(sh, numHashes)
 
     val bandCols = (0 until bands).map { b =>
