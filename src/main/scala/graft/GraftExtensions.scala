@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.{VectorDot, VectorL2}
+import graft.functions.{QuantizedDot, VectorDot, VectorL2, VectorQuantize}
 
 /** Session extensions registering graft's native expressions under SQL
   * names, so the engine's functions are first-class in the SQL surface:
@@ -32,5 +32,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info(classOf[VectorL2], "vector_l2",
         "vector_l2(a, b) - euclidean distance of two ARRAY<FLOAT> vectors"),
       (args: Seq[Expression]) => VectorL2(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("vector_quantize"),
+      info(classOf[VectorQuantize], "vector_quantize",
+        "vector_quantize(a, scale) - int8 scalar quantization of an ARRAY<FLOAT> vector to BINARY"),
+      (args: Seq[Expression]) => VectorQuantize(args(0), args(1))))
+    e.injectFunction((
+      FunctionIdentifier("quantized_dot"),
+      info(classOf[QuantizedDot], "quantized_dot",
+        "quantized_dot(a, b) - integer dot product of two int8-quantized BINARY vectors"),
+      (args: Seq[Expression]) => QuantizedDot(args(0), args(1))))
   }
 }

@@ -742,6 +742,19 @@ object Queries {
     "st02_stateful_sessions" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionCountsStateful(s, dir)),
 
+    // Streaming dedup: dropDuplicates over the stream then per-type
+    // distinct-user counts — oracle-checked against batch DISTINCT.
+    "st03_stream_dedup" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupCounts(s, dir)),
+
+    // Quantized ANN: int8 scoring + exact re-rank (approximate — ids and
+    // ranks only; recall vs brute force in OpsSpec).
+    "s05_ann_quantized" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.quantizedTopK(e, e.filter(col("id") < 20), 10)
+        .select("query_id", "rank", "nbr_id")
+    }),
+
     // Similarity search over the built K-NN graph: greedy beam search
     // (approximate — rows-only; recall vs brute force in OpsSpec).
     "s03_graph_search" -> ((s, dir) => {
@@ -954,6 +967,11 @@ object Queries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |GROUP BY user_id""".stripMargin,
+
+    "st03_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_distinct_users
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type""".stripMargin,
 
     "st01_stream_daily" ->
       """SELECT CAST(date_trunc('day', ts) AS DATE) AS day, event_type,

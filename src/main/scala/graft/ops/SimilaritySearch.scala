@@ -162,6 +162,59 @@ object SimilaritySearch {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
+  /** ANN top-k via int8 scalar quantization with exact re-rank — the
+    * memory-bandwidth scale path: candidate scoring streams 1-byte
+    * components (4× less than float32) through the pure-integer
+    * [[graft.functions.QuantizedDot]] kernel, then only the top
+    * `k·refine` candidates per query are re-ranked with exact float
+    * cosine. The refine join touches |Q|·k·refine rows — the corpus
+    * floats never enter the scoring scan.
+    *
+    * The quantization scale (corpus max-|component|) is trained on a
+    * deterministic hash-ordered sample, like the IVF centroids. Ranking
+    * by integer dot is rank-equivalent to dequantized dot; the re-rank
+    * stage restores exact cosine order, so recall loss comes only from
+    * true neighbors quantizing out of the top k·refine (measured in
+    * OpsSpec). */
+  def quantizedTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      refine: Int = 4,
+      sampleSize: Int = 2048,
+      seed: Long = 42L): DataFrame = {
+    val scale = corpus
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .agg(max(greatest(abs(array_max(col("features"))), abs(array_min(col("features"))))))
+      .first().getFloat(0).toDouble
+    require(scale > 0, "degenerate corpus: all-zero sampled vectors")
+
+    val qz = (v: Column) => VectorFunctions.vector_quantize(v, lit(scale))
+    val c = corpus.select(col("id").as("nbr_id"), qz(col("features")).as("qv"))
+    val q = queries.select(col("id").as("query_id"), qz(col("features")).as("qq"))
+
+    val wApprox = Window.partitionBy("query_id").orderBy(desc("qscore"), asc("nbr_id"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("qscore", VectorFunctions.quantized_dot(col("qq"), col("qv")))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= k * refine)
+      .select("query_id", "nbr_id")
+
+    // Exact re-rank on the surviving candidates only.
+    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+      VectorFunctions.vector_norm(col("features")).as("n_c"))
+    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      VectorFunctions.vector_norm(col("features")).as("n_q")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    cands.join(cf, "nbr_id").join(qf, "query_id")
+      .withColumn("cosine",
+        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
+  }
+
   /** ANN top-k via random-hyperplane LSH with hamming-`probeRadius`
     * multiprobe.
     *

@@ -69,6 +69,38 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Streaming deduplication: `dropDuplicates` on (user_id, event_type)
+    * over the streaming read, then per-type counts — the exactly-once
+    * dedup stage an event-ingest pipeline puts in front of downstream
+    * aggregation. State here is one row per distinct key; in production
+    * the key set is bounded with `dropDuplicatesWithinWatermark` (same
+    * plan shape, state evicted past the watermark) — the fixture drains
+    * in one batch, so the unbounded form keeps the oracle exact. Drained
+    * to completion, must equal batch `SELECT DISTINCT`+count. */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"events_stream_dedup_${runId.incrementAndGet()}"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_dedup")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val stream = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .select(col("user_id"), col("event_type"))
+      .dropDuplicates("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_distinct_users"))
+
+    val q = stream.writeStream
+      .outputMode("complete")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+  }
+
   /** Custom stateful streaming: per-user session counting (30-minute gap
     * rule) via `mapGroupsWithState` — the arbitrary-state surface a
     * production pipeline needs for logic windowed aggregation can't

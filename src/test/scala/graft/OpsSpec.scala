@@ -76,6 +76,32 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.5, s"recall $mean too low")
   }
 
+  test("quantized ANN recall@10 vs brute force >= 0.95") {
+    val queries = emb.filter(col("id") < 50)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val qz = SimilaritySearch.quantizedTopK(emb, queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      qz.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"quantized ANN mean recall@10 = $mean (int8, refine=4)")
+    assert(mean >= 0.95, s"recall $mean too low for int8 + 4x refine")
+  }
+
+  test("streaming dedup counts equal the batch DISTINCT") {
+    val got = graft.streaming.EventsStream.dedupCounts(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = Queries.events(spark, sf001)
+      .select("user_id", "event_type").distinct()
+      .groupBy("event_type").count()
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+  }
+
   test("graph search recall@10 vs brute force >= 0.5") {
     val g = graft.nnd.NND.buildGraph(emb, graft.nnd.NND.Params(k = 10, maxIterations = 3))
       .filter(col("neighbors").isNotNull).select("id", "neighbors")

@@ -60,6 +60,48 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n == 499)
   }
 
+  test("vector_quantize + quantized_dot: codegen equals interpreted equals a JVM recount") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val scale = 0.6
+    val rows = e.as("a").join(e.as("b"), col("a.id") + 1 === col("b.id"))
+      .select(col("a.v").as("va"), col("b.v").as("vb"),
+        quantized_dot(vector_quantize(col("a.v"), lit(scale)),
+          vector_quantize(col("b.v"), lit(scale))).as("qd"))
+      .collect()
+    assert(rows.length == 499)
+    rows.foreach { r =>
+      val va = r.getSeq[Float](0)
+      val vb = r.getSeq[Float](1)
+      def q(x: Float): Long =
+        math.max(-127.0, math.min(127.0, math.rint(x / scale * 127.0))).toByte.toLong
+      val want = va.zip(vb).map { case (x, y) => q(x) * q(y) }.sum
+      assert(r.getLong(2) == want, s"quantized dot mismatch: ${r.getLong(2)} vs $want")
+    }
+  }
+
+  test("quantized dot ranking tracks exact dot ranking (rank correlation on a star)") {
+    // For one query vector vs all others, top-10 by quantized dot must
+    // heavily overlap top-10 by exact dot even before the re-rank stage.
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val scale = e.agg(max(greatest(abs(array_max(col("v"))), abs(array_min(col("v"))))))
+      .first().getFloat(0).toDouble
+    val q0 = e.filter(col("id") === 0)
+    val joined = e.filter(col("id") =!= 0).crossJoin(
+        q0.select(col("v").as("vq")))
+      .select(col("id"),
+        vector_dot(col("vq"), col("v")).as("exact"),
+        quantized_dot(vector_quantize(col("vq"), lit(scale)),
+          vector_quantize(col("v"), lit(scale))).as("approx"))
+      .collect()
+    val topExact = joined.sortBy(r => (-r.getDouble(1), r.getLong(0))).take(10).map(_.getLong(0)).toSet
+    val topApprox = joined.sortBy(r => (-r.getLong(2), r.getLong(0))).take(10).map(_.getLong(0)).toSet
+    val overlap = topExact.intersect(topApprox).size
+    info(s"int8 top-10 overlap with exact: $overlap/10")
+    assert(overlap >= 7, s"quantization destroyed ranking: overlap $overlap/10")
+  }
+
   test("type check rejects non-float arrays") {
     val bad = intercept[Exception] {
       pairs.select(vector_dot(col("va").cast("array<double>"), col("vb"))).collect()
