@@ -425,6 +425,20 @@ object Queries {
       graft.ops.Sampling.stratifiedSample(t(s, dir, "orders"), "o_orderstatus", "o_orderkey", 5)
         .select("o_orderkey", "o_orderstatus", "rk")),
 
+    // Corpus-mixing quota sample: per-stratum quotas instead of a
+    // uniform n (same portable md5 draw).
+    "q31_quota_sample" -> ((s, dir) =>
+      graft.ops.Sampling.quotaSample(t(s, dir, "orders"), "o_orderstatus", "o_orderkey",
+        Map("F" -> 3, "O" -> 7, "P" -> 2))
+        .select("o_orderkey", "o_orderstatus", "rk")),
+
+    // Deterministic train/valid/test split: per-row md5-range label,
+    // shuffle-free; the count profile is the oracle check.
+    "q32_split_counts" -> ((s, dir) =>
+      graft.ops.Sampling.splitByHash(t(s, dir, "orders"), "o_orderkey",
+        Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
+        .groupBy("split").agg(count(lit(1)).as("n"))),
+
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
@@ -578,6 +592,21 @@ object Queries {
         |FROM events
         |GROUP BY 1, 2, 3""".stripMargin,
 
+    "q31_quota_sample" ->
+      """SELECT o_orderkey, o_orderstatus, rk FROM (
+        |  SELECT o_orderkey, o_orderstatus,
+        |    row_number() OVER (PARTITION BY o_orderstatus
+        |      ORDER BY md5(CAST(o_orderkey AS VARCHAR)), o_orderkey) AS rk
+        |  FROM orders)
+        |WHERE rk <= CASE o_orderstatus WHEN 'F' THEN 3 WHEN 'O' THEN 7
+        |  WHEN 'P' THEN 2 ELSE 0 END""".stripMargin,
+
+    "q32_split_counts" ->
+      """SELECT CASE WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < 'cccccccc' THEN 'train'
+        |  WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
+        |  ELSE 'test' END AS split, count(*) AS n
+        |FROM orders GROUP BY 1""".stripMargin,
+
     "q30_stratified_sample" ->
       """SELECT o_orderkey, o_orderstatus, rk FROM (
         |  SELECT o_orderkey, o_orderstatus,
@@ -662,6 +691,11 @@ object Queries {
     // Word-bigram repetition signals (Gopher/C4-style quality filters).
     "t08_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir))),
+
+    // Canonical text normalization (regex pre-pass; identity on the
+    // already-clean fixture is itself the oracle property).
+    "t09_normalize" -> ((s, dir) =>
+      TextAnalysis.normalize(docs(s, dir)).select("doc_id", "norm_text")),
 
     // Token statistics.
     "t01_token_stats" -> ((s, dir) =>
@@ -848,6 +882,12 @@ object Queries {
         |    SELECT doc_id, [array_to_string(w[i:i+1], ' ') for i in range(1, len(w))] AS bg
         |    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)
         |    WHERE len(w) >= 2))""".stripMargin,
+
+    "t09_normalize" ->
+      """SELECT doc_id,
+        |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
+        |    ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT doc_id,

@@ -41,4 +41,63 @@ object Sampling {
     val cut = (fraction * 4294967296.0).toLong
     df.filter(conv(substring(draw(col(keyCol)), 1, 8), 16, 10).cast("long") < cut)
   }
+
+  /** [[stratifiedSample]] with per-stratum quotas instead of a uniform
+    * `n` — the corpus-mixing primitive (so many docs from source A, so
+    * many from source B). Strata absent from `quotas` contribute nothing.
+    * The quota table is tiny and broadcast. */
+  def quotaSample(df: DataFrame, stratumCol: String, keyCol: String,
+      quotas: Map[String, Int]): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val q = broadcast(quotas.toSeq.toDF(stratumCol, "quota"))
+    val w = Window.partitionBy(col(stratumCol))
+      .orderBy(draw(col(keyCol)), col(keyCol))
+    df.join(q, stratumCol)
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= col("quota"))
+      .drop("quota")
+  }
+
+  /** [[stratifiedSample]] for skewed strata: a two-level selection that
+    * bounds any single window sort. Rows are first ranked within
+    * (stratum, salt) — `salts` independent sub-sorts of |stratum|/salts
+    * rows each — keeping `n` per salt; survivors (≤ n·salts per stratum)
+    * are re-ranked per stratum. Exact: every global per-stratum top-n row
+    * is also in its own salt's top-n, so the result EQUALS
+    * [[stratifiedSample]] (asserted in tests), at the cost of one extra
+    * narrow shuffle. Use when a stratum is too large to sort in one
+    * task. */
+  def stratifiedSampleSalted(df: DataFrame, stratumCol: String, keyCol: String,
+      n: Int, salts: Int = 16): DataFrame = {
+    val salt = pmod(xxhash64(col(keyCol)), lit(salts))
+    val w1 = Window.partitionBy(col(stratumCol), salt)
+      .orderBy(draw(col(keyCol)), col(keyCol))
+    val w2 = Window.partitionBy(col(stratumCol))
+      .orderBy(draw(col(keyCol)), col(keyCol))
+    df.withColumn("rk", row_number().over(w1))
+      .filter(col("rk") <= n)
+      .withColumn("rk", row_number().over(w2))
+      .filter(col("rk") <= n)
+  }
+
+  /** Deterministic train/valid/test split: assigns each row the first
+    * label whose cumulative fraction bound its md5 draw falls under.
+    * Shuffle-free (per-row projection); the split is a pure function of
+    * the key — reproducible across engines (the bound is an 8-hex-char
+    * string compare on the md5, identical everywhere) and stable when
+    * the dataset grows (a row's label never depends on other rows). */
+  def splitByHash(df: DataFrame, keyCol: String,
+      fractions: Seq[(String, Double)], labelCol: String = "split"): DataFrame = {
+    require(fractions.nonEmpty && math.abs(fractions.map(_._2).sum - 1.0) < 1e-9,
+      s"fractions must sum to 1, got $fractions")
+    val h = substring(draw(col(keyCol)), 1, 8)
+    val cuts = fractions.scanLeft(0.0) { case (acc, (_, f)) => acc + f }.tail
+    val labeled = fractions.map(_._1).zip(cuts).dropRight(1)
+      .foldRight(lit(fractions.last._1): Column) { case ((label, cut), acc) =>
+        val hex = f"${math.min(4294967295L, (cut * 4294967296.0).toLong)}%08x"
+        when(h < lit(hex), lit(label)).otherwise(acc)
+      }
+    df.withColumn(labelCol, labeled)
+  }
 }

@@ -98,6 +98,17 @@ object TextAnalysis {
         lit(0L),
         (h, c) => (h * 31L + c) % 1000000007L))
 
+  /** Canonical text normalization: lowercase, strip everything outside
+    * [a-z0-9 ], collapse whitespace runs, trim. The standard pre-pass
+    * before tokenizing/shingling scraped text; pure per-row projection
+    * (shuffle-free, codegen'd regex). */
+  def normalize(df: DataFrame, textCol: String = "text",
+      outCol: String = "norm_text"): DataFrame =
+    df.withColumn(outCol,
+      trim(regexp_replace(
+        regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " "),
+        " +", " ")))
+
   /** Word-bigram repetition statistics — the Gopher/C4-style repetition
     * quality signals (duplicated n-gram mass flags boilerplate and
     * degenerate generations): per document, the bigram count, distinct

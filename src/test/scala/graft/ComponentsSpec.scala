@@ -82,6 +82,56 @@ class ComponentsSpec extends SparkSpec {
     assert(perStratum.values.forall(_ == 5L))
   }
 
+  test("salted stratified sample equals the single-window form exactly") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val direct = Sampling.stratifiedSample(orders, "o_orderstatus", "o_orderkey", 5)
+      .select("o_orderkey", "rk").as[(Long, Int)].collect().toSet
+    val salted = Sampling.stratifiedSampleSalted(orders, "o_orderstatus", "o_orderkey", 5, salts = 7)
+      .select("o_orderkey", "rk").as[(Long, Int)].collect().toSet
+    assert(salted == direct)
+  }
+
+  test("quotaSample honors per-stratum quotas and drops unlisted strata") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val got = Sampling.quotaSample(orders, "o_orderstatus", "o_orderkey", Map("F" -> 3, "O" -> 7))
+      .groupBy("o_orderstatus").count().as[(String, Long)].collect().toMap
+    assert(got == Map("F" -> 3L, "O" -> 7L))
+    // quota rows are the top of the uniform stratified ranking (same draw)
+    val top3F = Sampling.stratifiedSample(orders, "o_orderstatus", "o_orderkey", 3)
+      .filter(col("o_orderstatus") === "F").select("o_orderkey").as[Long].collect().toSet
+    val gotF = Sampling.quotaSample(orders, "o_orderstatus", "o_orderkey", Map("F" -> 3, "O" -> 7))
+      .filter(col("o_orderstatus") === "F").select("o_orderkey").as[Long].collect().toSet
+    assert(gotF == top3F)
+  }
+
+  test("splitByHash is exhaustive, disjoint, near the target fractions, and growth-stable") {
+    val orders = spark.read.parquet(s"$sf001/orders.parquet")
+    val fr = Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1)
+    val n = orders.count().toDouble
+    val counts = Sampling.splitByHash(orders, "o_orderkey", fr)
+      .groupBy("split").count().as[(String, Long)].collect().toMap
+    assert(counts.values.sum.toDouble == n)
+    assert(math.abs(counts("train") / n - 0.8) < 0.03, counts.toString)
+    // growth stability: labels on a subset match labels on the full set
+    val sub = Sampling.splitByHash(orders.filter(col("o_orderkey") < 5000), "o_orderkey", fr)
+      .select(col("o_orderkey"), col("split")).as[(Long, String)].collect().toMap
+    val full = Sampling.splitByHash(orders, "o_orderkey", fr)
+      .filter(col("o_orderkey") < 5000)
+      .select(col("o_orderkey"), col("split")).as[(Long, String)].collect().toMap
+    assert(sub == full)
+  }
+
+  test("normalize strips punctuation, collapses whitespace, and is identity on clean text") {
+    import graft.ops.TextAnalysis
+    val messy = Seq((1L, "  Hello,   WORLD!! it's 42. ")).toDF("doc_id", "text")
+    assert(TextAnalysis.normalize(messy).select("norm_text").as[String].head()
+      == "hello world it s 42")
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val changed = TextAnalysis.normalize(docs)
+      .filter(col("norm_text") =!= col("text")).count()
+    assert(changed == 0, "fixture text is already canonical; normalize must be identity")
+  }
+
   test("hashSample hits the target fraction within tolerance and is a pure row filter") {
     val orders = spark.read.parquet(s"$sf001/orders.parquet")
     val total = orders.count().toDouble
