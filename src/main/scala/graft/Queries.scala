@@ -789,6 +789,11 @@ object Queries {
         .select("query_id", "rank", "nbr_id")
     }),
 
+    // Stream-stream interval join (watermarked both sides) — must equal
+    // the batch range join q27.
+    "st04_stream_join" -> ((s, dir) =>
+      graft.streaming.EventsStream.purchaseAttribution(s, dir)),
+
     // Similarity search over the built K-NN graph: greedy beam search
     // (approximate — rows-only; recall vs brute force in OpsSpec).
     "s03_graph_search" -> ((s, dir) => {
@@ -1007,6 +1012,15 @@ object Queries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |GROUP BY user_id""".stripMargin,
+
+    "st04_stream_join" ->
+      """SELECT p.user_id, p.event_id AS purchase_id, count(*) AS n_prior_events
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase') p
+        |JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
+        |  ON p.user_id = e.user_id
+        | AND e.us >= p.p_us - 3600000000 AND e.us < p.p_us
+        |GROUP BY p.user_id, p.event_id""".stripMargin,
 
     "st03_stream_dedup" ->
       """SELECT event_type, count(*) AS n_distinct_users

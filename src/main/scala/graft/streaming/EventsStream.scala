@@ -101,6 +101,51 @@ object EventsStream {
     spark.table(name)
   }
 
+  /** Stream-stream interval join: each purchase joined to the same
+    * user's events in the preceding hour — two streaming reads of the
+    * event log, both watermarked, joined on key + event-time range (the
+    * state-bounded join Structured Streaming plans with watermark-based
+    * state eviction; at scale both sides shuffle once on user_id and
+    * expired state drops out per micro-batch). The joined pairs drain to
+    * a memory sink (append mode); per-purchase counts are then a batch
+    * aggregation over the sink, and the whole path must equal the batch
+    * range join `q27_range_join`. */
+  def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
+    val name = s"events_stream_join_${runId.incrementAndGet()}"
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_join")
+    java.nio.file.Files.createSymbolicLink(
+      streamDir.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    def src = spark.readStream
+      .schema(eventsSchema)
+      .parquet(streamDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+
+    val purchases = src.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+      .withWatermark("p_ts", "1 day")
+    val ev = src
+      .select(col("user_id").as("e_user_id"), col("event_id"), col("ts").as("e_ts"))
+      .withWatermark("e_ts", "1 day")
+
+    val joined = purchases.join(ev,
+      col("user_id") === col("e_user_id") &&
+        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+        col("e_ts") < col("p_ts"))
+      .select(col("user_id"), col("purchase_id"), col("event_id"))
+
+    val q = joined.writeStream
+      .outputMode("append")
+      .format("memory")
+      .queryName(name)
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    spark.table(name)
+      .groupBy("user_id", "purchase_id")
+      .agg(count(lit(1)).as("n_prior_events"))
+  }
+
   /** Custom stateful streaming: per-user session counting (30-minute gap
     * rule) via `mapGroupsWithState` — the arbitrary-state surface a
     * production pipeline needs for logic windowed aggregation can't

@@ -77,6 +77,35 @@ class EdgeCasesSpec extends SparkSpec {
     assert(math.abs(p50a - p50e) <= 1.0, s"approx p50 $p50a vs exact $p50e")
   }
 
+  test("connected components: empty edge set, empty node set, self-loops") {
+    import graft.ops.Components
+    val noEdges = Components.connectedComponents(
+      Seq(1L, 2L).toDF("id"), spark.emptyDataFrame.select(lit(0L).as("u"), lit(0L).as("v")).limit(0))
+      .as[(Long, Long)].collect().toMap
+    assert(noEdges == Map(1L -> 1L, 2L -> 2L))
+    val empty = Components.connectedComponents(
+      Seq.empty[Long].toDF("id"), Seq.empty[(Long, Long)].toDF("u", "v"))
+    assert(empty.count() == 0)
+    val selfLoop = Components.connectedComponents(
+      Seq(5L).toDF("id"), Seq((5L, 5L)).toDF("u", "v"))
+      .as[(Long, Long)].collect().toMap
+    assert(selfLoop == Map(5L -> 5L))
+  }
+
+  test("quantizedTopK rejects an all-zero sampled corpus; sampling rejects bad fractions") {
+    val zeros = Seq((0L, Array(0f, 0f)), (1L, Array(0f, 0f))).toDF("id", "features")
+    val err = intercept[IllegalArgumentException] {
+      graft.ops.SimilaritySearch.quantizedTopK(zeros, zeros, 1)
+    }
+    assert(err.getMessage.contains("degenerate"), err.getMessage)
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.hashSample(Seq(1L).toDF("id"), "id", 1.5)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.splitByHash(Seq(1L).toDF("id"), "id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+  }
+
   test("dedup and text ops handle short/empty-ish texts") {
     val df = Seq((1L, "one"), (2L, "two words"), (3L, "three word text"),
       (4L, "three word text")).toDF("doc_id", "text")

@@ -92,6 +92,14 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.95, s"recall $mean too low for int8 + 4x refine")
   }
 
+  test("stream-stream interval join equals the batch range join") {
+    val got = graft.streaming.EventsStream.purchaseAttribution(spark, sf001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val want = Queries.all("q27_range_join")(spark, sf001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(got == want)
+  }
+
   test("streaming dedup counts equal the batch DISTINCT") {
     val got = graft.streaming.EventsStream.dedupCounts(spark, sf001)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -71,6 +71,29 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("q32/hashSample: the md5 split predicate is a pure scan-side filter (no shuffle, no UDF)") {
+    val df = graft.ops.Sampling.hashSample(
+      spark.read.parquet(s"$sf0001/orders.parquet"), "o_orderkey", 0.2)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"hashSample must not shuffle:\n$p")
+    assert(!p.toLowerCase.contains("batchevalpython") && !p.contains("ScalaUDF"),
+      s"hashSample must be codegen'd, not a UDF:\n$p")
+  }
+
+  test("s05: quantized candidate scoring broadcasts the query side") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(org.apache.spark.sql.functions.col("vec_id").as("id"),
+        org.apache.spark.sql.functions.col("embedding").as("features"))
+    val df = graft.ops.SimilaritySearch.quantizedTopK(
+      e, e.filter("id < 5"), 10)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"query side not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin"), s"candidate scan fell back to sort-merge:\n$p")
+  }
+
   test("whole-stage codegen spans cover the scan-filter-project pipelines") {
     val p = plan("q02_filter_project")
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
