@@ -43,7 +43,12 @@ private[nnd] final case class BucketedNode(bucket: Long, id: Long, features: Arr
   * list (the reference's B flag — old entries win dedup and don't count
   * as updates, `NND.scala:228-246`). */
 private[nnd] final case class Cand(src: Long, dst: Long, sim: Double, isOld: Boolean)
-private[nnd] final case class AdjRow(src: Long, dst: Long, features: Array[Float], partition: Long)
+private[nnd] final case class AdjRow(
+    src: Long, dst: Long, features: Array[Float], partition: Long, isNew: Boolean)
+/** Neighbor list with per-entry new flags (true = entered the list this
+  * iteration) — the state the incremental local join needs. */
+private[nnd] final case class FlaggedList(id: Long, neighbors: Seq[Neighbor], isNew: Seq[Boolean])
+private[nnd] final case class FlaggedEdge(src: Long, dst: Long, sim: Double, isNew: Boolean)
 
 object NND {
 
@@ -162,16 +167,18 @@ object NND {
         }
       }
 
-    var graph: Dataset[NeighborList] =
-      mergeTopK(initCands, k).map(g => NeighborList(g._1, g._2.neighbors))
+    var graph: Dataset[FlaggedList] =
+      mergeTopK(initCands, k)
+        .map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
         .localCheckpoint(true)
 
     // --- Iterative refinement (reference C1 loop, NND.scala:111-263) ---
     var finished = false
     var iter = 0
     while (!finished && iter < p.maxIterations) {
-      val edges: Dataset[Edge] =
-        graph.flatMap(nl => nl.neighbors.iterator.map(nb => Edge(nl.id, nb.id, nb.similarity)))
+      val edges: Dataset[FlaggedEdge] =
+        graph.flatMap(nl => nl.neighbors.iterator.zip(nl.isNew.iterator)
+          .map { case (nb, fresh) => FlaggedEdge(nl.id, nb.id, nb.similarity, fresh) })
 
       // Reverse-edge ρ-sample (reference G2+G3, NND.scala:116-169): each
       // node keeps ceil(ρ·|Rv|) (min 1) of its incoming edges,
@@ -179,8 +186,11 @@ object NND {
       // reference default regime) the sample is the whole reverse set, so
       // the ranking window — a full shuffle+sort per iteration — is
       // skipped entirely.
+      // Reverse edges inherit the forward edge's new/old flag (Dong et
+      // al.: new'[v] includes sampled reverse-new, old'[v] reverse-old).
       val sampledRev =
-        if (p.sampleRate >= 1.0) edges.toDF().select($"dst".as("src"), $"src".as("dst"))
+        if (p.sampleRate >= 1.0)
+          edges.toDF().select($"dst".as("src"), $"src".as("dst"), $"isNew")
         else {
           val wPart = Window.partitionBy($"dst")
           val wOrd = wPart.orderBy(xxhash64($"src", $"dst", lit(iter), lit(seed)))
@@ -188,7 +198,7 @@ object NND {
             .withColumn("rn", row_number().over(wOrd))
             .withColumn("cnt", count(lit(1)).over(wPart))
             .filter($"rn" <= greatest(ceil($"cnt" * p.sampleRate), lit(1L)))
-            .select($"dst".as("src"), $"src".as("dst"))
+            .select($"dst".as("src"), $"src".as("dst"), $"isNew")
         }
 
       // Adjacency set Av = Bv ∪ sample(Rv) (reference G4): the ONLY place
@@ -200,24 +210,29 @@ object NND {
       // the adjacency grouping. Duplicate (src,dst) pairs (a node both a
       // forward and sampled-reverse neighbor) are deduped inside the
       // per-group array instead of a dedicated dropDuplicates shuffle.
-      val adj: Dataset[AdjRow] = edges.select($"src", $"dst")
+      val adj: Dataset[AdjRow] = edges.select($"src", $"dst", $"isNew")
         .union(sampledRev)
         .join(nodes.toDF().select($"id".as("dst"), $"features", $"partition"), "dst")
-        .select($"src", $"dst", $"features", $"partition")
+        .select($"src", $"dst", $"features", $"partition", $"isNew")
         .as[AdjRow]
 
-      // Local join (reference G5, NND.scala:199-217): within each Av,
-      // introduce every ordered pair (u, p) as a candidate edge u→p.
+      // Incremental local join (reference G5 + B flags, NND.scala:199-242;
+      // Dong et al. §2.3): within each Av, introduce every ordered pair
+      // (u, p) with at least one NEW member as a candidate edge u→p.
+      // Old-old pairs were already evaluated the iteration both entries
+      // arrived, so skipping them loses nothing — and as the graph
+      // converges (fewer new entries) the per-iteration pair count decays
+      // toward zero instead of staying at |Av|² forever.
       val pairCands: Dataset[Cand] = adj
         .groupByKey(_.src)
         .flatMapGroups { (_, it) =>
           val a = dedupByDst(it)
-          val out = new mutable.ArrayBuffer[Cand](a.length * math.max(a.length - 1, 0))
+          val out = new mutable.ArrayBuffer[Cand]()
           var i = 0
           while (i < a.length) {
             var j = 0
             while (j < a.length) {
-              if (i != j && a(i).dst != a(j).dst) {
+              if (i != j && a(i).dst != a(j).dst && (a(i).isNew || a(j).isNew)) {
                 out += Cand(a(i).dst, a(j).dst,
                   Similarity.partitionGated(
                     a(i).features, a(i).partition, a(j).features, a(j).partition),
@@ -238,7 +253,7 @@ object NND {
       val merged = mergeTopK(pairCands.unionByName(oldCands), k).localCheckpoint(true)
       val updates = merged.map(_._2.updated.toLong).toDF("u")
         .agg(coalesce(sum($"u"), lit(0L))).as[Long].head()
-      val newGraph = merged.map(g => NeighborList(g._1, g._2.neighbors))
+      val newGraph = merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
 
       val prev = graph
       graph = newGraph
@@ -278,8 +293,16 @@ object NND {
   }
 
   private def dedupByDst(it: Iterator[AdjRow]): Array[AdjRow] = {
+    // a node present both as forward and sampled-reverse neighbor keeps
+    // the NEW flag if either copy is new (Dong et al.'s new-set priority)
     val seen = new mutable.LongMap[AdjRow]()
-    it.foreach(r => if (!seen.contains(r.dst)) seen.update(r.dst, r))
+    it.foreach { r =>
+      seen.get(r.dst) match {
+        case None => seen.update(r.dst, r)
+        case Some(prev) if r.isNew && !prev.isNew => seen.update(r.dst, r)
+        case _ =>
+      }
+    }
     seen.values.toArray.sortBy(_.dst)
   }
 

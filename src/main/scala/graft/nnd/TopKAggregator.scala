@@ -9,9 +9,13 @@ import graft.core.Neighbor
   * deduped by dst with old-entry-wins flag merging, truncated to K. */
 final case class TopKBuf(dst: Array[Long], sim: Array[Double], old: Array[Boolean])
 
-/** Merged neighbor list plus how many entries are new this iteration
-  * (the reference's per-node `updated` count, `NND.scala:244-246`). */
-final case class TopKResult(neighbors: Seq[Neighbor], updated: Int)
+/** Merged neighbor list, the per-entry old flags (`old(i)` = neighbor i
+  * survived from the previous iteration — the reference's B flag), and
+  * how many entries are new this iteration (the reference's per-node
+  * `updated` count, `NND.scala:244-246`). The flags drive the
+  * incremental local join: only pairs touching a NEW entry need
+  * evaluation next round (Dong et al. §2.3; reference NND.scala:228-242). */
+final case class TopKResult(neighbors: Seq[Neighbor], old: Seq[Boolean], updated: Int)
 
 /** Typed bounded top-K merge aggregator — the Spark-SQL equivalent of the
   * reference's `reduceByKey` neighbor-list combine (A4/A7/W1,
@@ -68,7 +72,7 @@ final class TopKAggregator(k: Int) extends Aggregator[Cand, TopKBuf, TopKResult]
 
   override def finish(b: TopKBuf): TopKResult = {
     val nbrs = Array.tabulate(b.dst.length)(i => Neighbor(b.dst(i), b.sim(i))).toSeq
-    TopKResult(nbrs, b.old.count(!_))
+    TopKResult(nbrs, b.old.toSeq, b.old.count(!_))
   }
 
   override def bufferEncoder: Encoder[TopKBuf] = Encoders.product[TopKBuf]
