@@ -60,6 +60,44 @@ object Multimodal {
       }
   }
 
+  /** A media row with its extracted feature vector. */
+  final case class MediaFeatures(doc_id: Long, media_size: Long, features: Array[Float])
+
+  /** STUB batch feature kernel — in production this is one model forward
+    * pass over the whole batch (the reason batching exists); here each
+    * blob maps to its deterministic byte-derived 8-float vector. */
+  def featureKernelStub(batch: Array[Array[Byte]]): Array[Array[Float]] =
+    batch.map(bytes => Array.tabulate(8)(i =>
+      if (bytes.length > i) (bytes(i) & 0xff) / 255.0f else 0.0f))
+
+  /** Batched feature extraction — the Scala analog of a Pandas-UDF
+    * `mapInPandas` pipeline: the kernel receives a BATCH of blobs at
+    * once (the shape model inference needs to amortize per-call
+    * overhead), never one row at a time and never the whole partition.
+    * `batchSize` bounds peak task memory at batchSize × blob size
+    * regardless of partition size; rows stream through per partition
+    * with no driver involvement. The kernel is pluggable so tests can
+    * instrument the exact batch shapes delivered. */
+  def extractFeatures(
+      media: DataFrame,
+      batchSize: Int = 64,
+      kernel: Array[Array[Byte]] => Array[Array[Float]] = featureKernelStub): Dataset[MediaFeatures] = {
+    require(batchSize > 0, s"batchSize must be positive, got $batchSize")
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          val feats = kernel(batch.iterator.map(_._2).toArray)
+          require(feats.length == batch.length,
+            s"kernel returned ${feats.length} results for a batch of ${batch.length}")
+          batch.iterator.zip(feats.iterator).map { case ((id, bytes), f) =>
+            MediaFeatures(id, bytes.length.toLong, f)
+          }
+        }
+      }
+  }
+
   /** STUB resize: computes the target dimensions a real resampler would
     * produce (aspect-preserving to `targetW` wide) from the decoded
     * metadata — pure deterministic arithmetic (floor(x+0.5), not

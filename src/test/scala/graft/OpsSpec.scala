@@ -152,6 +152,29 @@ class OpsSpec extends SparkSpec {
     assert(viaSalt == plain)
   }
 
+  test("batched feature extraction delivers bounded batches and is batch-size invariant") {
+    val media = Multimodal.asMedia(docs)
+    val total = media.count()
+    // instrumented kernel: record every batch size it was handed
+    val batchCount = spark.sparkContext.longAccumulator("batches")
+    val oversize = spark.sparkContext.longAccumulator("oversize")
+    val counting = (batch: Array[Array[Byte]]) => {
+      batchCount.add(1)
+      if (batch.length > 16) oversize.add(1)
+      Multimodal.featureKernelStub(batch)
+    }
+    val got = Multimodal.extractFeatures(media, batchSize = 16, kernel = counting)
+      .collect().map(m => m.doc_id -> m.features.toSeq).toMap
+    assert(got.size.toLong == total)
+    assert(oversize.value == 0, "a batch exceeded batchSize")
+    assert(batchCount.value >= total / 16,
+      s"too few kernel calls (${batchCount.value}) for $total rows at batch 16")
+    // same results at a different batch size and partitioning
+    val again = Multimodal.extractFeatures(media.repartition(11), batchSize = 5)
+      .collect().map(m => m.doc_id -> m.features.toSeq).toMap
+    assert(again == got)
+  }
+
   test("multimodal decode is deterministic and partition-shaped") {
     val media = Multimodal.asMedia(docs)
     val out = Multimodal.decode(media).collect()
