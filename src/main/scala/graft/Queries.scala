@@ -688,6 +688,16 @@ object Queries {
       Dedup.clusterNearDups(docs(s, dir), "doc_id", "text", 0.7)
         .select(col("id").as("doc_id"), col("component"), col("keep"))),
 
+    // Incremental dedup: new batch (odd ids) vs existing corpus (even
+    // ids) — LSH candidates verified by exact Jaccard; equals the
+    // cross-table subset of the exact join (oracle).
+    "d07_dedup_incremental" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.minhashLshPairsAcross(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 === 1),
+        "doc_id", "text", 0.7)
+    }),
+
     // Word-bigram repetition signals (Gopher/C4-style quality filters).
     "t08_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir))),
@@ -872,6 +882,23 @@ object Queries {
         |SELECT id AS doc_id, min(r) AS component,
         |  CAST(id = min(r) AS INT) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    "d07_dedup_incremental" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id % 2 = 0 AND b.id % 2 = 1
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, x.n + y.n - inter AS union_sz,
+        |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+        |FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7""".stripMargin,
 
     "t08_repetition" ->
       """SELECT doc_id,

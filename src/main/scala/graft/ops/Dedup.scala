@@ -182,6 +182,76 @@ object Dedup {
       .withColumn("keep", (col("id") === col("component")).cast("int"))
   }
 
+  /** The deduplicated corpus: one canonical document per near-dup
+    * cluster (the minimum id), all other columns passed through. */
+  def dedupCorpus(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      maxDocFraction: Option[Double] = None): DataFrame = {
+    val keep = clusterNearDups(df, idCol, textCol, threshold, maxDocFraction)
+      .filter(col("keep") === 1)
+      .select(col("id").as(idCol))
+    df.join(keep, idCol)
+  }
+
+  /** Incremental MinHash+LSH dedup: near-duplicate pairs BETWEEN an
+    * incoming batch and an existing corpus (`doc_a` = existing id,
+    * `doc_b` = incoming id) — the production shape where each day's
+    * increment is checked against the historical index without
+    * re-joining the index against itself. Candidate generation is the
+    * same banded bucket join, but across the two tables only: cost
+    * scales with |incoming| (plus one signature pass over the corpus,
+    * which a deployment would precompute and store), never with
+    * |corpus|². Verification is exact Jaccard over the union shingle
+    * sets, so the output equals the cross-table subset of
+    * [[jaccardPairs]] run on the union, up to LSH recall. */
+  def minhashLshPairsAcross(
+      corpus: DataFrame,
+      incoming: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      numHashes: Int = 32,
+      bands: Int = 8): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val shC = hashedShingleSet(corpus, idCol, textCol).localCheckpoint()
+    val shI = hashedShingleSet(incoming, idCol, textCol).localCheckpoint()
+
+    def bucketsOf(sh: DataFrame): DataFrame = {
+      val sigs = minhashSignatures(sh, numHashes)
+      val bandCols = (0 until bands).map { b =>
+        val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
+        struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
+      }
+      sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
+        .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    }
+
+    val candidates = bucketsOf(shC).as("a")
+      .join(bucketsOf(shI).as("b"),
+        col("a.band") === col("b.band") && col("a.bh") === col("b.bh"))
+      .select(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .distinct()
+
+    val szC = shC.groupBy("id").agg(count(lit(1)).as("n"))
+    val szI = shI.groupBy("id").agg(count(lit(1)).as("n"))
+    val inter = candidates
+      .join(shC.select(col("id").as("doc_a"), col("s")), "doc_a")
+      .join(shI.select(col("id").as("doc_b"), col("s").as("s2")), "doc_b")
+      .filter(col("s") === col("s2"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(szC.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(szI.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
+      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
+      .filter(col("jaccard") >= threshold)
+      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+  }
+
   /** 64-bit SimHash per document: sign-aggregated bit votes of token
     * hashes weighted by term frequency. */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {

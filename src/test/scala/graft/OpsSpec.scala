@@ -33,6 +33,33 @@ class OpsSpec extends SparkSpec {
       "df-cap lost too many true near-dup pairs")
   }
 
+  test("incremental cross-corpus LSH dedup equals the cross subset of the union join") {
+    // split the fixture: evens are the "existing corpus", odds "incoming"
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val got = Dedup.minhashLshPairsAcross(corpus, incoming, "doc_id", "text", 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cross = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .filter { case (a, b) => (a % 2 == 0) != (b % 2 == 0) }
+      // jaccardPairs orders by id; across orders (existing, incoming)
+      .map { case (a, b) => if (a % 2 == 0) (a, b) else (b, a) }
+      .toSet
+    assert(cross.nonEmpty, "fixture split produced no cross near-dup pairs")
+    assert(got == cross)
+  }
+
+  test("dedupCorpus drops every transitive duplicate and keeps everything else") {
+    val kept = Dedup.dedupCorpus(docs, "doc_id", "text", 0.7)
+    val clusters = Dedup.clusterNearDups(docs, "doc_id", "text", 0.7)
+    assert(kept.count() == clusters.select("component").distinct().count())
+    // no two kept docs are near-dups of each other
+    val residual = Dedup.jaccardPairs(kept, "doc_id", "text", 0.7).count()
+    assert(residual == 0, s"$residual near-dup pairs survive dedup")
+  }
+
   test("simhash candidates cover the jaccard near-dup pairs") {
     val truth = Dedup.jaccardPairs(docs, "doc_id", "text", 0.8)
       .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
