@@ -24,10 +24,16 @@ object Bench {
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to the documented driver environment (local[32]); override
+    // with SPARK_GRAFT_CPUS for constrained local runs. Shuffle
+    // parallelism is decoupled: at bench scale (sf0.1) stages are small,
+    // so fewer, fuller shuffle tasks beat one-per-core scheduling
+    // overhead — while scans/maps still use every core.
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -35,9 +41,18 @@ object Bench {
     spark.sparkContext.addSparkListener(new ShuffleListener)
 
     // Warm the JIT/codegen paths so the first measured query isn't
-    // charged session bring-up.
+    // charged session bring-up — once for the relational path, once for
+    // the NND iteration machinery (whose generated code dominates the
+    // run-to-run variance of n01/s03 when cold).
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => }
+    try {
+      import org.apache.spark.sql.functions.col
+      val e = spark.read.parquet(s"$sfDir/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("features"))
+        .limit(256)
+      graft.nnd.NND.buildGraph(e, graft.nnd.NND.Params(k = 5, maxIterations = 2)).count()
+    } catch { case _: Throwable => }
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       // Let stage-completed events from the previous query drain.
