@@ -688,6 +688,20 @@ object Queries {
       Dedup.clusterNearDups(docs(s, dir), "doc_id", "text", 0.7)
         .select(col("id").as("doc_id"), col("component"), col("keep"))),
 
+    // End-to-end corpus curation: near-dup dedup (connected-component
+    // canonical docs) composed with the quality filter — the pipeline a
+    // user actually runs, oracle-checked as one query.
+    "p01_curation" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val kept = Dedup.clusterNearDups(d, "doc_id", "text", 0.7)
+        .filter(col("keep") === 1)
+        .select(col("id").as("doc_id"))
+      TextAnalysis.qualityScore(d)
+        .join(kept, "doc_id")
+        .filter(col("quality") >= 0.6)
+        .select("doc_id")
+    }),
+
     // Incremental dedup: new batch (odd ids) vs existing corpus (even
     // ids) — LSH candidates verified by exact Jaccard; equals the
     // cross-table subset of the exact join (oracle).
@@ -882,6 +896,36 @@ object Queries {
         |SELECT id AS doc_id, min(r) AS component,
         |  CAST(id = min(r) AS INT) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    "p01_curation" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+        |kept AS (SELECT id AS doc_id FROM reach GROUP BY id HAVING id = min(r)),
+        |quality AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |      + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS q
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))
+        |SELECT q.doc_id FROM quality q JOIN kept k ON q.doc_id = k.doc_id
+        |WHERE q.q >= 0.6""".stripMargin,
 
     "d07_dedup_incremental" ->
       """WITH sh AS (
