@@ -660,7 +660,10 @@ object Queries {
     // Exact dedup: one hash shuffle on the text key.
     "d01_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
-    // Exact near-dup pairs by 3-gram shingle Jaccard.
+    // Exact near-dup pairs by 3-gram shingle Jaccard. (The PPJoin-style
+    // jaccardPairsPrefix variant produces identical output with 40% less
+    // shuffle but more stages — slower at this corpus size, the right
+    // trade only on skewed corpora; see SCALE.md.)
     "d02_jaccard_pairs" -> ((s, dir) =>
       Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 0.7)),
 

@@ -33,6 +33,16 @@ class OpsSpec extends SparkSpec {
       "df-cap lost too many true near-dup pairs")
   }
 
+  test("prefix-filtered jaccard join equals the full self-join exactly") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
+      .select("doc_a", "doc_b", "inter", "union_sz").collect().map(key).toSet
+    val pref = Dedup.jaccardPairsPrefix(docs, "doc_id", "text", 0.7)
+      .select("doc_a", "doc_b", "inter", "union_sz").collect().map(key).toSet
+    assert(full.nonEmpty)
+    assert(pref == full)
+  }
+
   test("incremental cross-corpus LSH dedup equals the cross subset of the union join") {
     // split the fixture: evens are the "existing corpus", odds "incoming"
     val corpus = docs.filter(col("doc_id") % 2 === 0)
