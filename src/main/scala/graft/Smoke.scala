@@ -9,6 +9,7 @@ object Smoke {
     val spark = SparkSession.builder()
       .master("local[8]")
       .appName("graft-smoke")
+      .config("spark.sql.extensions", "graft.GraftExtensions")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
@@ -18,6 +19,16 @@ object Smoke {
     val df = SparkEntry.entry(spark)
     df.show(5, truncate = 60)
     println(s"[smoke] entry rows = ${df.count()}")
+    // the config-registered extension path: native functions reachable
+    // from plain SQL in this session
+    spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+      .createOrReplaceTempView("emb")
+    val sqlRows = spark.sql(
+      """SELECT vec_id, vector_dot(embedding, embedding) AS sq_norm,
+        |  quantized_dot(vector_quantize(embedding, CAST(0.6 AS DOUBLE)),
+        |                vector_quantize(embedding, CAST(0.6 AS DOUBLE))) AS q_sq
+        |FROM emb LIMIT 3""".stripMargin).count()
+    println(s"[smoke] SQL-registered vector functions rows = $sqlRows")
     spark.stop()
   }
 }
