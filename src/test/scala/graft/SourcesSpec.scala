@@ -30,6 +30,35 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("ORC round-trip preserves rows and values (columnar alternative to parquet)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_orc").toString
+    docs.write.mode("overwrite").orc(dir)
+    val back = spark.read.orc(dir)
+    assert(back.schema == docs.schema)
+    val a = docs.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b)
+  }
+
+  test("binaryFile source ingests opaque blobs for the multimodal path") {
+    // write a few raw files, read them back as (path, content) rows, and
+    // run the multimodal decode over the binary column — the real ingest
+    // shape for images/audio (one file = one blob).
+    val dir = java.nio.file.Files.createTempDirectory("graft_bin")
+    (0 until 5).foreach { i =>
+      java.nio.file.Files.write(dir.resolve(f"media_$i%02d.bin"),
+        Array.tabulate[Byte](100 + i * 37)(j => ((i * 31 + j) % 251).toByte))
+    }
+    val media = spark.read.format("binaryFile").load(dir.toString)
+      .select(
+        regexp_extract(col("path"), "media_(\\d+)\\.bin", 1).cast("long").as("doc_id"),
+        col("content").as("media"))
+    assert(media.count() == 5)
+    val meta = graft.ops.Multimodal.decode(media).collect()
+    assert(meta.length == 5)
+    assert(meta.forall(m => m.media_size >= 100 && m.width >= 16 && m.feature8.length == 8))
+  }
+
   test("queries run identically over a CSV-sourced table") {
     val dir = java.nio.file.Files.createTempDirectory("graft_csv_q").toString
     val li = spark.read.parquet(s"$sf0001/lineitem.parquet")
