@@ -58,6 +58,15 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
 
+  /** [[exact]] keyed on xxhash64(text) instead of the text itself: the
+    * aggregation shuffles 8-byte keys, not document bodies — at corpus
+    * scale the difference between shuffling ~100 TB and ~80 GB. Same
+    * output up to 64-bit collisions (P ≈ n²/2⁶⁵). */
+  def exactByHash(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(xxhash64(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+
   /** Drop shingles that appear in more than `maxDocFraction` of the
     * corpus. Hot shingles are the skew bomb in a similarity join: a
     * shingle shared by f documents contributes f² join rows, so a single
@@ -176,9 +185,16 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxDocFraction: Option[Double] = None): DataFrame = {
-    val pairs = jaccardPairs(df, idCol, textCol, threshold, maxDocFraction)
-      .select(col("doc_a"), col("doc_b"))
+      maxDocFraction: Option[Double] = None,
+      useLsh: Boolean = false): DataFrame = {
+    // useLsh = the corpus-scale path: linear LSH candidate generation
+    // feeds the component build instead of the exact shingle self-join
+    // (identical clusters whenever LSH recall holds at the threshold —
+    // asserted against the exact path in tests).
+    val pairs =
+      (if (useLsh) minhashLshPairs(df, idCol, textCol, threshold)
+       else jaccardPairs(df, idCol, textCol, threshold, maxDocFraction))
+        .select(col("doc_a"), col("doc_b"))
     Components.connectedComponents(df.select(col(idCol)), pairs)
       .withColumn("keep", (col("id") === col("component")).cast("int"))
   }

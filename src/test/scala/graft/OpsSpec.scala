@@ -33,6 +33,21 @@ class OpsSpec extends SparkSpec {
       "df-cap lost too many true near-dup pairs")
   }
 
+  test("hash-keyed exact dedup equals the text-keyed form") {
+    val byText = Dedup.exact(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val byHash = Dedup.exactByHash(docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(byHash == byText)
+  }
+
+  test("LSH-sourced clustering equals exact-join clustering") {
+    def clusters(useLsh: Boolean) =
+      Dedup.clusterNearDups(docs, "doc_id", "text", 0.7, useLsh = useLsh)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(clusters(useLsh = true) == clusters(useLsh = false))
+  }
+
   test("prefix-filtered jaccard join equals the full self-join exactly") {
     def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
     val full = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7)
