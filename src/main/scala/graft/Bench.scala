@@ -74,9 +74,18 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalShuffle = results.map(_._3).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"max_stage_shuffle_bytes":$mx,""" +
-      s""""total_shuffle_bytes":$totalShuffle,"sf":"$sfDir"}""")
+      s""""total_shuffle_bytes":$totalShuffle,"sf":"$sfDir"}"""
+    // Durable copy first: round 1 lost the stdout line to interleaved
+    // logging, so the driver's parser got only a tail. The file is the
+    // source of truth; stdout is printed after spark.stop() so no
+    // executor/shutdown logging can splice into the line.
+    val outPath = java.nio.file.Paths.get(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
+    java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
     spark.stop()
+    System.out.println(line)
+    System.out.flush()
   }
 }

@@ -660,12 +660,14 @@ object Queries {
     // Exact dedup: one hash shuffle on the text key.
     "d01_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
 
-    // Exact near-dup pairs by 3-gram shingle Jaccard. (The PPJoin-style
-    // jaccardPairsPrefix variant produces identical output with 40% less
-    // shuffle but more stages — slower at this corpus size, the right
-    // trade only on skewed corpora; see SCALE.md.)
+    // Exact near-dup pairs by 3-gram shingle Jaccard, with the
+    // document-frequency cap engaged (shingles in >10% of the corpus are
+    // dropped before the self-join): per-shingle fan-out is bounded by
+    // (0.1·N)², so a stop-phrase can no longer own the shuffle at
+    // corpus scale. The oracle applies the identical cap.
     "d02_jaccard_pairs" -> ((s, dir) =>
-      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 0.7)),
+      Dedup.jaccardPairs(docs(s, dir), "doc_id", "text", 0.7,
+        maxDocFraction = Some(0.1))),
 
     // MinHash+LSH near-dup: linear candidate generation + exact verify.
     // Same oracle as d02 — LSH recall at J>=0.7 with 8 bands of 4 makes
@@ -678,17 +680,23 @@ object Queries {
     "d04_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 12)),
 
-    // Embedding-cosine near-dup (full pair scan; ids only so no float
-    // crosses the compare — threshold margin validated in tests).
+    // Embedding-cosine near-dup via exact projection banding: recall 1
+    // by construction (chord bound |Δproj| <= sqrt(2-2t)), join bounded
+    // by band collisions — no N² scan in the declared path. Ids only so
+    // no float crosses the compare; equality with the unbanded scan is
+    // also asserted in OpsSpec.
     "d05_embedding_pairs" -> ((s, dir) =>
-      Dedup.embeddingPairs(emb(s, dir), "id", "features", 0.5)
+      Dedup.embeddingPairsBanded(emb(s, dir), "id", "features", 0.5)
         .select("id_a", "id_b")),
 
-    // Near-dup CLUSTERS: connected components over the Jaccard pair
+    // Near-dup CLUSTERS: connected components over the near-dup pair
     // graph — every doc gets a cluster id (min doc id in its component)
-    // and a keep flag on the canonical representative.
+    // and a keep flag on the canonical representative. The declared path
+    // is the corpus-scale one: LSH candidate generation (linear) + exact
+    // verify feeds the component build; d03's green oracle proves
+    // LSH+verify == the exact join on this threshold regime.
     "d06_dedup_clusters" -> ((s, dir) =>
-      Dedup.clusterNearDups(docs(s, dir), "doc_id", "text", 0.7)
+      Dedup.clusterNearDups(docs(s, dir), "doc_id", "text", 0.7, useLsh = true)
         .select(col("id").as("doc_id"), col("component"), col("keep"))),
 
     // End-to-end corpus curation: near-dup dedup (connected-component
@@ -696,7 +704,9 @@ object Queries {
     // user actually runs, oracle-checked as one query.
     "p01_curation" -> ((s, dir) => {
       val d = docs(s, dir)
-      val kept = Dedup.clusterNearDups(d, "doc_id", "text", 0.7)
+      // LSH declared path, same as d06 — the curation pipeline must be
+      // the one that survives the corpus scale-up.
+      val kept = Dedup.clusterNearDups(d, "doc_id", "text", 0.7, useLsh = true)
         .filter(col("keep") === 1)
         .select(col("id").as("doc_id"))
       TextAnalysis.qualityScore(d)
@@ -704,6 +714,14 @@ object Queries {
         .filter(col("quality") >= 0.6)
         .select("doc_id")
     }),
+
+    // PPJoin-style prefix-filtered exact Jaccard: identical output to
+    // the full shingle self-join, but candidates come only from each
+    // document's rarest |x|-⌈t|x|⌉+1 shingles — the join fan-out runs
+    // over rare-end document frequencies, inverting hot-shingle skew.
+    // The skewed-corpus scale path, now oracle-checked.
+    "d08_jaccard_prefix" -> ((s, dir) =>
+      Dedup.jaccardPairsPrefix(docs(s, dir), "doc_id", "text", 0.7)),
 
     // Incremental dedup: new batch (odd ids) vs existing corpus (even
     // ids) — LSH candidates verified by exact Jaccard; equals the
@@ -868,8 +886,31 @@ object Queries {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
 
-    "d02_jaccard_pairs" -> shingleCte,
+    // d02 runs with maxDocFraction = 0.1: the oracle drops shingles
+    // with df > floor(0.1·N) before sizes/intersections, mirroring
+    // capDocFreq (cap = max(1, (N·0.1).toLong); floor == toLong for
+    // positives).
+    "d02_jaccard_pairs" ->
+      """WITH sh0 AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |cap AS (SELECT greatest(1, CAST(floor(count(*) * 0.1) AS BIGINT)) AS c FROM documents),
+        |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= (SELECT c FROM cap)),
+        |sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN rare USING (s)),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, inter, x.n + y.n - inter AS union_sz,
+        |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+        |FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7""".stripMargin,
     "d03_minhash_pairs" -> shingleCte,
+    "d08_jaccard_prefix" -> shingleCte,
 
     "d05_embedding_pairs" ->
       """SELECT a.vec_id AS id_a, b.vec_id AS id_b

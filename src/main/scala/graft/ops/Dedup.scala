@@ -138,9 +138,24 @@ object Dedup {
       textCol: String,
       threshold: Double,
       numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      bands: Int = 8,
+      maxDocFraction: Option[Double] = None): DataFrame = {
+    // bands must tile the signature exactly: a remainder would silently
+    // drop trailing slots, and bands > numHashes would hash ZERO slots
+    // per band — every doc colliding in every bucket (full cross
+    // product).
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
-    val sh = hashedShingleSet(df, idCol, textCol).localCheckpoint()
+    val raw = hashedShingleSet(df, idCol, textCol)
+    // df-cap applies BEFORE signatures and verification, so the capped
+    // LSH path approximates the capped exact join (same semantics as
+    // jaccardPairs with the same maxDocFraction) — the stop-phrase skew
+    // defense survives the switch to the corpus-scale path.
+    val sh = maxDocFraction
+      .map(f => capDocFreq(raw, df.count(), f))
+      .getOrElse(raw)
+      .localCheckpoint()
     val sigs = minhashSignatures(sh, numHashes)
 
     val bandCols = (0 until bands).map { b =>
@@ -190,9 +205,11 @@ object Dedup {
     // useLsh = the corpus-scale path: linear LSH candidate generation
     // feeds the component build instead of the exact shingle self-join
     // (identical clusters whenever LSH recall holds at the threshold —
-    // asserted against the exact path in tests).
+    // asserted against the exact path in tests). maxDocFraction applies
+    // on both paths.
     val pairs =
-      (if (useLsh) minhashLshPairs(df, idCol, textCol, threshold)
+      (if (useLsh) minhashLshPairs(df, idCol, textCol, threshold,
+           maxDocFraction = maxDocFraction)
        else jaccardPairs(df, idCol, textCol, threshold, maxDocFraction))
         .select(col("doc_a"), col("doc_b"))
     Components.connectedComponents(df.select(col(idCol)), pairs)
@@ -259,8 +276,9 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      maxDocFraction: Option[Double] = None): DataFrame = {
-    val keep = clusterNearDups(df, idCol, textCol, threshold, maxDocFraction)
+      maxDocFraction: Option[Double] = None,
+      useLsh: Boolean = false): DataFrame = {
+    val keep = clusterNearDups(df, idCol, textCol, threshold, maxDocFraction, useLsh)
       .filter(col("keep") === 1)
       .select(col("id").as(idCol))
     df.join(keep, idCol)
@@ -285,6 +303,8 @@ object Dedup {
       threshold: Double,
       numHashes: Int = 32,
       bands: Int = 8): DataFrame = {
+    require(bands > 0 && numHashes % bands == 0,
+      s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
     val shC = hashedShingleSet(corpus, idCol, textCol).localCheckpoint()
     val shI = hashedShingleSet(incoming, idCol, textCol).localCheckpoint()
@@ -384,6 +404,77 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .withColumn("cosine",
         graft.functions.VectorFunctions.vector_dot(col("v_a"), col("v_b")) / (col("n_a") * col("n_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Embedding near-duplicate pairs with EXACT recall and a bounded
+    * join: 1-D random-projection banding.
+    *
+    * For unit vectors â, b̂ and any unit direction r̂,
+    * |â·r̂ − b̂·r̂| ≤ ‖â − b̂‖ = sqrt(2 − 2·cos(a,b)), so cos ≥ t implies
+    * every projection pair differs by at most w = sqrt(2−2t). Rows are
+    * banded on floor(p₀/w) and emitted to their own and the next band;
+    * any qualifying pair therefore shares a band (floors of values
+    * within w differ by ≤ 1) — recall is 1 by construction, unlike
+    * sign-bit LSH which can split a borderline pair. The remaining
+    * projections prune candidates multiplicatively (each is a necessary
+    * |Δp| ≤ w condition) before the exact cosine verify, whose
+    * expression tree matches [[embeddingPairs]] bit-for-bit.
+    *
+    * At near-dup thresholds (t → 1) w shrinks and the banding prunes
+    * aggressively; at weak thresholds (t ≤ 0.5, w ≥ 1 vs projections
+    * concentrated in ±0.5 for high-dim data) it degrades gracefully to
+    * the exact scan — never worse than a constant factor, never a
+    * recall loss. Projection directions are deterministic Rademacher
+    * (±1) weights derived per-element from xxhash64, so results are
+    * seed-free and retry-stable. */
+  def embeddingPairsBanded(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numProjections: Int = 4): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0, s"threshold must be in (-1, 1]: $threshold")
+    require(numProjections >= 1)
+    val w = math.sqrt(2.0 - 2.0 * threshold)
+
+    import graft.functions.VectorFunctions.{vector_dot, vector_norm}
+    val v = col(vecCol)
+    val idx = sequence(lit(0), size(v) - 1)
+    // p_k = (Σ_j ±v_j) / (‖v‖·sqrt(d)): dot with a unit Rademacher
+    // direction whose signs come from xxhash64(k, j) parity — a pure
+    // projection (no data-dependent state), codegen'd end to end.
+    def proj(k: Int): Column = {
+      val signed = zip_with(v, idx, (x, j) =>
+        when(pmod(xxhash64(lit(k), j), lit(2)) === 0, x.cast("double"))
+          .otherwise(-x.cast("double")))
+      aggregate(signed, lit(0.0d), (acc, x) => acc + x) /
+        (vector_norm(v) * sqrt(size(v).cast("double")))
+    }
+    val projCols = (0 until numProjections).map(k => proj(k).as(s"p$k"))
+    val base = df.select(
+      (Seq(col(idCol).as("id"), v.as("v"), vector_norm(v).as("nrm")) ++ projCols): _*)
+
+    // Band on p0; each row lands in its own band and the next, so a
+    // pair within w shares ≥1 band. The greatest-floor filter keeps
+    // exactly one of the (up to two) shared bands per pair — no
+    // distinct pass needed.
+    val b0 = floor(col("p0") / w)
+    val banded = base.select(col("*"), explode(array(b0, b0 + 1)).as("bkt"))
+    def side(tag: String): DataFrame =
+      banded.select(col("bkt") +:
+        (Seq("id", "v", "nrm") ++ (0 until numProjections).map(k => s"p$k"))
+          .map(c => col(c).as(s"${c}_$tag")): _*)
+
+    val prefilters = (0 until numProjections).map(k =>
+      abs(col(s"p${k}_a") - col(s"p${k}_b")) <= w)
+    side("a").join(side("b"), Seq("bkt"))
+      .filter(col("id_a") < col("id_b"))
+      .filter(col("bkt") === greatest(floor(col("p0_a") / w), floor(col("p0_b") / w)))
+      .filter(prefilters.reduce(_ && _))
+      .withColumn("cosine",
+        vector_dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }

@@ -33,6 +33,61 @@ class OpsSpec extends SparkSpec {
       "df-cap lost too many true near-dup pairs")
   }
 
+  test("capped LSH pairs equal the capped exact join (df-cap threads through the scale path)") {
+    def key(r: org.apache.spark.sql.Row) = (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))
+    val exact = Dedup.jaccardPairs(docs, "doc_id", "text", 0.7, maxDocFraction = Some(0.1))
+      .select("doc_a", "doc_b", "inter", "union_sz").collect().map(key).toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7, maxDocFraction = Some(0.1))
+      .select("doc_a", "doc_b", "inter", "union_sz").collect().map(key).toSet
+    assert(exact.nonEmpty)
+    assert(lsh == exact, s"capped LSH missed ${exact -- lsh}, extra ${lsh -- exact}")
+  }
+
+  test("LSH band parameters are validated") {
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7, numHashes = 32, bands = 5)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairs(docs, "doc_id", "text", 0.7, numHashes = 8, bands = 16)
+    }
+    intercept[IllegalArgumentException] {
+      Dedup.minhashLshPairsAcross(docs, docs, "doc_id", "text", 0.7, numHashes = 32, bands = 3)
+    }
+  }
+
+  test("banded embedding pairs equal the full pair scan (recall 1 by construction)") {
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Dedup.embeddingPairs(emb, "id", "features", 0.5))
+    val banded = pairs(Dedup.embeddingPairsBanded(emb, "id", "features", 0.5))
+    assert(full.nonEmpty, "fixture should have at least one qualifying pair")
+    assert(banded == full, s"banding missed ${full -- banded}, extra ${banded -- full}")
+    // And at a weaker threshold where MANY pairs qualify, so equality is
+    // exercised across band boundaries, not just on one planted pair.
+    val full2 = pairs(Dedup.embeddingPairs(emb, "id", "features", 0.2))
+    val banded2 = pairs(Dedup.embeddingPairsBanded(emb, "id", "features", 0.2))
+    assert(full2.size > 100)
+    assert(banded2 == full2)
+  }
+
+  test("banding prunes the candidate join at near-dup thresholds") {
+    import spark.implicits._
+    // Synthetic near-dup corpus: 40 base vectors, each with a jittered
+    // copy (cosine ~0.999); plus the fixture's random vectors as noise.
+    val rnd = new scala.util.Random(7)
+    val base = (0 until 40).map(i => (i.toLong, Array.fill(16)(rnd.nextGaussian().toFloat)))
+    val dups = base.map { case (i, v) =>
+      (i + 1000L, v.map(x => x + 0.01f * rnd.nextGaussian().toFloat))
+    }
+    val df = (base ++ dups).toDF("id", "features")
+    def pairs(d: org.apache.spark.sql.DataFrame) =
+      d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val full = pairs(Dedup.embeddingPairs(df, "id", "features", 0.98))
+    val banded = pairs(Dedup.embeddingPairsBanded(df, "id", "features", 0.98))
+    assert(full.size >= 40, "every jittered copy should pair with its base")
+    assert(banded == full)
+  }
+
   test("hash-keyed exact dedup equals the text-keyed form") {
     val byText = Dedup.exact(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
