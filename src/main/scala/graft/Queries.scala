@@ -839,6 +839,13 @@ object Queries {
     "st04_stream_join" -> ((s, dir) =>
       graft.streaming.EventsStream.purchaseAttribution(s, dir)),
 
+    // State-BOUNDED streaming dedup: dropDuplicatesWithinWatermark, the
+    // form whose state is O(keys per watermark horizon) — the horizon
+    // covers the fixture span, so the oracle is the exact batch
+    // DISTINCT; eviction with a short horizon is asserted in OpsSpec.
+    "st05_stream_dedup_wm" -> ((s, dir) =>
+      graft.streaming.EventsStream.dedupCountsWithinWatermark(s, dir)),
+
     // Similarity search over the built K-NN graph: greedy beam search
     // (approximate — rows-only; recall vs brute force in OpsSpec).
     "s03_graph_search" -> ((s, dir) => {
@@ -1138,6 +1145,13 @@ object Queries {
         |GROUP BY p.user_id, p.event_id""".stripMargin,
 
     "st03_stream_dedup" ->
+      """SELECT event_type, count(*) AS n_distinct_users
+        |FROM (SELECT DISTINCT user_id, event_type FROM events)
+        |GROUP BY event_type""".stripMargin,
+
+    // Watermark horizon covers the whole fixture span, so bounded-state
+    // dedup equals exact DISTINCT.
+    "st05_stream_dedup_wm" ->
       """SELECT event_type, count(*) AS n_distinct_users
         |FROM (SELECT DISTINCT user_id, event_type FROM events)
         |GROUP BY event_type""".stripMargin,

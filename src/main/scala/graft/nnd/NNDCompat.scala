@@ -50,12 +50,18 @@ object NNDCompat {
       }
       .toDF("id", "features", "partition", "finished")
 
+    // expansion = 1.0 is the strict reference parameter regime (build
+    // the graph at k, not an internally widened k') — the compat shim
+    // must not silently trade 4x local-join work for quality the caller
+    // never asked for. Callers who want the higher-recall regime use
+    // the native API with Params' default expansion.
     val params = NND.Params(
       k = noNeighbors,
       maxIterations = maxIterations,
       earlyTermination = earlyTermination,
       sampleRate = sampleRate,
-      bucketsPerInstance = bucketsPerInstance)
+      bucketsPerInstance = bucketsPerInstance,
+      expansion = 1.0)
 
     val neighbors: RDD[(Long, Seq[(Long, Double)])] =
       NND.buildGraph(df, params)

@@ -14,11 +14,26 @@ import org.apache.spark.sql.functions._
   */
 object Skew {
 
+  /** Deterministic per-row salt in [0, salts): xxhash64 over the given
+    * columns (all of `df`'s columns when none are given). NEVER derived
+    * from monotonically_increasing_id or rand: a nondeterministic
+    * shuffle key re-salts rows differently when a stage retries after a
+    * fetch failure, double-counting or dropping them — the classic
+    * Spark correctness hazard, fatal exactly at the scale where retries
+    * are routine. Content-derived salt is retry-stable; its one caveat
+    * (fully identical rows share a salt) is the caller's signal to pass
+    * a higher-cardinality `saltCols`. */
+  private def contentSalt(df: DataFrame, saltCols: Seq[Column], salts: Int): Column = {
+    val cols = if (saltCols.nonEmpty) saltCols else df.columns.toSeq.map(col)
+    pmod(xxhash64(cols: _*), lit(salts))
+  }
+
   /** Two-phase salted aggregation: `aggs` must be algebraic pairs of
     * (partial expression, final re-aggregation) — the common case of
     * count/sum is provided by [[saltedCounts]]. */
-  def saltedCounts(df: DataFrame, key: Column, salts: Int = 16): DataFrame = {
-    df.groupBy(key.as("key"), pmod(xxhash64(monotonically_increasing_id()), lit(salts)).as("salt"))
+  def saltedCounts(df: DataFrame, key: Column, salts: Int = 16,
+      saltCols: Seq[Column] = Nil): DataFrame = {
+    df.groupBy(key.as("key"), contentSalt(df, saltCols, salts).as("salt"))
       .agg(count(lit(1)).as("partial_n"))
       .groupBy("key")
       .agg(sum("partial_n").as("n"))
@@ -28,9 +43,9 @@ object Skew {
     * and splits each `big` row into one of `salts` sub-keys, so a hot
     * join key spreads over `salts` reducers. Returns big ⋈ small on
     * `key`. */
-  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16): DataFrame = {
-    val saltedBig = big.withColumn("__salt",
-      pmod(xxhash64(monotonically_increasing_id()), lit(salts)))
+  def saltedJoin(big: DataFrame, small: DataFrame, key: String, salts: Int = 16,
+      saltCols: Seq[Column] = Nil): DataFrame = {
+    val saltedBig = big.withColumn("__salt", contentSalt(big, saltCols, salts))
     val replicatedSmall = small.withColumn("__salt",
       explode(sequence(lit(0L), lit(salts.toLong - 1))))
     saltedBig.join(replicatedSmall, Seq(key, "__salt")).drop("__salt")

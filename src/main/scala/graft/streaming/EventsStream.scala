@@ -13,6 +13,18 @@ final case class SessState(lastTsUs: Long, sessions: Long, events: Long)
 /** One stateful-sessionization output row. */
 final case class UserSessions(user_id: Long, n_sessions: Long, n_events: Long)
 
+/** Watermark-buffered sessionization state: `folded` holds counters over
+  * events already finalized (event-time strictly below the watermark, so
+  * no earlier event can still arrive); `buf` holds the not-yet-final
+  * tail, bounded by the watermark delay. */
+final case class SessBufState(
+    lastTsUs: Long, sessions: Long, events: Long, buf: Seq[(Long, Long)], seq: Long)
+
+/** Stateful-sessionization output row tagged with a per-user emission
+  * sequence number so "latest emission wins" survives any sink that
+  * appends one row per micro-batch. */
+final case class UserSessionsSeq(user_id: Long, n_sessions: Long, n_events: Long, seq: Long)
+
 /** Structured Streaming ingest of the events table.
   *
   * The reference is batch-only (SURVEY.md §2.8); this provides the
@@ -37,69 +49,95 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Runs one synchronous streaming pass: exposes the single-file fixture
+    * through a temp directory of symlinks (the file source needs a
+    * directory), drains the query into a memory sink, then MATERIALIZES
+    * the sink table and tears everything down — temp dir, symlink, and
+    * the session-registered memory table — so repeated invocations in a
+    * long-lived session leak nothing. */
+  private def runDrained(
+      spark: SparkSession, dir: String, tag: String)(
+      build: DataFrame => DataFrame): DataFrame = {
+    val name = s"events_stream_${tag}_${runId.incrementAndGet()}"
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    val link = streamDir.resolve("events.parquet")
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
+      val src = spark.readStream.schema(eventsSchema).parquet(streamDir.toString)
+      val out = build(src)
+      val q = out.writeStream
+        .outputMode(outputModeFor(tag))
+        .format("memory")
+        .queryName(name)
+        .start()
+      try q.processAllAvailable()
+      finally q.stop()
+      val sink = spark.table(name)
+      val rows = sink.collect()
+      val schema = sink.schema
+      spark.catalog.dropTempView(name)
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    } finally {
+      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+  }
+
+  /** Sink output mode per surface: joins and arbitrary-state emit
+    * incrementally (append/update); windowed and global aggregations
+    * re-emit the full result (complete). */
+  private def outputModeFor(tag: String): String = tag match {
+    case "join"     => "append"
+    case "sessions" => "update"
+    case _          => "complete"
+  }
+
   /** Daily tumbling-window counts/sums per event type, computed through a
     * streaming query with a 1-day watermark and drained to completion. */
-  def dailyAggregates(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"events_stream_daily_${runId.incrementAndGet()}"
-    // The file stream source requires a directory; the fixture is a single
-    // parquet file, so expose it through a temp dir of symlinks.
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_stream")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 day")
-      .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
-      .select(to_date(col("win.start")).as("day"), col("event_type"), col("n"), col("total_value"))
-
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    // Materialize: the memory table lives in the session; copy out rows so
-    // the result survives the query being stopped.
-    spark.table(name)
-  }
+  def dailyAggregates(spark: SparkSession, dir: String): DataFrame =
+    runDrained(spark, dir, "daily") { src =>
+      src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", "1 day")
+        .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
+        .select(to_date(col("win.start")).as("day"), col("event_type"), col("n"), col("total_value"))
+    }
 
   /** Streaming deduplication: `dropDuplicates` on (user_id, event_type)
     * over the streaming read, then per-type counts — the exactly-once
     * dedup stage an event-ingest pipeline puts in front of downstream
-    * aggregation. State here is one row per distinct key; in production
-    * the key set is bounded with `dropDuplicatesWithinWatermark` (same
-    * plan shape, state evicted past the watermark) — the fixture drains
-    * in one batch, so the unbounded form keeps the oracle exact. Drained
-    * to completion, must equal batch `SELECT DISTINCT`+count. */
-  def dedupCounts(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"events_stream_dedup_${runId.incrementAndGet()}"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_dedup")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    val stream = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .select(col("user_id"), col("event_type"))
-      .dropDuplicates("user_id", "event_type")
-      .groupBy(col("event_type"))
-      .agg(count(lit(1)).as("n_distinct_users"))
+    * aggregation. State here is one row per distinct key FOREVER — exact,
+    * but unbounded; [[dedupCountsWithinWatermark]] is the state-bounded
+    * production form. Drained to completion, must equal batch
+    * `SELECT DISTINCT`+count. */
+  def dedupCounts(spark: SparkSession, dir: String): DataFrame =
+    runDrained(spark, dir, "dedup") { src =>
+      src.select(col("user_id"), col("event_type"))
+        .dropDuplicates("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_distinct_users"))
+    }
 
-    val q = stream.writeStream
-      .outputMode("complete")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
-  }
+  /** State-BOUNDED streaming deduplication: `dropDuplicatesWithinWatermark`
+    * evicts a key's dedup state once the watermark passes its event time
+    * plus the delay, so state is O(keys per watermark horizon), not
+    * O(all keys ever) — the form a forever-running ingest pipeline must
+    * use. Within one horizon the output equals exact dedup; `delay` must
+    * cover the duplicate-arrival window (here the whole fixture span, so
+    * the oracle is the exact batch DISTINCT). State eviction itself is
+    * asserted in OpsSpec with a short horizon across micro-batches. */
+  def dedupCountsWithinWatermark(
+      spark: SparkSession, dir: String, delay: String = "365 days"): DataFrame =
+    runDrained(spark, dir, "dedupwm") { src =>
+      src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("ts", delay)
+        .select(col("user_id"), col("event_type"), col("ts"))
+        .dropDuplicatesWithinWatermark("user_id", "event_type")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_distinct_users"))
+    }
 
   /** Stream-stream interval join: each purchase joined to the same
     * user's events in the preceding hour — two streaming reads of the
@@ -111,89 +149,102 @@ object EventsStream {
     * aggregation over the sink, and the whole path must equal the batch
     * range join `q27_range_join`. */
   def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
-    val name = s"events_stream_join_${runId.incrementAndGet()}"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_join")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-    def src = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-
-    val purchases = src.filter(col("event_type") === "purchase")
-      .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
-      .withWatermark("p_ts", "1 day")
-    val ev = src
-      .select(col("user_id").as("e_user_id"), col("event_id"), col("ts").as("e_ts"))
-      .withWatermark("e_ts", "1 day")
-
-    val joined = purchases.join(ev,
-      col("user_id") === col("e_user_id") &&
-        col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
-        col("e_ts") < col("p_ts"))
-      .select(col("user_id"), col("purchase_id"), col("event_id"))
-
-    val q = joined.writeStream
-      .outputMode("append")
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    spark.table(name)
+    val pairs = runDrained(spark, dir, "join") { src0 =>
+      def src = src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 day")
+      val ev = src
+        .select(col("user_id").as("e_user_id"), col("event_id"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 day")
+      purchases.join(ev,
+        col("user_id") === col("e_user_id") &&
+          col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("e_ts") < col("p_ts"))
+        .select(col("user_id"), col("purchase_id"), col("event_id"))
+    }
+    pairs
       .groupBy("user_id", "purchase_id")
       .agg(count(lit(1)).as("n_prior_events"))
   }
 
+  /** Exact µs of a Timestamp (getTime alone floors to ms). */
+  def tsMicros(ts: java.sql.Timestamp): Long =
+    ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L
+
+  /** The per-invocation state transition of the watermark-buffered
+    * sessionizer (shared with the cross-batch disorder test).
+    *
+    * Incoming events join the buffered tail; everything with event time
+    * STRICTLY below the watermark is finalized in (ts, event_id) order —
+    * safe, because the watermark operator guarantees no later-arriving
+    * row can carry an earlier event time — and folded into the O(1)
+    * running counters. The still-ambiguous tail (bounded by the
+    * watermark delay) stays buffered. The emitted row is the optimistic
+    * fold of counters plus tail, so the final emission after the source
+    * drains covers every event even if no further batch arrives. */
+  def sessionStep(
+      userId: Long,
+      rows: Iterator[(Long, Long)],
+      state: GroupState[SessBufState]): Iterator[UserSessionsSeq] = {
+    val prior = state.getOption.getOrElse(SessBufState(Long.MinValue, 0L, 0L, Vector.empty, 0L))
+    val wmUs = state.getCurrentWatermarkMs() * 1000L
+    val all = (prior.buf ++ rows).sortBy(identity)
+    val (ripe, young) = all.partition(_._1 < wmUs)
+
+    def fold(st: (Long, Long, Long), tsUs: Long): (Long, Long, Long) = {
+      val (last, sessions, events) = st
+      val fresh = last == Long.MinValue || tsUs - last > 1800000000L
+      (tsUs, sessions + (if (fresh) 1 else 0), events + 1)
+    }
+    val folded = ripe.foldLeft((prior.lastTsUs, prior.sessions, prior.events)) {
+      (st, e) => fold(st, e._1)
+    }
+    val view = young.foldLeft(folded) { (st, e) => fold(st, e._1) }
+
+    val seq = prior.seq + 1
+    state.update(SessBufState(folded._1, folded._2, folded._3, young, seq))
+    // Re-arm an event-time timeout just past the watermark so groups
+    // with a buffered tail but no new data still get invoked to
+    // finalize it as the watermark advances.
+    if (young.nonEmpty)
+      state.setTimeoutTimestamp(state.getCurrentWatermarkMs() + 1800000L)
+    Iterator.single(UserSessionsSeq(userId, view._2, view._3, seq))
+  }
+
   /** Custom stateful streaming: per-user session counting (30-minute gap
-    * rule) via `mapGroupsWithState` — the arbitrary-state surface a
-    * production pipeline needs for logic windowed aggregation can't
-    * express. State (last event time, session/event counters) persists
-    * across micro-batches; events inside a batch are ordered in-group.
-    * Drained to completion, the result must equal the batch
-    * sessionization (checked in OpsSpec). */
+    * rule) via `flatMapGroupsWithState` with an event-time timeout and a
+    * watermark-bounded sort buffer. Unlike a sort-within-batch
+    * implementation, a late event arriving in a LATER micro-batch (but
+    * inside the watermark delay) is still sessionized in correct event
+    * order, because nothing below the watermark is finalized early —
+    * cross-batch disorder is exercised in OpsSpec. Drained to
+    * completion, the result must equal the batch sessionization. */
   def sessionCountsStateful(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val name = s"events_stream_sessions_${runId.incrementAndGet()}"
-    val streamDir = java.nio.file.Files.createTempDirectory("graft_events_state")
-    java.nio.file.Files.createSymbolicLink(
-      streamDir.resolve("events.parquet"),
-      java.nio.file.Paths.get(s"$dir/events.parquet"))
-
-    val updateFn = (userId: Long, rows: Iterator[(Long, Long)], state: GroupState[SessState]) => {
-      val sorted = rows.toArray.sortBy(identity) // (tsUs, event_id)
-      var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
-      sorted.foreach { case (tsUs, _) =>
-        val newSession = st.lastTsUs == Long.MinValue || tsUs - st.lastTsUs > 1800000000L
-        st = SessState(tsUs, st.sessions + (if (newSession) 1 else 0), st.events + 1)
-      }
-      state.update(st)
-      UserSessions(userId, st.sessions, st.events)
+    val updates = runDrained(spark, dir, "sessions") { src =>
+      // The watermarked TIMESTAMP column must survive into the typed
+      // Dataset (event-time timeout requires the watermark tag on an
+      // input column); µs conversion happens inside the lambda.
+      src.withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+        .withWatermark("tsm", "1 day")
+        .select(col("tsm"), col("event_id"), col("user_id"))
+        .as[(java.sql.Timestamp, Long, Long)]
+        .groupByKey(_._3)
+        .flatMapGroupsWithState[SessBufState, UserSessionsSeq](
+          OutputMode.Update(), GroupStateTimeout.EventTimeTimeout()) {
+          (uid, it, st) => sessionStep(uid, it.map(r => (tsMicros(r._1), r._2)), st)
+        }
+        .toDF()
     }
-
-    val out = spark.readStream
-      .schema(eventsSchema)
-      .parquet(streamDir.toString)
-      .select(expr("ts div 1000").as("tsUs"), col("event_id"), col("user_id"))
-      .as[(Long, Long, Long)]
-      .groupByKey(_._3)
-      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
-        (uid, it, st) => updateFn(uid, it.map(r => (r._1, r._2)), st)
-      }
-
-    val q = out.writeStream
-      .outputMode(OutputMode.Update())
-      .format("memory")
-      .queryName(name)
-      .start()
-    try q.processAllAvailable()
-    finally q.stop()
-    // The memory sink in Update mode appends one row per user per
-    // micro-batch (no upsert); the counters are monotone, so max() per
-    // user is the final state regardless of how many batches ran.
-    spark.table(name)
+    // Update mode appends one row per user per micro-batch; the tagged
+    // sequence number picks the latest emission (session counts are NOT
+    // monotone under late arrivals — a late event can merge two
+    // provisional sessions — so max(n_sessions) would be wrong).
+    updates
       .groupBy("user_id")
-      .agg(max(col("n_sessions")).as("n_sessions"), max(col("n_events")).as("n_events"))
+      .agg(max_by(struct(col("n_sessions"), col("n_events")), col("seq")).as("fin"))
+      .select(col("user_id"), col("fin.n_sessions").as("n_sessions"),
+        col("fin.n_events").as("n_events"))
   }
 }

@@ -361,6 +361,133 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch, "cross-batch state lost or double-counted")
   }
 
+  /** Force strictly increasing mod times across bN dirs so the file
+    * source (which orders by mod time) triggers them as separate
+    * micro-batches in bN order — sub-ms write ties would otherwise make
+    * batch order nondeterministic. */
+  private def bumpModTimes(dir: String): Unit = {
+    val in = java.nio.file.Paths.get(dir, "in")
+    val batches = java.nio.file.Files.list(in).sorted().toArray.map(_.asInstanceOf[java.nio.file.Path])
+    batches.zipWithIndex.foreach { case (b, i) =>
+      java.nio.file.Files.list(b).forEach { f =>
+        java.nio.file.Files.setLastModifiedTime(f,
+          java.nio.file.attribute.FileTime.fromMillis(1000000L + i * 60000L))
+      }
+    }
+  }
+
+  test("watermark-buffered sessionization survives cross-batch event-time disorder") {
+    import spark.implicits._
+    // Batch 1 delivers a user's events at t=0s and t=3500s (provisionally
+    // TWO sessions under the 1800s gap rule); batch 2 delivers a LATE
+    // event at t=1750s that bridges them into ONE. A sort-within-batch
+    // sessionizer gets 2; only the watermark-buffered one gets 1.
+    // Realistic absolute times: an event time at/below the INITIAL
+    // watermark (epoch 0) would be dropped as late before reaching the
+    // state function.
+    val base = 1767225600L // 2026-01-01
+    def ev(id: Long, tsSec: Long, uid: Long) =
+      (id, (base + tsSec) * 1000000000L, uid, "click", 1.0, "{}")
+    val b0 = Seq(ev(1, 0, 1), ev(2, 3500, 1), ev(3, 0, 2), ev(4, 0, 3), ev(5, 1000, 3))
+    val b1 = Seq(ev(6, 1750, 1), ev(7, 10000, 2))
+    val dir = java.nio.file.Files.createTempDirectory("graft_ooo_batches").toString
+    b0.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/in/b0")
+    b1.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    bumpModTimes(dir)
+
+    val name = "ooo_batch_sessions"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in/b0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/b*")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsm", "1 day")
+      .select(col("tsm"), col("event_id"), col("user_id"))
+      .as[(java.sql.Timestamp, Long, Long)]
+      .groupByKey(_._3)
+      .flatMapGroupsWithState[graft.streaming.SessBufState, graft.streaming.UserSessionsSeq](
+        org.apache.spark.sql.streaming.OutputMode.Update(),
+        org.apache.spark.sql.streaming.GroupStateTimeout.EventTimeTimeout()) {
+        (uid, it, st) => graft.streaming.EventsStream.sessionStep(
+          uid, it.map(r => (graft.streaming.EventsStream.tsMicros(r._1), r._2)), st)
+      }
+    val q = stream.writeStream.outputMode("update").format("memory").queryName(name).start()
+    try q.processAllAvailable() finally q.stop()
+    val raw = spark.table(name).orderBy("user_id", "seq").collect().toSeq
+    val got = spark.table(name)
+      .groupBy("user_id")
+      .agg(max_by(struct(col("n_sessions"), col("n_events")), col("seq")).as("fin"))
+      .select(col("user_id"), col("fin.n_sessions"), col("fin.n_events"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2)))).toMap
+    spark.catalog.dropTempView(name)
+    assert(got(1L) == ((1L, 3L)), s"late bridging event mishandled: ${got(1L)}; raw=$raw")
+    assert(got(2L) == ((2L, 2L)), "cross-batch session continuation broken")
+    assert(got(3L) == ((1L, 2L)), "single-batch session broken")
+  }
+
+  test("dropDuplicatesWithinWatermark bounds dedup state (eviction across batches)") {
+    import spark.implicits._
+    // Key (u1, click) arrives at t=0 (b0); an event at t=10d (b1)
+    // advances the watermark past the 1-day horizon; state cleanup runs
+    // at batch end, so after the NEXT batch (b2) the key's dedup state
+    // is gone; the SAME key re-arrives in b3 and is re-emitted —
+    // bounded state trades exactness across horizons.
+    val day = 86400L
+    val base = 1767225600L // 2026-01-01; epoch-0 would be late vs the initial watermark
+    def ev(id: Long, tsSec: Long, uid: Long, typ: String) =
+      (id, (base + tsSec) * 1000000000L, uid, typ, 1.0, "{}")
+    val dir = java.nio.file.Files.createTempDirectory("graft_wm_evict").toString
+    Seq(ev(1, 0, 1, "click")).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/in/b0")
+    Seq(ev(2, 10 * day, 2, "view")).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/in/b1")
+    Seq(ev(3, 10 * day + 3600, 3, "scroll")).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/in/b2")
+    Seq(ev(4, 10 * day + 7200, 1, "click")).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.parquet(s"$dir/in/b3")
+    bumpModTimes(dir)
+
+    val name = "wm_evict_dedup"
+    val stream = spark.readStream
+      .schema(spark.read.parquet(s"$dir/in/b0").schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(s"$dir/in/b*")
+      .withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("tsm", "1 day")
+      .select(col("user_id"), col("event_type"), col("tsm"))
+      .dropDuplicatesWithinWatermark("user_id", "event_type")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val q = stream.writeStream.outputMode("complete").format("memory").queryName(name).start()
+    try {
+      q.processAllAvailable()
+      val counts = spark.table(name)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      // The evicted-and-re-seen key is emitted twice; exact dedup would
+      // give 1. This IS the bounded-state behavior, observed end to end.
+      assert(counts("click") == 2L, s"expected re-emission after eviction: $counts")
+      assert(counts("view") == 1L)
+      // And the state store itself stays bounded: 4 key arrivals, but
+      // the expired first click no longer occupies a state row.
+      val dedupState = q.lastProgress.stateOperators
+        .filter(_.operatorName.toLowerCase.contains("dedupe"))
+      assert(dedupState.nonEmpty, "dedup state operator not found in progress")
+      assert(dedupState.head.numRowsTotal <= 3,
+        s"state grew beyond the live horizon: ${dedupState.head.numRowsTotal} rows")
+    } finally q.stop()
+    spark.catalog.dropTempView(name)
+  }
+
+  test("bounded-state streaming dedup equals exact dedup when the horizon covers the data") {
+    val wm = graft.streaming.EventsStream.dedupCountsWithinWatermark(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val exact = graft.streaming.EventsStream.dedupCounts(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(wm == exact)
+  }
+
   test("streaming daily aggregate equals the batch computation") {
     val streamed = graft.streaming.EventsStream.dailyAggregates(spark, sf001)
       .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
