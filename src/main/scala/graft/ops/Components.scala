@@ -39,10 +39,17 @@ object Components {
     *   listed in either direction; duplicates fine).
     * @return (id LONG, component LONG) — component = min id reachable.
     */
+  /** `checkpointDir`: when set, per-round lineage truncation uses a
+    * DURABLE `checkpoint` (survives executor loss on a real cluster)
+    * instead of executor-local blocks. */
   def connectedComponents(
       nodes: DataFrame,
       edges: DataFrame,
-      maxIterations: Int = 50): DataFrame = {
+      maxIterations: Int = 50,
+      checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(nodes.sparkSession.sparkContext.setCheckpointDir)
+    def truncate(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint() else df.localCheckpoint()
     val idc = nodes.columns.head
     val Array(uc, vc) = edges.columns.take(2)
     val e0 = edges
@@ -50,15 +57,14 @@ object Components {
       .filter(col("u") =!= col("v"))
     // Symmetric closure, deduped once, checkpointed: reused every round
     // with a stable partitioning instead of re-shuffling raw pairs.
-    val both = e0.union(e0.select(col("v").as("u"), col("u").as("v")))
-      .distinct()
-      .localCheckpoint()
+    val both = truncate(
+      e0.union(e0.select(col("v").as("u"), col("u").as("v"))).distinct())
 
-    var comp = nodes.select(col(idc).cast("long").as("id"))
-      .union(both.select(col("u").as("id")))
-      .distinct()
-      .withColumn("comp", col("id"))
-      .localCheckpoint()
+    var comp = truncate(
+      nodes.select(col(idc).cast("long").as("id"))
+        .union(both.select(col("u").as("id")))
+        .distinct()
+        .withColumn("comp", col("id")))
     var lastSum = checksum(comp)
 
     var it = 0
@@ -73,11 +79,10 @@ object Components {
       // Pointer doubling: comp ← comp(comp). Labels are ids, so the
       // lookup is a self-join; left_outer because a label may already be
       // a component root whose own row maps to itself.
-      val compressed = propagated
+      val compressed = truncate(propagated
         .join(propagated.select(col("id").as("comp"), col("comp").as("cc")),
           Seq("comp"), "left_outer")
-        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp"))
-        .localCheckpoint()
+        .select(col("id"), coalesce(col("cc"), col("comp")).as("comp")))
       val s = checksum(compressed)
       converged = s == lastSum
       lastSum = s

@@ -7,11 +7,14 @@ import org.apache.spark.sql.functions._
   * metadata, decoded / feature-extracted / frame-sampled via distributed
   * per-partition transforms.
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (derives fake dimensions/features
-  * from the raw bytes). Everything around it — the binary schema, the
-  * mapPartitions batch shape, partition-preserving execution, frame
-  * explode — is real and tested; swapping the stub for a JNI/codec call
+  * Image decode is REAL: `javax.imageio.ImageIO` (JVM-bundled; PNG /
+  * JPEG / BMP / GIF) produces true dimensions, channel count, and a
+  * luminance-strip feature vector. Blobs no bundled codec can parse
+  * (audio/video, or the text fixture's fake blobs) fall back to a
+  * clearly-marked DETERMINISTIC STUB that derives metadata from the raw
+  * bytes, so the distributed plumbing — binary schema, mapPartitions
+  * batch shape, partition-preserving execution, frame explode — is
+  * exercised end-to-end on any input; swapping in further codecs
   * changes no plumbing.
   */
 object Multimodal {
@@ -45,16 +48,61 @@ object Multimodal {
     (w, h, 3, feats)
   }
 
+  /** REAL image decode via the JVM-bundled `javax.imageio` codecs
+    * (PNG/JPEG/BMP/GIF/WBMP): true width/height, color-model channel
+    * count, and an 8-float feature vector of per-horizontal-strip mean
+    * luminance (deterministic pixel arithmetic, resolution-dependent
+    * but codec-stable). Returns None when no installed reader claims
+    * the bytes — the caller falls back to [[decodeStub]]. */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
+    try {
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (img == null) None
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val channels = img.getColorModel.getNumComponents
+        val strips = 8
+        val sums = new Array[Double](strips)
+        val counts = new Array[Long](strips)
+        var y = 0
+        while (y < h) {
+          val s = math.min(strips - 1, y * strips / h)
+          var x = 0
+          while (x < w) {
+            val rgb = img.getRGB(x, y)
+            val lum = 0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) +
+              0.114 * (rgb & 0xff)
+            sums(s) += lum
+            counts(s) += 1
+            x += 1
+          }
+          y += 1
+        }
+        val feats = Array.tabulate(strips)(i =>
+          if (counts(i) > 0) (sums(i) / counts(i) / 255.0).toFloat else 0.0f)
+        Some((w, h, channels, feats))
+      }
+    } catch { case _: Exception => None }
+
+  /** Production decode kernel: real codec first, stub for bytes no
+    * codec claims. */
+  def decodeKernel(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
+    decodeImage(bytes).getOrElse(decodeStub(bytes))
+
   /** Distributed decode: one pass per partition over the binary column
     * (the Scala analog of a batched decode UDF — rows stream through
-    * without driver involvement). */
-  def decode(media: DataFrame): Dataset[MediaMeta] = {
+    * without driver involvement). The kernel is pluggable; the default
+    * tries the real image codecs and falls back to the stub. */
+  def decode(
+      media: DataFrame,
+      kernel: Array[Byte] => (Int, Int, Int, Array[Float]) = decodeKernel): Dataset[MediaMeta] = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
       .mapPartitions { it =>
         it.map { case (id, bytes) =>
-          val (w, h, c, f) = decodeStub(bytes)
+          val (w, h, c, f) = kernel(bytes)
           MediaMeta(id, bytes.length.toLong, w, h, c, f)
         }
       }
@@ -69,6 +117,14 @@ object Multimodal {
   def featureKernelStub(batch: Array[Array[Byte]]): Array[Array[Float]] =
     batch.map(bytes => Array.tabulate(8)(i =>
       if (bytes.length > i) (bytes(i) & 0xff) / 255.0f else 0.0f))
+
+  /** Batch feature kernel backed by the REAL image decode (per-strip
+    * mean luminance via ImageIO); stub byte-features for blobs no codec
+    * claims. In production the batch maps to one model forward pass;
+    * the decode step here is already real for images. */
+  def imageFeatureKernel(batch: Array[Array[Byte]]): Array[Array[Float]] =
+    batch.map(b => decodeImage(b).map(_._4).getOrElse(
+      Array.tabulate(8)(i => if (b.length > i) (b(i) & 0xff) / 255.0f else 0.0f)))
 
   /** Batched feature extraction — the Scala analog of a Pandas-UDF
     * `mapInPandas` pipeline: the kernel receives a BATCH of blobs at

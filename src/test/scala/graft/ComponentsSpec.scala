@@ -35,6 +35,16 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map(5L -> 5L, 6L -> 5L, 7L -> 5L))
   }
 
+  test("durable-checkpoint components equal the local form") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_cc_ckpt").toString
+    val edges = Seq[(Long, Long)]((1L, 2L), (2L, 3L), (10L, 11L))
+    val durable = Components.connectedComponents(
+        (1L to 12L).toDF("id"), edges.toDF("u", "v"), checkpointDir = Some(dir))
+      .as[(Long, Long)].collect().toMap
+    assert(durable == cc(1L to 12L, edges))
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0)
+  }
+
   test("clusterNearDups keeps exactly one doc per cluster and all singletons") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val clustered = Dedup.clusterNearDups(docs, "doc_id", "text", 0.7).cache()

@@ -126,6 +126,23 @@ class NNDSpec extends SparkSpec {
     assert(mean >= 0.6, s"recall $mean too low")
   }
 
+  test("durable checkpointing (checkpointDir set) produces the identical graph") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_nnd_ckpt").toString
+    val durable = NND.buildGraph(embeddings,
+        NND.Params(k = K, maxIterations = 2, checkpointDir = Some(dir)))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    val local = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 2))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    assert(durable == local, "durable-checkpoint build diverged from localCheckpoint build")
+    // The checkpoint actually wrote to the durable dir.
+    assert(java.nio.file.Files.list(java.nio.file.Paths.get(dir)).count() > 0,
+      "no checkpoint data written to checkpointDir")
+  }
+
   test("reference-compatible API: RDD[(Long, Node)] in, RDD[(Long, NodeWithNeighbors)] out") {
     import org.apache.spark.ml.linalg.Vectors
     import graft.nnd.{NNDCompat, Node}

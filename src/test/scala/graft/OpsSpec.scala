@@ -88,6 +88,63 @@ class OpsSpec extends SparkSpec {
     assert(banded == full)
   }
 
+  test("on a hot-shingle corpus, prefix filtering and df-cap beat the naive join on shuffle bytes") {
+    import spark.implicits._
+    // Synthetic stop-phrase skew: every doc opens with the same 6 words
+    // (4 hot 3-gram shingles, df = 400), then 10 unique words; 10
+    // planted near-dup pairs differing in one trailing word (J ~ 0.83).
+    // The naive shingle self-join fans out df² on the hot shingles; the
+    // prefix join's candidates come from the RARE end, and the df-cap
+    // drops the hot shingles outright.
+    val rnd = new scala.util.Random(11)
+    val hot = "the quick brown fox jumps over"
+    def uniq(i: Long, n: Int) = (0 until n).map(j => s"w${i}_$j").mkString(" ")
+    val base = (0L until 400L).map(i => (i, s"$hot ${uniq(i, 10)}"))
+    val dups = (0L until 10L).map { i =>
+      val (id, text) = base(i.toInt)
+      (id + 10000L, text.split(" ").dropRight(1).mkString(" ") + " zz" + i)
+    }
+    val corpus = (base ++ dups).toDF("doc_id", "text")
+      .repartition(8).cache()
+    corpus.count()
+
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def measured(f: => Set[(Long, Long)]): (Set[(Long, Long)], Long) =
+      try { Thread.sleep(300); shuffle.set(0); val r = f; Thread.sleep(500); (r, shuffle.get) }
+      finally ()
+
+    try {
+      val (naive, naiveBytes) =
+        measured(pairsOf(Dedup.jaccardPairs(corpus, "doc_id", "text", 0.7)))
+      val (prefix, prefixBytes) =
+        measured(pairsOf(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 0.7)))
+      val (capped, cappedBytes) =
+        measured(pairsOf(Dedup.jaccardPairs(corpus, "doc_id", "text", 0.7,
+          maxDocFraction = Some(0.1))))
+
+      val planted = (0L until 10L).map(i => (i, i + 10000L)).toSet
+      assert(planted.subsetOf(naive), s"ground truth missing planted pairs: ${planted -- naive}")
+      assert(prefix == naive, "prefix join must be exact")
+      assert(planted.subsetOf(capped), "df-cap lost planted near-dup pairs")
+      info(s"shuffle bytes — naive: $naiveBytes, prefix: $prefixBytes, capped: $cappedBytes")
+      assert(prefixBytes < naiveBytes * 7 / 10,
+        s"prefix join did not beat naive on shuffle: $prefixBytes vs $naiveBytes")
+      assert(cappedBytes < naiveBytes * 7 / 10,
+        s"df-cap did not beat naive on shuffle: $cappedBytes vs $naiveBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      corpus.unpersist()
+    }
+  }
+
   test("hash-keyed exact dedup equals the text-keyed form") {
     val byText = Dedup.exact(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
@@ -280,6 +337,61 @@ class OpsSpec extends SparkSpec {
     val again = Multimodal.extractFeatures(media.repartition(11), batchSize = 5)
       .collect().map(m => m.doc_id -> m.features.toSeq).toMap
     assert(again == got)
+  }
+
+  test("real image decode: in-test PNGs get true dimensions, channels, and luminance features") {
+    import spark.implicits._
+    // Generate PNGs of known shape/content: a 20x40 mid-gray image and
+    // a 32x8 black/white split (top half black, bottom half white).
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    val gray = png(20, 40, (_, _) => 0x808080)
+    val split = png(32, 8, (_, y) => if (y < 4) 0x000000 else 0xffffff)
+
+    val direct = graft.ops.Multimodal.decodeImage(gray)
+    assert(direct.nonEmpty, "PNG not decoded by ImageIO")
+    val (w, h, c, feats) = direct.get
+    assert(w == 20 && h == 40 && c == 3)
+    assert(feats.forall(f => math.abs(f - 0x80 / 255.0f) < 1e-3), feats.mkString(","))
+
+    // Text bytes are claimed by no codec and fall back to the stub.
+    assert(graft.ops.Multimodal.decodeImage("not an image at all".getBytes).isEmpty)
+
+    // Full distributed path: PNG rows decode for real, text rows stub.
+    val media = Seq(
+      (1L, gray, "image/png"),
+      (2L, split, "image/png"),
+      (3L, "plain text blob".getBytes, "application/octet-stream"))
+      .toDF("doc_id", "media", "media_type")
+    val decoded = graft.ops.Multimodal.decode(media)
+      .collect().map(m => m.doc_id -> m).toMap
+    assert(decoded(1L).width == 20 && decoded(1L).height == 40 && decoded(1L).channels == 3)
+    assert(decoded(2L).width == 32 && decoded(2L).height == 8)
+    // split image: first 4 strips black (0), last 4 white (1)
+    assert(decoded(2L).feature8.take(4).forall(_ < 0.01f))
+    assert(decoded(2L).feature8.drop(4).forall(_ > 0.99f))
+    // text row falls back to the stub's byte-derived metadata
+    val stub = graft.ops.Multimodal.decodeStub("plain text blob".getBytes)
+    assert(decoded(3L).width == stub._1 && decoded(3L).height == stub._2)
+
+    // Batched extraction with the image kernel delivers the same features.
+    val feat = graft.ops.Multimodal.extractFeatures(media, batchSize = 2,
+        kernel = graft.ops.Multimodal.imageFeatureKernel)
+      .collect().map(m => m.doc_id -> m.features).toMap
+    assert(feat(2L).take(4).forall(_ < 0.01f) && feat(2L).drop(4).forall(_ > 0.99f))
+
+    // Aspect-preserving resize on the real dimensions.
+    val resized = graft.ops.Multimodal.resize(
+        graft.ops.Multimodal.decode(media).toDF(), targetW = 64)
+      .select("doc_id", "new_w", "new_h")
+      .collect().map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2))).toMap
+    assert(resized(1L) == ((64, 128)), s"20x40 -> ${resized(1L)}") // 40*64/20
+    assert(resized(2L) == ((64, 16)), s"32x8 -> ${resized(2L)}")   // 8*64/32
   }
 
   test("multimodal decode is deterministic and partition-shaped") {
