@@ -868,6 +868,21 @@ object Queries {
         .filter(col("neighbors").isNotNull)
         .select(col("id"), posexplode(col("neighbors")).as(Seq("rank", "nbr")))
         .select(col("id"), col("rank"), col("nbr.id").as("nbr_id"))
+    }),
+
+    // Incremental K-NN maintenance: graph built on 80% of the corpus,
+    // then the held-out 20% appended via updateGraph — the daily-append
+    // production shape (approximate — rows-only; new/old-node recall vs
+    // the full-corpus brute force is covered in NNDSpec).
+    "n02_knn_incremental" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").as("features"))
+      val prior = graft.nnd.NND.buildGraph(e.filter(col("id") % 5 =!= 0),
+        graft.nnd.NND.Params(k = 10, maxIterations = 3)).select("id", "neighbors")
+      graft.nnd.NND.updateGraph(e, prior, graft.nnd.NND.Params(k = 10, maxIterations = 2))
+        .filter(col("neighbors").isNotNull)
+        .select(col("id"), posexplode(col("neighbors")).as(Seq("rank", "nbr")))
+        .select(col("id"), col("rank"), col("nbr.id").as("nbr_id"))
     })
   )
 

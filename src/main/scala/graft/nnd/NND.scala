@@ -295,6 +295,236 @@ object NND {
     result
   }
 
+  /** Incrementally extend an existing K-NN graph with NEW points —
+    * the production daily-append: yesterday's graph plus today's
+    * embeddings, without rebuilding from scratch. (The reference
+    * declared this capability — `IncSearchAttributeO`,
+    * `/root/reference/.../NND.scala:49-51` — but never constructed it;
+    * the new/old candidate flags that power the incremental local join
+    * make it natural here.)
+    *
+    * @param input the FULL point set (old + new), same schema as
+    *   [[buildGraph]]'s input.
+    * @param existing prior output: `id` + `neighbors` (extra columns
+    *   ignored; null-neighbor rows treated as new). Lists may be the
+    *   truncated k-wide output of a previous build — they re-expand to
+    *   the internal k' during refinement.
+    * @return same shape as [[buildGraph]] over the full input.
+    *
+    * Cost model (the point of the exercise): per iteration, only
+    * NEW-influenced work shuffles —
+    *  - init draws come from the ~|new|·bpi buckets containing a new
+    *    point (bucket membership of untouched regions never leaves its
+    *    map side);
+    *  - forward/reverse edges flow only from ACTIVE lists (those
+    *    holding a new entry), so the features join moves
+    *    O(active·k') rows, not O(N·k');
+    *  - untouched lists never enter the merge: nodes receiving
+    *    candidates are carved out of the stable set by broadcast
+    *    semi/anti joins on the (increment-sized) target-id set, so the
+    *    big tables see map-side scans, not shuffles.
+    * Old↔old pairs are never re-evaluated (they converged in the
+    * original build); new↔old and new↔new pairs integrate through the
+    * same local join + reverse sampling as a full build, and the
+    * update-count δ (measured against k·|new|) terminates the loop once
+    * the increment has been absorbed. */
+  def updateGraph(input: DataFrame, existing: DataFrame, p: Params = Params()): DataFrame = {
+    require(input.columns.contains("id") && input.columns.contains("features"),
+      s"updateGraph input needs 'id' and 'features' columns; got [${input.columns.mkString(", ")}]")
+    require(existing.columns.contains("id") && existing.columns.contains("neighbors"),
+      s"existing graph needs 'id' and 'neighbors' columns; got [${existing.columns.mkString(", ")}]")
+    val spark = input.sparkSession
+    import spark.implicits._
+
+    p.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate[T](ds: Dataset[T]): Dataset[T] =
+      if (p.checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint(true)
+
+    val base = {
+      var df = input
+      if (!df.columns.contains("partition")) df = df.withColumn("partition", lit(0L))
+      if (!df.columns.contains("finished")) df = df.withColumn("finished", lit(false))
+      df
+    }
+    val nodes = base
+      .filter(!col("finished"))
+      .select(col("id").cast("long").as("id"),
+        col("features").cast("array<float>").as("features"),
+        col("partition").cast("long").as("partition"))
+      .repartition(col("id"))
+      .as[NodeRow]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val counts: Map[Long, Long] =
+      nodes.groupBy($"partition").count().as[(Long, Long)].collect().toMap
+    if (counts.isEmpty) {
+      nodes.unpersist()
+      return base.withColumn("neighbors",
+        lit(null).cast("array<struct<id:bigint,similarity:double>>"))
+    }
+    val bcCounts = spark.sparkContext.broadcast(counts)
+    val k = math.max(p.k, math.ceil(p.k * p.expansion).toInt)
+    val bpi = p.bucketsPerInstance
+    val seed = p.seed
+    val maxBuckets =
+      math.max(1L, math.ceil(counts.values.max.toDouble * bpi / (2.0 * k)).toLong)
+
+    // Prior lists (all-old flags); ids absent here are the increment.
+    val priorLists = existing
+      .select(col("id").cast("long").as("id"),
+        col("neighbors").cast("array<struct<id:bigint,similarity:double>>").as("neighbors"))
+      .filter(col("neighbors").isNotNull)
+      .as[NeighborList]
+    var stable: Dataset[FlaggedList] = truncate(
+      priorLists.toDF().join(nodes.toDF().select($"id"), Seq("id"), "left_semi")
+        .as[NeighborList]
+        .map(nl => FlaggedList(nl.id, nl.neighbors, nl.neighbors.map(_ => false))))
+    val newIds = nodes.toDF().select($"id")
+      .join(priorLists.toDF().select($"id"), Seq("id"), "left_anti")
+    val newCount = math.max(1L, newIds.count())
+
+    // Bucket init, increment-restricted: all nodes bucket map-side, but
+    // only buckets holding >= 1 new point shuffle; only new members draw.
+    val bucketedAll = nodes.toDF()
+      .join(newIds.withColumn("is_new", lit(true)), Seq("id"), "left_outer")
+      .withColumn("is_new", coalesce($"is_new", lit(false)))
+      .as[(Long, Array[Float], Long, Boolean)]
+      .flatMap { case (id, features, partition, isNewNode) =>
+        val nb = math.max(1L,
+          math.ceil(bcCounts.value(partition).toDouble * bpi / (2.0 * k)).toLong)
+        val r = new Random(seed ^ java.util.Arrays.hashCode(features).toLong)
+        val picks = mutable.LinkedHashSet.empty[Long]
+        val want = math.min(bpi.toLong, nb).toInt
+        while (picks.size < want) picks += 1L + math.floorMod(r.nextLong(), nb)
+        picks.iterator
+          .map(b => (maxBuckets * partition + b, id, features, partition, isNewNode))
+          .toSeq
+      }
+      .toDF("bucket", "id", "features", "partition", "is_new")
+    val seedBuckets = bucketedAll.filter($"is_new").select($"bucket").distinct()
+    val initCands: Dataset[Cand] = bucketedAll
+      .join(seedBuckets, Seq("bucket"), "left_semi")
+      .as[(Long, Long, Array[Float], Long, Boolean)]
+      .groupByKey(_._1)
+      .flatMapGroups { (bucket, it) =>
+        val rows = it.toArray
+        val seen = new mutable.LongMap[(BucketedNode, Boolean)]()
+        rows.foreach { case (b, id, f, part, fresh) =>
+          if (!seen.contains(id)) seen.update(id, (BucketedNode(b, id, f, part), fresh))
+        }
+        val members = seen.values.toArray.sortBy(_._1.id)
+        members.iterator.filter(_._2).flatMap { case (nd, _) =>
+          val r = new Random(mix(seed, bucket, nd.id))
+          Iterator.tabulate(k)(_ => members(r.nextInt(members.length))._1)
+            .filter(_.id != nd.id)
+            .map(c => Cand(nd.id, c.id,
+              Similarity.partitionGated(nd.features, nd.partition, c.features, c.partition),
+              isOld = false))
+        }
+      }
+
+    var active: Dataset[FlaggedList] = truncate(
+      mergeTopK(initCands, k)
+        .map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))))
+
+    var finished = false
+    var iter = 0
+    while (!finished && iter < p.maxIterations) {
+      // Forward edges from ACTIVE lists only — new entries can only
+      // live there; converged old<->old structure stays at rest.
+      val edges: Dataset[FlaggedEdge] =
+        active.flatMap(nl => nl.neighbors.iterator.zip(nl.isNew.iterator)
+          .map { case (nb, fresh) => FlaggedEdge(nl.id, nb.id, nb.similarity, fresh) })
+
+      val sampledRev =
+        if (p.sampleRate >= 1.0)
+          edges.toDF().select($"dst".as("src"), $"src".as("dst"), $"isNew")
+        else {
+          val tagged = edges.toDF()
+            .withColumn("h", xxhash64($"src", $"dst", lit(iter), lit(seed)))
+          val stats = tagged.groupBy($"dst")
+            .agg(count(lit(1)).as("cnt"), min($"h").as("hmin"))
+          tagged.join(stats, "dst")
+            .filter($"h" === $"hmin" ||
+              pmod($"h", $"cnt") < ceil($"cnt" * p.sampleRate))
+            .select($"dst".as("src"), $"src".as("dst"), $"isNew")
+        }
+
+      // Only adjacency groups with a NEW member generate pairs; carve
+      // them out before the features join so untouched groups cost
+      // nothing.
+      val adjInput = edges.toDF().select($"src", $"dst", $"isNew").union(sampledRev)
+      val activeSrcs = adjInput.filter($"isNew").select($"src").distinct()
+      val adj: Dataset[AdjRow] = adjInput
+        .join(broadcast(activeSrcs), Seq("src"), "left_semi")
+        .join(nodes.toDF().select($"id".as("dst"), $"features", $"partition"), "dst")
+        .select($"src", $"dst", $"features", $"partition", $"isNew")
+        .as[AdjRow]
+
+      val pairCands: Dataset[Cand] = adj
+        .groupByKey(_.src)
+        .flatMapGroups { (_, it) =>
+          val a = dedupByDst(it)
+          val out = new mutable.ArrayBuffer[Cand]()
+          var i = 0
+          while (i < a.length) {
+            var j = 0
+            while (j < a.length) {
+              if (i != j && a(i).dst != a(j).dst && (a(i).isNew || a(j).isNew)) {
+                out += Cand(a(i).dst, a(j).dst,
+                  Similarity.partitionGated(
+                    a(i).features, a(i).partition, a(j).features, a(j).partition),
+                  isOld = false)
+              }
+              j += 1
+            }
+            i += 1
+          }
+          out.iterator
+        }
+
+      // Re-merge ONLY nodes that received candidates; everyone else's
+      // list is carried untouched via broadcast anti joins.
+      val targets = pairCands.toDF().select($"src".as("id")).distinct()
+      val touchedOld = stable.toDF().join(broadcast(targets), Seq("id"), "left_semi")
+        .as[FlaggedList]
+        .unionByName(active.toDF().join(broadcast(targets), Seq("id"), "left_semi")
+          .as[FlaggedList])
+      val oldCands: Dataset[Cand] = touchedOld.flatMap(nl =>
+        nl.neighbors.iterator.map(nb => Cand(nl.id, nb.id, nb.similarity, isOld = true)))
+
+      val merged = truncate(mergeTopK(pairCands.unionByName(oldCands), k))
+      val updates = merged.map(_._2.updated.toLong).toDF("u")
+        .agg(coalesce(sum($"u"), lit(0L))).as[Long].head()
+
+      // Untouched actives have been fully exploited — retire to stable
+      // with flags dropped; stable loses any node the merge re-emitted.
+      val retired = active.toDF().join(broadcast(targets), Seq("id"), "left_anti")
+        .as[FlaggedList]
+        .map(nl => FlaggedList(nl.id, nl.neighbors, nl.neighbors.map(_ => false)))
+      val prevStable = stable
+      val prevActive = active
+      stable = truncate(
+        stable.toDF().join(broadcast(targets), Seq("id"), "left_anti").as[FlaggedList]
+          .unionByName(retired))
+      active = merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
+      prevStable.unpersist()
+      prevActive.unpersist()
+      iter += 1
+
+      val ratio = updates.toDouble / (k.toDouble * newCount.toDouble)
+      if (ratio <= p.earlyTermination) finished = true
+    }
+
+    val allLists = stable.unionByName(active)
+    val result = base.join(
+      allLists.map(nl => NeighborList(nl.id, nl.neighbors.take(p.k)))
+        .toDF().select($"id", $"neighbors"),
+      Seq("id"), "left_outer")
+    nodes.unpersist()
+    result
+  }
+
   /** Bounded top-K neighbor-list merge with dedup-by-id where old (B)
     * entries win — the reference's A4/A7/W1 composite (`NND.scala:104-109,
     * 228-242`) — via [[TopKAggregator]], which (unlike a mapGroups pass)

@@ -11,7 +11,7 @@ class ContractSpec extends AnyFunSuite {
 
   private val documentedRowsOnly = Set(
     "s02_ann_lsh", "s03_graph_search", "s04_ann_ivf", "s05_ann_quantized",
-    "d04_simhash_pairs", "n01_knn_graph")
+    "d04_simhash_pairs", "n01_knn_graph", "n02_knn_incremental")
 
   test("every oracle key names a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet

@@ -143,6 +143,52 @@ class NNDSpec extends SparkSpec {
       "no checkpoint data written to checkpointDir")
   }
 
+  test("incremental updateGraph: new points integrate with high recall; old structure persists") {
+    import org.apache.spark.sql.functions.col
+    // Build on 80% of the fixture, then append the held-out 20%.
+    val oldPts = embeddings.filter(col("id") % 5 =!= 0)
+    val built = NND.buildGraph(oldPts, NND.Params(k = K, maxIterations = 5))
+      .select("id", "neighbors")
+    val updated = NND.updateGraph(embeddings, built, NND.Params(k = K, maxIterations = 3))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => n.getLong(0))))
+      .toMap
+    assert(updated.size == embeddings.count(),
+      "updateGraph must cover the full input")
+    // Every non-isolated node has a list.
+    assert(updated.count(_._2.isDefined) == updated.size)
+
+    // Recall of the NEW nodes against the full-corpus brute-force truth.
+    val newRecalls = updated.collect { case (id, Some(nbrs)) if id % 5 == 0 =>
+      exact(id).intersect(nbrs.toSet).size.toDouble / K
+    }
+    val newMean = newRecalls.sum / newRecalls.size
+    info(s"new-node recall@10 after incremental update = $newMean over ${newRecalls.size}")
+    assert(newMean >= 0.7, s"incremental insert recall too low: $newMean")
+
+    // Old nodes see the new points too (reverse-edge integration): their
+    // recall vs the FULL corpus truth must not collapse to the old-only
+    // graph's ceiling.
+    val oldRecalls = updated.collect { case (id, Some(nbrs)) if id % 5 != 0 =>
+      exact(id).intersect(nbrs.toSet).size.toDouble / K
+    }
+    val oldMean = oldRecalls.sum / oldRecalls.size
+    info(s"old-node recall@10 vs full-corpus truth = $oldMean")
+    assert(oldMean >= 0.7, s"old nodes did not absorb the increment: $oldMean")
+  }
+
+  test("incremental updateGraph is deterministic") {
+    import org.apache.spark.sql.functions.col
+    val oldPts = embeddings.filter(col("id") % 5 =!= 0)
+    val built = NND.buildGraph(oldPts, NND.Params(k = K, maxIterations = 3))
+      .select("id", "neighbors")
+    def run() = NND.updateGraph(embeddings, built, NND.Params(k = K, maxIterations = 2))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    assert(run() == run())
+  }
+
   test("reference-compatible API: RDD[(Long, Node)] in, RDD[(Long, NodeWithNeighbors)] out") {
     import org.apache.spark.ml.linalg.Vectors
     import graft.nnd.{NNDCompat, Node}

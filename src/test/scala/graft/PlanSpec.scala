@@ -41,6 +41,47 @@ class PlanSpec extends SparkSpec {
       s"range join fell back to a nested loop:\n$p")
   }
 
+  test("d05: banded embedding pairs plan as an equi-join — no cartesian, no nested loop") {
+    val p = plan("d05_embedding_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"banded pair join degenerated to an all-pairs plan:\n$p")
+  }
+
+  test("d02: the df-capped shingle join keeps partial aggregation on the df count") {
+    val p = plan("d02_jaccard_pairs")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"df computation lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"shingle join degenerated:\n$p")
+  }
+
+  test("NND rho<1: no per-iteration window sort (count-conditioned hash filter instead)") {
+    // Capture every executed plan during a rho<1 build; the reverse
+    // sample must never plan a WindowExec (the old row_number form's
+    // full shuffle+sort).
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import org.apache.spark.sql.functions.col
+      val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+        .select(col("vec_id").as("id"), col("embedding").as("features"))
+      graft.nnd.NND.buildGraph(emb,
+        graft.nnd.NND.Params(k = 5, maxIterations = 2, sampleRate = 0.5)).count()
+      // The listener bus is async; wait for the plan stream to go quiet.
+      var last = -1
+      while (plans.size() != last) { last = plans.size(); Thread.sleep(500) }
+      val windowed = plans.toArray(Array.empty[String]).filter(_.contains("Window"))
+      assert(windowed.isEmpty,
+        s"rho-sampling still plans a window sort:\n${windowed.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("bucketed tables co-locate the join: no exchange before the sort-merge") {
     import org.apache.spark.sql.functions._
     val o = Queries.t(spark, sf0001, "orders")
