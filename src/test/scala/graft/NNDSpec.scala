@@ -177,6 +177,32 @@ class NNDSpec extends SparkSpec {
     assert(oldMean >= 0.7, s"old nodes did not absorb the increment: $oldMean")
   }
 
+  test("updateGraph with an empty increment returns the existing graph unchanged") {
+    import org.apache.spark.sql.functions.col
+    val built = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 2))
+      .select("id", "neighbors")
+    def lists(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    val updated = NND.updateGraph(embeddings, built, NND.Params(k = K, maxIterations = 3))
+    assert(lists(updated) == lists(built.toDF()),
+      "no-op increment must not disturb existing lists")
+  }
+
+  test("updateGraph from an empty graph equals buildGraph exactly") {
+    import spark.implicits._
+    def lists(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    val empty = Seq.empty[(Long, Seq[(Long, Double)])].toDF("id", "neighbors")
+    val p = NND.Params(k = K, maxIterations = 2)
+    assert(lists(NND.updateGraph(embeddings, empty, p)) ==
+      lists(NND.buildGraph(embeddings, p)),
+      "all-new update must reduce to a fresh build")
+  }
+
   test("incremental updateGraph is deterministic") {
     import org.apache.spark.sql.functions.col
     val oldPts = embeddings.filter(col("id") % 5 =!= 0)
