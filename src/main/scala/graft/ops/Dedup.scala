@@ -437,7 +437,10 @@ object Dedup {
       numProjections: Int = 4): DataFrame = {
     require(threshold > -1.0 && threshold <= 1.0, s"threshold must be in (-1, 1]: $threshold")
     require(numProjections >= 1)
-    val w = math.sqrt(2.0 - 2.0 * threshold)
+    // Width floor covers threshold == 1.0 (w would be 0): identical
+    // vectors produce bit-identical projections, so any positive width
+    // keeps them in one band without dividing by zero.
+    val w = math.max(math.sqrt(2.0 - 2.0 * threshold), 1e-9)
 
     import graft.functions.VectorFunctions.{vector_dot, vector_norm}
     val v = col(vecCol)

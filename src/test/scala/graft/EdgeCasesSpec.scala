@@ -116,4 +116,43 @@ class EdgeCasesSpec extends SparkSpec {
     val stats = graft.ops.TextAnalysis.tokenStats(df).select("n_tokens").as[Int].collect()
     assert(stats.sorted.toSeq == Seq(1, 2, 3, 3))
   }
+
+  test("banded embedding pairs: empty input, single row, and invalid thresholds") {
+    val empty = Seq.empty[(Long, Array[Float])].toDF("id", "features")
+    assert(graft.ops.Dedup.embeddingPairsBanded(empty, "id", "features", 0.9).count() == 0)
+    val one = Seq((1L, Array(1.0f, 0.0f))).toDF("id", "features")
+    assert(graft.ops.Dedup.embeddingPairsBanded(one, "id", "features", 0.5).count() == 0)
+    intercept[IllegalArgumentException] {
+      graft.ops.Dedup.embeddingPairsBanded(one, "id", "features", 1.5)
+    }
+    // Identical vectors pair at a near-1 threshold (cosine computes as
+    // dot/(sqrt(d)*sqrt(d)) = 1 - 1ulp, so exactly-1.0 is degenerate
+    // for the unbanded scan too — parity is what matters).
+    val twins = Seq((1L, Array(1.0f, 2.0f)), (2L, Array(1.0f, 2.0f)))
+      .toDF("id", "features")
+    def pairsAt(t: Double) =
+      graft.ops.Dedup.embeddingPairsBanded(twins, "id", "features", t)
+        .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(0.999) == Set((1L, 2L)), s"exact twins lost: ${pairsAt(0.999)}")
+    val unbandedAt1 = graft.ops.Dedup.embeddingPairs(twins, "id", "features", 1.0)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairsAt(1.0) == unbandedAt1, "banded must match unbanded at the degenerate threshold")
+  }
+
+  test("updateGraph validates inputs and handles an all-finished increment") {
+    val built = graft.nnd.NND.buildGraph(
+      Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
+        .toDF("id", "features"),
+      graft.nnd.NND.Params(k = 2, maxIterations = 2))
+    intercept[IllegalArgumentException] {
+      graft.nnd.NND.updateGraph(Seq(1).toDF("nope"), built)
+    }
+    intercept[IllegalArgumentException] {
+      graft.nnd.NND.updateGraph(built.select("id", "features"), built.select("id"))
+    }
+    // Everything finished: null neighbors across the board, no crash.
+    val fin = Seq((1L, Array(1.0f, 0.0f), true)).toDF("id", "features", "finished")
+    val out = graft.nnd.NND.updateGraph(fin, built.select("id", "neighbors"))
+    assert(out.count() == 1 && out.filter(col("neighbors").isNull).count() == 1)
+  }
 }
