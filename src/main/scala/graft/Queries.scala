@@ -742,6 +742,12 @@ object Queries {
     "t09_normalize" -> ((s, dir) =>
       TextAnalysis.normalize(docs(s, dir)).select("doc_id", "norm_text")),
 
+    // PII redaction (emails/IPs/phones → typed placeholders). The
+    // fixture is digit-free so the pass is an identity here (like t09);
+    // real scrubbing is unit-tested on synthetic dirty strings, and the
+    // oracle applies the identical regexp chain.
+    "t10_pii_scrub" -> ((s, dir) => TextAnalysis.scrubPii(docs(s, dir))),
+
     // Token statistics.
     "t01_token_stats" -> ((s, dir) =>
       TextAnalysis.tokenStats(docs(s, dir))
@@ -1029,6 +1035,14 @@ object Queries {
       """SELECT doc_id,
         |  trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]+', ' ', 'g'),
         |    ' +', ' ', 'g')) AS norm_text
+        |FROM documents""".stripMargin,
+
+    "t10_pii_scrub" ->
+      """SELECT doc_id,
+        |  regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d()\s.-]{7,}\d', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
 
     "t01_token_stats" ->

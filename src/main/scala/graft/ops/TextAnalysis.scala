@@ -109,6 +109,28 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " "),
         " +", " ")))
 
+  /** PII scrubbing: emails, IPv4 addresses, and phone-like digit runs
+    * replaced with typed placeholders — the redaction pre-pass a
+    * training corpus gets before anything else sees it. A pure
+    * `regexp_replace` chain (per-row projection, shuffle-free,
+    * codegen'd; no UDF). Patterns are written to the common subset of
+    * Java regex and RE2, so the DuckDB oracle applies the identical
+    * transformation. Order matters: emails first (their local parts
+    * contain digit runs), then IPs (dotted digits would else match the
+    * phone pattern), then phones. */
+  def scrubPii(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", outCol: String = "scrubbed"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d()\\s.-]{7,}\\d"
+    df.select(col(idCol),
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ipv4, "<IP>"),
+        phone, "<PHONE>").as(outCol))
+  }
+
   /** Word-bigram repetition statistics — the Gopher/C4-style repetition
     * quality signals (duplicated n-gram mass flags boilerplate and
     * degenerate generations): per document, the bigram count, distinct

@@ -131,6 +131,25 @@ class ComponentsSpec extends SparkSpec {
     assert(sub == full)
   }
 
+  test("scrubPii redacts emails, IPs, and phone numbers; clean text passes untouched") {
+    val dirty = Seq(
+      (1L, "contact alice.smith+spam@example.co.uk for details"),
+      (2L, "server at 192.168.1.254 timed out"),
+      (3L, "call +1 (555) 123-4567 or 555.987.6543 now"),
+      (4L, "mixed: bob@test.io from 10.0.0.1 dials 020 7946 0958"),
+      (5L, "perfectly clean text with no pii at all"),
+      (6L, "version 1.2 has 3 bugs")) // short digit runs must survive
+      .toDF("doc_id", "text")
+    val got = TextAnalysis.scrubPii(dirty)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "contact <EMAIL> for details")
+    assert(got(2L) == "server at <IP> timed out")
+    assert(got(3L) == "call <PHONE> or <PHONE> now")
+    assert(got(4L) == "mixed: <EMAIL> from <IP> dials <PHONE>")
+    assert(got(5L) == "perfectly clean text with no pii at all")
+    assert(got(6L) == "version 1.2 has 3 bugs")
+  }
+
   test("normalize strips punctuation, collapses whitespace, and is identity on clean text") {
     import graft.ops.TextAnalysis
     val messy = Seq((1L, "  Hello,   WORLD!! it's 42. ")).toDF("doc_id", "text")
