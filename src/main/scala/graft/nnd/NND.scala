@@ -63,7 +63,12 @@ object NND {
     * `localCheckpoint` — localCheckpoint blocks live on executors and
     * die with them, which on a real cluster turns one lost executor
     * into a failed job; the durable form survives executor loss at the
-    * cost of one DFS write per iteration. */
+    * cost of one DFS write per iteration. Two caveats the caller owns:
+    * Spark does not delete reliable checkpoints (retention = clean the
+    * directory after the result is consumed, or run with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`), and the
+    * checkpoint dir is GLOBAL SparkContext state — concurrent builds in
+    * one session should share a single directory. */
   final case class Params(
       k: Int = 10,
       maxIterations: Int = 5,
@@ -453,15 +458,20 @@ object NND {
       // Only adjacency groups with a NEW member generate pairs; carve
       // them out before the features join so untouched groups cost
       // nothing.
+      // No forced broadcast hints on the carve-out sets: they are
+      // increment-sized for a small daily append (AQE broadcasts them on
+      // its own) but O(N) when the increment is the whole corpus — a
+      // broadcast() hint there would OOM the driver instead of falling
+      // back to a shuffle join.
       val adjInput = edges.toDF().select($"src", $"dst", $"isNew").union(sampledRev)
       val activeSrcs = adjInput.filter($"isNew").select($"src").distinct()
       val adj: Dataset[AdjRow] = adjInput
-        .join(broadcast(activeSrcs), Seq("src"), "left_semi")
+        .join(activeSrcs, Seq("src"), "left_semi")
         .join(nodes.toDF().select($"id".as("dst"), $"features", $"partition"), "dst")
         .select($"src", $"dst", $"features", $"partition", $"isNew")
         .as[AdjRow]
 
-      val pairCands: Dataset[Cand] = adj
+      val pairCandsRaw: Dataset[Cand] = adj
         .groupByKey(_.src)
         .flatMapGroups { (_, it) =>
           val a = dedupByDst(it)
@@ -483,12 +493,20 @@ object NND {
           out.iterator
         }
 
+      // The O(|Av|²) local join is the iteration's dominant compute and
+      // feeds THREE consumers (merge input, targets for the carve-outs,
+      // and — via targets — the stable/retired rebuild in a separate
+      // job); materialize it once instead of re-running the similarity
+      // loop per consumer (cross-action exchange reuse does not exist).
+      val pairCands = truncate(pairCandsRaw)
+
       // Re-merge ONLY nodes that received candidates; everyone else's
-      // list is carried untouched via broadcast anti joins.
+      // list is carried untouched via semi/anti joins on the
+      // (typically increment-sized) target set.
       val targets = pairCands.toDF().select($"src".as("id")).distinct()
-      val touchedOld = stable.toDF().join(broadcast(targets), Seq("id"), "left_semi")
+      val touchedOld = stable.toDF().join(targets, Seq("id"), "left_semi")
         .as[FlaggedList]
-        .unionByName(active.toDF().join(broadcast(targets), Seq("id"), "left_semi")
+        .unionByName(active.toDF().join(targets, Seq("id"), "left_semi")
           .as[FlaggedList])
       val oldCands: Dataset[Cand] = touchedOld.flatMap(nl =>
         nl.neighbors.iterator.map(nb => Cand(nl.id, nb.id, nb.similarity, isOld = true)))
@@ -499,17 +517,18 @@ object NND {
 
       // Untouched actives have been fully exploited — retire to stable
       // with flags dropped; stable loses any node the merge re-emitted.
-      val retired = active.toDF().join(broadcast(targets), Seq("id"), "left_anti")
+      val retired = active.toDF().join(targets, Seq("id"), "left_anti")
         .as[FlaggedList]
         .map(nl => FlaggedList(nl.id, nl.neighbors, nl.neighbors.map(_ => false)))
       val prevStable = stable
       val prevActive = active
       stable = truncate(
-        stable.toDF().join(broadcast(targets), Seq("id"), "left_anti").as[FlaggedList]
+        stable.toDF().join(targets, Seq("id"), "left_anti").as[FlaggedList]
           .unionByName(retired))
       active = merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
       prevStable.unpersist()
       prevActive.unpersist()
+      pairCands.unpersist()
       iter += 1
 
       val ratio = updates.toDouble / (k.toDouble * newCount.toDouble)

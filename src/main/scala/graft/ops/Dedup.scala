@@ -129,16 +129,19 @@ object Dedup {
     * documents colliding in at least one band become candidates (linear
     * candidate generation — the scale path). Candidates are then verified
     * with the exact shingle-set Jaccard, so the output equals
-    * [[jaccardPairs]] up to LSH recall (>= 1 - (1-t^r)^b; ~1-2e-4 at
-    * t=0.9 with 8 bands of 4).
-    */
+    * [[jaccardPairs]] up to LSH recall (>= 1 - (1-J^r)^b). The default
+    * 16 bands of 3 put the S-curve's steep edge under the near-dup
+    * regime: miss probability ~1.2e-3 for a pair at exactly J=0.7 and
+    * ~9e-10 at J=0.9, while a J=0.2 pair becomes a candidate only ~12%
+    * of the time — high-recall AND bounded verify work, so oracle
+    * equality with the exact join is engineered, not fixture luck. */
   def minhashLshPairs(
       df: DataFrame,
       idCol: String,
       textCol: String,
       threshold: Double,
-      numHashes: Int = 32,
-      bands: Int = 8,
+      numHashes: Int = 48,
+      bands: Int = 16,
       maxDocFraction: Option[Double] = None): DataFrame = {
     // bands must tile the signature exactly: a remainder would silently
     // drop trailing slots, and bands > numHashes would hash ZERO slots
@@ -301,8 +304,8 @@ object Dedup {
       idCol: String,
       textCol: String,
       threshold: Double,
-      numHashes: Int = 32,
-      bands: Int = 8): DataFrame = {
+      numHashes: Int = 48,
+      bands: Int = 16): DataFrame = {
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
     val rowsPerBand = numHashes / bands
@@ -439,8 +442,13 @@ object Dedup {
     require(numProjections >= 1)
     // Width floor covers threshold == 1.0 (w would be 0): identical
     // vectors produce bit-identical projections, so any positive width
-    // keeps them in one band without dividing by zero.
-    val w = math.max(math.sqrt(2.0 - 2.0 * threshold), 1e-9)
+    // keeps them in one band without dividing by zero. The 1e-9 slack
+    // also absorbs float rounding at the chord bound itself: projections
+    // and cosine are independently rounded doubles, so a pair whose
+    // COMPUTED cosine is exactly >= t can carry |Δp| a few ulps above
+    // the real-arithmetic bound — widening the band only ADDS candidates
+    // (the exact cosine verify is unchanged), so recall stays 1.
+    val w = math.sqrt(2.0 - 2.0 * threshold) + 1e-9
 
     import graft.functions.VectorFunctions.{vector_dot, vector_norm}
     val v = col(vecCol)

@@ -48,15 +48,32 @@ object Multimodal {
     (w, h, 3, feats)
   }
 
+  /** Cheap magic-byte sniff for the formats the JVM-bundled readers
+    * handle (PNG/JPEG/GIF/BMP). Gate BEFORE ImageIO: the reader-registry
+    * probe plus ImageIO's default disk-backed input cache cost a temp
+    * file per call, which a decode loop over 100 TB of mostly-non-image
+    * blobs must never pay for a miss. */
+  private def looksLikeImage(b: Array[Byte]): Boolean =
+    b.length >= 4 && (
+      (b(0) == 0x89.toByte && b(1) == 'P' && b(2) == 'N' && b(3) == 'G') ||
+      (b(0) == 0xFF.toByte && b(1) == 0xD8.toByte && b(2) == 0xFF.toByte) ||
+      (b(0) == 'G' && b(1) == 'I' && b(2) == 'F' && b(3) == '8') ||
+      (b(0) == 'B' && b(1) == 'M'))
+
   /** REAL image decode via the JVM-bundled `javax.imageio` codecs
-    * (PNG/JPEG/BMP/GIF/WBMP): true width/height, color-model channel
+    * (PNG/JPEG/BMP/GIF): true width/height, color-model channel
     * count, and an 8-float feature vector of per-horizontal-strip mean
     * luminance (deterministic pixel arithmetic, resolution-dependent
-    * but codec-stable). Returns None when no installed reader claims
-    * the bytes — the caller falls back to [[decodeStub]]. */
+    * but codec-stable). Returns None when the bytes carry no known
+    * image magic or no installed reader claims them — the caller falls
+    * back to [[decodeStub]]. Memory-backed input (no ImageIO temp-file
+    * cache) and the magic gate keep the miss path allocation-only. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     try {
-      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      if (!looksLikeImage(bytes)) return None
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
       if (img == null) None
       else {
         val w = img.getWidth

@@ -76,9 +76,11 @@ object EventsStream {
       val sink = spark.table(name)
       val rows = sink.collect()
       val schema = sink.schema
-      spark.catalog.dropTempView(name)
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
     } finally {
+      // Runs on the failure path too — a mid-drain error must not leave
+      // the memory table registered or the symlink dir behind.
+      try spark.catalog.dropTempView(name) catch { case _: Exception => }
       java.nio.file.Files.deleteIfExists(link)
       java.nio.file.Files.deleteIfExists(streamDir)
     }
