@@ -439,6 +439,35 @@ object Queries {
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(count(lit(1)).as("n"))),
 
+    // Conversion funnel: users who viewed, then clicked AFTER the first
+    // view, then purchased AFTER that click — strictly ordered event-time
+    // stages. Three narrow per-user min-aggregations (partial-agg
+    // friendly) chained by broadcastable per-user stage tables; no
+    // window sort over the event log.
+    "q33_funnel" -> ((s, dir) => {
+      val ev = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val tv = ev.filter(col("event_type") === "view")
+        .groupBy("user_id").agg(min(col("us")).as("tv"))
+      val tc = ev.filter(col("event_type") === "click")
+        .join(tv, "user_id").filter(col("us") > col("tv"))
+        .groupBy("user_id").agg(min(col("us")).as("tc"))
+      val tp = ev.filter(col("event_type") === "purchase")
+        .join(tc, "user_id").filter(col("us") > col("tc"))
+        .groupBy("user_id").agg(min(col("us")).as("tp"))
+      tv.agg(count(lit(1)).as("n_viewed"))
+        .crossJoin(tc.agg(count(lit(1)).as("n_clicked_after_view")))
+        .crossJoin(tp.agg(count(lit(1)).as("n_purchased_after_click")))
+    }),
+
+    // Value histogram: fixed-width buckets by pure integer arithmetic
+    // (floor(value/50)) — engine-portable, no approx sketch; per
+    // (event_type, bucket) counts.
+    "q34_value_histogram" -> ((s, dir) =>
+      events(s, dir)
+        .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))),
+
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
@@ -622,6 +651,29 @@ object Queries {
         |  ON p.user_id = e.user_id
         | AND e.us >= p.p_us - 3600000000 AND e.us < p.p_us
         |GROUP BY p.user_id, p.event_id""".stripMargin,
+
+    "q33_funnel" ->
+      """WITH tv AS (
+        |  SELECT user_id, min(epoch_us(ts)) AS tv FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |tc AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS tc
+        |  FROM events e JOIN tv ON e.user_id = tv.user_id
+        |  WHERE e.event_type = 'click' AND epoch_us(e.ts) > tv.tv
+        |  GROUP BY e.user_id),
+        |tp AS (
+        |  SELECT e.user_id, min(epoch_us(e.ts)) AS tp
+        |  FROM events e JOIN tc ON e.user_id = tc.user_id
+        |  WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > tc.tc
+        |  GROUP BY e.user_id)
+        |SELECT (SELECT count(*) FROM tv) AS n_viewed,
+        |  (SELECT count(*) FROM tc) AS n_clicked_after_view,
+        |  (SELECT count(*) FROM tp) AS n_purchased_after_click""".stripMargin,
+
+    "q34_value_histogram" ->
+      """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
+        |  count(*) AS n
+        |FROM events GROUP BY 1, 2""".stripMargin,
 
     "q28_centroids" ->
       """SELECT label, pos, comp_sum / n AS centroid_comp FROM (
