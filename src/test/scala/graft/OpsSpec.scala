@@ -70,6 +70,40 @@ class OpsSpec extends SparkSpec {
     assert(banded2 == full2)
   }
 
+  test("banded == unbanded embedding pairs across random corpora and thresholds (property sweep)") {
+    import spark.implicits._
+    // Exactness must hold for ANY data and threshold, not just the
+    // fixture: sweep seeds x dims x thresholds, including clustered
+    // vectors (planted near-dups) and threshold-straddling pairs.
+    for (seed <- Seq(1, 2); dim <- Seq(4, 16); t <- Seq(0.3, 0.7, 0.9, 0.98)) {
+      val rnd = new scala.util.Random(seed)
+      val base = (0 until 30).map(i => (i.toLong, Array.fill(dim)(rnd.nextGaussian().toFloat)))
+      val near = base.take(10).map { case (i, v) =>
+        (i + 100L, v.map(x => x + 0.05f * rnd.nextGaussian().toFloat))
+      }
+      val df = (base ++ near).toDF("id", "features")
+      def pairs(d: org.apache.spark.sql.DataFrame) =
+        d.select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val full = pairs(Dedup.embeddingPairs(df, "id", "features", t))
+      val banded = pairs(Dedup.embeddingPairsBanded(df, "id", "features", t))
+      assert(banded == full,
+        s"seed=$seed dim=$dim t=$t: missing ${full -- banded}, extra ${banded -- full}")
+    }
+  }
+
+  test("scrubPii is idempotent (placeholders never re-match)") {
+    import spark.implicits._
+    val dirty = Seq(
+      (1L, "a@b.co and 10.0.0.1 and +44 20 7946 0958"),
+      (2L, "clean")).toDF("doc_id", "text")
+    val once = graft.ops.TextAnalysis.scrubPii(dirty)
+      .withColumnRenamed("scrubbed", "text")
+    val twice = graft.ops.TextAnalysis.scrubPii(once)
+    val got = once.join(twice.withColumnRenamed("scrubbed", "again"), "doc_id")
+      .collect().map(r => (r.getString(1), r.getString(2)))
+    got.foreach { case (a, b) => assert(a == b, s"not idempotent: $a vs $b") }
+  }
+
   test("banding prunes the candidate join at near-dup thresholds") {
     import spark.implicits._
     // Synthetic near-dup corpus: 40 base vectors, each with a jittered
