@@ -833,6 +833,15 @@ object Queries {
         .select("query_id", "rank", "nbr_id")
     }),
 
+    // Exact MIPS top-10 (two-tower retrieval scoring: raw inner
+    // product, not angle — longer item vectors legitimately rank
+    // higher). Ids+ranks only, same rank-margin argument as s01.
+    "s06_mips_brute" -> ((s, dir) => {
+      val e = emb(s, dir)
+      SimilaritySearch.mipsTopK(e, e.filter(col("id") < 20), 10)
+        .select("query_id", "rank", "nbr_id")
+    }),
+
     // LSH ANN (bucketed scale path; recall vs s01 checked in tests).
     "s02_ann_lsh" -> ((s, dir) => {
       val e = emb(s, dir)
@@ -1167,6 +1176,15 @@ object Queries {
         |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
         |    row_number() OVER (PARTITION BY q.vec_id
         |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |  WHERE q.vec_id < 20)
+        |WHERE rank <= 10""".stripMargin,
+
+    "s06_mips_brute" ->
+      """SELECT query_id, rank, nbr_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_inner_product(q.embedding, c.embedding) DESC, c.vec_id) AS rank
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 20)
         |WHERE rank <= 10""".stripMargin,

@@ -41,6 +41,27 @@ object SimilaritySearch {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
+  /** Exact top-k by MAX INNER PRODUCT (MIPS) — the retrieval scoring a
+    * two-tower recommender / dense-retrieval model uses (query·item,
+    * NOT angle: a longer item vector legitimately scores higher, so
+    * cosine ANN is the wrong op). Same broadcast shape as
+    * [[bruteForceTopK]]: corpus never shuffles, queries broadcast, one
+    * codegen'd `VectorDot` per pair, per-query top-k with a
+    * deterministic id tie-break. The standard reduction to cosine ANN
+    * (augment items with sqrt(M²−‖x‖²), unit-normalize) plugs this
+    * into [[lshTopK]]/[[ivfTopK]] at corpus scale. */
+  def mipsTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"))
+    val q = queries.select(col("id").as("query_id"), col("features").as("v_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("score"), asc("nbr_id"))
+    c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("score",
+        graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "score")
+  }
+
   /** Seeded random hyperplanes for sign-bit LSH. */
   def hyperplanes(dim: Int, numPlanes: Int, seed: Long): Array[Array[Float]] = {
     val r = new Random(seed)

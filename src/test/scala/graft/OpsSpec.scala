@@ -253,6 +253,21 @@ class OpsSpec extends SparkSpec {
     assert(covered >= 0.9, s"recall $covered too low")
   }
 
+  test("MIPS ranks by raw inner product, not angle") {
+    import spark.implicits._
+    // Item 2 is item 1 doubled: identical angle to the query, twice the
+    // inner product — MIPS must rank 2 first; cosine would tie them.
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)),
+      (3L, Array(0.0f, 1.0f))).toDF("id", "features")
+    val q = Seq((100L, Array(1.0f, 0.1f))).toDF("id", "features")
+    val got = SimilaritySearch.mipsTopK(corpus, q, 3)
+      .orderBy("rank").collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.map(_._2).toSeq == Seq(2L, 1L, 3L), got.mkString(","))
+    assert(got(0)._3 == 2.0 && got(1)._3 == 1.0, got.mkString(","))
+  }
+
   test("LSH ANN recall@10 vs brute force >= 0.6") {
     val queries = emb.filter(col("id") < 50)
     val brute = SimilaritySearch.bruteForceTopK(emb, queries, 10)
