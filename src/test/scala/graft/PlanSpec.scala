@@ -41,10 +41,10 @@ class PlanSpec extends SparkSpec {
       s"range join fell back to a nested loop:\n$p")
   }
 
-  test("d05: banded embedding pairs plan as an equi-join — no cartesian, no nested loop") {
+  test("d05: LSH embedding pairs plan as a bucket equi-join — no cartesian, no nested loop") {
     val p = plan("d05_embedding_pairs")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
-      s"banded pair join degenerated to an all-pairs plan:\n$p")
+      s"LSH candidate join degenerated to an all-pairs plan:\n$p")
   }
 
   test("d02: the df-capped shingle join keeps partial aggregation on the df count") {
