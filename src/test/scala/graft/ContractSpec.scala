@@ -9,9 +9,10 @@ import org.scalatest.funsuite.AnyFunSuite
   * without its correctness check. */
 class ContractSpec extends AnyFunSuite {
 
-  private val documentedRowsOnly = Set(
-    "s02_ann_lsh", "s03_graph_search", "s04_ann_ivf", "s05_ann_quantized",
-    "d04_simhash_pairs", "n01_knn_graph", "n02_knn_incremental")
+  /** Empty since round 3: the formerly rows-only approximate ops
+    * (s02–s05, d04, n01, n02) now emit pinned recall/coverage counts
+    * with literal oracles — every declared query has a DuckDB check. */
+  private val documentedRowsOnly = Set.empty[String]
 
   test("every oracle key names a declared query") {
     val orphans = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
