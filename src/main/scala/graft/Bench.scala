@@ -67,6 +67,10 @@ object Bench {
         "n01_graph_build" -> (() => Queries.knnGraph(spark, sfDir).count()),
         "n02_prior_build" -> (() => Queries.n02Prior(spark, sfDir).count())) ++
         SparkEntry.queries.toSeq.sortBy(_._1)
+          .map { case (name, fn) => name -> (() => fn(spark, sfDir).count()) } ++
+        // Skew-inversion exhibits: df-capped exact join vs PPJoin prefix
+        // filter on a hot-shingle corpus (shuffle bytes are the metric).
+        Queries.benchOnly.toSeq.sortBy(_._1)
           .map { case (name, fn) => name -> (() => fn(spark, sfDir).count()) }
 
     val results = phases.map { case (name, run) =>

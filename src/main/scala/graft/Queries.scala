@@ -1076,6 +1076,28 @@ object Queries {
     })
   )
 
+  /** Bench-only phases (no oracle surface — these exist so the DRIVER's
+    * bench artifact, not just OpsSpec, records the hot-shingle skew
+    * inversion): the documents fixture with a stop-phrase prepended to
+    * every row, so a handful of shingles hit df = N. The naive shingle
+    * self-join would fan out df² on those keys; the df-capped exact
+    * join (d02's path) drops them outright, and the PPJoin prefix
+    * filter (d08's path) generates candidates from the RARE end.
+    * Bench runs both — d08_skewed's shuffle must stay in d02_skewed's
+    * league, never the naive blow-up (OpsSpec measures naive 667 KB vs
+    * prefix 195 KB / df-cap 201 KB shuffle-write on its fixture). */
+  val benchOnly: Map[String, (SparkSession, String) => DataFrame] = {
+    def skewedDocs(s: SparkSession, dir: String): DataFrame =
+      docs(s, dir).withColumn("text",
+        concat(lit("the quick brown fox jumps over "), col("text")))
+    Map(
+      "d02_skewed_dfcap" -> ((s, dir) =>
+        ops.Dedup.jaccardPairs(skewedDocs(s, dir), "doc_id", "text", 0.7,
+          maxDocFraction = Some(0.1))),
+      "d08_skewed_prefix" -> ((s, dir) =>
+        ops.Dedup.jaccardPairsPrefix(skewedDocs(s, dir), "doc_id", "text", 0.7)))
+  }
+
   /** Pinned-literal oracle builder: one row of BIGINT columns whose
     * values are selected per scale factor via lineitem's row count (the
     * only fixture table whose cardinality distinguishes all three SFs —

@@ -9,13 +9,15 @@ import org.apache.spark.sql.functions._
   *
   * Image decode is REAL: `javax.imageio.ImageIO` (JVM-bundled; PNG /
   * JPEG / BMP / GIF) produces true dimensions, channel count, and a
-  * luminance-strip feature vector. Blobs no bundled codec can parse
-  * (audio/video, or the text fixture's fake blobs) fall back to a
-  * clearly-marked DETERMINISTIC STUB that derives metadata from the raw
-  * bytes, so the distributed plumbing — binary schema, mapPartitions
-  * batch shape, partition-preserving execution, frame explode — is
-  * exercised end-to-end on any input; swapping in further codecs
-  * changes no plumbing.
+  * luminance-strip feature vector. Audio decode is REAL:
+  * `javax.sound.sampled` (JVM-bundled; WAV/AIFF PCM) produces sample
+  * rate, frame count, channels, and an RMS energy profile. Blobs no
+  * bundled codec can parse (video, or the text fixture's fake blobs)
+  * fall back to a clearly-marked DETERMINISTIC STUB that derives
+  * metadata from the raw bytes, so the distributed plumbing — binary
+  * schema, mapPartitions batch shape, partition-preserving execution,
+  * frame explode — is exercised end-to-end on any input; swapping in
+  * further codecs changes no plumbing.
   */
 object Multimodal {
 
@@ -102,10 +104,81 @@ object Multimodal {
       }
     } catch { case _: Exception => None }
 
-  /** Production decode kernel: real codec first, stub for bytes no
-    * codec claims. */
+  /** Magic-byte sniff for the JVM-bundled `javax.sound.sampled` readers
+    * (WAV and AIFF/AIFC) — same rationale as [[looksLikeImage]]: the
+    * reader-registry probe must never run on a non-audio blob. */
+  private def looksLikeAudio(b: Array[Byte]): Boolean =
+    b.length >= 12 && (
+      (b(0) == 'R' && b(1) == 'I' && b(2) == 'F' && b(3) == 'F' &&
+        b(8) == 'W' && b(9) == 'A' && b(10) == 'V' && b(11) == 'E') ||
+      (b(0) == 'F' && b(1) == 'O' && b(2) == 'R' && b(3) == 'M' &&
+        b(8) == 'A' && b(9) == 'I' && b(10) == 'F'))
+
+  /** REAL audio decode via the JVM-bundled `javax.sound.sampled` codecs
+    * (WAV/AIFF PCM, 8- or 16-bit): returns the media tuple in the
+    * kernel's (w, h, c, features) shape with the audio-native mapping
+    * `w = sample rate (Hz)`, `h = sample frame count`, `c = channels`,
+    * and features = per-eighth RMS amplitude (channel-averaged,
+    * normalized to [0,1]) — the temporal energy profile that plays the
+    * role the luminance strips play for images. Deterministic integer/
+    * double arithmetic; None for anything the gate or the codec
+    * rejects (caller falls back to [[decodeStub]]). */
+  def decodeAudio(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    if (!looksLikeAudio(bytes)) return None
+    try {
+      val in = AudioSystem.getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        val frames = in.getFrameLength
+        val bits = fmt.getSampleSizeInBits
+        val pcm = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
+          fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+        if (frames <= 0 || frames > Int.MaxValue || !pcm || (bits != 8 && bits != 16)) None
+        else {
+          val channels = fmt.getChannels
+          val frameBytes = fmt.getFrameSize
+          val data = in.readAllBytes()
+          val n = math.min(frames.toInt, data.length / frameBytes)
+          val segs = 8
+          val sums = new Array[Double](segs)
+          val counts = new Array[Long](segs)
+          val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
+          var f = 0
+          while (f < n) {
+            val s = math.min(segs - 1, f * segs / n)
+            var c = 0
+            var acc = 0.0
+            while (c < channels) {
+              val off = f * frameBytes + c * (bits / 8)
+              val v =
+                if (bits == 8) {
+                  val raw = data(off) & 0xff
+                  ((if (unsigned) raw - 128 else data(off).toInt) / 128.0)
+                } else {
+                  val (lo, hi) = if (fmt.isBigEndian) (off + 1, off) else (off, off + 1)
+                  val raw = ((data(hi) << 8) | (data(lo) & 0xff))
+                  ((if (unsigned) (raw & 0xffff) - 32768 else raw.toShort.toInt) / 32768.0)
+                }
+              acc += v * v
+              c += 1
+            }
+            sums(s) += acc / channels
+            counts(s) += 1
+            f += 1
+          }
+          val feats = Array.tabulate(segs)(i =>
+            if (counts(i) > 0) math.sqrt(sums(i) / counts(i)).toFloat else 0.0f)
+          Some((fmt.getSampleRate.toInt, n, channels, feats))
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+  }
+
+  /** Production decode kernel: real codecs first (image, then audio),
+    * stub for bytes no codec claims. */
   def decodeKernel(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
-    decodeImage(bytes).getOrElse(decodeStub(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(decodeStub(bytes))
 
   /** Distributed decode: one pass per partition over the binary column
     * (the Scala analog of a batched decode UDF — rows stream through

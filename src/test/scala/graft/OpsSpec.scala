@@ -480,6 +480,53 @@ class OpsSpec extends SparkSpec {
     assert(resized(2L) == ((64, 16)), s"32x8 -> ${resized(2L)}")   // 8*64/32
   }
 
+  test("real audio decode: in-test WAVs get sample rate, frames, channels, and RMS profile") {
+    import spark.implicits._
+    // 16-bit stereo WAV at 8 kHz, 8000 frames: first half a 440 Hz sine
+    // at amplitude 0.5 (RMS 0.5/sqrt(2) ~ 0.354), second half silence.
+    def wav(frames: Int, rate: Float, channels: Int)(sample: Int => Double): Array[Byte] = {
+      import javax.sound.sampled._
+      val fmt = new AudioFormat(AudioFormat.Encoding.PCM_SIGNED, rate, 16, channels,
+        2 * channels, rate, false)
+      val data = new Array[Byte](frames * 2 * channels)
+      for (f <- 0 until frames; c <- 0 until channels) {
+        val v = (sample(f) * 32767).toInt
+        val off = (f * channels + c) * 2
+        data(off) = (v & 0xff).toByte
+        data(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      val in = new AudioInputStream(new java.io.ByteArrayInputStream(data), fmt, frames.toLong)
+      val baos = new java.io.ByteArrayOutputStream()
+      AudioSystem.write(in, AudioFileFormat.Type.WAVE, baos)
+      baos.toByteArray
+    }
+    val halfSine = wav(8000, 8000f, 2)(f =>
+      if (f < 4000) 0.5 * math.sin(2 * math.Pi * 440 * f / 8000) else 0.0)
+
+    val direct = Multimodal.decodeAudio(halfSine)
+    assert(direct.nonEmpty, "WAV not decoded by javax.sound.sampled")
+    val (rate, frames, channels, rms) = direct.get
+    assert(rate == 8000 && frames == 8000 && channels == 2)
+    assert(rms.take(4).forall(r => math.abs(r - 0.5 / math.sqrt(2)) < 0.01),
+      s"sine half RMS off: ${rms.mkString(",")}")
+    assert(rms.drop(4).forall(_ < 1e-6), s"silent half not silent: ${rms.mkString(",")}")
+
+    // Non-audio bytes are rejected by the gate; images keep decoding as
+    // images (the kernel chain tries image codecs first).
+    assert(Multimodal.decodeAudio("definitely not audio bytes".getBytes).isEmpty)
+
+    // Full distributed path: WAV rows decode for real (w = rate,
+    // h = frames), text rows stub.
+    val media = Seq(
+      (1L, halfSine, "audio/wav"),
+      (2L, "plain text blob".getBytes, "application/octet-stream"))
+      .toDF("doc_id", "media", "media_type")
+    val decoded = Multimodal.decode(media).collect().map(m => m.doc_id -> m).toMap
+    assert(decoded(1L).width == 8000 && decoded(1L).height == 8000 && decoded(1L).channels == 2)
+    val stub = Multimodal.decodeStub("plain text blob".getBytes)
+    assert(decoded(2L).width == stub._1 && decoded(2L).height == stub._2)
+  }
+
   test("multimodal decode is deterministic and partition-shaped") {
     val media = Multimodal.asMedia(docs)
     val out = Multimodal.decode(media).collect()
@@ -487,6 +534,34 @@ class OpsSpec extends SparkSpec {
     assert(out.forall(m => m.channels == 3 && m.feature8.length == 8))
     val again = Multimodal.decode(media.repartition(7)).collect()
     assert(out.sortBy(_.doc_id).map(_.width).toSeq == again.sortBy(_.doc_id).map(_.width).toSeq)
+  }
+
+  test("stateful streaming under the RocksDB state store matches the default backend") {
+    // RocksDB is the production state backend at scale (state lives off
+    // the executor heap, checkpoint-incremental); the stateful surfaces
+    // must be backend-portable. Runs the custom-state sessionizer
+    // (flatMapGroupsWithState) and the watermark-bounded dedup under
+    // RocksDBStateStoreProvider and requires identical results.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    def sessions() = graft.streaming.EventsStream.sessionCountsStateful(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    def dedupWm() = graft.streaming.EventsStream.dedupCountsWithinWatermark(spark, sf001)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+    val (expSessions, expDedup) = (sessions(), dedupWm())
+    try {
+      spark.conf.set(key,
+        "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+      val gotSessions = sessions()
+      val gotDedup = dedupWm()
+      assert(gotSessions == expSessions,
+        s"RocksDB sessionization diverged: ${gotSessions.diff(expSessions)} vs ${expSessions.diff(gotSessions)}")
+      assert(gotDedup == expDedup,
+        s"RocksDB watermark dedup diverged: $gotDedup vs $expDedup")
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
   }
 
   test("stateful streaming sessionization equals the batch computation") {
