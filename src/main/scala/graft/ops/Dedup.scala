@@ -513,9 +513,9 @@ object Dedup {
     *
     * Each row hashes to `numTables` buckets: bucket t = the sign bits of
     * `numPlanes` Rademacher projections (per-element ±1 signs from
-    * xxhash64(table, plane, j) — deterministic, seed-free in data,
-    * retry-stable, and a pure codegen'd Column expression with no
-    * driver-side RNG, no dimension probe, no UDF). A pair at angle θ
+    * xxhash64(flat plane index, element index) parity — deterministic,
+    * seed-free in data, retry-stable, and a pure codegen'd Column
+    * expression with no driver-side RNG, no dimension probe, no UDF). A pair at angle θ
     * collides in one table with probability (1 − θ/π)^numPlanes; a pair
     * is a candidate if it collides in ANY table. Defaults (12 planes ×
     * 16 tables): a cos ≥ 0.99 near-dup pair misses with P ≈ 1.5e-7,
@@ -532,25 +532,17 @@ object Dedup {
       numTables: Int = 16): DataFrame = {
     require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes out of range: $numPlanes")
     require(numTables >= 1, s"numTables out of range: $numTables")
-    val v = col(vecCol)
-    val idx = sequence(lit(0), size(v) - 1)
-    // Sign bit of the dot product with Rademacher direction (t, p):
-    // Σ_j ±v_j with signs from xxhash64(t, p, j) parity. Normalization
-    // is irrelevant for the sign, so no norm/sqrt enters the hash.
-    def signBit(t: Int, p: Int): Column = {
-      val signed = zip_with(v, idx, (x, j) =>
-        when(pmod(xxhash64(lit(t), lit(p), j), lit(2)) === 0, x.cast("double"))
-          .otherwise(-x.cast("double")))
-      when(aggregate(signed, lit(0.0d), (acc, x) => acc + x) >= 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }
-    val tableCols = (0 until numTables).map { t =>
-      struct(lit(t).as("tbl"),
-        (0 until numPlanes).map(p => signBit(t, p)).reduce(_ bitwiseOR _).as("bkt"))
-    }
+    // All numTables bucket ids in one native codegen'd pass
+    // (graft.functions.LshBuckets): the ±1 sign matrix is
+    // data-independent, computed once per executor; per row the work is
+    // a tight multiply-add loop. The HOF `transform`/`aggregate` form of
+    // the same arithmetic evaluates interpreted and re-hashed
+    // planes×dim per row — it was the bench's slowest query.
     val buckets = df
-      .select(col(idCol).as("id"), explode(array(tableCols: _*)).as("tb"))
-      .select(col("id"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+      .select(col(idCol).as("id"),
+        graft.functions.VectorFunctions.lsh_buckets(col(vecCol), numPlanes, numTables)
+          .as("bks"))
+      .select(col("id"), posexplode(col("bks")).as(Seq("tbl", "bkt")))
     buckets.as("a").join(buckets.as("b"),
         col("a.tbl") === col("b.tbl") && col("a.bkt") === col("b.bkt") &&
           col("a.id") < col("b.id"))

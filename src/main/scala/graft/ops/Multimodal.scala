@@ -11,13 +11,16 @@ import org.apache.spark.sql.functions._
   * JPEG / BMP / GIF) produces true dimensions, channel count, and a
   * luminance-strip feature vector. Audio decode is REAL:
   * `javax.sound.sampled` (JVM-bundled; WAV/AIFF PCM) produces sample
-  * rate, frame count, channels, and an RMS energy profile. Blobs no
-  * bundled codec can parse (video, or the text fixture's fake blobs)
-  * fall back to a clearly-marked DETERMINISTIC STUB that derives
-  * metadata from the raw bytes, so the distributed plumbing — binary
-  * schema, mapPartitions batch shape, partition-preserving execution,
-  * frame explode — is exercised end-to-end on any input; swapping in
-  * further codecs changes no plumbing.
+  * rate, frame count, channels, and an RMS energy profile. Video
+  * CONTAINER metadata is REAL: an MP4 box walk yields track
+  * dimensions, duration, and track count (frame decode itself stays a
+  * stub — the JVM ships no video codec). Blobs nothing claims (the
+  * text fixture's fake blobs) fall back to a clearly-marked
+  * DETERMINISTIC STUB that derives metadata from the raw bytes, so
+  * the distributed plumbing — binary schema, mapPartitions batch
+  * shape, partition-preserving execution, frame explode — is
+  * exercised end-to-end on any input; swapping in further codecs
+  * changes no plumbing.
   */
 object Multimodal {
 
@@ -175,10 +178,92 @@ object Multimodal {
     } catch { case _: Exception => None }
   }
 
-  /** Production decode kernel: real codecs first (image, then audio),
-    * stub for bytes no codec claims. */
+  private def be32(b: Array[Byte], off: Int): Long =
+    ((b(off) & 0xffL) << 24) | ((b(off + 1) & 0xffL) << 16) |
+      ((b(off + 2) & 0xffL) << 8) | (b(off + 3) & 0xffL)
+
+  /** REAL video CONTAINER metadata: an MP4/ISO-BMFF box walk (pure
+    * deterministic byte arithmetic, no codec library) over
+    * `ftyp`→`moov`→{`mvhd`, `trak`/`tkhd`} yielding the presentation
+    * dimensions of the first visual track, the track count, and the
+    * movie duration. Kernel mapping: `w/h` = track width/height
+    * (16.16 fixed point, integer part), `c` = track count, features =
+    * [duration s, timescale, track count, 0…]. Frame DECODE stays an
+    * honest stub (no video codec ships with the JVM) — but the
+    * metadata a pipeline filters/partitions on (resolution, duration)
+    * is parsed from the real container bits. None when the bytes are
+    * not a plausible MP4 (no `ftyp`, malformed/64-bit boxes) — the
+    * caller falls back to [[decodeStub]]. */
+  def decodeVideoMeta(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] = {
+    if (bytes.length < 16 ||
+      !(bytes(4) == 'f' && bytes(5) == 't' && bytes(6) == 'y' && bytes(7) == 'p')) return None
+    try {
+      // (contentStart, contentEnd) of the first `tpe` box in [start, end).
+      def findBox(start: Int, end: Int, tpe: String): Option[(Int, Int)] = {
+        var off = start
+        while (off + 8 <= end) {
+          val sz = be32(bytes, off)
+          // sz < 8 covers 64-bit-size (sz == 1) and to-end (sz == 0)
+          // boxes — rare in practice, unsupported here by design.
+          if (sz < 8 || off + sz > end) return None
+          if (bytes(off + 4) == tpe(0) && bytes(off + 5) == tpe(1) &&
+            bytes(off + 6) == tpe(2) && bytes(off + 7) == tpe(3))
+            return Some((off + 8, off + sz.toInt))
+          off += sz.toInt
+        }
+        None
+      }
+      findBox(0, bytes.length, "moov").flatMap { case (ms, me) =>
+        val durSec = findBox(ms, me, "mvhd").flatMap { case (bs, be) =>
+          if (be - bs < 20) None
+          else {
+            val version = bytes(bs) & 0xff
+            if (version == 0) {
+              val timescale = be32(bytes, bs + 12)
+              val duration = be32(bytes, bs + 16)
+              if (timescale > 0) Some((duration.toDouble / timescale, timescale)) else None
+            } else None // v1 (64-bit times) not needed for the tested surface
+          }
+        }
+        // Walk every trak; take the first nonzero tkhd dimensions.
+        var tracks = 0
+        var w = 0
+        var h = 0
+        var off = ms
+        var ok = true
+        while (ok && off + 8 <= me) {
+          val sz = be32(bytes, off)
+          if (sz < 8 || off + sz > me) ok = false
+          else {
+            if (bytes(off + 4) == 't' && bytes(off + 5) == 'r' &&
+              bytes(off + 6) == 'a' && bytes(off + 7) == 'k') {
+              tracks += 1
+              findBox(off + 8, off + sz.toInt, "tkhd").foreach { case (bs, be) =>
+                // v0 tkhd: ver/flags(4) times(8) id(4) rsvd(4) dur(4)
+                // rsvd(8) layer(2) alt(2) vol(2) rsvd(2) matrix(36) w(4) h(4)
+                if ((bytes(bs) & 0xff) == 0 && be - bs >= 84 && w == 0) {
+                  val tw = (be32(bytes, bs + 76) >> 16).toInt
+                  val th = (be32(bytes, bs + 80) >> 16).toInt
+                  if (tw > 0 && th > 0) { w = tw; h = th }
+                }
+              }
+            }
+            off += sz.toInt
+          }
+        }
+        durSec.map { case (d, ts) =>
+          (w, h, tracks,
+            Array(d.toFloat, ts.toFloat, tracks.toFloat, 0f, 0f, 0f, 0f, 0f))
+        }
+      }
+    } catch { case _: Exception => None }
+  }
+
+  /** Production decode kernel: real codecs/parsers first (image, audio,
+    * video container), stub for bytes nothing claims. */
   def decodeKernel(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) =
-    decodeImage(bytes).orElse(decodeAudio(bytes)).getOrElse(decodeStub(bytes))
+    decodeImage(bytes).orElse(decodeAudio(bytes)).orElse(decodeVideoMeta(bytes))
+      .getOrElse(decodeStub(bytes))
 
   /** Distributed decode: one pass per partition over the binary column
     * (the Scala analog of a batched decode UDF — rows stream through

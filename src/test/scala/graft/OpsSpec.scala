@@ -527,6 +527,48 @@ class OpsSpec extends SparkSpec {
     assert(decoded(2L).width == stub._1 && decoded(2L).height == stub._2)
   }
 
+  test("real video container metadata: in-test MP4 gets dimensions, duration, tracks") {
+    import spark.implicits._
+    def box(tpe: String, content: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(8 + content.length)
+      bb.putInt(8 + content.length).put(tpe.getBytes("ISO-8859-1")).put(content)
+      bb.array()
+    }
+    def mvhd(timescale: Int, duration: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(100) // v0 layout, zero-filled tail
+      bb.putInt(0).putInt(0).putInt(0).putInt(timescale).putInt(duration)
+      bb.array()
+    }
+    def tkhd(w: Int, h: Int): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(84)
+      bb.position(76)
+      bb.putInt(w << 16).putInt(h << 16) // 16.16 fixed point
+      bb.array()
+    }
+    // Two tracks; the dimensionless first one plays the audio-track role,
+    // so the walker must take dims from the first VISUAL track.
+    val mp4 = box("ftyp", "isom    ".getBytes("ISO-8859-1")) ++
+      box("moov",
+        box("mvhd", mvhd(600, 3000)) ++
+          box("trak", box("tkhd", tkhd(0, 0))) ++
+          box("trak", box("tkhd", tkhd(640, 360))))
+
+    val got = graft.ops.Multimodal.decodeVideoMeta(mp4)
+    assert(got.nonEmpty, "MP4 box walk failed")
+    val (w, h, tracks, feats) = got.get
+    assert(w == 640 && h == 360 && tracks == 2)
+    assert(math.abs(feats(0) - 5.0f) < 1e-6, s"duration ${feats(0)} != 5s") // 3000/600
+    assert(feats(1) == 600f && feats(2) == 2f)
+
+    // Non-MP4 bytes rejected by the ftyp gate.
+    assert(graft.ops.Multimodal.decodeVideoMeta("RIFFxxxxWAVEnot mp4".getBytes).isEmpty)
+
+    // Distributed kernel chain picks the video parser for MP4 rows.
+    val media = Seq((1L, mp4, "video/mp4")).toDF("doc_id", "media", "media_type")
+    val m = graft.ops.Multimodal.decode(media).collect().head
+    assert(m.width == 640 && m.height == 360 && m.channels == 2)
+  }
+
   test("multimodal decode is deterministic and partition-shaped") {
     val media = Multimodal.asMedia(docs)
     val out = Multimodal.decode(media).collect()
