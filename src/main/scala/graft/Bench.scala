@@ -109,13 +109,17 @@ object Bench {
     // first, then a compact (<1 KB) summary LAST so the machine-readable
     // line always fits the capture window: totals + the 10 slowest queries.
     val slow = results.sortBy(-_._2).take(10)
+    // Locale-independent 2-decimal rounding: the f-interpolator formats
+    // with the JVM default locale (comma decimals on e.g. de_DE) and
+    // its .toDouble would then throw before either line prints.
     val slowQs = slow.map { case (k, v, _, _) =>
-      "\"" + k + "\":" + f"$v%.2f".toDouble
+      "\"" + k + "\":" + (math.round(v * 100) / 100.0)
     }.mkString("{", ",", "}")
     val maxStage = results.map(_._4).max
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$slowQs,"total_shuffle_bytes":$totalShuffle,""" +
-      s""""max_stage_shuffle_bytes":$maxStage,"n_queries":${results.size},""" +
+      s""""max_stage_shuffle_bytes":$maxStage,""" +
+      s""""n_queries":${SparkEntry.queries.size},"n_phases":${results.size},""" +
       s""""sf":"$sfDir","detail":"bench.json"}"""
     spark.stop()
     System.out.println(line)

@@ -223,7 +223,8 @@ case class QuantizedDot(left: Expression, right: Expression) extends BinaryExpre
   * and the per-row work is a tight codegen'd multiply-add loop
   * (interpreted eval path folds identically: ±1·x is IEEE-exact ±x,
   * sums j-ascending — the two paths are bit-identical). */
-case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int)
+case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int,
+    seed: Long = 42L)
     extends UnaryExpression {
   require(numPlanes >= 1 && numPlanes <= 62, s"numPlanes out of range: $numPlanes")
   require(numTables >= 1, s"numTables out of range: $numTables")
@@ -247,8 +248,10 @@ case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int)
     var m = cachedSigns
     if (m == null || m(0).length < dim) {
       m = Array.tabulate(numPlanes * numTables) { k =>
-        // Matches Spark's xxhash64(k, j): seed 42, then chain each input.
-        val seedK = XXH64.hashLong(k.toLong, 42L)
+        // Matches Spark's xxhash64(k, j) at the default seed 42, then
+        // chains each input; a caller-supplied seed de-correlates
+        // independent LSH uses.
+        val seedK = XXH64.hashLong(k.toLong, seed)
         Array.tabulate(dim) { j =>
           if ((XXH64.hashLong(j.toLong, seedK) & 1L) == 0L) 1.toByte else -1.toByte
         }
@@ -348,7 +351,7 @@ object VectorFunctions {
     GraftColumnBridge.column(QuantizedDot(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(b)))
 
-  def lsh_buckets(v: Column, numPlanes: Int, numTables: Int): Column =
+  def lsh_buckets(v: Column, numPlanes: Int, numTables: Int, seed: Long = 42L): Column =
     GraftColumnBridge.column(LshBuckets(
-      GraftColumnBridge.expression(v), numPlanes, numTables))
+      GraftColumnBridge.expression(v), numPlanes, numTables, seed))
 }

@@ -149,7 +149,8 @@ object Multimodal {
           val unsigned = fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
           var f = 0
           while (f < n) {
-            val s = math.min(segs - 1, f * segs / n)
+            // long arithmetic: f*segs overflows Int beyond ~268M frames
+            val s = math.min(segs - 1, (f.toLong * segs / n).toInt)
             var c = 0
             var acc = 0.0
             while (c < channels) {
