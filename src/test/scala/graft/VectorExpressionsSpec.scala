@@ -102,6 +102,46 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(overlap >= 7, s"quantization destroyed ranking: overlap $overlap/10")
   }
 
+  test("lsh_buckets: codegen equals a JVM recount of the sign-matrix fold") {
+    import org.apache.spark.sql.catalyst.expressions.XXH64
+    val numPlanes = 12
+    val numTables = 16
+    val seed = 42L
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("v"))
+    val rows = e.select(col("v"),
+        lsh_buckets(col("v"), numPlanes, numTables, seed).as("bks"))
+      .collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0)
+      val got = r.getSeq[Long](1)
+      assert(got.length == numTables)
+      // Independent recount of the documented construction: sign of
+      // Σ_j ±v_j with ±1 from the xxhash64(k, j) chain parity.
+      val want = (0 until numTables).map { t =>
+        (0 until numPlanes).map { p =>
+          val k = t * numPlanes + p
+          val seedK = XXH64.hashLong(k.toLong, seed)
+          var s = 0.0
+          v.indices.foreach { j =>
+            val sign = if ((XXH64.hashLong(j.toLong, seedK) & 1L) == 0L) 1.0 else -1.0
+            s += sign * v(j).toDouble
+          }
+          if (s >= 0) 1L << p else 0L
+        }.reduce(_ | _)
+      }
+      assert(got == want, s"bucket mismatch: $got vs $want")
+    }
+    // Distinct seeds must de-correlate the tables (different buckets).
+    val other = e.limit(50).select(
+        lsh_buckets(col("v"), numPlanes, numTables, seed).as("a"),
+        lsh_buckets(col("v"), numPlanes, numTables, 7L).as("b"))
+      .collect()
+    assert(other.exists(r => r.getSeq[Long](0) != r.getSeq[Long](1)),
+      "seed had no effect on bucket assignment")
+  }
+
   test("type check rejects non-float arrays") {
     val bad = intercept[Exception] {
       pairs.select(vector_dot(col("va").cast("array<double>"), col("vb"))).collect()
