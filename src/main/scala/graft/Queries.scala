@@ -767,7 +767,7 @@ object Queries {
   def n02Prior(s: SparkSession, dir: String): DataFrame =
     memo(s, dir, "n02_prior") {
       graft.nnd.NND.buildGraph(emb(s, dir).filter(col("id") % 5 =!= 0),
-        graft.nnd.NND.Params(k = 10, maxIterations = 3))
+        graft.nnd.NND.Params(k = 10, maxIterations = 5))
         .select("id", "neighbors")
     }
 
@@ -1072,12 +1072,15 @@ object Queries {
     // arrivals) — both vs the full-corpus brute force.
     "n02_knn_incremental" -> ((s, dir) => {
       val e = emb(s, dir)
-      // 3 update iterations: at the bench corpus (sf0.1, 400 appended
-      // nodes) 2 iterations leave new-node recall at 0.55; the third
-      // converges it to 0.83 at NO wall cost (measured 7.6s -> 6.8s —
-      // better lists shrink the later candidate joins).
+      // 5 update iterations against the converged (5-iteration, same as
+      // n01) prior: the sf0.1 sweep measured new-node recall 0.83 at 3
+      // iterations, 0.91 at 4, 0.93 at 5, 0.931 at 6 — the plateau
+      // matches the full-rebuild n01 quality (0.94), so 5 is where the
+      // increment is fully absorbed; each extra iteration costs ~1s at
+      // this corpus. Wider init (bucketsPerInstance 8) converges to the
+      // same plateau and buys nothing at 5 iterations.
       val edges = graft.nnd.NND.updateGraph(e, n02Prior(s, dir),
-          graft.nnd.NND.Params(k = 10, maxIterations = 3))
+          graft.nnd.NND.Params(k = 10, maxIterations = 5))
         .filter(col("neighbors").isNotNull)
         .select(col("id").as("query_id"), explode(col("neighbors")).as("nbr"))
         .select(col("query_id"), col("nbr.id").as("nbr_id"))
@@ -1201,9 +1204,9 @@ object Queries {
       "n_hits" -> (4985L, 4978L, 18790L),
       "n_total" -> (5000L, 5000L, 20000L)),
     "n02_knn_incremental" -> pinnedCounts(
-      "n_hits_new" -> (993L, 988L, 3309L),
+      "n_hits_new" -> (997L, 993L, 3711L),
       "n_total_new" -> (1000L, 1000L, 4000L),
-      "n_hits_old" -> (3993L, 3989L, 15112L),
+      "n_hits_old" -> (3997L, 3994L, 15576L),
       "n_total_old" -> (4000L, 4000L, 16000L)),
 
     // Same augmented corpus as the Spark side (perturbed copies at
