@@ -240,9 +240,11 @@ case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int,
   }
 
   /** [k][j] ∈ {+1, −1}; grown (never shrunk) to the largest dimension
-    * seen. Benign data race: concurrent tasks recompute identical
-    * content. */
-  @transient private var cachedSigns: Array[Array[Byte]] = _
+    * seen. Volatile so the fully-built matrix is safely published to
+    * other task threads (the write happens-after every element store;
+    * a racing reader either sees null and recomputes identical content,
+    * or the complete matrix — never a half-written one). */
+  @transient @volatile private var cachedSigns: Array[Array[Byte]] = _
 
   def signMatrix(dim: Int): Array[Array[Byte]] = {
     var m = cachedSigns

@@ -60,17 +60,6 @@ object SimilaritySearch {
       .select("query_id", "rank", "nbr_id", "score")
   }
 
-  /** Sign-bit bucket id against hash-derived Rademacher hyperplanes —
-    * the single-table form of the native
-    * [[graft.functions.LshBuckets]] expression: no vector-dimension
-    * probe of the corpus (the VERDICT r2 minor), no materialized plane
-    * literals, no driver-side RNG, and the per-row work is one
-    * codegen'd multiply-add loop over a per-executor cached sign
-    * matrix (the interpreted HOF form this replaces re-hashed
-    * planes×dim per row). Deterministic and retry-stable. */
-  def bucketOfHashed(vec: Column, numPlanes: Int, seed: Long): Column =
-    element_at(VectorFunctions.lsh_buckets(vec, numPlanes, 1, seed), 1)
-
   /** All XOR masks with at most `radius` bits set among `numPlanes` bits
     * (multiprobe neighborhood of a bucket). */
   def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
@@ -90,10 +79,9 @@ object SimilaritySearch {
     * unit-normalized and centroids re-normalized after every mean step,
     * with assignment by max dot product — the quantizer whose Voronoi
     * cells are cones about the origin, i.e. the partition that respects
-    * the COSINE metric the search ranks by. (Plain L2 k-means cells cut
-    * across cosine neighborhoods whenever vector norms vary: a measured
-    * 0.54 → 0.9 recall difference on the fixture at identical probe
-    * cost.) Returns `nCells` unit-norm centroids. */
+    * the COSINE metric the search ranks by (plain L2 k-means cells cut
+    * across cosine neighborhoods whenever vector norms vary). Returns
+    * `nCells` unit-norm centroids. */
   def trainIvfCentroids(
       corpus: DataFrame,
       nCells: Int,
@@ -162,13 +150,22 @@ object SimilaritySearch {
     * trained coarse centroids; each query scans only its `nProbe`
     * nearest cells. The centroid set is tiny (driver-trained on a
     * deterministic sample) and ships as literals, so cell assignment is
-    * a codegen'd projection — the corpus shuffles once, on cell id. */
+    * a codegen'd projection — the corpus shuffles once, on cell id.
+    *
+    * Default `nProbe/nCells = 16/32` scans half the corpus for measured
+    * recall 0.85 on the synthetic fixture — which is ISOTROPIC (vectors
+    * near-uniform on the sphere), the adversarial case for any
+    * partition-based ANN: cosine neighborhoods barely cluster, so cells
+    * fragment every query's true top-k. Real embedding corpora are
+    * strongly clustered and support far smaller probe fractions at the
+    * same recall; the scan fraction is always nProbe/nCells by
+    * construction, tunable per corpus. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
-      nCells: Int = 16,
-      nProbe: Int = 4,
+      nCells: Int = 32,
+      nProbe: Int = 16,
       seed: Long = 42L): DataFrame = {
     val centroids = trainIvfCentroids(corpus, nCells, seed = seed)
 
@@ -263,11 +260,17 @@ object SimilaritySearch {
     * OR-construction is what makes sign-LSH usable on weakly clustered
     * corpora: per-table collision probability p for a true neighbor is
     * modest, but 1−(1−p)^L approaches 1 while the probed fraction grows
-    * only linearly in L. Defaults (8 planes × 8 tables, radius 1) probe
-    * ≤ 8·9/256 ≈ 28% of a large corpus for recall ≈ 0.9 on the fixture —
-    * strictly better on both axes than one table with a wide probe
-    * radius (the previous 5-plane/radius-2 default scanned ~50% for
-    * recall 0.67).
+    * only linearly in L.
+    *
+    * Defaults (8 planes × 24 tables, radius 1): measured recall 0.95 on
+    * the synthetic fixture with a distinct-candidate fraction of
+    * ~1−(1−9/256)^24 ≈ 0.58 of the corpus per query (background pairs
+    * dedup across tables). The fixture is ISOTROPIC — near-uniform
+    * directions, the worst case for sign-LSH, where true top-10
+    * neighbors sit at cosine ≈ 0.45 and collide little better than
+    * background. Clustered real embeddings separate the two collision
+    * probabilities sharply, and the same construction prunes far harder
+    * at the same recall (fewer tables / more planes per table).
     *
     * Scale shape: the corpus never shuffles — bucket ids are a codegen'd
     * projection, the probe side is broadcast, and candidate pairs leave
@@ -281,7 +284,7 @@ object SimilaritySearch {
       queries: DataFrame,
       k: Int,
       numPlanes: Int = 8,
-      numTables: Int = 8,
+      numTables: Int = 24,
       probeRadius: Int = 1,
       seed: Long = 42L): DataFrame = {
     val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
