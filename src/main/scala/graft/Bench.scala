@@ -73,7 +73,7 @@ object Bench {
         Queries.benchOnly.toSeq.sortBy(_._1)
           .map { case (name, fn) => name -> (() => fn(spark, sfDir).count()) }
 
-    val results = phases.map { case (name, run) =>
+    val pass1 = phases.map { case (name, run) =>
       // Let stage-completed events from the previous query drain.
       Thread.sleep(150)
       curShuffle.set(0L)
@@ -83,6 +83,36 @@ object Bench {
       val secs = (System.nanoTime() - t0) / 1e9
       Thread.sleep(150)
       (name, secs, curShuffle.get(), maxStageShuffle.get())
+    }
+
+    // Median-of-3 on the heaviest phases: in a shared JVM per-query wall
+    // times swing 3–6× between identical-code runs (round 4: d04 27.3s →
+    // 4.4s, d08 4.6s → 15.4s with zero code change), which makes
+    // single-run per-query grading meaningless exactly where it matters.
+    // The cheap majority stays single-pass; the top-N by pass-1 time get
+    // two more timed runs and report the median. Shuffle bytes are
+    // plan-deterministic, so pass-1 values stand.
+    val nHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY", "10").toInt
+    val heavy = pass1.sortBy(-_._2).take(nHeavy).map(_._1).toSet
+    val runFn = phases.toMap
+    // Build phases memoize their artifact; evict it before each rerun so
+    // the median is over three real builds, not one build and two cache
+    // hits. (The rebuilt artifact re-memoizes, so later reruns of
+    // n01/n02/s03 still search the prebuilt graph — the declared shape.)
+    val rerunPrep: Map[String, () => Unit] = Map(
+      "n01_graph_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n01_graph")),
+      "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")))
+    val results = pass1.map { case r @ (name, t1, sh, mx) =>
+      if (!heavy(name)) r
+      else {
+        val ts = t1 +: (1 to 2).map { _ =>
+          rerunPrep.get(name).foreach(_())
+          val t0 = System.nanoTime()
+          try { runFn(name)() } catch { case _: Throwable => -1L }
+          (System.nanoTime() - t0) / 1e9
+        }
+        (name, ts.sorted.apply(1), sh, mx)
+      }
     }
 
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }

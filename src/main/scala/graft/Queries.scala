@@ -752,6 +752,14 @@ object Queries {
     prebuilt.computeIfAbsent(key, _ => build.localCheckpoint())
   }
 
+  /** Drop one memoized artifact so a re-timed build phase measures a real
+    * build (Bench's median-of-3: without eviction, reruns of
+    * `n01_graph_build`/`n02_prior_build` would time a cache hit). The
+    * next touch rebuilds and re-memoizes. Tags: "n01_graph",
+    * "n02_prior", "brute_truth". */
+  def evictPrebuilt(s: SparkSession, dir: String, tag: String): Unit =
+    prebuilt.remove(s"${s.sparkContext.applicationId}|$dir|$tag")
+
   /** The n01 graph (k=10, 5 iterations over the full embeddings table) —
     * built once per session; n01 pays the build, s03 searches it. */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
@@ -972,10 +980,13 @@ object Queries {
     "m02_frame_sample" -> ((s, dir) =>
       Multimodal.sampleFrames(Multimodal.asMedia(docs(s, dir)))),
 
-    // Multimodal: stub resize (aspect-preserving target dimensions).
+    // Multimodal: pixel resize over the raw blobs — real ImageIO +
+    // Graphics2D resample for image bytes, deterministic stub-dims
+    // fallback for blobs no codec claims (the text fixture), so the
+    // oracle-checked dimension columns are fixture-stable either way.
     "m03_resize" -> ((s, dir) =>
-      Multimodal.resize(Multimodal.decode(Multimodal.asMedia(docs(s, dir))).toDF())
-        .select("doc_id", "width", "height", "new_w", "new_h")),
+      Multimodal.resizeMedia(Multimodal.asMedia(docs(s, dir)))
+        .toDF().select("doc_id", "width", "height", "new_w", "new_h")),
 
     // Rolling-hash content fingerprint (order-sensitive).
     "t07_rolling_fp" -> ((s, dir) =>
@@ -1127,6 +1138,42 @@ object Queries {
         s"WHEN 60000 THEN $v01 WHEN 600000 THEN $v1 END AS BIGINT) AS $name"
     }.mkString("SELECT ", ", ", "")
 
+  /** Single source of truth for the pinned-literal oracles of the
+    * hash-dependent approximate ops: measured per-column values at
+    * (sf0.001, sf0.01, sf0.1). Both the DuckDB SQL oracles (via
+    * [[pinnedCounts]], spliced into [[pipelineOracles]]) and the local
+    * `PinsSpec` sbt-test gate derive from this table, so any behavior
+    * drift — a re-tuned ANN default, a changed hash — goes red in
+    * `sbt test` until re-measured (the round-3/4 process hole: pins
+    * lived only in SQL strings no test executed).
+    *
+    * Re-measure with `sbt "runMain graft.tools.PinDump"` (runs every
+    * pinned query at all three SFs and prints this table's literal
+    * syntax) and paste the output here IN THE SAME COMMIT as the
+    * behavior change. Last measured 2026-08-12 (round 5) at lshTopK
+    * planes=8/tables=24/radius=1, ivfTopK nCells=32/nProbe=16. */
+  val pinnedValues: Seq[(String, Seq[(String, (Long, Long, Long))])] = Seq(
+    "s02_ann_lsh" -> Seq(
+      "n_hits" -> (177L, 191L, 190L), "n_total" -> (200L, 200L, 200L)),
+    "s03_graph_search" -> Seq(
+      "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
+    "s04_ann_ivf" -> Seq(
+      "n_hits" -> (166L, 167L, 170L), "n_total" -> (200L, 200L, 200L)),
+    "s05_ann_quantized" -> Seq(
+      "n_hits" -> (200L, 200L, 200L), "n_total" -> (200L, 200L, 200L)),
+    "d04_simhash_pairs" -> Seq(
+      "n_candidates" -> (1484L, 1418L, 138939L),
+      "n_true_pairs" -> (28L, 25L, 256L),
+      "n_true_found" -> (27L, 23L, 227L)),
+    "n01_knn_graph" -> Seq(
+      "n_hits" -> (4985L, 4978L, 18790L),
+      "n_total" -> (5000L, 5000L, 20000L)),
+    "n02_knn_incremental" -> Seq(
+      "n_hits_new" -> (997L, 993L, 3711L),
+      "n_total_new" -> (1000L, 1000L, 4000L),
+      "n_hits_old" -> (3997L, 3994L, 15576L),
+      "n_total_old" -> (4000L, 4000L, 16000L)))
+
   private val shingleCte =
     """WITH sh AS (
       |  SELECT DISTINCT doc_id AS id, s FROM (
@@ -1176,38 +1223,9 @@ object Queries {
     "d03_minhash_pairs" -> shingleCte,
     "d08_jaccard_prefix" -> shingleCte,
 
-    // ---- Pinned-literal oracles for the hash-dependent approximate
-    // ops (VERDICT r2 #4). Their raw output has no SQL twin, but every
-    // construction is deterministic (seeded hyperplanes, xxhash
-    // projections, partition-invariant NND — NNDSpec/OpsSpec-asserted),
-    // so the declared queries emit one row of BIGINT recall/coverage
-    // counts whose values are fixed per fixture. The oracle pins those
-    // values, keyed per scale factor by lineitem's row count
-    // (6000 / 60000 / 600000 at sf0.001 / 0.01 / 0.1) so the compare
-    // is green at every SF; an unknown SF yields NULL and fails
-    // loudly. Values measured 2026-08-12 from the declared queries
-    // themselves; any behavior drift in the ops flips the compare —
-    // that is the point (change detector, not rows-only). ----
-    "s02_ann_lsh" -> pinnedCounts(
-      "n_hits" -> (128L, 140L, 133L), "n_total" -> (200L, 200L, 200L)),
-    "s03_graph_search" -> pinnedCounts(
-      "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
-    "s04_ann_ivf" -> pinnedCounts(
-      "n_hits" -> (114L, 126L, 107L), "n_total" -> (200L, 200L, 200L)),
-    "s05_ann_quantized" -> pinnedCounts(
-      "n_hits" -> (200L, 200L, 200L), "n_total" -> (200L, 200L, 200L)),
-    "d04_simhash_pairs" -> pinnedCounts(
-      "n_candidates" -> (1484L, 1418L, 138939L),
-      "n_true_pairs" -> (28L, 25L, 256L),
-      "n_true_found" -> (27L, 23L, 227L)),
-    "n01_knn_graph" -> pinnedCounts(
-      "n_hits" -> (4985L, 4978L, 18790L),
-      "n_total" -> (5000L, 5000L, 20000L)),
-    "n02_knn_incremental" -> pinnedCounts(
-      "n_hits_new" -> (997L, 993L, 3711L),
-      "n_total_new" -> (1000L, 1000L, 4000L),
-      "n_hits_old" -> (3997L, 3994L, 15576L),
-      "n_total_old" -> (4000L, 4000L, 16000L)),
+    // (Pinned-literal oracles for the hash-dependent approximate ops
+    // — s02–s05, d04, n01, n02 — are spliced in from [[pinnedValues]]
+    // after this literal; see that table's doc for the scheme.)
 
     // Same augmented corpus as the Spark side (perturbed copies at
     // id+10⁶); the oracle is the exact all-pairs scan at 0.9 — planted
@@ -1480,7 +1498,7 @@ object Queries {
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
         |GROUP BY 1, 2""".stripMargin
-  )
+  ) ++ pinnedValues.map { case (name, cols) => name -> pinnedCounts(cols: _*) }
 
   def all: Map[String, (SparkSession, String) => DataFrame] =
     relational ++ relational2 ++ pipeline

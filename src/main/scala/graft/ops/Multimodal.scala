@@ -330,17 +330,85 @@ object Multimodal {
       }
   }
 
-  /** STUB resize: computes the target dimensions a real resampler would
-    * produce (aspect-preserving to `targetW` wide) from the decoded
-    * metadata — pure deterministic arithmetic (floor(x+0.5), not
-    * banker's rounding, so it is engine-portable). The pixel resample
-    * itself is the codec stub's job in production. */
+  /** Metadata-only resize: computes the target dimensions a resampler
+    * produces (aspect-preserving to `targetW` wide) from already-decoded
+    * metadata — pure deterministic Column arithmetic (floor(x+0.5), not
+    * banker's rounding, so it is engine-portable). For the pixel
+    * resample over the raw blobs see [[resizeMedia]]. */
   def resize(meta: DataFrame, targetW: Int = 64): DataFrame =
     meta
       .withColumn("new_w", lit(targetW))
       .withColumn("new_h",
         greatest(lit(1),
           floor(col("height") * lit(targetW.toDouble) / col("width") + lit(0.5)).cast("int")))
+
+  /** A resized media row: original dims, target dims, and the re-encoded
+    * pixels (null when no image codec claimed the input — the metadata
+    * columns still carry the stub dims so downstream schema is stable). */
+  final case class ResizedMedia(
+      doc_id: Long,
+      width: Int,
+      height: Int,
+      new_w: Int,
+      new_h: Int,
+      resized: Array[Byte])
+
+  private def targetDims(w: Int, h: Int, targetW: Int): (Int, Int) =
+    (targetW, math.max(1, math.floor(h * targetW.toDouble / w + 0.5).toInt))
+
+  /** REAL pixel resize kernel: ImageIO decode (magic-byte-gated, memory-
+    * backed input), aspect-preserving Graphics2D bilinear resample to
+    * `targetW` wide, PNG re-encode. None when the gate or the codec
+    * rejects the bytes — the caller keeps the deterministic stub-dims
+    * path, so the operator works on any blob mix. */
+  def resizeImageKernel(bytes: Array[Byte], targetW: Int): Option[ResizedKernelOut] =
+    try {
+      if (!looksLikeImage(bytes)) return None
+      val img = javax.imageio.ImageIO.read(
+        new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(bytes)))
+      if (img == null) None
+      else {
+        val (w, h) = (img.getWidth, img.getHeight)
+        val (nw, nh) = targetDims(w, h, targetW)
+        val out = new java.awt.image.BufferedImage(
+          nw, nh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g = out.createGraphics()
+        try {
+          g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g.drawImage(img, 0, 0, nw, nh, null)
+        } finally g.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        Some(ResizedKernelOut(w, h, nw, nh, bos.toByteArray))
+      }
+    } catch { case _: Exception => None }
+
+  final case class ResizedKernelOut(
+      width: Int, height: Int, newW: Int, newH: Int, png: Array[Byte])
+
+  /** Distributed pixel resize over the binary media column: real decode +
+    * resample + re-encode for image blobs, stub-dims fallback (resized =
+    * null) for bytes nothing claims. Same per-partition streaming shape
+    * as [[decode]] — no driver involvement, task memory bounded by one
+    * blob plus its resampled output. */
+  def resizeMedia(media: DataFrame, targetW: Int = 64): Dataset[ResizedMedia] = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.map { case (id, bytes) =>
+          resizeImageKernel(bytes, targetW) match {
+            case Some(r) => ResizedMedia(id, r.width, r.height, r.newW, r.newH, r.png)
+            case None =>
+              val (w, h, _, _) = decodeStub(bytes)
+              val (nw, nh) = targetDims(w, h, targetW)
+              ResizedMedia(id, w, h, nw, nh, null)
+          }
+        }
+      }
+  }
 
   /** Frame sampling: split each blob into fixed-size frames and emit one
     * row per sampled frame (every `stride`-th). Pure Column ops —

@@ -156,14 +156,30 @@ object SimilaritySearch {
     * recall 0.85 on the synthetic fixture — which is ISOTROPIC (vectors
     * near-uniform on the sphere), the adversarial case for any
     * partition-based ANN: cosine neighborhoods barely cluster, so cells
-    * fragment every query's true top-k. Real embedding corpora are
-    * strongly clustered and support far smaller probe fractions at the
-    * same recall; the scan fraction is always nProbe/nCells by
+    * fragment every query's true top-k. On clustered data — the shape
+    * of real embedding corpora — the same construction prunes hard:
+    * MEASURED (OpsSpec planted-50-cluster corpus, via
+    * [[ivfCandidatePairs]]) recall 1.0 at 64 cells / 8 probes scanning
+    * 12.5% of the corpus. The scan fraction is nProbe/nCells by
     * construction, tunable per corpus. */
   def ivfTopK(
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
+      nCells: Int = 32,
+      nProbe: Int = 16,
+      seed: Long = 42L): DataFrame =
+    rankTopK(ivfCandidatePairs(corpus, queries, nCells, nProbe, seed), k)
+
+  /** The scored candidate stream of [[ivfTopK]] before the per-query
+    * rank: every (query, corpus) pair sharing a probed cell, exactly
+    * once (cells partition the corpus, so a neighbor lives in one cell).
+    * Exposed so tests can MEASURE the scanned fraction —
+    * `count / (|Q|·(N−1))` — rather than quote the nominal
+    * nProbe/nCells. */
+  def ivfCandidatePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
       nCells: Int = 32,
       nProbe: Int = 16,
       seed: Long = 42L): DataFrame = {
@@ -186,11 +202,18 @@ object SimilaritySearch {
       .withColumn("pc", explode(col("probe")))
       .select(col("query_id"), col("v_q"), col("n_q"), col("pc.cell").as("cell"))
 
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
         VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .select("query_id", "nbr_id", "cosine")
+  }
+
+  /** Per-query exact top-k over a scored (query_id, nbr_id, cosine)
+    * candidate stream, deterministic id tie-break. */
+  private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    pairs
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cosine")
@@ -269,8 +292,10 @@ object SimilaritySearch {
     * directions, the worst case for sign-LSH, where true top-10
     * neighbors sit at cosine ≈ 0.45 and collide little better than
     * background. Clustered real embeddings separate the two collision
-    * probabilities sharply, and the same construction prunes far harder
-    * at the same recall (fewer tables / more planes per table).
+    * probabilities sharply and prune far harder at equal recall with
+    * cluster-tuned params (more planes, fewer tables): MEASURED
+    * (OpsSpec planted-50-cluster corpus, via [[lshCandidatePairs]])
+    * recall 1.0 at 10 planes × 8 tables scanning 12.6% of the corpus.
     *
     * Scale shape: the corpus never shuffles — bucket ids are a codegen'd
     * projection, the probe side is broadcast, and candidate pairs leave
@@ -283,6 +308,21 @@ object SimilaritySearch {
       corpus: DataFrame,
       queries: DataFrame,
       k: Int,
+      numPlanes: Int = 8,
+      numTables: Int = 24,
+      probeRadius: Int = 1,
+      seed: Long = 42L): DataFrame =
+    rankTopK(
+      lshCandidatePairs(corpus, queries, numPlanes, numTables, probeRadius, seed), k)
+
+  /** The deduped scored candidate stream of [[lshTopK]] before the
+    * per-query rank: every (query, corpus) pair colliding in ≥ 1 table,
+    * exactly once. Exposed so tests can MEASURE the distinct-candidate
+    * fraction — `count / (|Q|·(N−1))` — rather than quote the
+    * 1−(1−p)^L estimate. */
+  def lshCandidatePairs(
+      corpus: DataFrame,
+      queries: DataFrame,
       numPlanes: Int = 8,
       numTables: Int = 24,
       probeRadius: Int = 1,
@@ -300,19 +340,15 @@ object SimilaritySearch {
       .withColumn("bucket", explode(array(probes: _*)))
       .select(col("query_id"), col("v_q"), col("n_q"), col("tbl"), col("bucket"))
 
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
         VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
       // A pair colliding in several tables appears once per collision;
       // the values are identical, so max() is a pure dedup — done BEFORE
-      // the window so the rank shuffle carries unique narrow triples
-      // (and the partial agg dedups map-side).
+      // the downstream rank window so the shuffle carries unique narrow
+      // triples (and the partial agg dedups map-side).
       .groupBy(col("query_id"), col("nbr_id"))
       .agg(max(col("cosine")).as("cosine"))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
   }
 }

@@ -1,0 +1,65 @@
+package graft.tools
+
+import org.apache.spark.sql.SparkSession
+
+/** Re-measurement harness for [[graft.Queries.pinnedValues]]: runs every
+  * pinned-oracle declared query at each fixture dir and prints the
+  * measured counts in the exact literal syntax of the `pinnedValues`
+  * table, ready to paste into `Queries.scala`.
+  *
+  * Run whenever an ANN/LSH/NND default, seed, or hash changes — in the
+  * SAME commit as the change (the round-3/4 driver-gate regressions were
+  * exactly this step skipped):
+  *
+  * {{{ sbt "runMain graft.tools.PinDump" }}}
+  *
+  * Args (optional): fixture dirs, default the three driver SFs. With
+  * fewer than three dirs the printed tuples are partial — paste only the
+  * positions you measured.
+  */
+object PinDump {
+  def main(args: Array[String]): Unit = {
+    val dirs =
+      if (args.nonEmpty) args.toSeq
+      else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val measured = graft.Queries.pinnedValues.map { case (name, cols) =>
+      val byDir = dirs.map { dir =>
+        val t0 = System.nanoTime()
+        val row = graft.SparkEntry.queries(name)(spark, dir).collect()(0)
+        System.err.println(f"[pindump] $name $dir ${(System.nanoTime() - t0) / 1e9}%.1fs")
+        cols.map { case (c, _) => c -> row.getAs[Long](c) }.toMap
+      }
+      name -> cols.map { case (c, pinned) => (c, pinned, byDir.map(_(c))) }
+    }
+
+    println("  val pinnedValues: Seq[(String, Seq[(String, (Long, Long, Long))])] = Seq(")
+    println(measured.map { case (name, cols) =>
+      s"""    "$name" -> Seq(\n""" + cols.map { case (c, _, vs) =>
+        s"""      "$c" -> (${vs.mkString("L, ")}L)"""
+      }.mkString(",\n") + ")"
+    }.mkString(",\n") + ")")
+
+    val drift = measured.flatMap { case (name, cols) =>
+      cols.collect { case (c, pinned, vs)
+        if vs != Seq(pinned._1, pinned._2, pinned._3).take(vs.length) =>
+        s"$name.$c pinned=$pinned measured=${vs.mkString("/")}"
+      }
+    }
+    if (drift.nonEmpty) {
+      System.err.println("[pindump] DRIFT vs current pins:")
+      drift.foreach(d => System.err.println(s"[pindump]   $d"))
+    } else System.err.println("[pindump] all measured values match current pins")
+    spark.stop()
+  }
+}

@@ -1,4 +1,4 @@
-package graft
+package graft.tools
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -8,13 +8,17 @@ import graft.ops.SimilaritySearch
 /** Local tuning harness (not a test): sweeps ANN parameters against the
   * brute-force ground truth on a fixture dir and prints recall + wall
   * time per combo. Run with
-  * `sbt "Test/runMain graft.TuneAnn /root/testdata/sf0.1"`. */
+  * `sbt "runMain graft.tools.TuneAnn /root/testdata/sf0.1"`.
+  *
+  * After picking new defaults, re-measure the pinned oracles with
+  * [[PinDump]] in the same commit. */
 object TuneAnn {
   def main(args: Array[String]): Unit = {
     val dir = args(0)
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
@@ -42,14 +46,18 @@ object TuneAnn {
       tables <- Seq(8, 16, 24)
       radius <- Seq(1, 2)
     } {
-      // probed fraction per table: sum_{m<=radius} C(planes,m) / 2^planes
-      val probed = (0 to radius).map(m =>
+      // Probed fraction per table: sum_{m<=radius} C(planes,m) / 2^planes.
+      // Across L independent tables the expected DISTINCT-candidate
+      // fraction is 1-(1-p)^L (the union-bound L·p exceeds 1 for large
+      // combos and overstates work — candidates are deduped map-side).
+      val perTable = (0 to radius).map(m =>
         (0 until m).foldLeft(1.0)((a, i) => a * (planes - i) / (i + 1))).sum /
         math.pow(2, planes)
+      val probed = 1.0 - math.pow(1.0 - perTable, tables)
       val (hits, secs) = recall(
         SimilaritySearch.lshTopK(e, q, 10, planes, tables, radius))
       println(f"lsh planes=$planes tables=$tables radius=$radius " +
-        f"probedFrac=${tables * probed}%.3f  recall=${hits.toDouble / total}%.3f ($hits/$total)  ${secs}%.1fs")
+        f"probedFrac=$probed%.3f  recall=${hits.toDouble / total}%.3f ($hits/$total)  ${secs}%.1fs")
     }
 
     for {
