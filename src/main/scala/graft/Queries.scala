@@ -702,7 +702,7 @@ object Queries {
   // ---- North-star pipeline ops (SURVEY.md §2.9): dedup, text analysis,
   // similarity search, multimodal, streaming, and the NND graph itself ----
 
-  import graft.ops.{Dedup, Multimodal, SimilaritySearch, TextAnalysis}
+  import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -810,6 +810,27 @@ object Queries {
   val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one hash shuffle on the text key.
     "d01_dedup_exact" -> ((s, dir) => Dedup.exact(docs(s, dir), "doc_id", "text")),
+
+    // Benchmark decontamination: per-training-doc counts of distinct
+    // word trigrams shared with the benchmark subset (doc_id % 20 == 0
+    // plays the eval suite). The benchmark gram set is broadcast and
+    // the corpus streams map-side — it is never shuffled by content
+    // (Decontaminate's scale notes; Bloom-carrier twin tested equal).
+    "d09_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Decontaminate.overlapCounts(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+    }),
+
+    // GPT-style sequence packing: every document's placement in the
+    // concatenated 256-token-chunk stream (id order), via a
+    // distributed prefix sum — no single-task global window (Packing's
+    // scale notes; partition-count invariance tested).
+    "t11_pack_chunks" -> ((s, dir) =>
+      Packing.packChunks(
+        docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
+        "doc_id", "n_tokens", 256)),
 
     // Exact near-dup pairs by 3-gram shingle Jaccard, with the
     // document-frequency cap engaged (shingles in >10% of the corpus are
@@ -1195,6 +1216,42 @@ object Queries {
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text""".stripMargin,
+
+    // Same trigram construction as the dedup oracles; benchmark set =
+    // doc_id % 20 == 0. count(b.s) counts matched (distinct) grams.
+    "d09_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |bench AS (SELECT DISTINCT s FROM grams WHERE id % 20 = 0),
+        |corpus AS (SELECT id, s FROM grams WHERE id % 20 <> 0)
+        |SELECT c.id AS doc_id, count(*) AS n_grams,
+        |  CAST(count(b.s) AS BIGINT) AS n_contaminated,
+        |  CAST(count(b.s) AS DOUBLE) / count(*) AS contaminated_frac
+        |FROM corpus c LEFT JOIN bench b USING (s)
+        |GROUP BY c.id""".stripMargin,
+
+    // Exclusive running sum in doc_id order, then 256-token chunk
+    // spans — single-op integer arithmetic, bit-exact across engines.
+    "t11_pack_chunks" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |placed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 256 AS chunk_first,
+        |  (start_off + greatest(n_tokens, 1) - 1) // 256 AS chunk_last,
+        |  (start_off + greatest(n_tokens, 1) - 1) // 256
+        |    - start_off // 256 + 1 AS n_chunks
+        |FROM placed""".stripMargin,
 
     // d02 runs with maxDocFraction = 0.1: the oracle drops shingles
     // with df > min(floor(0.1·N), 10000) before sizes/intersections,

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.{Decontaminate, Packing}
+
+/** Training-data assembly operators: benchmark decontamination and
+  * sequence packing. */
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  // --- Decontaminate ---
+
+  test("overlapCounts matches hand-computed trigram overlap") {
+    val corpus = Seq(
+      (1L, "a b c d e"), // trigrams: "a b c","b c d","c d e"
+      (2L, "x y z w"), //            "x y z","y z w"
+      (3L, "a b c x y z q") // shares "a b c" and "x y z"
+    ).toDF("doc_id", "text")
+    val bench = Seq((100L, "a b c d"), (101L, "p q r x y z"))
+      .toDF("doc_id", "text") // bench grams: "a b c","b c d","p q r","q r x","r x y","x y z"
+    val got = Decontaminate.overlapCounts(corpus, bench, "doc_id", "text")
+      .orderBy("doc_id")
+      .select("doc_id", "n_grams", "n_contaminated")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 3L, 2L), (2L, 2L, 1L), (3L, 5L, 2L)))
+  }
+
+  test("a benchmark document planted in the corpus is fully contaminated") {
+    val bench = docs.filter($"doc_id" % 20 === 0)
+    val planted = bench.limit(3)
+      .select(($"doc_id" + 1000000L).as("doc_id"), $"text")
+    val res = Decontaminate.overlapCounts(planted, bench, "doc_id", "text")
+    val fracs = res.select("contaminated_frac").as[Double].collect()
+    assert(fracs.length == 3 && fracs.forall(_ == 1.0))
+  }
+
+  test("Bloom-carrier path equals the exact broadcast path on the fixture") {
+    val corpus = docs.filter($"doc_id" % 20 =!= 0)
+    val bench = docs.filter($"doc_id" % 20 === 0)
+    val exact = Decontaminate.overlapCounts(corpus, bench, "doc_id", "text")
+    val bloom = Decontaminate.overlapCountsBloom(corpus, bench, "doc_id", "text")
+    assert(exact.count() == corpus.count())
+    assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
+  }
+
+  // --- Packing ---
+
+  /** In-test oracle: exclusive prefix sum via a local scan of the
+    * collected (id, n) pairs. */
+  private def localPack(rows: Seq[(Long, Long)], budget: Long): Seq[(Long, Long, Long, Long, Long)] = {
+    var acc = 0L
+    rows.sortBy(_._1).map { case (id, n) =>
+      val start = acc; acc += n
+      val span = math.max(n, 1L)
+      (id, n, start, start / budget, (start + span - 1) / budget)
+    }
+  }
+
+  test("packChunks equals the local prefix-sum oracle") {
+    val withTokens = docs
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    val expected = localPack(
+      withTokens.select("doc_id", "n_tokens").as[(Long, Long)].collect().toSeq, 256L)
+    val got = Packing.packChunks(withTokens, "doc_id", "n_tokens", 256)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_off", "chunk_first", "chunk_last")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+  }
+
+  test("packChunks output is invariant to the partition count") {
+    val withTokens = docs
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    val p1 = Packing.packChunks(withTokens, "doc_id", "n_tokens", 256, numPartitions = 1)
+    val p3 = Packing.packChunks(withTokens, "doc_id", "n_tokens", 256, numPartitions = 3)
+    val p17 = Packing.packChunks(withTokens, "doc_id", "n_tokens", 256, numPartitions = 17)
+    assert(p1.exceptAll(p3).isEmpty && p3.exceptAll(p1).isEmpty)
+    assert(p1.exceptAll(p17).isEmpty && p17.exceptAll(p1).isEmpty)
+  }
+
+  test("packChunks stream is gapless and chunk spans are consistent") {
+    val withTokens = docs
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+    val rows = Packing.packChunks(withTokens, "doc_id", "n_tokens", 256)
+      .orderBy("doc_id")
+      .select("doc_id", "n_tokens", "start_off", "chunk_first", "chunk_last", "n_chunks")
+      .as[(Long, Long, Long, Long, Long, Long)].collect()
+    // Consecutive docs tile the stream exactly: start[i+1] = start[i] + n[i].
+    rows.sliding(2).foreach {
+      case Array((_, n, s, _, _, _), (_, _, s2, _, _, _)) => assert(s2 == s + n)
+      case _ =>
+    }
+    rows.foreach { case (_, n, s, cf, cl, nc) =>
+      assert(cf == s / 256 && cl == (s + math.max(n, 1) - 1) / 256)
+      assert(nc == cl - cf + 1 && nc >= 1)
+      // A doc spans at most ceil(n/budget)+1 chunks.
+      assert(nc <= n / 256 + 2)
+    }
+  }
+}
