@@ -103,15 +103,19 @@ object Bench {
       "n01_graph_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n01_graph")),
       "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")))
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
-      if (!heavy(name)) r
+      if (!heavy(name) && !rerunPrep.contains(name)) r
       else {
-        val ts = t1 +: (1 to 2).map { _ =>
+        // Median-of-3 for heavy queries; median-of-5 for the build
+        // phases (the BASELINE-comparable numbers), whose iterative
+        // JIT/GC profile still swung ~2× between median-of-3 runs.
+        val extra = if (rerunPrep.contains(name)) 4 else 2
+        val ts = t1 +: (1 to extra).map { _ =>
           rerunPrep.get(name).foreach(_())
           val t0 = System.nanoTime()
           try { runFn(name)() } catch { case _: Throwable => -1L }
           (System.nanoTime() - t0) / 1e9
         }
-        (name, ts.sorted.apply(1), sh, mx)
+        (name, ts.sorted.apply(ts.size / 2), sh, mx)
       }
     }
 

@@ -702,7 +702,7 @@ object Queries {
   // ---- North-star pipeline ops (SURVEY.md §2.9): dedup, text analysis,
   // similarity search, multimodal, streaming, and the NND graph itself ----
 
-  import graft.ops.{Decontaminate, Dedup, Multimodal, Packing, SimilaritySearch, TextAnalysis}
+  import graft.ops.{Decontaminate, Dedup, HeavyHitters, Multimodal, Packing, SimilaritySearch, TextAnalysis}
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -831,6 +831,15 @@ object Queries {
       Packing.packChunks(
         docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
         "doc_id", "n_tokens", 256)),
+
+    // Exact heavy hitters (terms at ≥ 1% of the token stream) via
+    // Misra-Gries candidates + exact recount: the candidate set may
+    // vary with partitioning but the output is exact and deterministic
+    // (no-false-negative guarantee + recount), so the groupBy-count
+    // oracle checks it bit-for-bit. Threshold is integer arithmetic
+    // (n·100 ≥ total·1) on both engines.
+    "t12_heavy_hitters" -> ((s, dir) =>
+      HeavyHitters.frequentTerms(docs(s, dir), split(col("text"), " "), 1L, 100L)),
 
     // Exact near-dup pairs by 3-gram shingle Jaccard, with the
     // document-frequency cap engaged (shingles in >10% of the corpus are
@@ -1252,6 +1261,16 @@ object Queries {
         |  (start_off + greatest(n_tokens, 1) - 1) // 256
         |    - start_off // 256 + 1 AS n_chunks
         |FROM placed""".stripMargin,
+
+    // Integer-arithmetic threshold (count·100 >= total·1) — bit-exact
+    // across engines; the sketch+recount construction is exact.
+    "t12_heavy_hitters" ->
+      """WITH toks AS (
+        |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT term, count(*) AS n
+        |FROM toks GROUP BY term
+        |HAVING count(*) * 100 >= (SELECT n FROM tot) * 1""".stripMargin,
 
     // d02 runs with maxDocFraction = 0.1: the oracle drops shingles
     // with df > min(floor(0.1·N), 10000) before sizes/intersections,

@@ -79,13 +79,17 @@ object Decontaminate {
         col("n_contaminated").cast("double") / col("n_grams"))
   }
 
-  /** Distinct xxhash64'd word n-grams per document: `(id, g)`. */
+  /** Distinct xxhash64'd word n-grams per document: `(id, g)`. The
+    * per-document dedup happens INSIDE the row (`array_distinct`
+    * before the explode), so producing the gram stream is a pure
+    * projection — no shuffle. (Contrast [[Dedup.shingleSet]], whose
+    * cross-row `distinct` is fine there because its consumers shuffle
+    * on the gram key anyway; here the corpus must stay unshuffled.) */
   private def gramSet(df: DataFrame, idCol: String, textCol: String,
                       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
-        explode(Dedup.shingles(col(textCol), n)).as("s"))
+        explode(array_distinct(Dedup.shingles(col(textCol), n))).as("s"))
       .select(col("id"), xxhash64(col("s")).as("g"))
-      .distinct()
 
   private def countOverlap(corpusGrams: DataFrame, benchGrams: DataFrame,
                            idCol: String): DataFrame =

@@ -135,6 +135,40 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), s"candidate scan fell back to sort-merge:\n$p")
   }
 
+  test("d09: benchmark gram set broadcasts — corpus gram join never sort-merges") {
+    val p = plan("d09_decontaminate")
+    assert(p.contains("BroadcastHashJoin"), s"bench grams not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"corpus gram stream shuffled for the overlap join:\n$p")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"per-doc counts lost map-side combine:\n$p")
+  }
+
+  test("t11/packChunks: no global window sort — the prefix sum is a distributed scan") {
+    // Capture every plan executed inside packChunks; none may contain a
+    // WindowExec (the single-task Window.orderBy running-total shape).
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      import org.apache.spark.sql.functions._
+      val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+      graft.ops.Packing.packChunks(docs, "doc_id", "n_tokens", 256).collect()
+      var last = -1
+      while (plans.size() != last) { last = plans.size(); Thread.sleep(500) }
+      val windowed = plans.toArray(Array.empty[String]).filter(_.contains("Window"))
+      assert(windowed.isEmpty,
+        s"packChunks planned a window sort:\n${windowed.headOption.getOrElse("")}")
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("whole-stage codegen spans cover the scan-filter-project pipelines") {
     val p = plan("q02_filter_project")
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),

@@ -45,6 +45,41 @@ class TrainPrepSpec extends SparkSpec {
     assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
   }
 
+  // --- HeavyHitters ---
+
+  test("frequentTerms equals the exact groupBy-count computation") {
+    import graft.ops.HeavyHitters
+    val toks = docs.select(explode(split($"text", " ")).as("term"))
+    val total = toks.count()
+    for ((num, den) <- Seq((1L, 100L), (1L, 20L))) {
+      val exact = toks.groupBy("term").agg(count(lit(1)).as("n"))
+        .filter($"n" * den >= total * num)
+      val got = HeavyHitters.frequentTerms(docs, split($"text", " "), num, den)
+      assert(got.exceptAll(exact).isEmpty && exact.exceptAll(got).isEmpty,
+        s"mismatch at $num/$den")
+    }
+  }
+
+  test("frequentTerms is invariant to partitioning (sketch candidates may differ; output may not)") {
+    import graft.ops.HeavyHitters
+    val a = HeavyHitters.frequentTerms(docs.repartition(1), split($"text", " "), 1L, 100L)
+    val b = HeavyHitters.frequentTerms(docs.repartition(13), split($"text", " "), 1L, 100L)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("frequentTerms survives a tight capacity on a skew-heavy stream") {
+    import graft.ops.HeavyHitters
+    // 3 heavy terms (200 of 1200 each, threshold 1/8 = 150) drowned in
+    // 600 singletons: capacity 12 (just above den/num = 8, far below
+    // the 603 distinct terms) must still find exactly the heavy ones.
+    val rows = (1 to 600).map(i => s"rare$i") ++
+      Seq.fill(200)("hot1") ++ Seq.fill(200)("hot2") ++ Seq.fill(200)("hot3")
+    val df = rows.zipWithIndex.map { case (w, i) => (i.toLong, w) }.toDF("id", "text")
+    val got = HeavyHitters.frequentTerms(df.repartition(7), split($"text", " "), 1L, 8L, capacity = 12)
+      .select("term").as[String].collect().toSet
+    assert(got == Set("hot1", "hot2", "hot3"))
+  }
+
   // --- Packing ---
 
   /** In-test oracle: exclusive prefix sum via a local scan of the
