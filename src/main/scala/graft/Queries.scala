@@ -966,6 +966,11 @@ object Queries {
     // Corpus term document-frequency.
     "t05_term_doc_freq" -> ((s, dir) => TextAnalysis.termDocFreq(docs(s, dir))),
 
+    // BPE-ish regex token statistics (trainer-facing token counts).
+    "t13_bpe_tokens" -> ((s, dir) =>
+      TextAnalysis.bpeTokenStats(docs(s, dir))
+        .select("doc_id", "n_bpe", "n_bpe_distinct", "bpe_chars")),
+
     // TF-IDF: top-3 scored terms per document (deterministic ln/product
     // arithmetic, id tie-breaks).
     "t06_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
@@ -1418,6 +1423,18 @@ object Queries {
         |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
         |    '\+?\d[\d()\s.-]{7,}\d', '<PHONE>', 'g') AS scrubbed
         |FROM documents""".stripMargin,
+
+    // Same regex literal as TextAnalysis.bpePattern — the pattern uses
+    // only constructs Java regex and RE2 parse identically.
+    "t13_bpe_tokens" ->
+      """SELECT doc_id,
+        |  len(tk) AS n_bpe,
+        |  len(list_distinct(tk)) AS n_bpe_distinct,
+        |  CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+        |    AS BIGINT) AS bpe_chars
+        |FROM (SELECT doc_id,
+        |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tk
+        |  FROM documents)""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT doc_id,

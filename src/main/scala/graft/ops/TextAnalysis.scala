@@ -43,6 +43,24 @@ object TextAnalysis {
         aggregate(tk, lit(0L), (acc, x) => acc + length(x)).cast("double") / col("n_tokens"))
   }
 
+  /** BPE-ish pre-tokenizer pattern: letter runs, digit runs, and
+    * punctuation runs (the GPT-2 pre-tokenizer's shape, minus the
+    * lookahead/contraction cases, so the pattern parses identically
+    * under Java regex and RE2 — both engines' oracles agree). */
+  val bpePattern = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+"
+
+  /** Token statistics under the BPE-ish regex pre-tokenizer — the
+    * "how many tokens will the trainer see" estimate (whitespace
+    * counting under-counts punctuation-heavy/code text). Pure
+    * projection, zero shuffle. */
+  def bpeTokenStats(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val tk = regexp_extract_all(col(textCol), lit(bpePattern), lit(0))
+    df.withColumn("n_bpe", size(tk))
+      .withColumn("n_bpe_distinct", size(array_distinct(tk)))
+      .withColumn("bpe_chars",
+        aggregate(tk, lit(0L), (acc, x) => acc + length(x)))
+  }
+
   /** Heuristic quality score in [0,1]: mixes length band, lexical
     * diversity and stopword presence (the classic C4/Gopher-style filter
     * shape, re-expressed as deterministic arithmetic). */

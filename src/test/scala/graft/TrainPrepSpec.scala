@@ -45,6 +45,19 @@ class TrainPrepSpec extends SparkSpec {
     assert(exact.exceptAll(bloom).isEmpty && bloom.exceptAll(exact).isEmpty)
   }
 
+  // --- BPE-ish tokenizer ---
+
+  test("bpeTokenStats splits letter/digit/punct runs (cases the word-soup fixture lacks)") {
+    import graft.ops.TextAnalysis
+    val df = Seq((1L, "abc123!? x9--y"), (2L, "hello world")).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeTokenStats(df)
+      .select("doc_id", "n_bpe", "n_bpe_distinct", "bpe_chars")
+      .as[(Long, Int, Int, Long)].collect().map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 1: abc | 123 | !? | x | 9 | -- | y
+    assert(got(1L) == ((7, 7, 13L)))
+    assert(got(2L) == ((2, 2, 10L)))
+  }
+
   // --- HeavyHitters ---
 
   test("frequentTerms equals the exact groupBy-count computation") {
