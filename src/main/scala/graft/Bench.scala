@@ -31,6 +31,9 @@ object Bench {
     // overhead — while scans/maps still use every core.
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
+    // Parsed up front: a malformed value must fail before pass 1, not
+    // after minutes of measurement.
+    val nHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -92,7 +95,6 @@ object Bench {
     // The cheap majority stays single-pass; the top-N by pass-1 time get
     // two more timed runs and report the median. Shuffle bytes are
     // plan-deterministic, so pass-1 values stand.
-    val nHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY", "10").toInt
     val heavy = pass1.sortBy(-_._2).take(nHeavy).map(_._1).toSet
     val runFn = phases.toMap
     // Build phases memoize their artifact; evict it before each rerun so
@@ -109,13 +111,18 @@ object Bench {
         // phases (the BASELINE-comparable numbers), whose iterative
         // JIT/GC profile still swung ~2× between median-of-3 runs.
         val extra = if (rerunPrep.contains(name)) 4 else 2
-        val ts = t1 +: (1 to extra).map { _ =>
+        // A crashed rerun contributes NO sample (its time-to-crash is
+        // not a build time); if every rerun fails, pass 1 stands.
+        val reruns = (1 to extra).flatMap { _ =>
           rerunPrep.get(name).foreach(_())
           val t0 = System.nanoTime()
-          try { runFn(name)() } catch { case _: Throwable => -1L }
-          (System.nanoTime() - t0) / 1e9
+          try { runFn(name)(); Some((System.nanoTime() - t0) / 1e9)
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] rerun of $name failed: $e"); None
+          }
         }
-        (name, ts.sorted.apply(ts.size / 2), sh, mx)
+        val ts = (t1 +: reruns).sorted
+        (name, ts(ts.size / 2), sh, mx)
       }
     }
 

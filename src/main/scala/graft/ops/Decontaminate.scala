@@ -55,11 +55,13 @@ object Decontaminate {
                          textCol: String, n: Int = 3,
                          fpp: Double = 0.01): DataFrame = {
     val corpusGrams = gramSet(corpus, idCol, textCol, n)
-    // Persisted across the two eager actions here (count, bloom build)
-    // and the lazy verify join in the returned plan; bench-sized, so
-    // the cache footprint is bounded by the eval suite, not the corpus.
+    // Recomputed for each of the two eager actions here (count, bloom
+    // build) and the lazy verify join in the returned plan — all three
+    // passes are over the BENCH set, so recompute beats a persist the
+    // lazy return could never safely release (a cache entry per call
+    // would outlive the session's interest in it).
     val benchGrams = gramSet(bench, idCol, textCol, n)
-      .select(col("g")).distinct().persist()
+      .select(col("g")).distinct()
     val nBench = math.max(benchGrams.count(), 1L) // bounded: bench is small
     val bloom = benchGrams.stat.bloomFilter("g", nBench, fpp)
     val bc = corpus.sparkSession.sparkContext.broadcast(bloom)

@@ -39,16 +39,25 @@ import scala.collection.mutable
   */
 object HeavyHitters {
 
+  /** Mutable sketch state: the bounded counter map plus the exact
+    * stream length (carried here so candidate generation and N come
+    * from ONE scan — `toks.count()` would be a third corpus pass). */
+  private[ops] final class MgState(
+      val counts: mutable.HashMap[String, Long], var n: Long)
+      extends Serializable
+
   /** Misra-Gries summary over a token stream: at most `capacity`
     * counters; decrement-on-miss; merge = counter sum followed by a
     * subtract-the-(capacity+1)-th-largest rebalance. Emits the
     * surviving terms (sorted, for stable debugging — order is not
-    * semantically relevant). */
+    * semantically relevant) plus the exact stream length. */
   private[ops] class MisraGries(capacity: Int)
-      extends Aggregator[String, mutable.HashMap[String, Long], Seq[String]] {
-    def zero: mutable.HashMap[String, Long] = mutable.HashMap.empty
+      extends Aggregator[String, MgState, (Seq[String], Long)] {
+    def zero: MgState = new MgState(mutable.HashMap.empty, 0L)
 
-    def reduce(b: mutable.HashMap[String, Long], t: String): mutable.HashMap[String, Long] = {
+    def reduce(s: MgState, t: String): MgState = {
+      val b = s.counts
+      s.n += 1
       b.get(t) match {
         case Some(c) => b(t) = c + 1
         case None if b.size < capacity => b(t) = 1L
@@ -62,12 +71,13 @@ object HeavyHitters {
           }
           dead.foreach(b.remove)
       }
-      b
+      s
     }
 
-    def merge(a: mutable.HashMap[String, Long],
-              b: mutable.HashMap[String, Long]): mutable.HashMap[String, Long] = {
-      b.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
+    def merge(x: MgState, y: MgState): MgState = {
+      val a = x.counts
+      x.n += y.n
+      y.counts.foreach { case (k, c) => a(k) = a.getOrElse(k, 0L) + c }
       if (a.size > capacity) {
         // Subtract the (capacity+1)-th largest count from everything;
         // ≤ capacity strictly-positive counters remain.
@@ -79,12 +89,12 @@ object HeavyHitters {
         }
         dead.foreach(a.remove)
       }
-      a
+      x
     }
 
-    def finish(b: mutable.HashMap[String, Long]): Seq[String] = b.keys.toSeq.sorted
-    def bufferEncoder = Encoders.kryo[mutable.HashMap[String, Long]]
-    def outputEncoder = Encoders.kryo[Seq[String]]
+    def finish(s: MgState): (Seq[String], Long) = (s.counts.keys.toSeq.sorted, s.n)
+    def bufferEncoder = Encoders.kryo[MgState]
+    def outputEncoder = Encoders.kryo[(Seq[String], Long)]
   }
 
   /** Exact heavy hitters: every term of `tokens` whose total count
@@ -102,9 +112,8 @@ object HeavyHitters {
     val spark = df.sparkSession
     import spark.implicits._
     val toks = df.select(explode(tokens).as("term"))
-    val cands = toks.as[String]
+    val (cands, total) = toks.as[String]
       .select(new MisraGries(cap).toColumn).head()
-    val total = toks.count()
     toks.join(broadcast(cands.toDF("term")), "term")
       .groupBy("term").agg(count(lit(1)).as("n"))
       .filter(col("n") * lit(den) >= lit(total) * lit(num))

@@ -75,12 +75,7 @@ object Multimodal {
     * cache) and the magic gate keep the miss path allocation-only. */
   def decodeImage(bytes: Array[Byte]): Option[(Int, Int, Int, Array[Float])] =
     try {
-      if (!looksLikeImage(bytes)) return None
-      val img = javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
-      if (img == null) None
-      else {
+      readImage(bytes).map { img =>
         val w = img.getWidth
         val h = img.getHeight
         val channels = img.getColorModel.getNumComponents
@@ -103,9 +98,20 @@ object Multimodal {
         }
         val feats = Array.tabulate(strips)(i =>
           if (counts(i) > 0) (sums(i) / counts(i) / 255.0).toFloat else 0.0f)
-        Some((w, h, channels, feats))
+        (w, h, channels, feats)
       }
     } catch { case _: Exception => None }
+
+  /** Shared decode front door for [[decodeImage]] and
+    * [[resizeImageKernel]]: magic-byte gate + memory-backed ImageIO
+    * read (no temp-file cache), None when no installed reader claims
+    * the bytes — so codec-support changes land in exactly one place. */
+  private def readImage(bytes: Array[Byte]): Option[java.awt.image.BufferedImage] = {
+    if (!looksLikeImage(bytes)) return None
+    Option(javax.imageio.ImageIO.read(
+      new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))))
+  }
 
   /** Magic-byte sniff for the JVM-bundled `javax.sound.sampled` readers
     * (WAV and AIFF/AIFC) — same rationale as [[looksLikeImage]]: the
@@ -363,12 +369,7 @@ object Multimodal {
     * path, so the operator works on any blob mix. */
   def resizeImageKernel(bytes: Array[Byte], targetW: Int): Option[ResizedKernelOut] =
     try {
-      if (!looksLikeImage(bytes)) return None
-      val img = javax.imageio.ImageIO.read(
-        new javax.imageio.stream.MemoryCacheImageInputStream(
-          new java.io.ByteArrayInputStream(bytes)))
-      if (img == null) None
-      else {
+      readImage(bytes).map { img =>
         val (w, h) = (img.getWidth, img.getHeight)
         val (nw, nh) = targetDims(w, h, targetW)
         val out = new java.awt.image.BufferedImage(
@@ -381,7 +382,7 @@ object Multimodal {
         } finally g.dispose()
         val bos = new java.io.ByteArrayOutputStream()
         javax.imageio.ImageIO.write(out, "png", bos)
-        Some(ResizedKernelOut(w, h, nw, nh, bos.toByteArray))
+        ResizedKernelOut(w, h, nw, nh, bos.toByteArray)
       }
     } catch { case _: Exception => None }
 

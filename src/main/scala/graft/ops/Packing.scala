@@ -45,48 +45,48 @@ object Packing {
     val spark = df.sparkSession
     val parts = if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sorted = df
+    // RDD-level persist, deliberately: the sums job (eager, here) and
+    // the caller's eventual action over the returned frame must see the
+    // same sorted partitions without paying the sort twice, and an RDD
+    // cache — unlike a DataFrame cache entry — is reclaimed by the
+    // ContextCleaner as soon as the returned frame is garbage, so
+    // nothing leaks across calls.
+    val sortedRdd = df
       .select(col(idCol).cast("long").as("id"),
         col(tokenCol).cast("long").as("n_tokens"))
       .repartitionByRange(parts, col("id"))
       .sortWithinPartitions("id")
-      .persist()
-    try {
-      // Job 1: per-partition sums — partial-agg'd, #partitions rows.
-      val sums = sorted
-        .groupBy(spark_partition_id().as("pid"))
-        .agg(sum(col("n_tokens")).as("s"))
-        .collect()
-        .map(r => r.getInt(0) -> r.getLong(1)).toMap
-      // Exclusive scan on the driver (empty partitions contribute 0).
-      val offsets = new Array[Long](parts)
-      var acc = 0L
-      for (p <- 0 until parts) {
-        offsets(p) = acc
-        acc += sums.getOrElse(p, 0L)
+      .rdd.map(r => (r.getLong(0), r.getLong(1)))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Job 1: per-partition sums — #partitions Longs to the driver.
+    val sums = sortedRdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L; it.foreach(s += _._2); Iterator((i, s))
+    }.collect().toMap
+    // Exclusive scan on the driver (empty partitions contribute 0).
+    val offsets = new Array[Long](parts)
+    var acc = 0L
+    for (p <- 0 until parts) {
+      offsets(p) = acc
+      acc += sums.getOrElse(p, 0L)
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    // Job 2 (lazy, caller-driven): local running sum + partition offset.
+    val placedRdd = sortedRdd.mapPartitionsWithIndex { case (pid, it) =>
+      var run = bcOffsets.value(pid)
+      it.map { case (id, n) =>
+        val start = run
+        run += n
+        (id, n, start)
       }
-      val bcOffsets = spark.sparkContext.broadcast(offsets)
-      // Job 2: local running sum + broadcast partition offset. Row
-      // order within a partition is the sortWithinPartitions order
-      // (both jobs re-derive narrowly from the persisted partitioning).
-      val placedRdd = sorted.rdd.mapPartitionsWithIndex {
-        case (pid, it) =>
-          var run = bcOffsets.value(pid)
-          it.map { r =>
-            val start = run
-            run += r.getLong(1)
-            (r.getLong(0), r.getLong(1), start)
-          }
-      }
-      val span = greatest(col("n_tokens"), lit(1L))
-      spark.createDataFrame(placedRdd)
-        .toDF("id", "n_tokens", "start_off")
-        .withColumn("chunk_first", floor(col("start_off") / budget))
-        .withColumn("chunk_last",
-          floor((col("start_off") + span - 1) / budget))
-        .withColumn("n_chunks",
-          col("chunk_last") - col("chunk_first") + lit(1L))
-        .withColumnRenamed("id", idCol)
-    } finally sorted.unpersist()
+    }
+    val span = greatest(col("n_tokens"), lit(1L))
+    spark.createDataFrame(placedRdd)
+      .toDF("id", "n_tokens", "start_off")
+      .withColumn("chunk_first", floor(col("start_off") / budget))
+      .withColumn("chunk_last",
+        floor((col("start_off") + span - 1) / budget))
+      .withColumn("n_chunks",
+        col("chunk_last") - col("chunk_first") + lit(1L))
+      .withColumnRenamed("id", idCol)
   }
 }

@@ -33,6 +33,19 @@ object PinDump {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Which pin slot each dir compares against is detected from the
+    // data (lineitem row count — the same discriminator pinnedCounts
+    // uses), not from argument position: `runMain ... /path/sf0.1`
+    // must diff against the sf0.1 pin, not the first tuple slot.
+    val sfSlot: Map[String, Option[Int]] = dirs.map { dir =>
+      dir -> (spark.read.parquet(s"$dir/lineitem.parquet").count() match {
+        case 6000 => Some(0)
+        case 60000 => Some(1)
+        case 600000 => Some(2)
+        case _ => None
+      })
+    }.toMap
+
     val measured = graft.Queries.pinnedValues.map { case (name, cols) =>
       val byDir = dirs.map { dir =>
         val t0 = System.nanoTime()
@@ -50,10 +63,16 @@ object PinDump {
       }.mkString(",\n") + ")"
     }.mkString(",\n") + ")")
 
+    dirs.filter(sfSlot(_).isEmpty).foreach(d => System.err.println(
+      s"[pindump] $d: unrecognized scale factor — skipped in the drift report"))
     val drift = measured.flatMap { case (name, cols) =>
-      cols.collect { case (c, pinned, vs)
-        if vs != Seq(pinned._1, pinned._2, pinned._3).take(vs.length) =>
-        s"$name.$c pinned=$pinned measured=${vs.mkString("/")}"
+      cols.flatMap { case (c, pinned, vs) =>
+        val pinArr = Array(pinned._1, pinned._2, pinned._3)
+        dirs.zip(vs).flatMap { case (dir, v) =>
+          sfSlot(dir).collect { case slot if pinArr(slot) != v =>
+            s"$name.$c @$dir pinned=${pinArr(slot)} measured=$v"
+          }
+        }
       }
     }
     if (drift.nonEmpty) {

@@ -10,6 +10,27 @@ class PlanSpec extends SparkSpec {
     df.queryExecution.executedPlan.toString
   }
 
+  /** Runs `body` with a QueryExecutionListener attached and returns
+    * every executed plan it produced (the listener bus is async, so
+    * this polls until the plan stream goes quiet). */
+  private def capturedPlans(body: => Unit): Seq[String] = {
+    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
+      override def onSuccess(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
+        plans.add(qe.executedPlan.toString)
+      override def onFailure(funcName: String,
+          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      body
+      var last = -1
+      while (plans.size() != last) { last = plans.size(); Thread.sleep(500) }
+      plans.toArray(Array.empty[String]).toSeq
+    } finally spark.listenerManager.unregister(listener)
+  }
+
   test("q02: filter and projection push down to the parquet scan") {
     val p = plan("q02_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate), IsNotNull(l_quantity)")
@@ -58,28 +79,16 @@ class PlanSpec extends SparkSpec {
     // Capture every executed plan during a rho<1 build; the reverse
     // sample must never plan a WindowExec (the old row_number form's
     // full shuffle+sort).
-    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        plans.add(qe.executedPlan.toString)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.functions.col
+    val plans = capturedPlans {
       val emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
         .select(col("vec_id").as("id"), col("embedding").as("features"))
       graft.nnd.NND.buildGraph(emb,
         graft.nnd.NND.Params(k = 5, maxIterations = 2, sampleRate = 0.5)).count()
-      // The listener bus is async; wait for the plan stream to go quiet.
-      var last = -1
-      while (plans.size() != last) { last = plans.size(); Thread.sleep(500) }
-      val windowed = plans.toArray(Array.empty[String]).filter(_.contains("Window"))
-      assert(windowed.isEmpty,
-        s"rho-sampling still plans a window sort:\n${windowed.headOption.getOrElse("")}")
-    } finally spark.listenerManager.unregister(listener)
+    }
+    val windowed = plans.filter(_.contains("Window"))
+    assert(windowed.isEmpty,
+      s"rho-sampling still plans a window sort:\n${windowed.headOption.getOrElse("")}")
   }
 
   test("bucketed tables co-locate the join: no exchange before the sort-merge") {
@@ -147,26 +156,15 @@ class PlanSpec extends SparkSpec {
   test("t11/packChunks: no global window sort — the prefix sum is a distributed scan") {
     // Capture every plan executed inside packChunks; none may contain a
     // WindowExec (the single-task Window.orderBy running-total shape).
-    val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
-    val listener = new org.apache.spark.sql.util.QueryExecutionListener {
-      override def onSuccess(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, durationNs: Long): Unit =
-        plans.add(qe.executedPlan.toString)
-      override def onFailure(funcName: String,
-          qe: org.apache.spark.sql.execution.QueryExecution, exception: Exception): Unit = ()
-    }
-    spark.listenerManager.register(listener)
-    try {
-      import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.functions._
+    val plans = capturedPlans {
       val docs = spark.read.parquet(s"$sf0001/documents.parquet")
         .withColumn("n_tokens", size(split(col("text"), " ")))
       graft.ops.Packing.packChunks(docs, "doc_id", "n_tokens", 256).collect()
-      var last = -1
-      while (plans.size() != last) { last = plans.size(); Thread.sleep(500) }
-      val windowed = plans.toArray(Array.empty[String]).filter(_.contains("Window"))
-      assert(windowed.isEmpty,
-        s"packChunks planned a window sort:\n${windowed.headOption.getOrElse("")}")
-    } finally spark.listenerManager.unregister(listener)
+    }
+    val windowed = plans.filter(_.contains("Window"))
+    assert(windowed.isEmpty,
+      s"packChunks planned a window sort:\n${windowed.headOption.getOrElse("")}")
   }
 
   test("whole-stage codegen spans cover the scan-filter-project pipelines") {
