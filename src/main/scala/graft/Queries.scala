@@ -702,7 +702,7 @@ object Queries {
   // ---- North-star pipeline ops (SURVEY.md §2.9): dedup, text analysis,
   // similarity search, multimodal, streaming, and the NND graph itself ----
 
-  import graft.ops.{Decontaminate, Dedup, HeavyHitters, Multimodal, Packing, SimilaritySearch, TextAnalysis}
+  import graft.ops.{Clustering, Decontaminate, Dedup, HeavyHitters, Multimodal, Packing, SimilaritySearch, TextAnalysis}
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
   private def emb(s: SparkSession, dir: String): DataFrame =
@@ -1063,6 +1063,22 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // Distributed k-means (domain-discovery clustering, k=8, 5 Lloyd
+    // rounds): fixed-point centroid accumulation makes assignments a
+    // pure function of the fixture at ANY partitioning, so the cluster
+    // census + exactly-summable fixed-point inertia are pinned facts
+    // (partition-invariance asserted in ClusteringSpec).
+    "s07_kmeans_clusters" -> ((s, dir) => {
+      val sizes = Clustering.kmeansAssign(emb(s, dir), "id", "features", 8)
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("cn"), sum(col("dist_fp")).as("d"))
+      sizes.agg(
+        sum(col("cn")).as("n_points"),
+        count(lit(1)).as("n_clusters_nonempty"),
+        max(col("cn")).as("largest_cluster"),
+        sum(col("d")).as("inertia_fp"))
+    }),
+
     // Stream-stream interval join (watermarked both sides) — must equal
     // the batch range join q27.
     "st04_stream_join" -> ((s, dir) =>
@@ -1196,6 +1212,11 @@ object Queries {
       "n_hits" -> (166L, 167L, 170L), "n_total" -> (200L, 200L, 200L)),
     "s05_ann_quantized" -> Seq(
       "n_hits" -> (200L, 200L, 200L), "n_total" -> (200L, 200L, 200L)),
+    "s07_kmeans_clusters" -> Seq(
+      "n_points" -> (500L, 500L, 2000L),
+      "n_clusters_nonempty" -> (8L, 8L, 8L),
+      "largest_cluster" -> (80L, 76L, 284L),
+      "inertia_fp" -> (1901313L, 1901531L, 7781125L)),
     "d04_simhash_pairs" -> Seq(
       "n_candidates" -> (1484L, 1418L, 138939L),
       "n_true_pairs" -> (28L, 25L, 256L),
@@ -1305,7 +1326,7 @@ object Queries {
     "d08_jaccard_prefix" -> shingleCte,
 
     // (Pinned-literal oracles for the hash-dependent approximate ops
-    // — s02–s05, d04, n01, n02 — are spliced in from [[pinnedValues]]
+    // — s02–s05, s07, d04, n01, n02 — are spliced in from [[pinnedValues]]
     // after this literal; see that table's doc for the scheme.)
 
     // Same augmented corpus as the Spark side (perturbed copies at

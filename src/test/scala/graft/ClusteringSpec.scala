@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Clustering
+
+/** Distributed k-means: determinism, recovery, and fixed-point
+  * arithmetic properties. */
+class ClusteringSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** 300 points around 3 well-separated centers (seeded, d=8). */
+  private def planted = {
+    val rnd = new scala.util.Random(7)
+    val centers = Array.tabulate(3, 8)((c, j) => if (j == c) 5f else 0f)
+    (0 until 300).map { i =>
+      val c = i % 3
+      (i.toLong, c.toLong,
+        centers(c).map(x => x + rnd.nextGaussian().toFloat * 0.1f).toSeq)
+    }.toDF("id", "truth", "features")
+  }
+
+  private def emb = spark.read.parquet(s"$sf0001/embeddings.parquet")
+    .select(col("vec_id").as("id"), col("embedding").as("features"))
+
+  test("kmeans recovers planted clusters exactly (up to label permutation)") {
+    val a = Clustering.kmeansAssign(planted, "id", "features", 3, iterations = 5)
+      .join(planted.select("id", "truth"), "id")
+    val mapping = a.groupBy("truth")
+      .agg(countDistinct("cluster").as("nc"), first("cluster").as("c"))
+      .collect()
+    assert(mapping.forall(_.getLong(1) == 1L), "a truth group split across clusters")
+    assert(mapping.map(_.get(2)).distinct.length == 3, "two truth groups merged")
+  }
+
+  test("kmeans assignments are invariant to input partitioning") {
+    val a = Clustering.kmeansAssign(emb.repartition(1), "id", "features", 8, iterations = 3)
+    val b = Clustering.kmeansAssign(emb.repartition(13), "id", "features", 8, iterations = 3)
+    assert(a.exceptAll(b).isEmpty && b.exceptAll(a).isEmpty)
+  }
+
+  test("k=1 centroid is the fixed-point mean of the corpus") {
+    val got = Clustering.kmeansCentroids(emb, "id", "features", 1, iterations = 1)(0)
+    val vecs = emb.select("features").as[Seq[Float]].collect().map(_.toVector).toVector
+    val mean = vecs.transpose.map(xs => xs.map(_.toDouble).sum / xs.length)
+    got.zip(mean).foreach { case (g, m) =>
+      assert(math.abs(g - m) < 1e-4, s"centroid comp $g vs exact mean $m")
+    }
+  }
+
+  test("Lloyd iterations do not increase inertia") {
+    def inertia(iters: Int): Long =
+      Clustering.kmeansAssign(emb, "id", "features", 8, iterations = iters)
+        .agg(sum("dist_fp")).head().getLong(0)
+    val i1 = inertia(1)
+    val i5 = inertia(5)
+    assert(i5 <= i1 + (i1 / 1000), s"inertia rose: $i1 -> $i5")
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 /** Local gate for the pinned-literal oracles (VERDICT r4 #2): executes
-  * every pinned-oracle declared query (s02–s05, d04, n01, n02) at
+  * every pinned-oracle declared query (s02–s05, s07, d04, n01, n02) at
   * sf0.001 and asserts the emitted counts equal the
   * [[Queries.pinnedValues]] literals — the same values the driver's
   * DuckDB compare checks at sf0.01. Rounds 3 and 4 both shipped with the
