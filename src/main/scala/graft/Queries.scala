@@ -832,6 +832,18 @@ object Queries {
         docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
         "doc_id", "n_tokens", 256)),
 
+    // Vocabulary-size estimation: exact distinct term count next to
+    // the HLL++ estimate (rsd 2%). The sketch's register max-merge is
+    // associative/commutative, so the estimate is a pure function of
+    // the data — pinnable — while its state is O(1) per partition
+    // where the exact count shuffles every distinct term (at corpus
+    // scale you run ONLY the sketch; the exact twin here is the
+    // fixture-sized accuracy witness).
+    "t14_vocab_estimate" -> ((s, dir) =>
+      docs(s, dir).select(explode(split(col("text"), " ")).as("term"))
+        .agg(countDistinct(col("term")).as("n_exact"),
+          approx_count_distinct(col("term"), 0.02).as("n_approx"))),
+
     // Exact heavy hitters (terms at ≥ 1% of the token stream) via
     // Misra-Gries candidates + exact recount: the candidate set may
     // vary with partitioning but the output is exact and deterministic
@@ -1217,6 +1229,9 @@ object Queries {
       "n_clusters_nonempty" -> (8L, 8L, 8L),
       "largest_cluster" -> (80L, 76L, 284L),
       "inertia_fp" -> (1901313L, 1901531L, 7781125L)),
+    // Placeholder zeros until first PinDump measurement.
+    "t14_vocab_estimate" -> Seq(
+      "n_exact" -> (0L, 0L, 0L), "n_approx" -> (0L, 0L, 0L)),
     "d04_simhash_pairs" -> Seq(
       "n_candidates" -> (1484L, 1418L, 138939L),
       "n_true_pairs" -> (28L, 25L, 256L),

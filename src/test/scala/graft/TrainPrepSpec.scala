@@ -93,6 +93,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(got == Set("hot1", "hot2", "hot3"))
   }
 
+  // --- Vocabulary estimation ---
+
+  test("HLL vocabulary estimate is partition-invariant and within its rsd of exact") {
+    val toks = docs.select(explode(split($"text", " ")).as("term"))
+    def est(df: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val r = df.agg(countDistinct($"term").as("e"),
+        approx_count_distinct($"term", 0.02).as("a")).head()
+      (r.getLong(0), r.getLong(1))
+    }
+    val (e1, a1) = est(toks.repartition(1))
+    val (e7, a7) = est(toks.repartition(7))
+    assert(e1 == e7 && a1 == a7, "estimate changed with partitioning")
+    assert(math.abs(a1 - e1).toDouble / e1 < 0.05, s"estimate $a1 vs exact $e1")
+  }
+
   // --- Packing ---
 
   /** In-test oracle: exclusive prefix sum via a local scan of the
