@@ -122,7 +122,14 @@ object Bench {
           }
         }
         val ts = (t1 +: reruns).sorted
-        (name, ts(ts.size / 2), sh, mx)
+        // True median: with an even surviving-sample count (a rerun
+        // crashed), average the two middle values instead of always
+        // taking the upper one — ts(n/2) alone is a systematic
+        // slow-side bias.
+        val med =
+          if (ts.size % 2 == 1) ts(ts.size / 2)
+          else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+        (name, med, sh, mx)
       }
     }
 

@@ -832,6 +832,16 @@ object Queries {
         docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
         "doc_id", "n_tokens", 256)),
 
+    // The inverse manifest a training loader consumes: per 256-token
+    // chunk, the ordered doc span and token mass (explode-the-range +
+    // one keyed groupBy — linear in chunks + docs, no windows).
+    "t15_chunk_manifest" -> ((s, dir) =>
+      Packing.chunkManifest(
+        Packing.packChunks(
+          docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
+          "doc_id", "n_tokens", 256),
+        "doc_id", 256)),
+
     // Vocabulary-size estimation: exact distinct term count next to
     // the HLL++ estimate (rsd 2%). The sketch's register max-merge is
     // associative/commutative, so the estimate is a pure function of
@@ -1188,7 +1198,15 @@ object Queries {
         ops.Dedup.jaccardPairs(skewedDocs(s, dir), "doc_id", "text", 0.7,
           maxDocFraction = Some(0.1))),
       "d08_skewed_prefix" -> ((s, dir) =>
-        ops.Dedup.jaccardPairsPrefix(skewedDocs(s, dir), "doc_id", "text", 0.7)))
+        ops.Dedup.jaccardPairsPrefix(skewedDocs(s, dir), "doc_id", "text", 0.7)),
+      // Hot-vocabulary heavy hitters: the prepended stop-phrase makes
+      // six terms own ~37% of the token stream. The Misra-Gries path
+      // keeps shuffle ≤ capacity counters/partition + ≤ capacity
+      // recount keys regardless of the hot mass (TrainPrepSpec
+      // measures the naive groupBy shuffling the whole vocabulary).
+      "t12_skewed_hot" -> ((s, dir) =>
+        ops.HeavyHitters.frequentTerms(skewedDocs(s, dir),
+          split(col("text"), " "), 1L, 100L)))
   }
 
   /** Pinned-literal oracle builder: one row of BIGINT columns whose
@@ -1213,8 +1231,9 @@ object Queries {
     * Re-measure with `sbt "runMain graft.tools.PinDump"` (runs every
     * pinned query at all three SFs and prints this table's literal
     * syntax) and paste the output here IN THE SAME COMMIT as the
-    * behavior change. Last measured 2026-08-12 (round 5) at lshTopK
-    * planes=8/tables=24/radius=1, ivfTopK nCells=32/nProbe=16. */
+    * behavior change. Last measured 2026-08-13 (round 6, all queries,
+    * zero drift) at lshTopK planes=8/tables=24/radius=1, ivfTopK
+    * nCells=32/nProbe=16. */
   val pinnedValues: Seq[(String, Seq[(String, (Long, Long, Long))])] = Seq(
     "s02_ann_lsh" -> Seq(
       "n_hits" -> (177L, 191L, 190L), "n_total" -> (200L, 200L, 200L)),
@@ -1229,9 +1248,12 @@ object Queries {
       "n_clusters_nonempty" -> (8L, 8L, 8L),
       "largest_cluster" -> (80L, 76L, 284L),
       "inertia_fp" -> (1901313L, 1901531L, 7781125L)),
-    // Placeholder zeros until first PinDump measurement.
+    // Measured 2026-08-13 (round 6, PinDump): the documents fixture
+    // draws from a 31-term vocabulary at every SF, and HLL++ at rsd
+    // 0.02 is exact at this cardinality (sparse mode), so the
+    // estimate pins equal the exact counts.
     "t14_vocab_estimate" -> Seq(
-      "n_exact" -> (0L, 0L, 0L), "n_approx" -> (0L, 0L, 0L)),
+      "n_exact" -> (31L, 31L, 31L), "n_approx" -> (31L, 31L, 31L)),
     "d04_simhash_pairs" -> Seq(
       "n_candidates" -> (1484L, 1418L, 138939L),
       "n_true_pairs" -> (28L, 25L, 256L),
@@ -1302,6 +1324,31 @@ object Queries {
         |  (start_off + greatest(n_tokens, 1) - 1) // 256
         |    - start_off // 256 + 1 AS n_chunks
         |FROM placed""".stripMargin,
+
+    // t11's placement CTE, exploded over each doc's inclusive chunk
+    // range and re-grouped by chunk — integer arithmetic end-to-end
+    // (token mass = clipped [start, start+n) ∩ [cB, (c+1)B) overlap
+    // from TRUE counts, so empty docs add 0).
+    "t15_chunk_manifest" ->
+      """WITH toks AS (
+        |  SELECT doc_id, CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |placed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM toks),
+        |spans AS (
+        |  SELECT doc_id, n_tokens, start_off,
+        |    unnest(generate_series(start_off // 256,
+        |      (start_off + greatest(n_tokens, 1) - 1) // 256)) AS chunk_id
+        |  FROM placed)
+        |SELECT chunk_id, count(*) AS n_docs,
+        |  min(doc_id) AS first_doc, max(doc_id) AS last_doc,
+        |  CAST(SUM(greatest(0, least(start_off + n_tokens, (chunk_id + 1) * 256)
+        |    - greatest(start_off, chunk_id * 256))) AS BIGINT) AS n_tokens
+        |FROM spans GROUP BY chunk_id""".stripMargin,
 
     // Integer-arithmetic threshold (count·100 >= total·1) — bit-exact
     // across engines; the sketch+recount construction is exact.

@@ -323,6 +323,156 @@ case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int,
     copy(child = newChild)
 }
 
+/** Euclidean nearest-centroid argmin over a driver-trained k×d float
+  * matrix: `argmin_i ‖v−cᵢ‖² = argmin_i (‖cᵢ‖²/2 − v·cᵢ)`, index
+  * tie-break to the lowest i (strict `<` keeps the first minimum).
+  *
+  * The equivalent Column form — `array_sort(array(struct(bias₀−dot₀,0),
+  * …, struct(bias_{k−1}−dot_{k−1},k−1)))` — inlines k dot-product loops
+  * and k struct constructions into the generated method: O(k·d) Java
+  * source, which trips Janino method-size limits somewhere past
+  * k·d ≈ 16k (k=256, d=64 fails outright). Here the matrix rides the
+  * expression instance as a codegen reference object and the generated
+  * code is one fixed-size double loop — O(1) source for any k, same
+  * left-to-right double arithmetic, bit-identical cluster ids (parity
+  * pinned in VectorExpressionsSpec; the s07 pinned census depends on
+  * it). */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
+    extends UnaryExpression {
+  require(centroids.nonEmpty, "empty centroid matrix")
+
+  override def prettyName: String = "nearest_centroid"
+  override def dataType: DataType = IntegerType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  /** ‖cᵢ‖²/2 with the exact summation order of the former Column form
+    * (j-ascending `c_j.toDouble * c_j`, then one division). */
+  lazy val biases: Array[Double] = centroids.map { c =>
+    var s = 0.0
+    var j = 0
+    while (j < c.length) { s += c(j).toDouble * c(j); j += 1 }
+    s / 2.0
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == centroids(0).length,
+      s"vector size mismatch: ${v.numElements()} vs ${centroids(0).length}")
+    val b = biases
+    var best = 0
+    var bestScore = Double.PositiveInfinity
+    var t = 0
+    while (t < centroids.length) {
+      val row = centroids(t)
+      var s = 0.0
+      var j = 0
+      while (j < row.length) { s += v.getFloat(j).toDouble * row(j); j += 1 }
+      val score = b(t) - s
+      if (score < bestScore) { bestScore = score; best = t }
+      t += 1
+    }
+    best
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("nearestCentroid", this, classOf[NearestCentroid].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.freshName("m")
+      val bias = ctx.freshName("bias")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val t = ctx.freshName("t")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val score = ctx.freshName("score")
+      s"""
+         |final float[][] $m = $self.centroids();
+         |final double[] $bias = $self.biases();
+         |if ($v.numElements() != $m[0].length) {
+         |  throw new IllegalArgumentException("vector size mismatch: " +
+         |    $v.numElements() + " vs " + $m[0].length);
+         |}
+         |int $best = 0;
+         |double $bestScore = Double.POSITIVE_INFINITY;
+         |for (int $t = 0; $t < $m.length; $t++) {
+         |  final float[] $row = $m[$t];
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $row.length; $j++) {
+         |    $s += (double)$v.getFloat($j) * (double)$row[$j];
+         |  }
+         |  final double $score = $bias[$t] - $s;
+         |  if ($score < $bestScore) { $bestScore = $score; $best = $t; }
+         |}
+         |${ev.value} = $best;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** dot(v, centroids[i]) for a per-row cluster index `i` — the
+  * companion scoring kernel to [[NearestCentroid]] (distance recovery
+  * `‖v−cᵢ‖² = ‖v‖² − 2·v·cᵢ + ‖cᵢ‖²` without k inlined dot loops).
+  * Same left-to-right double accumulation as [[VectorDot]]. */
+case class CentroidDot(left: Expression, right: Expression,
+    centroids: Array[Array[Float]]) extends BinaryExpression {
+  require(centroids.nonEmpty, "empty centroid matrix")
+
+  override def prettyName: String = "centroid_dot"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(FloatType, _), IntegerType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<FLOAT>, INT), got ${l.catalogString} and ${r.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, c: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val row = centroids(c.asInstanceOf[Int])
+    require(v.numElements() == row.length,
+      s"vector size mismatch: ${v.numElements()} vs ${row.length}")
+    var s = 0.0
+    var j = 0
+    while (j < row.length) { s += v.getFloat(j).toDouble * row(j); j += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("centroidDot", this, classOf[CentroidDot].getName)
+    nullSafeCodeGen(ctx, ev, (v, c) => {
+      val row = ctx.freshName("row")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      s"""
+         |final float[] $row = $self.centroids()[$c];
+         |if ($v.numElements() != $row.length) {
+         |  throw new IllegalArgumentException("vector size mismatch: " +
+         |    $v.numElements() + " vs " + $row.length);
+         |}
+         |double $s = 0.0;
+         |for (int $j = 0; $j < $row.length; $j++) {
+         |  $s += (double)$v.getFloat($j) * (double)$row[$j];
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorFunctions {
   def vector_dot(a: Column, b: Column): Column =
@@ -356,4 +506,12 @@ object VectorFunctions {
   def lsh_buckets(v: Column, numPlanes: Int, numTables: Int, seed: Long = 42L): Column =
     GraftColumnBridge.column(LshBuckets(
       GraftColumnBridge.expression(v), numPlanes, numTables, seed))
+
+  def nearest_centroid(v: Column, centroids: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(NearestCentroid(
+      GraftColumnBridge.expression(v), centroids))
+
+  def centroid_dot(v: Column, cluster: Column, centroids: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(CentroidDot(
+      GraftColumnBridge.expression(v), GraftColumnBridge.expression(cluster), centroids))
 }

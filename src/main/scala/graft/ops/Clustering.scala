@@ -12,9 +12,10 @@ import org.apache.spark.sql.functions._
   *  - INIT: the k rows with the smallest `(xxhash64(id, seed), id)` —
   *    a bounded partial top-k (TakeOrderedAndProject), k rows to the
   *    driver, no corpus sort.
-  *  - ASSIGN: nearest-centroid argmin as a codegen'd Column expression
-  *    over broadcast-as-literals centroids (the
-  *    [[SimilaritySearch.cellOf]] pattern, Euclidean form:
+  *  - ASSIGN: nearest-centroid argmin as the native codegen'd
+  *    [[graft.functions.NearestCentroid]] expression — the centroid
+  *    matrix rides the expression as a task-binary reference object
+  *    (O(1) generated code for any k; Euclidean form:
   *    `argmin ‖v−c‖² = argmax (v·c − ‖c‖²/2)` — the row's own norm is
   *    constant per row and cannot move the argmax). The corpus is
   *    never shuffled for assignment.
@@ -40,20 +41,15 @@ import org.apache.spark.sql.functions._
 object Clustering {
 
   /** Euclidean nearest-centroid id: `argmax (v·cᵢ − ‖cᵢ‖²/2)` with
-    * index tie-break, as a pure Column (same array-sort argmin shape
-    * as [[SimilaritySearch.cellOf]]). */
-  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column = {
-    val scored = centroids.indices.map { i =>
-      val bias = {
-        var s = 0.0; var j = 0
-        while (j < centroids(i).length) { s += centroids(i)(j).toDouble * centroids(i)(j); j += 1 }
-        s / 2.0
-      }
-      struct((lit(bias) - VectorFunctions.vector_dot(vec, typedlit(centroids(i).toSeq))).as("d"),
-        lit(i).as("cluster"))
-    }
-    element_at(array_sort(array(scored: _*)), 1).getField("cluster")
-  }
+    * index tie-break to the lowest id, as the native
+    * [[graft.functions.NearestCentroid]] expression. The former
+    * array-sort-of-structs Column form inlined k dot loops into the
+    * generated method — O(k·d) Java source, Janino-fatal past
+    * k·d ≈ 16k — while the native kernel is O(1) generated code for
+    * any k with bit-identical arithmetic (parity pinned in
+    * VectorExpressionsSpec; ClusteringSpec exercises k=256, d=64). */
+  def nearestCentroid(vec: Column, centroids: Array[Array[Float]]): Column =
+    VectorFunctions.nearest_centroid(vec, centroids)
 
   private val Scale = 1L << 20
 
@@ -104,10 +100,10 @@ object Clustering {
     val cNormSq = element_at(
       typedlit(normSq.toSeq), col("cluster") + 1)
     val vNormSq = VectorFunctions.vector_dot(col("v"), col("v"))
-    val vDotC = element_at(
-      array(centroids.indices.map(i =>
-        VectorFunctions.vector_dot(col("v"), typedlit(centroids(i).toSeq))): _*),
-      col("cluster") + 1)
+    // Dot with the assigned centroid via the native row-indexed kernel
+    // (the element_at-over-k-dot-columns form was the other O(k·d)
+    // codegen site).
+    val vDotC = VectorFunctions.centroid_dot(col("v"), col("cluster"), centroids)
     withC
       .withColumn("dist_fp",
         round((vNormSq - lit(2.0) * vDotC + cNormSq) * (1L << 12)).cast("long"))

@@ -89,4 +89,37 @@ object Packing {
         col("chunk_last") - col("chunk_first") + lit(1L))
       .withColumnRenamed("id", idCol)
   }
+
+  /** The consumer-side inverse of [[packChunks]]: per chunk of the
+    * concatenated stream, the ordered span of documents it draws from —
+    * `(chunk_id, n_docs, first_doc, last_doc, n_tokens)` where
+    * `n_tokens` is the chunk's token mass from true (unclamped) counts,
+    * so full chunks sum to `budget` and empty documents contribute 0
+    * while still being listed in the chunk holding their stream point.
+    * Documents are placed in ascending-id order, so `[first_doc,
+    * last_doc]` IS the ordered span — a training loader can seek it
+    * directly.
+    *
+    * Scale shape: each document explodes into `n_chunks` rows
+    * (bounded by `n_tokens/budget + 1` — total output rows are
+    * O(total_tokens/budget + n_docs), linear), then one groupBy keyed
+    * on chunk id with map-side partial aggregation. No windows, no
+    * driver materialization. */
+  def chunkManifest(placements: DataFrame, idCol: String,
+                    budget: Long): DataFrame = {
+    require(budget >= 1, s"budget must be >= 1, got $budget")
+    val cid = col("chunk_id")
+    placements
+      .select(col(idCol).as("doc_id"), col("n_tokens"), col("start_off"),
+        explode(sequence(col("chunk_first"), col("chunk_last"))).as("chunk_id"))
+      .withColumn("tok_in_chunk",
+        greatest(lit(0L),
+          least(col("start_off") + col("n_tokens"), (cid + 1) * budget) -
+            greatest(col("start_off"), cid * budget)))
+      .groupBy("chunk_id")
+      .agg(count(lit(1)).as("n_docs"),
+        min("doc_id").as("first_doc"),
+        max("doc_id").as("last_doc"),
+        sum("tok_in_chunk").as("n_tokens"))
+  }
 }

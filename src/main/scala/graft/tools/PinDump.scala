@@ -13,9 +13,10 @@ import org.apache.spark.sql.SparkSession
   *
   * {{{ sbt "runMain graft.tools.PinDump" }}}
   *
-  * Args (optional): fixture dirs, default the three driver SFs. With
-  * fewer than three dirs the printed tuples are partial — paste only the
-  * positions you measured.
+  * Args (optional): fixture dirs, default the three driver SFs. Each
+  * dir's tuple slot is detected from the data (lineitem cardinality),
+  * so a subset or out-of-order dirs still print a correctly-aligned
+  * table — unmeasured slots carry the current pinned values.
   */
 object PinDump {
   def main(args: Array[String]): Unit = {
@@ -56,10 +57,18 @@ object PinDump {
       name -> cols.map { case (c, pinned) => (c, pinned, byDir.map(_(c))) }
     }
 
+    // Paste-ready table, ordered by DETECTED slot — not dir-argument
+    // order: `runMain ... /path/sf0.1` must land in the third tuple
+    // position, with unmeasured slots carried over from the current
+    // pins (a positional print would paste sf0.1 values into the
+    // sf0.001 slot).
+    val dirSlots = dirs.map(sfSlot)
     println("  val pinnedValues: Seq[(String, Seq[(String, (Long, Long, Long))])] = Seq(")
     println(measured.map { case (name, cols) =>
-      s"""    "$name" -> Seq(\n""" + cols.map { case (c, _, vs) =>
-        s"""      "$c" -> (${vs.mkString("L, ")}L)"""
+      s"""    "$name" -> Seq(\n""" + cols.map { case (c, pinned, vs) =>
+        val out = Array(pinned._1, pinned._2, pinned._3)
+        dirSlots.zip(vs).foreach { case (slot, v) => slot.foreach(out(_) = v) }
+        s"""      "$c" -> (${out.mkString("L, ")}L)"""
       }.mkString(",\n") + ")"
     }.mkString(",\n") + ")")
 

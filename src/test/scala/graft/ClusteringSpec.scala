@@ -47,6 +47,19 @@ class ClusteringSpec extends SparkSpec {
     }
   }
 
+  test("k=256 at d=64 compiles and runs (native argmin — no Janino blow-up)") {
+    // The former Column-form argmin inlined k dot loops: O(k·d) Java
+    // source, Janino-fatal at this size (VERDICT r5 #4). The native
+    // NearestCentroid/CentroidDot kernels keep generated code O(1) in
+    // k, so an over-provisioned k must just work.
+    val a = Clustering.kmeansAssign(emb, "id", "features", 256, iterations = 2)
+    val n = a.count()
+    assert(n == emb.count(), s"lost rows: $n")
+    val range = a.agg(min("cluster"), max("cluster")).head()
+    assert(range.getLong(0) >= 0L && range.getLong(1) < 256L,
+      s"cluster id out of range: $range")
+  }
+
   test("Lloyd iterations do not increase inertia") {
     def inertia(iters: Int): Long =
       Clustering.kmeansAssign(emb, "id", "features", 8, iterations = iters)

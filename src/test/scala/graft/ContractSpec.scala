@@ -32,6 +32,26 @@ class ContractSpec extends AnyFunSuite {
     assert(bad.isEmpty, s"off-scheme query names: $bad")
   }
 
+  test("no pinnedValues row is an unmeasured placeholder (all zeros)") {
+    // Catches the round-5 failure class in seconds, without a Spark
+    // session: a pin committed as (0,0,0) means PinDump was never run
+    // for that column — PinsSpec would fail 4 minutes in; this fails
+    // immediately with the remedy.
+    Queries.pinnedValues.foreach { case (name, cols) =>
+      cols.foreach { case (c, (v001, v01, v1)) =>
+        assert(v001 != 0L || v01 != 0L || v1 != 0L,
+          s"""$name.$c is pinned (0,0,0) — an unmeasured placeholder. """ +
+            """Run `sbt "runMain graft.tools.PinDump"` and paste the """ +
+            "measured values into Queries.pinnedValues before committing.")
+      }
+    }
+  }
+
+  test("every pinnedValues entry names a declared query") {
+    val orphans = Queries.pinnedValues.map(_._1).toSet -- SparkEntry.queries.keySet
+    assert(orphans.isEmpty, s"pins without queries: $orphans")
+  }
+
   test("oracle SQL references only fixture tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")

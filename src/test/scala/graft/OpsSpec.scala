@@ -422,7 +422,7 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
-  test("graph search recall@10 vs brute force >= 0.5") {
+  test("graph search recall@10 vs brute force >= 0.9") {
     val g = graft.nnd.NND.buildGraph(emb, graft.nnd.NND.Params(k = 10, maxIterations = 3))
       .filter(col("neighbors").isNotNull).select("id", "neighbors")
     val queries = emb.filter(col("id") < 50)
@@ -437,7 +437,12 @@ class OpsSpec extends SparkSpec {
     }
     val mean = recalls.sum / recalls.size
     info(s"graph-search mean recall@10 = $mean")
-    assert(mean >= 0.5, s"recall $mean too low")
+    // Floor sits just under the pinned operating point (s03 at sf0.1:
+    // 193/200 = 0.965 in Queries.pinnedValues; sf0.001 fixtures measure
+    // ~0.995) so a beam-search quality collapse fails HERE, not at the
+    // driver gate after a silent re-pin — same policy as the LSH (>=0.9)
+    // and IVF (>=0.8) floors above.
+    assert(mean >= 0.9, s"recall $mean below the s03 operating point")
   }
 
   test("embedding near-dup threshold has a safe float margin") {

@@ -11,8 +11,11 @@ class PlanSpec extends SparkSpec {
   }
 
   /** Runs `body` with a QueryExecutionListener attached and returns
-    * every executed plan it produced (the listener bus is async, so
-    * this polls until the plan stream goes quiet). */
+    * every executed plan it produced. The listener rides the async
+    * shared bus, so after `body` returns we drain the bus via
+    * `waitUntilEmpty` — a fixed-interval quiescence poll can declare
+    * the stream quiet while events are still queued, making the
+    * assertions pass vacuously. */
   private def capturedPlans(body: => Unit): Seq[String] = {
     val plans = new java.util.concurrent.ConcurrentLinkedQueue[String]()
     val listener = new org.apache.spark.sql.util.QueryExecutionListener {
@@ -25,8 +28,8 @@ class PlanSpec extends SparkSpec {
     spark.listenerManager.register(listener)
     try {
       body
-      var last = -1
-      while (plans.size() != last) { last = plans.size(); Thread.sleep(500) }
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
       plans.toArray(Array.empty[String]).toSeq
     } finally spark.listenerManager.unregister(listener)
   }

@@ -93,6 +93,61 @@ class TrainPrepSpec extends SparkSpec {
     assert(got == Set("hot1", "hot2", "hot3"))
   }
 
+  test("on a hot-vocabulary stream, the MG sketch beats naive groupBy-count on shuffle bytes") {
+    import graft.ops.HeavyHitters
+    // One term owns 50% of the token stream; the other half is 10,000
+    // singletons. The naive plan shuffles one row per DISTINCT term
+    // (the whole vocabulary); frequentTerms shuffles ≤ capacity
+    // counters per partition plus ≤ capacity recount keys — the
+    // vocabulary never crosses the wire. Same exhibit pattern as the
+    // d02 hot-shingle test; the bench twin is t12_skewed_hot.
+    val docs = (0L until 500L).map { i =>
+      val uniq = (0 until 20).map(j => s"u${i}_$j").mkString(" ")
+      (i, (Seq.fill(20)("hot") :+ uniq).mkString(" "))
+    }.toDF("doc_id", "text").repartition(8).cache()
+    docs.count()
+
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit = {
+      var last = -1L
+      var now = shuffle.get
+      while (now != last) { Thread.sleep(300); last = now; now = shuffle.get }
+    }
+    def measured[A](f: => A): (A, Long) = {
+      quiesce(); shuffle.set(0)
+      val r = f
+      quiesce()
+      (r, shuffle.get)
+    }
+    try {
+      val toks = docs.select(explode(split($"text", " ")).as("term"))
+      val total = toks.count()
+      val (naive, naiveBytes) = measured {
+        toks.groupBy("term").agg(count(lit(1)).as("n"))
+          .filter($"n" * 100L >= total * 1L)
+          .select("term").as[String].collect().toSet
+      }
+      val (got, mgBytes) = measured {
+        HeavyHitters.frequentTerms(docs, split($"text", " "), 1L, 100L)
+          .select("term").as[String].collect().toSet
+      }
+      assert(naive == Set("hot"))
+      assert(got == naive, s"sketch path diverged: $got")
+      info(s"shuffle bytes — naive groupBy: $naiveBytes, Misra-Gries: $mgBytes")
+      assert(mgBytes < naiveBytes / 2,
+        s"MG sketch did not beat the vocabulary-wide shuffle: $mgBytes vs $naiveBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      docs.unpersist()
+    }
+  }
+
   // --- Vocabulary estimation ---
 
   test("HLL vocabulary estimate is partition-invariant and within its rsd of exact") {
@@ -141,6 +196,44 @@ class TrainPrepSpec extends SparkSpec {
     val p17 = Packing.packChunks(withTokens, "doc_id", "n_tokens", 256, numPartitions = 17)
     assert(p1.exceptAll(p3).isEmpty && p3.exceptAll(p1).isEmpty)
     assert(p1.exceptAll(p17).isEmpty && p17.exceptAll(p1).isEmpty)
+  }
+
+  test("chunkManifest inverts packChunks: contiguous chunks, conserved token mass, ordered spans") {
+    import graft.ops.Packing
+    val placed = Packing.packChunks(
+      docs.withColumn("n_tokens", size(split($"text", " "))),
+      "doc_id", "n_tokens", 256)
+    val m = Packing.chunkManifest(placed, "doc_id", 256)
+      .orderBy("chunk_id").collect()
+    // Every token belongs to a doc and the stream is contiguous, so
+    // chunk ids are exactly 0..N-1.
+    assert(m.map(_.getLong(0)).toSeq == (0L until m.length).toSeq)
+    // Token-mass conservation: full chunks carry exactly the budget,
+    // the final chunk the remainder, and the total equals the corpus.
+    val total = placed.agg(sum("n_tokens")).head().getLong(0)
+    assert(m.map(_.getLong(4)).sum == total)
+    m.dropRight(1).foreach(r =>
+      assert(r.getLong(4) == 256L, s"mid-stream chunk not full: $r"))
+    // Ordered spans: the next chunk starts at the boundary doc (a
+    // straddle) or the one after it (a clean cut) — never elsewhere.
+    m.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b.getLong(2) == a.getLong(3) || b.getLong(2) == a.getLong(3) + 1,
+          s"span discontinuity between chunks ${a.getLong(0)} and ${b.getLong(0)}")
+      case _ =>
+    }
+  }
+
+  test("chunkManifest lists empty documents at their stream point with zero token mass") {
+    import graft.ops.Packing
+    val df = Seq((0L, 300L), (1L, 0L), (2L, 100L)).toDF("doc_id", "n_tokens")
+    val placed = Packing.packChunks(df, "doc_id", "n_tokens", 256)
+    val m = Packing.chunkManifest(placed, "doc_id", 256)
+      .orderBy("chunk_id")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // Chunk 0 is all doc 0; chunk 1 holds doc 0's tail (44), the empty
+    // doc 1 (point at offset 300, mass 0), and doc 2 (100).
+    assert(m == Seq((0L, 1L, 0L, 0L, 256L), (1L, 3L, 0L, 2L, 144L)))
   }
 
   test("packChunks stream is gapless and chunk spans are consistent") {
