@@ -832,6 +832,17 @@ object Queries {
         docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
         "doc_id", "n_tokens", 256)),
 
+    // Deterministic training-order shuffle: every document's global
+    // rank under a portable md5 permutation draw — a distributed
+    // row_number (range partition + zipWithIndex), never a single-task
+    // global window. The draw is a pure function of doc_id, so the
+    // training order is reproducible across engines and retries.
+    "t16_train_shuffle" -> ((s, dir) =>
+      Packing.globalRank(
+        docs(s, dir).select("doc_id"),
+        Seq(md5(col("doc_id").cast("string").cast("binary")), col("doc_id")),
+        "rank")),
+
     // The inverse manifest a training loader consumes: per 256-token
     // chunk, the ordered doc span and token mass (explode-the-range +
     // one keyed groupBy — linear in chunks + docs, no windows).
@@ -1113,6 +1124,13 @@ object Queries {
     "st05_stream_dedup_wm" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupCountsWithinWatermark(s, dir)),
 
+    // Streaming heavy hitters: sharded Misra-Gries state (capacity
+    // counters per shard FOREVER — vocabulary-scale-free) maintained
+    // through mapGroupsWithState over a streaming read of documents,
+    // drained candidates exactly recounted — must equal batch t12.
+    "st06_stream_heavy" -> ((s, dir) =>
+      graft.streaming.EventsStream.heavyTerms(s, dir, 1L, 100L)),
+
     // Similarity search over the prebuilt K-NN graph: greedy beam
     // search, reported as a pinned recall summary vs brute force. The
     // graph is the session-memoized n01 artifact (built once, searched
@@ -1324,6 +1342,14 @@ object Queries {
         |  (start_off + greatest(n_tokens, 1) - 1) // 256
         |    - start_off // 256 + 1 AS n_chunks
         |FROM placed""".stripMargin,
+
+    // The md5 hex draw is engine-portable (same construction as the
+    // q30–q32 sampling oracles); rank is 0-based to match zipWithIndex.
+    "t16_train_shuffle" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR)),
+        |    doc_id) - 1 AS BIGINT) AS rank
+        |FROM documents""".stripMargin,
 
     // t11's placement CTE, exploded over each doc's inclusive chunk
     // range and re-grouped by chunk — integer arithmetic end-to-end
@@ -1673,7 +1699,17 @@ object Queries {
         |  count(*) AS n,
         |  CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM events
-        |GROUP BY 1, 2""".stripMargin
+        |GROUP BY 1, 2""".stripMargin,
+
+    // The streaming sketch + exact recount must equal the plain
+    // frequency query — same oracle as batch t12.
+    "st06_stream_heavy" ->
+      """WITH toks AS (
+        |  SELECT unnest(str_split(text, ' ')) AS term FROM documents),
+        |tot AS (SELECT count(*) AS n FROM toks)
+        |SELECT term, count(*) AS n
+        |FROM toks GROUP BY term
+        |HAVING count(*) * 100 >= (SELECT n FROM tot) * 1""".stripMargin
   ) ++ pinnedValues.map { case (name, cols) => name -> pinnedCounts(cols: _*) }
 
   def all: Map[String, (SparkSession, String) => DataFrame] =

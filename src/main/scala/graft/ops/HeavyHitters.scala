@@ -46,6 +46,26 @@ object HeavyHitters {
       val counts: mutable.HashMap[String, Long], var n: Long)
       extends Serializable
 
+  /** One sequential Misra-Gries update step — shared by the batch
+    * `Aggregator` and the streaming per-shard state
+    * ([[graft.streaming.EventsStream.heavyTerms]]): increment a tracked
+    * term, open a counter if one is free, else decrement-all (amortized
+    * O(1) per stream element — each decrement pays down a prior
+    * increment). */
+  private[graft] def mgUpdate(
+      b: mutable.HashMap[String, Long], t: String, capacity: Int): Unit =
+    b.get(t) match {
+      case Some(c) => b(t) = c + 1
+      case None if b.size < capacity => b(t) = 1L
+      case None =>
+        val dead = mutable.ArrayBuffer.empty[String]
+        b.keysIterator.foreach { k =>
+          val c = b(k) - 1
+          if (c == 0L) dead += k else b(k) = c
+        }
+        dead.foreach(b.remove)
+    }
+
   /** Misra-Gries summary over a token stream: at most `capacity`
     * counters; decrement-on-miss; merge = counter sum followed by a
     * subtract-the-(capacity+1)-th-largest rebalance. Emits the
@@ -56,21 +76,8 @@ object HeavyHitters {
     def zero: MgState = new MgState(mutable.HashMap.empty, 0L)
 
     def reduce(s: MgState, t: String): MgState = {
-      val b = s.counts
       s.n += 1
-      b.get(t) match {
-        case Some(c) => b(t) = c + 1
-        case None if b.size < capacity => b(t) = 1L
-        case None =>
-          // Decrement-all: amortized O(1) per stream element (each
-          // decrement pays down a prior increment).
-          val dead = mutable.ArrayBuffer.empty[String]
-          b.keysIterator.foreach { k =>
-            val c = b(k) - 1
-            if (c == 0L) dead += k else b(k) = c
-          }
-          dead.foreach(b.remove)
-      }
+      mgUpdate(s.counts, t, capacity)
       s
     }
 

@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Sequence packing for training-data assembly: documents are laid out
   * back-to-back in a deterministic total order and the concatenated
@@ -88,6 +89,42 @@ object Packing {
       .withColumn("n_chunks",
         col("chunk_last") - col("chunk_first") + lit(1L))
       .withColumnRenamed("id", idCol)
+  }
+
+  /** Global rank (0-based) of every row in ascending `orderCols` order —
+    * a distributed `row_number` for deterministic training-order
+    * shuffles: rank by a portable per-row hash draw (e.g.
+    * `md5(doc_id)`) and the corpus is pseudo-randomly permuted as a
+    * pure function of the data, stable under retries, repartitioning,
+    * and engine swaps (the [[Sampling]] determinism argument).
+    *
+    * Spark's built-in `row_number` needs a `Window.orderBy` WITHOUT
+    * partitioning — a single task holding the whole corpus, the same
+    * scale trap [[packChunks]] avoids. Here: range-partition on the
+    * order key (the one shuffle, same cost class as any global sort),
+    * sort within partitions, then `zipWithIndex` (one narrow
+    * per-partition-counts job + an offset-add map — the RDD analogue
+    * of packChunks' distributed prefix sum). `orderCols` must be a
+    * total order (append a unique key as tiebreak); output is then
+    * independent of the partition count (tested at 1/3/17). */
+  def globalRank(df: DataFrame, orderCols: Seq[Column], outCol: String = "rank",
+                 numPartitions: Int = 0): DataFrame = {
+    require(orderCols.nonEmpty, "orderCols must be non-empty")
+    val spark = df.sparkSession
+    val parts = if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val ordNames = orderCols.indices.map(i => s"__ord$i")
+    val tagged = orderCols.zip(ordNames).foldLeft(df) {
+      case (d, (c, n)) => d.withColumn(n, c)
+    }
+    val sorted = tagged
+      .repartitionByRange(parts, ordNames.map(col): _*)
+      .sortWithinPartitions(ordNames.map(col): _*)
+    val schema = sorted.schema.add(outCol, LongType, nullable = false)
+    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+      Row.fromSeq(r.toSeq :+ i)
+    }
+    spark.createDataFrame(ranked, schema).drop(ordNames: _*)
   }
 
   /** The consumer-side inverse of [[packChunks]]: per chunk of the

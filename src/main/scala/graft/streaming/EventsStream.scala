@@ -25,6 +25,13 @@ final case class SessBufState(
   * appends one row per micro-batch. */
 final case class UserSessionsSeq(user_id: Long, n_sessions: Long, n_events: Long, seq: Long)
 
+/** Per-shard Misra-Gries sketch state carried across micro-batches:
+  * the bounded counter map plus the shard's exact stream length. */
+final case class MgShard(counts: Map[String, Long], n: Long, seq: Long)
+
+/** One per-shard candidate emission (latest `seq` per shard wins). */
+final case class MgShardSummary(shard: Int, terms: Seq[String], seq: Long)
+
 /** Structured Streaming ingest of the events table.
   *
   * The reference is batch-only (SURVEY.md §2.8); this provides the
@@ -49,22 +56,31 @@ object EventsStream {
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
+  /** Documents schema for streaming reads of the corpus fixture. */
+  private val documentsSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("lang", StringType),
+    StructField("source", StringType),
+    StructField("n_chars", LongType)))
+
   /** Runs one synchronous streaming pass: exposes the single-file fixture
     * through a temp directory of symlinks (the file source needs a
     * directory), drains the query into a memory sink, then MATERIALIZES
     * the sink table and tears everything down — temp dir, symlink, and
     * the session-registered memory table — so repeated invocations in a
     * long-lived session leak nothing. */
-  private def runDrained(
-      spark: SparkSession, dir: String, tag: String)(
+  private def runDrainedOn(
+      spark: SparkSession, dir: String, table: String, schema: StructType,
+      tag: String)(
       build: DataFrame => DataFrame): DataFrame = {
-    val name = s"events_stream_${tag}_${runId.incrementAndGet()}"
+    val name = s"${table}_stream_${tag}_${runId.incrementAndGet()}"
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    val link = streamDir.resolve("events.parquet")
+    val link = streamDir.resolve(s"$table.parquet")
     try {
       java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/events.parquet"))
-      val src = spark.readStream.schema(eventsSchema).parquet(streamDir.toString)
+        link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      val src = spark.readStream.schema(schema).parquet(streamDir.toString)
       val out = build(src)
       val q = out.writeStream
         .outputMode(outputModeFor(tag))
@@ -75,8 +91,8 @@ object EventsStream {
       finally q.stop()
       val sink = spark.table(name)
       val rows = sink.collect()
-      val schema = sink.schema
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+      val sinkSchema = sink.schema
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
     } finally {
       // Runs on the failure path too — a mid-drain error must not leave
       // the memory table registered or the symlink dir behind.
@@ -86,13 +102,18 @@ object EventsStream {
     }
   }
 
+  private def runDrained(
+      spark: SparkSession, dir: String, tag: String)(
+      build: DataFrame => DataFrame): DataFrame =
+    runDrainedOn(spark, dir, "events", eventsSchema, tag)(build)
+
   /** Sink output mode per surface: joins and arbitrary-state emit
     * incrementally (append/update); windowed and global aggregations
     * re-emit the full result (complete). */
   private def outputModeFor(tag: String): String = tag match {
-    case "join"     => "append"
-    case "sessions" => "update"
-    case _          => "complete"
+    case "join"               => "append"
+    case "sessions" | "heavy" => "update"
+    case _                    => "complete"
   }
 
   /** Daily tumbling-window counts/sums per event type, computed through a
@@ -168,6 +189,67 @@ object EventsStream {
     pairs
       .groupBy("user_id", "purchase_id")
       .agg(count(lit(1)).as("n_prior_events"))
+  }
+
+  /** Streaming heavy hitters over the documents token stream: terms at
+    * ≥ `num/den` of the corpus, computed as a continuously-maintained
+    * sharded Misra-Gries sketch plus an exact candidate recount — the
+    * streaming twin of [[graft.ops.HeavyHitters.frequentTerms]] (t12),
+    * equal to it bit-for-bit on a drained stream.
+    *
+    * Construction: tokens shard by `hash(term) % shards` (a term lives
+    * in exactly ONE shard, so shard candidate sets union losslessly);
+    * each shard folds its token stream into bounded Misra-Gries state
+    * via `mapGroupsWithState` — `capacity` counters per shard FOREVER,
+    * regardless of vocabulary size or stream length, the state bound a
+    * forever-running ingest pipeline needs (contrast `dedupCounts`'s
+    * documented O(distinct keys) state). The MG no-false-negative
+    * guarantee is processing-order-independent, so it survives
+    * arbitrary micro-batch arrival order: any term with global count
+    * ≥ `N·num/den ≥ N_shard·num/den > N_shard/capacity` is still
+    * tracked when the stream drains. The drained candidate union
+    * (≤ shards·capacity terms, broadcast) is then exactly recounted in
+    * one batch pass, so the output is exact and deterministic even
+    * though per-shard candidate sets are not. `shards` sets the
+    * stateful parallelism — raise it with the cluster, the state bound
+    * scales as shards·capacity. */
+  def heavyTerms(spark: SparkSession, dir: String, num: Long, den: Long,
+                 capacity: Int = 0, shards: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(num >= 1 && den >= num, s"need 0 < num/den <= 1, got $num/$den")
+    val cap = if (capacity > 0) capacity else (2L * den / num).toInt max 16
+    require(cap > den / num,
+      s"capacity $cap voids the Misra-Gries guarantee for $num/$den")
+    val updates = runDrainedOn(
+      spark, dir, "documents", documentsSchema, "heavy") { src =>
+      src.select(explode(split(col("text"), " ")).as("term"))
+        .as[String]
+        .groupByKey(t => math.floorMod(t.hashCode, shards))
+        .mapGroupsWithState[MgShard, MgShardSummary](
+          GroupStateTimeout.NoTimeout()) { (shard, it, state) =>
+          val prior = state.getOption.getOrElse(MgShard(Map.empty, 0L, 0L))
+          val b = scala.collection.mutable.HashMap.from(prior.counts)
+          var n = prior.n
+          it.foreach { t => n += 1; graft.ops.HeavyHitters.mgUpdate(b, t, cap) }
+          val next = MgShard(b.toMap, n, prior.seq + 1)
+          state.update(next)
+          MgShardSummary(shard, b.keys.toSeq.sorted, next.seq)
+        }
+        .toDF()
+    }
+    // Latest emission per shard; the union over shards is the global
+    // candidate superset. Recount exactly in one batch pass (the same
+    // broadcast-candidates shape as the batch frequentTerms).
+    val cands = updates
+      .groupBy("shard")
+      .agg(max_by(col("terms"), col("seq")).as("terms"))
+      .select(explode(col("terms")).as("term"))
+    val toks = spark.read.parquet(s"$dir/documents.parquet")
+      .select(explode(split(col("text"), " ")).as("term"))
+    val total = toks.count()
+    toks.join(broadcast(cands), "term")
+      .groupBy("term").agg(count(lit(1)).as("n"))
+      .filter(col("n") * lit(den) >= lit(total) * lit(num))
   }
 
   /** Exact µs of a Timestamp (getTime alone floors to ms). */

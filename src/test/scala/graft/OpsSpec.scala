@@ -412,6 +412,17 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("streaming heavy terms equal the batch Misra-Gries frequentTerms") {
+    import org.apache.spark.sql.functions.split
+    val got = graft.streaming.EventsStream.heavyTerms(spark, sf001, 1L, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    val want = graft.ops.HeavyHitters.frequentTerms(
+        Queries.t(spark, sf001, "documents"), split(col("text"), " "), 1L, 100L)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(got == want)
+    assert(got.nonEmpty, "fixture should have heavy terms at 1%")
+  }
+
   test("streaming dedup counts equal the batch DISTINCT") {
     val got = graft.streaming.EventsStream.dedupCounts(spark, sf001)
       .collect().map(r => (r.getString(0), r.getLong(1))).toMap

@@ -236,6 +236,27 @@ class TrainPrepSpec extends SparkSpec {
     assert(m == Seq((0L, 1L, 0L, 0L, 256L), (1L, 3L, 0L, 2L, 144L)))
   }
 
+  test("globalRank equals a local sort's row numbers and is partition-invariant") {
+    import graft.ops.Packing
+    val draw = md5(concat($"doc_id".cast("string"), lit("|t16")))
+    def rank(parts: Int) = Packing.globalRank(
+      docs.select("doc_id").repartition(parts), Seq(draw, $"doc_id"), "rank")
+    val got = rank(7).as[(Long, Long)].collect().sortBy(_._2)
+    // Local oracle: sort ids by the same md5 draw.
+    def localDraw(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id|t16".getBytes("UTF-8"))
+      d.map("%02x".format(_)).mkString
+    }
+    val want = docs.select("doc_id").as[Long].collect()
+      .sortBy(id => (localDraw(id), id))
+    assert(got.map(_._1).toSeq == want.toSeq)
+    assert(got.map(_._2).toSeq == got.indices.map(_.toLong))
+    // Partition invariance: the rank column is a pure function of data.
+    val other = rank(1).as[(Long, Long)].collect().sortBy(_._2)
+    assert(other.toSeq == got.toSeq)
+  }
+
   test("packChunks stream is gapless and chunk spans are consistent") {
     val withTokens = docs
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
