@@ -929,6 +929,17 @@ object Queries {
       Dedup.clusterNearDups(docs(s, dir), "doc_id", "text", 0.7, useLsh = true)
         .select(col("id").as("doc_id"), col("component"), col("keep"))),
 
+    // Quality-ranked survivor per near-dup cluster: keep the
+    // highest-quality member (lowest id on ties) instead of the lowest
+    // id — the curation policy real pipelines want. One max_by
+    // aggregation over the cluster assignment.
+    "d10_dedup_survivors" -> ((s, dir) => {
+      val d = docs(s, dir)
+      Dedup.clusterSurvivors(d, "doc_id", "text", 0.7,
+        TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality")),
+        useLsh = true)
+    }),
+
     // End-to-end corpus curation: near-dup dedup (connected-component
     // canonical docs) composed with the quality filter — the pipeline a
     // user actually runs, oracle-checked as one query.
@@ -1456,6 +1467,45 @@ object Queries {
         |SELECT id AS doc_id, min(r) AS component,
         |  CAST(id = min(r) AS INT) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    // d06's component CTE + t02's quality formula; the survivor is the
+    // per-component max by (quality DESC, id ASC) — a total order, so
+    // both engines pick the same row.
+    "d10_dedup_survivors" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |quality AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |      + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS q
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)),
+        |ranked AS (
+        |  SELECT c.component, c.id, q.q,
+        |    row_number() OVER (PARTITION BY c.component
+        |      ORDER BY q.q DESC, c.id ASC) AS rn,
+        |    count(*) OVER (PARTITION BY c.component) AS n_members
+        |  FROM comp c JOIN quality q ON q.doc_id = c.id)
+        |SELECT component, id AS survivor_id, q AS survivor_score, n_members
+        |FROM ranked WHERE rn = 1""".stripMargin,
 
     "p01_curation" ->
       """WITH RECURSIVE sh AS (

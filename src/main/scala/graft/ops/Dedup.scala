@@ -231,6 +231,39 @@ object Dedup {
       .withColumn("keep", (col("id") === col("component")).cast("int"))
   }
 
+  /** Quality-ranked survivor selection per near-dup cluster — the
+    * curation step after [[clusterNearDups]] when "keep the lowest id"
+    * is the wrong policy: per connected component, keep the member
+    * with the HIGHEST score (lowest id on ties — a total order, so the
+    * survivor is deterministic). `scores` is `(id, score)` — e.g.
+    * [[TextAnalysis.qualityScore]]'s quality column — joined on the
+    * cluster assignment and reduced with one `max_by` aggregation
+    * (map-side partial agg; the component id is the only shuffle key).
+    * Output: one row per cluster,
+    * `(component, survivor_id, survivor_score, n_members)`. */
+  def clusterSurvivors(
+      df: DataFrame,
+      idCol: String,
+      textCol: String,
+      threshold: Double,
+      scores: DataFrame,
+      maxDocFraction: Option[Double] = None,
+      useLsh: Boolean = false): DataFrame = {
+    val Array(sid, sval) = scores.columns.take(2)
+    val scored = scores.select(col(sid).cast("long").as("id"),
+      col(sval).cast("double").as("score"))
+    clusterNearDups(df, idCol, textCol, threshold, maxDocFraction, useLsh)
+      .select(col("id"), col("component"))
+      .join(scored, "id")
+      .groupBy("component")
+      .agg(
+        max_by(struct(col("id"), col("score")),
+          struct(col("score"), col("id") * -1)).as("best"),
+        count(lit(1)).as("n_members"))
+      .select(col("component"), col("best.id").as("survivor_id"),
+        col("best.score").as("survivor_score"), col("n_members"))
+  }
+
   /** Exact near-duplicate pairs via PREFIX FILTERING (PPJoin-family,
     * Bayardo et al. / Xiao et al.): identical output to [[jaccardPairs]],
     * but candidates come only from each document's PREFIX — its

@@ -259,6 +259,29 @@ class OpsSpec extends SparkSpec {
     assert(got == cross)
   }
 
+  test("clusterSurvivors keeps the max-quality member of every cluster") {
+    val quality = graft.ops.TextAnalysis.qualityScore(docs)
+      .select(col("doc_id"), col("quality"))
+    val got = Dedup.clusterSurvivors(docs, "doc_id", "text", 0.7, quality)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    // Local recompute from the cluster assignment + scores.
+    val comp = Dedup.clusterNearDups(docs, "doc_id", "text", 0.7)
+      .select("id", "component")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val score = quality.collect().map(r => (r.getLong(0), r.getDouble(1))).toMap
+    val want = comp.groupBy(_._2).map { case (c, members) =>
+      val ids = members.map(_._1)
+      val best = ids.minBy(id => (-score(id), id))
+      (c, best, score(best), ids.length.toLong)
+    }.toSet
+    assert(got.toSet == want)
+    assert(got.length == comp.map(_._2).distinct.length)
+    // The LSH candidate path must pick the same survivors as exact.
+    assert(want == Dedup.clusterSurvivors(docs, "doc_id", "text", 0.7,
+      quality, useLsh = true)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3))).toSet)
+  }
+
   test("dedupCorpus drops every transitive duplicate and keeps everything else") {
     val kept = Dedup.dedupCorpus(docs, "doc_id", "text", 0.7)
     val clusters = Dedup.clusterNearDups(docs, "doc_id", "text", 0.7)
