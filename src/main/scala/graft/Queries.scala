@@ -1067,6 +1067,20 @@ object Queries {
       Multimodal.resizeMedia(Multimodal.asMedia(docs(s, dir)))
         .toDF().select("doc_id", "width", "height", "new_w", "new_h")),
 
+    // Multimodal: 64-bit aHash perceptual fingerprint (8×8 luminance
+    // grid thresholded against the grid total for real images; the
+    // deterministic first-64-bytes stub for the text fixture, which is
+    // what the SQL twin mirrors — the REAL path is pinned by in-test
+    // PNG rendering).
+    "m04_phash" -> ((s, dir) =>
+      Multimodal.perceptualHash(Multimodal.asMedia(docs(s, dir)))),
+
+    // Multimodal: image near-dup pairs at phash hamming <= 3, exact by
+    // 16-bit-block banding (pigeonhole: <=3 flipped bits leave >=1 of 4
+    // blocks equal) — the image-dedup primitive.
+    "m05_phash_pairs" -> ((s, dir) =>
+      Multimodal.phashPairs(Multimodal.asMedia(docs(s, dir)), 3)),
+
     // Rolling-hash content fingerprint (order-sensitive).
     "t07_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir)).select("doc_id", "rolling_fp")),
@@ -1700,6 +1714,45 @@ object Queries {
         |      list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_fp
         |FROM documents""".stripMargin,
+
+    // Stub-path aHash: first 64 bytes as the pixel grid, bit i set iff
+    // 64·b_i > Σb (integer threshold, no fractional mean); bit 63
+    // contributes the signed minimum so the packed value equals the
+    // JVM's two's-complement long bit-for-bit.
+    "m04_phash" ->
+      """WITH cells AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN i <= len(text) THEN ord(substr(text, i, 1)) ELSE 0 END
+        |      FOR i IN range(1, 65)] AS cs
+        |  FROM documents),
+        |t AS (SELECT doc_id, cs, list_sum(cs) AS tot FROM cells)
+        |SELECT doc_id,
+        |  CAST(list_sum([CASE WHEN 64 * cs[i+1] > tot THEN
+        |      CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |        ELSE (CAST(1 AS BIGINT) << i) END
+        |      ELSE 0 END FOR i IN range(0, 64)]) AS BIGINT) AS phash
+        |FROM t""".stripMargin,
+
+    // All-pairs on the phash (fine at oracle scale; the Spark side is
+    // the banded equi-join) with the identical hamming cut.
+    "m05_phash_pairs" ->
+      """WITH cells AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN i <= len(text) THEN ord(substr(text, i, 1)) ELSE 0 END
+        |      FOR i IN range(1, 65)] AS cs
+        |  FROM documents),
+        |t AS (SELECT doc_id, cs, list_sum(cs) AS tot FROM cells),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN 64 * cs[i+1] > tot THEN
+        |        CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |          ELSE (CAST(1 AS BIGINT) << i) END
+        |        ELSE 0 END FOR i IN range(0, 64)]) AS BIGINT) AS phash
+        |  FROM t)
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  CAST(bit_count(xor(a.phash, b.phash)) AS INT) AS hamming
+        |FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.phash, b.phash)) <= 3""".stripMargin,
 
     "m02_frame_sample" ->
       """SELECT doc_id, n_frames, frame_id,

@@ -411,6 +411,83 @@ object Multimodal {
       }
   }
 
+  /** 64-bit average-hash (aHash) perceptual fingerprint of an image
+    * blob: bilinear-downscale to an 8×8 luminance grid, threshold each
+    * cell against the grid total (`64·lum_i > Σlum` — integer
+    * arithmetic, no fractional mean), pack bits 0..63. Near-identical
+    * images (re-encodes, small edits, resizes) land within a few bits;
+    * the classic image-dedup primitive. Non-image blobs take the
+    * deterministic stub: the first 64 bytes are the "pixels", same
+    * thresholding — SQL-expressible, so the declared query is
+    * bit-exactly oracle-checked on the text fixture while the REAL
+    * image path is pinned by in-test PNG rendering (OpsSpec). */
+  def phashKernel(bytes: Array[Byte]): Long = {
+    val cells: Array[Int] =
+      (try readImage(bytes) catch { case _: Exception => None }) match {
+        case Some(img) =>
+          val out = new java.awt.image.BufferedImage(
+            8, 8, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          val g = out.createGraphics()
+          try {
+            g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+              java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+            g.drawImage(img, 0, 0, 8, 8, null)
+          } finally g.dispose()
+          Array.tabulate(64) { i =>
+            val rgb = out.getRGB(i % 8, i / 8)
+            val (r, gc, b) = ((rgb >> 16) & 0xff, (rgb >> 8) & 0xff, rgb & 0xff)
+            (299 * r + 587 * gc + 114 * b) / 1000
+          }
+        case None =>
+          Array.tabulate(64)(i => if (bytes.length > i) bytes(i) & 0xff else 0)
+      }
+    val total = cells.map(_.toLong).sum
+    var hash = 0L
+    var i = 0
+    while (i < 64) {
+      if (64L * cells(i) > total) hash |= (1L << i)
+      i += 1
+    }
+    hash
+  }
+
+  /** Per-row perceptual hash: `(doc_id, phash)`. Distributed as the
+    * same per-partition batch shape as [[decode]]. */
+  def perceptualHash(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("doc_id"), col("media")).as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => (id, phashKernel(bytes)) })
+      .toDF("doc_id", "phash")
+  }
+
+  /** Image near-dup pairs: all `(doc_a, doc_b)` with phash hamming
+    * distance ≤ `maxHamming`, EXACTLY, via 16-bit block banding — a
+    * pair within hamming ≤ 3 differs in at most 3 of the 4 blocks, so
+    * (pigeonhole) at least one block matches and the equi-join on
+    * `(block_idx, block_value)` is guaranteed to surface it; the
+    * hamming filter then verifies candidates exactly. Candidate
+    * fan-out is Σ_b size(b)² over 16-bit-block buckets (the SimHash
+    * banding argument) — linear for a fixed near-dup rate, never the
+    * N²/2 all-pairs scan. */
+  def phashPairs(media: DataFrame, maxHamming: Int = 3): DataFrame = {
+    require(maxHamming >= 0 && maxHamming < 4,
+      s"4-block banding covers hamming < 4 only, got $maxHamming")
+    val h = perceptualHash(media)
+    val blocks = h.select(col("doc_id"), col("phash"),
+      explode(array((0 until 4).map(i => struct(lit(i).as("blk"),
+        shiftrightunsigned(col("phash"), i * 16)
+          .bitwiseAND(lit(0xFFFFL)).as("v"))): _*)).as("b"))
+      .select(col("doc_id"), col("phash"), col("b.blk").as("blk"), col("b.v").as("v"))
+    blocks.as("a").join(blocks.as("b"),
+        col("a.blk") === col("b.blk") && col("a.v") === col("b.v") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.phash").bitwiseXOR(col("b.phash"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** Frame sampling: split each blob into fixed-size frames and emit one
     * row per sampled frame (every `stride`-th). Pure Column ops —
     * codegen'd, no UDF. */

@@ -616,6 +616,56 @@ class OpsSpec extends SparkSpec {
     assert(out(2L).new_w == 64 && out(2L).resized == null)
   }
 
+  test("perceptual hash: re-encoded/resized images collide, different images diverge") {
+    import spark.implicits._
+    def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
+      val img = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, rgbAt(x, y))
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos)
+      baos.toByteArray
+    }
+    // Structured scene: left half dark, right half bright — aHash bits
+    // split cleanly. Same scene at 3 resolutions must collide within a
+    // couple of bits; the inverted scene must be far away.
+    def scene(w: Int, h: Int) = png(w, h, (x, _) => if (x < w / 2) 0x101010 else 0xF0F0F0)
+    val inverted = png(64, 64, (x, _) => if (x < 32) 0xF0F0F0 else 0x101010)
+    val media = Seq(
+      (1L, scene(64, 64)), (2L, scene(128, 96)), (3L, scene(16, 16)),
+      (4L, inverted), (5L, "plain text blob".getBytes))
+      .toDF("doc_id", "media").withColumn("media_type", lit("x"))
+    val h = graft.ops.Multimodal.perceptualHash(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(h(1L), h(2L)) <= 2, s"same scene, different res: ${ham(h(1L), h(2L))}")
+    assert(ham(h(1L), h(3L)) <= 2, s"same scene, tiny res: ${ham(h(1L), h(3L))}")
+    assert(ham(h(1L), h(4L)) >= 32, s"inverted scene too close: ${ham(h(1L), h(4L))}")
+    // Stub path: the JVM recount of the documented first-64-bytes rule.
+    val bytes = "plain text blob".getBytes
+    val cells = Array.tabulate(64)(i => if (bytes.length > i) bytes(i) & 0xff else 0)
+    val tot = cells.map(_.toLong).sum
+    val want = cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+      if (64L * c > tot) acc | (1L << i) else acc
+    }
+    assert(h(5L) == want)
+  }
+
+  test("phashPairs banding finds exactly the all-pairs hamming<=3 set") {
+    import spark.implicits._
+    val media = Queries.t(spark, sf001, "documents")
+      .select(col("doc_id"), col("text").cast("binary").as("media"))
+    val got = graft.ops.Multimodal.phashPairs(media, 3)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val h = graft.ops.Multimodal.perceptualHash(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (a, ha) <- h; (b, hb) <- h
+      if a < b && java.lang.Long.bitCount(ha ^ hb) <= 3
+    } yield (a, b)).toSet
+    assert(want.nonEmpty, "fixture has no near-dup phashes")
+    assert(got == want)
+  }
+
   test("real audio decode: in-test WAVs get sample rate, frames, channels, and RMS profile") {
     import spark.implicits._
     // 16-bit stereo WAV at 8 kHz, 8000 frames: first half a 440 Hz sine
