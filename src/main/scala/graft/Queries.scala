@@ -439,6 +439,16 @@ object Queries {
         Seq("train" -> 0.8, "valid" -> 0.1, "test" -> 0.1))
         .groupBy("split").agg(count(lit(1)).as("n"))),
 
+    // Data-mixture reweighting plan: per-language token budgets and
+    // repetition factors against a target mixture — the planning step
+    // before quota/hash sampling executes the mix. One corpus
+    // aggregation + broadcast target join; epochs is a single double
+    // multiply/divide, bit-identical across engines.
+    "t17_mixture_plan" -> ((s, dir) =>
+      graft.ops.Sampling.mixturePlan(
+        docs(s, dir), "lang", size(split(col("text"), " ")),
+        Seq("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1))),
+
     // Conversion funnel: users who viewed, then clicked AFTER the first
     // view, then purchased AFTER that click — strictly ordered event-time
     // stages. Three narrow per-user min-aggregations (partial-agg
@@ -635,6 +645,26 @@ object Queries {
         |  WHEN substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 8) < 'e6666666' THEN 'valid'
         |  ELSE 'test' END AS split, count(*) AS n
         |FROM orders GROUP BY 1""".stripMargin,
+
+    // Target weights enter as explicit DOUBLE casts (a bare 0.5 is
+    // DECIMAL in DuckDB and would change the arithmetic); epochs is
+    // the same double multiply/divide as the Spark side.
+    "t17_mixture_plan" ->
+      """WITH stats AS (
+        |  SELECT lang AS stratum, count(*) AS n_docs,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t(stratum, target_w) AS (VALUES
+        |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+        |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |  ('zh', CAST(0.1 AS DOUBLE))),
+        |j AS (SELECT s.stratum, s.n_docs, s.n_tokens, t.target_w
+        |      FROM stats s JOIN t USING (stratum)),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM j)
+        |SELECT stratum, n_docs, n_tokens, target_w,
+        |  CAST(round(target_w * tt) AS BIGINT) AS budget_tokens,
+        |  target_w * tt / n_tokens AS epochs
+        |FROM j, tot""".stripMargin,
 
     "q30_stratified_sample" ->
       """SELECT o_orderkey, o_orderstatus, rk FROM (

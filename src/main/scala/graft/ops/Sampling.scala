@@ -59,6 +59,38 @@ object Sampling {
       .drop("quota")
   }
 
+  /** Data-mixture reweighting plan: given target mixture weights per
+    * stratum (language, source, domain cluster — the DoReMi/Pile-style
+    * mixture table), compute each stratum's token budget and repetition
+    * factor ("epochs") against the corpus it actually has:
+    * `epochs = target_w · T / n_tokens` with `T` the planned strata's
+    * total token count — epochs > 1 means the stratum repeats,
+    * epochs < 1 means it downsamples (feed the fraction to
+    * [[hashSample]] / [[quotaSample]] to execute the plan). Strata
+    * absent from `targets` are excluded from the plan AND from `T`.
+    *
+    * One partial-agg'd aggregation over the corpus (per-stratum counts
+    * — strata are few), a broadcast join with the target table, and a
+    * single grand-total row: nothing here grows with corpus size.
+    * Deterministic: the only non-integer arithmetic is one double
+    * multiply and divide, bit-identical across engines. */
+  def mixturePlan(df: DataFrame, stratumCol: String, tokens: Column,
+      targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.nonEmpty, "empty target mixture")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val stats = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokens.cast("long")).as("n_tokens"))
+      .join(broadcast(targets.toDF("stratum", "target_w")), "stratum")
+    // One Long to the driver: the planned-total token count.
+    val total = stats.agg(sum(col("n_tokens"))).head().getLong(0)
+    stats
+      .withColumn("budget_tokens",
+        round(col("target_w") * total).cast("long"))
+      .withColumn("epochs", col("target_w") * total / col("n_tokens"))
+  }
+
   /** [[stratifiedSample]] for skewed strata: a two-level selection that
     * bounds any single window sort. Rows are first ranked within
     * (stratum, salt) — `salts` independent sub-sorts of |stratum|/salts

@@ -148,6 +148,30 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("mixturePlan budgets and epochs match a local recompute; unplanned strata excluded") {
+    import graft.ops.Sampling
+    val targets = Seq("en" -> 0.6, "de" -> 0.4) // es/fr/zh deliberately absent
+    val plan = Sampling.mixturePlan(
+        docs, "lang", size(split($"text", " ")), targets)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4), r.getDouble(5))).toMap
+    assert(plan.keySet == Set("en", "de"), s"unexpected strata: ${plan.keySet}")
+    val local = docs.select($"lang", size(split($"text", " ")).cast("long").as("n"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(xs => (xs.size.toLong, xs.map(_._2).sum)).toMap
+    val total = targets.map(t => local(t._1)._2).sum
+    targets.foreach { case (lang, w) =>
+      val (nDocs, nToks) = local(lang)
+      val (gotDocs, gotToks, gotW, gotBudget, gotEpochs) = plan(lang)
+      assert(gotDocs == nDocs && gotToks == nToks && gotW == w)
+      assert(gotBudget == math.round(w * total))
+      assert(gotEpochs == w * total / nToks)
+    }
+    // Budgets redistribute the SAME corpus: they sum back to the total.
+    assert(plan.values.map(_._4).sum == total,
+      "rounding drift: budgets do not sum to the planned total")
+  }
+
   // --- Vocabulary estimation ---
 
   test("HLL vocabulary estimate is partition-invariant and within its rsd of exact") {
