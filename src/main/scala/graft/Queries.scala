@@ -1130,6 +1130,21 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // FILTERED ANN: IVF search restricted to an allowed subset (id %
+    // 3 = 0 stands in for a metadata predicate) over an index built on
+    // the full corpus — the vector-store filtered-search contract.
+    // Truth is the filtered brute scan; the pre-filter construction
+    // can return fewer than k survivors only when the subset itself
+    // has fewer, so n_total counts the truth rows.
+    "s08_ann_filtered" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      val pred = col("id") % 3 === 0
+      recallCounts(
+        SimilaritySearch.ivfTopKFiltered(e, q, 10, pred),
+        SimilaritySearch.bruteForceTopK(e.filter(pred), q, 10))
+    }),
+
     // Custom stateful streaming (mapGroupsWithState): per-user session
     // counts, drained to completion — oracle-checked against the batch
     // sessionization SQL.
@@ -1314,6 +1329,12 @@ object Queries {
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
     "s04_ann_ivf" -> Seq(
       "n_hits" -> (166L, 167L, 170L), "n_total" -> (200L, 200L, 200L)),
+    // Measured 2026-08-13 (round 6, PinDump): filtered recall tracks
+    // the unfiltered IVF operating point (0.83–0.85) within a few
+    // hits — the pre-filter thins cells uniformly on the isotropic
+    // fixture, as the scaladoc predicts.
+    "s08_ann_filtered" -> Seq(
+      "n_hits" -> (158L, 158L, 162L), "n_total" -> (200L, 200L, 200L)),
     "s05_ann_quantized" -> Seq(
       "n_hits" -> (200L, 200L, 200L), "n_total" -> (200L, 200L, 200L)),
     "s07_kmeans_clusters" -> Seq(

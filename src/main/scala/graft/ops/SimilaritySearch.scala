@@ -171,6 +171,28 @@ object SimilaritySearch {
       seed: Long = 42L): DataFrame =
     rankTopK(ivfCandidatePairs(corpus, queries, nCells, nProbe, seed), k)
 
+  /** FILTERED ANN — [[ivfTopK]] under a metadata predicate (the
+    * vector-store "filtered search" contract: allowed-subset
+    * restriction at query time over an index built once on the full
+    * corpus). The predicate applies as a PRE-filter on the indexed
+    * rows — pushed to the corpus scan, before any distance math — so
+    * selective filters make the search CHEAPER, never a post-filter
+    * that silently returns < k survivors. Recall degrades gracefully:
+    * the probe set is computed against the unfiltered cell geometry,
+    * so a highly selective filter thins cells uniformly (raise
+    * `nProbe` to compensate — scan fraction stays nProbe/nCells of the
+    * SURVIVING rows). */
+  def ivfTopKFiltered(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      restrict: Column,
+      nCells: Int = 32,
+      nProbe: Int = 16,
+      seed: Long = 42L): DataFrame =
+    rankTopK(
+      ivfCandidatePairs(corpus, queries, nCells, nProbe, seed, Some(restrict)), k)
+
   /** The scored candidate stream of [[ivfTopK]] before the per-query
     * rank: every (query, corpus) pair sharing a probed cell, exactly
     * once (cells partition the corpus, so a neighbor lives in one cell).
@@ -182,10 +204,15 @@ object SimilaritySearch {
       queries: DataFrame,
       nCells: Int = 32,
       nProbe: Int = 16,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      restrict: Option[Column] = None): DataFrame = {
+    // Centroids always train on the FULL corpus: the index is built
+    // once, `restrict` varies per query batch (the filtered-search
+    // contract) — so the cell geometry must not depend on the filter.
     val centroids = trainIvfCentroids(corpus, nCells, seed = seed)
 
-    val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+    val c = restrict.map(corpus.filter).getOrElse(corpus)
+      .select(col("id").as("nbr_id"), col("features").as("v_c"),
         VectorFunctions.vector_norm(col("features")).as("n_c"))
       .withColumn("cell", cellOf(col("v_c"), centroids))
 

@@ -435,6 +435,29 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("filtered IVF recall vs the filtered brute scan >= 0.75") {
+    // Floor sits just under the pinned operating point (s08 pins:
+    // 158/200 = 0.79 at sf0.001) — the same collapse guard as the
+    // LSH/IVF/graph-search floors.
+    val pred = col("id") % 3 === 0
+    val queries = emb.filter(col("id") < 50)
+    val truth = SimilaritySearch.bruteForceTopK(emb.filter(pred), queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val got = SimilaritySearch.ivfTopKFiltered(emb, queries, 10, pred)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    // Every returned neighbor must satisfy the predicate (pre-filter,
+    // not post-filter, semantics).
+    got.values.flatten.foreach(id => assert(id % 3 == 0, s"unfiltered id $id"))
+    val recalls = truth.map { case (qid, t) =>
+      got.getOrElse(qid, Set.empty).intersect(t).size.toDouble / t.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"filtered IVF mean recall@10 = $mean")
+    assert(mean >= 0.75, s"recall $mean below the s08 operating point")
+  }
+
   test("streaming heavy terms equal the batch Misra-Gries frequentTerms") {
     import org.apache.spark.sql.functions.split
     val got = graft.streaming.EventsStream.heavyTerms(spark, sf001, 1L, 100L)

@@ -170,6 +170,26 @@ class PlanSpec extends SparkSpec {
       s"packChunks planned a window sort:\n${windowed.headOption.getOrElse("")}")
   }
 
+  test("m05: phash banding plans as an equi-join — no cartesian, no nested loop") {
+    val p = plan("m05_phash_pairs")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"phash block join degenerated to an all-pairs plan:\n$p")
+  }
+
+  test("t17: mixture plan keeps partial aggregation and broadcasts the target table") {
+    val p = plan("t17_mixture_plan")
+    assert(p.contains("partial_count") || p.contains("partial_sum"),
+      s"stratum stats lost map-side combine:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"target table not broadcast:\n$p")
+  }
+
+  test("d10: survivor selection keeps partial aggregation on the max_by") {
+    val p = plan("d10_dedup_survivors")
+    assert(p.contains("partial_max_by") || p.contains("partial_"),
+      s"survivor max_by lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct"), s"survivor join degenerated:\n$p")
+  }
+
   test("whole-stage codegen spans cover the scan-filter-project pipelines") {
     val p = plan("q02_filter_project")
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
