@@ -449,6 +449,15 @@ object Queries {
         docs(s, dir), "lang", size(split(col("text"), " ")),
         Seq("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1))),
 
+    // Mixture execution: the t17 plan materialized as (doc, rep)
+    // copies — floor(epochs) deterministic copies per doc plus one
+    // md5-Bernoulli fractional copy, so expected per-stratum token
+    // mass is exactly target_w·T. Pure scan-side arithmetic.
+    "t18_mixture_execute" -> ((s, dir) =>
+      graft.ops.Sampling.executeMixture(
+        docs(s, dir), "lang", "doc_id", size(split(col("text"), " ")),
+        Seq("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1))),
+
     // Conversion funnel: users who viewed, then clicked AFTER the first
     // view, then purchased AFTER that click — strictly ordered event-time
     // stages. Three narrow per-user min-aggregations (partial-agg
@@ -665,6 +674,36 @@ object Queries {
         |  CAST(round(target_w * tt) AS BIGINT) AS budget_tokens,
         |  target_w * tt / n_tokens AS epochs
         |FROM j, tot""".stripMargin,
+
+    // t17's epochs CTE, materialized: rep < floor(epochs) keeps the
+    // whole copies; the fractional copy compares the md5 hex draw
+    // against the width-8 hex rendering of floor(frac·2³²) — the same
+    // decision as Spark's numeric conv() compare (fixed-width
+    // lowercase hex is order-isomorphic to the integer).
+    "t18_mixture_execute" ->
+      """WITH stats AS (
+        |  SELECT lang AS stratum, count(*) AS n_docs,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |t(stratum, target_w) AS (VALUES
+        |  ('en', CAST(0.5 AS DOUBLE)), ('de', CAST(0.15 AS DOUBLE)),
+        |  ('es', CAST(0.15 AS DOUBLE)), ('fr', CAST(0.1 AS DOUBLE)),
+        |  ('zh', CAST(0.1 AS DOUBLE))),
+        |j AS (SELECT s.stratum, s.n_tokens, t.target_w
+        |      FROM stats s JOIN t USING (stratum)),
+        |tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tt FROM j),
+        |plan AS (SELECT stratum, target_w * tt / n_tokens AS epochs FROM j, tot),
+        |base AS (
+        |  SELECT d.doc_id, d.lang, p.epochs
+        |  FROM documents d JOIN plan p ON d.lang = p.stratum),
+        |r AS (
+        |  SELECT doc_id, lang, epochs,
+        |    unnest(range(CAST(ceil(epochs) AS BIGINT))) AS rep
+        |  FROM base)
+        |SELECT doc_id, lang, rep FROM r
+        |WHERE rep < floor(epochs)
+        |   OR substr(md5(CAST(doc_id AS VARCHAR) || '#' || CAST(rep AS VARCHAR)), 1, 8)
+        |      < lower(lpad(hex(CAST(floor((epochs - floor(epochs)) * 4294967296.0) AS BIGINT)), 8, '0'))""".stripMargin,
 
     "q30_stratified_sample" ->
       """SELECT o_orderkey, o_orderstatus, rk FROM (

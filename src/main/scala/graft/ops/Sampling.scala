@@ -91,6 +91,35 @@ object Sampling {
       .withColumn("epochs", col("target_w") * total / col("n_tokens"))
   }
 
+  /** Executes a [[mixturePlan]]: materializes each stratum at its
+    * repetition factor as `(key, stratum, rep)` rows — every document
+    * appears `floor(epochs)` times plus one more with probability
+    * `frac(epochs)`, decided by the portable md5 draw on
+    * `(key, rep)` — so the expected token mass per stratum is exactly
+    * `epochs · n_tokens = target_w · T`, and the realized copy set is a
+    * pure function of the data (retry/engine/partitioning stable, like
+    * every sampler here). Downsampling falls out of the same rule
+    * (epochs < 1 ⇒ floor = 0, one Bernoulli copy). Per-row cost is
+    * `ceil(epochs)` emitted candidates — the explode is bounded by the
+    * mixture itself, and nothing shuffles (plan is broadcast, the
+    * filter is a scan-side predicate). */
+  def executeMixture(df: DataFrame, stratumCol: String, keyCol: String,
+      tokens: Column, targets: Seq[(String, Double)]): DataFrame = {
+    require(targets.forall(_._2 > 0), s"non-positive target weight in $targets")
+    val plan = mixturePlan(df, stratumCol, tokens, targets)
+      .select(col("stratum").as(stratumCol), col("epochs"))
+    val frac = col("epochs") - floor(col("epochs"))
+    val drawNum = conv(substring(
+      draw(concat(col(keyCol).cast("string"), lit("#"), col("rep").cast("string"))),
+      1, 8), 16, 10).cast("long")
+    df.join(broadcast(plan), stratumCol)
+      .withColumn("rep",
+        explode(sequence(lit(0L), ceil(col("epochs")).cast("long") - 1)))
+      .filter(col("rep") < floor(col("epochs")) ||
+        drawNum < floor(frac * 4294967296.0).cast("long"))
+      .select(col(keyCol), col(stratumCol), col("rep"))
+  }
+
   /** [[stratifiedSample]] for skewed strata: a two-level selection that
     * bounds any single window sort. Rows are first ranked within
     * (stratum, salt) — `salts` independent sub-sorts of |stratum|/salts

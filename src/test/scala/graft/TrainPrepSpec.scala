@@ -172,6 +172,45 @@ class TrainPrepSpec extends SparkSpec {
       "rounding drift: budgets do not sum to the planned total")
   }
 
+  test("executeMixture matches a local recompute and is partition-invariant") {
+    import graft.ops.Sampling
+    val targets = Seq("en" -> 0.5, "de" -> 0.15, "es" -> 0.15, "fr" -> 0.1, "zh" -> 0.1)
+    def run(parts: Int) = Sampling.executeMixture(
+        docs.repartition(parts), "lang", "doc_id",
+        size(split($"text", " ")), targets)
+      .as[(Long, String, Long)].collect().toSet
+    val got = run(7)
+    assert(run(1) == got, "copy set depends on partitioning")
+    // Local recompute of the documented rule.
+    val local = docs.select($"doc_id", $"lang", size(split($"text", " ")).cast("long"))
+      .as[(Long, String, Long)].collect()
+    val byLang = local.groupBy(_._2).view.mapValues(_.map(_._3).sum).toMap
+    val total = targets.map(t => byLang(t._1)).sum
+    val epochs = targets.map { case (l, w) => l -> w * total / byLang(l) }.toMap
+    def drawHex(id: Long, rep: Long): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s"$id#$rep".getBytes("UTF-8")).take(4).map("%02x".format(_)).mkString
+    val want = (for {
+      (id, lang, _) <- local
+      e = epochs(lang)
+      rep <- 0L until math.ceil(e).toLong
+      if rep < math.floor(e).toLong ||
+        java.lang.Long.parseLong(drawHex(id, rep), 16) <
+          math.floor((e - math.floor(e)) * 4294967296.0).toLong
+    } yield (id, lang, rep)).toSet
+    assert(got == want)
+    // The realized doc-copy mass tracks the plan: per stratum, copies
+    // land within the floor/ceil envelope of epochs·n_docs.
+    val perLang = got.toSeq.groupBy(_._2).view.mapValues(_.size).toMap
+    targets.foreach { case (l, _) =>
+      val n = local.count(_._2 == l)
+      val e = epochs(l)
+      assert(perLang(l) >= math.floor(e).toLong * n &&
+        perLang(l) <= math.ceil(e).toLong * n,
+        s"$l: ${perLang(l)} copies outside [${math.floor(e) * n}, ${math.ceil(e) * n}]")
+    }
+  }
+
   // --- Vocabulary estimation ---
 
   test("HLL vocabulary estimate is partition-invariant and within its rsd of exact") {
