@@ -1233,6 +1233,13 @@ object Queries {
     "st05_stream_dedup_wm" -> ((s, dir) =>
       graft.streaming.EventsStream.dedupCountsWithinWatermark(s, dir)),
 
+    // Streaming vocabulary estimate: HLL++ in complete mode — O(1)
+    // sketch state where exact distinct is unstreamable; the drained
+    // estimate equals batch t14's n_approx (order-independent merge),
+    // pinned to the same per-SF values.
+    "st07_stream_vocab" -> ((s, dir) =>
+      graft.streaming.EventsStream.vocabEstimate(s, dir)),
+
     // Streaming heavy hitters: sharded Misra-Gries state (capacity
     // counters per shard FOREVER — vocabulary-scale-free) maintained
     // through mapGroupsWithState over a streaming read of documents,
@@ -1387,6 +1394,10 @@ object Queries {
     // estimate pins equal the exact counts.
     "t14_vocab_estimate" -> Seq(
       "n_exact" -> (31L, 31L, 31L), "n_approx" -> (31L, 31L, 31L)),
+    // Same sketch over the same rows as t14 (merge is order-independent,
+    // so micro-batch slicing cannot move the estimate).
+    "st07_stream_vocab" -> Seq(
+      "n_approx" -> (31L, 31L, 31L)),
     "d04_simhash_pairs" -> Seq(
       "n_candidates" -> (1484L, 1418L, 138939L),
       "n_true_pairs" -> (28L, 25L, 256L),

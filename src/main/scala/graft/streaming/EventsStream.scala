@@ -252,6 +252,22 @@ object EventsStream {
       .filter(col("n") * lit(den) >= lit(total) * lit(num))
   }
 
+  /** Streaming vocabulary-size estimate: `approx_count_distinct`
+    * (HLL++) over the streaming token stream in complete mode — the
+    * batch t14 witness pair minus the exact half, because EXACT
+    * distinct aggregation is structurally unstreamable (state one row
+    * per distinct key forever; Structured Streaming rejects it
+    * outright) while the sketch is O(1) registers per partition
+    * forever. The register max-merge is associative/commutative/
+    * idempotent, so the drained estimate equals the batch estimate on
+    * the same rows regardless of micro-batch slicing — pinned against
+    * the same per-SF values as t14's `n_approx`. */
+  def vocabEstimate(spark: SparkSession, dir: String, rsd: Double = 0.02): DataFrame =
+    runDrainedOn(spark, dir, "documents", documentsSchema, "vocab") { src =>
+      src.select(explode(split(col("text"), " ")).as("term"))
+        .agg(approx_count_distinct(col("term"), rsd).as("n_approx"))
+    }
+
   /** Exact µs of a Timestamp (getTime alone floors to ms). */
   def tsMicros(ts: java.sql.Timestamp): Long =
     ts.toInstant.getEpochSecond * 1000000L + ts.toInstant.getNano / 1000L

@@ -139,6 +139,53 @@ class EdgeCasesSpec extends SparkSpec {
     assert(pairsAt(1.0) == unbandedAt1, "banded must match unbanded at the degenerate threshold")
   }
 
+  test("packing family: empty input, single doc, and over-wide budgets") {
+    import graft.ops.Packing
+    val empty = Seq.empty[(Long, Long)].toDF("doc_id", "n_tokens")
+    assert(Packing.packChunks(empty, "doc_id", "n_tokens", 256).count() == 0)
+    assert(Packing.chunkManifest(
+      Packing.packChunks(empty, "doc_id", "n_tokens", 256), "doc_id", 256).count() == 0)
+    assert(Packing.globalRank(empty, Seq(col("doc_id"))).count() == 0)
+    // One doc smaller than the budget: one chunk holding it entirely.
+    val one = Seq((7L, 10L)).toDF("doc_id", "n_tokens")
+    val m = Packing.chunkManifest(
+        Packing.packChunks(one, "doc_id", "n_tokens", 256), "doc_id", 256)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(m == Seq((0L, 1L, 7L, 7L, 10L)))
+    intercept[IllegalArgumentException] {
+      Packing.packChunks(one, "doc_id", "n_tokens", 0)
+    }
+  }
+
+  test("mixture family: empty targets and zero-weight targets are rejected") {
+    import graft.ops.Sampling
+    val df = Seq((1L, "en", 5L)).toDF("doc_id", "lang", "n")
+    intercept[IllegalArgumentException] {
+      Sampling.mixturePlan(df, "lang", col("n"), Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.executeMixture(df, "lang", "doc_id", col("n"), Seq("en" -> 0.0))
+    }
+  }
+
+  test("phash family: empty blobs hash to zero; hamming bound validated") {
+    import graft.ops.Multimodal
+    assert(Multimodal.phashKernel(Array.emptyByteArray) == 0L)
+    val media = Seq((1L, Array.emptyByteArray)).toDF("doc_id", "media")
+    assert(Multimodal.perceptualHash(media).collect()(0).getLong(1) == 0L)
+    intercept[IllegalArgumentException] {
+      Multimodal.phashPairs(media, 4)
+    }
+  }
+
+  test("heavy hitters: capacity below the guarantee line is rejected; survivors need a score") {
+    import graft.ops.HeavyHitters
+    val df = Seq((1L, "a b")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      HeavyHitters.frequentTerms(df, split(col("text"), " "), 1L, 100L, capacity = 50)
+    }
+  }
+
   test("updateGraph validates inputs and handles an all-finished increment") {
     val built = graft.nnd.NND.buildGraph(
       Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.0f, 1.0f)))
