@@ -1816,16 +1816,23 @@ object Queries {
         |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_fp
         |FROM documents""".stripMargin,
 
-    // Stub-path aHash: first 64 bytes as the pixel grid, bit i set iff
-    // 64·b_i > Σb (integer threshold, no fractional mean); bit 63
-    // contributes the signed minimum so the packed value equals the
-    // JVM's two's-complement long bit-for-bit.
+    // Stub-path aHash: first 64 UTF-8 BYTES as the pixel grid (hex-pair
+    // slicing of encode(text) — byte-exact vs Spark's bytes(i), unlike
+    // a character-indexed ord/substr form that diverges on any
+    // multi-byte text), bit i set iff 64·b_i > Σb (integer threshold,
+    // no fractional mean); bit 63 contributes the signed minimum so
+    // the packed value equals the JVM's two's-complement long
+    // bit-for-bit.
     "m04_phash" ->
-      """WITH cells AS (
-        |  SELECT doc_id,
-        |    [CASE WHEN i <= len(text) THEN ord(substr(text, i, 1)) ELSE 0 END
-        |      FOR i IN range(1, 65)] AS cs
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
         |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN i <= n THEN ('0x' || substr(h, 2*i-1, 2))::BIGINT
+        |      ELSE 0 END FOR i IN range(1, 65)] AS cs
+        |  FROM hx),
         |t AS (SELECT doc_id, cs, list_sum(cs) AS tot FROM cells)
         |SELECT doc_id,
         |  CAST(list_sum([CASE WHEN 64 * cs[i+1] > tot THEN
@@ -1837,11 +1844,15 @@ object Queries {
     // All-pairs on the phash (fine at oracle scale; the Spark side is
     // the banded equi-join) with the identical hamming cut.
     "m05_phash_pairs" ->
-      """WITH cells AS (
-        |  SELECT doc_id,
-        |    [CASE WHEN i <= len(text) THEN ord(substr(text, i, 1)) ELSE 0 END
-        |      FOR i IN range(1, 65)] AS cs
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
         |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN i <= n THEN ('0x' || substr(h, 2*i-1, 2))::BIGINT
+        |      ELSE 0 END FOR i IN range(1, 65)] AS cs
+        |  FROM hx),
         |t AS (SELECT doc_id, cs, list_sum(cs) AS tot FROM cells),
         |p AS (
         |  SELECT doc_id,

@@ -236,11 +236,15 @@ object Dedup {
     * is the wrong policy: per connected component, keep the member
     * with the HIGHEST score (lowest id on ties — a total order, so the
     * survivor is deterministic). `scores` is `(id, score)` — e.g.
-    * [[TextAnalysis.qualityScore]]'s quality column — joined on the
-    * cluster assignment and reduced with one `max_by` aggregation
+    * [[TextAnalysis.qualityScore]]'s quality column — LEFT-joined on
+    * the cluster assignment and reduced with one `max_by` aggregation
     * (map-side partial agg; the component id is the only shuffle key).
-    * Output: one row per cluster,
-    * `(component, survivor_id, survivor_score, n_members)`. */
+    * Members missing from `scores` still count in `n_members` and
+    * rank below every scored member (missing = −∞); a cluster whose
+    * members are all unscored keeps its lowest id with a null
+    * `survivor_score` — nothing is silently dropped. Output: one row
+    * per cluster, `(component, survivor_id, survivor_score,
+    * n_members)`. */
   def clusterSurvivors(
       df: DataFrame,
       idCol: String,
@@ -254,11 +258,14 @@ object Dedup {
       col(sval).cast("double").as("score"))
     clusterNearDups(df, idCol, textCol, threshold, maxDocFraction, useLsh)
       .select(col("id"), col("component"))
-      .join(scored, "id")
+      .join(scored, Seq("id"), "left")
       .groupBy("component")
       .agg(
+        // Unscored members rank at −∞ (below any real score) but the
+        // emitted survivor_score stays the raw (possibly null) value.
         max_by(struct(col("id"), col("score")),
-          struct(col("score"), col("id") * -1)).as("best"),
+          struct(coalesce(col("score"), lit(Double.NegativeInfinity)),
+            col("id") * -1)).as("best"),
         count(lit(1)).as("n_members"))
       .select(col("component"), col("best.id").as("survivor_id"),
         col("best.score").as("survivor_score"), col("n_members"))

@@ -120,8 +120,15 @@ object Packing {
     val sorted = tagged
       .repartitionByRange(parts, ordNames.map(col): _*)
       .sortWithinPartitions(ordNames.map(col): _*)
+    // Same persist rationale as packChunks: zipWithIndex's internal
+    // counts job and the caller's action must see the same sorted
+    // partitions without paying the range shuffle + sort twice; an
+    // RDD-level cache is reclaimed by the ContextCleaner once the
+    // returned frame is garbage.
+    val sortedRdd = sorted.rdd
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val schema = sorted.schema.add(outCol, LongType, nullable = false)
-    val ranked = sorted.rdd.zipWithIndex().map { case (r, i) =>
+    val ranked = sortedRdd.zipWithIndex().map { case (r, i) =>
       Row.fromSeq(r.toSeq :+ i)
     }
     spark.createDataFrame(ranked, schema).drop(ordNames: _*)

@@ -69,9 +69,13 @@ object Sampling {
     * [[hashSample]] / [[quotaSample]] to execute the plan). Strata
     * absent from `targets` are excluded from the plan AND from `T`.
     *
-    * One partial-agg'd aggregation over the corpus (per-stratum counts
-    * — strata are few), a broadcast join with the target table, and a
-    * single grand-total row: nothing here grows with corpus size.
+    * One partial-agg'd aggregation over the corpus, a broadcast join
+    * with the target table, and a driver collect of at most |targets|
+    * stat rows (strata are few by construction — languages, sources):
+    * nothing here grows with corpus size, and the corpus is scanned
+    * exactly once however the returned plan is consumed. Strata with
+    * non-positive token counts are rejected eagerly (an infinite or
+    * negative epochs must fail here, not inside a downstream explode).
     * Deterministic: the only non-integer arithmetic is one double
     * multiply and divide, bit-identical across engines. */
   def mixturePlan(df: DataFrame, stratumCol: String, tokens: Column,
@@ -79,16 +83,29 @@ object Sampling {
     require(targets.nonEmpty, "empty target mixture")
     val spark = df.sparkSession
     import spark.implicits._
-    val stats = df.groupBy(col(stratumCol).as("stratum"))
+    // ONE corpus scan: the per-stratum stats collect to the driver
+    // (bounded — at most |targets| rows survive the join) and the plan
+    // is built locally, so consuming the returned frame does not
+    // re-aggregate the corpus and the totals can be validated eagerly.
+    val rows = df.groupBy(col(stratumCol).as("stratum"))
       .agg(count(lit(1)).as("n_docs"),
         sum(tokens.cast("long")).as("n_tokens"))
       .join(broadcast(targets.toDF("stratum", "target_w")), "stratum")
-    // One Long to the driver: the planned-total token count.
-    val total = stats.agg(sum(col("n_tokens"))).head().getLong(0)
-    stats
-      .withColumn("budget_tokens",
-        round(col("target_w") * total).cast("long"))
-      .withColumn("epochs", col("target_w") * total / col("n_tokens"))
+      .collect()
+    rows.foreach { r =>
+      require(!r.isNullAt(2) && r.getLong(2) > 0,
+        s"stratum ${r.getString(0)} has non-positive token count " +
+          s"${if (r.isNullAt(2)) "null" else r.getLong(2)} — epochs would be " +
+          "infinite or negative; fix the tokens column or drop the stratum")
+    }
+    val total = rows.map(_.getLong(2)).sum
+    // math.round = floor(x+0.5) — HALF_UP for positives, matching both
+    // the former Column round() and DuckDB's away-from-zero round.
+    rows.toSeq.map { r =>
+      val w = r.getDouble(3)
+      (r.getString(0), r.getLong(1), r.getLong(2), w,
+        math.round(w * total), w * total / r.getLong(2))
+    }.toDF("stratum", "n_docs", "n_tokens", "target_w", "budget_tokens", "epochs")
   }
 
   /** Executes a [[mixturePlan]]: materializes each stratum at its

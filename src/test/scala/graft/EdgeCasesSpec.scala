@@ -178,12 +178,36 @@ class EdgeCasesSpec extends SparkSpec {
     }
   }
 
-  test("heavy hitters: capacity below the guarantee line is rejected; survivors need a score") {
+  test("heavy hitters: capacity below the guarantee line is rejected") {
     import graft.ops.HeavyHitters
     val df = Seq((1L, "a b")).toDF("doc_id", "text")
     intercept[IllegalArgumentException] {
       HeavyHitters.frequentTerms(df, split(col("text"), " "), 1L, 100L, capacity = 50)
     }
+  }
+
+  test("clusterSurvivors: members missing from the score frame still count and never win") {
+    import graft.ops.Dedup
+    // Two exact-duplicate docs (one near-dup cluster) + one singleton;
+    // only doc 2 and the singleton carry scores.
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"), (2L, "alpha beta gamma delta"),
+      (9L, "omega")).toDF("doc_id", "text")
+    val scores = Seq((2L, 0.1), (9L, 0.9)).toDF("doc_id", "score")
+    val got = Dedup.clusterSurvivors(docs, "doc_id", "text", 0.7, scores)
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), if (r.isNullAt(2)) None else Some(r.getDouble(2)), r.getLong(3))))
+      .toMap
+    // Cluster {1,2}: the unscored doc 1 ranks at -inf, so scored doc 2
+    // wins despite its low score — and n_members still counts both.
+    assert(got(1L) == ((2L, Some(0.1), 2L)), s"got ${got(1L)}")
+    assert(got(9L) == ((9L, Some(0.9), 1L)))
+    // An entirely unscored cluster keeps its lowest id with null score.
+    val none = Dedup.clusterSurvivors(docs, "doc_id", "text", 0.7,
+        Seq.empty[(Long, Double)].toDF("doc_id", "score"))
+      .collect().map(r => (r.getLong(0),
+        (r.getLong(1), r.isNullAt(2), r.getLong(3)))).toMap
+    assert(none(1L) == ((1L, true, 2L)) && none(9L) == ((9L, true, 1L)))
   }
 
   test("updateGraph validates inputs and handles an all-finished increment") {

@@ -177,14 +177,13 @@ class OpsSpec extends SparkSpec {
     spark.sparkContext.addSparkListener(listener)
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Poll the async listener bus to quiescence around each measurement
-    // instead of fixed sleeps — a late stage-completed event must not
-    // leak bytes into the next measurement's counter.
-    def quiesce(): Unit = {
-      var last = -1L
-      var now = shuffle.get
-      while (now != last) { Thread.sleep(300); last = now; now = shuffle.get }
-    }
+    // Deterministic bus drain around each measurement — a late
+    // stage-completed event must not leak bytes into the next
+    // measurement's counter, and a fixed-interval poll can declare
+    // quiet while events are still queued.
+    def quiesce(): Unit =
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
     def measured(f: => Set[(Long, Long)]): (Set[(Long, Long)], Long) = {
       quiesce(); shuffle.set(0)
       val r = f

@@ -114,11 +114,12 @@ class TrainPrepSpec extends SparkSpec {
         shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
     }
     spark.sparkContext.addSparkListener(listener)
-    def quiesce(): Unit = {
-      var last = -1L
-      var now = shuffle.get
-      while (now != last) { Thread.sleep(300); last = now; now = shuffle.get }
-    }
+    // Deterministic bus drain (not a fixed-interval poll, which can
+    // declare quiet while stage-completed events are still queued and
+    // leak bytes into the next measurement — the PlanSpec hazard).
+    def quiesce(): Unit =
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
     def measured[A](f: => A): (A, Long) = {
       quiesce(); shuffle.set(0)
       val r = f
