@@ -1169,6 +1169,18 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // Approximate MIPS: the cosine-reduction + IVF path (augment items
+    // with sqrt(M^2 - |x|^2), queries with 0 — per-query-constant
+    // denominator makes cosine ranking = inner-product ranking),
+    // pinned against the exact MIPS scan s06.
+    "s09_mips_ivf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      recallCounts(
+        SimilaritySearch.mipsTopKIvf(e, q, 10),
+        SimilaritySearch.mipsTopK(e, q, 10))
+    }),
+
     // FILTERED ANN: IVF search restricted to an allowed subset (id %
     // 3 = 0 stands in for a metadata predicate) over an index built on
     // the full corpus — the vector-store filtered-search contract.
@@ -1374,6 +1386,13 @@ object Queries {
     "s03_graph_search" -> Seq(
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
     "s04_ann_ivf" -> Seq(
+      "n_hits" -> (166L, 167L, 170L), "n_total" -> (200L, 200L, 200L)),
+    // Measured 2026-08-13 (round 6, PinDump). Identical to the s04
+    // cosine-IVF pins because the fixture's norms are near-uniform —
+    // the augmented tail is ~0 and MIPS truth coincides with cosine
+    // truth; the reduction's exactness on norm-SKEWED data is pinned
+    // separately in OpsSpec (full-probe run equals exact MIPS).
+    "s09_mips_ivf" -> Seq(
       "n_hits" -> (166L, 167L, 170L), "n_total" -> (200L, 200L, 200L)),
     // Measured 2026-08-13 (round 6, PinDump): filtered recall tracks
     // the unfiltered IVF operating point (0.83–0.85) within a few

@@ -60,6 +60,37 @@ object SimilaritySearch {
       .select("query_id", "rank", "nbr_id", "score")
   }
 
+  /** Approximate MIPS at corpus scale: the standard reduction to
+    * cosine ANN (Bachrach et al. '14 / Shrivastava & Li '14) made
+    * concrete over [[ivfTopK]] — item `x` augments to
+    * `[x, √(M²−‖x‖²)]` (M = max corpus norm, one driver scalar),
+    * query `q` to `[q, 0]`; then `cos(q', x') = q·x / (‖q‖·M)` whose
+    * denominator is constant per query, so the cosine ranking IS the
+    * inner-product ranking and every IVF scale property (corpus
+    * shuffles once on cell id, queries broadcast, nProbe/nCells scan
+    * fraction) carries over unchanged. The augmented component is
+    * clamped at 0 before the sqrt — float rounding would otherwise
+    * send the max-norm item to NaN and silently drop it from every
+    * cell. Quality is pinned as s09 against the exact [[mipsTopK]]. */
+  def mipsTopKIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 32,
+      nProbe: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val m = corpus
+      .agg(max(VectorFunctions.vector_norm(col("features")))).head().getDouble(0)
+    require(m > 0, "corpus has no non-zero vector")
+    def augmented(df: DataFrame, tail: Column): DataFrame =
+      df.select(col("id"),
+        concat(col("features"), array(tail.cast("float"))).as("features"))
+    val c = augmented(corpus, sqrt(greatest(lit(0.0),
+      lit(m * m) - VectorFunctions.vector_dot(col("features"), col("features")))))
+    val q = augmented(queries, lit(0.0))
+    ivfTopK(c, q, k, nCells, nProbe, seed)
+  }
+
   /** All XOR masks with at most `radius` bits set among `numPlanes` bits
     * (multiprobe neighborhood of a bucket). */
   def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {

@@ -434,6 +434,32 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("MIPS-to-cosine reduction is exact under full probing on norm-skewed data") {
+    import spark.implicits._
+    // Norms vary 20x, so MIPS and cosine rankings genuinely differ —
+    // the regime the reduction exists for. With nProbe = nCells every
+    // cell is scanned, and the augmented-space dot is exactly v·q
+    // (tail · 0 adds +0.0), so ranking by augmented cosine must equal
+    // exact MIPS ranking id-for-id.
+    val rnd = new scala.util.Random(17)
+    val data = (0L until 300L).map { i =>
+      val scale = 0.1f + (i % 20) * 0.1f
+      (i, Array.fill(16)(rnd.nextGaussian().toFloat * scale))
+    }.toDF("id", "features")
+    val queries = data.filter(col("id") < 10)
+    def ranked(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "rank", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val exact = ranked(SimilaritySearch.mipsTopK(data, queries, 10))
+    val reduced = ranked(SimilaritySearch.mipsTopKIvf(data, queries, 10,
+      nCells = 8, nProbe = 8))
+    assert(reduced == exact, "full-probe reduction diverged from exact MIPS")
+    // Sanity: plain cosine ranking differs on this corpus (MIPS is not
+    // cosine here — the reduction is doing real work).
+    val cosine = ranked(SimilaritySearch.bruteForceTopK(data, queries, 10))
+    assert(cosine != exact, "fixture failed to separate MIPS from cosine")
+  }
+
   test("filtered IVF recall vs the filtered brute scan >= 0.75") {
     // Floor sits just under the pinned operating point (s08 pins:
     // 158/200 = 0.79 at sf0.001) — the same collapse guard as the
