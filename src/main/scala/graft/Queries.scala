@@ -787,7 +787,7 @@ object Queries {
     * 0.9927–0.9948, background stays ≤ 0.633 (measured at sf0.001/0.01/
     * 0.1), so a 0.9 threshold has ≥ 0.09 margin on both sides — the
     * float-parity hazard of a threshold decision never engages. */
-  private def augEmb(s: SparkSession, dir: String): DataFrame = {
+  private[graft] def augEmb(s: SparkSession, dir: String): DataFrame = {
     val e = emb(s, dir)
     val d = size(col("features"))
     val pert = e.select((col("id") + lit(1000000L)).as("id"),
@@ -987,6 +987,22 @@ object Queries {
     "d05_embedding_pairs" -> ((s, dir) =>
       Dedup.embeddingPairsLsh(augEmb(s, dir), "id", "features", 0.9)
         .select("id_a", "id_b")),
+
+    // SemDeDup-style semantic near-dup pairs: deterministic k-means
+    // blocking + within-cluster exact verify. Semantic pairs are a
+    // subset of the exact-scan pairs by construction, so the pinned
+    // row is (true pairs, co-clustered true pairs) — recall of the
+    // semantic blocking, measured not claimed.
+    "d11_semantic_pairs" -> ((s, dir) => {
+      val e = augEmb(s, dir)
+      val sem = Dedup.semanticPairs(e, "id", "features", 0.9)
+        .select("id_a", "id_b").withColumn("hit", lit(1L))
+      Dedup.embeddingPairs(e, "id", "features", 0.9)
+        .select("id_a", "id_b")
+        .join(sem, Seq("id_a", "id_b"), "left")
+        .agg(count(lit(1)).as("n_truth"),
+          sum(coalesce(col("hit"), lit(0L))).as("n_found"))
+    }),
 
     // Near-dup CLUSTERS: connected components over the near-dup pair
     // graph — every doc gets a cluster id (min doc id in its component)
@@ -1417,6 +1433,12 @@ object Queries {
     // so micro-batch slicing cannot move the estimate).
     "st07_stream_vocab" -> Seq(
       "n_approx" -> (31L, 31L, 31L)),
+    // Measured 2026-08-13 (round 6, PinDump): k-means blocking keeps
+    // 96–98% of the true cosine>=0.9 pairs at k=8 — near-identical
+    // vectors land in the same Voronoi cell unless they straddle a
+    // boundary.
+    "d11_semantic_pairs" -> Seq(
+      "n_truth" -> (500L, 500L, 2000L), "n_found" -> (492L, 486L, 1922L)),
     "d04_simhash_pairs" -> Seq(
       "n_candidates" -> (1484L, 1418L, 138939L),
       "n_true_pairs" -> (28L, 25L, 256L),

@@ -463,6 +463,32 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** SemDeDup-style SEMANTIC near-dup pairs (Abbas et al. '23):
+    * k-means clusters as the blocking structure — pairs are only
+    * compared within a cluster, the premise being that semantic
+    * duplicates share a semantic neighborhood. Composes the
+    * deterministic fixed-point [[Clustering.kmeansAssign]] (so the
+    * blocking itself is partition/retry-stable and the output is
+    * pinnable) with [[embeddingPairs]]' block-join verify. Candidate
+    * fan-out is Σ_c size(c)² over clusters instead of N²/2 — the
+    * semantic analogue of LSH bucketing, with k the scan/recall dial;
+    * unlike LSH the blocks carry meaning, so the same assignment
+    * serves mixture analysis (s07) and dedup in one pass. Recall vs
+    * the exact scan is a measured, pinned fact (d11), not a claim. */
+  def semanticPairs(
+      df: DataFrame,
+      idCol: String,
+      vecCol: String,
+      threshold: Double,
+      k: Int = 8,
+      iterations: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    val assigned = Clustering.kmeansAssign(df, idCol, vecCol, k, iterations, seed)
+      .select(col(idCol), col("cluster"))
+    embeddingPairs(df.join(assigned, idCol), idCol, vecCol, threshold,
+      blockCol = Some("cluster"))
+  }
+
   /** Embedding near-duplicate pairs with EXACT recall and a bounded
     * join: 1-D random-projection banding.
     *

@@ -434,6 +434,21 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("semantic (k-means-blocked) pairs are a subset of exact pairs with recall >= 0.95") {
+    // Floor sits just under the pinned operating point (d11 pins:
+    // 492/500 = 0.984 at sf0.001) — the standard collapse guard.
+    val e = Queries.augEmb(spark, sf001)
+    val sem = Dedup.semanticPairs(e, "id", "features", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val truth = Dedup.embeddingPairs(e, "id", "features", 0.9)
+      .select("id_a", "id_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty)
+    assert(sem.subsetOf(truth), "semantic pairs must be exact-verified (no false positives)")
+    val recall = sem.size.toDouble / truth.size
+    info(s"semantic blocking recall at k=8: $recall (${sem.size}/${truth.size})")
+    assert(recall >= 0.95, s"recall $recall below the d11 operating point")
+  }
+
   test("MIPS-to-cosine reduction is exact under full probing on norm-skewed data") {
     import spark.implicits._
     // Norms vary 20x, so MIPS and cosine rankings genuinely differ —
