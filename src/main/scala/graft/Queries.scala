@@ -1197,6 +1197,19 @@ object Queries {
         SimilaritySearch.mipsTopK(e, q, 10))
     }),
 
+    // JL random-projection ANN: candidates generated at half the
+    // vector width (64 -> 32 dims), exact full-width re-rank of the
+    // k*refine survivors. The isotropic fixture is the worst case for
+    // any distance-preserving reduction (neighbor gap ~ one distortion
+    // sigma); clustered-data quality is the OpsSpec planted exhibit.
+    "s10_ann_rp" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      recallCounts(
+        SimilaritySearch.rpTopK(e, q, 10),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+    }),
+
     // FILTERED ANN: IVF search restricted to an allowed subset (id %
     // 3 = 0 stands in for a metadata predicate) over an index built on
     // the full corpus — the vector-store filtered-search contract.
@@ -1439,6 +1452,13 @@ object Queries {
     // boundary.
     "d11_semantic_pairs" -> Seq(
       "n_truth" -> (500L, 500L, 2000L), "n_found" -> (492L, 486L, 1922L)),
+    // Measured 2026-08-13 (round 6, PinDump). The isotropic fixture is
+    // RP's worst case — true neighbors sit within one ~1/sqrt(32)
+    // distortion sigma of background, and the gap narrows with N (the
+    // sf0.1 dip is geometry, not a defect); clustered corpora keep
+    // neighbors in-cluster at half width (OpsSpec planted exhibit).
+    "s10_ann_rp" -> Seq(
+      "n_hits" -> (172L, 175L, 129L), "n_total" -> (200L, 200L, 200L)),
     "d04_simhash_pairs" -> Seq(
       "n_candidates" -> (1484L, 1418L, 138939L),
       "n_true_pairs" -> (28L, 25L, 256L),

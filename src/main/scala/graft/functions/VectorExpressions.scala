@@ -473,6 +473,109 @@ case class CentroidDot(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Johnson–Lindenstrauss dimensionality reduction by a seeded
+  * Rademacher projection (Achlioptas '01, "database-friendly random
+  * projections"): out[r] = (Σ_j ±1·x[j]) / √outDim, with the ±1 of
+  * (row r, element j) drawn from the same xxhash64 chain as
+  * [[LshBuckets]] but through a distinct seed stream, so the default
+  * seed de-correlates the projection from the default LSH hyperplanes.
+  *
+  * The scaling makes R an isometry in expectation — E‖Rx‖² = ‖x‖² —
+  * so distances and (approximately) cosines survive the reduction;
+  * distortion concentrates as ~1/√outDim. Like [[LshBuckets]] the
+  * sign matrix is data-independent, built once per executor and cached
+  * on the expression instance, and both eval paths accumulate
+  * j-ascending in double with one float rounding at the end — codegen
+  * and interpreted are bit-identical. Generated source is one fixed
+  * nested loop: O(1) in outDim·dim (no Janino-size hazard). */
+case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
+    extends UnaryExpression {
+  require(outDim >= 1, s"outDim out of range: $outDim")
+
+  override def prettyName: String = "random_project"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  /** Same publication discipline as [[LshBuckets.signMatrix]]: volatile
+    * cache, grown monotonically, racing recomputes are identical. The
+    * 0x5250 ("RP") pre-chain keeps the stream disjoint from LshBuckets'
+    * at any shared seed. */
+  @transient @volatile private var cachedSigns: Array[Array[Byte]] = _
+
+  def signMatrix(dim: Int): Array[Array[Byte]] = {
+    var m = cachedSigns
+    if (m == null || m(0).length < dim) {
+      val base = XXH64.hashLong(0x5250L, seed)
+      m = Array.tabulate(outDim) { r =>
+        val seedR = XXH64.hashLong(r.toLong, base)
+        Array.tabulate(dim) { j =>
+          if ((XXH64.hashLong(j.toLong, seedR) & 1L) == 0L) 1.toByte else -1.toByte
+        }
+      }
+      cachedSigns = m
+    }
+    m
+  }
+
+  def invSqrtOut: Double = 1.0 / java.lang.Math.sqrt(outDim.toDouble)
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    val dim = v.numElements()
+    val m = signMatrix(dim)
+    val scale = invSqrtOut
+    val out = new Array[Float](outDim)
+    var r = 0
+    while (r < outDim) {
+      val row = m(r)
+      var s = 0.0
+      var j = 0
+      while (j < dim) { s += row(j) * v.getFloat(j).toDouble; j += 1 }
+      out(r) = (s * scale).toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("randomProject", this, classOf[RandomProject].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val dim = ctx.freshName("dim")
+      val m = ctx.freshName("m")
+      val scale = ctx.freshName("scale")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      s"""
+         |final int $dim = $v.numElements();
+         |final byte[][] $m = $self.signMatrix($dim);
+         |final double $scale = $self.invSqrtOut();
+         |final float[] $out = new float[$outDim];
+         |for (int $r = 0; $r < $outDim; $r++) {
+         |  final byte[] $row = $m[$r];
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $dim; $j++) {
+         |    $s += $row[$j] * (double)$v.getFloat($j);
+         |  }
+         |  $out[$r] = (float)($s * $scale);
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorFunctions {
   def vector_dot(a: Column, b: Column): Column =
@@ -506,6 +609,10 @@ object VectorFunctions {
   def lsh_buckets(v: Column, numPlanes: Int, numTables: Int, seed: Long = 42L): Column =
     GraftColumnBridge.column(LshBuckets(
       GraftColumnBridge.expression(v), numPlanes, numTables, seed))
+
+  def random_project(v: Column, outDim: Int, seed: Long = 42L): Column =
+    GraftColumnBridge.column(RandomProject(
+      GraftColumnBridge.expression(v), outDim, seed))
 
   def nearest_centroid(v: Column, centroids: Array[Array[Float]]): Column =
     GraftColumnBridge.column(NearestCentroid(

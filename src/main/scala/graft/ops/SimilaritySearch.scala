@@ -91,6 +91,78 @@ object SimilaritySearch {
     ivfTopK(c, q, k, nCells, nProbe, seed)
   }
 
+  /** Johnson–Lindenstrauss dimensionality REDUCTION of an embedding
+    * column: replaces `vecCol` with its `outDim`-dimensional seeded
+    * Rademacher projection ([[graft.functions.RandomProject]],
+    * Achlioptas '01). The workhorse preprocessing step when the
+    * downstream ANN / dedup / clustering cost is dominated by vector
+    * width: distances survive with distortion ~1/√outDim, so top-k
+    * neighbor sets are approximately preserved at a `outDim/d` cost and
+    * memory factor — and, unlike PCA or OPQ, the map needs NO training
+    * pass, NO fitted model to ship, and is data-independent, which at
+    * 100 TB means: one codegen'd map over the corpus (no shuffle, no
+    * driver state, no second pass), any executor can project any row at
+    * any time (streaming ingest included), and the same seed projects
+    * tomorrow's increment identically — the reduced corpus composes
+    * directly with [[bruteForceTopK]]/[[lshTopK]]/[[ivfTopK]] and the
+    * incremental-dedup paths. Quality on the isotropic fixture is
+    * pinned as s10 (isotropy is the WORST case: true neighbors sit at
+    * cosine ≈ 0.45, inside one distortion σ of background at
+    * outDim=32); on clustered corpora — real embedding geometry —
+    * recall survives halving the dimension (measured in OpsSpec on the
+    * planted-50-cluster corpus). Dial `outDim` by the JL bound
+    * ε ≈ √(8·ln N / outDim). */
+  def rpReduce(df: DataFrame, vecCol: String, outDim: Int, seed: Long = 42L): DataFrame =
+    df.withColumn(vecCol, VectorFunctions.random_project(col(vecCol), outDim, seed))
+
+  /** ANN top-k with [[rpReduce]] as the candidate generator and exact
+    * full-dimension re-rank — the width-reduction twin of
+    * [[quantizedTopK]] (which shrinks bytes-per-component; this shrinks
+    * components): candidate scoring runs at `outDim/d` of the float
+    * traffic, then only `k·refine` survivors per query touch the
+    * full-width vectors. Distortion ~1/√outDim decides what `refine`
+    * buys: on the isotropic fixture — the worst case, true neighbors
+    * within one distortion σ of background — recall is pinned as s10;
+    * on clustered corpora the projected space preserves neighborhoods
+    * at half the width (OpsSpec planted exhibit). At corpus scale the
+    * projected scan composes with [[ivfTopK]]/[[lshTopK]] over the
+    * reduced vectors instead of this brute scan — [[rpReduce]] is the
+    * map, the index choice is orthogonal. */
+  def rpTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      outDim: Int = 32,
+      refine: Int = 16,
+      seed: Long = 42L): DataFrame = {
+    val rp = (v: Column) => VectorFunctions.random_project(v, outDim, seed)
+    val c = corpus.select(col("id").as("nbr_id"), rp(col("features")).as("pv"))
+      .withColumn("pn", VectorFunctions.vector_norm(col("pv")))
+    val q = queries.select(col("id").as("query_id"), rp(col("features")).as("pq"))
+      .withColumn("qn", VectorFunctions.vector_norm(col("pq")))
+    val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("pscore",
+        VectorFunctions.vector_dot(col("pq"), col("pv")) / (col("qn") * col("pn")))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= k * refine)
+      .select("query_id", "nbr_id")
+
+    // Exact re-rank on the surviving candidates only (same stage shape
+    // as quantizedTopK's — the candidate stream is the only difference).
+    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+      VectorFunctions.vector_norm(col("features")).as("n_c"))
+    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      VectorFunctions.vector_norm(col("features")).as("n_q")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    cands.join(cf, "nbr_id").join(qf, "query_id")
+      .withColumn("cosine",
+        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
+  }
+
   /** All XOR masks with at most `radius` bits set among `numPlanes` bits
     * (multiprobe neighborhood of a bucket). */
   def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {

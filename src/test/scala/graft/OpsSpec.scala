@@ -410,6 +410,45 @@ class OpsSpec extends SparkSpec {
     corpus.unpersist()
   }
 
+  // Random projection's planted exhibit. On a clustered corpus the
+  // near-equidistance of same-cluster points makes exact top-10
+  // IDENTITY unstable under any distance-preserving reduction (the
+  // true neighbors are separated by less than one distortion sigma of
+  // each other) — the meaningful preserved property, and the one the
+  // downstream consumers (dedup blocking, k-means, filtered ANN) rely
+  // on, is that retrieved neighbors stay in the query's semantic
+  // neighborhood. So the assertion is cluster agreement of the
+  // projected-space top-10 at HALF the dimension, vs the cross-cluster
+  // background at cosine ~ 0.
+  test("clustered corpus: halving dims by random projection keeps neighbors in-cluster") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    val dim = 64
+    val nClusters = 50
+    val n = 4000
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val pts = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + 0.08f * rnd.nextGaussian().toFloat))
+    }
+    val corpus = pts.toDF("id", "features").repartition(8).cache()
+    val queries = corpus.filter(col("id") < 50) // one per cluster
+    val reduced = SimilaritySearch.rpReduce(corpus, "features", 32)
+    val reducedQ = SimilaritySearch.rpReduce(queries, "features", 32)
+    val inCluster = SimilaritySearch.bruteForceTopK(reduced, reducedQ, 10)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0) % nClusters) == (r.getLong(1) % nClusters))
+    val agree = inCluster.count(identity).toDouble / inCluster.length
+    info(f"projected-space (64->32) top-10 cluster agreement = $agree%.3f")
+    assert(inCluster.length == 500, "expected 50 queries x top-10")
+    assert(agree >= 0.95, s"projection scattered neighbors across clusters: $agree")
+    corpus.unpersist()
+  }
+
   test("quantized ANN recall@10 vs brute force >= 0.95") {
     val queries = emb.filter(col("id") < 50)
     val brute = SimilaritySearch.bruteForceTopK(emb, queries, 10)
