@@ -446,6 +446,21 @@ class OpsSpec extends SparkSpec {
     info(f"projected-space (64->32) top-10 cluster agreement = $agree%.3f")
     assert(inCluster.length == 500, "expected 50 queries x top-10")
     assert(agree >= 0.95, s"projection scattered neighbors across clusters: $agree")
+
+    // The documented 100 TB path — project once, index the REDUCED
+    // column — measured, not claimed: IVF built over the projected
+    // vectors keeps the same in-cluster retention while scanning a
+    // bounded fraction, at half the scan width.
+    val ivfReduced = SimilaritySearch.ivfTopK(reduced, reducedQ, 10,
+        nCells = 64, nProbe = 8)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0) % nClusters) == (r.getLong(1) % nClusters))
+    val ivfAgree = ivfReduced.count(identity).toDouble / ivfReduced.length
+    val scanned = SimilaritySearch.ivfCandidatePairs(reduced, reducedQ,
+      nCells = 64, nProbe = 8).count() / (50.0 * (n - 1))
+    info(f"IVF-over-projected: cluster agreement = $ivfAgree%.3f scannedFrac=$scanned%.3f")
+    assert(ivfAgree >= 0.95, s"IVF over the reduced column lost the neighborhood: $ivfAgree")
+    assert(scanned < 0.15, s"IVF over the reduced column scanned too much: $scanned")
     corpus.unpersist()
   }
 
