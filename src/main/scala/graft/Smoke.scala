@@ -26,7 +26,9 @@ object Smoke {
     val sqlRows = spark.sql(
       """SELECT vec_id, vector_dot(embedding, embedding) AS sq_norm,
         |  quantized_dot(vector_quantize(embedding, CAST(0.6 AS DOUBLE)),
-        |                vector_quantize(embedding, CAST(0.6 AS DOUBLE))) AS q_sq
+        |                vector_quantize(embedding, CAST(0.6 AS DOUBLE))) AS q_sq,
+        |  size(random_project(embedding, 16)) AS rp_dim,
+        |  size(lsh_buckets(embedding, 8, 4)) AS n_tables
         |FROM emb LIMIT 3""".stripMargin).count()
     println(s"[smoke] SQL-registered vector functions rows = $sqlRows")
     spark.stop()

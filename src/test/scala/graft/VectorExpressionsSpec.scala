@@ -60,6 +60,41 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(n == 499)
   }
 
+  test("SQL registration of random_project folds literal params and rejects non-literals") {
+    import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val reg = spark.sessionState.functionRegistry
+    if (!reg.functionExists(org.apache.spark.sql.catalyst.FunctionIdentifier("random_project"))) {
+      reg.createOrReplaceTempFunction("random_project",
+        (args: Seq[Expression]) => graft.functions.RandomProject(args(0),
+          args(1) match {
+            case Literal(v: Int, IntegerType) => v
+            case other => throw new IllegalArgumentException(s"outDim must be a literal, got $other")
+          },
+          if (args.length > 2) args(2) match {
+            case Literal(v: Int, IntegerType) => v.toLong
+            case Literal(v: Long, LongType) => v
+            case other => throw new IllegalArgumentException(s"seed must be a literal, got $other")
+          } else 42L), "scala_udf")
+    }
+    spark.read.parquet(s"$sf0001/embeddings.parquet").createOrReplaceTempView("emb_rp_sql")
+    // The SQL form must be the same expression as the Column API form.
+    val viaSql = spark.sql(
+      "SELECT vec_id, random_project(embedding, 16) AS p FROM emb_rp_sql ORDER BY vec_id LIMIT 5")
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    val viaCol = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id"), random_project(col("embedding"), 16).as("p"))
+      .orderBy("vec_id").limit(5)
+      .collect().map(r => (r.getLong(0), r.getSeq[Float](1)))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    // A non-literal construction param must fail loudly, not mis-project.
+    val err = intercept[Exception] {
+      spark.sql("SELECT random_project(embedding, CAST(vec_id AS INT)) FROM emb_rp_sql LIMIT 1")
+        .collect()
+    }
+    assert(err.getMessage != null)
+  }
+
   test("vector_quantize + quantized_dot: codegen equals interpreted equals a JVM recount") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("v"))
