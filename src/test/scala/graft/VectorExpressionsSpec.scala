@@ -41,6 +41,16 @@ class VectorExpressionsSpec extends SparkSpec {
     // string; the vector_dot Project must be inside one.
     val line = plan.linesIterator.find(_.contains("vector_dot")).getOrElse("")
     assert(line.contains("*("), s"vector_dot Project not codegen'd:\n$plan")
+    // Same claim for the matrix-on-the-instance expressions: the
+    // reference-object pattern must not drop them to interpreted eval.
+    val df2 = pairs.select(random_project(col("va"), 16),
+      lsh_buckets(col("va"), 8, 4))
+    df2.collect()
+    val plan2 = df2.queryExecution.executedPlan.toString
+    for (fn <- Seq("random_project", "lsh_buckets")) {
+      val l = plan2.linesIterator.find(_.contains(fn)).getOrElse("")
+      assert(l.contains("*("), s"$fn Project not codegen'd:\n$plan2")
+    }
   }
 
   test("SQL registration via GraftExtensions exposes vector_dot to spark.sql") {
