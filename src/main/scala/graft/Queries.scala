@@ -1246,6 +1246,20 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // Product-quantization ANN (8-byte codes + ADC table scoring +
+    // exact re-rank): the bytes-per-row scale path at its limit — the
+    // scoring scan streams m=8 code bytes per corpus row instead of
+    // 256 float bytes. Pinned recall vs brute force, same scheme as
+    // s05 (whose 1-byte-per-COMPONENT quantization this shrinks by a
+    // further d/m).
+    "s11_ann_pq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      recallCounts(
+        SimilaritySearch.pqTopK(e, q, 10),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+    }),
+
     // Distributed k-means (domain-discovery clustering, k=8, 5 Lloyd
     // rounds): fixed-point centroid accumulation makes assignments a
     // pure function of the fixture at ANY partitioning, so the cluster
@@ -1280,6 +1294,13 @@ object Queries {
     // pinned to the same per-SF values.
     "st07_stream_vocab" -> ((s, dir) =>
       graft.streaming.EventsStream.vocabEstimate(s, dir)),
+
+    // Streaming decontamination: the benchmark gram set broadcast as a
+    // static artifact, the document stream a stateless in-row
+    // projection (no watermark, no state store) — must equal batch d09
+    // bit-for-bit, and shares its SQL oracle.
+    "st08_stream_decon" -> ((s, dir) =>
+      graft.streaming.EventsStream.decontaminateCounts(s, dir)),
 
     // Streaming heavy hitters: sharded Misra-Gries state (capacity
     // counters per shard FOREVER — vocabulary-scale-free) maintained
@@ -1431,6 +1452,13 @@ object Queries {
       "n_hits" -> (158L, 158L, 162L), "n_total" -> (200L, 200L, 200L)),
     "s05_ann_quantized" -> Seq(
       "n_hits" -> (200L, 200L, 200L), "n_total" -> (200L, 200L, 200L)),
+    // Measured 2026-08-13 (round 6, PinDump). PQ8x256 + refine=16 on
+    // the isotropic fixture: 8-byte codes rank well enough that the
+    // exact re-rank recovers nearly all of brute force — quantization
+    // error averages out over 8 independent subspaces, unlike s10's
+    // width cut which loses signal coherently.
+    "s11_ann_pq" -> Seq(
+      "n_hits" -> (200L, 200L, 196L), "n_total" -> (200L, 200L, 200L)),
     "s07_kmeans_clusters" -> Seq(
       "n_points" -> (500L, 500L, 2000L),
       "n_clusters_nonempty" -> (8L, 8L, 8L),
@@ -1497,6 +1525,24 @@ object Queries {
     // Same trigram construction as the dedup oracles; benchmark set =
     // doc_id % 20 == 0. count(b.s) counts matched (distinct) grams.
     "d09_decontaminate" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |bench AS (SELECT DISTINCT s FROM grams WHERE id % 20 = 0),
+        |corpus AS (SELECT id, s FROM grams WHERE id % 20 <> 0)
+        |SELECT c.id AS doc_id, count(*) AS n_grams,
+        |  CAST(count(b.s) AS BIGINT) AS n_contaminated,
+        |  CAST(count(b.s) AS DOUBLE) / count(*) AS contaminated_frac
+        |FROM corpus c LEFT JOIN bench b USING (s)
+        |GROUP BY c.id""".stripMargin,
+
+    // The streaming twin emits the same rows as d09 (stateless in-row
+    // projection over the same gram construction), so it shares d09's
+    // oracle verbatim.
+    "st08_stream_decon" ->
       """WITH grams AS (
         |  SELECT DISTINCT doc_id AS id, s FROM (
         |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3

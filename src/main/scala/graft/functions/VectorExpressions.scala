@@ -576,6 +576,282 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Product-quantization encoder (Jégou et al. '11, "Product
+  * quantization for nearest neighbor search"): the vector splits into
+  * `m` contiguous subvectors of width d/m; subvector `s` is replaced by
+  * the index of its Euclidean-nearest codeword in `codebooks(s)` —
+  * the same biased-argmin rule as [[NearestCentroid]], once per
+  * subspace — and the output is the m-byte BINARY code word. At
+  * codebookSize 256 a 64-dim float vector (256 bytes) compresses to
+  * 8 bytes: the corpus representation a billion-scale ANN scan
+  * actually streams. Codebooks ride the expression instance as a
+  * codegen reference object — generated source is one fixed triple
+  * loop, O(1) in m·k·d (no Janino-size hazard), and the interpreted
+  * path runs the identical j-ascending double arithmetic. */
+case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+  require(codebooks.forall(_.length <= 256),
+    s"codebook size ${codebooks.map(_.length).max} > 256 cannot encode in one byte")
+  require(codebooks.forall(_.head.length == codebooks.head.head.length),
+    "subspace widths differ across codebooks")
+
+  override def prettyName: String = "pq_encode"
+  override def dataType: DataType = BinaryType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  def numSub: Int = codebooks.length
+  def subDim: Int = codebooks.head.head.length
+
+  /** ‖c‖²/2 per (subspace, code) — same j-ascending summation as
+    * [[NearestCentroid.biases]]. */
+  lazy val biases: Array[Array[Double]] = codebooks.map(_.map { c =>
+    var s = 0.0
+    var j = 0
+    while (j < c.length) { s += c(j).toDouble * c(j); j += 1 }
+    s / 2.0
+  })
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == numSub * subDim,
+      s"vector size mismatch: ${v.numElements()} vs ${numSub}x$subDim")
+    val out = new Array[Byte](numSub)
+    var sub = 0
+    while (sub < numSub) {
+      val book = codebooks(sub)
+      val bias = biases(sub)
+      val off = sub * subDim
+      var best = 0
+      var bestScore = Double.PositiveInfinity
+      var c = 0
+      while (c < book.length) {
+        val row = book(c)
+        var s = 0.0
+        var j = 0
+        while (j < subDim) { s += v.getFloat(off + j).toDouble * row(j); j += 1 }
+        val score = bias(c) - s
+        if (score < bestScore) { bestScore = score; best = c }
+        c += 1
+      }
+      out(sub) = best.toByte
+      sub += 1
+    }
+    out
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqEncode", this, classOf[PqEncode].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val books = ctx.freshName("books")
+      val biasT = ctx.freshName("biasT")
+      val out = ctx.freshName("out")
+      val sub = ctx.freshName("sub")
+      val off = ctx.freshName("off")
+      val book = ctx.freshName("book")
+      val bias = ctx.freshName("bias")
+      val best = ctx.freshName("best")
+      val bestScore = ctx.freshName("bestScore")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val score = ctx.freshName("score")
+      val subDimV = subDim
+      val numSubV = numSub
+      s"""
+         |final float[][][] $books = $self.codebooks();
+         |final double[][] $biasT = $self.biases();
+         |if ($v.numElements() != $numSubV * $subDimV) {
+         |  throw new IllegalArgumentException("vector size mismatch: " +
+         |    $v.numElements() + " vs " + ($numSubV * $subDimV));
+         |}
+         |final byte[] $out = new byte[$numSubV];
+         |for (int $sub = 0; $sub < $numSubV; $sub++) {
+         |  final float[][] $book = $books[$sub];
+         |  final double[] $bias = $biasT[$sub];
+         |  final int $off = $sub * $subDimV;
+         |  int $best = 0;
+         |  double $bestScore = Double.POSITIVE_INFINITY;
+         |  for (int $c = 0; $c < $book.length; $c++) {
+         |    final float[] $row = $book[$c];
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $subDimV; $j++) {
+         |      $s += (double)$v.getFloat($off + $j) * (double)$row[$j];
+         |    }
+         |    final double $score = $bias[$c] - $s;
+         |    if ($score < $bestScore) { $bestScore = $score; $best = $c; }
+         |  }
+         |  $out[$sub] = (byte)$best;
+         |}
+         |${ev.value} = $out;
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** The query-side half of asymmetric distance computation (ADC): the
+  * flat m·k lookup table lut[s·k + c] = q_s · codebooks(s)(c) — every
+  * dot product a PQ-coded scan could need for this query, computed
+  * ONCE per query row (cost m·k·d/m = k·d multiply-adds, i.e. one
+  * brute scan over k imaginary rows) so the per-candidate score in
+  * [[PqAdc]] collapses to m array reads. Same reference-object
+  * codegen shape as [[PqEncode]]; double entries keep the downstream
+  * sum bit-identical between codegen and interpreted paths. */
+case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
+    extends UnaryExpression {
+  require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
+  require(codebooks.forall(_.length == codebooks.head.length),
+    "codebook sizes differ across subspaces")
+  require(codebooks.forall(_.head.length == codebooks.head.head.length),
+    "subspace widths differ across codebooks")
+
+  override def prettyName: String = "pq_lut"
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  def numSub: Int = codebooks.length
+  def subDim: Int = codebooks.head.head.length
+  def bookSize: Int = codebooks.head.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == numSub * subDim,
+      s"vector size mismatch: ${v.numElements()} vs ${numSub}x$subDim")
+    val k = bookSize
+    val out = new Array[Double](numSub * k)
+    var sub = 0
+    while (sub < numSub) {
+      val book = codebooks(sub)
+      val off = sub * subDim
+      var c = 0
+      while (c < k) {
+        val row = book(c)
+        var s = 0.0
+        var j = 0
+        while (j < subDim) { s += v.getFloat(off + j).toDouble * row(j); j += 1 }
+        out(sub * k + c) = s
+        c += 1
+      }
+      sub += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("pqLut", this, classOf[PqLut].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val books = ctx.freshName("books")
+      val out = ctx.freshName("out")
+      val sub = ctx.freshName("sub")
+      val off = ctx.freshName("off")
+      val book = ctx.freshName("book")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val subDimV = subDim
+      val numSubV = numSub
+      val kV = bookSize
+      s"""
+         |final float[][][] $books = $self.codebooks();
+         |if ($v.numElements() != $numSubV * $subDimV) {
+         |  throw new IllegalArgumentException("vector size mismatch: " +
+         |    $v.numElements() + " vs " + ($numSubV * $subDimV));
+         |}
+         |final double[] $out = new double[$numSubV * $kV];
+         |for (int $sub = 0; $sub < $numSubV; $sub++) {
+         |  final float[][] $book = $books[$sub];
+         |  final int $off = $sub * $subDimV;
+         |  for (int $c = 0; $c < $kV; $c++) {
+         |    final float[] $row = $book[$c];
+         |    double $s = 0.0;
+         |    for (int $j = 0; $j < $subDimV; $j++) {
+         |      $s += (double)$v.getFloat($off + $j) * (double)$row[$j];
+         |    }
+         |    $out[$sub * $kV + $c] = $s;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
+/** ADC score of one PQ-coded candidate against one query LUT:
+  * Σ_s lut[s·k + code_s] ≈ q·x, in m array reads — the entire
+  * per-pair cost of a PQ scan (the float vectors never appear).
+  * `k` is recovered as lut.length / codes.length, so the expression
+  * needs no codebook reference at all. Left-to-right double adds in
+  * both paths. */
+case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
+  override def prettyName: String = "pq_adc"
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = (left.dataType, right.dataType) match {
+    case (ArrayType(DoubleType, _), BinaryType) => TypeCheckResult.TypeCheckSuccess
+    case (l, r) => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires (ARRAY<DOUBLE> lut, BINARY codes), got " +
+        s"${l.catalogString} and ${r.catalogString}")
+  }
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val lut = a.asInstanceOf[ArrayData]
+    val codes = b.asInstanceOf[Array[Byte]]
+    require(codes.length > 0 && lut.numElements() % codes.length == 0,
+      s"LUT size ${lut.numElements()} not a multiple of code length ${codes.length}")
+    val k = lut.numElements() / codes.length
+    var s = 0.0
+    var sub = 0
+    while (sub < codes.length) {
+      s += lut.getDouble(sub * k + (codes(sub) & 0xFF))
+      sub += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (lut, codes) => {
+      val k = ctx.freshName("k")
+      val s = ctx.freshName("s")
+      val sub = ctx.freshName("sub")
+      s"""
+         |if ($codes.length == 0 || $lut.numElements() % $codes.length != 0) {
+         |  throw new IllegalArgumentException("LUT size " + $lut.numElements() +
+         |    " not a multiple of code length " + $codes.length);
+         |}
+         |final int $k = $lut.numElements() / $codes.length;
+         |double $s = 0.0;
+         |for (int $sub = 0; $sub < $codes.length; $sub++) {
+         |  $s += $lut.getDouble($sub * $k + ($codes[$sub] & 0xFF));
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** Column-level entry points for the native expressions. */
 object VectorFunctions {
   def vector_dot(a: Column, b: Column): Column =
@@ -621,4 +897,14 @@ object VectorFunctions {
   def centroid_dot(v: Column, cluster: Column, centroids: Array[Array[Float]]): Column =
     GraftColumnBridge.column(CentroidDot(
       GraftColumnBridge.expression(v), GraftColumnBridge.expression(cluster), centroids))
+
+  def pq_encode(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftColumnBridge.column(PqEncode(GraftColumnBridge.expression(v), codebooks))
+
+  def pq_lut(v: Column, codebooks: Array[Array[Array[Float]]]): Column =
+    GraftColumnBridge.column(PqLut(GraftColumnBridge.expression(v), codebooks))
+
+  def pq_adc(lut: Column, codes: Column): Column =
+    GraftColumnBridge.column(PqAdc(
+      GraftColumnBridge.expression(lut), GraftColumnBridge.expression(codes)))
 }

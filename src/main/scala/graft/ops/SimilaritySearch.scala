@@ -402,6 +402,133 @@ object SimilaritySearch {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
+  /** Train per-subspace PQ codebooks (standard Lloyd L2 k-means, one
+    * independent run per subspace) on a deterministic hash-ordered
+    * sample — the same driver-side training discipline as
+    * [[trainIvfCentroids]]: the corpus itself is never collected, and
+    * the fitted model (m·k·(d/m) floats = k·d total, ~64 KB at the
+    * defaults) ships as an expression reference object. Subvectors are
+    * NOT normalized: PQ quantizes raw coordinates so the ADC sum
+    * reconstructs the raw inner product. Empty clusters keep their old
+    * codeword (same rule as IVF training), so training is a pure
+    * function of (corpus, params). */
+  def trainPqCodebooks(
+      corpus: DataFrame,
+      numSub: Int = 8,
+      bookSize: Int = 256,
+      sampleSize: Int = 2048,
+      iterations: Int = 5,
+      seed: Long = 42L): Array[Array[Array[Float]]] = {
+    val sample = corpus
+      .orderBy(xxhash64(col("id"), lit(seed)), col("id"))
+      .limit(sampleSize)
+      .select(col("features")).collect()
+      .map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "empty corpus")
+    val dim = sample.head.length
+    require(dim % numSub == 0, s"dim $dim not divisible by numSub $numSub")
+    val subDim = dim / numSub
+
+    Array.tabulate(numSub) { sub =>
+      val off = sub * subDim
+      val pts = sample.map(v => java.util.Arrays.copyOfRange(v, off, off + subDim))
+      var centroids = pts.take(bookSize).map(_.clone())
+      // fewer sample points than codewords: pad with repeats (degenerate
+      // but well-defined; duplicates never win an argmin over the first)
+      if (centroids.length < bookSize)
+        centroids = Array.tabulate(bookSize)(i => pts(i % pts.length).clone())
+      var it = 0
+      while (it < iterations) {
+        val sums = Array.fill(bookSize)(new Array[Double](subDim))
+        val counts = new Array[Long](bookSize)
+        pts.foreach { p =>
+          var best = 0; var bestD = Double.MaxValue
+          var c = 0
+          while (c < bookSize) {
+            val row = centroids(c)
+            var d2 = 0.0
+            var j = 0
+            while (j < subDim) {
+              val d = p(j).toDouble - row(j); d2 += d * d; j += 1
+            }
+            if (d2 < bestD) { bestD = d2; best = c }
+            c += 1
+          }
+          counts(best) += 1
+          var j = 0
+          while (j < subDim) { sums(best)(j) += p(j); j += 1 }
+        }
+        centroids = centroids.zipWithIndex.map { case (old, c) =>
+          if (counts(c) == 0) old
+          else sums(c).map(x => (x / counts(c)).toFloat)
+        }
+        it += 1
+      }
+      centroids
+    }
+  }
+
+  /** ANN top-k via product quantization with asymmetric distance
+    * computation and exact re-rank — the BYTES-PER-ROW scale path taken
+    * to its limit: [[quantizedTopK]] stores 1 byte per component
+    * (d bytes/row); PQ stores 1 byte per SUBSPACE (m bytes/row — 8
+    * bytes + a 4-byte norm for a 64-dim vector, 21× less than float32),
+    * and scoring a candidate costs m table reads ([[graft.functions.PqAdc]])
+    * instead of d multiply-adds, after a once-per-query m·k-entry LUT
+    * ([[graft.functions.PqLut]]). This is the memory layout and kernel
+    * of a billion-vector IVF-PQ system (Jégou et al. '11; FAISS
+    * `IndexIVFPQ`): compose with [[ivfCandidatePairs]]' cell routing for
+    * the scan-fraction cut — the two are orthogonal, and this operator
+    * exhibits the PQ half over the full corpus so its quality is
+    * attributable to quantization alone (pinned as s11).
+    *
+    * Approximate ranking divides the ADC dot by the exact stored corpus
+    * norm — approximate COSINE, constant query norm dropped — then only
+    * `k·refine` survivors per query touch full-width floats for the
+    * exact re-rank (identical tail to [[quantizedTopK]]/[[rpTopK]]).
+    * Codebooks train driver-side on a deterministic sample; encode, LUT
+    * and ADC are all codegen'd projections, so the corpus never
+    * shuffles and the scan is one whole-stage-codegen pass over
+    * (id, codes, norm). */
+  def pqTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      numSub: Int = 8,
+      bookSize: Int = 256,
+      refine: Int = 16,
+      sampleSize: Int = 2048,
+      seed: Long = 42L): DataFrame = {
+    val books = trainPqCodebooks(corpus, numSub, bookSize, sampleSize, seed = seed)
+
+    val c = corpus.select(col("id").as("nbr_id"),
+      VectorFunctions.pq_encode(col("features"), books).as("codes"),
+      VectorFunctions.vector_norm(col("features")).as("n_c"))
+    val q = queries.select(col("id").as("query_id"),
+      VectorFunctions.pq_lut(col("features"), books).as("lut"))
+
+    val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("pscore",
+        VectorFunctions.pq_adc(col("lut"), col("codes")) / col("n_c"))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= k * refine)
+      .select("query_id", "nbr_id")
+
+    // Exact re-rank on the surviving candidates only.
+    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+      VectorFunctions.vector_norm(col("features")).as("n_c"))
+    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      VectorFunctions.vector_norm(col("features")).as("n_q")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    cands.join(cf, "nbr_id").join(qf, "query_id")
+      .withColumn("cosine",
+        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
+  }
+
   /** ANN top-k via multi-table random-hyperplane LSH (OR-construction)
     * with hamming-`probeRadius` multiprobe within each table.
     *

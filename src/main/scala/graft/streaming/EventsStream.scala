@@ -111,7 +111,7 @@ object EventsStream {
     * incrementally (append/update); windowed and global aggregations
     * re-emit the full result (complete). */
   private def outputModeFor(tag: String): String = tag match {
-    case "join"               => "append"
+    case "join" | "decon"     => "append"
     case "sessions" | "heavy" => "update"
     case _                    => "complete"
   }
@@ -267,6 +267,42 @@ object EventsStream {
       src.select(explode(split(col("text"), " ")).as("term"))
         .agg(approx_count_distinct(col("term"), rsd).as("n_approx"))
     }
+
+  /** Streaming benchmark decontamination — batch d09's scale shape
+    * carried to ingest time: the benchmark n-gram set is a STATIC
+    * artifact (eval suites change by release, not by micro-batch), so
+    * it is built once batch-side, hashed to 8-byte keys, and broadcast;
+    * the document stream then runs a PURE STATELESS projection — grams
+    * generated in-row (`array_distinct` before any explode), hashed by
+    * the engine (`transform` + `xxhash64`), membership counted against
+    * the broadcast set. Zero streaming state, append mode: the one
+    * streaming surface here that needs neither watermark nor store,
+    * which is exactly why decontamination belongs at ingest. The UDF is
+    * the same bounded set-probe class as d09's Bloom carrier (no
+    * built-in set-membership expression); swap the exact set for the
+    * Bloom + exact-verify pair past ~100s of MB of benchmark grams.
+    * Output is bit-equal to batch d09 (asserted in OpsSpec) and shares
+    * its DuckDB oracle. */
+  def decontaminateCounts(spark: SparkSession, dir: String, n: Int = 3): DataFrame = {
+    val bench = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 20 === 0)
+      .select(explode(array_distinct(graft.ops.Dedup.shingles(col("text"), n))).as("s"))
+      .select(xxhash64(col("s")).as("g")).distinct()
+      .collect().map(_.getLong(0)).toSet // bounded: the eval suite is small
+    val bc = spark.sparkContext.broadcast(bench)
+    val nHits = udf((hs: Seq[Long]) => hs.count(bc.value.contains))
+    runDrainedOn(spark, dir, "documents", documentsSchema, "decon") { src =>
+      val grams = array_distinct(graft.ops.Dedup.shingles(col("text"), n))
+      src.filter(col("doc_id") % 20 =!= 0)
+        .select(col("doc_id"), grams.as("grams"))
+        .select(col("doc_id"),
+          size(col("grams")).cast("long").as("n_grams"),
+          nHits(transform(col("grams"), g => xxhash64(g))).cast("long")
+            .as("n_contaminated"))
+        .withColumn("contaminated_frac",
+          col("n_contaminated").cast("double") / col("n_grams"))
+    }
+  }
 
   /** Exact µs of a Timestamp (getTime alone floors to ms). */
   def tsMicros(ts: java.sql.Timestamp): Long =

@@ -480,6 +480,33 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.95, s"recall $mean too low for int8 + 4x refine")
   }
 
+  test("PQ ANN recall@10 vs brute force >= 0.9") {
+    // Floor sits just under the pinned operating point (s11 pins at
+    // sf0.001/0.01 — the collapse guard, same scheme as LSH/IVF/int8).
+    val queries = emb.filter(col("id") < 50)
+    val brute = SimilaritySearch.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val pq = SimilaritySearch.pqTopK(emb, queries, 10)
+      .select("query_id", "nbr_id").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+    val recalls = brute.map { case (q, truth) =>
+      pq.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+    }
+    val mean = recalls.sum / recalls.size
+    info(s"PQ ANN mean recall@10 = $mean (PQ8x256, refine=16)")
+    assert(mean >= 0.9, s"recall $mean too low for PQ8x256 + 16x refine")
+  }
+
+  test("streaming decontamination equals batch d09 bit-for-bit") {
+    val got = graft.streaming.EventsStream.decontaminateCounts(spark, sf001)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val want = Queries.all("d09_decontaminate")(spark, sf001)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == want)
+    assert(got.values.exists(_._2 > 0), "fixture has no contaminated docs — vacuous")
+  }
+
   test("stream-stream interval join equals the batch range join") {
     val got = graft.streaming.EventsStream.purchaseAttribution(spark, sf001)
       .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap

@@ -147,6 +147,77 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(overlap >= 7, s"quantization destroyed ranking: overlap $overlap/10")
   }
 
+  test("pq_encode/pq_lut/pq_adc: codegen equals a JVM recount; ADC reconstructs codeword dots") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"))
+    val numSub = 4
+    val bookSize = 16
+    val books = graft.ops.SimilaritySearch.trainPqCodebooks(
+      e, numSub, bookSize, sampleSize = 256)
+
+    val rows = e.filter(col("id") < 50)
+      .select(col("features"),
+        pq_encode(col("features"), books).as("codes"),
+        pq_lut(col("features"), books).as("lut"))
+      .collect()
+    assert(rows.length == 50)
+    val subDim = books.head.head.length
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val codes = r.getAs[Array[Byte]](1)
+      val lut = r.getSeq[Double](2).toArray
+      assert(codes.length == numSub && lut.length == numSub * bookSize)
+      for (sub <- 0 until numSub) {
+        // encode: strict-< argmin of ||c||²/2 − v_sub·c, first-min tie-break
+        var best = 0; var bestScore = Double.PositiveInfinity
+        for (c <- 0 until bookSize) {
+          val row = books(sub)(c)
+          var bias = 0.0
+          for (j <- 0 until subDim) bias += row(j).toDouble * row(j)
+          var dot = 0.0
+          for (j <- 0 until subDim) dot += v(sub * subDim + j).toDouble * row(j)
+          val score = bias / 2.0 - dot
+          if (score < bestScore) { bestScore = score; best = c }
+          // lut: exact codeword dot
+          assert(lut(sub * bookSize + c) == dot,
+            s"lut mismatch at sub=$sub c=$c")
+        }
+        assert((codes(sub) & 0xFF) == best, s"code mismatch at sub=$sub")
+      }
+    }
+
+    // ADC over (lut, codes) pairs equals the sum of the coded rows'
+    // LUT entries — checked through a two-row join so the expression
+    // runs against mixed inputs, not a self-pair.
+    val pairsDf = e.filter(col("id") < 20)
+    val adc = pairsDf.as("a").join(pairsDf.as("b"), col("a.id") + 1 === col("b.id"))
+      .select(
+        pq_adc(pq_lut(col("a.features"), books),
+          pq_encode(col("b.features"), books)).as("adc"),
+        pq_lut(col("a.features"), books).as("lut"),
+        pq_encode(col("b.features"), books).as("codes"))
+      .collect()
+    adc.foreach { r =>
+      val lut = r.getSeq[Double](1).toArray
+      val codes = r.getAs[Array[Byte]](2)
+      val want = codes.zipWithIndex.map { case (c, sub) =>
+        lut(sub * bookSize + (c & 0xFF))
+      }.foldLeft(0.0)(_ + _)
+      assert(r.getDouble(0) == want)
+    }
+
+    // The kernels must stay inside whole-stage codegen.
+    val df = e.select(pq_encode(col("features"), books).as("c"),
+      pq_adc(pq_lut(col("features"), books),
+        pq_encode(col("features"), books)).as("s"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    for (fn <- Seq("pq_encode", "pq_adc")) {
+      val l = plan.linesIterator.find(_.contains(fn)).getOrElse("")
+      assert(l.contains("*("), s"$fn Project not codegen'd:\n$plan")
+    }
+  }
+
   test("lsh_buckets: codegen equals a JVM recount of the sign-matrix fold") {
     import org.apache.spark.sql.catalyst.expressions.XXH64
     val numPlanes = 12
