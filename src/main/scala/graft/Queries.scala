@@ -1210,6 +1210,34 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // PCA ANN: fitted-basis half-width candidates with exact re-rank —
+    // the data-dependent twin of s10's JL projection (one fixed-point
+    // training pass, basis ships as a codegen reference object).
+    // Pinned next to s10: the fitted basis beats the random map even
+    // on this near-isotropic fixture (186 vs 129 hits at sf0.1); the
+    // planted low-rank corpus in PcaSpec shows the full separation.
+    "s12_ann_pca" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      recallCounts(
+        SimilaritySearch.pcaTopK(e, q, 10),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+    }),
+
+    // IVF-PQ ANN: cell routing + ADC code scoring + exact re-rank —
+    // the full billion-vector serving-index composition; the scan
+    // streams nProbe/nCells of the corpus at 12 bytes/row. Pinned
+    // recall vs brute force; the isotropic fixture stacks both
+    // components' worst cases, so the pins sit at the IVF operating
+    // point with a small PQ haircut.
+    "s13_ann_ivfpq" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      recallCounts(
+        SimilaritySearch.pqTopKIvf(e, q, 10),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+    }),
+
     // FILTERED ANN: IVF search restricted to an allowed subset (id %
     // 3 = 0 stands in for a metadata predicate) over an index built on
     // the full corpus — the vector-store filtered-search contract.
@@ -1487,6 +1515,20 @@ object Queries {
     // neighbors in-cluster at half width (OpsSpec planted exhibit).
     "s10_ann_rp" -> Seq(
       "n_hits" -> (172L, 175L, 129L), "n_total" -> (200L, 200L, 200L)),
+    // Measured 2026-08-13 (round 6, PinDump). The fitted basis beats
+    // s10's JL pins (172/175/129) decisively even here: the synthetic
+    // fixture is only near-isotropic, and the mild anisotropy the
+    // covariance finds is exactly the signal a data-dependent basis
+    // keeps while the random map spends distortion uniformly; the
+    // planted low-rank corpus in PcaSpec shows the full separation.
+    "s12_ann_pca" -> Seq(
+      "n_hits" -> (200L, 200L, 186L), "n_total" -> (200L, 200L, 200L)),
+    // Measured 2026-08-13 (round 6, PinDump): the composition tracks
+    // s04's IVF pins within a few hits — the candidate stream is cut
+    // by the same cells, and PQ-ordering losses inside probed cells
+    // are mostly recovered by the 16x-refine exact re-rank.
+    "s13_ann_ivfpq" -> Seq(
+      "n_hits" -> (166L, 167L, 168L), "n_total" -> (200L, 200L, 200L)),
     "d04_simhash_pairs" -> Seq(
       "n_candidates" -> (1484L, 1418L, 138939L),
       "n_true_pairs" -> (28L, 25L, 256L),

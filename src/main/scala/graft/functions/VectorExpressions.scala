@@ -576,6 +576,84 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
     copy(child = newChild)
 }
 
+/** Projection of a float vector through a FITTED matrix (outDim × d):
+  * out[r] = Σ_j M[r][j]·x[j] — the data-DEPENDENT companion of
+  * [[RandomProject]] (whose matrix is implicit in a seed). The matrix
+  * (a PCA basis, an OPQ rotation, a distilled linear probe — anything
+  * trained driver-side) rides the expression instance as a codegen
+  * reference object: generated source is one fixed nested loop, O(1)
+  * in outDim·d, and both eval paths accumulate j-ascending in double
+  * with one float rounding at the end — bit-identical. */
+case class MatrixProject(child: Expression, matrix: Array[Array[Float]])
+    extends UnaryExpression {
+  require(matrix.nonEmpty && matrix.forall(_.length == matrix.head.length),
+    "matrix must be non-empty and rectangular")
+
+  override def prettyName: String = "matrix_project"
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def nullIntolerant: Boolean = true
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(FloatType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires ARRAY<FLOAT>, got ${t.catalogString}")
+  }
+
+  def outDim: Int = matrix.length
+  def inDim: Int = matrix.head.length
+
+  override def nullSafeEval(input: Any): Any = {
+    val v = input.asInstanceOf[ArrayData]
+    require(v.numElements() == inDim,
+      s"vector size mismatch: ${v.numElements()} vs $inDim")
+    val out = new Array[Float](outDim)
+    var r = 0
+    while (r < outDim) {
+      val row = matrix(r)
+      var s = 0.0
+      var j = 0
+      while (j < inDim) { s += row(j).toDouble * v.getFloat(j).toDouble; j += 1 }
+      out(r) = s.toFloat
+      r += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val self = ctx.addReferenceObj("matrixProject", this, classOf[MatrixProject].getName)
+    nullSafeCodeGen(ctx, ev, v => {
+      val m = ctx.freshName("m")
+      val out = ctx.freshName("out")
+      val r = ctx.freshName("r")
+      val j = ctx.freshName("j")
+      val s = ctx.freshName("s")
+      val row = ctx.freshName("row")
+      val inDimV = inDim
+      val outDimV = outDim
+      s"""
+         |final float[][] $m = $self.matrix();
+         |if ($v.numElements() != $inDimV) {
+         |  throw new IllegalArgumentException("vector size mismatch: " +
+         |    $v.numElements() + " vs " + $inDimV);
+         |}
+         |final float[] $out = new float[$outDimV];
+         |for (int $r = 0; $r < $outDimV; $r++) {
+         |  final float[] $row = $m[$r];
+         |  double $s = 0.0;
+         |  for (int $j = 0; $j < $inDimV; $j++) {
+         |    $s += (double)$row[$j] * (double)$v.getFloat($j);
+         |  }
+         |  $out[$r] = (float)$s;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+}
+
 /** Product-quantization encoder (Jégou et al. '11, "Product
   * quantization for nearest neighbor search"): the vector splits into
   * `m` contiguous subvectors of width d/m; subvector `s` is replaced by
@@ -907,4 +985,7 @@ object VectorFunctions {
   def pq_adc(lut: Column, codes: Column): Column =
     GraftColumnBridge.column(PqAdc(
       GraftColumnBridge.expression(lut), GraftColumnBridge.expression(codes)))
+
+  def matrix_project(v: Column, matrix: Array[Array[Float]]): Column =
+    GraftColumnBridge.column(MatrixProject(GraftColumnBridge.expression(v), matrix))
 }

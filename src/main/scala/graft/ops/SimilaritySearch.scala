@@ -163,6 +163,54 @@ object SimilaritySearch {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
+  /** ANN top-k with a FITTED [[Pca]] basis as the candidate generator
+    * and exact full-dimension re-rank — the data-dependent twin of
+    * [[rpTopK]]: same half-width candidate scan, same k·refine exact
+    * re-rank tail, but the projection is the top-`outDim` principal
+    * directions of the corpus itself, trained in one shuffle-free
+    * fixed-point pass ([[Pca.fit]]) and shipped as a
+    * [[graft.functions.MatrixProject]] reference object. On isotropic
+    * data PCA has nothing to find — the spectrum is flat and recall
+    * matches JL (pinned as s12 next to s10, the honest worst case); on
+    * clustered/anisotropic corpora — real embedding geometry — the
+    * fitted basis concentrates the neighborhood signal the random map
+    * spreads thin (measured against RP on the planted corpus in
+    * OpsSpec). Same composition rule as [[rpReduce]]: at corpus scale
+    * the projected vectors feed [[ivfTopK]]/[[lshTopK]], the basis
+    * choice is orthogonal to the index. */
+  def pcaTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      outDim: Int = 32,
+      refine: Int = 16): DataFrame = {
+    val basis = Pca.fit(corpus, "features", outDim)
+    val proj = (v: Column) => VectorFunctions.matrix_project(v, basis)
+    val c = corpus.select(col("id").as("nbr_id"), proj(col("features")).as("pv"))
+      .withColumn("pn", VectorFunctions.vector_norm(col("pv")))
+    val q = queries.select(col("id").as("query_id"), proj(col("features")).as("pq"))
+      .withColumn("qn", VectorFunctions.vector_norm(col("pq")))
+    val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("pscore",
+        VectorFunctions.vector_dot(col("pq"), col("pv")) / (col("qn") * col("pn")))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= k * refine)
+      .select("query_id", "nbr_id")
+
+    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+      VectorFunctions.vector_norm(col("features")).as("n_c"))
+    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      VectorFunctions.vector_norm(col("features")).as("n_q")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    cands.join(cf, "nbr_id").join(qf, "query_id")
+      .withColumn("cosine",
+        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
+  }
+
   /** All XOR masks with at most `radius` bits set among `numPlanes` bits
     * (multiprobe neighborhood of a bucket). */
   def probeMasks(numPlanes: Int, radius: Int): Seq[Long] = {
@@ -509,6 +557,78 @@ object SimilaritySearch {
 
     val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
     val cands = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("pscore",
+        VectorFunctions.pq_adc(col("lut"), col("codes")) / col("n_c"))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= k * refine)
+      .select("query_id", "nbr_id")
+
+    // Exact re-rank on the surviving candidates only.
+    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+      VectorFunctions.vector_norm(col("features")).as("n_c"))
+    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      VectorFunctions.vector_norm(col("features")).as("n_q")))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    cands.join(cf, "nbr_id").join(qf, "query_id")
+      .withColumn("cosine",
+        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "rank", "nbr_id", "cosine")
+  }
+
+  /** The full IVF-PQ composition (FAISS `IndexIVFPQ`): coarse
+    * centroids route each query to its `nProbe` nearest cells
+    * (scan-fraction cut, [[ivfCandidatePairs]]' geometry) and the
+    * in-cell candidates are scored from their m-byte PQ codes by ADC
+    * table lookup ([[pqTopK]]'s kernel) — the scan touches
+    * `nProbe/nCells` of the corpus at m bytes + one stored norm per
+    * row, and the full-width floats appear only in the `k·refine`
+    * exact re-rank. This is the memory-traffic shape of a
+    * billion-vector serving index: at the defaults the candidate scan
+    * streams 12/256ths of the bytes a brute float scan would
+    * (16/32 cells × 12/256 bytes).
+    *
+    * Both models train driver-side on deterministic samples of the
+    * FULL corpus (cells must not depend on the query batch, codebooks
+    * not on the cells — index built once, probed forever). Quality is
+    * pinned as s13; the isotropic fixture stacks IVF's worst case
+    * (fragmented neighborhoods) on PQ's (no subspace structure), so
+    * the pins sit at the IVF operating point with a small PQ haircut —
+    * the clustered exhibit in OpsSpec shows the production geometry. */
+  def pqTopKIvf(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nCells: Int = 32,
+      nProbe: Int = 16,
+      numSub: Int = 8,
+      bookSize: Int = 256,
+      refine: Int = 16,
+      sampleSize: Int = 2048,
+      seed: Long = 42L): DataFrame = {
+    val centroids = trainIvfCentroids(corpus, nCells, sampleSize, seed = seed)
+    val books = trainPqCodebooks(corpus, numSub, bookSize, sampleSize, seed = seed)
+
+    val c = corpus.select(col("id").as("nbr_id"),
+      cellOf(col("features"), centroids).as("cell"),
+      VectorFunctions.pq_encode(col("features"), books).as("codes"),
+      VectorFunctions.vector_norm(col("features")).as("n_c"))
+
+    val cellDists = centroids.indices.map { i =>
+      struct((-VectorFunctions.vector_dot(col("features"), typedlit(centroids(i).toSeq))).as("d"),
+        lit(i).as("cell"))
+    }
+    val q = queries
+      .withColumn("probe", slice(array_sort(array(cellDists: _*)), 1, nProbe))
+      .select(col("id").as("query_id"),
+        VectorFunctions.pq_lut(col("features"), books).as("lut"),
+        explode(col("probe")).as("pc"))
+      .select(col("query_id"), col("lut"), col("pc.cell").as("cell"))
+
+    val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
+    val cands = c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("pscore",
         VectorFunctions.pq_adc(col("lut"), col("codes")) / col("n_c"))
       .withColumn("rk", row_number().over(wApprox))

@@ -480,6 +480,45 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.95, s"recall $mean too low for int8 + 4x refine")
   }
 
+  test("clustered corpus: IVF-PQ keeps recall at a bounded scan fraction") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    val dim = 64
+    val nClusters = 50
+    val n = 4000
+    val centers = Array.fill(nClusters) {
+      val v = Array.fill(dim)(rnd.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      v.map(x => (x / norm).toFloat)
+    }
+    val pts = (0 until n).map { i =>
+      val c = centers(i % nClusters)
+      (i.toLong, c.map(x => x + 0.08f * rnd.nextGaussian().toFloat).toSeq)
+    }
+    val corpus = pts.toDF("id", "features").repartition(8).cache()
+    try {
+      val queries = corpus.filter(col("id") < 50)
+      val brute = SimilaritySearch.bruteForceTopK(corpus, queries, 10)
+        .select("query_id", "nbr_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val got = SimilaritySearch.pqTopKIvf(corpus, queries, 10,
+          nCells = 64, nProbe = 8)
+        .select("query_id", "nbr_id").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSet).toMap
+      val rs = brute.map { case (q, truth) =>
+        got.getOrElse(q, Set.empty).intersect(truth).size.toDouble / truth.size
+      }
+      val recall = rs.sum / rs.size
+      // Scan fraction is the IVF cell geometry (PQ changes bytes per
+      // candidate, not the candidate set).
+      val scanned = SimilaritySearch.ivfCandidatePairs(corpus, queries,
+        nCells = 64, nProbe = 8).count() / (50.0 * (n - 1))
+      info(f"clustered IVF-PQ (64 cells, 8 probes, PQ8x256): recall=$recall%.3f scannedFrac=$scanned%.3f")
+      assert(recall >= 0.9, s"clustered IVF-PQ recall $recall")
+      assert(scanned < 0.15, s"clustered IVF-PQ scanned fraction $scanned")
+    } finally corpus.unpersist()
+  }
+
   test("PQ ANN recall@10 vs brute force >= 0.9") {
     // Floor sits just under the pinned operating point (s11 pins at
     // sf0.001/0.01 — the collapse guard, same scheme as LSH/IVF/int8).

@@ -147,6 +147,33 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(overlap >= 7, s"quantization destroyed ranking: overlap $overlap/10")
   }
 
+  test("matrix_project: codegen equals a JVM recount and stays in whole-stage codegen") {
+    val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"))
+    val dim = 64
+    // deterministic non-trivial matrix (no fit dependency in this spec)
+    val m = Array.tabulate(5, dim)((r, j) =>
+      (math.sin(r * dim + j).toFloat))
+    val df = e.filter(col("id") < 50)
+      .select(col("features"), matrix_project(col("features"), m).as("p"))
+    val rows = df.collect()
+    assert(rows.length == 50)
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      val p = r.getSeq[Float](1).toArray
+      assert(p.length == 5)
+      for (out <- 0 until 5) {
+        var s = 0.0
+        for (j <- 0 until dim) s += m(out)(j).toDouble * v(j).toDouble
+        assert(p(out) == s.toFloat, s"row $out: ${p(out)} vs ${s.toFloat}")
+      }
+    }
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    val line = plan.linesIterator.find(_.contains("matrix_project")).getOrElse("")
+    assert(line.contains("*("), s"matrix_project Project not codegen'd:\n$plan")
+  }
+
   test("pq_encode/pq_lut/pq_adc: codegen equals a JVM recount; ADC reconstructs codeword dots") {
     val e = spark.read.parquet(s"$sf0001/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("features"))
