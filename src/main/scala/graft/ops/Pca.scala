@@ -162,10 +162,10 @@ object Pca {
 
   /** Cyclic Jacobi eigendecomposition of a symmetric matrix:
     * `(eigenvalues, eigenvector columns)` — fixed sweep order (p < q
-    * ascending), rotations until the off-diagonal Frobenius mass falls
-    * below 1e-14·d² or 64 sweeps: deterministic to the bit for a given
-    * input. O(d³) per sweep on the driver — d is vector width (64
-    * here), never data size. */
+    * ascending), rotations until the SQUARED off-diagonal Frobenius
+    * mass falls below 1e-28·d² (i.e. off-norm ≤ 1e-14·d) or 64 sweeps:
+    * deterministic to the bit for a given input. O(d³) per sweep on
+    * the driver — d is vector width (64 here), never data size. */
   private def jacobiEigen(
       input: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
     val n = input.length

@@ -134,34 +134,9 @@ object SimilaritySearch {
       k: Int,
       outDim: Int = 32,
       refine: Int = 16,
-      seed: Long = 42L): DataFrame = {
-    val rp = (v: Column) => VectorFunctions.random_project(v, outDim, seed)
-    val c = corpus.select(col("id").as("nbr_id"), rp(col("features")).as("pv"))
-      .withColumn("pn", VectorFunctions.vector_norm(col("pv")))
-    val q = queries.select(col("id").as("query_id"), rp(col("features")).as("pq"))
-      .withColumn("qn", VectorFunctions.vector_norm(col("pq")))
-    val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
-    val cands = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("pscore",
-        VectorFunctions.vector_dot(col("pq"), col("pv")) / (col("qn") * col("pn")))
-      .withColumn("rk", row_number().over(wApprox))
-      .filter(col("rk") <= k * refine)
-      .select("query_id", "nbr_id")
-
-    // Exact re-rank on the surviving candidates only (same stage shape
-    // as quantizedTopK's — the candidate stream is the only difference).
-    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-      VectorFunctions.vector_norm(col("features")).as("n_c"))
-    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
-      VectorFunctions.vector_norm(col("features")).as("n_q")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    cands.join(cf, "nbr_id").join(qf, "query_id")
-      .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
-  }
+      seed: Long = 42L): DataFrame =
+    projectedTopK(corpus, queries, k, refine,
+      v => VectorFunctions.random_project(v, outDim, seed))
 
   /** ANN top-k with a FITTED [[Pca]] basis as the candidate generator
     * and exact full-dimension re-rank — the data-dependent twin of
@@ -185,30 +160,8 @@ object SimilaritySearch {
       outDim: Int = 32,
       refine: Int = 16): DataFrame = {
     val basis = Pca.fit(corpus, "features", outDim)
-    val proj = (v: Column) => VectorFunctions.matrix_project(v, basis)
-    val c = corpus.select(col("id").as("nbr_id"), proj(col("features")).as("pv"))
-      .withColumn("pn", VectorFunctions.vector_norm(col("pv")))
-    val q = queries.select(col("id").as("query_id"), proj(col("features")).as("pq"))
-      .withColumn("qn", VectorFunctions.vector_norm(col("pq")))
-    val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
-    val cands = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
-      .withColumn("pscore",
-        VectorFunctions.vector_dot(col("pq"), col("pv")) / (col("qn") * col("pn")))
-      .withColumn("rk", row_number().over(wApprox))
-      .filter(col("rk") <= k * refine)
-      .select("query_id", "nbr_id")
-
-    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-      VectorFunctions.vector_norm(col("features")).as("n_c"))
-    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
-      VectorFunctions.vector_norm(col("features")).as("n_q")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    cands.join(cf, "nbr_id").join(qf, "query_id")
-      .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    projectedTopK(corpus, queries, k, refine,
+      v => VectorFunctions.matrix_project(v, basis))
   }
 
   /** All XOR masks with at most `radius` bits set among `numPlanes` bits
@@ -397,6 +350,44 @@ object SimilaritySearch {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
+  /** The shared exact-re-rank tail of every candidate-generating ANN
+    * path ([[quantizedTopK]]/[[rpTopK]]/[[pcaTopK]]/[[pqTopK]]/
+    * [[pqTopKIvf]]): the `(query_id, nbr_id)` survivors join back to
+    * the full-width floats — |Q|·k·refine rows, never the corpus — and
+    * rank by exact cosine with the deterministic id tie-break. */
+  private def exactRerank(cands: DataFrame, corpus: DataFrame,
+                          queries: DataFrame, k: Int): DataFrame = {
+    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+      VectorFunctions.vector_norm(col("features")).as("n_c"))
+    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      VectorFunctions.vector_norm(col("features")).as("n_q")))
+    rankTopK(
+      cands.join(cf, "nbr_id").join(qf, "query_id")
+        .withColumn("cosine",
+          VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        .select("query_id", "nbr_id", "cosine"),
+      k)
+  }
+
+  /** Shared candidate stage of the projection-based ANN paths: score
+    * every pair in the PROJECTED space (approximate cosine over
+    * `proj(features)`), keep `k·refine` per query, re-rank exact. */
+  private def projectedTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                            refine: Int, proj: Column => Column): DataFrame = {
+    val c = corpus.select(col("id").as("nbr_id"), proj(col("features")).as("pv"))
+      .withColumn("pn", VectorFunctions.vector_norm(col("pv")))
+    val q = queries.select(col("id").as("query_id"), proj(col("features")).as("pq"))
+      .withColumn("qn", VectorFunctions.vector_norm(col("pq")))
+    val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
+    val cands = c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+      .withColumn("pscore",
+        VectorFunctions.vector_dot(col("pq"), col("pv")) / (col("qn") * col("pn")))
+      .withColumn("rk", row_number().over(wApprox))
+      .filter(col("rk") <= k * refine)
+      .select("query_id", "nbr_id")
+    exactRerank(cands, corpus, queries, k)
+  }
+
   /** ANN top-k via int8 scalar quantization with exact re-rank — the
     * memory-bandwidth scale path: candidate scoring streams 1-byte
     * components (4× less than float32) through the pure-integer
@@ -436,18 +427,7 @@ object SimilaritySearch {
       .filter(col("rk") <= k * refine)
       .select("query_id", "nbr_id")
 
-    // Exact re-rank on the surviving candidates only.
-    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-      VectorFunctions.vector_norm(col("features")).as("n_c"))
-    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
-      VectorFunctions.vector_norm(col("features")).as("n_q")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    cands.join(cf, "nbr_id").join(qf, "query_id")
-      .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    exactRerank(cands, corpus, queries, k)
   }
 
   /** Train per-subspace PQ codebooks (standard Lloyd L2 k-means, one
@@ -563,18 +543,7 @@ object SimilaritySearch {
       .filter(col("rk") <= k * refine)
       .select("query_id", "nbr_id")
 
-    // Exact re-rank on the surviving candidates only.
-    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-      VectorFunctions.vector_norm(col("features")).as("n_c"))
-    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
-      VectorFunctions.vector_norm(col("features")).as("n_q")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    cands.join(cf, "nbr_id").join(qf, "query_id")
-      .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    exactRerank(cands, corpus, queries, k)
   }
 
   /** The full IVF-PQ composition (FAISS `IndexIVFPQ`): coarse
@@ -586,8 +555,8 @@ object SimilaritySearch {
     * row, and the full-width floats appear only in the `k·refine`
     * exact re-rank. This is the memory-traffic shape of a
     * billion-vector serving index: at the defaults the candidate scan
-    * streams 12/256ths of the bytes a brute float scan would
-    * (16/32 cells × 12/256 bytes).
+    * streams 6/256ths of the bytes a brute float scan would
+    * (16/32 of the rows × 12/256 bytes each).
     *
     * Both models train driver-side on deterministic samples of the
     * FULL corpus (cells must not depend on the query batch, codebooks
@@ -619,34 +588,28 @@ object SimilaritySearch {
       struct((-VectorFunctions.vector_dot(col("features"), typedlit(centroids(i).toSeq))).as("d"),
         lit(i).as("cell"))
     }
-    val q = queries
+    // Probe pairs are tiny (query_id, cell) rows; the m·k-entry LUT —
+    // the dominant per-query payload (16 KB at the defaults) — joins
+    // once per query AFTER the cell routing, so it never rides the
+    // nProbe-fold probe explode through the broadcast.
+    val probes = queries
       .withColumn("probe", slice(array_sort(array(cellDists: _*)), 1, nProbe))
-      .select(col("id").as("query_id"),
-        VectorFunctions.pq_lut(col("features"), books).as("lut"),
-        explode(col("probe")).as("pc"))
-      .select(col("query_id"), col("lut"), col("pc.cell").as("cell"))
+      .select(col("id").as("query_id"), explode(col("probe")).as("pc"))
+      .select(col("query_id"), col("pc.cell").as("cell"))
+    val luts = queries.select(col("id").as("query_id"),
+      VectorFunctions.pq_lut(col("features"), books).as("lut"))
 
     val wApprox = Window.partitionBy("query_id").orderBy(desc("pscore"), asc("nbr_id"))
-    val cands = c.join(broadcast(q), Seq("cell"))
+    val cands = c.join(broadcast(probes), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
+      .join(broadcast(luts), Seq("query_id"))
       .withColumn("pscore",
         VectorFunctions.pq_adc(col("lut"), col("codes")) / col("n_c"))
       .withColumn("rk", row_number().over(wApprox))
       .filter(col("rk") <= k * refine)
       .select("query_id", "nbr_id")
 
-    // Exact re-rank on the surviving candidates only.
-    val cf = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-      VectorFunctions.vector_norm(col("features")).as("n_c"))
-    val qf = broadcast(queries.select(col("id").as("query_id"), col("features").as("v_q"),
-      VectorFunctions.vector_norm(col("features")).as("n_q")))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    cands.join(cf, "nbr_id").join(qf, "query_id")
-      .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
+    exactRerank(cands, corpus, queries, k)
   }
 
   /** ANN top-k via multi-table random-hyperplane LSH (OR-construction)

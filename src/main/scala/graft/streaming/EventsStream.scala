@@ -291,7 +291,10 @@ object EventsStream {
       .collect().map(_.getLong(0)).toSet // bounded: the eval suite is small
     val bc = spark.sparkContext.broadcast(bench)
     val nHits = udf((hs: Seq[Long]) => hs.count(bc.value.contains))
-    runDrainedOn(spark, dir, "documents", documentsSchema, "decon") { src =>
+    // runDrainedOn returns a MATERIALIZED local frame, so the broadcast
+    // has no live consumers after the drain — destroy it to honor the
+    // leak-nothing contract across repeated invocations.
+    try runDrainedOn(spark, dir, "documents", documentsSchema, "decon") { src =>
       val grams = array_distinct(graft.ops.Dedup.shingles(col("text"), n))
       src.filter(col("doc_id") % 20 =!= 0)
         .select(col("doc_id"), grams.as("grams"))
@@ -301,7 +304,7 @@ object EventsStream {
             .as("n_contaminated"))
         .withColumn("contaminated_frac",
           col("n_contaminated").cast("double") / col("n_grams"))
-    }
+    } finally bc.destroy()
   }
 
   /** Exact µs of a Timestamp (getTime alone floors to ms). */
