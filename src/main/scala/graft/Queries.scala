@@ -1330,6 +1330,14 @@ object Queries {
     "st08_stream_decon" -> ((s, dir) =>
       graft.streaming.EventsStream.decontaminateCounts(s, dir)),
 
+    // Streaming PCA: sharded stateful accumulation of the fixed-point
+    // moment sketch (O(d²) Longs per shard forever); drained shards
+    // merge EXACTLY to the batch sketch, so the solved spectrum is a
+    // pinnable pure function of the fixture — the streaming ingest
+    // trains bit-identically the basis the batch fit would.
+    "st09_stream_pca" -> ((s, dir) =>
+      graft.streaming.EventsStream.pcaSpectrum(s, dir)),
+
     // Streaming heavy hitters: sharded Misra-Gries state (capacity
     // counters per shard FOREVER — vocabulary-scale-free) maintained
     // through mapGroupsWithState over a streaming read of documents,
@@ -1502,6 +1510,16 @@ object Queries {
     // so micro-batch slicing cannot move the estimate).
     "st07_stream_vocab" -> Seq(
       "n_approx" -> (31L, 31L, 31L)),
+    // Measured 2026-08-13 (round 6, PinDump): the streamed moment
+    // sketch merges bit-identically to the batch sketch (PcaSpec), so
+    // these are the batch covariance's top eigenvalues at 2^-20
+    // granularity.
+    "st09_stream_pca" -> Seq(
+      "n_rows" -> (500L, 500L, 2000L),
+      "ev1_fp" -> (30289L, 28849L, 21947L),
+      "ev2_fp" -> (28234L, 28486L, 21571L),
+      "ev3_fp" -> (27083L, 27911L, 21371L),
+      "ev4_fp" -> (26492L, 26832L, 20949L)),
     // Measured 2026-08-13 (round 6, PinDump): k-means blocking keeps
     // 96–98% of the true cosine>=0.9 pairs at k=8 — near-identical
     // vectors land in the same Voronoi cell unless they straddle a

@@ -32,6 +32,14 @@ final case class MgShard(counts: Map[String, Long], n: Long, seq: Long)
 /** One per-shard candidate emission (latest `seq` per shard wins). */
 final case class MgShardSummary(shard: Int, terms: Seq[String], seq: Long)
 
+/** Per-shard fixed-point PCA moment sketch carried across
+  * micro-batches ([[graft.ops.Pca]] layout: count | component sums |
+  * upper-tri Gram sums, exact Longs). */
+final case class PcaShard(acc: Seq[Long], seq: Long)
+
+/** One per-shard sketch emission (latest `seq` per shard wins). */
+final case class PcaShardSummary(shard: Int, acc: Seq[Long], seq: Long)
+
 /** Structured Streaming ingest of the events table.
   *
   * The reference is batch-only (SURVEY.md §2.8); this provides the
@@ -111,9 +119,9 @@ object EventsStream {
     * incrementally (append/update); windowed and global aggregations
     * re-emit the full result (complete). */
   private def outputModeFor(tag: String): String = tag match {
-    case "join" | "decon"     => "append"
-    case "sessions" | "heavy" => "update"
-    case _                    => "complete"
+    case "join" | "decon"             => "append"
+    case "sessions" | "heavy" | "pca" => "update"
+    case _                            => "complete"
   }
 
   /** Daily tumbling-window counts/sums per event type, computed through a
@@ -267,6 +275,81 @@ object EventsStream {
       src.select(explode(split(col("text"), " ")).as("term"))
         .agg(approx_count_distinct(col("term"), rsd).as("n_approx"))
     }
+
+  /** Embeddings schema for streaming reads of the vector fixture. */
+  private val embeddingsSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("embedding", ArrayType(FloatType))))
+
+  /** Streaming accumulation of [[graft.ops.Pca]]'s moment sketch:
+    * sharded `mapGroupsWithState` where each shard's state IS the
+    * fixed-point Long sketch of the vectors it has seen — O(d²) Longs
+    * per shard FOREVER, scale-free in stream length, the same sharded
+    * shape as [[heavyTerms]]. Because the sketch is exactly mergeable
+    * (integer sums), the drained per-shard states merge to a sketch
+    * BIT-IDENTICAL to the batch [[graft.ops.Pca.momentSketch]] over
+    * the same rows, regardless of micro-batch slicing or shard count
+    * (asserted in PcaSpec) — i.e. the streaming ingest path trains the
+    * SAME basis the batch path would, with zero approximation. */
+  def pcaMomentSketch(spark: SparkSession, dir: String,
+                      shards: Int = 8): Array[Long] = {
+    import spark.implicits._
+    val updates = runDrainedOn(
+      spark, dir, "embeddings", embeddingsSchema, "pca") { src =>
+      src.select(col("vec_id"), col("embedding"))
+        .as[(Long, Seq[Float])]
+        .groupByKey(r => math.floorMod(r._1, shards.toLong).toInt)
+        .mapGroupsWithState[PcaShard, PcaShardSummary](
+          GroupStateTimeout.NoTimeout()) { (shard, it, state) =>
+          val prior = state.getOption
+          var acc: Array[Long] = prior.map(_.acc.toArray).orNull
+          it.foreach { case (_, v) =>
+            val dim = v.length
+            if (acc == null) acc = new Array[Long](1 + dim + dim * (dim + 1) / 2)
+            acc(0) += 1
+            var i = 0
+            var t = 1 + dim
+            while (i < dim) {
+              val xi = v(i).toDouble
+              acc(1 + i) += math.rint(xi * (1L << 20)).toLong
+              var j = i
+              while (j < dim) {
+                acc(t) += math.rint(xi * v(j).toDouble * (1L << 20)).toLong
+                t += 1
+                j += 1
+              }
+              i += 1
+            }
+          }
+          val next = PcaShard(acc.toSeq, prior.map(_.seq).getOrElse(0L) + 1)
+          state.update(next)
+          PcaShardSummary(shard, next.acc, next.seq)
+        }
+        .toDF()
+    }
+    // Latest emission per shard; exact merge across shards.
+    val perShard = updates
+      .groupBy("shard")
+      .agg(max_by(col("acc"), col("seq")).as("acc"))
+      .select("acc").collect()
+      .map(_.getSeq[Long](0).toArray)
+    require(perShard.nonEmpty, "empty stream")
+    perShard.reduce(graft.ops.Pca.mergeMoments)
+  }
+
+  /** Streaming PCA: the top-`topK` eigenvalue spectrum solved from the
+    * streamed moment sketch, emitted as fixed-point BIGINTs
+    * (`round(λ·2²⁰)`) next to the exact row count — a pure function of
+    * the fixture (pinnable) because sketch accumulation is exact
+    * integer arithmetic and the Jacobi solve is deterministic. */
+  def pcaSpectrum(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val acc = pcaMomentSketch(spark, dir)
+    val spectrum = graft.ops.Pca.fitSpectrumFromMoments(acc, 4)._2
+    val fp = spectrum.take(4).map(ev => math.rint(ev * (1L << 20)).toLong)
+    Seq((acc(0), fp(0), fp(1), fp(2), fp(3)))
+      .toDF("n_rows", "ev1_fp", "ev2_fp", "ev3_fp", "ev4_fp")
+  }
 
   /** Streaming benchmark decontamination — batch d09's scale shape
     * carried to ingest time: the benchmark n-gram set is a STATIC

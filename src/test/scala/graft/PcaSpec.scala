@@ -52,6 +52,16 @@ class PcaSpec extends SparkSpec {
       "incremental basis differs from the union fit")
   }
 
+  test("streamed moment sketch merges bit-identically to the batch sketch") {
+    val streamed = graft.streaming.EventsStream.pcaMomentSketch(spark, sf0001, shards = 8)
+    val streamedOther = graft.streaming.EventsStream.pcaMomentSketch(spark, sf0001, shards = 3)
+    val batch = Pca.momentSketch(emb, "features")
+    assert(streamed.toSeq == batch.toSeq,
+      "streaming accumulation diverged from the batch sketch")
+    assert(streamedOther.toSeq == batch.toSeq,
+      "sketch depends on shard count — merge is not exact")
+  }
+
   test("basis is orthonormal and the spectrum is descending") {
     val (basis, spectrum) = Pca.fitSpectrum(emb, "features", 8)
     for (r <- basis.indices; s <- r until basis.length) {
