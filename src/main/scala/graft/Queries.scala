@@ -1104,6 +1104,21 @@ object Queries {
     // arithmetic, id tie-breaks).
     "t06_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
 
+    // Unigram-LM quality score (CCNet-style perplexity filter shape):
+    // per-term ln rounds to 2^-20 fixed point BEFORE summation, so the
+    // per-document totals are exact BIGINT arithmetic; the frequency
+    // table broadcasts (vocabulary-scale), the token stream never
+    // shuffles by content (TextAnalysis scale notes).
+    "t19_unigram_logprob" -> ((s, dir) =>
+      TextAnalysis.unigramLogProb(docs(s, dir))),
+
+    // Duplicated-span mass (Lee et al. intra-corpus dedup signal): per
+    // document, its distinct trigram spans shared with >=1 OTHER
+    // document. Span df partial-aggs over 8-byte keys; only the
+    // df>=2 sliver joins back (Dedup scale notes).
+    "d12_dupspan_stats" -> ((s, dir) =>
+      Dedup.dupSpanStats(docs(s, dir), "doc_id", "text")),
+
     // Exact ANN baseline: brute-force cosine top-10 for 20 query vectors
     // (ids+ranks only; rank-boundary gaps >> float error, see tests).
     "s01_ann_brute" -> ((s, dir) => {
@@ -1876,6 +1891,42 @@ object Queries {
         |FROM (SELECT doc_id,
         |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tk
         |  FROM documents)""".stripMargin,
+
+    // Same Laplace smoothing and 2^-20 pre-sum rounding as
+    // TextAnalysis.unigramLogProb; the cross join against the
+    // two-scalar totals row mirrors the Spark side's bounded collect.
+    "t19_unigram_logprob" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |lp AS (
+        |  SELECT term,
+        |    CAST(round(ln((c + 1) / CAST(n + v AS DOUBLE)) * 1048576) AS BIGINT)
+        |      AS lp_fp
+        |  FROM counts, tot)
+        |SELECT doc_id, count(*) AS n_tokens,
+        |  CAST(sum(lp_fp) AS BIGINT) AS logprob_fp,
+        |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
+        |FROM toks JOIN lp USING (term)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Same trigram construction as the d09 oracle (with the <3-token
+    // whole-text fallback); df counts distinct docs because spans are
+    // distinct per doc, so df >= 2 = shared with another document.
+    "d12_dupspan_stats" ->
+      """WITH spans AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |dup AS (SELECT s FROM spans GROUP BY s HAVING count(*) >= 2)
+        |SELECT sp.id AS doc_id, count(*) AS n_spans,
+        |  CAST(count(d.s) AS BIGINT) AS n_dup,
+        |  CAST(count(d.s) AS DOUBLE) / count(*) AS dup_frac
+        |FROM spans sp LEFT JOIN dup d USING (s)
+        |GROUP BY sp.id""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT doc_id,

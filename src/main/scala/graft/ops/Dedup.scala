@@ -649,4 +649,49 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
   }
+
+  /** Intra-corpus duplicated-span mass — the document-level signal of
+    * Lee et al., "Deduplicating Training Data Makes Language Models
+    * Better" (arXiv:2107.06499): per document, how many of its
+    * distinct word n-gram spans also appear in at least one OTHER
+    * document (span document-frequency ≥ 2), plus the duplicated
+    * fraction. High `dup_frac` flags boilerplate-heavy or
+    * templated documents that pairwise dedup (d02/d03/d08) misses
+    * because no single partner document crosses the Jaccard
+    * threshold — the mass is smeared across many partners.
+    *
+    * Scale shape: per-document span dedup happens INSIDE the row
+    * (`array_distinct` before the explode), so the span stream is a
+    * pure projection; spans travel as 8-byte xxhash64 keys. The
+    * document-frequency aggregation partial-aggs (a document's spans
+    * are generated co-located, so map-side combine collapses them
+    * before the shuffle), and only the df ≥ 2 sliver — duplication is
+    * sparse in a healthy corpus — survives to the join back onto the
+    * regenerated span stream, followed by the per-document count,
+    * which partial-aggs for the same co-location reason. Nothing is
+    * ever materialized per-pair: worst-case work is linear in total
+    * spans, vs the quadratic blowup a pairwise formulation hits when
+    * one span is corpus-frequent. No reference analog
+    * (`/root/reference/.../NND.scala` has no text surface); extends
+    * the §2.9 dedup family.
+    *
+    * Because a document's spans are distinct, df counts distinct
+    * documents, so df ≥ 2 ⇔ "some other document shares the span". */
+  def dupSpanStats(df: DataFrame, idCol: String, textCol: String,
+                   n: Int = 3): DataFrame = {
+    val spans = df
+      .select(col(idCol).as("id"),
+        explode(array_distinct(shingles(col(textCol), n))).as("s0"))
+      .select(col("id"), xxhash64(col("s0")).as("g"))
+    val dup = spans.groupBy("g")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select(col("g"), lit(1L).as("dup"))
+    spans.join(dup, Seq("g"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_spans"),
+        coalesce(sum(col("dup")), lit(0L)).as("n_dup"))
+      .select(col("id").as(idCol), col("n_spans"), col("n_dup"),
+        (col("n_dup").cast("double") / col("n_spans")).as("dup_frac"))
+  }
 }

@@ -177,6 +177,46 @@ object TextAnalysis {
         (col("n_bigrams") - col("n_distinct_bigrams")).cast("double") / col("n_bigrams"))
   }
 
+  /** Unigram-LM document scoring — the CCNet/Wenzek-et-al-style
+    * perplexity quality filter (arXiv:1911.00359) with the LM reduced
+    * to a corpus-fit unigram model: p(t) = (c_t + 1) / (N + V)
+    * (Laplace), and each document scored by its total and per-token
+    * log-probability. Low mean log-prob = rare-token-heavy/garbled
+    * text; suspiciously high = degenerate repetition of frequent
+    * tokens — both tails get filtered in a real pipeline.
+    *
+    * Determinism across engines: each term's ln(p) is rounded to
+    * 2⁻²⁰ fixed point ONCE, per distinct term, BEFORE any summation —
+    * so the per-document totals are exact BIGINT arithmetic and the
+    * only float artifacts are |V| independent `round(ln(p)·2²⁰)`
+    * calls, bit-stable unless a term's scaled log-prob sits within
+    * ~1e-9 of a rounding midpoint (the same argument as t06's
+    * pre-rank rounding, but strengthened: here rounding happens
+    * before aggregation, so error cannot accumulate).
+    *
+    * Scale shape: the frequency table is vocabulary-sized — a
+    * dimension table against a corpus-sized token stream — so it
+    * BROADCASTS and the token stream is never shuffled by content;
+    * the per-document sum partial-aggs to ~1 row per document per
+    * partition (a document's tokens are co-located). The N/V scalars
+    * are a 2-value bounded collect. */
+  def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+    val totals = counts.agg(sum(col("c")), count(lit(1))).head()
+    val denom = (totals.getLong(0) + totals.getLong(1)).toDouble
+    val lp = counts.select(col("term"),
+      round(log((col("c") + 1).cast("double") / lit(denom)) * lit(1048576.0))
+        .cast("long").as("lp_fp"))
+    toks.join(broadcast(lp), Seq("term"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"), sum(col("lp_fp")).as("logprob_fp"))
+      .select(col("id").as(idCol), col("n_tokens"), col("logprob_fp"),
+        (col("logprob_fp").cast("double") / col("n_tokens")).as("mean_lp_fp"))
+  }
+
   /** Top-`n` TF-IDF terms per document. tf = in-doc term count,
     * idf = ln(N/df). `ln` differs by 1 ulp between the JVM and other
     * libm implementations, so for cross-engine verification the score is

@@ -1181,4 +1181,33 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getDate(0).toString, r.getString(1), r.getLong(2), r.getDouble(3))).toSet
     assert(streamed == batch)
   }
+
+  test("dupSpanStats: planted duplication measured exactly, unique docs score zero") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d e f"), // exact copy of doc 1: every span duplicated
+      (1L, "a b c d e f"),
+      (2L, "x y z w q v"), // fully unique
+      (3L, "a b c q q q q") // only "a b c" shared; in-doc repeat of
+                            // "q q q" must NOT count (distinct spans)
+    ).toDF("doc_id", "text")
+    val out = Dedup.dupSpanStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((4L, 4L)) && out(1L) == ((4L, 4L)))
+    assert(out(2L) == ((4L, 0L)))
+    assert(out(3L) == ((4L, 1L)))
+  }
+
+  test("unigramLogProb: hand-computed Laplace fixed-point values") {
+    import spark.implicits._
+    val d = Seq((0L, "a a a a"), (1L, "b c d e")).toDF("doc_id", "text")
+    // counts: a=4, b=c=d=e=1; N=8, V=5 -> p(a)=5/13, p(others)=2/13
+    val lpA = math.round(math.log(5.0 / 13) * 1048576)
+    val lpR = math.round(math.log(2.0 / 13) * 1048576)
+    val out = graft.ops.TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((4L, 4 * lpA)))
+    assert(out(1L) == ((4L, 4 * lpR)))
+    assert(4 * lpA > 4 * lpR, "common-token doc must outscore rare-token doc")
+  }
 }
