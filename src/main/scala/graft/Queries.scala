@@ -1353,6 +1353,18 @@ object Queries {
     "st09_stream_pca" -> ((s, dir) =>
       graft.streaming.EventsStream.pcaSpectrum(s, dir)),
 
+    // Streaming ANN serving: query micro-batches probe the resident
+    // IVF index through a stream-static join; per-query top-k is the
+    // bounded TopKAggregator as streaming state (k rows per query,
+    // forever). Produces the batch s04 search's exact rows
+    // (AnnServeSpec), so the pinned recall equals s04's.
+    "st10_ann_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      recallCounts(
+        graft.streaming.AnnServe.ivfServeTopK(s, dir),
+        SimilaritySearch.bruteForceTopK(e, e.filter(col("id") < 20), 10))
+    }),
+
     // Streaming heavy hitters: sharded Misra-Gries state (capacity
     // counters per shard FOREVER — vocabulary-scale-free) maintained
     // through mapGroupsWithState over a streaming read of documents,
@@ -1487,6 +1499,12 @@ object Queries {
     "s03_graph_search" -> Seq(
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
     "s04_ann_ivf" -> Seq(
+      "n_hits" -> (166L, 167L, 170L), "n_total" -> (200L, 200L, 200L)),
+    // Measured 2026-08-13 (round 6, PinDump): equals s04 by
+    // construction — the streaming serve path produces the batch IVF
+    // search's exact rows (AnnServeSpec asserts row equality), so any
+    // divergence between these two pin rows is a bug, not drift.
+    "st10_ann_serve" -> Seq(
       "n_hits" -> (166L, 167L, 170L), "n_total" -> (200L, 200L, 200L)),
     // Measured 2026-08-13 (round 6, PinDump). Identical to the s04
     // cosine-IVF pins because the fixture's norms are near-uniform —

@@ -40,8 +40,10 @@ private[nnd] final case class NodeRow(id: Long, features: Array[Float], partitio
 private[nnd] final case class BucketedNode(bucket: Long, id: Long, features: Array[Float], partition: Long)
 /** A candidate edge; `isOld` marks members of the previous iteration's
   * list (the reference's B flag — old entries win dedup and don't count
-  * as updates, `NND.scala:228-246`). */
-private[nnd] final case class Cand(src: Long, dst: Long, sim: Double, isOld: Boolean)
+  * as updates, `NND.scala:228-246`). `private[graft]` (not `[nnd]`): the
+  * streaming ANN serve reuses [[TopKAggregator]]'s bounded-state merge
+  * as its per-query top-k state. */
+private[graft] final case class Cand(src: Long, dst: Long, sim: Double, isOld: Boolean)
 private[nnd] final case class AdjRow(
     src: Long, dst: Long, features: Array[Float], partition: Long, isNew: Boolean)
 /** Neighbor list with per-entry new flags (true = entered the list this

@@ -315,29 +315,43 @@ object SimilaritySearch {
     // contract) — so the cell geometry must not depend on the filter.
     val centroids = trainIvfCentroids(corpus, nCells, seed = seed)
 
-    val c = restrict.map(corpus.filter).getOrElse(corpus)
+    val c = cellAssign(restrict.map(corpus.filter).getOrElse(corpus), centroids)
+    val q = probeCells(queries, centroids, nProbe)
+    c.join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .select("query_id", "nbr_id", "cosine")
+  }
+
+  /** The IVF index side: `(cell, nbr_id, v_c, n_c)` — every corpus row
+    * under its Voronoi cell id (a codegen'd projection over the
+    * broadcast-as-literals centroids). This IS the serving index; the
+    * streaming serve path ([[graft.streaming.AnnServe]]) persists it
+    * once and joins query micro-batches against it. */
+  def cellAssign(corpus: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    corpus
       .select(col("id").as("nbr_id"), col("features").as("v_c"),
         VectorFunctions.vector_norm(col("features")).as("n_c"))
       .withColumn("cell", cellOf(col("v_c"), centroids))
 
-    // query side: explode the nProbe nearest cells (same −dot ordering
-    // as the corpus-side assignment, so probe #1 is the home cell)
+  /** The query side of the IVF search: each query exploded to its
+    * `nProbe` nearest cells — `(cell, query_id, v_q, n_q)`. Uses the
+    * same −dot ordering as the corpus-side assignment, so probe #1 is
+    * the home cell. A stateless per-row projection (no shuffle), which
+    * is what makes it legal on a STREAMING query frame unchanged. */
+  def probeCells(queries: DataFrame, centroids: Array[Array[Float]],
+                 nProbe: Int): DataFrame = {
     val qBase = queries.select(col("id").as("query_id"), col("features").as("v_q"),
       VectorFunctions.vector_norm(col("features")).as("n_q"))
     val cellDists = centroids.indices.map { i =>
       struct((-VectorFunctions.vector_dot(col("v_q"), typedlit(centroids(i).toSeq))).as("d"),
         lit(i).as("cell"))
     }
-    val q = qBase
+    qBase
       .withColumn("probe", slice(array_sort(array(cellDists: _*)), 1, nProbe))
       .withColumn("pc", explode(col("probe")))
       .select(col("query_id"), col("v_q"), col("n_q"), col("pc.cell").as("cell"))
-
-    c.join(broadcast(q), Seq("cell"))
-      .filter(col("query_id") =!= col("nbr_id"))
-      .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
-      .select("query_id", "nbr_id", "cosine")
   }
 
   /** Per-query exact top-k over a scored (query_id, nbr_id, cosine)

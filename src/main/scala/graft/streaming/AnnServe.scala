@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.VectorFunctions
+import graft.nnd.{Cand, TopKAggregator}
+import graft.ops.SimilaritySearch
+
+/** Streaming ANN serving: a continuous stream of query vectors searched
+  * against a STATIC IVF index — the online half of the vector-serving
+  * story (the batch half, index construction, is
+  * [[graft.ops.SimilaritySearch.ivfTopK]]; the reference is batch-only,
+  * `/root/reference/.../NND.scala`, so this extends SURVEY §2.8/§2.9).
+  *
+  * Scale shape, piece by piece:
+  *  - The index ([[SimilaritySearch.cellAssign]] over trained coarse
+  *    centroids) is built ONCE and persisted — the serving fleet's
+  *    resident index. Nothing about it recomputes per micro-batch.
+  *  - Per query-batch work is a stateless probe-cell explode (pure
+  *    projection — legal on a stream), a stream-static equi-join on
+  *    `cell` (no stream state), and a cosine projection: exactly the
+  *    batch plan with the query side swapped for the stream.
+  *  - Per-query top-k is the bounded [[TopKAggregator]] — the same
+  *    mergeable ≤k-row state that backs the NND build (A4), here as
+  *    STREAMING aggregation state: k rows per query key, forever,
+  *    regardless of how many micro-batches contribute candidates. A
+  *    `collect_list`-then-sort formulation would hold every candidate
+  *    ever seen per query; this holds k.
+  *
+  * Determinism: candidates are generated per (query, probed cell) and
+  * cells partition the corpus, so each (query, nbr) pair is scored at
+  * most once across the whole stream; the aggregator's (sim desc, dst
+  * asc) order is [[SimilaritySearch.ivfTopK]]'s tie-break. The final
+  * state is therefore IDENTICAL to the batch search over the same
+  * query set — st10 shares s04's pinned recall by construction, and
+  * AnnServeSpec asserts row-level equality, not just recall parity.
+  */
+object AnnServe {
+
+  /** Drains the embeddings fixture as a query stream (`id < maxQueryId`)
+    * against the static IVF index of the same corpus; returns the final
+    * per-query top-`k` table `(query_id, rank, nbr_id, cosine)`. */
+  def ivfServeTopK(spark: SparkSession, dir: String, k: Int = 10,
+                   maxQueryId: Long = 20, nCells: Int = 32,
+                   nProbe: Int = 16, seed: Long = 42L): DataFrame = {
+    import spark.implicits._
+    val corpus = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"))
+    val centroids = SimilaritySearch.trainIvfCentroids(corpus, nCells, seed = seed)
+    // The resident serving index: built once, reused by every micro-batch.
+    val index = SimilaritySearch.cellAssign(corpus, centroids).persist()
+    try {
+      index.count() // materialize before the stream starts
+      val drained = EventsStream.runDrainedOn(
+        spark, dir, "embeddings", EventsStream.embeddingsSchema, "annserve") { src =>
+        val queries = src
+          .select(col("vec_id").as("id"), col("embedding").as("features"))
+          .filter(col("id") < maxQueryId)
+        SimilaritySearch.probeCells(queries, centroids, nProbe)
+          .join(index, Seq("cell")) // stream-static: no stream state
+          .filter(col("query_id") =!= col("nbr_id"))
+          .select(col("query_id").as("src"), col("nbr_id").as("dst"),
+            (VectorFunctions.vector_dot(col("v_q"), col("v_c")) /
+              (col("n_q") * col("n_c"))).as("sim"),
+            lit(false).as("isOld"))
+          .as[Cand]
+          .groupByKey(_.src)
+          .agg(new TopKAggregator(k).toColumn.name("topk"))
+          .toDF("query_id", "topk")
+      }
+      // Complete mode leaves the final aggregation state in the sink;
+      // flatten the bounded lists to the batch search's row shape.
+      drained
+        .select(col("query_id"),
+          posexplode(col("topk.neighbors")).as(Seq("pos", "nbr")))
+        .select(col("query_id"), (col("pos") + 1).as("rank"),
+          col("nbr.id").as("nbr_id"), col("nbr.similarity").as("cosine"))
+    } finally {
+      index.unpersist()
+    }
+  }
+}

@@ -78,7 +78,7 @@ object EventsStream {
     * the sink table and tears everything down — temp dir, symlink, and
     * the session-registered memory table — so repeated invocations in a
     * long-lived session leak nothing. */
-  private def runDrainedOn(
+  private[streaming] def runDrainedOn(
       spark: SparkSession, dir: String, table: String, schema: StructType,
       tag: String)(
       build: DataFrame => DataFrame): DataFrame = {
@@ -121,7 +121,7 @@ object EventsStream {
   private def outputModeFor(tag: String): String = tag match {
     case "join" | "decon"             => "append"
     case "sessions" | "heavy" | "pca" => "update"
-    case _                            => "complete"
+    case _                            => "complete" // incl. "annserve"
   }
 
   /** Daily tumbling-window counts/sums per event type, computed through a
@@ -277,7 +277,7 @@ object EventsStream {
     }
 
   /** Embeddings schema for streaming reads of the vector fixture. */
-  private val embeddingsSchema = StructType(Seq(
+  private[streaming] val embeddingsSchema = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("embedding", ArrayType(FloatType))))
 
