@@ -354,6 +354,70 @@ object SimilaritySearch {
       .select(col("query_id"), col("v_q"), col("n_q"), col("pc.cell").as("cell"))
   }
 
+  /** Persists the IVF serving index as on-disk parquet artifacts under
+    * `path`: `centroids/` (cell → unit centroid vector, nCells rows)
+    * and `index/` — the [[cellAssign]] table written PARTITIONED BY
+    * CELL, so the index directory layout IS the inverted-file
+    * structure: one directory per Voronoi cell. At serve time a probe
+    * of p cells reads exactly p directories — partition pruning in the
+    * file scan itself, which is the at-scale point of an IVF layout
+    * (the query never pays I/O for the 1 − p/C unprobed corpus
+    * fraction). Build once (one corpus pass + one shuffle on cell),
+    * serve many — the offline half of the serving lifecycle, the
+    * online half being [[ivfTopKFromIndex]] /
+    * [[graft.streaming.AnnServe]]. */
+  def saveIvfIndex(corpus: DataFrame, path: String, nCells: Int = 32,
+                   seed: Long = 42L): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val centroids = trainIvfCentroids(corpus, nCells, seed = seed)
+    centroids.zipWithIndex
+      .map { case (v, i) => (i, v.toSeq) }.toSeq
+      .toDF("cell", "centroid")
+      .repartition(1) // nCells rows — one tiny artifact file
+      .write.mode("overwrite").parquet(s"$path/centroids")
+    cellAssign(corpus, centroids)
+      .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
+  }
+
+  /** Loads the [[saveIvfIndex]] artifacts: the centroid matrix (cell
+    * order restored — partitioned writes don't preserve it) and the
+    * cell-partitioned index frame, scan-pruned per probe at read. */
+  def loadIvfIndex(spark: org.apache.spark.sql.SparkSession,
+                   path: String): (Array[Array[Float]], DataFrame) = {
+    val centroids = spark.read.parquet(s"$path/centroids")
+      .orderBy("cell").collect()
+      .map(_.getSeq[Float](1).toArray)
+    (centroids, spark.read.parquet(s"$path/index"))
+  }
+
+  /** [[ivfTopK]] against a loaded on-disk index: queries probe their
+    * `nProbe` nearest cells and the probed cell set — bounded by
+    * |Q|·nProbe, collected ONLY to prune the scan — is pushed into the
+    * index read as a partition filter, so the file source lists and
+    * reads just those cell directories (PlanSpec-style pruning is
+    * asserted in OpsSpec via the input-file count). Identical output
+    * to [[ivfTopK]] over the same corpus/centroids: same candidates,
+    * same rank, same tie-break. */
+  def ivfTopKFromIndex(centroids: Array[Array[Float]], index: DataFrame,
+                       queries: DataFrame, k: Int,
+                       nProbe: Int = 16): DataFrame = {
+    val q = probeCells(queries, centroids, nProbe)
+    // Static partition pruning: for a bounded query batch (the serving
+    // shape) the probed cells are a small driver-known set; `isin` on
+    // the partition column prunes directories at file-listing time.
+    // For unbounded query sets, skip the filter — the join alone is
+    // still correct, just unpruned.
+    val probed = q.select("cell").distinct().collect().map(_.getInt(0))
+    index.filter(col("cell").isin(probed.toIndexedSeq: _*))
+      .join(broadcast(q), Seq("cell"))
+      .filter(col("query_id") =!= col("nbr_id"))
+      .withColumn("cosine",
+        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+      .select("query_id", "nbr_id", "cosine")
+      .transform(rankTopK(_, k))
+  }
+
   /** Per-query exact top-k over a scored (query_id, nbr_id, cosine)
     * candidate stream, deterministic id tie-break. */
   private def rankTopK(pairs: DataFrame, k: Int): DataFrame = {

@@ -1182,6 +1182,38 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("persisted IVF index reproduces the in-memory search and prunes its scan to probed cells") {
+    val e = emb
+    val q = e.filter(col("id") < 20)
+    val path = java.nio.file.Files.createTempDirectory("ivf_spec").toString
+    try {
+      SimilaritySearch.saveIvfIndex(e, path)
+      val (cents, index) = SimilaritySearch.loadIvfIndex(spark, path)
+      val fromIndex = SimilaritySearch.ivfTopKFromIndex(cents, index, q, 10)
+      val inMemory = SimilaritySearch.ivfTopK(e, q, 10)
+      def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      assert(rows(fromIndex) == rows(inMemory),
+        "on-disk index diverged from the in-memory search")
+      // The probe set must reach the file scan as a partition filter:
+      // the inverted-file layout's point is that unprobed cell
+      // directories are never read.
+      val plan = fromIndex.queryExecution.executedPlan.toString
+      assert(plan.contains("PartitionFilters") && plan.contains("cell"),
+        s"no partition filter on cell in the scan:\n$plan")
+      // Layout check: the index directory IS the inverted file — one
+      // subdirectory per cell, so directory-level pruning is possible.
+      val cellDirs = new java.io.File(s"$path/index").listFiles()
+        .filter(f => f.isDirectory && f.getName.startsWith("cell="))
+      assert(cellDirs.length > 1, "index is not partitioned by cell")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("dupSpanStats: planted duplication measured exactly, unique docs score zero") {
     import spark.implicits._
     val d = Seq(
