@@ -1141,6 +1141,12 @@ object Queries {
     "d12_dupspan_stats" -> ((s, dir) =>
       Dedup.dupSpanStats(docs(s, dir), "doc_id", "text")),
 
+    // RAG chunking: overlapping 64-token windows at stride 32 — a pure
+    // shuffle-free projection whose cost is exactly the emitted token
+    // volume (TextAnalysis scale notes).
+    "t20_chunk_windows" -> ((s, dir) =>
+      TextAnalysis.chunkWindows(docs(s, dir))),
+
     // Exact ANN baseline: brute-force cosine top-10 for 20 query vectors
     // (ids+ranks only; rank-boundary gaps >> float error, see tests).
     "s01_ann_brute" -> ((s, dir) => {
@@ -1988,6 +1994,22 @@ object Queries {
         |  CAST(count(d.s) AS DOUBLE) / count(*) AS dup_frac
         |FROM spans sp LEFT JOIN dup d USING (s)
         |GROUP BY sp.id""".stripMargin,
+
+    // Same window arithmetic as TextAnalysis.chunkWindows: nWindows =
+    // 1 + ceil(max(len-64,0)/32); DuckDB's 1-based inclusive slice
+    // w[a:b] clamps like Spark's slice(w, a, 64).
+    "t20_chunk_windows" ->
+      """WITH base AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, w,
+        |    unnest(range(1 + CAST(ceil(greatest(len(w) - 64, 0) / 32.0) AS BIGINT)))
+        |      AS i
+        |  FROM base)
+        |SELECT doc_id, CAST(i AS BIGINT) AS chunk_idx,
+        |  CAST(i*32 + 1 AS BIGINT) AS start_tok,
+        |  CAST(len(w[(i*32+1):(i*32+64)]) AS BIGINT) AS n_tok,
+        |  array_to_string(w[(i*32+1):(i*32+64)], ' ') AS chunk_text
+        |FROM wins""".stripMargin,
 
     "t01_token_stats" ->
       """SELECT doc_id,

@@ -217,6 +217,37 @@ object TextAnalysis {
         (col("logprob_fp").cast("double") / col("n_tokens")).as("mean_lp_fp"))
   }
 
+  /** Retrieval/RAG chunking: each document flat-mapped to overlapping
+    * token windows of `size` tokens advancing by `stride` — the
+    * chunk-for-embedding pre-pass of every retrieval pipeline (and the
+    * windowed variant of [[graft.ops.Packing]]'s concat-and-chunk).
+    * Window count is `1 + ceil(max(len − size, 0) / stride)`, so every
+    * token lands in at least one window and the final window may be
+    * short — the standard overlapping-chunker contract.
+    *
+    * A pure projection (`sequence` + `explode` + `slice`): shuffle-free,
+    * linear in emitted tokens (`≈ len·size/stride` per document),
+    * whole-stage codegen'd, and embarrassingly partition-parallel — the
+    * 100 TB cost is exactly the output volume, nothing else. */
+  def chunkWindows(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", size: Int = 64,
+      stride: Int = 32): DataFrame = {
+    require(size >= 1 && stride >= 1, s"bad window: size=$size stride=$stride")
+    val w = tokens(col(textCol))
+    val nWindows =
+      lit(1) + ceil(greatest(size_(w) - size, lit(0)).cast("double") / stride).cast("int")
+    df.select(col(idCol).as("doc_id"),
+        posexplode(transform(sequence(lit(0), nWindows - 1),
+          i => slice(w, i * stride + 1, lit(size)))).as(Seq("chunk_idx", "ck")))
+      .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
+        (col("chunk_idx") * stride + 1).cast("long").as("start_tok"),
+        size_(col("ck")).cast("long").as("n_tok"),
+        concat_ws(" ", col("ck")).as("chunk_text"))
+  }
+
+  // `size` the column function, shadowed by method params named `size`.
+  private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
+
   /** Top-`n` TF-IDF terms per document. tf = in-doc term count,
     * idf = ln(N/df). `ln` differs by 1 ulp between the JVM and other
     * libm implementations, so for cross-engine verification the score is

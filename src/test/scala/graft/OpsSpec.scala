@@ -1230,6 +1230,25 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((4L, 1L)))
   }
 
+  test("chunkWindows: stride arithmetic, tail window, short-doc case") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, (1 to 10).map("t" + _).mkString(" ")), // 10 tokens
+      (1L, "a b")                                 // shorter than a window
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.chunkWindows(d, size = 4, stride = 3)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getString(4)))
+      .sortBy(r => (r._1, r._2))
+    // doc 0: nWindows = 1 + ceil((10-4)/3) = 3, starts 1/4/7, tail full
+    assert(out.filter(_._1 == 0L).toSeq == Seq(
+      (0L, 0L, 1L, 4L, "t1 t2 t3 t4"),
+      (0L, 1L, 4L, 4L, "t4 t5 t6 t7"),
+      (0L, 2L, 7L, 4L, "t7 t8 t9 t10")))
+    // doc 1: one short window covering the whole doc
+    assert(out.filter(_._1 == 1L).toSeq == Seq((1L, 0L, 1L, 2L, "a b")))
+  }
+
   test("unigramLogProb: hand-computed Laplace fixed-point values") {
     import spark.implicits._
     val d = Seq((0L, "a a a a"), (1L, "b c d e")).toDF("doc_id", "text")
