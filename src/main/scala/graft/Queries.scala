@@ -1362,6 +1362,20 @@ object Queries {
         sum(col("d")).as("inertia_fp"))
     }),
 
+    // D4-style semantic outlier pruning: survivors within fixed-point
+    // squared distance 4050/2^12 of their assigned centroid (≈ the
+    // p90–p95 band on this isotropic fixture — a real prune without
+    // gutting the corpus). Census is (kept, pruned, total); the
+    // survivor set is a pure function of the corpus (fixed-point
+    // k-means + fixed-point distances), so the counts pin.
+    "s15_semantic_outliers" -> ((s, dir) => {
+      val a = Clustering.pruneOutliers(emb(s, dir), "id", "features", 8, 4050L)
+      val all = emb(s, dir).count()
+      a.agg(count(lit(1)).as("n_kept"))
+        .select(col("n_kept"), (lit(all) - col("n_kept")).as("n_pruned"),
+          lit(all).as("n_points"))
+    }),
+
     // Stream-stream interval join (watermarked both sides) — must equal
     // the batch range join q27.
     "st04_stream_join" -> ((s, dir) =>
@@ -1577,6 +1591,14 @@ object Queries {
     // width cut which loses signal coherently.
     "s11_ann_pq" -> Seq(
       "n_hits" -> (200L, 200L, 196L), "n_total" -> (200L, 200L, 200L)),
+    // Measured 2026-08-13 (round 6, PinDump): τ_fp = 4050 prunes
+    // 5.8–9.5% across SFs — the far tail of the isotropic fixture's
+    // distance band (p50 ≈ 3830, max ≈ 4250), a real prune that keeps
+    // the corpus.
+    "s15_semantic_outliers" -> Seq(
+      "n_kept" -> (469L, 471L, 1811L),
+      "n_pruned" -> (31L, 29L, 189L),
+      "n_points" -> (500L, 500L, 2000L)),
     "s07_kmeans_clusters" -> Seq(
       "n_points" -> (500L, 500L, 2000L),
       "n_clusters_nonempty" -> (8L, 8L, 8L),

@@ -109,4 +109,24 @@ object Clustering {
         round((vNormSq - lit(2.0) * vDotC + cNormSq) * (1L << 12)).cast("long"))
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("dist_fp"))
   }
+
+  /** D4-style semantic outlier pruning (Tirumala et al.,
+    * arXiv:2308.12284 — drop the least prototypical points per
+    * cluster): survivors of [[kmeansAssign]] whose fixed-point squared
+    * distance to their assigned centroid is ≤ `maxDistFp` (2⁻¹²
+    * units). Embedding-space curation's third leg next to near-dup
+    * removal (d05/d11) and text-quality filtering (t02/t19): far-from-
+    * every-centroid points are off-manifold — encoding junk, OCR
+    * noise, out-of-domain fragments.
+    *
+    * Everything downstream of the (driver-bounded) centroid fit is a
+    * codegen'd per-row projection + filter — the corpus is never
+    * shuffled, and because `dist_fp` is fixed-point over deterministic
+    * centroids, the survivor SET is a pure function of the corpus:
+    * retry-stable, partitioning-invariant, pinnable. */
+  def pruneOutliers(df: DataFrame, idCol: String, vecCol: String, k: Int,
+                    maxDistFp: Long, iterations: Int = 5,
+                    seed: Long = 42L): DataFrame =
+    kmeansAssign(df, idCol, vecCol, k, iterations, seed)
+      .filter(col("dist_fp") <= maxDistFp)
 }

@@ -68,4 +68,25 @@ class ClusteringSpec extends SparkSpec {
     val i5 = inertia(5)
     assert(i5 <= i1 + (i1 / 1000), s"inertia rose: $i1 -> $i5")
   }
+
+  test("pruneOutliers drops a planted off-manifold point and only threshold violators") {
+    // An off-manifold point far from all three planted centers — but
+    // not so extreme that absorbing it drags its cluster's centroid
+    // past τ for real members (a 1/100-weight pull of Δ≈5 per dim
+    // shifts the centroid ~0.05/dim, ≪ the τ band below).
+    val junk = Seq((999L, -1L, Seq.fill(8)(10f).toSeq)).toDF("id", "truth", "features")
+    val corpus = planted.unionByName(junk)
+    // Real members sit at chi²-noise distance (dist² ≲ 0.3 → fp ≲
+    // 1300); the junk point is hundreds of fp-thousands away.
+    val tau = 4096L
+    val kept = Clustering.pruneOutliers(corpus, "id", "features", 3, tau)
+    val keptIds = kept.select("id").collect().map(_.getLong(0)).toSet
+    assert(!keptIds.contains(999L), "off-manifold point survived the prune")
+    assert(keptIds.size == 300, s"real members pruned: ${300 - keptIds.size}")
+    // Survivor semantics: exactly the <= tau subset of the assignment.
+    val viaAssign = Clustering.kmeansAssign(corpus, "id", "features", 3)
+      .filter(col("dist_fp") <= tau).select("id")
+      .collect().map(_.getLong(0)).toSet
+    assert(keptIds == viaAssign)
+  }
 }
