@@ -68,7 +68,10 @@ object Bench {
         // The BASELINE-comparable K-NN construction number (the declared
         // n01 query is the pinned recall VERIFIER over this artifact).
         "n01_graph_build" -> (() => Queries.knnGraph(spark, sfDir).count()),
-        "n02_prior_build" -> (() => Queries.n02Prior(spark, sfDir).count())) ++
+        "n02_prior_build" -> (() => Queries.n02Prior(spark, sfDir).count()),
+        // The on-disk IVF index write (declared s14 then measures the
+        // pruned SERVE against the artifact, not construction).
+        "s14_index_build" -> (() => { Queries.ivfIndexPath(spark, sfDir); 0L })) ++
         SparkEntry.queries.toSeq.sortBy(_._1)
           .map { case (name, fn) => name -> (() => fn(spark, sfDir).count()) } ++
         // Skew-inversion exhibits: df-capped exact join vs PPJoin prefix
@@ -103,7 +106,8 @@ object Bench {
     // n01/n02/s03 still search the prebuilt graph — the declared shape.)
     val rerunPrep: Map[String, () => Unit] = Map(
       "n01_graph_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n01_graph")),
-      "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")))
+      "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")),
+      "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)))
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
       if (!heavy(name) && !rerunPrep.contains(name)) r
       else {

@@ -380,6 +380,25 @@ object SimilaritySearch {
       .write.mode("overwrite").partitionBy("cell").parquet(s"$path/index")
   }
 
+  /** Incremental append to a persisted IVF index — the serving
+    * index's daily-ingest path: new vectors are cell-assigned with
+    * the SAVED centroids (loaded, never retrained — the cell geometry
+    * is the index's contract with its existing contents) and appended
+    * to the inverted file. No rebuild, no touch of existing rows: the
+    * write is one codegen'd projection over the increment, appended
+    * into the cell directories. Because assignment is a pure function
+    * of (vector, centroids), the appended index is BIT-IDENTICAL to
+    * an index built from scratch over the union with the same
+    * centroids (OpsSpec-asserted) — so serve quality after N appends
+    * equals a fresh build's, with recall drifting only as the data
+    * distribution drifts from the trained geometry (re-train + rebuild
+    * being the explicit, operator-controlled event). */
+  def appendToIvfIndex(newRows: DataFrame, path: String): Unit = {
+    val centroids = loadIvfIndex(newRows.sparkSession, path)._1
+    cellAssign(newRows, centroids)
+      .write.mode("append").partitionBy("cell").parquet(s"$path/index")
+  }
+
   /** Loads the [[saveIvfIndex]] artifacts: the centroid matrix (cell
     * order restored — partitioned writes don't preserve it) and the
     * cell-partitioned index frame, scan-pruned per probe at read. */

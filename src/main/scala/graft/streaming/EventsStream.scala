@@ -119,7 +119,7 @@ object EventsStream {
     * incrementally (append/update); windowed and global aggregations
     * re-emit the full result (complete). */
   private def outputModeFor(tag: String): String = tag match {
-    case "join" | "decon"             => "append"
+    case "join" | "decon" | "chunks"  => "append"
     case "sessions" | "heavy" | "pca" => "update"
     case _                            => "complete" // incl. "annserve"
   }
@@ -350,6 +350,18 @@ object EventsStream {
     Seq((acc(0), fp(0), fp(1), fp(2), fp(3)))
       .toDF("n_rows", "ev1_fp", "ev2_fp", "ev3_fp", "ev4_fp")
   }
+
+  /** Streaming RAG chunking — batch t20's overlapping stride chunker
+    * applied at INGEST time: a stateless per-row flat-map (the window
+    * explode is a pure projection, so it is legal on a stream
+    * unchanged and carries ZERO streaming state), append mode. The
+    * drained rows must equal the batch
+    * [[graft.ops.TextAnalysis.chunkWindows]] output exactly — st11
+    * shares t20's bit-exact SQL oracle verbatim. */
+  def chunkCounts(spark: SparkSession, dir: String): DataFrame =
+    runDrainedOn(spark, dir, "documents", documentsSchema, "chunks") { src =>
+      graft.ops.TextAnalysis.chunkWindows(src)
+    }
 
   /** Streaming benchmark decontamination — batch d09's scale shape
     * carried to ingest time: the benchmark n-gram set is a STATIC

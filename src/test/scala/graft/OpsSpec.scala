@@ -1214,6 +1214,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("appended IVF index equals a scratch build over the union with the same centroids") {
+    val e = emb
+    val path = java.nio.file.Files.createTempDirectory("ivf_incr_spec").toString
+    try {
+      SimilaritySearch.saveIvfIndex(e.filter(col("id") % 5 =!= 0), path)
+      SimilaritySearch.appendToIvfIndex(e.filter(col("id") % 5 === 0), path)
+      val (cents, index) = SimilaritySearch.loadIvfIndex(spark, path)
+      def rows(df: org.apache.spark.sql.DataFrame) = df
+        .select("cell", "nbr_id", "n_c").collect()
+        .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSet
+      val scratch = SimilaritySearch.cellAssign(e, cents)
+      assert(rows(index) == rows(scratch),
+        "append diverged from a scratch build under the same centroids")
+      assert(index.count() == e.count(), "index lost rows across the append")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("dupSpanStats: planted duplication measured exactly, unique docs score zero") {
     import spark.implicits._
     val d = Seq(
