@@ -1179,6 +1179,16 @@ object Queries {
     "st11_stream_chunks" -> ((s, dir) =>
       graft.streaming.EventsStream.chunkCounts(s, dir)),
 
+    // Token-budget corpus selection: greedy best-first under a
+    // 20k-token budget over the t02 quality score — distributed rank +
+    // prefix sum, never a single-task window (Sampling scale notes).
+    "t22_budget_select" -> ((s, dir) =>
+      graft.ops.Sampling.selectByBudget(
+        TextAnalysis.qualityScore(docs(s, dir))
+          .select(col("doc_id"), col("quality"),
+            size(split(col("text"), " ")).as("n_tokens")),
+        "doc_id", "quality", "n_tokens", 20000L)),
+
     // Exact ANN baseline: brute-force cosine top-10 for 20 query vectors
     // (ids+ranks only; rank-boundary gaps >> float error, see tests).
     "s01_ann_brute" -> ((s, dir) => {
@@ -2070,6 +2080,29 @@ object Queries {
         |  CAST(count(d.s) AS DOUBLE) / count(*) AS dup_frac
         |FROM spans sp LEFT JOIN dup d USING (s)
         |GROUP BY sp.id""".stripMargin,
+
+    // Same quality expression as the t02 oracle; the window cumsum is
+    // the oracle-side equivalent of the distributed prefix sum (fine
+    // single-node, the exact plan the Spark side must avoid).
+    "t22_budget_select" ->
+      """WITH q AS (
+        |  SELECT doc_id,
+        |    (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |      + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3
+        |      AS quality,
+        |    CAST(len(w) AS BIGINT) AS n_tokens
+        |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents)),
+        |placed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS cum_before
+        |  FROM q)
+        |SELECT doc_id, n_tokens, cum_before,
+        |  CAST(CASE WHEN cum_before + n_tokens <= 20000 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS kept
+        |FROM placed""".stripMargin,
 
     // The streaming chunker emits the same rows as t20 (stateless
     // in-row projection over the same window arithmetic), so it

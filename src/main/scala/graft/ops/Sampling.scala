@@ -178,4 +178,41 @@ object Sampling {
       }
     df.withColumn(labelCol, labeled)
   }
+
+  /** Token-budget corpus selection — the assembly step that turns a
+    * scored corpus into a training set: rank every document by
+    * (`qualityCol` desc, `idCol` asc), lay token counts out in that
+    * order with a distributed prefix sum, and keep exactly the
+    * documents that fit ENTIRELY within `tokenBudget` (greedy
+    * best-first selection — the quality-filter analog of mixture
+    * execution's per-stratum budgets). Emits the full decision frame
+    * `(idCol, n_tokens, cum_before, kept)` so the cut line is
+    * auditable, not just the survivors.
+    *
+    * Scale shape: ranking is [[Packing.globalRank]] (range partition +
+    * zipWithIndex — never a single-task window) and the running total
+    * is [[Packing.packChunks]]'s distributed prefix sum over the rank
+    * order, so the whole selection is two range-shuffles' worth of
+    * work with driver state bounded by #partitions Longs — at 100 TB
+    * the budget line lands without any node ever holding the corpus.
+    * Determinism: the order key is (quality desc, id), exact IEEE
+    * arithmetic identical across engines, so the kept set is a pure
+    * function of the corpus. */
+  def selectByBudget(df: DataFrame, idCol: String, qualityCol: String,
+                     tokenCol: String, tokenBudget: Long): DataFrame = {
+    require(tokenBudget >= 0, s"tokenBudget must be >= 0, got $tokenBudget")
+    val base = df.select(col(idCol), col(qualityCol),
+      col(tokenCol).cast("long").as("__tok"))
+    // Negated quality ranks descending; id breaks ties totally.
+    val ranked = Packing.globalRank(
+      base, Seq(-col(qualityCol), col(idCol)), "__rk")
+    val placed = Packing.packChunks(
+      ranked, "__rk", "__tok", math.max(tokenBudget, 1L))
+      .select(col("__rk"), col("start_off"))
+    ranked.join(placed, "__rk")
+      .select(col(idCol), col("__tok").as("n_tokens"),
+        col("start_off").as("cum_before"),
+        (col("start_off") + col("__tok") <= tokenBudget)
+          .cast("long").as("kept"))
+  }
 }

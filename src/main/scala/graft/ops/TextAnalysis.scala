@@ -206,7 +206,11 @@ object TextAnalysis {
       explode(tokens(col(textCol))).as("term"))
     val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
     val totals = counts.agg(sum(col("c")), count(lit(1))).head()
-    val denom = (totals.getLong(0) + totals.getLong(1)).toDouble
+    // Empty corpus: sum aggregates to null; any denominator works
+    // because the join below is empty (output schema is preserved).
+    val denom =
+      if (totals.isNullAt(0)) 1.0
+      else (totals.getLong(0) + totals.getLong(1)).toDouble
     val lp = counts.select(col("term"),
       round(log((col("c") + 1).cast("double") / lit(denom)) * lit(1048576.0))
         .cast("long").as("lp_fp"))

@@ -226,4 +226,29 @@ class EdgeCasesSpec extends SparkSpec {
     val out = graft.nnd.NND.updateGraph(fin, built.select("id", "neighbors"))
     assert(out.count() == 1 && out.filter(col("neighbors").isNull).count() == 1)
   }
+
+  test("unigramLogProb: empty corpus yields an empty frame, not a crash") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.unigramLogProb(empty)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "logprob_fp", "mean_lp_fp"))
+  }
+
+  test("dupSpanStats: sub-trigram docs fall back to whole-text spans") {
+    val d = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupSpanStats(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // Two-token twins share their single whole-text span; the
+    // singleton shares nothing.
+    assert(out(1L) == ((1L, 1L)) && out(2L) == ((1L, 1L)))
+    assert(out(3L) == ((1L, 0L)))
+  }
+
+  test("chunkWindows: empty text yields one empty window (contract, not a crash)") {
+    val d = Seq((1L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.chunkWindows(d).collect()
+    assert(out.length == 1)
+    assert(out(0).getLong(1) == 0L && out(0).getString(4) == "")
+  }
 }

@@ -340,4 +340,38 @@ class TrainPrepSpec extends SparkSpec {
       assert(nc <= n / 256 + 2)
     }
   }
+
+  test("selectByBudget: greedy prefix cut line, hand-computed") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, 0.9, 10L), (2L, 0.8, 15L), (3L, 0.7, 10L)
+    ).toDF("doc_id", "quality", "n_tokens")
+    val out = graft.ops.Sampling
+      .selectByBudget(d, "doc_id", "quality", "n_tokens", 20L)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // Quality order 1,2,3; prefix sums 0/10/25. Doc 2 straddles the
+    // budget line and doc 3 sits past it — the cut is a PREFIX, not a
+    // knapsack backfill (documented semantics: the line is auditable).
+    assert(out(1L) == ((10L, 0L, 1L)))
+    assert(out(2L) == ((15L, 10L, 0L)))
+    assert(out(3L) == ((10L, 25L, 0L)))
+  }
+
+  test("selectByBudget is invariant to input partitioning") {
+    import spark.implicits._
+    val d = (1 to 200)
+      .map(i => (i.toLong, (i % 7).toDouble, (i % 13 + 1).toLong))
+      .toDF("doc_id", "quality", "n_tokens")
+    def run(parts: Int) = graft.ops.Sampling
+      .selectByBudget(d.repartition(parts), "doc_id", "quality", "n_tokens", 300L)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    assert(run(1) == run(13))
+    val kept = run(13).filter(_._4 == 1L)
+    assert(kept.nonEmpty && kept.map(_._2).sum <= 300L,
+      "kept token mass exceeds the budget")
+  }
 }
