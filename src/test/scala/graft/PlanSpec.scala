@@ -202,4 +202,26 @@ class PlanSpec extends SparkSpec {
     assert(p.linesIterator.exists(l => l.contains("*(") && l.contains("Filter")),
       s"filter not inside a codegen span:\n$p")
   }
+
+  test("t20: the chunker is a pure projection — zero exchanges") {
+    val p = plan("t20_chunk_windows")
+    assert(!p.contains("Exchange"), s"chunkWindows shuffled:\n$p")
+  }
+
+  test("t19: the vocabulary table broadcasts — the token stream never shuffles by content") {
+    // The frequency-table AGGREGATION shuffles on term (vocab-bounded,
+    // fine); the score JOIN must not — it broadcasts the vocab side.
+    val p = plan("t19_unigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), s"vocab table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"token stream shuffled for the score join:\n$p")
+    assert(p.contains("partial_sum"), s"per-doc sums lost map-side combine:\n$p")
+  }
+
+  test("d12: span df and per-doc counts keep map-side combine; no all-pairs plan") {
+    val p = plan("d12_dupspan_stats")
+    assert(p.contains("partial_count"), s"span df lost map-side combine:\n$p")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      s"dup-span join degenerated:\n$p")
+  }
 }
