@@ -1433,6 +1433,13 @@ object Queries {
           lit(all).as("n_points"))
     }),
 
+    // Streaming twin of s15: the fitted centroid matrix is a static
+    // artifact; the prune is a stateless model-apply projection per
+    // micro-batch, so the drained census equals batch s15's and
+    // shares its pins.
+    "st12_stream_prune" -> ((s, dir) =>
+      graft.streaming.EventsStream.outlierPruneCounts(s, dir)),
+
     // Stream-stream interval join (watermarked both sides) — must equal
     // the batch range join q27.
     "st04_stream_join" -> ((s, dir) =>
@@ -1660,6 +1667,14 @@ object Queries {
     // distance band (p50 ≈ 3830, max ≈ 4250), a real prune that keeps
     // the corpus.
     "s15_semantic_outliers" -> Seq(
+      "n_kept" -> (469L, 471L, 1811L),
+      "n_pruned" -> (31L, 29L, 189L),
+      "n_points" -> (500L, 500L, 2000L)),
+    // = s15 by construction: the streaming prune applies the same
+    // fitted centroids through the same fixed-point projection
+    // (Clustering.assignDistance), so the drained census is the batch
+    // census (any divergence is a bug, not drift).
+    "st12_stream_prune" -> Seq(
       "n_kept" -> (469L, 471L, 1811L),
       "n_pruned" -> (31L, 29L, 189L),
       "n_points" -> (500L, 500L, 2000L)),

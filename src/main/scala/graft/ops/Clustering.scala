@@ -87,26 +87,36 @@ object Clustering {
     centroids
   }
 
+  /** Model-apply projection against a FITTED centroid matrix: adds
+    * `cluster` (int) and the fixed-point squared distance
+    * `dist_fp = round(‖v−c‖² · 2¹²)` to every row. Stateless and
+    * codegen'd, so it runs unchanged on a STREAM (st12's ingest-time
+    * filter) — the shared tail of [[kmeansAssign]] and
+    * [[graft.streaming.EventsStream.outlierPruneCounts]]. */
+  def assignDistance(df: DataFrame, vecCol: String,
+                     centroids: Array[Array[Float]]): DataFrame = {
+    val v = col(vecCol)
+    val withC = df.withColumn("cluster", nearestCentroid(v, centroids))
+    // ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖² via the same dot kernel.
+    val normSq = centroids.map(c => c.map(x => x.toDouble * x).sum)
+    val cNormSq = element_at(
+      typedlit(normSq.toSeq), col("cluster") + 1)
+    val vNormSq = VectorFunctions.vector_dot(v, v)
+    // Dot with the assigned centroid via the native row-indexed kernel
+    // (the element_at-over-k-dot-columns form was the other O(k·d)
+    // codegen site).
+    val vDotC = VectorFunctions.centroid_dot(v, col("cluster"), centroids)
+    withC.withColumn("dist_fp",
+      round((vNormSq - lit(2.0) * vDotC + cNormSq) * (1L << 12)).cast("long"))
+  }
+
   /** Cluster assignment of every row: `(idCol, cluster)` plus the
     * fixed-point squared distance `dist_fp = round(‖v−c‖² · 2¹²)` to
     * its centroid (an exactly-summable inertia contribution). */
   def kmeansAssign(df: DataFrame, idCol: String, vecCol: String, k: Int,
                    iterations: Int = 5, seed: Long = 42L): DataFrame = {
     val centroids = kmeansCentroids(df, idCol, vecCol, k, iterations, seed)
-    val withC = df.select(col(idCol), col(vecCol).as("v"))
-      .withColumn("cluster", nearestCentroid(col("v"), centroids))
-    // ‖v−c‖² = ‖v‖² − 2 v·c + ‖c‖² via the same dot kernel.
-    val normSq = centroids.map(c => c.map(x => x.toDouble * x).sum)
-    val cNormSq = element_at(
-      typedlit(normSq.toSeq), col("cluster") + 1)
-    val vNormSq = VectorFunctions.vector_dot(col("v"), col("v"))
-    // Dot with the assigned centroid via the native row-indexed kernel
-    // (the element_at-over-k-dot-columns form was the other O(k·d)
-    // codegen site).
-    val vDotC = VectorFunctions.centroid_dot(col("v"), col("cluster"), centroids)
-    withC
-      .withColumn("dist_fp",
-        round((vNormSq - lit(2.0) * vDotC + cNormSq) * (1L << 12)).cast("long"))
+    assignDistance(df.select(col(idCol), col(vecCol).as("v")), "v", centroids)
       .select(col(idCol), col("cluster").cast("long").as("cluster"), col("dist_fp"))
   }
 

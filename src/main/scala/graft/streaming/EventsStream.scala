@@ -363,6 +363,34 @@ object EventsStream {
       graft.ops.TextAnalysis.chunkWindows(src)
     }
 
+  /** Streaming semantic outlier pruning — batch s15's model-apply
+    * shape at ingest time: the centroid matrix is a STATIC artifact
+    * (fit offline by the deterministic batch k-means — models change
+    * by release, not by micro-batch, the d09/st08 argument), so the
+    * filter is a stateless codegen'd projection over each micro-batch
+    * and the drained census equals batch s15's exactly — st12 shares
+    * s15's pins. */
+  def outlierPruneCounts(spark: SparkSession, dir: String,
+                         k: Int = 8, maxDistFp: Long = 4050L): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val batch = spark.read.parquet(s"$dir/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"))
+    val centroids = graft.ops.Clustering.kmeansCentroids(
+      batch, "id", "features", k)
+    val all = batch.count()
+    val kept = runDrainedOn(
+      spark, dir, "embeddings", embeddingsSchema, "prune") { src =>
+      // The shared model-apply projection — bit-identical dist_fp to
+      // the batch path, stateless on the stream.
+      graft.ops.Clustering.assignDistance(src, "embedding", centroids)
+        .filter(col("dist_fp") <= maxDistFp)
+        .groupBy()
+        .agg(cnt(lit(1)).as("n_kept"))
+    }
+    kept.select(col("n_kept"), (lit(all) - col("n_kept")).as("n_pruned"),
+      lit(all).as("n_points"))
+  }
+
   /** Streaming benchmark decontamination — batch d09's scale shape
     * carried to ingest time: the benchmark n-gram set is a STATIC
     * artifact (eval suites change by release, not by micro-batch), so

@@ -69,6 +69,16 @@ class ClusteringSpec extends SparkSpec {
     assert(i5 <= i1 + (i1 / 1000), s"inertia rose: $i1 -> $i5")
   }
 
+  test("streaming outlier prune census equals the batch prune") {
+    val batchKept = Clustering
+      .pruneOutliers(emb, "id", "features", 8, 4050L).count()
+    val streamed = graft.streaming.EventsStream
+      .outlierPruneCounts(spark, sf0001).head()
+    assert(streamed.getLong(0) == batchKept,
+      s"streamed kept ${streamed.getLong(0)} != batch $batchKept")
+    assert(streamed.getLong(0) + streamed.getLong(1) == streamed.getLong(2))
+  }
+
   test("pruneOutliers drops a planted off-manifold point and only threshold violators") {
     // An off-manifold point far from all three planted centers — but
     // not so extreme that absorbing it drags its cluster's centroid
