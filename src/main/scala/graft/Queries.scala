@@ -877,6 +877,28 @@ object Queries {
         p.toString
       })
 
+  /** The persisted K-NN graph artifact (n03): the n01 graph written
+    * once to parquet — the durable form of the serving graph (a
+    * narrow `(id, neighbors)` table; doubles and ids round-trip
+    * parquet exactly, so a search over the loaded graph is
+    * bit-identical to one over the in-memory build, OpsSpec-asserted). */
+  private val knnGraphPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+  def knnGraphPath(s: SparkSession, dir: String): String =
+    knnGraphPaths.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$dir|knn_graph", _ => {
+        val p = java.nio.file.Files.createTempDirectory("graft_knn_graph")
+        sys.addShutdownHook {
+          def rm(f: java.io.File): Unit = {
+            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+          }
+          rm(p.toFile)
+        }
+        knnGraph(s, dir).select("id", "neighbors")
+          .write.mode("overwrite").parquet(s"$p/graph")
+        p.toString
+      })
+
   /** The n01 graph (k=10, 5 iterations over the full embeddings table) —
     * built once per session; n01 pays the build, s03 searches it. */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
@@ -1512,6 +1534,22 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // Beam search over the PERSISTED graph artifact (n03): the n01
+    // graph written to parquet once and reloaded — the durable
+    // serving-graph lifecycle, search parameters and pins identical
+    // to s03 because the narrow (id, neighbors) table round-trips
+    // parquet bit-exactly.
+    "n03_graph_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      val g = s.read.parquet(s"${knnGraphPath(s, dir)}/graph")
+        .filter(col("neighbors").isNotNull)
+      recallCounts(
+        graft.ops.GraphSearch.searchGraph(g, e, q, k = 10,
+          beam = 32, hops = 4, seeds = 16),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+    }),
+
     // The NND K-NN graph: pinned whole-graph recall summary — every
     // node's neighbor list vs the exact brute-force top-10 (NND is
     // hash-seeded and partition-invariant, NNDSpec-asserted, so the
@@ -1586,7 +1624,15 @@ object Queries {
       // measures the naive groupBy shuffling the whole vocabulary).
       "t12_skewed_hot" -> ((s, dir) =>
         ops.HeavyHitters.frequentTerms(skewedDocs(s, dir),
-          split(col("text"), " "), 1L, 100L)))
+          split(col("text"), " "), 1L, 100L)),
+      // Hot-span corpus: the prepended stop-phrase plants corpus-wide
+      // duplicated trigrams in EVERY document. dupSpanStats stays
+      // linear by construction — the span stream is generated, df'd
+      // with partial agg, and counted per doc; no pairwise expansion
+      // exists for the hot span to blow up (contrast the naive
+      // pairs-by-shared-span join, quadratic here).
+      "d12_skewed_dupspan" -> ((s, dir) =>
+        ops.Dedup.dupSpanStats(skewedDocs(s, dir), "doc_id", "text")))
   }
 
   /** Pinned-literal oracle builder: one row of BIGINT columns whose
@@ -1618,6 +1664,11 @@ object Queries {
     "s02_ann_lsh" -> Seq(
       "n_hits" -> (177L, 191L, 190L), "n_total" -> (200L, 200L, 200L)),
     "s03_graph_search" -> Seq(
+      "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
+    // = s03 by construction: the persisted (id, neighbors) table
+    // round-trips parquet exactly, so the loaded-graph search emits
+    // s03's rows (OpsSpec asserts row equality on a fresh build).
+    "n03_graph_persisted" -> Seq(
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
     "s04_ann_ivf" -> Seq(
       "n_hits" -> (166L, 167L, 170L), "n_total" -> (200L, 200L, 200L)),

@@ -1214,6 +1214,31 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("persisted K-NN graph round-trips parquet and searches identically") {
+    val e = emb
+    val g = graft.nnd.NND.buildGraph(e,
+        graft.nnd.NND.Params(k = 5, maxIterations = 2))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    val path = java.nio.file.Files.createTempDirectory("knn_graph_spec").toString
+    try {
+      g.write.mode("overwrite").parquet(s"$path/graph")
+      val loaded = spark.read.parquet(s"$path/graph")
+      val q = e.filter(col("id") < 10)
+      def rows(graph: org.apache.spark.sql.DataFrame) =
+        graft.ops.GraphSearch.searchGraph(graph, e, q, k = 5,
+            beam = 8, hops = 3, seeds = 4)
+          .collect()
+          .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+      assert(rows(loaded) == rows(g),
+        "search over the loaded graph diverged from the in-memory graph")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(path))
+    }
+  }
+
   test("appended IVF index equals a scratch build over the union with the same centroids") {
     val e = emb
     val path = java.nio.file.Files.createTempDirectory("ivf_incr_spec").toString
