@@ -774,6 +774,12 @@ object Queries {
   import graft.ops.{Clustering, Decontaminate, Dedup, HeavyHitters, Multimodal, Packing, SimilaritySearch, TextAnalysis}
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
+
+  /** t21's fixed retrieval query: two common terms plus the rare 'dup'
+    * (df ≈ 5% of docs in the synthetic corpus) so the idf term
+    * actually differentiates scores. Shared by the Spark query and the
+    * oracle SQL's IN list. */
+  val bm25Query: Seq[String] = Seq("hash", "join", "dup")
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("features"))
 
@@ -1200,6 +1206,15 @@ object Queries {
     // bit-exact oracle.
     "st11_stream_chunks" -> ((s, dir) =>
       graft.streaming.EventsStream.chunkCounts(s, dir)),
+
+    // BM25 top-20 retrieval for a fixed 3-term query — the sparse
+    // complement to the dense ANN serving family. Postings are cut to
+    // the query's terms before any shuffle; the top-k is
+    // TakeOrderedAndProject, never a global sort (TextAnalysis scale
+    // notes). Per-term scores fixed-pointed (t19 pattern) so the
+    // DuckDB twin is bit-exact.
+    "t21_bm25_topk" -> ((s, dir) =>
+      TextAnalysis.bm25TopK(docs(s, dir), bm25Query)),
 
     // Token-budget corpus selection: greedy best-first under a
     // 20k-token budget over the t02 quality score — distributed rank +
@@ -2129,6 +2144,39 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM toks JOIN lp USING (term)
         |GROUP BY doc_id""".stripMargin,
+
+    // Mirrors bm25TopK op-for-op: every double constant is CAST to
+    // DOUBLE first (DuckDB parses bare decimal literals as DECIMAL,
+    // whose fold to 2.2 etc. differs in the last ulp from the IEEE
+    // 1.2 + 1 the Spark side computes), every expression keeps the
+    // same associativity, and the per-term score is fixed-pointed
+    // before the BIGINT sum — the t19 parity pattern.
+    "t21_bm25_topk" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |dls AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+        |scalars AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dls),
+        |tfs AS (
+        |  SELECT id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'dup') GROUP BY id, term),
+        |dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+        |scored AS (
+        |  SELECT id,
+        |    CAST(round(
+        |      ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+        |      (tf + CAST(1.2 AS DOUBLE) *
+        |        (1 - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * dl / avgdl)) *
+        |      1048576) AS BIGINT) AS s_fp
+        |  FROM tfs JOIN dfs USING (term) JOIN dls USING (id), scalars)
+        |SELECT id AS doc_id, CAST(sum(s_fp) AS BIGINT) AS score_fp,
+        |  count(*) AS n_terms
+        |FROM scored GROUP BY id
+        |ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin,
 
     // Same trigram construction as the d09 oracle (with the <3-token
     // whole-text fallback); df counts distinct docs because spans are

@@ -273,4 +273,60 @@ object TextAnalysis {
       .filter(col("rk") <= n)
       .select("doc_id", "rk", "term", "score")
   }
+
+  /** BM25 top-`k` retrieval (Robertson–Spärck Jones weighting, the
+    * always-positive `ln(1 + (N−df+0.5)/(df+0.5))` idf variant): scores
+    * every document against a literal bag-of-terms query and returns the
+    * `k` best — the sparse-retrieval complement to the dense ANN serving
+    * family (reference similarity surface: `/root/reference/src/main/
+    * scala/com/github/fvictorio/nnd/NND.scala:57-64`; BM25 itself has no
+    * reference counterpart).
+    *
+    * 100 TB shape: the token stream is cut to the query's terms BEFORE
+    * any shuffle (an `isin` over ≤|query| literals, pushed into the
+    * scan-side projection), so the per-(doc, term) tf aggregation only
+    * ever shuffles matching postings; document lengths partial-agg to
+    * one row per doc per partition; the corpus scalars (N, avgdl) are a
+    * one-row bounded collect; the df table is ≤|query| rows and
+    * broadcast. The final top-k is `orderBy + limit` =
+    * TakeOrderedAndProject — a map-side bounded heap per partition plus
+    * a driver merge of k·partitions rows, never a global sort
+    * (PlanSpec-pinned). Per-term scores are fixed-pointed
+    * (`round(score·2^20)` as BIGINT, the t19 pattern) before the Long
+    * sum, so ranking — and the DuckDB oracle — is bit-stable across
+    * engines: every float op below is mirrored op-for-op in the oracle
+    * SQL, and the one libm call (`ln`) is washed by the fixed-point
+    * rounding.
+    */
+  def bm25TopK(df: DataFrame, queryTerms: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text",
+      k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
+    require(queryTerms.nonEmpty, "empty query")
+    require(k >= 1, s"bad k=$k")
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val dls = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    // Corpus scalars: one-row bounded collect (count=0 ⇒ empty output,
+    // any avgdl works because every downstream join is empty).
+    val scalars = dls.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = scalars.getLong(0)
+    val avgdl = if (n == 0L) 1.0 else scalars.getLong(1).toDouble / n
+    val tfs = toks.filter(col("term").isin(queryTerms: _*))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
+    tfs.join(broadcast(dfs), Seq("term"))
+      .join(dls, Seq("id"))
+      .select(col("id"),
+        round(idf * (col("tf") * lit(k1 + 1)) / denom * lit(1048576.0))
+          .cast("long").as("s_fp"))
+      .groupBy("id")
+      .agg(sum(col("s_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("score_fp"), col("n_terms"))
+  }
 }

@@ -1308,4 +1308,32 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((4L, 4 * lpR)))
     assert(4 * lpA > 4 * lpR, "common-token doc must outscore rare-token doc")
   }
+
+  test("bm25TopK: hand-computed scores, k cutoff, no-match docs excluded") {
+    import spark.implicits._
+    val d = Seq(
+      (1L, "hash join hash"),        // hash tf=2, join tf=1, dl=3
+      (2L, "dup scan"),              // dup tf=1, dl=2
+      (3L, "join join join scan scan"), // join tf=3, dl=5
+      (4L, "scan filter")            // no query terms, dl=2
+    ).toDF("doc_id", "text")
+    // N=4, avgdl=3.0; df: hash=1, join=2, dup=1.
+    val (k1, b) = (1.2, 0.75)
+    def s(tf: Long, df: Long, dl: Long): Long = {
+      val idf = math.log(1.0 + (4.0 - df + 0.5) / (df + 0.5))
+      math.round(idf * (tf * (k1 + 1)) /
+        (tf + k1 * (1 - b + b * dl / 3.0)) * 1048576.0)
+    }
+    val exp = Map(
+      1L -> (s(2, 1, 3) + s(1, 2, 3), 2L),
+      2L -> (s(1, 1, 2), 1L),
+      3L -> (s(3, 2, 5), 1L))
+    val out = graft.ops.TextAnalysis.bm25TopK(d, Seq("hash", "join", "dup"))
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out == exp, s"scores diverged: got $out want $exp")
+    // k cutoff keeps the deterministic (score desc, id asc) prefix.
+    val top1 = graft.ops.TextAnalysis.bm25TopK(d, Seq("hash", "join", "dup"),
+      k = 1).collect().map(_.getLong(0)).toSeq
+    assert(top1 == Seq(exp.maxBy { case (id, (sc, _)) => (sc, -id) }._1))
+  }
 }

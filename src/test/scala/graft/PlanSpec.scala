@@ -224,4 +224,11 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
       s"dup-span join degenerated:\n$p")
   }
+
+  test("t21: BM25 top-k is TakeOrdered, the df table broadcasts") {
+    val p = plan("t21_bm25_topk")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"BM25 top-k is not a bounded per-partition heap:\n$p")
+    assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
+  }
 }
