@@ -1216,6 +1216,30 @@ object Queries {
     "t21_bm25_topk" -> ((s, dir) =>
       TextAnalysis.bm25TopK(docs(s, dir), bm25Query)),
 
+    // Hybrid retrieval: RRF fusion of a dense top-20 (exact cosine for
+    // query vec 0 — doc and vec ids share the id space) with the t21
+    // sparse BM25 top-20. Rank-based, so no score calibration crosses
+    // the retriever boundary; contributions fixed-pointed before the
+    // Long sum (Retrieval scale notes).
+    "t23_hybrid_rrf" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dense = SimilaritySearch.bruteForceTopK(e, e.filter(col("id") === 0), 20)
+        .select(col("nbr_id").as("doc_id"), col("rank"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("score_fp").desc, col("doc_id").asc)
+      val sparse = TextAnalysis.bm25TopK(docs(s, dir), bm25Query)
+        .select(col("doc_id"), row_number().over(w).as("rank"))
+      graft.ops.Retrieval.rrfFuse(Seq(dense, sparse))
+    }),
+
+    // DSIR importance selection: top-100 docs by the fixed-point log
+    // importance ratio of the en-language target distribution vs the
+    // full corpus, over 256 md5-hashed token buckets. One token-stream
+    // pass builds both distributions; the log-ratio table broadcasts;
+    // the top-n is TakeOrdered (Sampling scale notes).
+    "t24_dsir_select" -> ((s, dir) =>
+      graft.ops.Sampling.dsirSelect(docs(s, dir), col("lang") === "en")),
+
     // Token-budget corpus selection: greedy best-first under a
     // 20k-token budget over the t02 quality score — distributed rank +
     // prefix sum, never a single-task window (Sampling scale notes).
@@ -1476,6 +1500,14 @@ object Queries {
     // shares its pins.
     "st12_stream_prune" -> ((s, dir) =>
       graft.streaming.EventsStream.outlierPruneCounts(s, dir)),
+
+    // Streaming BM25 serving (more-like-this): streamed documents
+    // query the static per-(term, doc) impact index; one stream-static
+    // join + one bounded sum per candidate pair, ranking on the
+    // drained totals. All float ops live in the static index build, so
+    // the oracle is full SQL, not pins (Bm25Serve scale notes).
+    "st13_bm25_serve" -> ((s, dir) =>
+      graft.streaming.Bm25Serve.bm25ServeTopK(s, dir)),
 
     // Stream-stream interval join (watermarked both sides) — must equal
     // the batch range join q27.
@@ -2177,6 +2209,136 @@ object Queries {
         |  count(*) AS n_terms
         |FROM scored GROUP BY id
         |ORDER BY score_fp DESC, doc_id ASC LIMIT 20""".stripMargin,
+
+    // Mirrors dsirSelect op-for-op: buckets are the first two hex
+    // chars of md5 (no numeric hex conversion — string buckets join
+    // exactly), both distributions come from one pass with a
+    // conditional sum, and the Laplace-smoothed log-ratio fixed-points
+    // before the per-doc BIGINT sum (the t19 parity pattern).
+    "t24_dsir_select" ->
+      """WITH tk AS (
+        |  SELECT doc_id, lang, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |toks AS (
+        |  SELECT doc_id, lang = 'en' AS is_t, substr(md5(term), 1, 2) AS bucket
+        |  FROM tk),
+        |tot AS (
+        |  SELECT count(*) AS ns,
+        |    sum(CASE WHEN is_t THEN 1 ELSE 0 END) AS nt
+        |  FROM toks),
+        |llr AS (
+        |  SELECT bucket,
+        |    CAST(round(
+        |      (ln((sum(CASE WHEN is_t THEN 1 ELSE 0 END) + 1)
+        |         / CAST(nt + 256 AS DOUBLE))
+        |       - ln((count(*) + 1) / CAST(ns + 256 AS DOUBLE)))
+        |      * 1048576) AS BIGINT) AS llr_fp
+        |  FROM toks, tot
+        |  GROUP BY bucket, nt, ns)
+        |SELECT doc_id, CAST(sum(llr_fp) AS BIGINT) AS weight_fp,
+        |  count(*) AS n_tokens
+        |FROM toks JOIN llr USING (bucket)
+        |GROUP BY doc_id
+        |ORDER BY weight_fp DESC, doc_id ASC LIMIT 100""".stripMargin,
+
+    // Mirrors Bm25Serve end-to-end: the impacts CTE is the static
+    // index (bm25Impacts — t21's per-term formula over EVERY posting,
+    // df over the full vocabulary), queries are the first 3 documents'
+    // distinct terms, totals exclude self-matches, and ranking cuts
+    // at top-10 per query with the (score desc, id) tie-break.
+    "st13_bm25_serve" ->
+      """WITH toks AS (
+        |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |dls AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+        |scalars AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dls),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |impacts AS (
+        |  SELECT term, id,
+        |    CAST(round(
+        |      ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+        |      (tf + CAST(1.2 AS DOUBLE) *
+        |        (1 - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * dl / avgdl)) *
+        |      1048576) AS BIGINT) AS s_fp
+        |  FROM tf JOIN dfs USING (term) JOIN dls USING (id), scalars),
+        |queries AS (
+        |  SELECT DISTINCT id AS query_id, term FROM toks WHERE id < 3),
+        |totals AS (
+        |  SELECT q.query_id, i.id, CAST(sum(i.s_fp) AS BIGINT) AS score_fp
+        |  FROM queries q JOIN impacts i USING (term)
+        |  WHERE i.id != q.query_id
+        |  GROUP BY q.query_id, i.id),
+        |ranked AS (
+        |  SELECT query_id, id, score_fp,
+        |    row_number() OVER (
+        |      PARTITION BY query_id ORDER BY score_fp DESC, id ASC) AS rank
+        |  FROM totals)
+        |SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
+        |  score_fp
+        |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // Dense CTE mirrors the s01 oracle (ranks agree with the Spark
+    // float-cosine ordering — the same rank-margin argument); sparse
+    // CTE is t21's SQL re-ranked; contributions use the same
+    // fixed-point division as Retrieval.rrfFuse. CAST(1048576 AS
+    // DOUBLE) keeps the division a double op (DuckDB's `/` on
+    // integers already is, the cast just pins it).
+    "t23_hybrid_rrf" ->
+      """WITH dense AS (
+        |  SELECT doc_id, rank FROM (
+        |    SELECT c.vec_id AS doc_id,
+        |      row_number() OVER (
+        |        ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC,
+        |          c.vec_id) AS rank
+        |    FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
+        |    WHERE q.vec_id = 0)
+        |  WHERE rank <= 20),
+        |toks AS (
+        |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |dls AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+        |scalars AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dls),
+        |tfs AS (
+        |  SELECT id, term, count(*) AS tf FROM toks
+        |  WHERE term IN ('hash', 'join', 'dup') GROUP BY id, term),
+        |dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
+        |scored AS (
+        |  SELECT id,
+        |    CAST(round(
+        |      ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+        |      (tf + CAST(1.2 AS DOUBLE) *
+        |        (1 - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * dl / avgdl)) *
+        |      1048576) AS BIGINT) AS s_fp
+        |  FROM tfs JOIN dfs USING (term) JOIN dls USING (id), scalars),
+        |bmtop AS (
+        |  SELECT id AS doc_id, CAST(sum(s_fp) AS BIGINT) AS score_fp
+        |  FROM scored GROUP BY id
+        |  ORDER BY score_fp DESC, doc_id ASC LIMIT 20),
+        |sparse AS (
+        |  SELECT doc_id,
+        |    row_number() OVER (ORDER BY score_fp DESC, doc_id ASC) AS rank
+        |  FROM bmtop),
+        |unioned AS (
+        |  SELECT doc_id,
+        |    CAST(round(CAST(1048576 AS DOUBLE) / (60 + rank)) AS BIGINT) AS c_fp
+        |  FROM dense
+        |  UNION ALL
+        |  SELECT doc_id,
+        |    CAST(round(CAST(1048576 AS DOUBLE) / (60 + rank)) AS BIGINT) AS c_fp
+        |  FROM sparse)
+        |SELECT doc_id, CAST(sum(c_fp) AS BIGINT) AS rrf_fp,
+        |  count(*) AS n_lists
+        |FROM unioned GROUP BY doc_id
+        |ORDER BY rrf_fp DESC, doc_id ASC LIMIT 10""".stripMargin,
 
     // Same trigram construction as the d09 oracle (with the <3-token
     // whole-text fallback); df counts distinct docs because spans are

@@ -215,4 +215,56 @@ object Sampling {
         (col("start_off") + col("__tok") <= tokenBudget)
           .cast("long").as("kept"))
   }
+
+  /** DSIR-style importance selection (Xie et al., "Data Selection for
+    * Language Models via Importance Resampling", NeurIPS 2023): score
+    * every document by the log importance ratio of a TARGET
+    * distribution (rows matching `targetPred` — e.g. curated/wiki-like
+    * text) against the full-corpus SOURCE distribution, over hashed
+    * token features, and keep the top `n`. This is the
+    * distribution-matching selector that complements the quality-rank
+    * selector ([[selectByBudget]]): it pulls documents that LOOK LIKE
+    * the target domain rather than documents that score well in
+    * isolation. (Plain deterministic top-n of the weights; the paper's
+    * Gumbel resampling variant is one seeded perturbation away.)
+    *
+    * Features are tokens hashed to 256 buckets via the first two hex
+    * chars of md5 — the portable cross-engine draw ([[draw]]'s
+    * argument), so the DuckDB twin is bit-exact with no numeric hex
+    * conversion. Bucket log-ratios are Laplace-smoothed and
+    * fixed-pointed (`round(llr·2^20)` as BIGINT, the unigram-LM
+    * pattern) before the per-document Long sum.
+    *
+    * Scale shape: ONE pass over the token stream computes both
+    * distributions (a 256-key partial agg — the target side is a
+    * conditional sum in the same aggregate, not a second scan); the
+    * ≤256-row log-ratio table broadcasts; per-document sums partial-agg
+    * to ~1 row/doc/partition; the top-n plans as
+    * TakeOrderedAndProject. The corpus never shuffles by content.
+    */
+  def dsirSelect(df: DataFrame, targetPred: Column, idCol: String = "doc_id",
+                 textCol: String = "text", n: Int = 100): DataFrame = {
+    require(n >= 1, s"bad n=$n")
+    val toks = df.select(col(idCol).as("id"), targetPred.as("is_t"),
+        explode(split(col(textCol), " ")).as("term"))
+      .select(col("id"), col("is_t"),
+        substring(md5(col("term").cast("binary")), 1, 2).as("bucket"))
+    val tot = toks.agg(count(lit(1)),
+      sum(when(col("is_t"), 1L).otherwise(0L))).head()
+    val ns = tot.getLong(0)
+    val nt = if (tot.isNullAt(1)) 0L else tot.getLong(1)
+    val llr = toks.groupBy("bucket")
+      .agg(count(lit(1)).as("cs"),
+        sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .select(col("bucket"),
+        round((log((col("ct") + 1).cast("double") / lit((nt + 256).toDouble))
+          - log((col("cs") + 1).cast("double") / lit((ns + 256).toDouble)))
+          * lit(1048576.0)).cast("long").as("llr_fp"))
+    toks.join(broadcast(llr), Seq("bucket"))
+      .groupBy("id")
+      .agg(sum(col("llr_fp")).as("weight_fp"), count(lit(1)).as("n_tokens"))
+      .orderBy(col("weight_fp").desc, col("id").asc)
+      .limit(n)
+      .select(col("id").as(idCol), col("weight_fp"), col("n_tokens"))
+  }
 }

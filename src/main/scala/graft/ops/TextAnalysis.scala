@@ -329,4 +329,51 @@ object TextAnalysis {
       .limit(k)
       .select(col("id").as(idCol), col("score_fp"), col("n_terms"))
   }
+
+  /** The static half of BM25 SERVING: per-(term, doc) fixed-point
+    * impact scores — [[bm25TopK]]'s per-term formula precomputed for
+    * EVERY posting, because tf, df, dl and the corpus scalars are all
+    * properties of the corpus, not the query. A query's score for a doc
+    * is then just the Long sum of the matched rows, which is what lets
+    * [[graft.streaming.Bm25Serve]] serve a query stream with one
+    * stream-static join and one bounded aggregation (the
+    * impact-ordered-index organization of Anh & Moffat, "Pruned query
+    * evaluation using pre-computed impacts", SIGIR 2006).
+    *
+    * `maxPostings` caps each term's posting list to its top-`m` rows by
+    * (impact desc, id) — the static-side truncation that bounds
+    * per-query serving state for stop-word-grade terms at web scale
+    * (a rank cut on an already-built index; exact for every term with
+    * df ≤ m). `Int.MaxValue` (the default) skips the ranking window
+    * entirely, keeping the build shuffle-only.
+    */
+  def bm25Impacts(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
+      maxPostings: Int = Int.MaxValue): DataFrame = {
+    val toks = df.select(col(idCol).as("id"),
+      explode(tokens(col(textCol))).as("term"))
+    val dls = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+    val scalars = dls.agg(count(lit(1)), sum(col("dl"))).head()
+    val n = scalars.getLong(0)
+    val avgdl = if (n == 0L) 1.0 else scalars.getLong(1).toDouble / n
+    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val idf = log(lit(1.0) +
+      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val denom = col("tf") +
+      lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
+    val impacts = tf.join(broadcast(dfs), Seq("term"))
+      .join(dls, Seq("id"))
+      .select(col("term"), col("id"),
+        round(idf * (col("tf") * lit(k1 + 1)) / denom * lit(1048576.0))
+          .cast("long").as("s_fp"))
+    if (maxPostings == Int.MaxValue) impacts
+    else {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("term").orderBy(col("s_fp").desc, col("id").asc)
+      impacts.withColumn("imp_rank", row_number().over(w))
+        .filter(col("imp_rank") <= maxPostings)
+        .drop("imp_rank")
+    }
+  }
 }

@@ -65,7 +65,7 @@ object EventsStream {
     StructField("props", StringType)))
 
   /** Documents schema for streaming reads of the corpus fixture. */
-  private val documentsSchema = StructType(Seq(
+  private[streaming] val documentsSchema = StructType(Seq(
     StructField("doc_id", LongType),
     StructField("text", StringType),
     StructField("lang", StringType),

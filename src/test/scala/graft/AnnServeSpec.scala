@@ -28,4 +28,48 @@ class AnnServeSpec extends SparkSpec {
       s"serve diverged from batch: only-batch=${batch.toSet -- served.toSet} " +
         s"only-served=${served.toSet -- batch.toSet}")
   }
+
+  test("streaming BM25 serve equals the batch impact-sum row-for-row") {
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val impacts = graft.ops.TextAnalysis.bm25Impacts(docs)
+    val queries = docs.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(
+          graft.ops.TextAnalysis.tokens(col("text")))).as("term"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(col("score_fp").desc, col("id").asc)
+    val batch = queries.join(impacts, Seq("term"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy("query_id", "id")
+      .agg(sum(col("s_fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .toSet
+    val served = graft.streaming.Bm25Serve.bm25ServeTopK(spark, sf001)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(1).toInt))
+      .toSet
+    assert(batch.nonEmpty)
+    assert(served == batch,
+      s"serve diverged: only-batch=${batch -- served} only-served=${served -- batch}")
+  }
+
+  test("bm25Impacts: maxPostings keeps each term's top postings by impact") {
+    import spark.implicits._
+    val d = Seq((1L, "hash hash"), (2L, "hash"), (3L, "hash join"))
+      .toDF("doc_id", "text")
+    val full = graft.ops.TextAnalysis.bm25Impacts(d).collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val cut = graft.ops.TextAnalysis.bm25Impacts(d, maxPostings = 1)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    // One posting per term survives, and it is that term's best.
+    assert(cut.map(_._1).sorted.toSeq == Seq("hash", "join"))
+    cut.foreach { case (term, id, s) =>
+      val best = full.filter(_._1._1 == term).maxBy { case ((_, i), v) => (v, -i) }
+      assert((term, id) == best._1 && s == best._2,
+        s"truncation kept a non-best posting for $term: ($id, $s) vs $best")
+    }
+  }
 }

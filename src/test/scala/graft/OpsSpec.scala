@@ -1336,4 +1336,58 @@ class OpsSpec extends SparkSpec {
       k = 1).collect().map(_.getLong(0)).toSeq
     assert(top1 == Seq(exp.maxBy { case (id, (sc, _)) => (sc, -id) }._1))
   }
+
+  test("rrfFuse: hand-computed fusion, overlap counting, tie-break, k cutoff") {
+    import spark.implicits._
+    val a = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val b = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    def c(r: Int) = math.round(1048576.0 / (60 + r))
+    val out = graft.ops.Retrieval.rrfFuse(Seq(a, b))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 20 appears in both lists (rank 2 + rank 1) and must win.
+    assert(out.toSeq == Seq(
+      (20L, c(2) + c(1), 2L), (10L, c(1), 1L),
+      (40L, c(2), 1L), (30L, c(3), 1L)),
+      s"fusion diverged: ${out.toSeq}")
+    // Equal-rank singletons tie on rrf_fp; the id breaks the tie, and
+    // k cuts after the deterministic order.
+    val t = graft.ops.Retrieval.rrfFuse(
+      Seq(Seq((7L, 1), (5L, 2)).toDF("doc_id", "rank"),
+        Seq((6L, 1)).toDF("doc_id", "rank")), k = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(t == Seq(6L, 7L), s"tie-break order wrong: $t")
+  }
+
+  test("dsirSelect: hand-computed log-ratio weights pull target-like docs first") {
+    import spark.implicits._
+    // Target (en) docs speak 'aa', source-only docs speak 'bb'; doc 5
+    // mixes. 'aa' and 'bb' land in distinct md5 buckets (asserted), so
+    // the weights are hand-computable per token.
+    val d = Seq(
+      (1L, "en", "aa aa aa"), (2L, "en", "aa aa"),
+      (3L, "de", "bb bb bb"), (4L, "de", "bb bb"),
+      (5L, "de", "aa bb")
+    ).toDF("doc_id", "lang", "text")
+    def md5b(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(2)
+    assert(md5b("aa") != md5b("bb"), "fixture tokens must hash apart")
+    // ns=12 tokens, nt=5 target tokens; aa: cs=6, ct=5; bb: cs=6, ct=0.
+    def llr(ct: Long, cs: Long) = math.round(
+      (math.log((ct + 1).toDouble / (5 + 256)) -
+        math.log((cs + 1).toDouble / (12 + 256))) * 1048576.0)
+    val (wa, wb) = (llr(5, 6), llr(0, 6))
+    val out = graft.ops.Sampling.dsirSelect(d, col("lang") === "en")
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val exp = Map(
+      1L -> ((3 * wa, 3L)), 2L -> ((2 * wa, 2L)), 3L -> ((3 * wb, 3L)),
+      4L -> ((2 * wb, 2L)), 5L -> ((wa + wb, 2L)))
+    assert(out == exp, s"weights diverged: got $out want $exp")
+    assert(wa > wb, "target-aligned bucket must outweigh source-only bucket")
+    // n cutoff keeps the deterministic (weight desc, id asc) prefix —
+    // both llr values are negative here, so the shorter target doc
+    // (2·wa) outranks the longer one (3·wa).
+    val top2 = graft.ops.Sampling.dsirSelect(d, col("lang") === "en", n = 2)
+      .collect().map(_.getLong(0)).toSeq
+    assert(top2 == Seq(2L, 1L), s"selection order wrong: $top2")
+  }
 }

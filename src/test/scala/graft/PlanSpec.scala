@@ -231,4 +231,21 @@ class PlanSpec extends SparkSpec {
       s"BM25 top-k is not a bounded per-partition heap:\n$p")
     assert(p.contains("BroadcastHashJoin"), s"df table not broadcast:\n$p")
   }
+
+  test("t23: RRF fusion keeps map-side combine and a TakeOrdered top-k") {
+    val p = plan("t23_hybrid_rrf")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"fused top-k is not a bounded per-partition heap:\n$p")
+    assert(p.contains("partial_sum"), s"fusion sum lost map-side combine:\n$p")
+  }
+
+  test("t24: DSIR log-ratio table broadcasts; top-n is TakeOrdered") {
+    val p = plan("t24_dsir_select")
+    assert(p.contains("BroadcastHashJoin"),
+      s"log-ratio table not broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"),
+      s"token stream shuffled for the weight join:\n$p")
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection is not a bounded per-partition heap:\n$p")
+  }
 }
