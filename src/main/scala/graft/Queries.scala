@@ -778,8 +778,10 @@ object Queries {
   /** t21's fixed retrieval query: two common terms plus the rare 'dup'
     * (df ≈ 5% of docs in the synthetic corpus) so the idf term
     * actually differentiates scores. Shared by the Spark query and the
-    * oracle SQL's IN list. */
+    * oracle SQL's IN list (via [[bm25QueryInList]] — single source, so
+    * the two cannot desync). */
   val bm25Query: Seq[String] = Seq("hash", "join", "dup")
+  private val bm25QueryInList = bm25Query.map(t => s"'$t'").mkString(", ")
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("features"))
 
@@ -835,75 +837,64 @@ object Queries {
   def evictPrebuilt(s: SparkSession, dir: String, tag: String): Unit =
     prebuilt.remove(s"${s.sparkContext.applicationId}|$dir|$tag")
 
-  /** The persisted IVF index artifact (s14): written ONCE per session
-    * to a temp directory and served many times — the on-disk
-    * build/serve lifecycle ([[SimilaritySearch.saveIvfIndex]] writes
-    * the inverted file partitioned by cell; the serve prunes its scan
-    * to the probed cell directories). Keyed like [[memo]]; the JVM
-    * cleans the directory at exit. */
-  private val ivfIndexPaths =
+  /** Session-memoized ON-DISK artifacts (the path-valued sibling of
+    * [[memo]]): first touch creates a temp directory, runs `build`
+    * into it, and registers a JVM-exit cleanup hook; later touches
+    * reuse the path. Keyed by (applicationId, dir, tag) like [[memo]]
+    * — a fresh session gets a fresh build. */
+  private val artifactPaths =
     new java.util.concurrent.ConcurrentHashMap[String, String]()
-  /** Drop the memoized index path so a re-timed `s14_index_build`
-    * measures a real build (same contract as [[evictPrebuilt]]). */
-  def evictIvfIndex(s: SparkSession, dir: String): Unit =
-    ivfIndexPaths.remove(s"${s.sparkContext.applicationId}|$dir|ivf_index")
-  def ivfIndexPath(s: SparkSession, dir: String): String =
-    ivfIndexPaths.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$dir|ivf_index", _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivf_index")
+  private def memoPath(s: SparkSession, dir: String, tag: String)
+      (build: String => Unit): String =
+    artifactPaths.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$dir|$tag", _ => {
+        val p = java.nio.file.Files.createTempDirectory(s"graft_$tag")
         sys.addShutdownHook {
           def rm(f: java.io.File): Unit = {
             Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
           }
           rm(p.toFile)
         }
-        SimilaritySearch.saveIvfIndex(emb(s, dir), p.toString)
+        build(p.toString)
         p.toString
       })
+
+  /** Drop the memoized index path so a re-timed `s14_index_build`
+    * measures a real build (same contract as [[evictPrebuilt]]). */
+  def evictIvfIndex(s: SparkSession, dir: String): Unit =
+    artifactPaths.remove(s"${s.sparkContext.applicationId}|$dir|ivf_index")
+
+  /** The persisted IVF index artifact (s14): written ONCE per session
+    * to a temp directory and served many times — the on-disk
+    * build/serve lifecycle ([[SimilaritySearch.saveIvfIndex]] writes
+    * the inverted file partitioned by cell; the serve prunes its scan
+    * to the probed cell directories). */
+  def ivfIndexPath(s: SparkSession, dir: String): String =
+    memoPath(s, dir, "ivf_index") { p =>
+      SimilaritySearch.saveIvfIndex(emb(s, dir), p)
+    }
 
   /** The incrementally-grown IVF index artifact (s16): built over the
     * 80% "existing" corpus (ids not divisible by 5 — the n02 prior's
     * split), then the 20% increment APPENDED with the saved centroids
     * — the index after a day's ingest, never rebuilt. */
-  private val ivfIncrPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def ivfIncrIndexPath(s: SparkSession, dir: String): String =
-    ivfIncrPaths.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$dir|ivf_incr", _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft_ivf_incr")
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(p.toFile)
-        }
-        val e = emb(s, dir)
-        SimilaritySearch.saveIvfIndex(e.filter(col("id") % 5 =!= 0), p.toString)
-        SimilaritySearch.appendToIvfIndex(e.filter(col("id") % 5 === 0), p.toString)
-        p.toString
-      })
+    memoPath(s, dir, "ivf_incr") { p =>
+      val e = emb(s, dir)
+      SimilaritySearch.saveIvfIndex(e.filter(col("id") % 5 =!= 0), p)
+      SimilaritySearch.appendToIvfIndex(e.filter(col("id") % 5 === 0), p)
+    }
 
   /** The persisted K-NN graph artifact (n03): the n01 graph written
     * once to parquet — the durable form of the serving graph (a
     * narrow `(id, neighbors)` table; doubles and ids round-trip
     * parquet exactly, so a search over the loaded graph is
     * bit-identical to one over the in-memory build, OpsSpec-asserted). */
-  private val knnGraphPaths =
-    new java.util.concurrent.ConcurrentHashMap[String, String]()
   def knnGraphPath(s: SparkSession, dir: String): String =
-    knnGraphPaths.computeIfAbsent(
-      s"${s.sparkContext.applicationId}|$dir|knn_graph", _ => {
-        val p = java.nio.file.Files.createTempDirectory("graft_knn_graph")
-        sys.addShutdownHook {
-          def rm(f: java.io.File): Unit = {
-            Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-          }
-          rm(p.toFile)
-        }
-        knnGraph(s, dir).select("id", "neighbors")
-          .write.mode("overwrite").parquet(s"$p/graph")
-        p.toString
-      })
+    memoPath(s, dir, "knn_graph") { p =>
+      knnGraph(s, dir).select("id", "neighbors")
+        .write.mode("overwrite").parquet(s"$p/graph")
+    }
 
   /** The n01 graph (k=10, 5 iterations over the full embeddings table) —
     * built once per session; n01 pays the build, s03 searches it. */
@@ -2184,7 +2175,7 @@ object Queries {
     // same associativity, and the per-term score is fixed-pointed
     // before the BIGINT sum — the t19 parity pattern.
     "t21_bm25_topk" ->
-      """WITH toks AS (
+      s"""WITH toks AS (
         |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS term
         |  FROM documents),
         |dls AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
@@ -2193,7 +2184,7 @@ object Queries {
         |  FROM dls),
         |tfs AS (
         |  SELECT id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('hash', 'join', 'dup') GROUP BY id, term),
+        |  WHERE term IN ($bm25QueryInList) GROUP BY id, term),
         |dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
         |scored AS (
         |  SELECT id,
@@ -2289,7 +2280,7 @@ object Queries {
     // DOUBLE) keeps the division a double op (DuckDB's `/` on
     // integers already is, the cast just pins it).
     "t23_hybrid_rrf" ->
-      """WITH dense AS (
+      s"""WITH dense AS (
         |  SELECT doc_id, rank FROM (
         |    SELECT c.vec_id AS doc_id,
         |      row_number() OVER (
@@ -2307,7 +2298,7 @@ object Queries {
         |  FROM dls),
         |tfs AS (
         |  SELECT id, term, count(*) AS tf FROM toks
-        |  WHERE term IN ('hash', 'join', 'dup') GROUP BY id, term),
+        |  WHERE term IN ($bm25QueryInList) GROUP BY id, term),
         |dfs AS (SELECT term, count(*) AS df FROM tfs GROUP BY term),
         |scored AS (
         |  SELECT id,

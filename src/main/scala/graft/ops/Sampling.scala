@@ -245,17 +245,25 @@ object Sampling {
   def dsirSelect(df: DataFrame, targetPred: Column, idCol: String = "doc_id",
                  textCol: String = "text", n: Int = 100): DataFrame = {
     require(n >= 1, s"bad n=$n")
+    val spark = df.sparkSession
+    import spark.implicits._
     val toks = df.select(col(idCol).as("id"), targetPred.as("is_t"),
         explode(split(col(textCol), " ")).as("term"))
       .select(col("id"), col("is_t"),
         substring(md5(col("term").cast("binary")), 1, 2).as("bucket"))
-    val tot = toks.agg(count(lit(1)),
-      sum(when(col("is_t"), 1L).otherwise(0L))).head()
-    val ns = tot.getLong(0)
-    val nt = if (tot.isNullAt(1)) 0L else tot.getLong(1)
-    val llr = toks.groupBy("bucket")
+    // Distribution pass: ONE 256-key aggregate yields both bucket
+    // counts AND (as its column sums) the corpus totals — a bounded
+    // ≤256-row collect, no separate totals scan.
+    val counts = toks.groupBy("bucket")
       .agg(count(lit(1)).as("cs"),
         sum(when(col("is_t"), 1L).otherwise(0L)).as("ct"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val ns = counts.map(_._2).sum
+    val nt = counts.map(_._3).sum
+    // The log-ratio table is computed from the collected counts but
+    // THROUGH the same Catalyst expressions the oracle mirrors, so
+    // round semantics stay engine-identical.
+    val llr = counts.toSeq.toDF("bucket", "cs", "ct")
       .select(col("bucket"),
         round((log((col("ct") + 1).cast("double") / lit((nt + 256).toDouble))
           - log((col("cs") + 1).cast("double") / lit((ns + 256).toDouble)))

@@ -303,6 +303,23 @@ object TextAnalysis {
       k1: Double = 1.2, b: Double = 0.75, k: Int = 20): DataFrame = {
     require(queryTerms.nonEmpty, "empty query")
     require(k >= 1, s"bad k=$k")
+    bm25ScoreRows(df, idCol, textCol, k1, b, Some(queryTerms))
+      .groupBy("id")
+      .agg(sum(col("s_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
+      .orderBy(col("score_fp").desc, col("id").asc)
+      .limit(k)
+      .select(col("id").as(idCol), col("score_fp"), col("n_terms"))
+  }
+
+  /** The ONE BM25 scoring pipeline — per-(term, doc) fixed-point
+    * scores, shared verbatim by [[bm25TopK]] (tf/df restricted to the
+    * query's terms — identical values for any term, since df is a
+    * per-term corpus property) and [[bm25Impacts]] (every posting).
+    * Sharing the expression tree is what makes the batch/serving
+    * parity contract (AnnServeSpec row-equality, the st13 oracle)
+    * un-driftable: there is no second copy of the formula to edit. */
+  private def bm25ScoreRows(df: DataFrame, idCol: String, textCol: String,
+      k1: Double, b: Double, terms: Option[Seq[String]]): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
     val dls = toks.groupBy("id").agg(count(lit(1)).as("dl"))
@@ -311,23 +328,18 @@ object TextAnalysis {
     val scalars = dls.agg(count(lit(1)), sum(col("dl"))).head()
     val n = scalars.getLong(0)
     val avgdl = if (n == 0L) 1.0 else scalars.getLong(1).toDouble / n
-    val tfs = toks.filter(col("term").isin(queryTerms: _*))
-      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfs = tfs.groupBy("term").agg(count(lit(1)).as("df"))
+    val scoped = terms.fold(toks)(ts => toks.filter(col("term").isin(ts: _*)))
+    val tf = scoped.groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val idf = log(lit(1.0) +
       (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val denom = col("tf") +
       lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
-    tfs.join(broadcast(dfs), Seq("term"))
+    tf.join(broadcast(dfs), Seq("term"))
       .join(dls, Seq("id"))
-      .select(col("id"),
+      .select(col("term"), col("id"),
         round(idf * (col("tf") * lit(k1 + 1)) / denom * lit(1048576.0))
           .cast("long").as("s_fp"))
-      .groupBy("id")
-      .agg(sum(col("s_fp")).as("score_fp"), count(lit(1)).as("n_terms"))
-      .orderBy(col("score_fp").desc, col("id").asc)
-      .limit(k)
-      .select(col("id").as(idCol), col("score_fp"), col("n_terms"))
   }
 
   /** The static half of BM25 SERVING: per-(term, doc) fixed-point
@@ -350,23 +362,8 @@ object TextAnalysis {
   def bm25Impacts(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k1: Double = 1.2, b: Double = 0.75,
       maxPostings: Int = Int.MaxValue): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("term"))
-    val dls = toks.groupBy("id").agg(count(lit(1)).as("dl"))
-    val scalars = dls.agg(count(lit(1)), sum(col("dl"))).head()
-    val n = scalars.getLong(0)
-    val avgdl = if (n == 0L) 1.0 else scalars.getLong(1).toDouble / n
-    val tf = toks.groupBy("id", "term").agg(count(lit(1)).as("tf"))
-    val dfs = tf.groupBy("term").agg(count(lit(1)).as("df"))
-    val idf = log(lit(1.0) +
-      (lit(n.toDouble) - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val denom = col("tf") +
-      lit(k1) * (lit(1 - b) + lit(b) * col("dl") / lit(avgdl))
-    val impacts = tf.join(broadcast(dfs), Seq("term"))
-      .join(dls, Seq("id"))
-      .select(col("term"), col("id"),
-        round(idf * (col("tf") * lit(k1 + 1)) / denom * lit(1048576.0))
-          .cast("long").as("s_fp"))
+    require(maxPostings >= 1, s"bad maxPostings=$maxPostings")
+    val impacts = bm25ScoreRows(df, idCol, textCol, k1, b, None)
     if (maxPostings == Int.MaxValue) impacts
     else {
       val w = org.apache.spark.sql.expressions.Window
