@@ -149,6 +149,52 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("bm25TopK's query-term cut shuffles a fraction of the full tf aggregation") {
+    import graft.ops.TextAnalysis
+    // Each doc carries 1 query-term token in 21: the tf aggregation
+    // behind bm25TopK must shuffle ≈ matching postings only (the isin
+    // cut runs scan-side, before any exchange), while an unfiltered
+    // per-(doc, term) tf aggregation shuffles the whole token stream.
+    // Same exhibit pattern as the MG-sketch test above.
+    val docs = (0L until 500L).map { i =>
+      val noise = (0 until 20).map(j => s"u${i}_$j").mkString(" ")
+      (i, s"needle $noise")
+    }.toDF("doc_id", "text").repartition(8).cache()
+    docs.count()
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit =
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
+    def measured[A](f: => A): (A, Long) = {
+      quiesce(); shuffle.set(0)
+      val r = f
+      quiesce()
+      (r, shuffle.get)
+    }
+    try {
+      val (fullRows, fullBytes) = measured {
+        docs.select($"doc_id", explode(split($"text", " ")).as("term"))
+          .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).count()
+      }
+      val (hits, bmBytes) = measured {
+        TextAnalysis.bm25TopK(docs, Seq("needle"), k = 500).count()
+      }
+      assert(fullRows == 500L * 21 && hits == 500L)
+      info(s"shuffle bytes — full tf agg: $fullBytes, bm25TopK: $bmBytes")
+      assert(bmBytes < fullBytes / 2,
+        s"query-term cut did not bound the tf shuffle: $bmBytes vs $fullBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      docs.unpersist()
+    }
+  }
+
   test("mixturePlan budgets and epochs match a local recompute; unplanned strata excluded") {
     import graft.ops.Sampling
     val targets = Seq("en" -> 0.6, "de" -> 0.4) // es/fr/zh deliberately absent
