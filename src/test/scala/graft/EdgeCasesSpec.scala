@@ -251,4 +251,31 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.length == 1)
     assert(out(0).getLong(1) == 0L && out(0).getString(4) == "")
   }
+
+  test("retrieval family: empty corpora, degenerate params rejected") {
+    import graft.ops.{Retrieval, Sampling, TextAnalysis}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // Empty corpus: empty result, not a crash (the scalar collects
+    // guard n=0 and every downstream join is empty).
+    assert(TextAnalysis.bm25TopK(empty, Seq("x")).count() == 0)
+    assert(TextAnalysis.bm25Impacts(empty).count() == 0)
+    val emptyLang = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(Sampling.dsirSelect(emptyLang, col("lang") === "en").count() == 0)
+    // A query with no term anywhere in the corpus scores nothing.
+    val d = Seq((1L, "a b")).toDF("doc_id", "text")
+    assert(TextAnalysis.bm25TopK(d, Seq("zz")).count() == 0)
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25TopK(d, Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      TextAnalysis.bm25Impacts(d, maxPostings = 0)
+    }
+    intercept[IllegalArgumentException] {
+      Retrieval.rrfFuse(Seq.empty)
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.dsirSelect(d.withColumn("lang", lit("en")),
+        col("lang") === "en", n = 0)
+    }
+  }
 }
