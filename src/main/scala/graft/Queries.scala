@@ -24,16 +24,25 @@ object Queries {
   def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
-  /** The events table's `ts` is physically TIMESTAMP(NANOS), which Spark
-    * only reads as LONG (`spark.sql.legacy.parquet.nanosAsLong=true`, set
-    * in our sessions). All values are whole microseconds (verified against
-    * the fixture), so integer-div by 1000 recovers the exact timestamp
-    * DuckDB sees. */
+  /** The events table's `ts`, normalized to a session-local TIMESTAMP
+    * whatever the generator's physical encoding. The fixture has been
+    * written as both TIMESTAMP(NANOS) — which Spark only reads as LONG
+    * under `spark.sql.legacy.parquet.nanosAsLong=true`, with all values
+    * whole microseconds, so integer-div by 1000 recovers the exact
+    * timestamp DuckDB sees — and TIMESTAMP(MICROS) with
+    * isAdjustedToUTC=false, which reads as TIMESTAMP_NTZ and is cast to
+    * TIMESTAMP (value-preserving: every session pins
+    * `spark.sql.session.timeZone=UTC`). Downstream code can therefore
+    * always rely on `ts` being TimestampType. */
   def events(s: SparkSession, dir: String): DataFrame = {
     val raw = t(s, dir, "events")
-    if (raw.schema("ts").dataType == org.apache.spark.sql.types.LongType)
-      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-    else raw
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => raw
+    }
   }
 
   /** Exact decimal view of a 2-decimal money column. */

@@ -54,8 +54,11 @@ object EventsStream {
 
   private val runId = new AtomicInteger(0)
 
-  /** Schema as stored (ts is physical TIMESTAMP(NANOS) → LONG under
-    * `nanosAsLong`). */
+  /** Streaming-read schema: `ts` is always read as the raw int64,
+    * which works for both physical encodings the fixture generator has
+    * produced (TIMESTAMP(NANOS) and TIMESTAMP(MICROS) are both a plain
+    * int64 on disk); [[tsDivisor]] picks the factor that recovers
+    * microseconds. */
   private val eventsSchema = StructType(Seq(
     StructField("event_id", LongType),
     StructField("ts", LongType),
@@ -63,6 +66,24 @@ object EventsStream {
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
+
+  /** Raw-int64 → microseconds divisor for the events fixture at `dir`,
+    * probed from the batch read's resolved type (one footer read,
+    * memoized): TIMESTAMP(NANOS) resolves to LONG under `nanosAsLong`
+    * → divide by 1000; TIMESTAMP(MICROS) resolves to TimestampType →
+    * the raw int64 already IS microseconds. Mirrors the defensive
+    * normalization in [[graft.Queries.events]] so the streaming and
+    * batch paths agree whichever encoding the generator used. */
+  private val tsDivisorCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  private def tsDivisor(spark: SparkSession, dir: String): Long =
+    tsDivisorCache.computeIfAbsent(dir, d => {
+      val t = spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+      if (t == LongType) 1000L else 1L
+    })
+
+  /** The raw streamed `ts` column as a proper microsecond TIMESTAMP. */
+  private def tsCol(spark: SparkSession, dir: String): org.apache.spark.sql.Column =
+    timestamp_micros(expr(s"ts div ${tsDivisor(spark, dir)}"))
 
   /** Documents schema for streaming reads of the corpus fixture. */
   private[streaming] val documentsSchema = StructType(Seq(
@@ -128,7 +149,7 @@ object EventsStream {
     * streaming query with a 1-day watermark and drained to completion. */
   def dailyAggregates(spark: SparkSession, dir: String): DataFrame =
     runDrained(spark, dir, "daily") { src =>
-      src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      src.withColumn("ts", tsCol(spark, dir))
         .withWatermark("ts", "1 day")
         .groupBy(window(col("ts"), "1 day").as("win"), col("event_type"))
         .agg(count(lit(1)).as("n"),
@@ -162,7 +183,7 @@ object EventsStream {
   def dedupCountsWithinWatermark(
       spark: SparkSession, dir: String, delay: String = "365 days"): DataFrame =
     runDrained(spark, dir, "dedupwm") { src =>
-      src.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      src.withColumn("ts", tsCol(spark, dir))
         .withWatermark("ts", delay)
         .select(col("user_id"), col("event_type"), col("ts"))
         .dropDuplicatesWithinWatermark("user_id", "event_type")
@@ -181,7 +202,7 @@ object EventsStream {
     * range join `q27_range_join`. */
   def purchaseAttribution(spark: SparkSession, dir: String): DataFrame = {
     val pairs = runDrained(spark, dir, "join") { src0 =>
-      def src = src0.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      def src = src0.withColumn("ts", tsCol(spark, dir))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
         .withWatermark("p_ts", "1 day")
@@ -488,7 +509,7 @@ object EventsStream {
       // The watermarked TIMESTAMP column must survive into the typed
       // Dataset (event-time timeout requires the watermark tag on an
       // input column); µs conversion happens inside the lambda.
-      src.withColumn("tsm", timestamp_micros(expr("ts div 1000")))
+      src.withColumn("tsm", tsCol(spark, dir))
         .withWatermark("tsm", "1 day")
         .select(col("tsm"), col("event_id"), col("user_id"))
         .as[(java.sql.Timestamp, Long, Long)]

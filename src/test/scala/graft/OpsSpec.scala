@@ -1000,10 +1000,12 @@ class OpsSpec extends SparkSpec {
     val cut = ev.select(unix_micros(col("ts"))).orderBy("unix_micros(ts)")
       .collect()(ev.count().toInt / 2).getLong(0)
     val dir = java.nio.file.Files.createTempDirectory("graft_two_batches").toString
-    val raw = spark.read.parquet(s"$sf001/events.parquet") // ts as raw long nanos
-    raw.filter(expr("ts div 1000") <= cut).coalesce(1)
+    // Re-encode ts as long microseconds so the split fixture is
+    // independent of the generator's physical timestamp unit.
+    val raw = Queries.events(spark, sf001).withColumn("ts", unix_micros(col("ts")))
+    raw.filter(col("ts") <= cut).coalesce(1)
       .write.parquet(s"$dir/in/b0")
-    raw.filter(expr("ts div 1000") > cut).coalesce(1)
+    raw.filter(col("ts") > cut).coalesce(1)
       .write.parquet(s"$dir/in/b1")
 
     val schema = raw.schema
@@ -1011,7 +1013,7 @@ class OpsSpec extends SparkSpec {
     val stream = spark.readStream.schema(schema)
       .option("maxFilesPerTrigger", "1")
       .parquet(s"$dir/in/b*")
-      .select(expr("ts div 1000").as("tsUs"), col("event_id"), col("user_id"))
+      .select(col("ts").as("tsUs"), col("event_id"), col("user_id"))
       .as[(Long, Long, Long)]
       .groupByKey(_._3)
       .mapGroupsWithState[graft.streaming.SessState, graft.streaming.UserSessions](
