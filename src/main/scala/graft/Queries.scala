@@ -1188,6 +1188,13 @@ object Queries {
     "t19_unigram_logprob" -> ((s, dir) =>
       TextAnalysis.unigramLogProb(docs(s, dir))),
 
+    // Bigram-LM scoring (t19's order-sensitive refinement): same
+    // fixed-point-before-sum determinism; the model table is
+    // distinct-bigram-sized (broadcasts after the usual frequency
+    // floor; shuffle-joins un-floored — TextAnalysis scale notes).
+    "t25_bigram_logprob" -> ((s, dir) =>
+      TextAnalysis.bigramLogProb(docs(s, dir))),
+
     // Duplicated-span mass (Lee et al. intra-corpus dedup signal): per
     // document, its distinct trigram spans shared with >=1 OTHER
     // document. Span df partial-aggs over 8-byte keys; only the
@@ -1434,6 +1441,14 @@ object Queries {
     // sessionization SQL.
     "st02_stateful_sessions" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionCountsStateful(s, dir)),
+
+    // NATIVE session_window sessionization: per-session rows (start +
+    // event count) from Spark's dedicated session-window streaming
+    // aggregation — state per OPEN session, watermark-evicted, vs
+    // st02's per-user-forever custom state. Oracle is the batch
+    // gaps-and-islands SQL.
+    "st14_session_windows" -> ((s, dir) =>
+      graft.streaming.EventsStream.sessionWindows(s, dir)),
 
     // Streaming dedup: dropDuplicates over the stream then per-type
     // distinct-user counts — oracle-checked against batch DISTINCT.
@@ -2177,6 +2192,35 @@ object Queries {
         |FROM toks JOIN lp USING (term)
         |GROUP BY doc_id""".stripMargin,
 
+    // t19's pattern lifted to bigrams: per-context add-one model
+    // p(w2|w1) = (c+1)/(c(w1,.)+V), each distinct bigram's ln rounded
+    // to 2^-20 fixed point once before the exact BIGINT per-doc sum.
+    // chr(1) mirrors the Spark side's U+0001 bigram key separator;
+    // docs with <2 tokens have no bigrams and drop out of both sides.
+    "t25_bigram_logprob" ->
+      """WITH tk AS (
+        |  SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |bg AS (
+        |  SELECT doc_id, t[i] || chr(1) || t[i + 1] AS bigram
+        |  FROM tk, unnest(range(1, len(t))) AS u(i)),
+        |counts AS (SELECT bigram, count(*) AS c FROM bg GROUP BY bigram),
+        |voc AS (
+        |  SELECT count(DISTINCT term) AS v FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents)),
+        |ctx AS (
+        |  SELECT str_split(bigram, chr(1))[1] AS w1, sum(c) AS cw
+        |  FROM counts GROUP BY 1),
+        |lp AS (
+        |  SELECT bigram,
+        |    CAST(round(ln((c + 1) / CAST(cw + v AS DOUBLE)) * 1048576)
+        |      AS BIGINT) AS lp_fp
+        |  FROM counts JOIN ctx ON str_split(bigram, chr(1))[1] = ctx.w1, voc)
+        |SELECT doc_id, count(*) AS n_bigrams,
+        |  CAST(sum(lp_fp) AS BIGINT) AS logprob_fp,
+        |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
+        |FROM bg JOIN lp USING (bigram)
+        |GROUP BY doc_id""".stripMargin,
+
     // Mirrors bm25TopK op-for-op: every double constant is CAST to
     // DOUBLE first (DuckDB parses bare decimal literals as DECIMAL,
     // whose fold to 2.2 etc. differs in the last ulp from the IEEE
@@ -2589,6 +2633,28 @@ object Queries {
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
         |GROUP BY user_id""".stripMargin,
+
+    // Gaps-and-islands twin of the native session_window semantics:
+    // Spark merges an event landing EXACTLY at the previous session's
+    // end (inclusive merge, pinned by the OpsSpec boundary fixture),
+    // so only a strictly-greater gap starts a new session — hence
+    // `> 1800000000`. Both window orderings carry event_id so
+    // same-microsecond ties resolve identically.
+    "st14_session_windows" ->
+      """WITH marked AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS us,
+        |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+        |      OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > 1800000000
+        |    THEN 1 ELSE 0 END AS new_sess
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (
+        |  SELECT user_id, us,
+        |    sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+        |      ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM marked)
+        |SELECT user_id, min(us) AS sess_start, count(*) AS n_events
+        |FROM sess GROUP BY user_id, sid""".stripMargin,
 
     "st04_stream_join" ->
       """SELECT p.user_id, p.event_id AS purchase_id, count(*) AS n_prior_events

@@ -221,6 +221,60 @@ object TextAnalysis {
         (col("logprob_fp").cast("double") / col("n_tokens")).as("mean_lp_fp"))
   }
 
+  /** Bigram-LM document scoring — [[unigramLogProb]]'s order-sensitive
+    * refinement: each document scored by Σ ln p(w_i | w_{i-1}) under a
+    * corpus-fit add-one bigram model,
+    * p(w2 | w1) = (c(w1,w2) + 1) / (c(w1,·) + V), with V the unigram
+    * vocabulary size. A unigram filter cannot see scrambled or
+    * template-stitched text (same token multiset, broken transitions);
+    * the bigram score drops on exactly those documents. Documents with
+    * fewer than two tokens have no bigrams and are absent from the
+    * output (the oracle's inner join agrees).
+    *
+    * Determinism across engines: identical to t19's argument — each
+    * distinct bigram's ln(p) rounds to 2⁻²⁰ fixed point ONCE before
+    * any summation, so per-document totals are exact BIGINT sums and
+    * the only float ops are |bigram vocab| independent rounds.
+    *
+    * Scale shape: the model table is distinct-bigram-sized. After the
+    * standard frequency floor a real pipeline applies it broadcasts
+    * like t19's vocabulary; un-floored web-scale bigram tables exceed
+    * broadcast limits, and then the scoring join keys both sides on
+    * the bigram and SHUFFLE-joins — same plan minus the broadcast
+    * hint, still one pass over the token stream. The per-document sum
+    * partial-aggs map-side (a document's bigrams are co-located); the
+    * context totals c(w1,·) are a second aggregation OF THE MODEL
+    * TABLE (bigram-vocabulary-sized), never of the corpus. */
+  def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // (w1, w2) encoded as one U+0001-joined key so the model join has
+    // a single equi-key; fixture tokens never contain U+0001.
+    val bigramsCol = expr(
+      "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
+        "(x, i) -> concat(x, char(1), tk[i + 1]))")
+    val bg = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
+      .select(col("id"), explode(bigramsCol).as("bigram"))
+    val vocabRow = df.select(explode(tokens(col(textCol))).as("term"))
+      .agg(count_distinct(col("term"))).head()
+    val vocab = vocabRow.getLong(0)
+    val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+    val ctx = counts
+      .groupBy(substring_index(col("bigram"), "\u0001", 1).as("w1"))
+      .agg(sum(col("c")).as("cw"))
+    val lp = counts
+      .withColumn("w1", substring_index(col("bigram"), "\u0001", 1))
+      .join(ctx, Seq("w1"))
+      .select(col("bigram"),
+        round(log((col("c") + 1).cast("double") /
+          (col("cw") + lit(vocab)).cast("double")) * lit(1048576.0))
+          .cast("long").as("lp_fp"))
+    bg.join(broadcast(lp), Seq("bigram"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("logprob_fp"))
+      .select(col("id").as(idCol), col("n_bigrams"), col("logprob_fp"),
+        (col("logprob_fp").cast("double") / col("n_bigrams")).as("mean_lp_fp"))
+  }
+
   /** Retrieval/RAG chunking: each document flat-mapped to overlapping
     * token windows of `size` tokens advancing by `stride` — the
     * chunk-for-embedding pre-pass of every retrieval pipeline (and the

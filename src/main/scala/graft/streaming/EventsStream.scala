@@ -99,9 +99,32 @@ object EventsStream {
     * the sink table and tears everything down — temp dir, symlink, and
     * the session-registered memory table — so repeated invocations in a
     * long-lived session leak nothing. */
+  /** Polls a drained query until the engine's no-data commit batch has
+    * run with an event-time watermark at or past `untilWatermarkUs` —
+    * `processAllAvailable` only guarantees DATA batches, but append-mode
+    * emission happens in the watermark-advancing no-data batch that can
+    * trail it. Returns normally on timeout too: the caller's oracle
+    * comparison is the loud failure if settling was genuinely needed. */
+  private def awaitWatermark(
+      q: org.apache.spark.sql.streaming.StreamingQuery,
+      untilWatermarkUs: Long, timeoutMs: Long = 30000L): Unit = {
+    val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
+    fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
+    val deadline = System.nanoTime() + timeoutMs * 1000000L
+    while (System.nanoTime() < deadline && {
+      val wm = Option(q.lastProgress)
+        .flatMap(p => Option(p.eventTime.get("watermark")))
+        .map(s => fmt.parse(s).getTime * 1000L)
+      !wm.exists(_ >= untilWatermarkUs)
+    }) Thread.sleep(25)
+    q.processAllAvailable()
+  }
+
   private[streaming] def runDrainedOn(
       spark: SparkSession, dir: String, table: String, schema: StructType,
-      tag: String)(
+      tag: String,
+      prepare: java.nio.file.Path => Unit = _ => (),
+      settle: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())(
       build: DataFrame => DataFrame): DataFrame = {
     val name = s"${table}_stream_${tag}_${runId.incrementAndGet()}"
     val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$name")
@@ -109,6 +132,7 @@ object EventsStream {
     try {
       java.nio.file.Files.createSymbolicLink(
         link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      prepare(streamDir)
       val src = spark.readStream.schema(schema).parquet(streamDir.toString)
       val out = build(src)
       val q = out.writeStream
@@ -116,7 +140,7 @@ object EventsStream {
         .format("memory")
         .queryName(name)
         .start()
-      try q.processAllAvailable()
+      try { q.processAllAvailable(); settle(q) }
       finally q.stop()
       val sink = spark.table(name)
       val rows = sink.collect()
@@ -124,9 +148,11 @@ object EventsStream {
       spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
     } finally {
       // Runs on the failure path too — a mid-drain error must not leave
-      // the memory table registered or the symlink dir behind.
+      // the memory table registered or the symlink dir behind. `prepare`
+      // may have added extra source files, so clear children first.
       try spark.catalog.dropTempView(name) catch { case _: Exception => }
-      java.nio.file.Files.deleteIfExists(link)
+      java.nio.file.Files.list(streamDir).forEach(p =>
+        java.nio.file.Files.deleteIfExists(p))
       java.nio.file.Files.deleteIfExists(streamDir)
     }
   }
@@ -140,9 +166,9 @@ object EventsStream {
     * incrementally (append/update); windowed and global aggregations
     * re-emit the full result (complete). */
   private def outputModeFor(tag: String): String = tag match {
-    case "join" | "decon" | "chunks"  => "append"
-    case "sessions" | "heavy" | "pca" => "update"
-    case _                            => "complete" // incl. "annserve"
+    case "join" | "decon" | "chunks" | "sesswin" => "append"
+    case "sessions" | "heavy" | "pca"            => "update"
+    case _                                       => "complete" // incl. "annserve"
   }
 
   /** Daily tumbling-window counts/sums per event type, computed through a
@@ -156,6 +182,77 @@ object EventsStream {
           sum(col("value").cast("decimal(18,2)")).cast("double").as("total_value"))
         .select(to_date(col("win.start")).as("day"), col("event_type"), col("n"), col("total_value"))
     }
+
+  /** Per-session rows through Spark's NATIVE `session_window` operator —
+    * the declarative complement to [[sessionCountsStateful]]'s custom
+    * `flatMapGroupsWithState` sessionizer. Each event opens a
+    * `[ts, ts + gap]` window; touching-or-overlapping windows per user
+    * merge, so a session is a maximal event chain with successive gaps
+    * of AT MOST `gap` (an event exactly `gap` after its predecessor
+    * EXTENDS the session — inclusive merge, pinned by the OpsSpec
+    * boundary fixture — so the oracle's island condition is
+    * `diff > gap`). Output is one row per (user, session): the session
+    * start as exact unix microseconds plus the event count.
+    *
+    * State/scale shape: Catalyst plans this as the dedicated
+    * session-window aggregation — state per OPEN session only, evicted
+    * once the watermark passes the session end; map-side partial merge
+    * of intra-batch sessions before the user_id shuffle. That is
+    * strictly better than the custom sessionizer's per-user-forever
+    * state and is why the native form is preferred when per-session
+    * rows (not evolving per-user rollups) are the product.
+    *
+    * Emission: session windows only support APPEND output, which emits
+    * a session once the watermark proves no event can extend it — so a
+    * drained finite fixture would hold back every session still open
+    * at end-of-stream (the last session of EVERY user). The harness
+    * therefore drops a far-future HEARTBEAT row (sentinel user −1)
+    * into the stream directory — the standard punctuation pattern; a
+    * production ingest gets the same effect from the source's
+    * ever-advancing event time. The heartbeat pushes the watermark
+    * past every real session's end, append mode flushes them all in
+    * the no-data commit batch, and the sentinel's own (never-closed)
+    * session stays in state, which `stop()` discards; it is filtered
+    * regardless. */
+  def sessionWindows(spark: SparkSession, dir: String,
+      gap: String = "30 minutes"): DataFrame = {
+    val div = tsDivisor(spark, dir)
+    // 2100-01-01 in raw fixture units (fits a Long even at nanos).
+    val heartbeatRaw = 4102444800000000L * div
+    runDrainedOn(spark, dir, "events", eventsSchema, "sesswin",
+      prepare = streamDir => {
+        import spark.implicits._
+        val scratch = java.nio.file.Files.createTempDirectory("graft_heartbeat")
+        try {
+          val out = scratch.resolve("hb").toString
+          Seq((-1L, heartbeatRaw, -1L, "heartbeat", 0.0, "{}"))
+            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+            .coalesce(1).write.parquet(out)
+          val part = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+            .filter(p => p.toString.endsWith(".parquet"))
+            .findFirst().get()
+          java.nio.file.Files.copy(part, streamDir.resolve("heartbeat.parquet"))
+        } finally {
+          java.nio.file.Files.walk(scratch)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.deleteIfExists(p))
+        }
+      },
+      settle = awaitWatermark(_, heartbeatRaw / div)) { src =>
+      // NB: the sentinel must NOT be filtered inside the streaming
+      // query — a filter on the grouping key pushes down through the
+      // aggregation AND the watermark node into the scan, silently
+      // deleting the heartbeat before it can advance event time. It is
+      // dropped from the drained batch result below instead (belt and
+      // braces: its never-closed session cannot emit anyway).
+      src.withColumn("ts", tsCol(spark, dir))
+        .withWatermark("ts", "0 seconds")
+        .groupBy(col("user_id"), session_window(col("ts"), gap).as("w"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), unix_micros(col("w.start")).as("sess_start"),
+          col("n_events"))
+    }.filter(col("user_id") =!= -1L)
+  }
 
   /** Streaming deduplication: `dropDuplicates` on (user_id, event_type)
     * over the streaming read, then per-type counts — the exactly-once

@@ -235,6 +235,18 @@ class EdgeCasesSpec extends SparkSpec {
       Seq("doc_id", "n_tokens", "logprob_fp", "mean_lp_fp"))
   }
 
+  test("bigramLogProb: empty and sub-bigram corpora yield empty frames, schema intact") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.bigramLogProb(empty).count() == 0)
+    // Single-token docs have no bigrams and drop out (the documented
+    // contract; the oracle's inner join agrees).
+    val single = Seq((1L, "solo"), (2L, "")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.bigramLogProb(single)
+    assert(out.count() == 0)
+    assert(out.columns.toSeq ==
+      Seq("doc_id", "n_bigrams", "logprob_fp", "mean_lp_fp"))
+  }
+
   test("dupSpanStats: sub-trigram docs fall back to whole-text spans") {
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
     val out = graft.ops.Dedup.dupSpanStats(d, "doc_id", "text").collect()

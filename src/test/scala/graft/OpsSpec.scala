@@ -991,6 +991,61 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("native session_window sessionization equals the batch gaps-and-islands computation") {
+    val got = graft.streaming.EventsStream.sessionWindows(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val batch = Queries.events(spark, sf001)
+      .withColumn("us", unix_micros(col("ts")))
+      .withColumn("prev_us", lag(col("us"), 1).over(w))
+      // Inclusive session merge: an exact-gap successor EXTENDS the
+      // session (pinned by the dedicated boundary fixture test below),
+      // so the island condition is strictly greater.
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          col("us") - col("prev_us") > 1800000000L, 1L).otherwise(0L))
+      .withColumn("sid", sum(col("new_sess")).over(w))
+      .groupBy("user_id", "sid")
+      .agg(min(col("us")).as("sess_start"), count(lit(1)).as("n_events"))
+      .select("user_id", "sess_start", "n_events")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == batch,
+      s"native session windows diverged: missing=${(batch -- got).take(5)} extra=${(got -- batch).take(5)}")
+    assert(got.nonEmpty)
+  }
+
+  test("session_window boundary: an exact-gap successor extends; only a strictly greater gap splits") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_sesswin_edge").toString
+    val base = 1767225600000000L // 2026-01-01 in unix micros
+    val gapUs = 1800L * 1000000L
+    // The drain harness symlinks a single FILE named events.parquet, so
+    // reduce Spark's output directory to one; write ts as physical
+    // int64 micros (the default INT96 cannot be stream-read as long).
+    val tsTypeKey = "spark.sql.parquet.outputTimestampType"
+    val prevTsType = spark.conf.get(tsTypeKey)
+    spark.conf.set(tsTypeKey, "TIMESTAMP_MICROS")
+    try Seq(
+      (1L, base, 1L, "click", 1.0, "{}"),
+      (2L, base + gapUs, 1L, "click", 1.0, "{}"),     // exactly gap later
+      (3L, base, 2L, "click", 1.0, "{}"),
+      (4L, base + gapUs + 1L, 2L, "click", 1.0, "{}")) // 1 µs past the gap
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .withColumn("ts", timestamp_micros(col("ts")))
+      .coalesce(1).write.parquet(s"$dir/out")
+    finally spark.conf.set(tsTypeKey, prevTsType)
+    val part = java.nio.file.Files.list(java.nio.file.Paths.get(s"$dir/out"))
+      .filter(p => p.toString.endsWith(".parquet")).findFirst().get()
+    java.nio.file.Files.copy(part,
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    val got = graft.streaming.EventsStream.sessionWindows(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(
+      (1L, base, 2L),                // exact-gap successor merges (inclusive end)
+      (2L, base, 1L), (2L, base + gapUs + 1L, 1L))) // 1 µs past the gap splits
+  }
+
   test("stateful streaming carries state across micro-batches") {
     import spark.implicits._
     // Split events into two time-ordered parquet files and feed them as
@@ -1309,6 +1364,34 @@ class OpsSpec extends SparkSpec {
     assert(out(0L) == ((4L, 4 * lpA)))
     assert(out(1L) == ((4L, 4 * lpR)))
     assert(4 * lpA > 4 * lpR, "common-token doc must outscore rare-token doc")
+  }
+
+  test("bigramLogProb: hand-computed per-context Laplace fixed-point values") {
+    import spark.implicits._
+    // bigrams: doc0 (a,b)(b,a)(a,b), doc1 (b,a); V = |{a,b}| = 2;
+    // c(a,b)=2, c(b,a)=2, c(a,.)=2, c(b,.)=2 -> both p = (2+1)/(2+2).
+    val d = Seq((0L, "a b a b"), (1L, "b a")).toDF("doc_id", "text")
+    val lp = math.round(math.log(3.0 / 4) * 1048576)
+    val out = graft.ops.TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((3L, 3 * lp)))
+    assert(out(1L) == ((1L, lp)))
+  }
+
+  test("bigramLogProb: scrambled word order scores below the original that unigram cannot tell apart") {
+    import spark.implicits._
+    // Same token multiset, broken transitions — the document class the
+    // bigram refinement exists to catch.
+    val sent = "the quick brown fox jumps over the lazy dog"
+    val scram = "dog the over quick lazy fox brown jumps the"
+    val d = ((1L to 20L).map(i => (i, sent)) :+ (21L, scram))
+      .toDF("doc_id", "text")
+    val uni = graft.ops.TextAnalysis.unigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(uni(21L) == uni(1L), "unigram is order-blind on a permutation")
+    val bi = graft.ops.TextAnalysis.bigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(bi(21L) < bi(1L), "bigram total must drop on broken transitions")
   }
 
   test("bm25TopK: hand-computed scores, k cutoff, no-match docs excluded") {
