@@ -1195,6 +1195,25 @@ object Queries {
     "t25_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir))),
 
+    // BPE merge training (learns the top-20 merge rules; corpus
+    // touched once, merge rounds run on the vocabulary-sized word
+    // table). The rule list is a deterministic pure function of the
+    // corpus (integer counts, total argmax order), summarized for the
+    // pinned oracle as rule count, total pair mass, and a rolling
+    // hash of the ordered rules; the full list is equality-checked
+    // against an independent in-memory trainer in TrainPrepSpec.
+    "t26_bpe_merges" -> ((s, dir) => {
+      val rules = TextAnalysis.bpeMerges(docs(s, dir), "text", 20)
+        .collect().sortBy(_.getInt(0))
+      val fp = rules.foldLeft(0L) { (h, r) =>
+        (r.getString(1) + ">" + r.getString(2) + ";")
+          .foldLeft(h)((hh, c) => (hh * 31 + c.toInt) % 1000000007L)
+      }
+      import s.implicits._
+      Seq((rules.length.toLong, rules.map(_.getLong(3)).sum, fp))
+        .toDF("n_rules", "total_count", "rules_fp")
+    }),
+
     // Duplicated-span mass (Lee et al. intra-corpus dedup signal): per
     // document, its distinct trigram spans shared with >=1 OTHER
     // document. Span df partial-aggs over 8-byte keys; only the
@@ -1802,6 +1821,13 @@ object Queries {
     // estimate pins equal the exact counts.
     "t14_vocab_estimate" -> Seq(
       "n_exact" -> (31L, 31L, 31L), "n_approx" -> (31L, 31L, 31L)),
+    // Measured 2026-08-13 (round 7, PinDump). The rule list is a pure
+    // function of the corpus (integer counts, total argmax order);
+    // rules_fp is the rolling hash of the ordered "left>right;" rules.
+    "t26_bpe_merges" -> Seq(
+      "n_rules" -> (20L, 20L, 20L),
+      "total_count" -> (34968L, 33950L, 336099L),
+      "rules_fp" -> (972256220L, 883996626L, 761560261L)),
     // Same sketch over the same rows as t14 (merge is order-independent,
     // so micro-batch slicing cannot move the estimate).
     "st07_stream_vocab" -> Seq(

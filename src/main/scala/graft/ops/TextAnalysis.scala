@@ -427,4 +427,70 @@ object TextAnalysis {
         .drop("imp_rank")
     }
   }
+
+  /** Distributed BPE merge training (Sennrich et al., arXiv:1508.07909):
+    * learns the top-`numMerges` byte-pair-encoding merge rules from the
+    * corpus and returns them as `(rank, left, right, pair_count)` rows
+    * in merge order — the tokenizer-training step of an LLM data
+    * pipeline (t13 counts under a FIXED pre-tokenizer; this LEARNS the
+    * vocabulary).
+    *
+    * Exactly the classic trainer, distributed the way real BPE
+    * trainers are feasible at corpus scale: the corpus is touched ONCE
+    * (token frequency aggregation); every Lloyd-style merge round then
+    * runs on the WORD-FREQUENCY table — vocabulary-sized, corpus-size-
+    * independent — as (1) a weighted adjacent-pair count (explode +
+    * partial-agg'd sum) and (2) a one-row argmax collect (count desc,
+    * then lexicographic pair — fully deterministic), after which the
+    * winning pair is folded into every word's symbol sequence by a
+    * left-to-right greedy `aggregate` lambda (codegen'd; "aaa" under
+    * merge (a,a) → ["aa","a"], the standard non-overlap rule). The
+    * symbol table is `localCheckpoint`ed per round (the NND C2
+    * pattern) so the plan stays flat across rounds.
+    *
+    * Determinism: integer frequencies, total argmax order, and ordered
+    * greedy application make the rule list a pure function of the
+    * corpus at ANY partitioning — pinnable and reproducible. 100 TB
+    * shape: one corpus-wide shuffle up front; per round, shuffle is
+    * the pair table (≤ vocabulary · mean word length), with the argmax
+    * the only driver materialization (1 row). */
+  def bpeMerges(df: DataFrame, textCol: String = "text",
+      numMerges: Int = 20): DataFrame = {
+    require(numMerges >= 0, s"bad numMerges=$numMerges")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val chars = (s: Column) => filter(split(s, ""), c => c =!= "")
+    var words = df.select(explode(tokens(col(textCol))).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .select(chars(col("word")).as("syms"), col("freq"))
+      .localCheckpoint(true)
+    val rules = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    var exhausted = false
+    for (rank <- 1 to numMerges if !exhausted) {
+      val pairIdx = expr("sequence(1, size(syms) - 1)")
+      val best = words
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(pairIdx).as("i"), col("syms"))
+        .select(col("freq"),
+          element_at(col("syms"), col("i")).as("a"),
+          element_at(col("syms"), col("i") + 1).as("b"))
+        .groupBy("a", "b").agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a").asc, col("b").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        rules += ((rank, a, b, cnt))
+        val merged = aggregate(
+          col("syms"),
+          array().cast("array<string>"),
+          (acc, x) => when(
+            size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+            concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+            .otherwise(concat(acc, array(x))))
+        words = words.select(merged.as("syms"), col("freq")).localCheckpoint(true)
+      }
+    }
+    rules.toSeq.toDF("rank", "left", "right", "pair_count")
+  }
 }

@@ -420,4 +420,77 @@ class TrainPrepSpec extends SparkSpec {
     assert(kept.nonEmpty && kept.map(_._2).sum <= 300L,
       "kept token mass exceeds the budget")
   }
+
+  // --- BPE merge training ---
+
+  /** Independent in-memory reference trainer: same contract as
+    * `TextAnalysis.bpeMerges` (weighted pair counts over the word
+    * table, argmax by count desc then lexicographic pair, greedy
+    * left-to-right merge application), implemented with plain Scala
+    * collections so a Spark-side mistake cannot hide in both. */
+  private def refBpe(freqs: Map[String, Long], m: Int): Seq[(Int, String, String, Long)] = {
+    var words = freqs.toSeq.map { case (w, f) =>
+      (w.split("").filter(_.nonEmpty).toVector, f)
+    }
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, String, String, Long)]
+    for (rank <- 1 to m) {
+      val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
+      words.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Vector(a, b) => counts((a, b)) = counts.getOrElse((a, b), 0L) + f
+          case _            =>
+        }
+      }
+      if (counts.nonEmpty) {
+        val ((a, b), cnt) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+        out += ((rank, a, b, cnt))
+        words = words.map { case (syms, f) =>
+          val merged = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == a && x == b)
+              acc.init :+ (a + b)
+            else acc :+ x
+          }
+          (merged, f)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeMerges learns the hand-computable rules on a classic toy corpus") {
+    // 'aaab' x3 + 'ab' x1: pairs round 1: (a,a)=6, (a,b)=4 -> merge (a,a).
+    // Round 2 over ['aa','a','b'] x3 + ['a','b']: (aa,a)=3, (a,b)=4 -> (a,b).
+    // Round 3 over ['aa','ab'] x3 + ['ab']: (aa,ab)=3 -> merge.
+    val d = Seq((1L, "aaab aaab aaab ab")).toDF("doc_id", "text")
+    val got = graft.ops.TextAnalysis.bpeMerges(d, "text", 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq((1, "a", "a", 6L), (2, "a", "b", 4L), (3, "aa", "ab", 3L)))
+  }
+
+  test("bpeMerges equals the independent in-memory trainer on the fixture corpus") {
+    val freqs = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refBpe(freqs, 20)
+    val got = graft.ops.TextAnalysis.bpeMerges(docs, "text", 20)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSeq
+      .sortBy(_._1)
+    assert(got == want, s"first divergence: ${got.zip(want).find(p => p._1 != p._2)}")
+    assert(got.size == 20)
+  }
+
+  test("bpeMerges is partition-invariant and exhausts gracefully") {
+    val d = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
+    def run(parts: Int) = graft.ops.TextAnalysis
+      .bpeMerges(d.repartition(parts), "text", 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    // Only 2 mergeable pairs exist ((a,b) then (c,d)); asking for 10
+    // stops after 2 instead of looping or crashing.
+    assert(run(1) == run(7))
+    assert(run(1).size == 2)
+    assert(graft.ops.TextAnalysis.bpeMerges(d, "text", 0).count() == 0)
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.bpeMerges(empty, "text", 3).count() == 0)
+  }
 }
