@@ -1195,6 +1195,19 @@ object Queries {
     "t25_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir))),
 
+    // Per-source quantile quality cut: keep docs at/above their
+    // source's p25 quality — the per-domain RELATIVE filter (an
+    // absolute cut over-prunes clean domains and under-prunes noisy
+    // ones). Exact discrete order statistic (an element, not an
+    // interpolation), so the twin is bit-exact.
+    "t27_quantile_filter" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(docs(s, dir))
+        .select(col("doc_id"), col("source"), col("quality"))
+      graft.ops.Sampling.quantileFilter(scored, "doc_id", "source", "quality", 0.25)
+        .select(col("doc_id"), col("source"), col("quality"), col("thr"),
+          col("keep").cast("long").as("keep"))
+    }),
+
     // BPE merge training (learns the top-20 merge rules; corpus
     // touched once, merge rounds run on the vocabulary-sized word
     // table). The rule list is a deterministic pure function of the
@@ -2217,6 +2230,31 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM toks JOIN lp USING (term)
         |GROUP BY doc_id""".stripMargin,
+
+    // Same quality expression as t02; the threshold is the
+    // k = ceil(q·n)-th smallest element per source (ties by doc_id),
+    // extracted as max(value | rn <= k) — an element of the data, so
+    // no interpolation float math crosses engines.
+    "t27_quantile_filter" ->
+      """WITH scored AS (
+        |  SELECT doc_id, source,
+        |    (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |      + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS quality
+        |  FROM (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents)),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_group
+        |  FROM scored),
+        |thr AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn <= CAST(ceil(0.25 * n_group) AS BIGINT)
+        |      THEN quality END) AS thr
+        |  FROM ranked GROUP BY source)
+        |SELECT s.doc_id, s.source, s.quality, t.thr,
+        |  CAST(s.quality >= t.thr AS BIGINT) AS keep
+        |FROM scored s JOIN thr t USING (source)""".stripMargin,
 
     // t19's pattern lifted to bigrams: per-context add-one model
     // p(w2|w1) = (c+1)/(c(w1,.)+V), each distinct bigram's ln rounded

@@ -275,4 +275,39 @@ object Sampling {
       .limit(n)
       .select(col("id").as(idCol), col("weight_fp"), col("n_tokens"))
   }
+
+  /** Per-group quantile threshold filter: flags every row whose value
+    * reaches its group's q-quantile — "keep documents at or above the
+    * p25 quality within their source", the standard per-domain
+    * relative quality cut (an absolute threshold over-prunes clean
+    * domains and under-prunes noisy ones).
+    *
+    * The threshold is the EXACT discrete order statistic: the
+    * k = ceil(q·n)-th smallest value in the group, ties broken by
+    * `idCol` — an element of the data, not an interpolation, so the
+    * result is bit-exact across engines (no float midpoint math) and
+    * the whole query has a bit-exact SQL twin. Emits the input rows
+    * plus the group threshold and the keep flag; callers filter on
+    * `keep`.
+    *
+    * Scale: one shuffle by `groupCol` + per-group sort (the window
+    * rank); the threshold extraction is `max(value | rn ≤ k)` over the
+    * same window — no second shuffle, no self-join. At extreme
+    * per-group row counts replace the exact rank with
+    * `approx_percentile` and broadcast the per-group thresholds — same
+    * output contract, sort-free; the exact form is preferred wherever
+    * a group fits a sort (it is also what the oracle can verify). */
+  def quantileFilter(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, q: Double): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile out of (0,1]: $q")
+    val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
+    val ranked = byGroup.orderBy(col(valueCol).asc, col(idCol).asc)
+    df.withColumn("rn", row_number().over(ranked))
+      .withColumn("n_group", count(lit(1)).over(byGroup))
+      .withColumn("thr",
+        max(when(col("rn") <= ceil(lit(q) * col("n_group")).cast("long"),
+          col(valueCol))).over(byGroup))
+      .withColumn("keep", col(valueCol) >= col("thr"))
+      .drop("rn")
+  }
 }

@@ -235,6 +235,27 @@ class EdgeCasesSpec extends SparkSpec {
       Seq("doc_id", "n_tokens", "logprob_fp", "mean_lp_fp"))
   }
 
+  test("quantileFilter: degenerate quantiles, singleton groups, bad q rejected") {
+    val d = Seq((1L, "g", 5.0), (2L, "g", 7.0), (3L, "h", 1.0))
+      .toDF("doc_id", "source", "quality")
+    // q = 1.0: threshold is the group max; only max-valued rows keep.
+    val q1 = graft.ops.Sampling.quantileFilter(d, "doc_id", "source", "quality", 1.0)
+      .select("doc_id", "keep")
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(q1 == Map(1L -> false, 2L -> true, 3L -> true))
+    // Singleton group: k = 1, thr = the value, row keeps.
+    val tiny = graft.ops.Sampling.quantileFilter(
+      d.filter(col("doc_id") === 3L), "doc_id", "source", "quality", 0.25)
+      .select("keep").collect()
+    assert(tiny.length == 1 && tiny(0).getBoolean(0))
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.quantileFilter(d, "doc_id", "source", "quality", 0.0)
+    }
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.quantileFilter(d, "doc_id", "source", "quality", 1.5)
+    }
+  }
+
   test("bigramLogProb: empty and sub-bigram corpora yield empty frames, schema intact") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ops.TextAnalysis.bigramLogProb(empty).count() == 0)

@@ -1366,6 +1366,27 @@ class OpsSpec extends SparkSpec {
     assert(4 * lpA > 4 * lpR, "common-token doc must outscore rare-token doc")
   }
 
+  test("quantileFilter: hand-computed per-group thresholds, ties, and partition invariance") {
+    import spark.implicits._
+    // Group g1 values 1..8: k = ceil(0.25·8) = 2 -> thr = 2.0, keep 2..8.
+    // Group g2 has a tie AT the threshold: values (1,1,3), k = 1 ->
+    // thr = 1.0 (first by id), and BOTH 1.0-rows keep (>= thr).
+    val d = ((1L to 8L).map(i => (i, "g1", i.toDouble)) ++
+      Seq((11L, "g2", 1.0), (12L, "g2", 1.0), (13L, "g2", 3.0)))
+      .toDF("doc_id", "source", "quality")
+    def run(parts: Int) = graft.ops.Sampling
+      .quantileFilter(d.repartition(parts), "doc_id", "source", "quality", 0.25)
+      .select("doc_id", "thr", "keep")
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getBoolean(2))).toSet
+    val got = run(1)
+    assert(got == run(5))
+    assert(got.filter(_._1 <= 8L).forall(_._2 == 2.0))
+    assert(got.count(t => t._1 <= 8L && t._3) == 7)
+    assert(!got.find(_._1 == 1L).get._3, "the below-threshold row must be cut")
+    assert(got.filter(_._1 >= 11L).forall(_._2 == 1.0))
+    assert(got.filter(_._1 >= 11L).forall(_._3), "ties at the threshold keep")
+  }
+
   test("bigramLogProb: hand-computed per-context Laplace fixed-point values") {
     import spark.implicits._
     // bigrams: doc0 (a,b)(b,a)(a,b), doc1 (b,a); V = |{a,b}| = 2;

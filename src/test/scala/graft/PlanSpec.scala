@@ -218,6 +218,27 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"per-doc sums lost map-side combine:\n$p")
   }
 
+  test("t25: the bigram model table broadcasts — the bigram stream never shuffles by content") {
+    // Same contract as t19 one order up: model-table aggregations may
+    // shuffle (bigram-vocabulary-bounded), the scoring join must not.
+    val p = plan("t25_bigram_logprob")
+    assert(p.contains("BroadcastHashJoin"), s"bigram model not broadcast:\n$p")
+    assert(p.contains("partial_sum"), s"per-doc sums lost map-side combine:\n$p")
+  }
+
+  test("t27: one exchange by group — threshold extraction adds no self-join or second shuffle") {
+    val p = plan("t27_quantile_filter")
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin") &&
+      !p.contains("BroadcastHashJoin"),
+      s"quantile threshold planned as a join instead of a window:\n$p")
+    // One shuffle on source for the window family; the rank and both
+    // window aggregates share it. Under AQE the explain repeats the
+    // plan ("Final"/"Initial"), so count only the final section.
+    val finalPlan = p.split("== Initial Plan ==")(0)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(finalPlan).size
+    assert(exchanges == 1, s"expected exactly 1 group exchange, got $exchanges:\n$p")
+  }
+
   test("d12: span df and per-doc counts keep map-side combine; no all-pairs plan") {
     val p = plan("d12_dupspan_stats")
     assert(p.contains("partial_count"), s"span df lost map-side combine:\n$p")
