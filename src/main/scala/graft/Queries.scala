@@ -838,6 +838,14 @@ object Queries {
     prebuilt.computeIfAbsent(key, _ => build.localCheckpoint())
   }
 
+  /** The t26-trained BPE merge rules in rank order, session-memoized
+    * (train once, encode many — t26 summarizes them, t28 applies
+    * them); the collect is M = 20 rows. */
+  private def bpeRules(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
+    memo(s, dir, "bpe_rules")(
+      graft.ops.TextAnalysis.bpeMerges(docs(s, dir), "text", 20))
+      .collect().sortBy(_.getInt(0))
+
   /** Drop one memoized artifact so a re-timed build phase measures a real
     * build (Bench's median-of-3: without eviction, reruns of
     * `n01_graph_build`/`n02_prior_build` would time a cache hit). The
@@ -1216,8 +1224,7 @@ object Queries {
     // hash of the ordered rules; the full list is equality-checked
     // against an independent in-memory trainer in TrainPrepSpec.
     "t26_bpe_merges" -> ((s, dir) => {
-      val rules = TextAnalysis.bpeMerges(docs(s, dir), "text", 20)
-        .collect().sortBy(_.getInt(0))
+      val rules = bpeRules(s, dir)
       val fp = rules.foldLeft(0L) { (h, r) =>
         (r.getString(1) + ">" + r.getString(2) + ";")
           .foldLeft(h)((hh, c) => (hh * 31 + c.toInt) % 1000000007L)
@@ -1225,6 +1232,19 @@ object Queries {
       import s.implicits._
       Seq((rules.length.toLong, rules.map(_.getLong(3)).sum, fp))
         .toDF("n_rules", "total_count", "rules_fp")
+    }),
+
+    // BPE ENCODING with the t26-trained rules (the apply half of the
+    // tokenizer lifecycle; rules shared through the session artifact
+    // memoizer — train once, encode many). One shuffle-free projection
+    // over the corpus; summary pinned: document count, total piece
+    // count, and the post-merge piece vocabulary size.
+    "t28_bpe_encode" -> ((s, dir) => {
+      val rules = bpeRules(s, dir).map(r => (r.getString(1), r.getString(2))).toSeq
+      val enc = TextAnalysis.bpeEncode(docs(s, dir), rules)
+      enc.agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("total_pieces"))
+        .crossJoin(enc.select(explode(col("pieces")).as("p"))
+          .agg(count_distinct(col("p")).as("n_vocab")))
     }),
 
     // Duplicated-span mass (Lee et al. intra-corpus dedup signal): per
@@ -1481,6 +1501,14 @@ object Queries {
     // gaps-and-islands SQL.
     "st14_session_windows" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(s, dir)),
+
+    // Streaming quality-score histogram (live ingest-quality monitor):
+    // stateless t02 scoring projection + complete-mode bucket counts —
+    // state one count per occupied bucket forever; drained histogram
+    // equals the batch SQL bit-for-bit (bucketing on bit-identical
+    // doubles).
+    "st15_stream_qhist" -> ((s, dir) =>
+      graft.streaming.EventsStream.qualityHistogram(s, dir)),
 
     // Streaming dedup: dropDuplicates over the stream then per-type
     // distinct-user counts — oracle-checked against batch DISTINCT.
@@ -1841,6 +1869,14 @@ object Queries {
       "n_rules" -> (20L, 20L, 20L),
       "total_count" -> (34968L, 33950L, 336099L),
       "rules_fp" -> (972256220L, 883996626L, 761560261L)),
+    // Measured 2026-08-13 (round 7, PinDump). Pure function of the
+    // corpus + the deterministic t26 rules; the 20 merges compress
+    // ~2.6x vs raw characters and grow the piece vocabulary from the
+    // base charset to ~35 symbols.
+    "t28_bpe_encode" -> Seq(
+      "n_docs" -> (500L, 500L, 5000L),
+      "total_pieces" -> (90749L, 88559L, 883773L),
+      "n_vocab" -> (34L, 37L, 36L)),
     // Same sketch over the same rows as t14 (merge is order-independent,
     // so micro-batch slicing cannot move the estimate).
     "st07_stream_vocab" -> Seq(
@@ -2230,6 +2266,18 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM toks JOIN lp USING (term)
         |GROUP BY doc_id""".stripMargin,
+
+    // Same quality expression as t02 bucketed at floor(q*20): the
+    // streaming drain must reproduce the batch histogram bit-for-bit.
+    "st15_stream_qhist" ->
+      """SELECT CAST(floor(q * 20) AS BIGINT) AS bucket, count(*) AS n
+        |FROM (
+        |  SELECT
+        |    (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |      + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS q
+        |  FROM (SELECT str_split(text, ' ') AS w FROM documents))
+        |GROUP BY 1""".stripMargin,
 
     // Same quality expression as t02; the threshold is the
     // k = ceil(q·n)-th smallest element per source (ties by doc_id),

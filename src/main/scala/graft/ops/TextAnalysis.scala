@@ -493,4 +493,39 @@ object TextAnalysis {
     }
     rules.toSeq.toDF("rank", "left", "right", "pair_count")
   }
+
+  /** BPE encoding — applies a trained merge-rule list ([[bpeMerges]]
+    * output order) to every token of the corpus and returns
+    * `(id, n_tokens, n_pieces, pieces)` per document: the
+    * tokenizer-APPLY half of the lifecycle (train once on yesterday's
+    * corpus, encode today's at ingest).
+    *
+    * Classic greedy application: each token starts as its character
+    * sequence; each rule, in rank order, folds left-to-right through
+    * the sequence (the exact lambda the trainer used, so
+    * encode(train corpus) reproduces the trainer's final symbol
+    * table). The rule list arrives as a driver-side Seq (M rows — the
+    * trained artifact, broadcast by value into the expression tree);
+    * the whole encode is ONE shuffle-free per-row projection over the
+    * corpus — M nested codegen'd lambdas, linear plan size in M, cost
+    * = scan bandwidth. Per-document piece counts then partial-agg
+    * map-side. */
+  def bpeEncode(df: DataFrame, rules: Seq[(String, String)],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val chars = (s: Column) => filter(split(s, ""), c => c =!= "")
+    val applyRule = (syms: Column, a: String, b: String) => aggregate(
+      syms,
+      array().cast("array<string>"),
+      (acc, x) => when(
+        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
+        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+        .otherwise(concat(acc, array(x))))
+    val encodeTok = (t: Column) =>
+      rules.foldLeft(chars(t)) { case (syms, (a, b)) => applyRule(syms, a, b) }
+    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
+      .select(col("id"), size(col("toks")).as("n_tokens"),
+        flatten(transform(col("toks"), encodeTok)).as("pieces"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        size(col("pieces")).as("n_pieces"), col("pieces"))
+  }
 }

