@@ -1125,6 +1125,39 @@ object Queries {
         .select("doc_id")
     }),
 
+    // End-to-end pretraining-corpus assembly — the capstone
+    // composition a training-data user actually runs, all four stages
+    // the declared scale paths: (1) benchmark decontamination (d09
+    // semantics: drop any training-split doc sharing a trigram with
+    // the bench split — broadcast gram carrier, corpus never shuffled
+    // by content); (2) per-source p25 quality cut among survivors
+    // (t27 semantics: one windowed exchange); (3) exact dedup, oldest
+    // id wins (d01 semantics: vocabulary-sized text-hash groupBy);
+    // (4) GPT-style sequence packing of the surviving corpus in id
+    // order (t11 semantics: distributed prefix sum, no global
+    // window). Output = each survivor's placement in the packed
+    // 256-token chunk stream; the oracle chains the four stages'
+    // bit-exact SQL fragments.
+    "p02_pretrain_corpus" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val clean = Decontaminate.overlapCounts(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .filter(col("n_contaminated") === 0)
+        .select("doc_id")
+      val scored = TextAnalysis.qualityScore(d)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .join(clean, "doc_id")
+      val qualified = graft.ops.Sampling
+        .quantileFilter(scored, "doc_id", "source", "quality", 0.25)
+        .filter(col("keep")).select("doc_id")
+      val deduped = d.join(qualified, "doc_id")
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id"))
+      Packing.packChunks(
+        deduped.withColumn("n_tokens", size(split(col("text"), " "))),
+        "doc_id", "n_tokens", 256)
+    }),
+
     // PPJoin-style prefix-filtered exact Jaccard: identical output to
     // the full shingle self-join, but candidates come only from each
     // document's rarest |x|-⌈t|x|⌉+1 shingles — the join fan-out runs
@@ -2189,6 +2222,65 @@ object Queries {
         |  FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))
         |SELECT q.doc_id FROM quality q JOIN kept k ON q.doc_id = k.doc_id
         |WHERE q.q >= 0.6""".stripMargin,
+
+    // The four stage fragments chained verbatim: d09 grams/decon, t02
+    // quality + t27 quantile cut (thresholds computed WITHIN the
+    // decontaminated survivors), d01 min-id exact dedup, t11 prefix-sum
+    // packing of the final survivor set.
+    "p02_pretrain_corpus" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |bench AS (SELECT DISTINCT s FROM grams WHERE id % 20 = 0),
+        |corpus AS (SELECT id, s FROM grams WHERE id % 20 <> 0),
+        |decon AS (
+        |  SELECT c.id AS doc_id
+        |  FROM corpus c LEFT JOIN bench b USING (s)
+        |  GROUP BY c.id HAVING count(b.s) = 0),
+        |scored AS (
+        |  SELECT q.doc_id, q.source, q.quality
+        |  FROM (
+        |    SELECT doc_id, source,
+        |      (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |        + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |        + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS quality
+        |    FROM (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents)) q
+        |  JOIN decon USING (doc_id)),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_group
+        |  FROM scored),
+        |thr AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn <= CAST(ceil(0.25 * n_group) AS BIGINT)
+        |      THEN quality END) AS thr
+        |  FROM ranked GROUP BY source),
+        |qualified AS (
+        |  SELECT s.doc_id FROM scored s JOIN thr t USING (source)
+        |  WHERE s.quality >= t.thr),
+        |deduped AS (
+        |  SELECT min(d.doc_id) AS doc_id
+        |  FROM documents d JOIN qualified USING (doc_id)
+        |  GROUP BY d.text),
+        |toks AS (
+        |  SELECT d.doc_id, CAST(len(str_split(d.text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents d JOIN deduped USING (doc_id)),
+        |placed AS (
+        |  SELECT doc_id, n_tokens,
+        |    CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT)
+        |      AS start_off
+        |  FROM toks)
+        |SELECT doc_id, n_tokens, start_off,
+        |  start_off // 256 AS chunk_first,
+        |  (start_off + greatest(n_tokens, 1) - 1) // 256 AS chunk_last,
+        |  (start_off + greatest(n_tokens, 1) - 1) // 256
+        |    - start_off // 256 + 1 AS n_chunks
+        |FROM placed""".stripMargin,
 
     "d07_dedup_incremental" ->
       """WITH sh AS (

@@ -996,6 +996,21 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("p02 pipeline: every stage genuinely prunes and the packed stream is contiguous") {
+    val out = Queries.all("p02_pretrain_corpus")(spark, sf001)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(out.nonEmpty && out.length < 500, "pipeline must prune something")
+    // The bench split never survives decontamination.
+    assert(out.forall(_._1 % 20 != 0))
+    // Packing is gap-free: each start offset is the previous end.
+    out.sliding(2).foreach {
+      case Array((_, n1, s1), (_, _, s2)) =>
+        assert(s2 == s1 + n1, s"packed offsets not contiguous: $s1+$n1 != $s2")
+      case _ =>
+    }
+  }
+
   test("streaming quality histogram equals the batch bucket counts") {
     val got = graft.streaming.EventsStream.qualityHistogram(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
