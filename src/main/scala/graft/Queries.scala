@@ -1404,6 +1404,19 @@ object Queries {
     "m05_phash_pairs" -> ((s, dir) =>
       Multimodal.phashPairs(Multimodal.asMedia(docs(s, dir)), 3)),
 
+    // Image near-dup CLUSTERS: m05's banded phash pairs closed into
+    // connected components (pointer doubling, the d06 machinery) with
+    // min-id survivors — the image-side dedup endpoint (pairs are
+    // evidence; clusters are what a curation pass acts on).
+    "m06_phash_clusters" -> ((s, dir) => {
+      val pairs = Multimodal.phashPairs(Multimodal.asMedia(docs(s, dir)), 3)
+        .select("doc_a", "doc_b")
+      graft.ops.Components.connectedComponents(
+          docs(s, dir).select(col("doc_id")), pairs)
+        .select(col("id").as("doc_id"), col("component"),
+          (col("id") === col("component")).cast("int").as("keep"))
+    }),
+
     // Rolling-hash content fingerprint (order-sensitive).
     "t07_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir)).select("doc_id", "rolling_fp")),
@@ -2790,6 +2803,40 @@ object Queries {
         |        ELSE (CAST(1 AS BIGINT) << i) END
         |      ELSE 0 END FOR i IN range(0, 64)]) AS BIGINT) AS phash
         |FROM t""".stripMargin,
+
+    // m04's phash construction + m05's hamming cut + d06's recursive
+    // component closure: min-id components over the image near-dup
+    // graph.
+    "m06_phash_clusters" ->
+      """WITH RECURSIVE hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS h,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |cells AS (
+        |  SELECT doc_id,
+        |    [CASE WHEN i <= n THEN ('0x' || substr(h, 2*i-1, 2))::BIGINT
+        |      ELSE 0 END FOR i IN range(1, 65)] AS cs
+        |  FROM hx),
+        |t AS (SELECT doc_id, cs, list_sum(cs) AS tot FROM cells),
+        |p AS (
+        |  SELECT doc_id,
+        |    CAST(list_sum([CASE WHEN 64 * cs[i+1] > tot THEN
+        |        CASE WHEN i = 63 THEN -9223372036854775807 - 1
+        |          ELSE (CAST(1 AS BIGINT) << i) END
+        |        ELSE 0 END FOR i IN range(0, 64)]) AS BIGINT) AS phash
+        |  FROM t),
+        |pairs AS (
+        |  SELECT a.doc_id AS u, b.doc_id AS v
+        |  FROM p a JOIN p b ON a.doc_id < b.doc_id
+        |  WHERE bit_count(xor(a.phash, b.phash)) <= 3),
+        |edges AS (SELECT u, v FROM pairs UNION SELECT v, u FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id)
+        |SELECT id AS doc_id, min(r) AS component,
+        |  CAST(id = min(r) AS INT) AS keep
+        |FROM reach GROUP BY id""".stripMargin,
 
     // All-pairs on the phash (fine at oracle scale; the Spark side is
     // the banded equi-join) with the identical hamming cut.

@@ -996,6 +996,23 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("m06 phash clusters are the transitive closure of the m05 pairs") {
+    val pairs = Queries.all("m05_phash_pairs")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val comp = Queries.all("m06_phash_clusters")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    val cm = comp.map(c => c._1 -> c._2).toMap
+    pairs.foreach { case (a, b) =>
+      assert(cm(a) == cm(b), s"pair ($a,$b) split across components")
+    }
+    comp.groupBy(_._2).foreach { case (root, members) =>
+      assert(members.map(_._1).min == root, "component label must be the min id")
+      val keepers = members.filter(_._3 == 1)
+      assert(keepers.map(_._1) == Seq(root), "exactly the root keeps")
+    }
+    assert(comp.length == 500, "every document gets a component row")
+  }
+
   test("p02 pipeline: every stage genuinely prunes and the packed stream is contiguous") {
     val out = Queries.all("p02_pretrain_corpus")(spark, sf001)
       .orderBy("doc_id").collect()
