@@ -1236,6 +1236,26 @@ object Queries {
     "t25_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir))),
 
+    // Temperature mixture (w_i ∝ √n_i, the XLM-R multilingual
+    // sampling exponent): the plan when no hand-curated target
+    // mixture exists. sqrt is correctly rounded (bit-stable across
+    // engines) and each stratum's √n fixed-points before the exact
+    // partition-function sum.
+    "t29_mixture_temperature" -> ((s, dir) =>
+      graft.ops.Sampling.temperatureMixturePlan(
+        docs(s, dir), "lang", size(split(col("text"), " ")))),
+
+    // Corpus drift (Jeffreys divergence of smoothed unigram
+    // distributions between the even-id and odd-id document splits —
+    // stand-ins for yesterday's and today's crawl): the ingest
+    // drift monitor. Per-term contributions fixed-point before the
+    // exact sum (t19 pattern).
+    "t30_corpus_drift" -> ((s, dir) => {
+      val d = docs(s, dir)
+      TextAnalysis.corpusDrift(
+        d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0))
+    }),
+
     // Per-source quantile quality cut: keep docs at/above their
     // source's p25 quality — the per-domain RELATIVE filter (an
     // absolute cut over-prunes clean domains and under-prunes noisy
@@ -1547,6 +1567,13 @@ object Queries {
     // gaps-and-islands SQL.
     "st14_session_windows" -> ((s, dir) =>
       graft.streaming.EventsStream.sessionWindows(s, dir)),
+
+    // Streaming ingest-time exact dedup: odd-id stream checked against
+    // the static even-id corpus text set — a stateless stream-static
+    // join (the cheap exact gate in front of near-dup machinery);
+    // must equal the batch IN-subquery bit-for-bit.
+    "st16_ingest_dedup" -> ((s, dir) =>
+      graft.streaming.EventsStream.ingestDedupFlags(s, dir)),
 
     // Streaming quality-score histogram (live ingest-quality monitor):
     // stateless t02 scoring projection + complete-mode bucket counts —
@@ -2371,6 +2398,64 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM toks JOIN lp USING (term)
         |GROUP BY doc_id""".stripMargin,
+
+    // w_i = sq_fp_i / Z with sq_fp = round(sqrt(n)*2^20) (correctly
+    // rounded sqrt + exact BIGINT partition function); budget/epochs
+    // mirror t17's expression shapes exactly.
+    "t29_mixture_temperature" ->
+      """WITH stats AS (
+        |  SELECT lang AS stratum, count(*) AS n_docs,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |fp AS (
+        |  SELECT stratum, n_docs, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT)
+        |      AS sq_fp
+        |  FROM stats),
+        |tot AS (
+        |  SELECT CAST(sum(sq_fp) AS BIGINT) AS z,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tt
+        |  FROM fp)
+        |SELECT stratum, n_docs, n_tokens,
+        |  CAST(sq_fp AS DOUBLE) / CAST(z AS DOUBLE) AS target_w,
+        |  CAST(round(CAST(sq_fp AS DOUBLE) / CAST(z AS DOUBLE) * tt) AS BIGINT)
+        |    AS budget_tokens,
+        |  CAST(sq_fp AS DOUBLE) / CAST(z AS DOUBLE) * tt / n_tokens AS epochs
+        |FROM fp, tot""".stripMargin,
+
+    // Per-term (pA - pB) * ln(pA / pB) over the union vocabulary,
+    // fixed-pointed once per term before the exact BIGINT sum; the
+    // even/odd splits mirror the Spark side.
+    "t30_corpus_drift" ->
+      """WITH ca AS (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
+        |    WHERE doc_id % 2 = 0) GROUP BY term),
+        |cb AS (
+        |  SELECT term, count(*) AS c FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
+        |    WHERE doc_id % 2 <> 0) GROUP BY term),
+        |j AS (
+        |  SELECT COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+        |  FROM ca FULL OUTER JOIN cb USING (term)),
+        |tot AS (
+        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+        |    count(*) AS v
+        |  FROM j)
+        |SELECT count(*) AS n_terms,
+        |  CAST(sum(CAST(round(
+        |    ((ca + 1) / CAST(na + v AS DOUBLE) - (cb + 1) / CAST(nb + v AS DOUBLE))
+        |    * ln(((ca + 1) / CAST(na + v AS DOUBLE)) / ((cb + 1) / CAST(nb + v AS DOUBLE)))
+        |    * 1048576) AS BIGINT)) AS BIGINT) AS jdiv_fp
+        |FROM j, tot""".stripMargin,
+
+    // The static side is the even-id distinct text set; the streamed
+    // odd-id batch flags by exact membership.
+    "st16_ingest_dedup" ->
+      """SELECT doc_id,
+        |  CAST(text IN (SELECT text FROM documents WHERE doc_id % 2 = 0)
+        |    AS BIGINT) AS is_dup
+        |FROM documents WHERE doc_id % 2 <> 0""".stripMargin,
 
     // Same quality expression as t02 bucketed at floor(q*20): the
     // streaming drain must reproduce the batch histogram bit-for-bit.

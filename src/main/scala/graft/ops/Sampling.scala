@@ -276,6 +276,40 @@ object Sampling {
       .select(col("id").as(idCol), col("weight_fp"), col("n_tokens"))
   }
 
+  /** Temperature-based mixture plan: derives the per-stratum target
+    * weights FROM the corpus itself as `w_i ∝ n_i^α` (α = 0.5 here —
+    * the standard multilingual temperature-sampling exponent, e.g.
+    * XLM-R) and emits the same plan shape as [[mixturePlan]] — the
+    * form used when no hand-curated mixture exists: big strata are
+    * downweighted, small ones upweighted, smoothly.
+    *
+    * Determinism across engines: α = 0.5 is computed with `sqrt`,
+    * which IEEE-754 requires to be CORRECTLY ROUNDED (bit-identical
+    * everywhere) — unlike `pow`, which carries no such guarantee; and
+    * each stratum's √n is fixed-pointed to 2⁻²⁰ BEFORE the
+    * normalizing sum, so the partition function is an exact BIGINT and
+    * no float accumulation order can leak in (the t19 pattern).
+    * One corpus scan; per-stratum stats collect bounded by |strata|. */
+  def temperatureMixturePlan(df: DataFrame, stratumCol: String,
+      tokens: Column): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rows = df.groupBy(col(stratumCol).as("stratum"))
+      .agg(count(lit(1)).as("n_docs"), sum(tokens.cast("long")).as("n_tokens"))
+      .select(col("stratum"), col("n_docs"), col("n_tokens"),
+        round(sqrt(col("n_tokens").cast("double")) * lit(1048576.0))
+          .cast("long").as("sq_fp"))
+      .collect()
+    require(rows.forall(_.getLong(2) > 0), "stratum with non-positive token count")
+    val z = rows.map(_.getLong(3)).sum
+    val total = rows.map(_.getLong(2)).sum
+    rows.toSeq.map { r =>
+      val w = r.getLong(3).toDouble / z.toDouble
+      (r.getString(0), r.getLong(1), r.getLong(2), w,
+        math.round(w * total), w * total / r.getLong(2))
+    }.toDF("stratum", "n_docs", "n_tokens", "target_w", "budget_tokens", "epochs")
+  }
+
   /** Per-group quantile threshold filter: flags every row whose value
     * reaches its group's q-quantile — "keep documents at or above the
     * p25 quality within their source", the standard per-domain

@@ -506,6 +506,48 @@ object TextAnalysis {
     rules.toSeq.toDF("rank", "left", "right", "pair_count")
   }
 
+  /** Corpus drift between two document sets: the symmetrized KL
+    * (Jeffreys) divergence of their add-one-smoothed unigram
+    * distributions, Σ_t (p_t − q_t)·ln(p_t/q_t) over the union
+    * vocabulary — the ingest-monitoring statistic that flags a bad
+    * crawl batch or a topic shift between yesterday's corpus and
+    * today's (0 = identical distributions, grows with separation).
+    *
+    * Determinism: each term's contribution is a fixed IEEE expression
+    * over exact integer counts, rounded to 2⁻²⁰ fixed point ONCE
+    * before the exact BIGINT sum (the t19 pattern), so the result is
+    * engine-bit-stable and order-independent. One aggregation per
+    * side over the token streams (partial-agg), one vocabulary-sized
+    * full-outer join — nothing corpus-sized shuffles twice. */
+  def corpusDrift(a: DataFrame, b: DataFrame,
+      textCol: String = "text"): DataFrame = {
+    def counts(df: DataFrame) = df
+      .select(explode(tokens(col(textCol))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    val ca = counts(a)
+    val cb = counts(b)
+    val joined = ca.withColumnRenamed("c", "ca")
+      .join(cb.withColumnRenamed("c", "cb"), Seq("term"), "full_outer")
+      .select(col("term"),
+        coalesce(col("ca"), lit(0L)).as("ca"),
+        coalesce(col("cb"), lit(0L)).as("cb"))
+      .localCheckpoint(true)
+    val totals = joined.agg(
+      sum(col("ca")), sum(col("cb")), count(lit(1))).head()
+    if (totals.isNullAt(0) || totals.isNullAt(1)) {
+      val spark = a.sparkSession
+      import spark.implicits._
+      return Seq((0L, 0L)).toDF("n_terms", "jdiv_fp").limit(0)
+    }
+    val (na, nb, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
+    val pA = (col("ca") + 1).cast("double") / lit((na + v).toDouble)
+    val pB = (col("cb") + 1).cast("double") / lit((nb + v).toDouble)
+    joined
+      .select(round((pA - pB) * log(pA / pB) * lit(1048576.0))
+        .cast("long").as("contrib_fp"))
+      .agg(count(lit(1)).as("n_terms"), sum(col("contrib_fp")).as("jdiv_fp"))
+  }
+
   /** BPE encoding — applies a trained merge-rule list ([[bpeMerges]]
     * output order) to every token of the corpus and returns
     * `(id, n_tokens, n_pieces, pieces)` per document: the

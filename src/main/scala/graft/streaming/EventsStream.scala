@@ -166,9 +166,9 @@ object EventsStream {
     * incrementally (append/update); windowed and global aggregations
     * re-emit the full result (complete). */
   private def outputModeFor(tag: String): String = tag match {
-    case "join" | "decon" | "chunks" | "sesswin" => "append"
-    case "sessions" | "heavy" | "pca"            => "update"
-    case _                                       => "complete" // incl. "annserve"
+    case "join" | "decon" | "chunks" | "sesswin" | "ingestdedup" => "append"
+    case "sessions" | "heavy" | "pca"                            => "update"
+    case _                                                       => "complete" // incl. "annserve"
   }
 
   /** Daily tumbling-window counts/sums per event type, computed through a
@@ -253,6 +253,27 @@ object EventsStream {
           col("n_events"))
     }.filter(col("user_id") =!= -1L)
   }
+
+  /** Streaming ingest-time exact dedup: each streamed document (odd
+    * ids play the incoming batch) checked against the STATIC existing
+    * corpus (even ids) by exact text match — the stateless
+    * stream-static join every ingest pipeline puts in front of
+    * near-dup machinery (d07 is the batch near-dup twin; this is the
+    * cheap exact gate before it). The static side is a distinct text
+    * set (at scale: its xxhash64 keys, broadcast or bucket-joined);
+    * the stream side carries NO state — the join re-evaluates per
+    * micro-batch against the resident artifact, so a forever-running
+    * ingest holds only the static index. Drained flags must equal the
+    * batch IN-subquery bit-for-bit. */
+  def ingestDedupFlags(spark: SparkSession, dir: String): DataFrame =
+    runDrainedOn(spark, dir, "documents", documentsSchema, "ingestdedup") { src =>
+      val existing = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0)
+        .select(col("text").as("e_text")).distinct()
+      src.filter(col("doc_id") % 2 =!= 0)
+        .join(existing, col("text") === col("e_text"), "left_outer")
+        .select(col("doc_id"), col("e_text").isNotNull.cast("long").as("is_dup"))
+    }
 
   /** Streaming quality-score histogram over the document stream: the
     * live data-quality monitoring surface of an ingest pipeline (drift

@@ -996,6 +996,50 @@ class OpsSpec extends SparkSpec {
     assert(streamed == batch)
   }
 
+  test("temperatureMixturePlan: hand-computed sqrt weights, mass conservation") {
+    import spark.implicits._
+    // Strata token masses 100 / 400: sqrt weights 10 / 20 -> 1/3, 2/3.
+    val d = ((1L to 10L).map(i => (i, "a", Seq.fill(10)("w").mkString(" "))) ++
+      (11L to 20L).map(i => (i, "b", Seq.fill(40)("w").mkString(" "))))
+      .toDF("doc_id", "lang", "text")
+    val got = graft.ops.Sampling
+      .temperatureMixturePlan(d, "lang", size(split(col("text"), " ")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(2), r.getDouble(3), r.getLong(4)))).toMap
+    val sq1 = math.round(math.sqrt(100.0) * 1048576)
+    val sq2 = math.round(math.sqrt(400.0) * 1048576)
+    val z = (sq1 + sq2).toDouble
+    assert(got("a") == ((100L, sq1 / z, math.round(sq1 / z * 500))))
+    assert(got("b") == ((400L, sq2 / z, math.round(sq2 / z * 500))))
+    assert(math.abs(got.values.map(_._2).sum - 1.0) < 1e-12)
+  }
+
+  test("corpusDrift: zero on identical corpora, positive and symmetric on disjoint ones") {
+    import spark.implicits._
+    val a = Seq((1L, "x y z"), (2L, "x x")).toDF("doc_id", "text")
+    val same = graft.ops.TextAnalysis.corpusDrift(a, a).collect()(0)
+    assert(same.getLong(1) == 0L, "identical distributions must score 0")
+    val b = Seq((3L, "p q"), (4L, "p p r")).toDF("doc_id", "text")
+    val ab = graft.ops.TextAnalysis.corpusDrift(a, b).collect()(0)
+    val ba = graft.ops.TextAnalysis.corpusDrift(b, a).collect()(0)
+    assert(ab.getLong(1) > 0L, "disjoint vocabularies must diverge")
+    assert(ab.getLong(1) == ba.getLong(1), "Jeffreys divergence is symmetric")
+    assert(ab.getLong(0) == 6L, "union vocabulary size")
+  }
+
+  test("streaming ingest dedup equals the batch membership flags") {
+    val got = graft.streaming.EventsStream.ingestDedupFlags(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val existing = d.filter(col("doc_id") % 2 === 0).select(col("text").as("e_text")).distinct()
+    val batch = d.filter(col("doc_id") % 2 =!= 0)
+      .join(existing, col("text") === col("e_text"), "left_outer")
+      .select(col("doc_id"), col("e_text").isNotNull.cast("long").as("is_dup"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == batch)
+    assert(got.nonEmpty)
+  }
+
   test("m06 phash clusters are the transitive closure of the m05 pairs") {
     val pairs = Queries.all("m05_phash_pairs")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
