@@ -496,6 +496,16 @@ object Queries {
         .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // A8: ROLLUP subtotal hierarchy — one pass emits the full
+    // (flag, status) lattice prefix: detail rows, per-flag subtotals,
+    // and the grand total (Spark expands grouping sets in a single
+    // aggregation; subtotal slots are NULLs on both engines).
+    "q35_rollup" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          count(lit(1)).as("n_rows"))),
+
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
@@ -752,6 +762,12 @@ object Queries {
       """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q35_rollup" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
 
     "q28_centroids" ->
       """SELECT label, pos, comp_sum / n AS centroid_comp FROM (
