@@ -235,6 +235,23 @@ class EdgeCasesSpec extends SparkSpec {
       Seq("doc_id", "n_tokens", "logprob_fp", "mean_lp_fp"))
   }
 
+  test("temperatureMixturePlan and corpusDrift: empty and degenerate corpora") {
+    val empty = Seq.empty[(Long, String, String)].toDF("doc_id", "lang", "text")
+    assert(graft.ops.Sampling.temperatureMixturePlan(
+      empty, "lang", size(split(col("text"), " "))).count() == 0)
+    // Zero-token stratum (empty text still splits to one empty token,
+    // so force the degenerate case through a 0 literal) must be
+    // rejected, not divided by.
+    val zero = Seq((1L, "a", "x")).toDF("doc_id", "lang", "text")
+    intercept[IllegalArgumentException] {
+      graft.ops.Sampling.temperatureMixturePlan(zero, "lang", lit(0L))
+    }
+    val emptyDocs = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val d = graft.ops.TextAnalysis.corpusDrift(emptyDocs, emptyDocs)
+    assert(d.count() == 0)
+    assert(d.columns.toSeq == Seq("n_terms", "jdiv_fp"))
+  }
+
   test("quantileFilter: degenerate quantiles, singleton groups, bad q rejected") {
     val d = Seq((1L, "g", 5.0), (2L, "g", 7.0), (3L, "h", 1.0))
       .toDF("doc_id", "source", "quality")
