@@ -1310,10 +1310,20 @@ object Queries {
     // count, and the post-merge piece vocabulary size.
     "t28_bpe_encode" -> ((s, dir) => {
       val rules = bpeRules(s, dir).map(r => (r.getString(1), r.getString(2))).toSeq
-      val enc = TextAnalysis.bpeEncode(docs(s, dir), rules)
-      enc.agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("total_pieces"))
-        .crossJoin(enc.select(explode(col("pieces")).as("p"))
-          .agg(count_distinct(col("p")).as("n_vocab")))
+      // Checkpoint before the two aggregations: without it each one
+      // re-runs the whole encode kernel. Both results are single rows,
+      // so materialize eagerly and drop the reference (the context
+      // cleaner reclaims the blocks).
+      val enc = TextAnalysis.bpeEncode(docs(s, dir), rules).localCheckpoint(true)
+      val tot = enc
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("total_pieces"))
+        .head()
+      val voc = enc.select(explode(col("pieces")).as("p"))
+        .agg(count_distinct(col("p"))).head().getLong(0)
+      import s.implicits._
+      if (tot.getLong(0) == 0L) Seq((0L, 0L, 0L)).toDF("n_docs", "total_pieces", "n_vocab")
+      else Seq((tot.getLong(0), tot.getLong(1), voc))
+        .toDF("n_docs", "total_pieces", "n_vocab")
     }),
 
     // Duplicated-span mass (Lee et al. intra-corpus dedup signal): per
@@ -2312,7 +2322,7 @@ object Queries {
         |  FROM scored),
         |thr AS (
         |  SELECT source,
-        |    max(CASE WHEN rn <= CAST(ceil(0.25 * n_group) AS BIGINT)
+        |    max(CASE WHEN rn <= greatest(CAST(ceil(0.25 * n_group - 1e-9) AS BIGINT), 1)
         |      THEN quality END) AS thr
         |  FROM ranked GROUP BY source),
         |qualified AS (
@@ -2503,7 +2513,7 @@ object Queries {
         |  FROM scored),
         |thr AS (
         |  SELECT source,
-        |    max(CASE WHEN rn <= CAST(ceil(0.25 * n_group) AS BIGINT)
+        |    max(CASE WHEN rn <= greatest(CAST(ceil(0.25 * n_group - 1e-9) AS BIGINT), 1)
         |      THEN quality END) AS thr
         |  FROM ranked GROUP BY source)
         |SELECT s.doc_id, s.source, s.quality, t.thr,

@@ -336,12 +336,18 @@ object Sampling {
     require(q > 0 && q <= 1, s"quantile out of (0,1]: $q")
     val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
     val ranked = byGroup.orderBy(col(valueCol).asc, col(idCol).asc)
+    // k = ceil(q·n) with a 1e-9 backoff before the ceil: q·n that is
+    // mathematically integral can land just ABOVE the integer in IEEE
+    // doubles (0.07·100 = 7.000000000000001), silently selecting the
+    // k+1-th order statistic. The oracle SQL applies the identical
+    // backoff, and the floor at 1 keeps sub-epsilon q·n well-defined.
+    val k = greatest(
+      ceil(lit(q) * col("n_group") - lit(1e-9)).cast("long"), lit(1L))
     df.withColumn("rn", row_number().over(ranked))
       .withColumn("n_group", count(lit(1)).over(byGroup))
       .withColumn("thr",
-        max(when(col("rn") <= ceil(lit(q) * col("n_group")).cast("long"),
-          col(valueCol))).over(byGroup))
+        max(when(col("rn") <= k, col(valueCol))).over(byGroup))
       .withColumn("keep", col(valueCol) >= col("thr"))
-      .drop("rn")
+      .drop("rn", "n_group")
   }
 }

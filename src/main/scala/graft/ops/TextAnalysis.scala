@@ -15,6 +15,19 @@ object TextAnalysis {
   /** Whitespace tokenizer (documents fixture is space-separated). */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Adjacent-element pairs of `arr`, each joined by `sep` — the shared
+    * bigram constructor (word bigrams with a space, LM-model keys with
+    * U+0001). Built as zip_with over aligned slices so the source
+    * array is evaluated once per row as HOF ARGUMENTS; an in-lambda
+    * reference would re-evaluate it per element, interpreted — see
+    * [[graft.ops.Dedup.shingles]] for the full rationale. Safe on
+    * empty/singleton arrays (zero pairs). */
+  private[ops] def adjacentPairs(arr: Column, sep: String): Column = {
+    val cnt = greatest(size(arr) - 1, lit(0))
+    zip_with(slice(arr, lit(1), cnt), slice(arr, lit(2), cnt),
+      (a, b) => concat(a, lit(sep), b))
+  }
+
   /** Per-language marker-word profiles for the n-gram/stopword language-ID
     * heuristic. Fixed lists so the scorer is deterministic and
     * SQL-expressible. */
@@ -161,13 +174,7 @@ object TextAnalysis {
   def repetitionStats(df: DataFrame,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val w = tokens(col(textCol))
-    // zip_with over aligned slices, not transform(sequence)+slice-in-
-    // lambda: HOF lambda bodies evaluate interpreted per element, so an
-    // in-body slice of `w` re-splits the text per bigram — O(len²) per
-    // document (see Dedup.shingles).
-    val bigrams = zip_with(
-      slice(w, lit(1), size(w) - 1), slice(w, lit(2), size(w) - 1),
-      (a, b) => concat(a, lit(" "), b))
+    val bigrams = adjacentPairs(w, " ")
     val perBigram = df.filter(size(w) >= 2)
       .select(col(idCol), explode(bigrams).as("b"))
       .groupBy(col(idCol), col("b"))
@@ -254,20 +261,18 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     // (w1, w2) encoded as one U+0001-joined key so the model join has
     // a single equi-key; fixture tokens never contain U+0001.
-    val bigramsCol = expr(
-      "transform(slice(tk, 1, greatest(size(tk) - 1, 0)), " +
-        "(x, i) -> concat(x, char(1), tk[i + 1]))")
+    val sep = "\u0001"
     val bg = df.select(col(idCol).as("id"), tokens(col(textCol)).as("tk"))
-      .select(col("id"), explode(bigramsCol).as("bigram"))
+      .select(col("id"), explode(adjacentPairs(col("tk"), sep)).as("bigram"))
     val vocabRow = df.select(explode(tokens(col(textCol))).as("term"))
       .agg(count_distinct(col("term"))).head()
     val vocab = vocabRow.getLong(0)
     val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
     val ctx = counts
-      .groupBy(substring_index(col("bigram"), "\u0001", 1).as("w1"))
+      .groupBy(substring_index(col("bigram"), sep, 1).as("w1"))
       .agg(sum(col("c")).as("cw"))
     val lp = counts
-      .withColumn("w1", substring_index(col("bigram"), "\u0001", 1))
+      .withColumn("w1", substring_index(col("bigram"), sep, 1))
       .join(ctx, Seq("w1"))
       .select(col("bigram"),
         round(log((col("c") + 1).cast("double") /
@@ -500,6 +505,9 @@ object TextAnalysis {
             size(acc) > 0 && element_at(acc, -1) === lit(a) && x === lit(b),
             concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
             .otherwise(concat(acc, array(x))))
+        // Reassignment drops the previous round's checkpoint reference;
+        // the context cleaner reclaims its blocks (the table is
+        // vocabulary-sized, so at most one extra round lingers).
         words = words.select(merged.as("syms"), col("freq")).localCheckpoint(true)
       }
     }
@@ -542,10 +550,17 @@ object TextAnalysis {
     val (na, nb, v) = (totals.getLong(0), totals.getLong(1), totals.getLong(2))
     val pA = (col("ca") + 1).cast("double") / lit((na + v).toDouble)
     val pB = (col("cb") + 1).cast("double") / lit((nb + v).toDouble)
-    joined
+    // The result is one row; materialize it eagerly so the checkpointed
+    // join frame's reference drops with this call (context-cleaner
+    // reclaim) instead of riding the returned plan.
+    val res = joined
       .select(round((pA - pB) * log(pA / pB) * lit(1048576.0))
         .cast("long").as("contrib_fp"))
       .agg(count(lit(1)).as("n_terms"), sum(col("contrib_fp")).as("jdiv_fp"))
+      .head()
+    val spark = a.sparkSession
+    import spark.implicits._
+    Seq((res.getLong(0), res.getLong(1))).toDF("n_terms", "jdiv_fp")
   }
 
   /** BPE encoding — applies a trained merge-rule list ([[bpeMerges]]

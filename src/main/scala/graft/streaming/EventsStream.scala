@@ -149,10 +149,14 @@ object EventsStream {
     } finally {
       // Runs on the failure path too — a mid-drain error must not leave
       // the memory table registered or the symlink dir behind. `prepare`
-      // may have added extra source files, so clear children first.
+      // may have added extra source files, so clear children first. The
+      // directory stream must be CLOSED (try-with-resources style): an
+      // unclosed Files.list leaks one fd per drained query, and a
+      // long-lived Bench/Verify session drains dozens.
       try spark.catalog.dropTempView(name) catch { case _: Exception => }
-      java.nio.file.Files.list(streamDir).forEach(p =>
-        java.nio.file.Files.deleteIfExists(p))
+      val children = java.nio.file.Files.list(streamDir)
+      try children.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally children.close()
       java.nio.file.Files.deleteIfExists(streamDir)
     }
   }
@@ -228,14 +232,17 @@ object EventsStream {
           Seq((-1L, heartbeatRaw, -1L, "heartbeat", 0.0, "{}"))
             .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
             .coalesce(1).write.parquet(out)
-          val part = java.nio.file.Files.list(java.nio.file.Paths.get(out))
-            .filter(p => p.toString.endsWith(".parquet"))
-            .findFirst().get()
+          val listing = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+          val part =
+            try listing.filter(p => p.toString.endsWith(".parquet"))
+              .findFirst().get()
+            finally listing.close()
           java.nio.file.Files.copy(part, streamDir.resolve("heartbeat.parquet"))
         } finally {
-          java.nio.file.Files.walk(scratch)
-            .sorted(java.util.Comparator.reverseOrder())
+          val walk = java.nio.file.Files.walk(scratch)
+          try walk.sorted(java.util.Comparator.reverseOrder())
             .forEach(p => java.nio.file.Files.deleteIfExists(p))
+          finally walk.close()
         }
       },
       settle = awaitWatermark(_, heartbeatRaw / div)) { src =>
