@@ -1601,6 +1601,13 @@ object Queries {
     "st16_ingest_dedup" -> ((s, dir) =>
       graft.streaming.EventsStream.ingestDedupFlags(s, dir)),
 
+    // Streaming drift monitor: streamed odd-id term counts (complete
+    // mode, vocabulary-bounded state) against the static even-id
+    // reference through the same fixed-point Jeffreys combine — equals
+    // batch t30 bit-for-bit and shares its oracle.
+    "st17_stream_drift" -> ((s, dir) =>
+      graft.streaming.EventsStream.corpusDriftStreaming(s, dir)),
+
     // Streaming quality-score histogram (live ingest-quality monitor):
     // stateless t02 scoring projection + complete-mode bucket counts —
     // state one count per occupied bucket forever; drained histogram
@@ -2047,6 +2054,31 @@ object Queries {
       |FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
       |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7""".stripMargin
 
+  /** Shared by t30 (batch) and st17 (streaming twin over the same
+    * drained counts — bit-identical by construction). */
+  private val corpusDriftSql: String =
+    """WITH ca AS (
+      |  SELECT term, count(*) AS c FROM (
+      |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
+      |    WHERE doc_id % 2 = 0) GROUP BY term),
+      |cb AS (
+      |  SELECT term, count(*) AS c FROM (
+      |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
+      |    WHERE doc_id % 2 <> 0) GROUP BY term),
+      |j AS (
+      |  SELECT COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
+      |  FROM ca FULL OUTER JOIN cb USING (term)),
+      |tot AS (
+      |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
+      |    count(*) AS v
+      |  FROM j)
+      |SELECT count(*) AS n_terms,
+      |  CAST(sum(CAST(round(
+      |    ((ca + 1) / CAST(na + v AS DOUBLE) - (cb + 1) / CAST(nb + v AS DOUBLE))
+      |    * ln(((ca + 1) / CAST(na + v AS DOUBLE)) / ((cb + 1) / CAST(nb + v AS DOUBLE)))
+      |    * 1048576) AS BIGINT)) AS BIGINT) AS jdiv_fp
+      |FROM j, tot""".stripMargin
+
   val pipelineOracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -2451,29 +2483,11 @@ object Queries {
 
     // Per-term (pA - pB) * ln(pA / pB) over the union vocabulary,
     // fixed-pointed once per term before the exact BIGINT sum; the
-    // even/odd splits mirror the Spark side.
-    "t30_corpus_drift" ->
-      """WITH ca AS (
-        |  SELECT term, count(*) AS c FROM (
-        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
-        |    WHERE doc_id % 2 = 0) GROUP BY term),
-        |cb AS (
-        |  SELECT term, count(*) AS c FROM (
-        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents
-        |    WHERE doc_id % 2 <> 0) GROUP BY term),
-        |j AS (
-        |  SELECT COALESCE(ca.c, 0) AS ca, COALESCE(cb.c, 0) AS cb
-        |  FROM ca FULL OUTER JOIN cb USING (term)),
-        |tot AS (
-        |  SELECT CAST(sum(ca) AS BIGINT) AS na, CAST(sum(cb) AS BIGINT) AS nb,
-        |    count(*) AS v
-        |  FROM j)
-        |SELECT count(*) AS n_terms,
-        |  CAST(sum(CAST(round(
-        |    ((ca + 1) / CAST(na + v AS DOUBLE) - (cb + 1) / CAST(nb + v AS DOUBLE))
-        |    * ln(((ca + 1) / CAST(na + v AS DOUBLE)) / ((cb + 1) / CAST(nb + v AS DOUBLE)))
-        |    * 1048576) AS BIGINT)) AS BIGINT) AS jdiv_fp
-        |FROM j, tot""".stripMargin,
+    // even/odd splits mirror the Spark side. The streaming twin
+    // produces the identical result (same combine over the drained
+    // counts), so it shares this oracle via [[corpusDriftSql]].
+    "st17_stream_drift" -> corpusDriftSql,
+    "t30_corpus_drift" -> corpusDriftSql,
 
     // The static side is the even-id distinct text set; the streamed
     // odd-id batch flags by exact membership.

@@ -532,8 +532,14 @@ object TextAnalysis {
     def counts(df: DataFrame) = df
       .select(explode(tokens(col(textCol))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("c"))
-    val ca = counts(a)
-    val cb = counts(b)
+    corpusDriftFromCounts(counts(a), counts(b))
+  }
+
+  /** [[corpusDrift]] over pre-aggregated `(term, c)` frequency tables —
+    * the entry point for sides that already exist as count artifacts
+    * (e.g. the streaming twin's drained complete-mode aggregation). */
+  def corpusDriftFromCounts(ca: DataFrame, cb: DataFrame): DataFrame = {
+    val a = ca
     val joined = ca.withColumnRenamed("c", "ca")
       .join(cb.withColumnRenamed("c", "cb"), Seq("term"), "full_outer")
       .select(col("term"),

@@ -282,6 +282,29 @@ object EventsStream {
         .select(col("doc_id"), col("e_text").isNotNull.cast("long").as("is_dup"))
     }
 
+  /** Streaming corpus-drift monitor: the odd-id document stream's term
+    * counts accumulate in a complete-mode aggregation (state bounded
+    * by the VOCABULARY, not the stream length — the t14/st07 sketch is
+    * the fallback when even that is too large) and the drained table
+    * feeds the same fixed-point Jeffreys-divergence combine as batch
+    * t30 against the static even-id reference distribution — so the
+    * result equals batch t30 bit-for-bit and shares its oracle. The
+    * production loop reads the current divergence per micro-batch to
+    * alarm on a drifting crawl WHILE it ingests. */
+  def corpusDriftStreaming(spark: SparkSession, dir: String): DataFrame = {
+    val streamed = runDrainedOn(
+      spark, dir, "documents", documentsSchema, "drift") { src =>
+      src.filter(col("doc_id") % 2 =!= 0)
+        .select(explode(split(col("text"), " ")).as("term"))
+        .groupBy("term").agg(count(lit(1)).as("c"))
+    }
+    val staticCounts = spark.read.parquet(s"$dir/documents.parquet")
+      .filter(col("doc_id") % 2 === 0)
+      .select(explode(split(col("text"), " ")).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("c"))
+    graft.ops.TextAnalysis.corpusDriftFromCounts(staticCounts, streamed)
+  }
+
   /** Streaming quality-score histogram over the document stream: the
     * live data-quality monitoring surface of an ingest pipeline (drift
     * in the bucket profile flags a bad crawl batch before it lands).

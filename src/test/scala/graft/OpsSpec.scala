@@ -1063,6 +1063,15 @@ class OpsSpec extends SparkSpec {
       "resume lost or duplicated rows")
   }
 
+  test("streaming corpus drift equals batch t30 bit-for-bit") {
+    val got = graft.streaming.EventsStream.corpusDriftStreaming(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = Queries.all("t30_corpus_drift")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.toSeq == want.toSeq)
+    assert(got(0)._1 > 0)
+  }
+
   test("streaming ingest dedup equals the batch membership flags") {
     val got = graft.streaming.EventsStream.ingestDedupFlags(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
