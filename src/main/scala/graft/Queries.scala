@@ -1695,6 +1695,13 @@ object Queries {
     "st04_stream_join" -> ((s, dir) =>
       graft.streaming.EventsStream.purchaseAttribution(s, dir)),
 
+    // LEFT OUTER stream-stream interval join: st04 plus the purchases
+    // with NO prior event — null-extended rows emit only once the
+    // watermark proves no match can arrive (heartbeat-flushed).
+    // Oracle is the batch LEFT JOIN.
+    "st18_stream_join_outer" -> ((s, dir) =>
+      graft.streaming.EventsStream.purchaseAttributionOuter(s, dir)),
+
     // State-BOUNDED streaming dedup: dropDuplicatesWithinWatermark, the
     // form whose state is O(keys per watermark horizon) — the horizon
     // covers the fixture span, so the oracle is the exact batch
@@ -3037,6 +3044,18 @@ object Queries {
         |FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
         |      WHERE event_type = 'purchase') p
         |JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
+        |  ON p.user_id = e.user_id
+        | AND e.us >= p.p_us - 3600000000 AND e.us < p.p_us
+        |GROUP BY p.user_id, p.event_id""".stripMargin,
+
+    // st04's shape as a LEFT JOIN: count(e.event_id) gives 0 for
+    // unmatched purchases.
+    "st18_stream_join_outer" ->
+      """SELECT p.user_id, p.event_id AS purchase_id,
+        |  CAST(count(e.event_id) AS BIGINT) AS n_prior_events
+        |FROM (SELECT user_id, event_id, epoch_us(ts) AS p_us FROM events
+        |      WHERE event_type = 'purchase') p
+        |LEFT JOIN (SELECT user_id, event_id, epoch_us(ts) AS us FROM events) e
         |  ON p.user_id = e.user_id
         | AND e.us >= p.p_us - 3600000000 AND e.us < p.p_us
         |GROUP BY p.user_id, p.event_id""".stripMargin,

@@ -218,34 +218,47 @@ object EventsStream {
     * the no-data commit batch, and the sentinel's own (never-closed)
     * session stays in state, which `stop()` discards; it is filtered
     * regardless. */
+  /** Unix-micros instant of 2100-01-01 — the far-future heartbeat
+    * event time (fits a Long even scaled to nanos). */
+  private val heartbeatUs = 4102444800000000L
+
+  /** Drops a one-row far-future heartbeat file into the drain
+    * directory (the punctuation pattern: advance event time past every
+    * real row so watermark-gated emission flushes; a production ingest
+    * gets the same effect from the source's ever-advancing clock).
+    * `eventType` matters when the query filters by type BEFORE its
+    * watermark node — the sentinel must survive into every watermark
+    * input or that side's clock never advances. */
+  private def heartbeatPrepare(spark: SparkSession, rawTs: Long,
+      eventType: String)(streamDir: java.nio.file.Path): Unit = {
+    import spark.implicits._
+    val scratch = java.nio.file.Files.createTempDirectory("graft_heartbeat")
+    try {
+      val out = scratch.resolve("hb").toString
+      Seq((-1L, rawTs, -1L, eventType, 0.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .coalesce(1).write.parquet(out)
+      val listing = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      val part =
+        try listing.filter(p => p.toString.endsWith(".parquet"))
+          .findFirst().get()
+        finally listing.close()
+      java.nio.file.Files.copy(part, streamDir.resolve("heartbeat.parquet"))
+    } finally {
+      val walk = java.nio.file.Files.walk(scratch)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+  }
+
   def sessionWindows(spark: SparkSession, dir: String,
       gap: String = "30 minutes"): DataFrame = {
     val div = tsDivisor(spark, dir)
-    // 2100-01-01 in raw fixture units (fits a Long even at nanos).
-    val heartbeatRaw = 4102444800000000L * div
+    val heartbeatRaw = heartbeatUs * div
     runDrainedOn(spark, dir, "events", eventsSchema, "sesswin",
-      prepare = streamDir => {
-        import spark.implicits._
-        val scratch = java.nio.file.Files.createTempDirectory("graft_heartbeat")
-        try {
-          val out = scratch.resolve("hb").toString
-          Seq((-1L, heartbeatRaw, -1L, "heartbeat", 0.0, "{}"))
-            .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
-            .coalesce(1).write.parquet(out)
-          val listing = java.nio.file.Files.list(java.nio.file.Paths.get(out))
-          val part =
-            try listing.filter(p => p.toString.endsWith(".parquet"))
-              .findFirst().get()
-            finally listing.close()
-          java.nio.file.Files.copy(part, streamDir.resolve("heartbeat.parquet"))
-        } finally {
-          val walk = java.nio.file.Files.walk(scratch)
-          try walk.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.deleteIfExists(p))
-          finally walk.close()
-        }
-      },
-      settle = awaitWatermark(_, heartbeatRaw / div)) { src =>
+      prepare = heartbeatPrepare(spark, heartbeatRaw, "heartbeat"),
+      settle = awaitWatermark(_, heartbeatUs)) { src =>
       // NB: the sentinel must NOT be filtered inside the streaming
       // query — a filter on the grouping key pushes down through the
       // aggregation AND the watermark node into the scan, silently
@@ -383,6 +396,46 @@ object EventsStream {
     pairs
       .groupBy("user_id", "purchase_id")
       .agg(count(lit(1)).as("n_prior_events"))
+  }
+
+  /** LEFT OUTER stream-stream interval join — [[purchaseAttribution]]
+    * including the purchases with NO prior event (n_prior_events = 0),
+    * the rows an inner join silently drops and exactly the ones a
+    * funnel analysis wants. The hard semantic is the null-extended
+    * emission: Structured Streaming can only emit an unmatched left
+    * row once the watermark proves no match can still arrive, so a
+    * drained finite fixture would hold back every tail purchase — the
+    * heartbeat punctuation flushes them. The sentinel is typed
+    * "purchase" so it survives the purchase-side FILTER into that
+    * side's watermark node (a "heartbeat"-typed row would advance only
+    * the event side, and the join evicts on the MINIMUM watermark);
+    * its own unmatched output row (user −1) is dropped post-drain —
+    * post-drain because an in-query filter on user_id would push down
+    * into the scan and delete the heartbeat at the source. */
+  def purchaseAttributionOuter(spark: SparkSession, dir: String): DataFrame = {
+    val div = tsDivisor(spark, dir)
+    val pairs = runDrainedOn(spark, dir, "events", eventsSchema, "join",
+      prepare = heartbeatPrepare(spark, heartbeatUs * div, "purchase"),
+      settle = awaitWatermark(_, heartbeatUs)) { src0 =>
+      def src = src0.withColumn("ts", tsCol(spark, dir))
+      val purchases = src.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
+        .withWatermark("p_ts", "1 day")
+      val ev = src
+        .select(col("user_id").as("e_user_id"), col("event_id"), col("ts").as("e_ts"))
+        .withWatermark("e_ts", "1 day")
+      purchases.join(ev,
+        col("user_id") === col("e_user_id") &&
+          col("e_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("e_ts") < col("p_ts"),
+        "left_outer")
+        .select(col("user_id"), col("purchase_id"), col("event_id"))
+    }
+    pairs
+      .filter(col("user_id") =!= -1L)
+      .groupBy("user_id", "purchase_id")
+      .agg(sum(when(col("event_id").isNotNull, 1L).otherwise(0L))
+        .as("n_prior_events"))
   }
 
   /** Streaming heavy hitters over the documents token stream: terms at

@@ -554,6 +554,22 @@ class OpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("left-outer stream-stream join equals the batch left join, including zero-match purchases") {
+    val got = graft.streaming.EventsStream.purchaseAttributionOuter(spark, sf001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    val inner = graft.streaming.EventsStream.purchaseAttribution(spark, sf001)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(2))).toMap
+    // The outer result is the inner result plus zero rows for every
+    // other purchase.
+    inner.foreach { case (k, v) => assert(got(k) == v, s"matched row $k diverged") }
+    val zeros = got.filter(_._2 == 0L)
+    assert(zeros.nonEmpty, "fixture has no zero-match purchases — vacuous outer join")
+    assert(got.size == inner.size + zeros.size)
+    val purchases = Queries.events(spark, sf001)
+      .filter(col("event_type") === "purchase").count()
+    assert(got.size == purchases, "one output row per purchase, matched or not")
+  }
+
   test("semantic (k-means-blocked) pairs are a subset of exact pairs with recall >= 0.95") {
     // Floor sits just under the pinned operating point (d11 pins:
     // 492/500 = 0.984 at sf0.001) — the standard collapse guard.
