@@ -496,15 +496,14 @@ object Queries {
         .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
-    // A8: ROLLUP subtotal hierarchy — one pass emits the full
-    // (flag, status) lattice prefix: detail rows, per-flag subtotals,
-    // and the grand total (Spark expands grouping sets in a single
-    // aggregation; subtotal slots are NULLs on both engines).
-    "q35_rollup" -> ((s, dir) =>
-      t(s, dir, "lineitem")
-        .rollup(col("l_returnflag"), col("l_linestatus"))
-        .agg(sum(col("l_quantity")).as("sum_qty"),
-          count(lit(1)).as("n_rows"))),
+    // Duplicated-span REMOVAL — the second half of Lee et al. dedup
+    // that d12 only measures: tokens covered by any corpus-duplicated
+    // 3-gram span are deleted and the span-scrubbed corpus emitted,
+    // fully-scrubbed documents kept as empty strings (Dedup scale
+    // notes: hashed df partial-aggs, df≥2 sliver semi-join, ≤n
+    // coverage fan-out, relational token-level reassembly).
+    "d13_dupspan_remove" -> ((s, dir) =>
+      ops.Dedup.dupSpanRemove(docs(s, dir), "doc_id", "text")),
 
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
@@ -763,11 +762,37 @@ object Queries {
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
 
-    "q35_rollup" ->
-      """SELECT l_returnflag, l_linestatus,
-        |  sum(l_quantity) AS sum_qty, count(*) AS n_rows
-        |FROM lineitem
-        |GROUP BY ROLLUP (l_returnflag, l_linestatus)""".stripMargin,
+    // Mirrors the Spark plan stage by stage: positioned 3-gram spans
+    // (whole text for short docs), df over distinct (doc, span), df≥2
+    // spans expand to covered token positions, uncovered tokens rejoin
+    // in order (string_agg skips NULLs; fully-scrubbed docs coalesce
+    // to ''). Grouping by the raw span string where Spark groups by
+    // xxhash64 of it — identical up to 64-bit collisions, the d12
+    // equivalence.
+    "d13_dupspan_remove" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |spans AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN [{'p': i - 1, 's': array_to_string(w[i:i+2], ' '), 'l': 3}
+        |          for i in range(1, len(w) - 1)]
+        |    ELSE [{'p': 0, 's': array_to_string(w, ' '), 'l': len(w)}] END,
+        |    recursive := true)
+        |  FROM w),
+        |dup AS (SELECT s FROM (SELECT DISTINCT doc_id, s FROM spans)
+        |        GROUP BY s HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p + off AS cp FROM (
+        |  SELECT sp.doc_id, sp.p, unnest(range(sp.l)) AS off
+        |  FROM spans sp JOIN dup USING (s))),
+        |toks AS (SELECT doc_id,
+        |  unnest([{'p': i - 1, 'tok': w[i]} for i in range(1, len(w) + 1)],
+        |    recursive := true)
+        |  FROM w)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(count(c.cp) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN c.cp IS NULL THEN t.tok END, ' '
+        |    ORDER BY t.p), '') AS clean_text
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+        |GROUP BY t.doc_id""".stripMargin,
 
     "q28_centroids" ->
       """SELECT label, pos, comp_sum / n AS centroid_comp FROM (
@@ -1363,8 +1388,12 @@ object Queries {
       val e = emb(s, dir)
       val dense = SimilaritySearch.bruteForceTopK(e, e.filter(col("id") === 0), 20)
         .select(col("nbr_id").as("doc_id"), col("rank"))
+      // partitionBy(lit(1)): the frame is bm25TopK's already-limit(20)
+      // output, so the single-partition sort is bounded at k rows; the
+      // constant partition key says so to the planner and silences the
+      // "No Partition Defined" warning.
       val w = org.apache.spark.sql.expressions.Window
-        .orderBy(col("score_fp").desc, col("doc_id").asc)
+        .partitionBy(lit(1)).orderBy(col("score_fp").desc, col("doc_id").asc)
       val sparse = TextAnalysis.bm25TopK(docs(s, dir), bm25Query)
         .select(col("doc_id"), row_number().over(w).as("rank"))
       graft.ops.Retrieval.rrfFuse(Seq(dense, sparse))

@@ -706,4 +706,62 @@ object Dedup {
       .select(col("id").as(idCol), col("n_spans"), col("n_dup"),
         (col("n_dup").cast("double") / col("n_spans")).as("dup_frac"))
   }
+
+  /** Duplicated-span REMOVAL — the second half of Lee et al.
+    * (arXiv:2107.06499) that [[dupSpanStats]] only measures: every
+    * token covered by at least one corpus-duplicated word n-gram span
+    * (span document-frequency ≥ 2, the d12 definition) is deleted and
+    * the survivors are rejoined in order, emitting the span-scrubbed
+    * corpus plus per-document removal counts. Documents shorter than
+    * `n` tokens form a single whole-text span (d12's convention), so
+    * an exact-duplicate short document scrubs to the empty string.
+    * Fully-scrubbed documents stay in the output with
+    * `clean_text = ''` — a removal pass must not silently drop rows.
+    *
+    * Scale shape: span document-frequency is the same 8-byte-hashed,
+    * map-side-combined aggregation as d12, and only the df ≥ 2 sliver
+    * semi-joins back onto the positioned span stream. Coverage then
+    * expands each duplicated span into ≤ n token positions (constant
+    * fan-out) and the final pass is a token-level co-partitioned join
+    * + per-document aggregation — relational end-to-end, so every
+    * stage partial-aggs and nothing touches an interpreted lambda;
+    * the per-document reassembly is sort_array + field-extract +
+    * array_join over one document's own tokens. Worst-case work is
+    * linear in total corpus tokens — the same asymptotics as the
+    * suffix-array pass Lee et al. run single-machine, but expressed
+    * as shuffles a 1000-executor cluster splits evenly. No reference
+    * analog; extends the §2.9 dedup family. */
+  def dupSpanRemove(df: DataFrame, idCol: String, textCol: String,
+                    n: Int = 3): DataFrame = {
+    val w = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      split(col(textCol), " ").as("w"))
+    // Positioned spans: shingle i (0-based) starts at token i; short
+    // documents contribute one whole-text span of their own length.
+    val spans = w
+      .select(col("id"), size(col("w")).as("len"),
+        posexplode(shingles(col("text"), n)))
+      .select(col("id"), col("pos").as("p"),
+        when(col("len") >= n, lit(n)).otherwise(col("len")).as("l"),
+        xxhash64(col("col")).as("g"))
+    val dup = spans.select(col("id"), col("g")).distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= 2)
+      .select("g")
+    val covered = spans.join(dup, Seq("g"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + col("l") - 1)).as("p"))
+      .distinct()
+      .withColumn("cov", lit(1))
+    val toks = w.select(col("id"), posexplode(col("w")))
+      .select(col("id"), col("pos").as("p"), col("col").as("tok"))
+    toks.join(covered, Seq("id", "p"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("cov")).as("n_removed"),
+        array_join(sort_array(collect_list(when(col("cov").isNull,
+          struct(col("p"), col("tok"))))).getField("tok"), " ")
+          .as("clean_text"))
+      .select(col("id").as(idCol), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+  }
 }

@@ -300,7 +300,10 @@ object Sampling {
         round(sqrt(col("n_tokens").cast("double")) * lit(1048576.0))
           .cast("long").as("sq_fp"))
       .collect()
-    require(rows.forall(_.getLong(2) > 0), "stratum with non-positive token count")
+    // isNullAt guard first: Row.getLong on a NULL sum (all-null tokens in a
+    // stratum) would NPE before the require could raise the intended error.
+    require(rows.forall(r => !r.isNullAt(2) && r.getLong(2) > 0),
+      "stratum with null or non-positive token count")
     val z = rows.map(_.getLong(3)).sum
     val total = rows.map(_.getLong(2)).sum
     rows.toSeq.map { r =>

@@ -248,7 +248,18 @@ object TextAnalysis {
     * any summation, so per-document totals are exact BIGINT sums and
     * the only float ops are |bigram vocab| independent rounds.
     *
-    * Scale shape: the model table is distinct-bigram-sized. After the
+    * Scale shape: the bigram-keyed model holds only bigrams with
+    * c ≥ `minCount` — the standard frequency floor, and at web scale
+    * the difference between a broadcastable Zipf head and a table that
+    * OOMs the driver. Floored-out bigrams (0 < c < minCount) score as
+    * unseen-in-context, ln(1/(c(w1,·)+V)) — context totals stay
+    * UN-floored, so kept bigrams' probabilities are unchanged by the
+    * floor choice — via a unigram-vocabulary-sized w1-keyed fallback
+    * table that always broadcasts. The broadcast of the main model is
+    * size-GATED on `broadcastMaxRows`: the floored table is counted
+    * (one cheap job over its localCheckpoint, which also keeps the
+    * corpus to a single model-building scan) and broadcast only when
+    * under the gate. Old scale note, still the over-gate plan: the
     * standard frequency floor a real pipeline applies it broadcasts
     * like t19's vocabulary; un-floored web-scale bigram tables exceed
     * broadcast limits, and then the scoring join keys both sides on
@@ -256,9 +267,15 @@ object TextAnalysis {
     * hint, still one pass over the token stream. The per-document sum
     * partial-aggs map-side (a document's bigrams are co-located); the
     * context totals c(w1,·) are a second aggregation OF THE MODEL
-    * TABLE (bigram-vocabulary-sized), never of the corpus. */
+    * TABLE (bigram-vocabulary-sized), never of the corpus.
+    *
+    * `minCount = 1` (the default, and what the t25 oracle pins) keeps
+    * every corpus bigram: the fallback path is then unreachable and
+    * the output matches the un-floored model bit-for-bit. */
   def bigramLogProb(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text", minCount: Long = 1L,
+      broadcastMaxRows: Long = 10_000_000L): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
     // (w1, w2) encoded as one U+0001-joined key so the model join has
     // a single equi-key; fixture tokens never contain U+0001.
     val sep = "\u0001"
@@ -267,18 +284,38 @@ object TextAnalysis {
     val vocabRow = df.select(explode(tokens(col(textCol))).as("term"))
       .agg(count_distinct(col("term"))).head()
     val vocab = vocabRow.getLong(0)
+    // Materialized once (model-sized): reused by the context totals,
+    // the floored model, and the broadcast-gate count without
+    // re-scanning the corpus.
     val counts = bg.groupBy("bigram").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val ctx = counts
       .groupBy(substring_index(col("bigram"), sep, 1).as("w1"))
       .agg(sum(col("c")).as("cw"))
-    val lp = counts
+    val kept =
+      if (minCount > 1L) counts.filter(col("c") >= minCount) else counts
+    val lp = kept
       .withColumn("w1", substring_index(col("bigram"), sep, 1))
       .join(ctx, Seq("w1"))
       .select(col("bigram"),
         round(log((col("c") + 1).cast("double") /
           (col("cw") + lit(vocab)).cast("double")) * lit(1048576.0))
           .cast("long").as("lp_fp"))
-    bg.join(broadcast(lp), Seq("bigram"))
+    val model = if (kept.count() <= broadcastMaxRows) broadcast(lp) else lp
+    val scored =
+      if (minCount <= 1L) bg.join(model, Seq("bigram"))
+      else {
+        // Unseen-in-context fallback for floored-out bigrams; ctx is
+        // unigram-vocabulary-sized, always broadcastable.
+        val fb = ctx.select(col("w1"),
+          round(log(lit(1.0) / (col("cw") + lit(vocab)).cast("double")) *
+            lit(1048576.0)).cast("long").as("fb_fp"))
+        bg.withColumn("w1", substring_index(col("bigram"), sep, 1))
+          .join(model, Seq("bigram"), "left_outer")
+          .join(broadcast(fb), Seq("w1"))
+          .withColumn("lp_fp", coalesce(col("lp_fp"), col("fb_fp")))
+      }
+    scored
       .groupBy("id")
       .agg(count(lit(1)).as("n_bigrams"), sum(col("lp_fp")).as("logprob_fp"))
       .select(col("id").as(idCol), col("n_bigrams"), col("logprob_fp"),

@@ -74,6 +74,10 @@ object EventsStream {
     * the raw int64 already IS microseconds. Mirrors the defensive
     * normalization in [[graft.Queries.events]] so the streaming and
     * batch paths agree whichever encoding the generator used. */
+  // Memoized per directory for the session's lifetime: the fixture under a
+  // path is immutable in this harness. If a path's file could be REWRITTEN
+  // with the other timestamp encoding mid-session, key this cache on the
+  // file's modification time (or re-probe per invocation — one footer read).
   private val tsDivisorCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def tsDivisor(spark: SparkSession, dir: String): Long =
     tsDivisorCache.computeIfAbsent(dir, d => {
@@ -111,12 +115,16 @@ object EventsStream {
     val fmt = new java.text.SimpleDateFormat("yyyy-MM-dd'T'HH:mm:ss.SSS'Z'")
     fmt.setTimeZone(java.util.TimeZone.getTimeZone("UTC"))
     val deadline = System.nanoTime() + timeoutMs * 1000000L
-    while (System.nanoTime() < deadline && {
-      val wm = Option(q.lastProgress)
-        .flatMap(p => Option(p.eventTime.get("watermark")))
-        .map(s => fmt.parse(s).getTime * 1000L)
-      !wm.exists(_ >= untilWatermarkUs)
-    }) Thread.sleep(25)
+    def reached: Boolean = Option(q.lastProgress)
+      .flatMap(p => Option(p.eventTime.get("watermark")))
+      .map(s => fmt.parse(s).getTime * 1000L)
+      .exists(_ >= untilWatermarkUs)
+    while (System.nanoTime() < deadline && !reached) Thread.sleep(25)
+    if (!reached)
+      System.err.println(
+        s"[graft] awaitWatermark: timed out after ${timeoutMs}ms waiting for " +
+          s"watermark >= ${untilWatermarkUs}us — draining anyway (check the " +
+          "target accounts for the declared watermark delays)")
     q.processAllAvailable()
   }
 
@@ -279,20 +287,24 @@ object EventsStream {
     * corpus (even ids) by exact text match — the stateless
     * stream-static join every ingest pipeline puts in front of
     * near-dup machinery (d07 is the batch near-dup twin; this is the
-    * cheap exact gate before it). The static side is a distinct text
-    * set (at scale: its xxhash64 keys, broadcast or bucket-joined);
-    * the stream side carries NO state — the join re-evaluates per
-    * micro-batch against the resident artifact, so a forever-running
-    * ingest holds only the static index. Drained flags must equal the
-    * batch IN-subquery bit-for-bit. */
+    * cheap exact gate before it). The static side is a distinct set of
+    * xxhash64(text) keys — the resident index holds 8 bytes per
+    * existing document instead of the body, so at corpus scale it
+    * broadcasts (or bucket-joins) where a text-keyed index could not;
+    * same result up to 64-bit collisions (P ≈ n²/2⁶⁵, the
+    * [[graft.ops.Dedup.exactByHash]] trade). The stream side carries
+    * NO state — the join re-evaluates per micro-batch against the
+    * resident artifact, so a forever-running ingest holds only the
+    * static index. Drained flags must equal the batch IN-subquery
+    * bit-for-bit. */
   def ingestDedupFlags(spark: SparkSession, dir: String): DataFrame =
     runDrainedOn(spark, dir, "documents", documentsSchema, "ingestdedup") { src =>
       val existing = spark.read.parquet(s"$dir/documents.parquet")
         .filter(col("doc_id") % 2 === 0)
-        .select(col("text").as("e_text")).distinct()
+        .select(xxhash64(col("text")).as("e_hash")).distinct()
       src.filter(col("doc_id") % 2 =!= 0)
-        .join(existing, col("text") === col("e_text"), "left_outer")
-        .select(col("doc_id"), col("e_text").isNotNull.cast("long").as("is_dup"))
+        .join(existing, xxhash64(col("text")) === col("e_hash"), "left_outer")
+        .select(col("doc_id"), col("e_hash").isNotNull.cast("long").as("is_dup"))
     }
 
   /** Streaming corpus-drift monitor: the odd-id document stream's term
@@ -416,7 +428,11 @@ object EventsStream {
     val div = tsDivisor(spark, dir)
     val pairs = runDrainedOn(spark, dir, "events", eventsSchema, "join",
       prepare = heartbeatPrepare(spark, heartbeatUs * div, "purchase"),
-      settle = awaitWatermark(_, heartbeatUs)) { src0 =>
+      // Both join sides declare a 1-day watermark delay, so the engine
+      // watermark can reach at most heartbeatUs − 1 day — awaiting the
+      // raw heartbeatUs would be unsatisfiable and every run would burn
+      // the full settle timeout before the rescue drain.
+      settle = awaitWatermark(_, heartbeatUs - 86_400_000_000L)) { src0 =>
       def src = src0.withColumn("ts", tsCol(spark, dir))
       val purchases = src.filter(col("event_type") === "purchase")
         .select(col("user_id"), col("event_id").as("purchase_id"), col("ts").as("p_ts"))
