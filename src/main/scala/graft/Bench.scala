@@ -134,6 +134,13 @@ object Bench {
         val med =
           if (ts.size % 2 == 1) ts(ts.size / 2)
           else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
+        // Per-sample telemetry (stderr, not the JSON line): the build
+        // phases have swung 2-5x across rounds with the code untouched;
+        // the individual samples make that variance diagnosable from
+        // the round artifact instead of shrugged at.
+        System.err.println(s"[bench] $name samples=" +
+          ts.map(t => math.round(t * 100) / 100.0).mkString("[", ",", "]") +
+          s" median=${math.round(med * 100) / 100.0}")
         (name, med, sh, mx)
       }
     }

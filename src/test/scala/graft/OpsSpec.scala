@@ -1488,6 +1488,48 @@ class OpsSpec extends SparkSpec {
     assert(out(3L) == ((4L, 1L)))
   }
 
+  test("dupSpanRemove: covered tokens deleted, survivors rejoin in order") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d e f"), // exact copy of doc 1: fully scrubbed
+      (1L, "a b c d e f"),
+      (2L, "x y z w q v"), // fully unique: untouched
+      (3L, "a b c q q q q") // only the "a b c" span is corpus-duplicated;
+                            // the in-doc "q q q" repeat has df=1
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupSpanRemove(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((6L, 6L, "")) && out(1L) == ((6L, 6L, "")),
+      "exact copies scrub to empty but STAY in the output")
+    assert(out(2L) == ((6L, 0L, "x y z w q v")), "unique doc untouched")
+    assert(out(3L) == ((7L, 3L, "q q q q")),
+      "only the duplicated span's 3 tokens go; in-doc repeats stay")
+  }
+
+  test("dupSpanRemove: partial overlap removes each doc's own covered range") {
+    import spark.implicits._
+    // Shared span "q r s" sits at different offsets; each doc loses its
+    // own covered positions, keeping its private prefix/suffix.
+    val d = Seq((0L, "p q r s"), (1L, "q r s t")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupSpanRemove(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((4L, 3L, "p")))
+    assert(out(1L) == ((4L, 3L, "t")))
+  }
+
+  test("dupSpanRemove: short docs are whole-text spans (d12 convention)") {
+    import spark.implicits._
+    val d = Seq((0L, "hi yo"), (1L, "hi yo"), (2L, "bye")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupSpanRemove(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((2L, 2L, "")) && out(1L) == ((2L, 2L, "")),
+      "duplicated sub-n doc scrubs entirely")
+    assert(out(2L) == ((1L, 0L, "bye")), "unique short doc untouched")
+  }
+
   test("chunkWindows: stride arithmetic, tail window, short-doc case") {
     import spark.implicits._
     val d = Seq(
@@ -1551,6 +1593,27 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     assert(out(0L) == ((3L, 3 * lp)))
     assert(out(1L) == ((1L, lp)))
+  }
+
+  test("bigramLogProb: minCount floor scores floored bigrams as unseen-in-context") {
+    import spark.implicits._
+    // bigrams: (a,b) c=2 (kept at minCount=2), (a,c) c=1 (floored);
+    // V = |{a,b,c}| = 3, un-floored context c(a,.) = 3.
+    val d = Seq((0L, "a b"), (1L, "a b"), (2L, "a c")).toDF("doc_id", "text")
+    val kept = math.round(math.log(3.0 / 6) * 1048576)    // (2+1)/(3+3)
+    val floored = math.round(math.log(1.0 / 6) * 1048576) // 1/(3+3)
+    val out = graft.ops.TextAnalysis.bigramLogProb(d, minCount = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((1L, kept)) && out(1L) == ((1L, kept)))
+    assert(out(2L) == ((1L, floored)),
+      "floored-out bigram must take the unseen-in-context fallback")
+    // minCount=1 keeps every corpus bigram: identical to the un-floored
+    // default bit-for-bit (the t25 oracle contract).
+    val base = graft.ops.TextAnalysis.bigramLogProb(d).collect().toSeq
+      .map(_.toSeq).sortBy(_.toString)
+    val mc1 = graft.ops.TextAnalysis.bigramLogProb(d, minCount = 1).collect()
+      .toSeq.map(_.toSeq).sortBy(_.toString)
+    assert(base == mc1)
   }
 
   test("bigramLogProb: scrambled word order scores below the original that unigram cannot tell apart") {
