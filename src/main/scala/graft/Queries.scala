@@ -496,6 +496,27 @@ object Queries {
         .groupBy(col("event_type"), floor(col("value") / 50).cast("long").as("bucket"))
         .agg(count(lit(1)).as("n"))),
 
+    // W2: RANGE-frame trailing window — per event, that user's activity
+    // in the PRECEDING HOUR by event time (count + an integer-exact
+    // value sum), the classic feature-engineering shape. RANGE (not
+    // ROWS): frame membership is by ORDER-BY VALUE distance, so
+    // same-timestamp peers are all in-frame on both engines — the one
+    // frame type no other declared query exercises. Scale: one shuffle
+    // by user, per-user sort, then a single sliding pass per partition
+    // (WindowExec keeps only the frame buffer resident); a pathological
+    // single user is the skew bound — the mitigation is pre-bucketing
+    // time into coarse windows (q12's shape), not salting, since a
+    // RANGE frame cannot split mid-user.
+    "q36_trailing_window" -> ((s, dir) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600000000L, 0L)
+      events(s, dir).select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_1h"),
+        sum(floor(col("value")).cast("long")).over(w).as("sum_floor_1h"))
+    }),
+
     // Duplicated-span REMOVAL — the second half of Lee et al. dedup
     // that d12 only measures: tokens covered by any corpus-duplicated
     // 3-gram span are deleted and the span-scrubbed corpus emitted,
@@ -762,6 +783,15 @@ object Queries {
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
 
+    "q36_trailing_window" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS n_1h,
+        |  CAST(sum(CAST(floor(value) AS BIGINT)) OVER w AS BIGINT)
+        |    AS sum_floor_1h
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
     // Mirrors the Spark plan stage by stage: positioned 3-gram spans
     // (whole text for short docs), df over distinct (doc, span), df≥2
     // spans expand to covered token positions, uncovered tokens rejoin
@@ -921,6 +951,48 @@ object Queries {
     * measures a real build (same contract as [[evictPrebuilt]]). */
   def evictIvfIndex(s: SparkSession, dir: String): Unit =
     artifactPaths.remove(s"${s.sparkContext.applicationId}|$dir|ivf_index")
+
+  /** Bucketed twins of lineitem/orders (8 buckets on the order key,
+    * pruned to the exhibit's columns), written once per session via
+    * `bucketBy + saveAsTable` to an external temp location — the §4
+    * co-located-join story: when BOTH sides of an equi-join are
+    * pre-bucketed on the join key with the same bucket count, the join
+    * reads bucket-aligned and needs NO shuffle exchange on either side
+    * — at 100 TB the difference between re-shuffling the fact table on
+    * every join and shuffling it once at ingest. The `repartition(8,
+    * key)` before each write uses the same murmur3-pmod placement as
+    * the bucket spec, so every task owns exactly one bucket and each
+    * bucket is a single sorted file. Returns (lineitem, orders) table
+    * names; j01_bucketed_join/j01_shuffled_join in [[benchOnly]] are
+    * the measured pair and PlanSpec pins the exchange shapes. */
+  def bucketedTableNames(s: SparkSession, dir: String): (String, String) = {
+    val h = java.lang.Long.toHexString(dir.hashCode & 0xffffffffL)
+    val (li, ord) = (s"graft_li_b$h", s"graft_ord_b$h")
+    memoPath(s, dir, "bucketed") { p =>
+      s.sql(s"DROP TABLE IF EXISTS $li")
+      s.sql(s"DROP TABLE IF EXISTS $ord")
+      t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity"))
+        .repartition(8, col("l_orderkey"))
+        .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .option("path", s"$p/lineitem").saveAsTable(li)
+      t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus"))
+        .repartition(8, col("o_orderkey"))
+        .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .option("path", s"$p/orders").saveAsTable(ord)
+    }
+    (li, ord)
+  }
+
+  /** The j01 exhibit aggregation over pre-joined order lines: per
+    * order status, line count and total quantity. `merge` hints on
+    * both sides force sort-merge on BOTH variants so the measured
+    * difference is exactly the exchange elimination, not a
+    * broadcast-vs-shuffle strategy flip at small scale. */
+  private def j01Agg(li: DataFrame, ord: DataFrame): DataFrame =
+    li.hint("merge")
+      .join(ord.hint("merge"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_lines"), sum(col("l_quantity")).as("sum_qty"))
 
   /** The persisted IVF index artifact (s14): written ONCE per session
     * to a temp directory and served many times — the on-disk
@@ -1637,6 +1709,15 @@ object Queries {
     "st17_stream_drift" -> ((s, dir) =>
       graft.streaming.EventsStream.corpusDriftStreaming(s, dir)),
 
+    // Streaming ingest-time NEAR-dup gate: each micro-batch runs the
+    // full MinHash-LSH candidate + exact-verify pipeline of batch d07
+    // against the static corpus through foreachBatch (the batch engine
+    // plans every micro-batch; the stream holds no state). Per-batch
+    // stream-vs-static results union independently, so the drain
+    // equals d07 bit-for-bit and shares its oracle.
+    "st19_neardup_gate" -> ((s, dir) =>
+      graft.streaming.EventsStream.ingestNearDupPairs(s, dir)),
+
     // Streaming quality-score histogram (live ingest-quality monitor):
     // stateless t02 scoring projection + complete-mode bucket counts —
     // state one count per occupied bucket forever; drained histogram
@@ -1896,7 +1977,24 @@ object Queries {
       // exists for the hot span to blow up (contrast the naive
       // pairs-by-shared-span join, quadratic here).
       "d12_skewed_dupspan" -> ((s, dir) =>
-        ops.Dedup.dupSpanStats(skewedDocs(s, dir), "doc_id", "text")))
+        ops.Dedup.dupSpanStats(skewedDocs(s, dir), "doc_id", "text")),
+      // Bucketing exhibit (alphabetical order runs the build first):
+      // identical sort-merge aggregation over (lineitem x orders), once
+      // from the pre-bucketed tables (join shuffles NEITHER side — the
+      // shuffle-once-at-ingest contract a 100 TB fact table needs) and
+      // once from raw parquet (both sides exchange). Shuffle-bytes
+      // telemetry is the metric; PlanSpec pins the exchange shapes.
+      "j01_bucket_build" -> ((s, dir) => {
+        val (li, _) = bucketedTableNames(s, dir)
+        s.table(li).limit(1)
+      }),
+      "j01_bucketed_join" -> ((s, dir) => {
+        val (li, ord) = bucketedTableNames(s, dir)
+        j01Agg(s.table(li), s.table(ord))
+      }),
+      "j01_shuffled_join" -> ((s, dir) =>
+        j01Agg(t(s, dir, "lineitem").select(col("l_orderkey"), col("l_quantity")),
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_orderstatus")))))
   }
 
   /** Pinned-literal oracle builder: one row of BIGINT columns whose
@@ -2092,6 +2190,26 @@ object Queries {
 
   /** Shared by t30 (batch) and st17 (streaming twin over the same
     * drained counts — bit-identical by construction). */
+  /** Cross-corpus (even-id static vs odd-id incoming) exact-Jaccard
+    * near-dup pairs at 0.7 — the oracle of batch d07 AND its streaming
+    * foreachBatch twin st19, which drains to the identical result. */
+  private val incrementalDedupSql: String =
+    """WITH sh AS (
+      |  SELECT DISTINCT doc_id AS id, s FROM (
+      |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+      |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+      |      ELSE [text] END) AS s
+      |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+      |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+      |inter AS (
+      |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+      |  FROM sh a JOIN sh b ON a.s = b.s AND a.id % 2 = 0 AND b.id % 2 = 1
+      |  GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, inter, x.n + y.n - inter AS union_sz,
+      |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+      |FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+      |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7""".stripMargin
+
   private val corpusDriftSql: String =
     """WITH ca AS (
       |  SELECT term, count(*) AS c FROM (
@@ -2416,22 +2534,10 @@ object Queries {
         |    - start_off // 256 + 1 AS n_chunks
         |FROM placed""".stripMargin,
 
-    "d07_dedup_incremental" ->
-      """WITH sh AS (
-        |  SELECT DISTINCT doc_id AS id, s FROM (
-        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
-        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
-        |      ELSE [text] END) AS s
-        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
-        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
-        |inter AS (
-        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
-        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id % 2 = 0 AND b.id % 2 = 1
-        |  GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, inter, x.n + y.n - inter AS union_sz,
-        |  CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
-        |FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
-        |WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7""".stripMargin,
+    "d07_dedup_incremental" -> incrementalDedupSql,
+    // st19 drains to the batch d07 result bit-for-bit (per-batch
+    // stream-vs-static results union independently), sharing its oracle.
+    "st19_neardup_gate" -> incrementalDedupSql,
 
     "t08_repetition" ->
       """SELECT doc_id,

@@ -174,6 +174,49 @@ object EventsStream {
       build: DataFrame => DataFrame): DataFrame =
     runDrainedOn(spark, dir, "events", eventsSchema, tag)(build)
 
+  /** [[runDrainedOn]]'s `foreachBatch` sibling: each micro-batch is
+    * handed to `transform` as a plain BATCH DataFrame — the production
+    * pattern for per-batch logic the incremental planner cannot run
+    * (multi-join pipelines, localCheckpoint, arbitrary actions). The
+    * per-batch results are unioned into the returned frame. In this
+    * drained-fixture harness the union is a driver buffer; a production
+    * deployment writes each batch's result to an append sink (parquet/
+    * table) inside the same callback — exactly-once via the batchId —
+    * and nothing else changes. */
+  private[streaming] def runDrainedForeachBatch(
+      spark: SparkSession, dir: String, table: String, schema: StructType,
+      tag: String)(transform: DataFrame => DataFrame): DataFrame = {
+    val name = s"${table}_stream_${tag}_${runId.incrementAndGet()}"
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    val link = streamDir.resolve(s"$table.parquet")
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      @volatile var outSchema: Option[StructType] = None
+      val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+      val fn: (DataFrame, Long) => Unit = (batch, _) => {
+        val out = transform(batch)
+        outSchema = Some(out.schema)
+        buf.addAll(java.util.Arrays.asList(out.collect(): _*))
+      }
+      val q = src.writeStream.foreachBatch(fn).start()
+      try q.processAllAvailable() finally q.stop()
+      // A zero-batch drain (empty fixture) still needs the result
+      // schema: derive it from the transform of an empty batch.
+      val sch = outSchema.getOrElse(transform(
+        spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
+          schema)).schema)
+      spark.createDataFrame(buf, sch)
+    } finally {
+      val children = java.nio.file.Files.list(streamDir)
+      try children.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally children.close()
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+  }
+
   /** Sink output mode per surface: joins and arbitrary-state emit
     * incrementally (append/update); windowed and global aggregations
     * re-emit the full result (complete). */
@@ -305,6 +348,31 @@ object EventsStream {
       src.filter(col("doc_id") % 2 =!= 0)
         .join(existing, xxhash64(col("text")) === col("e_hash"), "left_outer")
         .select(col("doc_id"), col("e_hash").isNotNull.cast("long").as("is_dup"))
+    }
+
+  /** Streaming ingest-time NEAR-dup gate — the MinHash-LSH companion
+    * to [[ingestDedupFlags]]'s exact gate, and the streaming twin of
+    * batch d07: each micro-batch of incoming documents (odd ids) runs
+    * the full candidate-generation + exact-Jaccard-verify pipeline of
+    * [[graft.ops.Dedup.minhashLshPairsAcross]] against the STATIC
+    * existing corpus (even ids). That pipeline is multi-join,
+    * aggregation-heavy, and localCheckpoints — shapes the incremental
+    * streaming planner cannot execute — so it runs through
+    * `foreachBatch`, the production idiom for exactly this: the batch
+    * engine plans each micro-batch, the stream carries no state, and a
+    * forever-running ingest holds only the static corpus artifacts.
+    * Because each incoming document is compared only against the
+    * static side (never intra-stream), the per-batch results union to
+    * the batch answer REGARDLESS of how the source splits micro-batches
+    * — drained output equals d07 bit-for-bit and shares its oracle. */
+  def ingestNearDupPairs(spark: SparkSession, dir: String): DataFrame =
+    runDrainedForeachBatch(
+      spark, dir, "documents", documentsSchema, "neardup") { batch =>
+      val existing = spark.read.parquet(s"$dir/documents.parquet")
+        .filter(col("doc_id") % 2 === 0)
+      graft.ops.Dedup.minhashLshPairsAcross(
+        existing, batch.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", 0.7)
     }
 
   /** Streaming corpus-drift monitor: the odd-id document stream's term

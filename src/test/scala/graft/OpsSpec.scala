@@ -1101,6 +1101,17 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("streaming near-dup gate (foreachBatch) equals batch d07 bit-for-bit") {
+    val got = graft.streaming.EventsStream.ingestNearDupPairs(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val want = Queries.all("d07_dedup_incremental")(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+
   test("m06 phash clusters are the transitive closure of the m05 pairs") {
     val pairs = Queries.all("m05_phash_pairs")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))

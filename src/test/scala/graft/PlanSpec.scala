@@ -260,6 +260,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), s"fusion sum lost map-side combine:\n$p")
   }
 
+  test("j01: pre-bucketed join runs with no join-side exchange; raw twin shuffles both") {
+    val bucketed = Queries.benchOnly("j01_bucketed_join")(spark, sf0001)
+    bucketed.collect()
+    val p = bucketed.queryExecution.executedPlan.toString
+    assert(p.contains("SortMergeJoin"), s"merge hint ignored:\n$p")
+    assert(!p.contains("Exchange hashpartitioning(l_orderkey")
+      && !p.contains("Exchange hashpartitioning(o_orderkey"),
+      s"bucketed join still exchanges a join side:\n$p")
+    val shuffled = Queries.benchOnly("j01_shuffled_join")(spark, sf0001)
+    shuffled.collect()
+    val p2 = shuffled.queryExecution.executedPlan.toString
+    assert(p2.contains("Exchange hashpartitioning(l_orderkey")
+      && p2.contains("Exchange hashpartitioning(o_orderkey"),
+      s"raw twin did not shuffle both sides (exhibit vacuous):\n$p2")
+  }
+
   test("t24: DSIR log-ratio table broadcasts; top-n is TakeOrdered") {
     val p = plan("t24_dsir_select")
     assert(p.contains("BroadcastHashJoin"),
