@@ -285,6 +285,20 @@ class EdgeCasesSpec extends SparkSpec {
       Seq("doc_id", "n_bigrams", "logprob_fp", "mean_lp_fp"))
   }
 
+  test("dupSpanRemove: empty corpus yields empty frame; untouched docs round-trip verbatim") {
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    val out0 = graft.ops.Dedup.dupSpanRemove(empty, "doc_id", "text")
+    assert(out0.count() == 0)
+    assert(out0.columns.toSeq ==
+      Seq("doc_id", "n_tokens", "n_removed", "clean_text"))
+    // Consecutive spaces make empty tokens; with nothing removed the
+    // split-then-rejoin reassembly must be the identity, empties and all.
+    val d = Seq((1L, "a  b c"), (2L, "x y z")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.dupSpanRemove(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(out(1L) == "a  b c" && out(2L) == "x y z")
+  }
+
   test("dupSpanStats: sub-trigram docs fall back to whole-text spans") {
     val d = Seq((1L, "a b"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
     val out = graft.ops.Dedup.dupSpanStats(d, "doc_id", "text").collect()
