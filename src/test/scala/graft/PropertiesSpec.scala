@@ -70,4 +70,38 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("dupSpanRemove equals a naive in-memory span-scrub on random corpora") {
+    // Tiny alphabet so cross-document span collisions are common; the
+    // whole corpus is one randomized fixture, evaluated once.
+    val texts = sample(textGen, 120)
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val n = 3
+    // Independent reference: spans with positions (whole text when
+    // short), df over distinct (doc, span), covered = union of df>=2
+    // span ranges, clean = uncovered tokens rejoined.
+    val spansOf: ((Long, String)) => Seq[(Int, Int, String)] = { case (_, t) =>
+      val w = t.split(" ", -1)
+      if (w.length >= n) (0 to w.length - n).map(i => (i, n, w.slice(i, i + n).mkString(" ")))
+      else Seq((0, w.length, t))
+    }
+    val df2 = corpus.flatMap { d => spansOf(d).map(_._3).distinct.map(_ -> d._1) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).distinct.size).toMap
+    val expected = corpus.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val covered = spansOf((id, t)).filter(s => df2(s._3) >= 2)
+        .flatMap(s => s._1 until (s._1 + s._2)).toSet
+      val kept = w.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> ((w.length.toLong, covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = graft.ops.Dedup
+      .dupSpanRemove(corpus.toDF("doc_id", "text"), "doc_id", "text")
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id '${texts(id.toInt)}': ${got(id)} != $e")
+    }
+  }
 }
