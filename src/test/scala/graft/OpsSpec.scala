@@ -1112,6 +1112,64 @@ class OpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("near-dup gate unions correctly across MULTIPLE micro-batches") {
+    // The fixture file normally drains in one batch, so the per-batch
+    // union-independence claim (each incoming doc compares only against
+    // the STATIC side, never intra-stream) needs a forced split: two
+    // parquet files + maxFilesPerTrigger=1 -> two micro-batches.
+    val d = spark.read.parquet(s"$sf001/documents.parquet")
+    val streamDir = java.nio.file.Files.createTempDirectory("graft_mb_neardup")
+    try {
+      val odd = d.filter(col("doc_id") % 2 === 1)
+      odd.filter(col("doc_id") % 4 === 1).coalesce(1)
+        .write.parquet(s"$streamDir/part1")
+      odd.filter(col("doc_id") % 4 === 3).coalesce(1)
+        .write.parquet(s"$streamDir/part2")
+      val flat = java.nio.file.Files.createTempDirectory("graft_mb_flat")
+      try {
+        var i = 0
+        for (sub <- Seq("part1", "part2")) {
+          val files = java.nio.file.Files.list(
+            java.nio.file.Paths.get(s"$streamDir/$sub"))
+          try files.forEach { p =>
+            if (p.toString.endsWith(".parquet")) {
+              java.nio.file.Files.copy(p, flat.resolve(s"b$i.parquet")); i += 1
+            }
+          } finally files.close()
+        }
+        val existing = d.filter(col("doc_id") % 2 === 0)
+        val buf = new scala.collection.mutable.ArrayBuffer[(Long, Long)]()
+        var nBatches = 0
+        val src = spark.readStream
+          .schema(d.schema)
+          .option("maxFilesPerTrigger", 1)
+          .parquet(flat.toString)
+        val fn: (org.apache.spark.sql.DataFrame, Long) => Unit = (b, _) => {
+          nBatches += 1
+          buf ++= graft.ops.Dedup
+            .minhashLshPairsAcross(existing, b, "doc_id", "text", 0.7)
+            .collect().map(r => (r.getLong(0), r.getLong(1)))
+        }
+        val q = src.writeStream.foreachBatch(fn).start()
+        try q.processAllAvailable() finally q.stop()
+        assert(nBatches >= 2, s"stream did not split: $nBatches batch(es)")
+        val want = Queries.all("d07_dedup_incremental")(spark, sf001)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        assert(buf.toSet == want)
+      } finally {
+        def rm(f: java.io.File): Unit = {
+          Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+        }
+        rm(flat.toFile)
+      }
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(streamDir.toFile)
+    }
+  }
+
   test("m06 phash clusters are the transitive closure of the m05 pairs") {
     val pairs = Queries.all("m05_phash_pairs")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
