@@ -122,7 +122,8 @@ object Bench {
     val rerunPrep: Map[String, () => Unit] = Map(
       "n01_graph_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n01_graph")),
       "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")),
-      "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)))
+      "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)),
+      "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)))
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
       if (!heavy(name) && !rerunPrep.contains(name)) r
       else {

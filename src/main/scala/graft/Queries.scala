@@ -952,6 +952,16 @@ object Queries {
   def evictIvfIndex(s: SparkSession, dir: String): Unit =
     artifactPaths.remove(s"${s.sparkContext.applicationId}|$dir|ivf_index")
 
+  /** Evicts the j01 bucketed-table artifact (and drops the catalog
+    * entries) so a Bench rerun measures a real rebuild, not a memo
+    * hit. */
+  def evictBucketed(s: SparkSession, dir: String): Unit = {
+    val h = java.lang.Long.toHexString(dir.hashCode & 0xffffffffL)
+    s.sql(s"DROP TABLE IF EXISTS graft_li_b$h")
+    s.sql(s"DROP TABLE IF EXISTS graft_ord_b$h")
+    artifactPaths.remove(s"${s.sparkContext.applicationId}|$dir|bucketed")
+  }
+
   /** Bucketed twins of lineitem/orders (8 buckets on the order key,
     * pruned to the exhibit's columns), written once per session via
     * `bucketBy + saveAsTable` to an external temp location — the §4
