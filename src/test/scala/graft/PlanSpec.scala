@@ -276,6 +276,37 @@ class PlanSpec extends SparkSpec {
       s"raw twin did not shuffle both sides (exhibit vacuous):\n$p2")
   }
 
+  test("partitionBy-written dataset prunes partitions at the scan") {
+    // The other classic scan lever next to j01's bucketing: a dataset
+    // written partitionBy(event_type) must answer a type-filtered query
+    // by LISTING only the matching directory — PartitionFilters in the
+    // scan, non-matching partitions never opened.
+    val dir = java.nio.file.Files.createTempDirectory("graft_partby")
+    try {
+      spark.read.parquet(s"$sf0001/events.parquet")
+        .write.mode("overwrite").partitionBy("event_type")
+        .parquet(dir.toString)
+      val q = spark.read.parquet(dir.toString)
+        .filter(org.apache.spark.sql.functions.col("event_type") === "purchase")
+        .groupBy(org.apache.spark.sql.functions.col("user_id")).count()
+      q.collect()
+      val p = q.queryExecution.executedPlan.toString
+      assert(p.contains("PartitionFilters: [isnotnull(event_type")
+        || p.contains("PartitionFilters: [(event_type"),
+        s"no partition filter at the scan:\n$p")
+      // The pruned scan must touch only the one matching directory.
+      val scanned = q.queryExecution.executedPlan.collectLeaves().map(_.toString)
+        .mkString
+      assert(!scanned.contains("event_type=click"),
+        s"non-matching partition listed in the scan:\n$scanned")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("t24: DSIR log-ratio table broadcasts; top-n is TakeOrdered") {
     val p = plan("t24_dsir_select")
     assert(p.contains("BroadcastHashJoin"),
