@@ -722,15 +722,18 @@ object Dedup {
     * map-side-combined aggregation as d12, and only the df ≥ 2 sliver
     * semi-joins back onto the positioned span stream. Coverage then
     * expands each duplicated span into ≤ n token positions (constant
-    * fan-out) and the final pass is a token-level co-partitioned join
-    * + per-document aggregation — relational end-to-end, so every
-    * stage partial-aggs and nothing touches an interpreted lambda;
-    * the per-document reassembly is sort_array + field-extract +
-    * array_join over one document's own tokens. Worst-case work is
-    * linear in total corpus tokens — the same asymptotics as the
-    * suffix-array pass Lee et al. run single-machine, but expressed
-    * as shuffles a 1000-executor cluster splits evenly. No reference
-    * analog; extends the §2.9 dedup family. */
+    * fan-out, materialized once — it is sliver-sized) and ONLY the
+    * documents it touches enter the token-level rebuild (co-partitioned
+    * join + per-document aggregation); every untouched document passes
+    * through verbatim with no explode and its text column unread by
+    * the rebuild. Relational end-to-end, so every stage partial-aggs
+    * and nothing touches an interpreted lambda; the per-document
+    * reassembly is sort_array + field-extract + array_join over one
+    * document's own tokens. Worst-case work is linear in total corpus
+    * tokens, but the expected cost is linear in the TOUCHED corpus —
+    * duplication is sparse in a healthy corpus, the same sliver
+    * argument as [[dupSpanStats]]. No reference analog; extends the
+    * §2.9 dedup family. */
   def dupSpanRemove(df: DataFrame, idCol: String, textCol: String,
                     n: Int = 3): DataFrame = {
     val w = df.select(col(idCol).as("id"), col(textCol).as("text"),
@@ -747,20 +750,35 @@ object Dedup {
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= 2)
       .select("g")
+    // Materialized once (sliver-sized): consumed by the touched-doc
+    // routing, the verbatim anti-join, and the rebuild join — without
+    // this the whole span-df pipeline would re-execute per consumer.
     val covered = spans.join(dup, Seq("g"), "left_semi")
       .select(col("id"),
         explode(sequence(col("p"), col("p") + col("l") - 1)).as("p"))
       .distinct()
       .withColumn("cov", lit(1))
-    val toks = w.select(col("id"), posexplode(col("w")))
+      .localCheckpoint()
+    // Only documents with >= 1 covered token need the token-level
+    // rebuild; in a healthy corpus duplication is sparse, so the
+    // explode/rejoin path runs over a SLIVER and every untouched
+    // document passes through verbatim — no explode, no aggregation,
+    // its text column untouched.
+    val touched = covered.select("id").distinct()
+    val untouched = w.join(touched, Seq("id"), "left_anti")
+      .select(col("id"), size(col("w")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"), col("text").as("clean_text"))
+    val toks = w.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(col("w")))
       .select(col("id"), col("pos").as("p"), col("col").as("tok"))
-    toks.join(covered, Seq("id", "p"), "left_outer")
+    val rebuilt = toks.join(covered, Seq("id", "p"), "left_outer")
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"),
         count(col("cov")).as("n_removed"),
         array_join(sort_array(collect_list(when(col("cov").isNull,
           struct(col("p"), col("tok"))))).getField("tok"), " ")
           .as("clean_text"))
+    rebuilt.unionByName(untouched)
       .select(col("id").as(idCol), col("n_tokens"), col("n_removed"),
         col("clean_text"))
   }
