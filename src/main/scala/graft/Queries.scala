@@ -517,6 +517,20 @@ object Queries {
         sum(floor(col("value")).cast("long")).over(w).as("sum_floor_1h"))
     }),
 
+    // A8b: grouping-METADATA surfacing — a 3-level rollup whose
+    // grouping_id distinguishes detail/subtotal/grand-total slots, then
+    // a filter ON the metadata keeps only the aggregated levels (the
+    // "subtotals report"). Distinct from q09/q22: no other query emits
+    // or filters on grouping_id, and NULL-valued group keys are
+    // disambiguated from genuine NULL data by the id bits.
+    "q37_grouping_id" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"),
+          year(col("l_shipdate")).cast("long").as("ship_year"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("gid") > 0)),
+
     // Duplicated-span REMOVAL — the second half of Lee et al. dedup
     // that d12 only measures: tokens covered by any corpus-duplicated
     // 3-gram span are deleted and the span-scrubbed corpus emitted,
@@ -782,6 +796,18 @@ object Queries {
       """SELECT event_type, CAST(floor(value / 50) AS BIGINT) AS bucket,
         |  count(*) AS n
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q37_grouping_id" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS BIGINT) AS ship_year,
+        |  CAST(GROUPING(l_returnflag, l_linestatus,
+        |    CAST(year(l_shipdate) AS BIGINT)) AS BIGINT) AS gid,
+        |  count(*) AS n, sum(l_quantity) AS sum_qty
+        |FROM lineitem
+        |GROUP BY ROLLUP (l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS BIGINT))
+        |HAVING GROUPING(l_returnflag, l_linestatus,
+        |  CAST(year(l_shipdate) AS BIGINT)) > 0""".stripMargin,
 
     "q36_trailing_window" ->
       """SELECT event_id, user_id,
