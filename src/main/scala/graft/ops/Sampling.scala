@@ -330,10 +330,10 @@ object Sampling {
     * Scale: one shuffle by `groupCol` + per-group sort (the window
     * rank); the threshold extraction is `max(value | rn ≤ k)` over the
     * same window — no second shuffle, no self-join. At extreme
-    * per-group row counts replace the exact rank with
-    * `approx_percentile` and broadcast the per-group thresholds — same
-    * output contract, sort-free; the exact form is preferred wherever
-    * a group fits a sort (it is also what the oracle can verify). */
+    * per-group row counts use [[quantileFilterApprox]] (sketch-based,
+    * sort-free, broadcast thresholds); the exact form is preferred
+    * wherever a group fits a sort (it is also what the oracle can
+    * verify). */
   def quantileFilter(df: DataFrame, idCol: String, groupCol: String,
       valueCol: String, q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"quantile out of (0,1]: $q")
@@ -352,5 +352,28 @@ object Sampling {
         max(when(col("rn") <= k, col(valueCol))).over(byGroup))
       .withColumn("keep", col(valueCol) >= col("thr"))
       .drop("rn", "n_group")
+  }
+
+  /** [[quantileFilter]]'s sort-free path for EXTREME per-group row
+    * counts — the fallback that scaladoc promises: per-group
+    * thresholds via `approx_percentile` (one map-side-mergeable sketch
+    * aggregation, group cardinality rows out), broadcast back onto the
+    * input for the keep flag. No per-group sort ever happens, so a
+    * single group holding a trillion rows costs a sketch merge, not a
+    * single-task sort. Same keep contract ("value reaches the group's
+    * q-quantile"); the threshold is the sketch's order statistic,
+    * which (a) for groups smaller than 1/`accuracy` retains every
+    * sample and is exact, and (b) targets the nearest-rank
+    * `floor(q·(n−1))+1` statistic, which can sit one order statistic
+    * from [[quantileFilter]]'s `ceil(q·n)` at rank boundaries — the
+    * exact form stays the declared/oracle-checked path wherever a
+    * group fits a sort. */
+  def quantileFilterApprox(df: DataFrame, idCol: String, groupCol: String,
+      valueCol: String, q: Double, accuracy: Int = 10000): DataFrame = {
+    require(q > 0 && q <= 1, s"quantile out of (0,1]: $q")
+    val thr = df.groupBy(col(groupCol))
+      .agg(expr(s"approx_percentile($valueCol, $q, $accuracy)").as("thr"))
+    df.join(broadcast(thr), Seq(groupCol))
+      .withColumn("keep", col(valueCol) >= col("thr"))
   }
 }

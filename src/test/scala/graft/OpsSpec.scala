@@ -1170,6 +1170,44 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("quantileFilterApprox: sketch thresholds are order statistics; plan has no per-group sort") {
+    import spark.implicits._
+    val rows = (0 until 200).map(i => (i.toLong, s"g${i % 4}", (i * 37 % 100).toDouble))
+    val df = rows.toDF("doc_id", "source", "quality")
+    for (q <- Seq(0.25, 0.5, 0.9)) {
+      val out = graft.ops.Sampling
+        .quantileFilterApprox(df, "doc_id", "source", "quality", q)
+      val got = out.collect()
+        .map(r => (r.getLong(r.fieldIndex("doc_id")),
+          r.getDouble(r.fieldIndex("thr")), r.getBoolean(r.fieldIndex("keep"))))
+      assert(got.length == rows.length)
+      rows.groupBy(_._2).foreach { case (g, members) =>
+        val values = members.map(_._3).sorted
+        val thrs = got.filter(m => members.exists(_._1 == m._1)).map(_._2).distinct
+        assert(thrs.length == 1, s"group $g: non-constant threshold")
+        val thr = thrs.head
+        // The sketch is exact at this size; its nearest-rank definition
+        // may sit one order statistic from the ceil(q*n) exact form —
+        // accept either, but it must BE an element of the group.
+        val k = math.max(math.ceil(q * values.size - 1e-9).toInt, 1)
+        val allowed = Set(values(k - 1), values(math.min(k, values.size - 1)),
+          values(math.max(k - 2, 0)))
+        assert(allowed.contains(thr), s"group $g q=$q: thr=$thr not near rank $k")
+        got.filter(m => members.exists(_._1 == m._1)).foreach { case (id, t, keep) =>
+          val v = members.find(_._1 == id).get._3
+          assert(keep == (v >= t), s"keep flag inconsistent for $id")
+        }
+      }
+      // Scale shape: a sketch aggregation + broadcast join — never a
+      // per-group sort (no WindowExec, no SortMergeJoin).
+      out.collect()
+      val p = out.queryExecution.executedPlan.toString
+      assert(!p.contains("WindowExec") && !p.contains("SortMergeJoin"),
+        s"approx path planned a sort:\n$p")
+      assert(p.contains("BroadcastHashJoin"), s"thresholds not broadcast:\n$p")
+    }
+  }
+
   test("m06 phash clusters are the transitive closure of the m05 pairs") {
     val pairs = Queries.all("m05_phash_pairs")(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1)))
