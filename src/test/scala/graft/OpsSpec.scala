@@ -1170,6 +1170,25 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("RANGE frame counts same-timestamp peers both ways (the q36 semantics ROWS would miss)") {
+    import spark.implicits._
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy($"u").orderBy($"ts").rangeBetween(-3600000000L, 0L)
+    val rows = Seq(
+      (1L, 1000L), (1L, 1000L),               // exact tie
+      (1L, 1000L + 3600000000L),              // exactly 1h later: in-frame
+      (1L, 1000L + 3600000001L),              // 1h + 1us: tie pair evicted
+      (2L, 1000L))
+    val got = rows.toDF("u", "ts")
+      .select($"u", $"ts", count(lit(1)).over(w).as("n"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted
+    assert(got.toSeq == Seq(
+      (1L, 1000L, 2L), (1L, 1000L, 2L),       // each tie sees BOTH peers
+      (1L, 1000L + 3600000000L, 3L),          // inclusive at exactly -1h
+      (1L, 1000L + 3600000001L, 2L),          // ties dropped together
+      (2L, 1000L, 1L)))                       // partitions isolated
+  }
+
   test("quantileFilterApprox: sketch thresholds are order statistics; plan has no per-group sort") {
     import spark.implicits._
     val rows = (0 until 200).map(i => (i.toLong, s"g${i % 4}", (i * 37 % 100).toDouble))
