@@ -733,9 +733,17 @@ object Dedup {
     * tokens, but the expected cost is linear in the TOUCHED corpus —
     * duplication is sparse in a healthy corpus, the same sliver
     * argument as [[dupSpanStats]]. No reference analog; extends the
-    * §2.9 dedup family. */
+    * §2.9 dedup family.
+    *
+    * `keepFirst = true` switches to Lee et al.'s production policy:
+    * each duplicated span survives in the MINIMUM-id document that
+    * contains it and is scrubbed everywhere else, so the corpus keeps
+    * every span's content exactly once (the default scrubs all copies
+    * — the decontamination-style total removal). Ownership is one
+    * extra model-sized aggregation (min id per duplicated span) joined
+    * into the sliver; everything downstream is unchanged. */
   def dupSpanRemove(df: DataFrame, idCol: String, textCol: String,
-                    n: Int = 3): DataFrame = {
+                    n: Int = 3, keepFirst: Boolean = false): DataFrame = {
     val w = df.select(col(idCol).as("id"), col(textCol).as("text"),
       split(col(textCol), " ").as("w"))
     // Positioned spans: shingle i (0-based) starts at token i; short
@@ -746,14 +754,22 @@ object Dedup {
       .select(col("id"), col("pos").as("p"),
         when(col("len") >= n, lit(n)).otherwise(col("len")).as("l"),
         xxhash64(col("col")).as("g"))
+    // Per-span (df, min owner id) over distinct (doc, span): df >= 2
+    // marks duplication; the min id is keep-first's surviving owner.
     val dup = spans.select(col("id"), col("g")).distinct()
-      .groupBy("g").agg(count(lit(1)).as("df"))
+      .groupBy("g").agg(count(lit(1)).as("df"), min(col("id")).as("keep_id"))
       .filter(col("df") >= 2)
-      .select("g")
+      .select("g", "keep_id")
+    // The positioned spans to scrub: every duplicated occurrence, or —
+    // keep-first — every occurrence OUTSIDE the span's owner document.
+    val scrub =
+      if (keepFirst)
+        spans.join(dup, Seq("g")).filter(col("id") =!= col("keep_id"))
+      else spans.join(dup.select("g"), Seq("g"), "left_semi")
     // Materialized once (sliver-sized): consumed by the touched-doc
     // routing, the verbatim anti-join, and the rebuild join — without
     // this the whole span-df pipeline would re-execute per consumer.
-    val covered = spans.join(dup, Seq("g"), "left_semi")
+    val covered = scrub
       .select(col("id"),
         explode(sequence(col("p"), col("p") + col("l") - 1)).as("p"))
       .distinct()

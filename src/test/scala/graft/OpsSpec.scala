@@ -1633,6 +1633,26 @@ class OpsSpec extends SparkSpec {
       "only the duplicated span's 3 tokens go; in-doc repeats stay")
   }
 
+  test("dupSpanRemove keepFirst: the min-id owner keeps each span, later copies scrub") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d e f"), // owner of every shared span: kept VERBATIM
+      (1L, "a b c d e f"), // later exact copy: fully scrubbed
+      (2L, "a b c x y z") // shares only "a b c", owned by doc 0
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .dupSpanRemove(d, "doc_id", "text", keepFirst = true).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(0L) == ((0L, "a b c d e f")), "owner doc must keep its content")
+    assert(out(1L) == ((6L, "")), "non-owner exact copy fully scrubbed")
+    assert(out(2L) == ((3L, "x y z")), "non-owner loses only the shared span")
+    // Default policy on the same corpus scrubs owners too.
+    val all = graft.ops.Dedup.dupSpanRemove(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(all(0L) == "", // doc 1 duplicates every span of doc 0
+      s"default policy must scrub the owner too: '${all(0L)}'")
+  }
+
   test("dupSpanRemove: partial overlap removes each doc's own covered range") {
     import spark.implicits._
     // Shared span "q r s" sits at different offsets; each doc loses its
