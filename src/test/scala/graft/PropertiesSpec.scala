@@ -103,5 +103,28 @@ class PropertiesSpec extends SparkSpec {
     expected.foreach { case (id, e) =>
       assert(got(id) == e, s"doc $id '${texts(id.toInt)}': ${got(id)} != $e")
     }
+
+    // keep-first: same reference with ownership — a span is scrubbed
+    // only outside the minimum-id document containing it.
+    val owner = corpus.flatMap { d => spansOf(d).map(_._3).distinct.map(_ -> d._1) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).min).toMap
+    val expectedKf = corpus.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val covered = spansOf((id, t))
+        .filter(s => df2(s._3) >= 2 && owner(s._3) != id)
+        .flatMap(s => s._1 until (s._1 + s._2)).toSet
+      val kept = w.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> ((w.length.toLong, covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val gotKf = graft.ops.Dedup
+      .dupSpanRemove(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        keepFirst = true)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    expectedKf.foreach { case (id, e) =>
+      assert(gotKf(id) == e,
+        s"keepFirst doc $id '${texts(id.toInt)}': ${gotKf(id)} != $e")
+    }
   }
 }
