@@ -540,6 +540,16 @@ object Queries {
     "d13_dupspan_remove" -> ((s, dir) =>
       ops.Dedup.dupSpanRemove(docs(s, dir), "doc_id", "text")),
 
+    // Keep-first span scrub — d13's production-policy sibling (Lee et
+    // al.): every duplicated span SURVIVES in its minimum-id owner
+    // document and is scrubbed from later copies, so the corpus keeps
+    // each span's content exactly once. Distinct oracle shape: the df
+    // aggregation also yields the min-owner, and coverage joins
+    // ownership to exempt the owner's positions.
+    "d14_dupspan_keepfirst" -> ((s, dir) =>
+      ops.Dedup.dupSpanRemove(docs(s, dir), "doc_id", "text",
+        keepFirst = true)),
+
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
@@ -817,6 +827,36 @@ object Queries {
         |FROM events
         |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
         |  RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)""".stripMargin,
+
+    // d13's ownership sibling: the df aggregation also carries each
+    // duplicated span's min-owner, and coverage exempts the owner's
+    // own positions — every span's content survives exactly once.
+    "d14_dupspan_keepfirst" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |spans AS (
+        |  SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |    THEN [{'p': i - 1, 's': array_to_string(w[i:i+2], ' '), 'l': 3}
+        |          for i in range(1, len(w) - 1)]
+        |    ELSE [{'p': 0, 's': array_to_string(w, ' '), 'l': len(w)}] END,
+        |    recursive := true)
+        |  FROM w),
+        |dup AS (SELECT s, min(doc_id) AS keep_id
+        |        FROM (SELECT DISTINCT doc_id, s FROM spans)
+        |        GROUP BY s HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p + off AS cp FROM (
+        |  SELECT sp.doc_id, sp.p, unnest(range(sp.l)) AS off
+        |  FROM spans sp JOIN dup d USING (s)
+        |  WHERE sp.doc_id <> d.keep_id)),
+        |toks AS (SELECT doc_id,
+        |  unnest([{'p': i - 1, 'tok': w[i]} for i in range(1, len(w) + 1)],
+        |    recursive := true)
+        |  FROM w)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(count(c.cp) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN c.cp IS NULL THEN t.tok END, ' '
+        |    ORDER BY t.p), '') AS clean_text
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+        |GROUP BY t.doc_id""".stripMargin,
 
     // Mirrors the Spark plan stage by stage: positioned 3-gram spans
     // (whole text for short docs), df over distinct (doc, span), df≥2
