@@ -86,7 +86,10 @@ object Bench {
         "n02_prior_build" -> (() => Queries.n02Prior(spark, sfDir).count()),
         // The on-disk IVF index write (declared s14 then measures the
         // pruned SERVE against the artifact, not construction).
-        "s14_index_build" -> (() => { Queries.ivfIndexPath(spark, sfDir); 0L })) ++
+        "s14_index_build" -> (() => { Queries.ivfIndexPath(spark, sfDir); 0L }),
+        // The on-disk MinHash dedup-index write (declared d15 then
+        // measures the batch SERVE against the artifact).
+        "d15_index_build" -> (() => { Queries.minhashIndexPath(spark, sfDir); 0L })) ++
         SparkEntry.queries.toSeq.sortBy(_._1)
           .map { case (name, fn) => name -> (() => materialize(fn(spark, sfDir))) } ++
         // Skew-inversion exhibits: df-capped exact join vs PPJoin prefix
@@ -123,6 +126,7 @@ object Bench {
       "n01_graph_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n01_graph")),
       "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")),
       "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)),
+      "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
       "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)))
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
       if (!heavy(name) && !rerunPrep.contains(name)) r

@@ -1080,6 +1080,22 @@ object Queries {
       SimilaritySearch.saveIvfIndex(emb(s, dir), p)
     }
 
+  /** The persisted MinHash-LSH dedup index artifact (d15): shingle
+    * sets + band buckets of the even-id resident corpus, written once
+    * per session ([[ops.Dedup.saveMinhashIndex]]) and served against
+    * each incoming batch — the don't-re-minhash-the-corpus-per-ingest
+    * lifecycle (s14's pattern applied to dedup). */
+  def minhashIndexPath(s: SparkSession, dir: String): String =
+    memoPath(s, dir, "minhash_index") { p =>
+      ops.Dedup.saveMinhashIndex(
+        docs(s, dir).filter(col("doc_id") % 2 === 0), p, "doc_id", "text")
+    }
+
+  /** Drop the memoized d15 index path (Bench rerun contract, as
+    * [[evictIvfIndex]]). */
+  def evictMinhashIndex(s: SparkSession, dir: String): Unit =
+    artifactPaths.remove(s"${s.sparkContext.applicationId}|$dir|minhash_index")
+
   /** The incrementally-grown IVF index artifact (s16): built over the
     * 80% "existing" corpus (ids not divisible by 5 — the n02 prior's
     * split), then the 20% increment APPENDED with the saved centroids
@@ -1365,6 +1381,17 @@ object Queries {
         "doc_id", "text", 0.7)
     }),
 
+    // d07 served from the PERSISTED index: the resident corpus's
+    // shingles and band buckets come off disk (built once per session,
+    // Dedup.saveMinhashIndex) and only the incoming batch is shingled
+    // fresh — bit-identical pairs to d07's online path, so the two
+    // queries share one oracle. The artifact lifecycle the 100 TB
+    // ingest gate actually runs (re-minhashing the resident corpus
+    // per batch is the thing this exists to avoid).
+    "d15_minhash_index" -> ((s, dir) =>
+      Dedup.minhashPairsFromIndex(s, minhashIndexPath(s, dir),
+        docs(s, dir).filter(col("doc_id") % 2 === 1), "doc_id", "text", 0.7)),
+
     // Word-bigram repetition signals (Gopher/C4-style quality filters).
     "t08_repetition" -> ((s, dir) =>
       TextAnalysis.repetitionStats(docs(s, dir))),
@@ -1444,6 +1471,23 @@ object Queries {
       TextAnalysis.corpusDrift(
         d.filter(col("doc_id") % 2 === 0), d.filter(col("doc_id") % 2 =!= 0))
     }),
+
+    // Trained quality/domain classifier (fastText/CCNet shape): ridge
+    // logistic regression over 64 hashed token buckets fit by
+    // distributed IRLS, distilling the t03 language-ID rule (label:
+    // pred_lang = en, ~25% positive) into a hashed linear model — the
+    // CCNet pattern of training a fastText classifier on a labeling
+    // rule and running the cheap model over the full crawl (accuracy
+    // 91-93% vs the 70-78% majority rate at these SFs;
+    // ClassifierSpec). Featurize is a shuffle-free projection done
+    // once; each of the 6 Newton iterations is one scan + a
+    // dim²-bounded partial-agg shuffle + a ≤(dim+1)(dim+4)/2-row
+    // collect and a 65×65 driver Cholesky (Classifier scale notes).
+    // Deterministic fixed-point trajectory, so the one-row summary
+    // (incl. the weight-vector rolling hash) is pinnable per SF.
+    "t31_quality_classifier" -> ((s, dir) =>
+      graft.ops.Classifier.qualitySummary(
+        TextAnalysis.languageId(docs(s, dir)), col("pred_lang") === "en")),
 
     // Per-source quantile quality cut: keep docs at/above their
     // source's p25 quality — the per-domain RELATIVE filter (an
@@ -2054,6 +2098,16 @@ object Queries {
       // pairs-by-shared-span join, quadratic here).
       "d12_skewed_dupspan" -> ((s, dir) =>
         ops.Dedup.dupSpanStats(skewedDocs(s, dir), "doc_id", "text")),
+      // Zipf-heavy BPE training: the prepended stop-phrase makes six
+      // words own ~37% of the token stream. The trainer's one corpus
+      // pass partial-aggregates to the word-frequency table (map-side
+      // combine keeps the shuffle vocabulary-sized however hot the
+      // head), and every merge round then shuffles only the pair table
+      // of that vocabulary-sized word list — token mass never crosses
+      // the wire again (TrainPrepSpec measures shuffle invariance to a
+      // 50x token-mass inflation at fixed vocabulary).
+      "t26_skewed_bpe" -> ((s, dir) =>
+        ops.TextAnalysis.bpeMerges(skewedDocs(s, dir), "text", 20)),
       // Bucketing exhibit (alphabetical order runs the build first):
       // identical sort-merge aggregation over (lineitem x orders), once
       // from the pre-bucketed tables (join shuffles NEITHER side — the
@@ -2193,6 +2247,19 @@ object Queries {
       "n_docs" -> (500L, 500L, 5000L),
       "total_pieces" -> (90749L, 88559L, 883773L),
       "n_vocab" -> (34L, 37L, 36L)),
+    // Measured 2026-08-14 (round 8, PinDump). The IRLS trajectory is a
+    // pure fixed-point function of the corpus (ClassifierSpec checks
+    // it against an independent in-memory IRLS), so the summary —
+    // including w_hash, the rolling hash of the learned weight
+    // vector — is exactly reproducible per SF. n_agree = 90-92%
+    // accuracy vs the 70-78% majority rate: the classifier actually
+    // learns the langid label from 64 hashed buckets.
+    "t31_quality_classifier" -> Seq(
+      "n_docs" -> (500L, 500L, 5000L),
+      "n_pred_pos" -> (137L, 84L, 1078L),
+      "n_agree" -> (457L, 462L, 4500L),
+      "score_mass" -> (155185353L, 117433405L, 1381981645L),
+      "w_hash" -> (-9198481473342153249L, -6085398195593787346L, 6134609951421128964L)),
     // Same sketch over the same rows as t14 (merge is order-independent,
     // so micro-batch slicing cannot move the estimate).
     "st07_stream_vocab" -> Seq(
@@ -2614,6 +2681,9 @@ object Queries {
     // st19 drains to the batch d07 result bit-for-bit (per-batch
     // stream-vs-static results union independently), sharing its oracle.
     "st19_neardup_gate" -> incrementalDedupSql,
+    // Bit-identical to d07 by construction (the index round-trips the
+    // shingle/bucket artifacts through parquet exactly).
+    "d15_minhash_index" -> incrementalDedupSql,
 
     "t08_repetition" ->
       """SELECT doc_id,

@@ -1,0 +1,239 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Learned quality classification — the fastText-style filter step of a
+  * pretraining pipeline (Joulin et al., arXiv:1607.01759; the GPT-3 /
+  * CCNet "quality classifier" that scores every crawled document
+  * against a trusted reference corpus). Complements the HEURISTIC
+  * quality scorers already in [[TextAnalysis]] (t02 ratios, t19/t25 LM
+  * log-probs): here the filter is TRAINED on labeled examples instead
+  * of hand-set thresholds.
+  *
+  * Model: ridge-regularized logistic regression over `dim` hashed
+  * bag-of-token buckets with length-normalized counts — the fastText
+  * architecture minus the learned embeddings (a linear model over
+  * hashed features is what the published pipelines actually ship for
+  * corpus filtering).
+  *
+  * Fit: distributed IRLS (iteratively reweighted least squares — the
+  * classic Newton GLM fit), not gradient descent: hashed bag-of-words
+  * features are badly conditioned (the intercept direction's curvature
+  * is ~dim times any single bucket's), where first-order methods crawl
+  * or oscillate; Newton is conditioning-free and reaches the ridge-MLE
+  * fixed point in a handful of iterations. Each iteration computes the
+  * sufficient statistics X'SX and X'(y-p) as ONE scan over the
+  * featurized corpus — per-doc outer-product contributions (O(k²) per
+  * doc for k distinct buckets, a projection) partial-aggregate to at
+  * most (dim+1)² + (dim+1) keys — followed by a (dim+1)-sized driver
+  * Cholesky solve. The corpus is featurized ONCE into a per-document
+  * sparse vector (a pure shuffle-free projection, `localCheckpoint`ed).
+  * At 100 TB: scan-bound per iteration, dim²-bounded shuffle, O(dim²)
+  * driver state — the [[TextAnalysis.bpeMerges]] driver-loop shape.
+  *
+  * Determinism (the pinnable-oracle requirement): weights live in
+  * 2^-20 fixed point as BIGINTs; each doc's margin is an EXACT Long
+  * dot product divided once in IEEE double; the sigmoid is a single
+  * fixed expression; per-row statistic contributions are rounded to
+  * fixed point BEFORE the exact BIGINT sum (the t19/t30 pre-sum
+  * pattern), so the collected normal equations — and hence the whole
+  * training trajectory — are bit-identical at any partitioning and any
+  * aggregation order. The driver solve is a fixed-order Cholesky over
+  * those exact integers. ClassifierSpec checks the fit against an
+  * independent in-memory IRLS and pins partition invariance exactly.
+  */
+object Classifier {
+
+  /** 2^-20 fixed point, the house scale (t19/t25/t30). */
+  private val Scale = 1048576L
+
+  /** Trained model: `dim` bucket weights plus an intercept, all in
+    * 2^-20 fixed point. */
+  final case class LogisticModel(dim: Int, weightsFp: Array[Long], biasFp: Long) {
+    require(weightsFp.length == dim, s"dim $dim vs ${weightsFp.length} weights")
+  }
+
+  /** Per-document sparse hashed features, as a pure projection (NO
+    * shuffle): tokens hash into `dim` buckets (`pmod(xxhash64(tok),
+    * dim)`), and the per-doc (bucket, count) pairs are run-length
+    * encoded with array HOFs over the materialized bucket array.
+    * Output: `(id, y, n, bkts, cnts)` with `bkts` the doc's distinct
+    * buckets ascending and `cnts` the aligned counts. O(k * tokens)
+    * per row for k <= dim distinct buckets — projection work, traded
+    * deliberately against the corpus-wide explode+groupBy shuffle it
+    * replaces (ClassifierSpec proves equality to that path). */
+  def hashedDocFeatures(df: DataFrame, labelExpr: Column, idCol: String,
+      textCol: String, dim: Int): DataFrame = {
+    require(dim >= 2 && dim <= 1024, s"bad dim=$dim")
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(
+        col(idCol).as("id"),
+        coalesce(when(labelExpr, 1L).otherwise(0L), lit(0L)).as("y"),
+        transform(toks, t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
+          .as("all_bkts"))
+      .select(col("id"), col("y"), col("all_bkts"),
+        sort_array(array_distinct(col("all_bkts"))).as("bkts"))
+      .select(col("id"), col("y"),
+        size(col("all_bkts")).cast("long").as("n"),
+        col("bkts"),
+        transform(col("bkts"),
+          b => size(filter(col("all_bkts"), x => x === b)).cast("long"))
+          .as("cnts"))
+  }
+
+  /** The fixed margin/probability expressions shared by training and
+    * scoring: exact Long dot product of counts x fixed-point weights,
+    * one double division by (Scale * n), intercept added in double,
+    * sigmoid. `weightsFp` arrives as a `dim`-element literal array
+    * (shipped in the task binary — dim <= 1024 Longs). */
+  private def probExpr(weightsFp: Array[Long], biasFp: Long): Column = {
+    val w = array(weightsFp.map(lit(_)): _*)
+    val dotFp = aggregate(
+      zip_with(col("bkts"), col("cnts"),
+        (b, c) => element_at(w, b + 1) * c),
+      lit(0L), (acc, x) => acc + x)
+    val z = dotFp.cast("double") / (lit(Scale.toDouble) * col("n")) +
+      lit(biasFp.toDouble / Scale.toDouble)
+    lit(1.0) / (lit(1.0) + exp(-z))
+  }
+
+  /** One IRLS iteration's sufficient statistics, fixed-pointed and
+    * exactly summed: upper-triangle entries of X'SX as key
+    * `a * (dim+2) + b` (a <= b, intercept at index dim), and the
+    * gradient X'(y - p) as key `-(a + 1)`. One scan, one partial-agg
+    * shuffle of <= (dim+1)(dim+4)/2 keys. */
+  private def irlsStats(feats: DataFrame, weightsFp: Array[Long],
+      biasFp: Long, dim: Int): Map[Long, Long] = {
+    val p = probExpr(weightsFp, biasFp)
+    // Dense-in-k sparse feature list incl. the intercept: (index,
+    // value) with value = c/n for buckets, 1.0 for the intercept.
+    val farr = concat(
+      zip_with(col("bkts"), col("cnts"),
+        (b, c) => struct(b.cast("long").as("i"),
+          (c.cast("double") / col("n")).as("x"))),
+      array(struct(lit(dim.toLong).as("i"), lit(1.0).as("x"))))
+    val upper = flatten(transform(col("f"), u =>
+      transform(filter(col("f"), v => v.getField("i") >= u.getField("i")), v =>
+        struct(
+          (u.getField("i") * (dim + 2) + v.getField("i")).as("k"),
+          round(col("s") * u.getField("x") * v.getField("x") * lit(Scale.toDouble))
+            .cast("long").as("c")))))
+    val grad = transform(col("f"), u =>
+      struct((u.getField("i") * -1L - 1L).as("k"),
+        round((col("y") - col("p")) * u.getField("x") * lit(Scale.toDouble))
+          .cast("long").as("c")))
+    feats
+      .withColumn("p", p)
+      .withColumn("s", col("p") * (lit(1.0) - col("p")))
+      .withColumn("f", farr)
+      .select(explode(concat(upper, grad)).as("e"))
+      .groupBy(col("e.k")).agg(sum(col("e.c")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** Fixed-order in-place Cholesky solve of the SPD system A x = b —
+    * deterministic double arithmetic over exactly-reproducible integer
+    * inputs, identical on every driver. */
+  private[ops] def choleskySolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val m = b.length
+    val l = Array.ofDim[Double](m, m)
+    for (i <- 0 until m; j <- 0 to i) {
+      var sum = a(i)(j)
+      for (k <- 0 until j) sum -= l(i)(k) * l(j)(k)
+      if (i == j) l(i)(i) = math.sqrt(sum)
+      else l(i)(j) = sum / l(j)(j)
+    }
+    val yv = new Array[Double](m)
+    for (i <- 0 until m) {
+      var sum = b(i)
+      for (k <- 0 until i) sum -= l(i)(k) * yv(k)
+      yv(i) = sum / l(i)(i)
+    }
+    val x = new Array[Double](m)
+    for (i <- m - 1 to 0 by -1) {
+      var sum = yv(i)
+      for (k <- i + 1 until m) sum -= l(k)(i) * x(k)
+      x(i) = sum / l(i)(i)
+    }
+    x
+  }
+
+  /** Distributed IRLS training of the quality classifier. `labelExpr`
+    * marks the positive (high-quality / in-domain) class — e.g.
+    * membership in a trusted reference corpus. `ridge` is the L2
+    * penalty added to the Newton system's diagonal (stabilizes
+    * separable/rank-deficient fits; the returned model is the
+    * penalized MLE). Deterministic: a pure function of the corpus at
+    * any partitioning. */
+  def trainQuality(df: DataFrame, labelExpr: Column, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 64, iters: Int = 6,
+      ridge: Double = 1e-5): LogisticModel = {
+    require(iters >= 1 && iters <= 50, s"bad iters=$iters")
+    val feats = hashedDocFeatures(df, labelExpr, idCol, textCol, dim)
+      .localCheckpoint(true)
+    val nDocs = feats.count()
+    require(nDocs > 0, "empty corpus")
+    val w = Array.fill(dim)(0L)
+    var bias = 0L
+    val m = dim + 1
+    for (_ <- 1 to iters) {
+      val stats = irlsStats(feats, w, bias, dim)
+      val a = Array.ofDim[Double](m, m)
+      val g = new Array[Double](m)
+      for (i <- 0 until m) {
+        g(i) = stats.getOrElse(-i - 1L, 0L).toDouble / Scale
+        for (j <- i until m) {
+          val v = stats.getOrElse(i.toLong * (dim + 2) + j, 0L).toDouble / Scale
+          a(i)(j) = v; a(j)(i) = v
+        }
+        a(i)(i) += ridge * nDocs
+      }
+      // Newton step: (X'SX + ridge*N*I) d = X'(y-p) - ridge*N*w; the
+      // current weights enter the gradient so the fixed point is the
+      // penalized MLE, not a drifting target.
+      for (i <- 0 until dim) g(i) -= ridge * nDocs * (w(i).toDouble / Scale)
+      g(dim) -= ridge * nDocs * (bias.toDouble / Scale)
+      val d = choleskySolve(a, g)
+      def fp(x: Double): Long =
+        BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+      for (i <- 0 until dim) w(i) += fp(d(i) * Scale)
+      bias += fp(d(dim) * Scale)
+    }
+    LogisticModel(dim, w, bias)
+  }
+
+  /** Apply a trained model: `(id, y, score_fp, pred)` per document,
+    * `score_fp = round(sigmoid(margin) * 2^20)` and `pred` the 0.5
+    * threshold. Pure projection — the 100 TB filter pass is
+    * scan-bound. */
+  def scoreQuality(df: DataFrame, model: LogisticModel, labelExpr: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    hashedDocFeatures(df, labelExpr, idCol, textCol, model.dim)
+      .withColumn("score_fp",
+        round(probExpr(model.weightsFp, model.biasFp) * lit(Scale.toDouble))
+          .cast("long"))
+      .select(col("id"), col("y"), col("score_fp"),
+        (col("score_fp") * 2L >= lit(Scale)).as("pred"))
+
+  /** Train-and-score in one call, reduced to the one-row deterministic
+    * summary the pinned DuckDB oracle checks (the t26/t28 pattern):
+    * document count, predicted positives, agreement with the training
+    * label, total score mass, and a rolling hash of the weight vector
+    * (order-sensitive — any drift in any weight moves it). */
+  def qualitySummary(df: DataFrame, labelExpr: Column, idCol: String = "doc_id",
+      textCol: String = "text", dim: Int = 64, iters: Int = 6,
+      ridge: Double = 1e-5): DataFrame = {
+    val model = trainQuality(df, labelExpr, idCol, textCol, dim, iters, ridge)
+    val wHash = (model.weightsFp :+ model.biasFp)
+      .foldLeft(17L)((h, x) => h * 31L + x)
+    scoreQuality(df, model, labelExpr, idCol, textCol)
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_pos"),
+        sum(when(col("pred") === (col("y") === 1L), 1L).otherwise(0L))
+          .as("n_agree"),
+        sum(col("score_fp")).as("score_mass"))
+      .withColumn("w_hash", lit(wHash))
+  }
+}

@@ -20,8 +20,16 @@ import org.apache.spark.sql.SparkSession
   */
 object PinDump {
   def main(args: Array[String]): Unit = {
+    // `--only=name1,name2` re-measures a subset (a new pin's first
+    // measurement shouldn't re-run every ANN query at three SFs);
+    // remaining args are fixture dirs.
+    val only: Option[Set[String]] = args.collectFirst {
+      case a if a.startsWith("--only=") =>
+        a.stripPrefix("--only=").split(",").toSet
+    }
+    val dirArgs = args.filterNot(_.startsWith("--only=")).toSeq
     val dirs =
-      if (args.nonEmpty) args.toSeq
+      if (dirArgs.nonEmpty) dirArgs
       else Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
         "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -47,7 +55,9 @@ object PinDump {
       })
     }.toMap
 
-    val measured = graft.Queries.pinnedValues.map { case (name, cols) =>
+    val measured = graft.Queries.pinnedValues
+      .filter { case (name, _) => only.forall(_.contains(name)) }
+      .map { case (name, cols) =>
       val byDir = dirs.map { dir =>
         val t0 = System.nanoTime()
         val row = graft.SparkEntry.queries(name)(spark, dir).collect()(0)

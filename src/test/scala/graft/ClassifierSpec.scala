@@ -1,0 +1,168 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ops.Classifier
+
+/** Trained quality classifier: featurization vs an independent
+  * explode+groupBy Spark path, the distributed IRLS fit vs an
+  * independent in-memory IRLS (different linear solver), separability
+  * on a planted corpus, exact partition invariance, and
+  * majority-beating accuracy on the fixture. */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = spark.read.parquet(s"$sf0001/documents.parquet")
+
+  private val Scale = 1048576L
+
+  test("hashedDocFeatures equals the explode+groupBy reference path") {
+    val dim = 64
+    val got = Classifier.hashedDocFeatures(docs, $"lang" === "en", "doc_id", "text", dim)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getSeq[Int](3), r.getSeq[Long](4))))
+      .toMap
+    // Independent path: explode tokens, hash, shuffle-aggregate.
+    val want = docs
+      .select($"doc_id", when($"lang" === "en", 1L).otherwise(0L).as("y"),
+        explode(split($"text", " ")).as("tok"))
+      .select($"doc_id", $"y", pmod(xxhash64($"tok"), lit(dim.toLong)).cast("int").as("b"))
+      .groupBy("doc_id", "y", "b").agg(count(lit(1)).as("c"))
+      .groupBy("doc_id", "y").agg(
+        sum($"c").as("n"),
+        sort_array(collect_list(struct($"b", $"c"))).as("bc"))
+      .collect().map { r =>
+        val bc = r.getSeq[org.apache.spark.sql.Row](3)
+        r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          bc.map(_.getInt(0)), bc.map(_.getLong(1))))
+      }.toMap
+    assert(got == want)
+  }
+
+  /** Independent in-memory IRLS over collected features, replicating
+    * the documented statistics arithmetic (sigmoid, HALF_UP
+    * fixed-point pre-sum, exact Long accumulation) but solving the
+    * Newton system with GAUSS-JORDAN elimination instead of Cholesky —
+    * an independent solver, so agreement is a property of the math,
+    * not copied code. Solver ulp differences can land a weight on the
+    * other side of a 2^-20 rounding boundary, hence the small
+    * tolerance in the comparison below. */
+  private def refIrls(
+      feats: Seq[(Long, Long, Seq[Int], Seq[Long])], // (y, n, bkts, cnts)
+      dim: Int, iters: Int, ridge: Double): (Array[Long], Long) = {
+    def fp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val m = dim + 1
+    val w = Array.fill(m)(0L) // index dim = intercept
+    val nDocs = feats.size
+    for (_ <- 1 to iters) {
+      val acc = new scala.collection.mutable.HashMap[(Int, Int), Long]().withDefaultValue(0L)
+      val gacc = new scala.collection.mutable.HashMap[Int, Long]().withDefaultValue(0L)
+      for ((y, n, bkts, cnts) <- feats) {
+        val dotFp = bkts.zip(cnts).map { case (b, c) => w(b) * c }.sum
+        val z = dotFp.toDouble / (Scale.toDouble * n) + w(dim).toDouble / Scale.toDouble
+        val p = 1.0 / (1.0 + math.exp(-z))
+        val s = p * (1.0 - p)
+        val fs = bkts.zip(cnts).map { case (b, c) => (b, c.toDouble / n) } :+ ((dim, 1.0))
+        for ((a, xa) <- fs; (b, xb) <- fs if b >= a)
+          acc((a, b)) += fp(s * xa * xb * Scale.toDouble)
+        for ((a, xa) <- fs) gacc(a) += fp((y - p) * xa * Scale.toDouble)
+      }
+      val a = Array.ofDim[Double](m, m)
+      val g = new Array[Double](m)
+      for (i <- 0 until m) {
+        g(i) = gacc(i).toDouble / Scale - ridge * nDocs * (w(i).toDouble / Scale)
+        for (j <- i until m) {
+          val v = acc((i, j)).toDouble / Scale
+          a(i)(j) = v; a(j)(i) = v
+        }
+        a(i)(i) += ridge * nDocs
+      }
+      // Gauss-Jordan with the natural pivot order.
+      val aug = Array.tabulate(m)(i => a(i) :+ g(i))
+      for (c <- 0 until m) {
+        val piv = aug(c)(c)
+        for (j <- c to m) aug(c)(j) /= piv
+        for (r <- 0 until m if r != c) {
+          val f = aug(r)(c)
+          for (j <- c to m) aug(r)(j) -= f * aug(c)(j)
+        }
+      }
+      for (i <- 0 until m) w(i) += fp(aug(i)(m) * Scale)
+    }
+    (w.take(dim), w(dim))
+  }
+
+  test("trainQuality matches the independent in-memory IRLS within fp tolerance") {
+    val dim = 64
+    val feats = Classifier.hashedDocFeatures(docs, $"lang" === "en", "doc_id", "text", dim)
+      .collect().map(r => (r.getLong(1), r.getLong(2),
+        r.getSeq[Int](3), r.getSeq[Long](4))).toSeq
+    val (wantW, wantB) = refIrls(feats, dim, iters = 6, ridge = 1e-5)
+    val got = Classifier.trainQuality(docs, $"lang" === "en", dim = dim)
+    val diffs = (got.weightsFp :+ got.biasFp).zip(wantW :+ wantB)
+      .map { case (a, b) => math.abs(a - b) }
+    // Solver-ulp slack only: 16 fp units = 1.5e-5 on weights of O(1).
+    assert(diffs.max <= 16L,
+      s"IRLS fits diverged: max diff ${diffs.max} fp units at " +
+        s"index ${diffs.indexOf(diffs.max)}")
+  }
+
+  test("the classifier separates a planted two-vocabulary corpus") {
+    // Positives draw from a 'gN' vocabulary, negatives from 'bN' — a
+    // linearly separable bag-of-words problem the hashed-feature fit
+    // must solve nearly perfectly (ridge keeps the separable MLE
+    // finite).
+    val rnd = new scala.util.Random(7)
+    val rows = (0 until 200).map { i =>
+      val pos = i % 2 == 0
+      val v = if (pos) "g" else "b"
+      val text = (0 until 30).map(_ => s"$v${rnd.nextInt(40)}").mkString(" ")
+      (i.toLong, text, pos)
+    }
+    val df = rows.toDF("doc_id", "text", "is_pos")
+    val model = Classifier.trainQuality(df, $"is_pos", dim = 64)
+    val scored = Classifier.scoreQuality(df, model, $"is_pos")
+    val acc = scored.agg(
+      sum(when($"pred" === ($"y" === 1L), 1L).otherwise(0L)).as("ok"),
+      count(lit(1)).as("n")).collect()(0)
+    assert(acc.getLong(0).toDouble / acc.getLong(1) >= 0.99,
+      s"accuracy ${acc.getLong(0)}/${acc.getLong(1)}")
+  }
+
+  test("the trained model is partition-invariant, exactly") {
+    val a = Classifier.trainQuality(docs.repartition(1), $"lang" === "en",
+      dim = 32, iters = 3)
+    val b = Classifier.trainQuality(docs.repartition(13), $"lang" === "en",
+      dim = 32, iters = 3)
+    assert(a.weightsFp.toSeq == b.weightsFp.toSeq && a.biasFp == b.biasFp)
+  }
+
+  test("distilling the t03 language-ID label beats the majority class on the fixture") {
+    // The declared t31 task: the label (languageId's argmax of linear
+    // marker-overlap scores) is learnable from the hashed counts, so
+    // the fit must do strictly better than always-predict-majority.
+    // (The fixture's lang COLUMN, by contrast, is independent of the
+    // token distributions — a Naive Bayes check tops out at the
+    // majority rate — so it would be a vacuous training target.)
+    val labeled = graft.ops.TextAnalysis.languageId(docs)
+    val row = Classifier.qualitySummary(labeled, $"pred_lang" === "en").collect()(0)
+    val nPos = labeled.filter($"pred_lang" === "en").count()
+    val majority = math.max(nPos, labeled.count() - nPos)
+    assert(row.getAs[Long]("n_docs") == docs.count())
+    assert(row.getAs[Long]("n_agree") > majority,
+      s"classifier no better than majority: ${row.getAs[Long]("n_agree")} vs $majority")
+  }
+
+  test("the fit satisfies the logistic score equation (calibration)") {
+    // At the (lightly ridged) MLE with an intercept, sum(p_i) ~= n_pos
+    // — the score equation for the intercept coordinate. A strong
+    // whole-trajectory correctness check independent of any reference
+    // implementation.
+    val labeled = graft.ops.TextAnalysis.languageId(docs)
+    val row = Classifier.qualitySummary(labeled, $"pred_lang" === "en").collect()(0)
+    val nPos = labeled.filter($"pred_lang" === "en").count()
+    val meanP = row.getAs[Long]("score_mass").toDouble / Scale
+    assert(math.abs(meanP - nPos) < 0.02 * docs.count(),
+      s"sum(p)=$meanP vs n_pos=$nPos")
+  }
+}

@@ -258,6 +258,39 @@ class OpsSpec extends SparkSpec {
     assert(got == cross)
   }
 
+  test("the persisted MinHash index serves the online across-path's exact rows") {
+    val corpus = docs.filter(col("doc_id") % 2 === 0)
+    val incoming = docs.filter(col("doc_id") % 2 === 1)
+    val p = java.nio.file.Files.createTempDirectory("minhash_idx_spec").toString
+    Dedup.saveMinhashIndex(corpus, p, "doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .sortBy(t => (t._1, t._2))
+    val got = rows(Dedup.minhashPairsFromIndex(spark, p, incoming, "doc_id", "text", 0.7))
+    val want = rows(Dedup.minhashLshPairsAcross(corpus, incoming, "doc_id", "text", 0.7))
+    assert(want.nonEmpty && got.sameElements(want),
+      s"index path diverged from online path: got ${got.length}, want ${want.length}")
+  }
+
+  test("appending a batch to the MinHash index equals a scratch build over the union") {
+    val partA = docs.filter(col("doc_id") % 3 === 0)
+    val partB = docs.filter(col("doc_id") % 3 === 1)
+    val batch = docs.filter(col("doc_id") % 3 === 2)
+    val grown = java.nio.file.Files.createTempDirectory("minhash_idx_grown").toString
+    Dedup.saveMinhashIndex(partA, grown, "doc_id", "text")
+    Dedup.appendToMinhashIndex(partB, grown, "doc_id", "text")
+    val scratch = java.nio.file.Files.createTempDirectory("minhash_idx_scratch").toString
+    Dedup.saveMinhashIndex(partA.unionByName(partB), scratch, "doc_id", "text")
+    def rows(path: String) =
+      Dedup.minhashPairsFromIndex(spark, path, batch, "doc_id", "text", 0.7)
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4)))
+        .sortBy(t => (t._1, t._2))
+    val g = rows(grown); val s = rows(scratch)
+    assert(g.nonEmpty && g.sameElements(s),
+      s"grown index diverged from scratch build: got ${g.length}, want ${s.length}")
+  }
+
   test("clusterSurvivors keeps the max-quality member of every cluster") {
     val quality = graft.ops.TextAnalysis.qualityScore(docs)
       .select(col("doc_id"), col("quality"))

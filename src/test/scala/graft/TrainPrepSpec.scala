@@ -480,6 +480,65 @@ class TrainPrepSpec extends SparkSpec {
     assert(got.size == 20)
   }
 
+  test("bpeMerges shuffle is vocabulary-sized: invariant to 10x token-mass inflation") {
+    // Two corpora with the IDENTICAL 300-word vocabulary, one carrying
+    // every document 50 times and one 500 times (10x the token mass,
+    // same word set; both replicated enough that every partition sees
+    // ~the whole vocabulary, so the map-side combine's per-partition
+    // output is saturated and equal on both sides). The trainer's only
+    // corpus-wide pass partial-aggregates to the word-frequency table,
+    // and every merge round shuffles the pair table of that
+    // vocabulary-sized word list — so total shuffle must track the
+    // VOCABULARY, not the token mass. The bench twin is t26_skewed_bpe
+    // (hot-phrase corpus).
+    val vocab = (0 until 300).map(i => s"w${i}tok")
+    val lightRows = vocab.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    def replicated(copies: Int) = (0 until copies).flatMap(r =>
+      lightRows.map { case (i, t) => (r * 1000L + i, t) })
+      .toDF("doc_id", "text").repartition(8).cache()
+    val light = replicated(50)
+    val heavy = replicated(500)
+    light.count(); heavy.count()
+
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit =
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
+    def measured[A](f: => A): (A, Long) = {
+      quiesce(); shuffle.set(0)
+      val r = f
+      quiesce()
+      (r, shuffle.get)
+    }
+    try {
+      val (lightRules, lightBytes) = measured {
+        graft.ops.TextAnalysis.bpeMerges(light, "text", 5)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      }
+      val (heavyRules, heavyBytes) = measured {
+        graft.ops.TextAnalysis.bpeMerges(heavy, "text", 5)
+          .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
+      }
+      // Same vocabulary -> same relative pair frequencies -> identical
+      // rule list (counts differ by exactly 10x, dropped above).
+      assert(heavyRules == lightRules,
+        s"rule lists diverged: $heavyRules vs $lightRules")
+      info(s"shuffle bytes — 50x mass: $lightBytes, 500x mass: $heavyBytes")
+      assert(heavyBytes < (lightBytes * 1.3).toLong,
+        s"trainer shuffle scaled with token mass: $heavyBytes vs $lightBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      light.unpersist(); heavy.unpersist()
+    }
+  }
+
   /** Reference greedy encoder matching [[refBpe]]'s merge fold. */
   private def refEncode(word: String, rules: Seq[(String, String)]): Vector[String] =
     rules.foldLeft(word.split("").filter(_.nonEmpty).toVector) { case (syms, (a, b)) =>
