@@ -1838,6 +1838,16 @@ object Queries {
     "st19_neardup_gate" -> ((s, dir) =>
       graft.streaming.EventsStream.ingestNearDupPairs(s, dir)),
 
+    // Streaming quality-classifier serving: t31's IRLS model trained
+    // batch-side over the resident corpus, its fixed-point weights
+    // shipped in the task binary; the document stream runs the pure
+    // stateless scoring projection (bit-identical score_fp) with a
+    // bounded complete-mode summary — emits t31's exact five-column
+    // row, so the two queries share one pinned oracle (the st12
+    // fitted-model serving pattern applied to the classifier).
+    "st20_classifier_serve" -> ((s, dir) =>
+      graft.streaming.EventsStream.classifierServeCounts(s, dir)),
+
     // Streaming quality-score histogram (live ingest-quality monitor):
     // stateless t02 scoring projection + complete-mode bucket counts —
     // state one count per occupied bucket forever; drained histogram
@@ -2255,6 +2265,16 @@ object Queries {
     // accuracy vs the 70-78% majority rate: the classifier actually
     // learns the langid label from 64 hashed buckets.
     "t31_quality_classifier" -> Seq(
+      "n_docs" -> (500L, 500L, 5000L),
+      "n_pred_pos" -> (137L, 84L, 1078L),
+      "n_agree" -> (457L, 462L, 4500L),
+      "score_mass" -> (155185353L, 117433405L, 1381981645L),
+      "w_hash" -> (-9198481473342153249L, -6085398195593787346L, 6134609951421128964L)),
+    // = t31 by construction: the stream applies the batch-trained
+    // model through the same fixed-point projection (OpsSpec asserts
+    // row equality), so any divergence between these pin rows is a
+    // bug, not drift.
+    "st20_classifier_serve" -> Seq(
       "n_docs" -> (500L, 500L, 5000L),
       "n_pred_pos" -> (137L, 84L, 1078L),
       "n_agree" -> (457L, 462L, 4500L),

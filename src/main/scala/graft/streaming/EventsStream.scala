@@ -714,6 +714,38 @@ object EventsStream {
       lit(all).as("n_points"))
   }
 
+  /** Streaming quality-classifier serving — batch t31's model-apply
+    * carried to ingest time (the st12 fitted-model pattern): the
+    * ridge-logistic model is TRAINED batch-side over the resident
+    * corpus ([[graft.ops.Classifier.trainQuality]] — models retrain by
+    * release, not by micro-batch) and its fixed-point weights ship in
+    * the task binary; the document stream then runs the PURE STATELESS
+    * scoring projection (same hashed featurization, same exact-Long
+    * margin, bit-identical score_fp to the batch path) with a bounded
+    * complete-mode summary on top. Emits t31's exact five-column
+    * summary row — shared pinned oracle; OpsSpec asserts equality
+    * against the batch query. */
+  def classifierServeCounts(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
+    val label = col("pred_lang") === "en"
+    val model = graft.ops.Classifier.trainQuality(
+      graft.ops.TextAnalysis.languageId(batchDocs), label)
+    val wHash = (model.weightsFp :+ model.biasFp)
+      .foldLeft(17L)((h, x) => h * 31L + x)
+    runDrainedOn(spark, dir, "documents", documentsSchema, "clsserve") { src =>
+      graft.ops.Classifier.scoreQuality(
+          graft.ops.TextAnalysis.languageId(src), model, label)
+        .groupBy()
+        .agg(
+          cnt(lit(1)).as("n_docs"),
+          sum(when(col("pred"), 1L).otherwise(0L)).as("n_pred_pos"),
+          sum(when(col("pred") === (col("y") === 1L), 1L).otherwise(0L))
+            .as("n_agree"),
+          sum(col("score_fp")).as("score_mass"))
+    }.withColumn("w_hash", lit(wHash))
+  }
+
   /** Streaming benchmark decontamination — batch d09's scale shape
     * carried to ingest time: the benchmark n-gram set is a STATIC
     * artifact (eval suites change by release, not by micro-batch), so

@@ -1304,6 +1304,16 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == 500L, "histogram must cover every document")
   }
 
+  test("streaming classifier serving equals the batch t31 summary row") {
+    def row(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_docs", "n_pred_pos", "n_agree", "score_mass", "w_hash")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4))).toSeq
+    val got = row(graft.streaming.EventsStream.classifierServeCounts(spark, sf001))
+    val batch = row(Queries.all("t31_quality_classifier")(spark, sf001))
+    assert(got == batch, s"stream serve diverged: $got vs $batch")
+  }
+
   test("native session_window sessionization equals the batch gaps-and-islands computation") {
     val got = graft.streaming.EventsStream.sessionWindows(spark, sf001)
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
