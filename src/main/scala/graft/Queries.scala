@@ -1489,6 +1489,24 @@ object Queries {
       graft.ops.Classifier.qualitySummary(
         TextAnalysis.languageId(docs(s, dir)), col("pred_lang") === "en")),
 
+    // Multiclass language classifier (the 5-way form of t31): one-vs-
+    // rest ridge logistic over the shared hashed feature space,
+    // trained with the Bohning-Lindsay bounded-curvature method — the
+    // X'X/4 curvature matrix is computed ONCE (class- and iteration-
+    // independent) and every iteration is a single light gradient scan
+    // for ALL classes; prediction is first-position argmax of the
+    // per-class margins. Distills t03's 5-way argmax rule at ~87%
+    // agreement (majority class ~30%; the exact-feature headroom is
+    // ~93% — the gap is hash collisions in the fixture's unusually
+    // tiny 31-term vocabulary, where one merged marker pair costs
+    // points; dim is the knob, 2^18 at web scale). Deterministic
+    // fixed point, so the summary (incl. the all-weights rolling
+    // hash) pins per SF.
+    "t32_multiclass_langid" -> ((s, dir) =>
+      graft.ops.Classifier.multiclassSummary(
+        TextAnalysis.languageId(docs(s, dir)), col("pred_lang"),
+        TextAnalysis.langProfiles.map(_._1), dim = 256)),
+
     // Per-source quantile quality cut: keep docs at/above their
     // source's p25 quality — the per-domain RELATIVE filter (an
     // absolute cut over-prunes clean domains and under-prunes noisy
@@ -2270,6 +2288,16 @@ object Queries {
       "n_agree" -> (457L, 462L, 4500L),
       "score_mass" -> (155185353L, 117433405L, 1381981645L),
       "w_hash" -> (-9198481473342153249L, -6085398195593787346L, 6134609951421128964L)),
+    // Measured 2026-08-14 (round 8, PinDump). Bohning-Lindsay OvR
+    // trajectory is a pure fixed-point function of the corpus
+    // (ClassifierSpec: independent in-memory replication, exact
+    // partition invariance); n_agree = ~87% five-way agreement with
+    // the t03 rule vs a ~30% majority class.
+    "t32_multiclass_langid" -> Seq(
+      "n_docs" -> (500L, 500L, 5000L),
+      "n_agree" -> (434L, 438L, 4231L),
+      "pred_hash" -> (644398927L, 591026797L, 1918332517L),
+      "w_hash" -> (412258164952615414L, 7008151292912725164L, -1770270720134746837L)),
     // = t31 by construction: the stream applies the batch-trained
     // model through the same fixed-point projection (OpsSpec asserts
     // row equality), so any divergence between these pin rows is a

@@ -87,16 +87,26 @@ object Classifier {
     * one double division by (Scale * n), intercept added in double,
     * sigmoid. `weightsFp` arrives as a `dim`-element literal array
     * (shipped in the task binary — dim <= 1024 Longs). */
-  private def probExpr(weightsFp: Array[Long], biasFp: Long): Column = {
+  private def marginExpr(weightsFp: Array[Long], biasFp: Long): Column = {
     val w = array(weightsFp.map(lit(_)): _*)
     val dotFp = aggregate(
       zip_with(col("bkts"), col("cnts"),
         (b, c) => element_at(w, b + 1) * c),
       lit(0L), (acc, x) => acc + x)
-    val z = dotFp.cast("double") / (lit(Scale.toDouble) * col("n")) +
+    dotFp.cast("double") / (lit(Scale.toDouble) * col("n")) +
       lit(biasFp.toDouble / Scale.toDouble)
-    lit(1.0) / (lit(1.0) + exp(-z))
   }
+
+  private def probExpr(weightsFp: Array[Long], biasFp: Long): Column =
+    lit(1.0) / (lit(1.0) + exp(-marginExpr(weightsFp, biasFp)))
+
+  /** Dense-in-k sparse feature list incl. the intercept: (index,
+    * value) with value = c/n for buckets, 1.0 for the intercept. */
+  private def featArr(dim: Int): Column = concat(
+    zip_with(col("bkts"), col("cnts"),
+      (b, c) => struct(b.cast("long").as("i"),
+        (c.cast("double") / col("n")).as("x"))),
+    array(struct(lit(dim.toLong).as("i"), lit(1.0).as("x"))))
 
   /** One IRLS iteration's sufficient statistics, fixed-pointed and
     * exactly summed: upper-triangle entries of X'SX as key
@@ -106,13 +116,7 @@ object Classifier {
   private def irlsStats(feats: DataFrame, weightsFp: Array[Long],
       biasFp: Long, dim: Int): Map[Long, Long] = {
     val p = probExpr(weightsFp, biasFp)
-    // Dense-in-k sparse feature list incl. the intercept: (index,
-    // value) with value = c/n for buckets, 1.0 for the intercept.
-    val farr = concat(
-      zip_with(col("bkts"), col("cnts"),
-        (b, c) => struct(b.cast("long").as("i"),
-          (c.cast("double") / col("n")).as("x"))),
-      array(struct(lit(dim.toLong).as("i"), lit(1.0).as("x"))))
+    val farr = featArr(dim)
     val upper = flatten(transform(col("f"), u =>
       transform(filter(col("f"), v => v.getField("i") >= u.getField("i")), v =>
         struct(
@@ -234,6 +238,177 @@ object Classifier {
         sum(when(col("pred") === (col("y") === 1L), 1L).otherwise(0L))
           .as("n_agree"),
         sum(col("score_fp")).as("score_mass"))
+      .withColumn("w_hash", lit(wHash))
+  }
+
+  // -------- Multiclass (one-vs-rest, shared bounded curvature) --------
+
+  /** One-vs-rest multiclass model: per-class weight vectors + biases
+    * over a shared hashed feature space, prediction by first-position
+    * argmax of the per-class margins. */
+  final case class MulticlassModel(dim: Int, classes: Seq[String],
+      weightsFp: Seq[Array[Long]], biasFp: Seq[Long]) {
+    require(classes.nonEmpty && weightsFp.size == classes.size &&
+      biasFp.size == classes.size, "per-class weights required")
+  }
+
+  /** [[hashedDocFeatures]] with an integer CLASS label: `lab` = index
+    * of `labelExpr`'s value in `classes` (-1 if absent — scored but
+    * never counted as agreement). */
+  private def featurizeLab(df: DataFrame, labelExpr: Column,
+      classes: Seq[String], idCol: String, textCol: String,
+      dim: Int): DataFrame = {
+    val lab = classes.zipWithIndex.foldRight(lit(-1): Column) {
+      case ((c, i), acc) => when(labelExpr === c, lit(i)).otherwise(acc)
+    }
+    val toks = TextAnalysis.tokens(col(textCol))
+    df.select(
+        col(idCol).as("id"), lab.as("lab"),
+        transform(toks, t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
+          .as("all_bkts"))
+      .select(col("id"), col("lab"), col("all_bkts"),
+        sort_array(array_distinct(col("all_bkts"))).as("bkts"))
+      .select(col("id"), col("lab"),
+        size(col("all_bkts")).cast("long").as("n"),
+        col("bkts"),
+        transform(col("bkts"),
+          b => size(filter(col("all_bkts"), x => x === b)).cast("long"))
+          .as("cnts"))
+  }
+
+  /** The fixed curvature matrix's sufficient statistics, X'X/4 —
+    * class- and iteration-independent (Bohning & Lindsay's uniform
+    * bound p(1-p) <= 1/4), so it is computed by ONE scan for the whole
+    * multiclass training run. Same key scheme as [[irlsStats]]'s upper
+    * triangle. */
+  private def curvatureStats(feats: DataFrame, dim: Int): Map[Long, Long] = {
+    val upper = flatten(transform(col("f"), u =>
+      transform(filter(col("f"), v => v.getField("i") >= u.getField("i")), v =>
+        struct(
+          (u.getField("i") * (dim + 2) + v.getField("i")).as("k"),
+          round(lit(0.25) * u.getField("x") * v.getField("x") * lit(Scale.toDouble))
+            .cast("long").as("c")))))
+    feats.withColumn("f", featArr(dim))
+      .select(explode(upper).as("e"))
+      .groupBy(col("e.k")).agg(sum(col("e.c")).as("v"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+  }
+
+  /** ALL classes' gradients X'(y_c - p_c) in ONE scan: per class, a
+    * margin/p column from the current weights, then per-feature
+    * fixed-point contributions keyed (class, index). Shuffle bounded
+    * by |classes| * (dim+1) keys per partition. */
+  private def multiGradStats(feats: DataFrame, classes: Seq[String],
+      w: Seq[Array[Long]], b: Seq[Long], dim: Int): Map[(Int, Long), Long] = {
+    var df = feats.withColumn("f", featArr(dim))
+    for (c <- classes.indices)
+      df = df.withColumn(s"p$c", probExpr(w(c), b(c)))
+    val contribs = concat(classes.indices.map { c =>
+      transform(col("f"), u => struct(
+        lit(c).as("cls"), u.getField("i").as("k"),
+        round((when(col("lab") === c, lit(1.0)).otherwise(lit(0.0)) - col(s"p$c"))
+          * u.getField("x") * lit(Scale.toDouble)).cast("long").as("g")))
+    }: _*)
+    df.select(explode(contribs).as("e"))
+      .groupBy(col("e.cls"), col("e.k"))
+      .agg(sum(col("e.g")).as("v"))
+      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+  }
+
+  /** One-vs-rest multiclass training with the Bohning-Lindsay bounded
+    * curvature method: the Newton Hessian is replaced by the uniform
+    * bound X'X/4 + ridge*N*I — computed ONCE (one scan) and shared by
+    * every class and every iteration — and each iteration is then a
+    * single light gradient scan for ALL classes (monotone convergence
+    * guaranteed by the curvature bound; ~10 iterations reach argmax
+    * stability where exact per-class Newton would need a k^2 stats
+    * scan per class per iteration). At 100 TB: 1 + iters scans total
+    * regardless of |classes|, shuffles bounded by dim^2 (once) and
+    * |classes|*(dim+1) (per iteration), driver state O(dim^2). Fully
+    * fixed-point deterministic, like the binary trainer. */
+  def trainMulticlass(df: DataFrame, labelExpr: Column, classes: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text", dim: Int = 64,
+      iters: Int = 12, ridge: Double = 1e-5): MulticlassModel = {
+    require(iters >= 1 && iters <= 100, s"bad iters=$iters")
+    val feats = featurizeLab(df, labelExpr, classes, idCol, textCol, dim)
+      .localCheckpoint(true)
+    val nDocs = feats.count()
+    require(nDocs > 0, "empty corpus")
+    val m = dim + 1
+    val curv = curvatureStats(feats, dim)
+    val a = Array.ofDim[Double](m, m)
+    for (i <- 0 until m) {
+      for (j <- i until m) {
+        val v = curv.getOrElse(i.toLong * (dim + 2) + j, 0L).toDouble / Scale
+        a(i)(j) = v; a(j)(i) = v
+      }
+      a(i)(i) += ridge * nDocs
+    }
+    val w = classes.map(_ => Array.fill(dim)(0L)).toIndexedSeq
+    val b = Array.fill(classes.size)(0L)
+    def fp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    for (_ <- 1 to iters) {
+      val grads = multiGradStats(feats, classes, w, b.toSeq, dim)
+      for (c <- classes.indices) {
+        val g = new Array[Double](m)
+        for (i <- 0 until m) {
+          g(i) = grads.getOrElse((c, i.toLong), 0L).toDouble / Scale -
+            ridge * nDocs * ((if (i < dim) w(c)(i) else b(c)).toDouble / Scale)
+        }
+        val d = choleskySolve(a.map(_.clone()), g)
+        for (i <- 0 until dim) w(c)(i) += fp(d(i) * Scale)
+        b(c) += fp(d(dim) * Scale)
+      }
+    }
+    MulticlassModel(dim, classes, w.map(_.clone()), b.toSeq)
+  }
+
+  /** Apply a multiclass model: `(id, lab, pred, score_fp)` with `pred`
+    * the first-position argmax class index of the per-class MARGINS
+    * (ties to the lowest index — `array_position` semantics) and
+    * `score_fp` the winning fixed-point margin. Margins, not sigmoid
+    * probabilities: the sigmoid saturates, so distinct well-classified
+    * margins collide at 2^-20 resolution and break near-boundary
+    * argmaxes to the wrong low-index class; the margin keeps full
+    * resolution at every operating point (same ordering — sigmoid is
+    * monotone). Pure projection. */
+  def scoreMulticlass(df: DataFrame, model: MulticlassModel, labelExpr: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val feats = featurizeLab(df, labelExpr, model.classes, idCol, textCol, model.dim)
+    val scores = array(model.classes.indices.map { c =>
+      round(marginExpr(model.weightsFp(c), model.biasFp(c)) * lit(Scale.toDouble))
+        .cast("long")
+    }: _*)
+    feats.withColumn("scores", scores)
+      .select(col("id"), col("lab"),
+        (array_position(col("scores"), array_max(col("scores"))) - 1)
+          .cast("int").as("pred"),
+        array_max(col("scores")).as("score_fp"))
+  }
+
+  /** Train-and-score multiclass, reduced to the one-row pinned
+    * summary: document count, label agreement, a rolling hash of the
+    * per-class predicted counts (class order), and a rolling hash of
+    * every weight (any drift anywhere moves it). */
+  def multiclassSummary(df: DataFrame, labelExpr: Column, classes: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text", dim: Int = 64,
+      iters: Int = 12, ridge: Double = 1e-5): DataFrame = {
+    val model = trainMulticlass(df, labelExpr, classes, idCol, textCol, dim, iters, ridge)
+    val wHash = model.weightsFp.zip(model.biasFp)
+      .flatMap { case (ws, bs) => ws :+ bs }
+      .foldLeft(17L)((h, x) => h * 31L + x)
+    val scored = scoreMulticlass(df, model, labelExpr, idCol, textCol)
+      .localCheckpoint()
+    val predCounts = scored.groupBy("pred").agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val predHash = model.classes.indices
+      .map(c => predCounts.getOrElse(c, 0L))
+      .foldLeft(17L)((h, x) => h * 31L + x)
+    scored.agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === col("lab"), 1L).otherwise(0L)).as("n_agree"))
+      .withColumn("pred_hash", lit(predHash))
       .withColumn("w_hash", lit(wHash))
   }
 }

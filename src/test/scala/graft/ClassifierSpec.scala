@@ -153,6 +153,115 @@ class ClassifierSpec extends SparkSpec {
       s"classifier no better than majority: ${row.getAs[Long]("n_agree")} vs $majority")
   }
 
+  /** Independent in-memory Bohning-Lindsay OvR trainer over collected
+    * features (Gauss-Jordan solves, own loop), replicating the
+    * documented fixed-point statistics arithmetic. */
+  private def refMulticlass(
+      feats: Seq[(Int, Long, Seq[Int], Seq[Long])], // (lab, n, bkts, cnts)
+      nClasses: Int, dim: Int, iters: Int,
+      ridge: Double): (Seq[Array[Long]], Seq[Long]) = {
+    def fp(x: Double): Long =
+      BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+    val m = dim + 1
+    val nDocs = feats.size
+    // Fixed curvature X'X/4 from fp contributions.
+    val acc = new scala.collection.mutable.HashMap[(Int, Int), Long]().withDefaultValue(0L)
+    for ((_, n, bkts, cnts) <- feats) {
+      val fs = bkts.zip(cnts).map { case (b, c) => (b, c.toDouble / n) } :+ ((dim, 1.0))
+      for ((a, xa) <- fs; (b, xb) <- fs if b >= a)
+        acc((a, b)) += fp(0.25 * xa * xb * Scale.toDouble)
+    }
+    val A = Array.ofDim[Double](m, m)
+    for (i <- 0 until m) {
+      for (j <- i until m) {
+        val v = acc((i, j)).toDouble / Scale
+        A(i)(j) = v; A(j)(i) = v
+      }
+      A(i)(i) += ridge * nDocs
+    }
+    def solve(b: Array[Double]): Array[Double] = {
+      val aug = Array.tabulate(m)(i => A(i) :+ b(i))
+      for (c <- 0 until m) {
+        val piv = aug(c)(c)
+        for (j <- c to m) aug(c)(j) /= piv
+        for (r <- 0 until m if r != c) {
+          val f = aug(r)(c)
+          for (j <- c to m) aug(r)(j) -= f * aug(c)(j)
+        }
+      }
+      aug.map(_(m))
+    }
+    val w = Seq.fill(nClasses)(Array.fill(m)(0L))
+    for (_ <- 1 to iters) {
+      val gacc = new scala.collection.mutable.HashMap[(Int, Int), Long]().withDefaultValue(0L)
+      for ((lab, n, bkts, cnts) <- feats) {
+        val fs = bkts.zip(cnts).map { case (b, c) => (b, c.toDouble / n) } :+ ((dim, 1.0))
+        for (c <- 0 until nClasses) {
+          val dotFp = bkts.zip(cnts).map { case (b, cc) => w(c)(b) * cc }.sum
+          val z = dotFp.toDouble / (Scale.toDouble * n) + w(c)(dim).toDouble / Scale.toDouble
+          val p = 1.0 / (1.0 + math.exp(-z))
+          val y = if (lab == c) 1.0 else 0.0
+          for ((i, x) <- fs) gacc((c, i)) += fp((y - p) * x * Scale.toDouble)
+        }
+      }
+      for (c <- 0 until nClasses) {
+        val g = new Array[Double](m)
+        for (i <- 0 until m)
+          g(i) = gacc((c, i)).toDouble / Scale - ridge * nDocs * (w(c)(i).toDouble / Scale)
+        val d = solve(g)
+        for (i <- 0 until m) w(c)(i) += fp(d(i) * Scale)
+      }
+    }
+    (w.map(_.take(dim)), w.map(_(dim)))
+  }
+
+  test("trainMulticlass matches the independent in-memory OvR trainer within fp tolerance") {
+    val classes = graft.ops.TextAnalysis.langProfiles.map(_._1)
+    val labeled = graft.ops.TextAnalysis.languageId(docs)
+    val dim = 64
+    val labIdx = classes.zipWithIndex.foldRight(lit(-1): org.apache.spark.sql.Column) {
+      case ((c, i), acc) => when($"pred_lang" === c, lit(i)).otherwise(acc)
+    }
+    val feats = labeled
+      .select($"doc_id", labIdx.as("lab"),
+        transform(split($"text", " "), t => pmod(xxhash64(t), lit(dim.toLong)).cast("int")).as("ab"))
+      .select($"lab", size($"ab").cast("long").as("n"),
+        sort_array(array_distinct($"ab")).as("bkts"), $"ab")
+      .select($"lab", $"n", $"bkts",
+        transform($"bkts", b => size(filter($"ab", x => x === b)).cast("long")).as("cnts"))
+      .collect().map(r => (r.getInt(0), r.getLong(1),
+        r.getSeq[Int](2), r.getSeq[Long](3))).toSeq
+    val (wantW, wantB) = refMulticlass(feats, classes.size, dim, iters = 12, ridge = 1e-5)
+    val got = graft.ops.Classifier.trainMulticlass(labeled, $"pred_lang", classes, dim = dim)
+    val diffs = got.weightsFp.zip(wantW).flatMap { case (a, b) =>
+      a.zip(b).map { case (x, y) => math.abs(x - y) }
+    } ++ got.biasFp.zip(wantB).map { case (x, y) => math.abs(x - y) }
+    assert(diffs.max <= 16L, s"OvR fits diverged: max diff ${diffs.max} fp units")
+  }
+
+  test("the multiclass model is partition-invariant, exactly") {
+    val classes = graft.ops.TextAnalysis.langProfiles.map(_._1)
+    val labeled = graft.ops.TextAnalysis.languageId(docs)
+    val a = graft.ops.Classifier.trainMulticlass(
+      labeled.repartition(1), $"pred_lang", classes, dim = 32, iters = 3)
+    val b = graft.ops.Classifier.trainMulticlass(
+      labeled.repartition(13), $"pred_lang", classes, dim = 32, iters = 3)
+    assert(a.weightsFp.map(_.toSeq) == b.weightsFp.map(_.toSeq) &&
+      a.biasFp == b.biasFp)
+  }
+
+  test("five-way langid distillation beats the majority class by a wide margin") {
+    val classes = graft.ops.TextAnalysis.langProfiles.map(_._1)
+    val labeled = graft.ops.TextAnalysis.languageId(docs)
+    val row = graft.ops.Classifier.multiclassSummary(
+      labeled, $"pred_lang", classes, dim = 256).collect()(0)
+    val majority = labeled.groupBy("pred_lang").count()
+      .agg(max("count")).collect()(0).getLong(0)
+    assert(row.getAs[Long]("n_docs") == docs.count())
+    assert(row.getAs[Long]("n_agree") > 2 * majority,
+      s"multiclass no better than majority: ${row.getAs[Long]("n_agree")} vs $majority")
+  }
+
   test("the fit satisfies the logistic score equation (calibration)") {
     // At the (lightly ridged) MLE with an intercept, sum(p_i) ~= n_pos
     // — the score equation for the intercept coordinate. A strong
