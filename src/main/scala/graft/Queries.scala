@@ -2043,6 +2043,24 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // Label-noise audit over the prebuilt K-NN graph (confident-
+    // learning shape): each node's label vs the deterministic majority
+    // label of its graph neighborhood. On this fixture the label
+    // column is geometric NOISE — the audit correctly reports ~1/10
+    // consistency (chance for 10 balanced classes), exactly the signal
+    // that tells a pipeline the labels cannot be trusted for
+    // embedding-space methods; OpsSpec shows the same audit reading
+    // ~1.0 on a cluster-labeled corpus. Reuses the memoized n01
+    // artifact — the audit itself never touches features (edge-table-
+    // sized shuffle only).
+    "n04_label_audit" -> ((s, dir) => {
+      val labels = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("label").cast("int").as("lab"))
+      graft.ops.GraphSearch.labelConsistency(knnGraph(s, dir), labels)
+        .agg(count(lit(1)).as("n_nodes"),
+          sum(when(col("consistent"), 1L).otherwise(0L)).as("n_consistent"))
+    }),
+
     // The NND K-NN graph: pinned whole-graph recall summary — every
     // node's neighbor list vs the exact brute-force top-10 (NND is
     // hash-seeded and partition-invariant, NNDSpec-asserted, so the
@@ -2288,6 +2306,15 @@ object Queries {
       "n_agree" -> (457L, 462L, 4500L),
       "score_mass" -> (155185353L, 117433405L, 1381981645L),
       "w_hash" -> (-9198481473342153249L, -6085398195593787346L, 6134609951421128964L)),
+    // Measured 2026-08-14 (round 8, PinDump). Deterministic fact of
+    // the (hash-seeded, partition-invariant) n01 graph + the label
+    // column: consistency ~1/10 = the fixture's labels carry no
+    // geometric signal (chance for 10 balanced classes) — the audit
+    // working as designed; OpsSpec shows ~1.0 on a cluster-labeled
+    // corpus.
+    "n04_label_audit" -> Seq(
+      "n_nodes" -> (500L, 500L, 2000L),
+      "n_consistent" -> (40L, 60L, 192L)),
     // Measured 2026-08-14 (round 8, PinDump). Bohning-Lindsay OvR
     // trajectory is a pure fixed-point function of the corpus
     // (ClassifierSpec: independent in-memory replication, exact

@@ -84,4 +84,41 @@ object GraphSearch {
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("cosine"))
   }
+
+  /** Label-consistency audit over a built K-NN graph — the label-noise
+    * detector of a labeled-corpus pipeline (confident-learning shape:
+    * a label that disagrees with its geometric neighborhood is a
+    * mislabel candidate; applied corpus-wide it measures whether the
+    * labels carry geometric signal AT ALL — a randomly-labeled corpus
+    * audits at ~1/|classes|). Per node: the majority label among its
+    * graph neighbors (count desc, label asc — total order, so the
+    * vote is deterministic), compared to its own label.
+    *
+    * Relational and graph-reusing: one explode of the prebuilt
+    * adjacency, one join to the narrow (id, lab) table, two bounded
+    * aggregations — the expensive geometry was already paid for by
+    * [[graft.nnd.NND.buildGraph]]; the audit itself never touches
+    * features. At 100 TB: shuffle is edge-table-sized (N·k narrow
+    * rows), partial-agg applies everywhere.
+    *
+    * @param graph  (id, neighbors) from `NND.buildGraph`
+    * @param labels (id, lab) integer class labels
+    * @return (id, lab, vote_lab, consistent) per node with >= 1 neighbor
+    */
+  def labelConsistency(graph: DataFrame, labels: DataFrame): DataFrame = {
+    val edges = graph
+      .filter(col("neighbors").isNotNull)
+      .select(col("id").as("node"), explode(col("neighbors")).as("nb"))
+      .select(col("node"), col("nb.id").as("nbr"))
+    val votes = edges
+      .join(labels.select(col("id").as("nbr"), col("lab").as("nbr_lab")), "nbr")
+      .groupBy("node", "nbr_lab").agg(count(lit(1)).as("cnt"))
+      // majority with (count desc, label asc): max over (cnt, -label)
+      .groupBy("node")
+      .agg(max(struct(col("cnt").as("c"), (-col("nbr_lab")).as("nl"))).as("m"))
+      .select(col("node").as("id"), (-col("m.nl")).as("vote_lab"))
+    votes.join(labels, "id")
+      .select(col("id"), col("lab"), col("vote_lab"),
+        (col("vote_lab") === col("lab")).as("consistent"))
+  }
 }

@@ -258,6 +258,47 @@ class OpsSpec extends SparkSpec {
     assert(got == cross)
   }
 
+  test("label audit reads ~1.0 on cluster-labeled points and ~chance on shuffled labels") {
+    import spark.implicits._
+    // 10 tight clusters, label = cluster id: neighborhood votes must
+    // recover the label almost everywhere. Then destroy the signal by
+    // reassigning labels by a hash — the audit must drop to ~1/10.
+    val rnd = new scala.util.Random(11)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val pts = (0 until 400).map { i =>
+      val c = i % 10
+      (i.toLong, centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq, c)
+    }
+    val corpus = pts.map { case (id, v, _) => (id, v) }.toDF("id", "features")
+      .repartition(8)
+    val graph = graft.nnd.NND.buildGraph(corpus,
+      graft.nnd.NND.Params(k = 10, maxIterations = 5))
+    val goodLabels = pts.map { case (id, _, c) => (id, c) }.toDF("id", "lab")
+    val good = graft.ops.GraphSearch.labelConsistency(graph, goodLabels)
+    val goodFrac = good.filter(col("consistent")).count().toDouble / good.count()
+    assert(goodFrac >= 0.95, s"cluster-labeled audit only $goodFrac")
+    // (id/10) % 10 varies WITHIN each geometric cluster (cluster =
+    // id % 10), so it is label noise w.r.t. the geometry.
+    val noise = pts.map { case (id, _, _) => (id, ((id / 10) % 10).toInt) }
+      .toDF("id", "lab")
+    val bad = graft.ops.GraphSearch.labelConsistency(graph, noise)
+    val badFrac = bad.filter(col("consistent")).count().toDouble / bad.count()
+    assert(badFrac <= 0.3, s"shuffled-label audit did not collapse: $badFrac")
+  }
+
+  test("label audit vote tie-break is count desc then label asc") {
+    import spark.implicits._
+    // node 1: neighbors labeled [2, 2, 5, 5, 7] -> tie (2,5) -> vote 2.
+    val graph = Seq((1L, Seq(10L, 11L, 12L, 13L, 14L))).toDF("id", "nbrs")
+      .select(col("id"), transform(col("nbrs"), n => struct(n.as("id"))).as("neighbors"))
+    val labels = Seq((1L, 9), (10L, 2), (11L, 2), (12L, 5), (13L, 5), (14L, 7))
+      .toDF("id", "lab")
+    val got = graft.ops.GraphSearch.labelConsistency(graph, labels).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[Int]("vote_lab") == 2 && !got(0).getAs[Boolean]("consistent"))
+  }
+
   test("the persisted MinHash index serves the online across-path's exact rows") {
     val corpus = docs.filter(col("doc_id") % 2 === 0)
     val incoming = docs.filter(col("doc_id") % 2 === 1)
