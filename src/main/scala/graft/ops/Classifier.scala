@@ -241,6 +241,32 @@ object Classifier {
       .withColumn("w_hash", lit(wHash))
   }
 
+  /** Persists a trained model as a tiny parquet artifact: one row per
+    * coordinate (`idx` in [0, dim] with the intercept at `dim`,
+    * `w_fp`). Fixed-point Longs round-trip parquet exactly, so a
+    * loaded model scores bit-identically to the in-memory one
+    * (ClassifierSpec-asserted) — the train-once / serve-everywhere
+    * lifecycle (s14/d15 pattern): the filter fleet loads weights, it
+    * never retrains. */
+  def saveModel(spark: org.apache.spark.sql.SparkSession,
+      model: LogisticModel, path: String): Unit = {
+    import spark.implicits._
+    ((0 until model.dim).map(i => (i, model.weightsFp(i))) :+
+      ((model.dim, model.biasFp)))
+      .toDF("idx", "w_fp")
+      .repartition(1).write.mode("overwrite").parquet(path)
+  }
+
+  /** Loads a [[saveModel]] artifact. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): LogisticModel = {
+    val rows = spark.read.parquet(path).orderBy("idx").collect()
+      .map(r => r.getInt(0) -> r.getLong(1))
+    val dim = rows.length - 1
+    require(rows.map(_._1).sameElements(0 to dim), s"corrupt model at $path")
+    LogisticModel(dim, rows.take(dim).map(_._2), rows(dim)._2)
+  }
+
   // -------- Multiclass (one-vs-rest, shared bounded curvature) --------
 
   /** One-vs-rest multiclass model: per-class weight vectors + biases

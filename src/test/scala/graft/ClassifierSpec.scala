@@ -262,6 +262,22 @@ class ClassifierSpec extends SparkSpec {
       s"multiclass no better than majority: ${row.getAs[Long]("n_agree")} vs $majority")
   }
 
+  test("a saved model round-trips parquet and scores bit-identically") {
+    val labeled = graft.ops.TextAnalysis.languageId(docs)
+    val model = Classifier.trainQuality(labeled, $"pred_lang" === "en",
+      dim = 32, iters = 3)
+    val p = java.nio.file.Files.createTempDirectory("cls_model").toString
+    Classifier.saveModel(spark, model, p)
+    val loaded = Classifier.loadModel(spark, p)
+    assert(loaded.dim == model.dim &&
+      loaded.weightsFp.toSeq == model.weightsFp.toSeq &&
+      loaded.biasFp == model.biasFp)
+    def rows(m: Classifier.LogisticModel) =
+      Classifier.scoreQuality(labeled, m, $"pred_lang" === "en")
+        .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1).toSeq
+    assert(rows(loaded) == rows(model))
+  }
+
   test("the fit satisfies the logistic score equation (calibration)") {
     // At the (lightly ridged) MLE with an intercept, sum(p_i) ~= n_pos
     // — the score equation for the intercept coordinate. A strong
