@@ -78,6 +78,12 @@ object EventsStream {
   // path is immutable in this harness. If a path's file could be REWRITTEN
   // with the other timestamp encoding mid-session, key this cache on the
   // file's modification time (or re-probe per invocation — one footer read).
+  // Memoized per directory for the SESSION: a fixture regenerated
+  // in-place with the other timestamp encoding mid-session would read
+  // through a stale divisor (1000x off). Acceptable for the bench
+  // harness — fixtures are immutable per run; if that ever changes,
+  // key the cache on the parquet footer's mtime or probe per call
+  // (it is a single footer read).
   private val tsDivisorCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
   private def tsDivisor(spark: SparkSession, dir: String): Long =
     tsDivisorCache.computeIfAbsent(dir, d => {

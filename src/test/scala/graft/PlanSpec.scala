@@ -316,4 +316,52 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"),
       s"selection is not a bounded per-partition heap:\n$p")
   }
+
+  test("t31: classifier featurization is a pure projection — zero exchanges") {
+    // The documented trade: per-doc RLE over the hashed bucket array
+    // instead of the corpus-wide explode+groupBy shuffle. The claim
+    // must hold in the physical plan, not just the scaladoc.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = graft.ops.Classifier.hashedDocFeatures(
+      docs, org.apache.spark.sql.functions.col("lang") === "en",
+      "doc_id", "text", 64)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange"), s"featurization shuffled:\n$p")
+  }
+
+  test("t31: the IRLS statistics pass keeps map-side partial aggregation") {
+    // The per-iteration stats shuffle is dim-bounded ONLY because the
+    // (dim+1)(dim+4)/2-key aggregation combines map-side; a plan
+    // without partial_sum would shuffle one row per doc-pair-contrib.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val plans = capturedPlans {
+      graft.ops.Classifier.trainQuality(docs,
+        org.apache.spark.sql.functions.col("lang") === "en",
+        dim = 32, iters = 1)
+    }
+    val statsPlans = plans.filter(_.contains("partial_sum"))
+    assert(statsPlans.nonEmpty,
+      s"no stats aggregation with map-side combine found in:\n${plans.mkString("\n---\n")}")
+  }
+
+  test("d15: the index serve never re-shingles the corpus side") {
+    // The serve plan's leaves must read the on-disk artifact (shingles/
+    // buckets parquet) for the corpus side — the whole point of the
+    // persisted index; only the incoming batch flows through the
+    // shingle/minhash projection.
+    val docs = spark.read.parquet(s"$sf001/documents.parquet")
+    val p = java.nio.file.Files.createTempDirectory("minhash_idx_plan").toString
+    graft.ops.Dedup.saveMinhashIndex(
+      docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 0),
+      p, "doc_id", "text")
+    val served = graft.ops.Dedup.minhashPairsFromIndex(
+      spark, p, docs.filter(org.apache.spark.sql.functions.col("doc_id") % 2 === 1),
+      "doc_id", "text", 0.7)
+    served.collect()
+    val leaves = served.queryExecution.executedPlan.collectLeaves()
+      .map(_.toString).mkString("\n")
+    assert(leaves.contains("shingles") && leaves.contains("buckets"),
+      s"serve plan does not scan the persisted artifact:\n$leaves")
+  }
 }
