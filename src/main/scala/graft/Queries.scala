@@ -1507,6 +1507,36 @@ object Queries {
         TextAnalysis.languageId(docs(s, dir)), col("pred_lang"),
         TextAnalysis.langProfiles.map(_._1), dim = 256)),
 
+    // C4 bad-words gate (blocklist document filter): per doc the
+    // total/distinct blocklisted-token hits plus the C4 keep decision.
+    // The bounded dictionary folds into the projection as a literal
+    // array — zero exchanges, zero joins (PlanSpec pins it).
+    "t33_blocklist" -> ((s, dir) =>
+      TextAnalysis.blocklistFlags(docs(s, dir),
+        Seq("spark", "vector", "scan"))),
+
+    // Stupid-backoff trigram LM scoring (Brants et al.) — the
+    // deliberately NON-broadcast LM scale path: the model-score table
+    // carries no broadcast hint (web-scale trigram tables cannot
+    // broadcast; Catalyst picks the join physically). minCount=2
+    // floors the tri/bigram tables so all three backoff branches are
+    // real on the fixture; fixed-point-before-sum determinism (t19).
+    "t34_backoff_trigram" -> ((s, dir) =>
+      TextAnalysis.backoffTrigramLogProb(docs(s, dir))),
+
+    // Corpus snapshot diff (versioned-release delta): v1 = ids not
+    // divisible by 3, v2 = ids not divisible by 5 with the text of
+    // ids divisible by 7 edited — the four statuses all occur. The
+    // full-outer join moves only (id, md5) manifests, never text.
+    "d16_corpus_diff" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val v1 = d.filter(col("doc_id") % 3 =!= 0)
+      val v2 = d.filter(col("doc_id") % 5 =!= 0)
+        .withColumn("text", when(col("doc_id") % 7 === 0,
+          concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      Dedup.corpusDiff(v1, v2, "doc_id", "text")
+    }),
+
     // Per-source quantile quality cut: keep docs at/above their
     // source's p25 quality — the per-domain RELATIVE filter (an
     // absolute cut over-prunes clean domains and under-prunes noisy
@@ -2925,6 +2955,80 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM bg JOIN lp USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    // The identical literal blocklist and per-doc list arithmetic
+    // (list_filter/list_contains mirror the Spark filter HOF exactly;
+    // all counts BIGINT).
+    "t33_blocklist" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |h AS (SELECT doc_id, len(t) AS n_tokens,
+        |    list_filter(t, x -> list_contains(['scan','spark','vector'], x))
+        |      AS hits
+        |  FROM tk)
+        |SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |  CAST(len(hits) AS BIGINT) AS n_hits,
+        |  CAST(len(list_distinct(hits)) AS BIGINT) AS n_distinct_hits,
+        |  CAST(CASE WHEN len(hits) = 0 THEN 1 ELSE 0 END AS BIGINT)
+        |    AS kept
+        |FROM h""".stripMargin,
+
+    // Stupid backoff with the same branch order, floor (minCount=2),
+    // alpha literal CAST to DOUBLE, expression associativity, and
+    // per-distinct-trigram 2^-20 rounding before the BIGINT sum.
+    "t34_backoff_trigram" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |tri AS (
+        |  SELECT doc_id,
+        |    t[i] || chr(1) || t[i + 1] || chr(1) || t[i + 2] AS tri
+        |  FROM tk, unnest(range(1, len(t) - 1)) AS u(i)),
+        |c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+        |bi AS (
+        |  SELECT t[i] || chr(1) || t[i + 1] AS bg
+        |  FROM tk, unnest(range(1, len(t))) AS u(i)),
+        |c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
+        |c1 AS (SELECT term AS w, count(*) AS c1 FROM (
+        |    SELECT unnest(str_split(text, ' ')) AS term FROM documents)
+        |  GROUP BY 1),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM c1),
+        |keys AS (SELECT tri, c3, str_split(tri, chr(1)) AS p FROM c3),
+        |lp AS (
+        |  SELECT tri,
+        |    CAST(round(ln(
+        |      CASE WHEN k.c3 >= 2 THEN k.c3 / CAST(b12.c2 AS DOUBLE)
+        |        WHEN b23.c2 >= 2
+        |          THEN CAST(0.4 AS DOUBLE) * (b23.c2 / CAST(u2.c1 AS DOUBLE))
+        |        ELSE CAST(0.4 AS DOUBLE) * (CAST(0.4 AS DOUBLE) *
+        |          (u3.c1 / tot.n))
+        |      END) * 1048576) AS BIGINT) AS lp_fp
+        |  FROM keys k
+        |  JOIN c2 b12 ON b12.bg = k.p[1] || chr(1) || k.p[2]
+        |  JOIN c2 b23 ON b23.bg = k.p[2] || chr(1) || k.p[3]
+        |  JOIN c1 u2 ON u2.w = k.p[2]
+        |  JOIN c1 u3 ON u3.w = k.p[3], tot)
+        |SELECT doc_id, count(*) AS n_trigrams,
+        |  CAST(sum(lp_fp) AS BIGINT) AS logprob_fp,
+        |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
+        |FROM tri JOIN lp USING (tri)
+        |GROUP BY doc_id""".stripMargin,
+
+    // Text equality stands in for the Spark side's md5-manifest
+    // equality (collision-free on the fixture, and md5(x)=md5(y) iff
+    // x=y for release purposes — the op's own contract).
+    "d16_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, text FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |v2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
+        |      AS text
+        |  FROM documents WHERE doc_id % 5 <> 0)
+        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
+        |    WHEN v2.doc_id IS NULL THEN 'removed'
+        |    WHEN v1.text = v2.text THEN 'unchanged'
+        |    ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
 
     // Mirrors bm25TopK op-for-op: every double constant is CAST to
     // DOUBLE first (DuckDB parses bare decimal literals as DECIMAL,

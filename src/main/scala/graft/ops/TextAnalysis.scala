@@ -662,4 +662,136 @@ object TextAnalysis {
       }
       .toDF(idCol, "n_tokens", "n_pieces", "pieces")
   }
+
+  /** Adjacent-element triples of `arr` joined by `sep` — the trigram
+    * constructor ([[adjacentPairs]] lifted one order). Two nested
+    * zip_with passes over aligned slices; the array is evaluated only
+    * as HOF arguments (never inside a lambda body), per the
+    * [[graft.ops.Dedup.shingles]] rationale. Empty for len < 3. */
+  private[ops] def adjacentTriples(arr: Column, sep: String): Column = {
+    val cnt = greatest(size(arr) - 2, lit(0))
+    zip_with(
+      zip_with(slice(arr, lit(1), cnt), slice(arr, lit(2), cnt),
+        (a, b) => concat(a, lit(sep), b)),
+      slice(arr, lit(3), cnt),
+      (ab, c) => concat(ab, lit(sep), c))
+  }
+
+  /** Blocklist document filter — the C4 "bad words" gate (Raffel et
+    * al. 2020, §2.2 of the C4 cleaning rules: drop any page containing
+    * a term from a fixed list) generalized to emit the evidence a
+    * Dolma-style flag-don't-drop pipeline keeps: per document the
+    * total and distinct blocklisted-token counts plus the C4 keep
+    * decision (`kept = 1` iff zero hits).
+    *
+    * Scale shape: a blocklist is a bounded curated dictionary
+    * (hundreds of terms), so the probe is a LITERAL array folded into
+    * the projection — one `filter` HOF over the bound token-array
+    * attribute, zero exchanges, zero joins, embarrassingly
+    * partition-parallel (PlanSpec pins the exchange-free plan). A
+    * dictionary too large to inline would instead broadcast-semi-join
+    * the exploded token stream — never a shuffle of the corpus. */
+  def blocklistFlags(df: DataFrame, blocklist: Seq[String],
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    require(blocklist.nonEmpty, "empty blocklist")
+    val bl = array(blocklist.distinct.sorted.map(lit): _*)
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"),
+        size_(col("__tk")).cast("long").as("n_tokens"),
+        filter(col("__tk"), t => array_contains(bl, t)).as("__hits"))
+      .select(col("doc_id"), col("n_tokens"),
+        size_(col("__hits")).cast("long").as("n_hits"),
+        size_(array_distinct(col("__hits"))).cast("long")
+          .as("n_distinct_hits"),
+        when(size_(col("__hits")) === 0, lit(1L)).otherwise(lit(0L))
+          .as("kept"))
+  }
+
+  /** Stupid-backoff trigram LM document scoring (Brants et al. 2007,
+    * "Large Language Models in Machine Translation" — the inexpensive
+    * smoothing that made distributed web-scale n-gram LMs practical).
+    * Per position i ≥ 3 the score is
+    * {{{
+    *   S(w3|w1w2) = c(w1w2w3)/c(w1w2)            if c(w1w2w3) ≥ minCount
+    *              = α · c(w2w3)/c(w2)            else if c(w2w3) ≥ minCount
+    *              = α · α · c(w3)/N              otherwise
+    * }}}
+    * with α = 0.4 (the paper's constant) and a storage floor
+    * `minCount` on the trigram and bigram tables — scoring a corpus
+    * with its own un-floored model never backs off, so the floor is
+    * what makes the backoff chain real (and is what every production
+    * n-gram table applies anyway). Context counts c(w1w2), c(w2) stay
+    * un-floored (the t25 convention: kept n-grams' scores are
+    * unchanged by the floor choice). Documents with fewer than three
+    * tokens have no trigrams and are absent.
+    *
+    * Determinism across engines: the t19 argument — each DISTINCT
+    * trigram's ln(S) rounds to 2⁻²⁰ fixed point once, in the
+    * model-sized score table; per-document totals are exact BIGINT
+    * sums over the trigram stream.
+    *
+    * Scale shape — this is the deliberately NON-broadcast complement
+    * to [[bigramLogProb]]: a web-scale trigram table (billions of
+    * rows even floored; Brants et al. report 300 B n-grams) can never
+    * broadcast, so the score table carries NO broadcast hint — the
+    * scoring join keys the trigram stream against the model on the
+    * trigram and lets Catalyst pick: auto-broadcast under the
+    * threshold at small scale, shuffle hash/sort-merge join above it,
+    * either way one pass over the token stream with map-side partial
+    * aggregation of the per-document sums. Model construction is
+    * three corpus-scan aggregations (tri/bi/unigram counts — each
+    * combines map-side to model-sized tables) and the score-table
+    * joins are model-table-sized, never corpus-sized. */
+  def backoffTrigramLogProb(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", minCount: Long = 2L,
+      alpha: Double = 0.4): DataFrame = {
+    require(minCount >= 1, s"minCount must be >= 1: $minCount")
+    val sep = "\u0001"
+    val tris = df.select(col(idCol).as("id"),
+      explode(adjacentTriples(tokens(col(textCol)), sep)).as("tri"))
+    // Model tables: materialized once (each is n-gram-vocabulary-sized)
+    // because each is reused by two score-table joins below.
+    val triC = tris.groupBy("tri").agg(count(lit(1)).as("c3"))
+      .localCheckpoint()
+    val biC = df.select(explode(adjacentPairs(tokens(col(textCol)), sep))
+        .as("bg"))
+      .groupBy("bg").agg(count(lit(1)).as("c2")).localCheckpoint()
+    val uniC = df.select(explode(tokens(col(textCol))).as("w"))
+      .groupBy("w").agg(count(lit(1)).as("c1")).localCheckpoint()
+    val nRow = uniC.agg(sum(col("c1"))).head()
+    // Empty corpus: any N works — the scoring join below is empty.
+    val n = if (nRow.isNullAt(0)) 1L else nRow.getLong(0)
+    // Per-DISTINCT-trigram score table: the prefix bigram w1w2, suffix
+    // bigram w2w3, and unigrams w2/w3 of an observed trigram are
+    // always observed, so the lookups are inner joins.
+    val keys = triC.select(col("tri"), col("c3"),
+      substring_index(col("tri"), sep, 2).as("w12"),
+      substring_index(col("tri"), sep, -2).as("w23"),
+      substring_index(substring_index(col("tri"), sep, 2), sep, -1)
+        .as("w2"),
+      substring_index(col("tri"), sep, -1).as("w3"))
+    val s =
+      when(col("c3") >= minCount,
+        col("c3").cast("double") / col("ctx12").cast("double"))
+      .when(col("c23") >= minCount,
+        lit(alpha) * (col("c23").cast("double") / col("cw2").cast("double")))
+      .otherwise(
+        lit(alpha) * (lit(alpha) *
+          (col("cw3").cast("double") / lit(n.toDouble))))
+    val lp = keys
+      .join(biC.select(col("bg").as("w12"), col("c2").as("ctx12")),
+        Seq("w12"))
+      .join(biC.select(col("bg").as("w23"), col("c2").as("c23")),
+        Seq("w23"))
+      .join(uniC.select(col("w").as("w2"), col("c1").as("cw2")), Seq("w2"))
+      .join(uniC.select(col("w").as("w3"), col("c1").as("cw3")), Seq("w3"))
+      .select(col("tri"),
+        round(log(s) * lit(1048576.0)).cast("long").as("lp_fp"))
+    tris.join(lp, Seq("tri"))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_trigrams"), sum(col("lp_fp")).as("logprob_fp"))
+      .select(col("id").as(idCol), col("n_trigrams"), col("logprob_fp"),
+        (col("logprob_fp").cast("double") / col("n_trigrams"))
+          .as("mean_lp_fp"))
+  }
 }

@@ -1943,4 +1943,60 @@ class OpsSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSeq
     assert(top2 == Seq(2L, 1L), s"selection order wrong: $top2")
   }
+
+  test("blocklistFlags: C4 gate — kept iff zero hits; total vs distinct counts") {
+    import spark.implicits._
+    val d = Seq((0L, "good text only here"), (1L, "bad text bad again"),
+      (2L, "worse")).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .blocklistFlags(d, Seq("bad", "worse")).collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(0L) == ((4L, 0L, 0L, 1L)), "clean doc passes the gate")
+    assert(out(1L) == ((4L, 2L, 1L, 0L)),
+      "repeated term counts twice total, once distinct; doc dropped")
+    assert(out(2L) == ((1L, 1L, 1L, 0L)))
+  }
+
+  test("backoffTrigramLogProb: all three backoff branches, hand-computed") {
+    import spark.implicits._
+    // tri counts: (a,b,c)=2 (b,c,d)=2 (a,b,x)=1 (q,b,x)=1 (z,z,y)=1
+    // bi counts:  (a,b)=3 (b,c)=2 (c,d)=2 (b,x)=2 (q,b)=1 (z,z)=1 (z,y)=1
+    // uni counts: a=3 b=4 c=2 d=2 x=2 q=1 z=2 y=1; N=17
+    val d = Seq((0L, "a b c d"), (1L, "a b c d"), (2L, "a b x"),
+      (3L, "q b x"), (4L, "z z y")).toDF("doc_id", "text")
+    val k = 1048576.0
+    // branch 1: c3>=2 -> c3/c(w1w2); (a,b,c): 2/3, (b,c,d): 2/2
+    val abc = math.round(math.log(2.0 / 3.0) * k)
+    val bcd = math.round(math.log(2.0 / 2.0) * k)
+    // branch 2: suffix bigram kept -> 0.4*(c(w2w3)/c(w2)); (·,b,x): 2/4
+    val bx = math.round(math.log(0.4 * (2.0 / 4.0)) * k)
+    // branch 3: both floored -> 0.4*(0.4*(c(w3)/N)); y: 1/17
+    val zzy = math.round(math.log(0.4 * (0.4 * (1.0 / 17.0))) * k)
+    val out = graft.ops.TextAnalysis.backoffTrigramLogProb(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out(0L) == ((2L, abc + bcd)) && out(1L) == ((2L, abc + bcd)))
+    assert(out(2L) == ((1L, bx)), "unseen trigram backs off to its bigram")
+    assert(out(3L) == ((1L, bx)), "distinct prefix, same suffix bigram score")
+    assert(out(4L) == ((1L, zzy)), "doubly-unseen backs off to the unigram")
+    assert(out.size == 5)
+  }
+
+  test("backoffTrigramLogProb: partition-invariant on the fixture corpus") {
+    val d = spark.read.parquet(s"$sf0001/documents.parquet").limit(80)
+    def run(parts: Int) = graft.ops.TextAnalysis
+      .backoffTrigramLogProb(d.repartition(parts)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(7), "scores must not depend on partitioning")
+  }
+
+  test("corpusDiff: all four statuses from one overlapping pair") {
+    import spark.implicits._
+    val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
+    val v2 = Seq((2L, "y"), (3L, "z2"), (4L, "w")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.corpusDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out == Map(1L -> "removed", 2L -> "unchanged",
+      3L -> "changed", 4L -> "added"))
+  }
 }

@@ -345,6 +345,19 @@ class PlanSpec extends SparkSpec {
       s"no stats aggregation with map-side combine found in:\n${plans.mkString("\n---\n")}")
   }
 
+  test("t33: the blocklist gate is a pure projection — zero exchanges") {
+    // The bounded dictionary folds into the projection as a literal
+    // array; a plan with a join or exchange would mean the corpus
+    // moved for a hundred-term list.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = graft.ops.TextAnalysis.blocklistFlags(
+      docs, Seq("spark", "vector", "scan"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"blocklist gate shuffled or joined:\n$p")
+  }
+
   test("d15: the index serve never re-shingles the corpus side") {
     // The serve plan's leaves must read the on-disk artifact (shingles/
     // buckets parquet) for the corpus side — the whole point of the
