@@ -983,6 +983,16 @@ object Queries {
       graft.ops.TextAnalysis.bpeMerges(docs(s, dir), "text", 20))
       .collect().sortBy(_.getInt(0))
 
+  /** Session-memoized unigram-LM vocabulary (t35 trains it; t36
+    * encodes with it — one training per session per dir, the
+    * bpeRules lifecycle). Sorted piece-asc (the trainer's own output
+    * order, re-asserted for belt and braces). */
+  private def unigramPieces(s: SparkSession, dir: String): Array[org.apache.spark.sql.Row] =
+    memo(s, dir, "unigram_vocab")(
+      graft.ops.UnigramTokenizer.train(docs(s, dir), "text",
+        vocabSize = 48, seedSize = 256, maxPieceLen = 4, iters = 3))
+      .collect().sortBy(_.getString(0))
+
   /** Drop one memoized artifact so a re-timed build phase measures a real
     * build (Bench's median-of-3: without eviction, reruns of
     * `n01_graph_build`/`n02_prior_build` would time a cache hit). The
@@ -1523,6 +1533,45 @@ object Queries {
     // real on the fixture; fixed-point-before-sum determinism (t19).
     "t34_backoff_trigram" -> ((s, dir) =>
       TextAnalysis.backoffTrigramLogProb(docs(s, dir))),
+
+    // Unigram-LM tokenizer training (Kudo/SentencePiece, deterministic
+    // hard-EM: exact counts, 2^-20 fixed-point log probs, total
+    // tie-breaks — UnigramTokenizer scaladoc). Corpus touched once;
+    // seeding and EM rounds run on the distinct-word table. The vocab
+    // is a pure function of the corpus, summarized as piece count,
+    // total usage mass, and a rolling hash over the canonical
+    // piece-asc "piece:count:lp;" list; TrainPrepSpec equality-checks
+    // the full table against an independent in-memory trainer.
+    "t35_unigram_vocab" -> ((s, dir) => {
+      val vocab = unigramPieces(s, dir)
+      val fp = vocab.foldLeft(0L) { (h, r) =>
+        (r.getString(0) + ":" + r.getLong(1) + ":" + r.getLong(2) + ";")
+          .foldLeft(h)((hh, c) => (hh * 31 + c.toInt) % 1000000007L)
+      }
+      import s.implicits._
+      Seq((vocab.length.toLong, vocab.map(_.getLong(1)).sum, fp))
+        .toDF("n_pieces", "total_count", "vocab_fp")
+    }),
+
+    // Viterbi encoding under the t35 vocabulary (the tokenizer-apply
+    // half, t28's lifecycle for the unigram model): shuffle-free
+    // mapPartitions kernel, broadcast pieces, per-partition word memo.
+    "t36_unigram_encode" -> ((s, dir) => {
+      val vocab = unigramPieces(s, dir)
+        .map(r => (r.getString(0), r.getLong(2))).toSeq
+      val enc = graft.ops.UnigramTokenizer.encode(docs(s, dir), vocab)
+        .localCheckpoint(true)
+      val tot = enc
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_pieces")).as("total_pieces"))
+        .head()
+      val voc = enc.select(explode(col("pieces")).as("p"))
+        .agg(count_distinct(col("p"))).head().getLong(0)
+      import s.implicits._
+      if (tot.getLong(0) == 0L)
+        Seq((0L, 0L, 0L)).toDF("n_docs", "total_pieces", "n_vocab")
+      else Seq((tot.getLong(0), tot.getLong(1), voc))
+        .toDF("n_docs", "total_pieces", "n_vocab")
+    }),
 
     // Corpus snapshot diff (versioned-release delta): v1 = ids not
     // divisible by 3, v2 = ids not divisible by 5 with the text of
@@ -2315,6 +2364,21 @@ object Queries {
       "n_rules" -> (20L, 20L, 20L),
       "total_count" -> (34968L, 33950L, 336099L),
       "rules_fp" -> (972256220L, 883996626L, 761560261L)),
+    // Measured 2026-08-14 (round 8, PinDump). The vocabulary is a pure
+    // function of the corpus (hard-EM with exact counts and total
+    // tie-breaks); vocab_fp is the rolling hash of the canonical
+    // piece-asc "piece:count:lp;" list.
+    "t35_unigram_vocab" -> Seq(
+      "n_pieces" -> (48L, 48L, 48L),
+      "total_count" -> (65355L, 62653L, 629867L),
+      "vocab_fp" -> (690015130L, 93162695L, 912691525L)),
+    // Measured 2026-08-14 (round 8, PinDump). Pure function of the
+    // corpus + the deterministic t35 vocabulary (TrainPrepSpec:
+    // per-document equality with an independent in-memory Viterbi).
+    "t36_unigram_encode" -> Seq(
+      "n_docs" -> (500L, 500L, 5000L),
+      "total_pieces" -> (65355L, 62653L, 629867L),
+      "n_vocab" -> (43L, 43L, 43L)),
     // Measured 2026-08-13 (round 7, PinDump). Pure function of the
     // corpus + the deterministic t26 rules; the 20 merges compress
     // ~2.6x vs raw characters and grow the piece vocabulary from the

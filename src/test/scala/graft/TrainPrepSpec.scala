@@ -592,4 +592,151 @@ class TrainPrepSpec extends SparkSpec {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     assert(graft.ops.TextAnalysis.bpeMerges(empty, "text", 3).count() == 0)
   }
+
+  // --- Unigram-LM tokenizer ---
+
+  /** Independent in-memory Viterbi with the same tie-break contract
+    * (max exact score, then fewer pieces, then longest final piece). */
+  private def refViterbi(w: String, lp: Map[String, Long],
+      maxLen: Int): Vector[String] = {
+    val n = w.length
+    val INF = Long.MinValue / 4
+    val best = Array.fill(n + 1)(INF)
+    val np = Array.fill(n + 1)(Int.MaxValue)
+    val back = new Array[Int](n + 1)
+    best(0) = 0L; np(0) = 0
+    for (i <- 1 to n; j <- math.max(0, i - maxLen) until i if best(j) != INF) {
+      val s = lp.getOrElse(w.substring(j, i),
+        if (i - j == 1) graft.ops.UnigramTokenizer.UnkFp else INF)
+      if (s != INF) {
+        val cand = best(j) + s; val cn = np(j) + 1
+        if (cand > best(i) || (cand == best(i) && cn < np(i))) {
+          best(i) = cand; np(i) = cn; back(i) = j
+        }
+      }
+    }
+    var p = n; var out = List.empty[String]
+    while (p > 0) { out = w.substring(back(p), p) :: out; p = back(p) }
+    out.toVector
+  }
+
+  /** Independent in-memory reference trainer: same contract as
+    * `UnigramTokenizer.train` (seed substring mass, Laplace 2^-20
+    * fixed-point log probs, hard-EM Viterbi usage rounds, vocabSize
+    * prune by count desc / piece asc), plain Scala collections so a
+    * Spark-side mistake cannot hide in both. */
+  private def refUnigram(freqs: Map[String, Long], vocabSize: Int,
+      seedSize: Int, maxLen: Int, iters: Int): Seq[(String, Long, Long)] = {
+    def laplace(cs: Seq[(String, Long)]): Seq[(String, Long, Long)] = {
+      val t = cs.map(_._2).sum; val v = cs.size
+      cs.map { case (p, c) =>
+        (p, c, math.round(math.log((c + 1).toDouble / (t + v).toDouble) * 1048576))
+      }
+    }
+    val sub = scala.collection.mutable.HashMap.empty[String, Long]
+    for ((w, f) <- freqs; len <- 1 to math.min(maxLen, w.length);
+         st <- 0 to w.length - len) {
+      val s = w.substring(st, st + len)
+      sub(s) = sub.getOrElse(s, 0L) + f
+    }
+    val singles = sub.filter(_._1.length == 1).toSeq.sortBy(_._1)
+    val multis = sub.filter(_._1.length > 1).toSeq
+      .sortBy { case (p, c) => (-c, p) }.take(seedSize)
+    def usage(ps: Seq[(String, Long, Long)]): Map[String, Long] = {
+      val lp = ps.map { case (p, _, l) => p -> l }.toMap
+      val u = scala.collection.mutable.HashMap.empty[String, Long]
+      for ((w, f) <- freqs; piece <- refViterbi(w, lp, maxLen))
+        u(piece) = u.getOrElse(piece, 0L) + f
+      u.toMap
+    }
+    var pieces = laplace((singles ++ multis).sortBy(_._1))
+    for (_ <- 1 to iters) {
+      val u = usage(pieces)
+      val kept = pieces.collect {
+        case (p, _, _) if p.length == 1 => (p, u.getOrElse(p, 0L))
+        case (p, _, _) if u.contains(p) => (p, u(p))
+      }
+      pieces = laplace(kept.sortBy(_._1))
+    }
+    val sing = pieces.filter(_._1.length == 1)
+    val mult = pieces.filter(_._1.length > 1)
+      .sortBy { case (p, c, _) => (-c, p) }
+      .take(math.max(0, vocabSize - sing.size))
+    val fin = usage(sing ++ mult)
+    laplace((sing ++ mult).map { case (p, _, _) =>
+      (p, fin.getOrElse(p, 0L))
+    }.sortBy(_._1))
+  }
+
+  test("unigram train learns the hand-computable toy vocabulary") {
+    // words ab:2, b:1. Seed: a:2, b:3, ab:2 -> lp over T=7,V=3.
+    // EM: 'ab' segments as [ab] (one piece beats a+b), usage ab:2,b:1;
+    // a survives as a single at 0. Fixed point from round 1 on.
+    // Final: T=3, V=3 -> lp(a)=ln(1/6), lp(ab)=ln(3/6), lp(b)=ln(2/6).
+    val d = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val k = 1048576.0
+    val got = graft.ops.UnigramTokenizer
+      .train(d, vocabSize = 3, seedSize = 8, maxPieceLen = 4, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == Seq(
+      ("a", 0L, math.round(math.log(1.0 / 6.0) * k)),
+      ("ab", 2L, math.round(math.log(3.0 / 6.0) * k)),
+      ("b", 1L, math.round(math.log(2.0 / 6.0) * k))), s"got $got")
+  }
+
+  test("unigram train equals the independent in-memory trainer on the fixture") {
+    val freqs = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val want = refUnigram(freqs, vocabSize = 48, seedSize = 256,
+      maxLen = 4, iters = 3)
+    val got = graft.ops.UnigramTokenizer.train(docs, "text",
+      vocabSize = 48, seedSize = 256, maxPieceLen = 4, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+      .sortBy(_._1)
+    assert(got == want.sortBy(_._1),
+      s"first divergence: ${got.zip(want.sortBy(_._1)).find(p => p._1 != p._2)}")
+    assert(got.size == 48)
+  }
+
+  test("unigram train is partition-invariant") {
+    def run(parts: Int) = graft.ops.UnigramTokenizer
+      .train(docs.repartition(parts), "text",
+        vocabSize = 32, seedSize = 64, maxPieceLen = 3, iters = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(run(1) == run(7), "trained vocab must not depend on partitioning")
+  }
+
+  test("unigram Viterbi tie-breaks: fewer pieces win an exact score tie") {
+    val lp = new java.util.HashMap[String, java.lang.Long]()
+    lp.put("a", java.lang.Long.valueOf(-1048576L))
+    lp.put("aa", java.lang.Long.valueOf(-2097152L)) // = 2*lp(a): exact tie
+    val got = graft.ops.UnigramTokenizer.viterbi("aa", lp, 4).toSeq
+    assert(got == Seq("aa"), s"tie must prefer the single piece: $got")
+  }
+
+  test("unigram encode equals the in-memory Viterbi and reassembles the text") {
+    val vocab = graft.ops.UnigramTokenizer.train(docs, "text",
+      vocabSize = 48, seedSize = 256, maxPieceLen = 4, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val lpMap = vocab.toMap
+    val enc = graft.ops.UnigramTokenizer.encode(docs.limit(50),
+      vocab, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getInt(1), r.getInt(2), r.getSeq[String](3)))).toMap
+    val raw = docs.limit(50).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(enc.keySet == raw.keySet)
+    raw.foreach { case (id, text) =>
+      val toks = text.split(" ", -1)
+      val want = toks.toSeq.flatMap(w => refViterbi(w, lpMap, 4))
+      val (nTok, nPieces, pieces) = enc(id)
+      assert(nTok == toks.length && nPieces == want.length)
+      assert(pieces == want, s"doc $id pieces diverge")
+      assert(pieces.mkString("") == toks.mkString(""),
+        s"doc $id does not reassemble")
+    }
+  }
 }
