@@ -89,7 +89,10 @@ object Bench {
         "s14_index_build" -> (() => { Queries.ivfIndexPath(spark, sfDir); 0L }),
         // The on-disk MinHash dedup-index write (declared d15 then
         // measures the batch SERVE against the artifact).
-        "d15_index_build" -> (() => { Queries.minhashIndexPath(spark, sfDir); 0L })) ++
+        "d15_index_build" -> (() => { Queries.minhashIndexPath(spark, sfDir); 0L }),
+        // The IRLS training + model-artifact write (declared t31 then
+        // VERIFIES the loaded model's scores; st20 serves it).
+        "t31_model_build" -> (() => { Queries.qualityModelPath(spark, sfDir); 0L })) ++
         SparkEntry.queries.toSeq.sortBy(_._1)
           .map { case (name, fn) => name -> (() => materialize(fn(spark, sfDir))) } ++
         // Skew-inversion exhibits: df-capped exact join vs PPJoin prefix
@@ -127,7 +130,8 @@ object Bench {
       "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")),
       "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)),
       "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
-      "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)))
+      "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),
+      "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)))
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
       if (!heavy(name) && !rerunPrep.contains(name)) r
       else {

@@ -1128,6 +1128,30 @@ object Queries {
         .write.mode("overwrite").parquet(s"$p/graph")
     }
 
+  /** The persisted t31 quality-classifier model artifact: IRLS-trained
+    * once per session (6 iterations over the langid-labeled corpus)
+    * and written via [[ops.Classifier.saveModel]] — the train-once /
+    * serve-everywhere lifecycle (s14/d15/n03's pattern for models).
+    * t31 then VERIFIES the loaded artifact's scores and st20 serves
+    * it over the stream; the build itself is Bench's timed
+    * `t31_model_build` phase. */
+  def qualityModelPath(s: SparkSession, dir: String): String =
+    memoPath(s, dir, "quality_model") { p =>
+      ops.Classifier.saveModel(s,
+        ops.Classifier.trainQuality(
+          TextAnalysis.languageId(docs(s, dir)), col("pred_lang") === "en"),
+        p)
+    }
+
+  /** Drop the memoized t31 model path (Bench rerun contract, as
+    * [[evictMinhashIndex]]). */
+  def evictQualityModel(s: SparkSession, dir: String): Unit =
+    artifactPaths.remove(s"${s.sparkContext.applicationId}|$dir|quality_model")
+
+  /** The loaded t31 model (a 65-row collect off the artifact). */
+  def qualityModel(s: SparkSession, dir: String): graft.ops.Classifier.LogisticModel =
+    ops.Classifier.loadModel(s, qualityModelPath(s, dir))
+
   /** The n01 graph (k=10, 5 iterations over the full embeddings table) —
     * built once per session; n01 pays the build, s03 searches it. */
   def knnGraph(s: SparkSession, dir: String): DataFrame =
@@ -1495,9 +1519,15 @@ object Queries {
     // collect and a 65×65 driver Cholesky (Classifier scale notes).
     // Deterministic fixed-point trajectory, so the one-row summary
     // (incl. the weight-vector rolling hash) is pinnable per SF.
+    // The declared query VERIFIES the persisted model artifact (one
+    // scoring pass over the loaded fixed-point weights — bit-identical
+    // to the in-memory trajectory, ClassifierSpec); training is the
+    // session-memoized [[qualityModelPath]] build, timed as Bench's
+    // own t31_model_build phase (the n01 build/verify split).
     "t31_quality_classifier" -> ((s, dir) =>
-      graft.ops.Classifier.qualitySummary(
-        TextAnalysis.languageId(docs(s, dir)), col("pred_lang") === "en")),
+      graft.ops.Classifier.modelSummary(
+        TextAnalysis.languageId(docs(s, dir)), qualityModel(s, dir),
+        col("pred_lang") === "en")),
 
     // Multiclass language classifier (the 5-way form of t31): one-vs-
     // rest ridge logistic over the shared hashed feature space,
@@ -1943,7 +1973,8 @@ object Queries {
     // row, so the two queries share one pinned oracle (the st12
     // fitted-model serving pattern applied to the classifier).
     "st20_classifier_serve" -> ((s, dir) =>
-      graft.streaming.EventsStream.classifierServeCounts(s, dir)),
+      graft.streaming.EventsStream.classifierServeCounts(s, dir,
+        qualityModel(s, dir))),
 
     // Streaming quality-score histogram (live ingest-quality monitor):
     // stateless t02 scoring projection + complete-mode bucket counts —

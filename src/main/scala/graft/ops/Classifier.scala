@@ -227,8 +227,19 @@ object Classifier {
     * (order-sensitive — any drift in any weight moves it). */
   def qualitySummary(df: DataFrame, labelExpr: Column, idCol: String = "doc_id",
       textCol: String = "text", dim: Int = 64, iters: Int = 6,
-      ridge: Double = 1e-5): DataFrame = {
-    val model = trainQuality(df, labelExpr, idCol, textCol, dim, iters, ridge)
+      ridge: Double = 1e-5): DataFrame =
+    modelSummary(df,
+      trainQuality(df, labelExpr, idCol, textCol, dim, iters, ridge),
+      labelExpr, idCol, textCol)
+
+  /** The scoring-summary half of [[qualitySummary]] for an
+    * ALREADY-trained model (in-memory or [[loadModel]]-loaded): one
+    * fixed-point scoring pass + the bounded five-column summary. The
+    * train-once / serve-everywhere split: t31 verifies the persisted
+    * model artifact through this, the build itself is its own timed
+    * phase (the n01 graph-build pattern). */
+  def modelSummary(df: DataFrame, model: LogisticModel, labelExpr: Column,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val wHash = (model.weightsFp :+ model.biasFp)
       .foldLeft(17L)((h, x) => h * 31L + x)
     scoreQuality(df, model, labelExpr, idCol, textCol)

@@ -723,20 +723,19 @@ object EventsStream {
   /** Streaming quality-classifier serving — batch t31's model-apply
     * carried to ingest time (the st12 fitted-model pattern): the
     * ridge-logistic model is TRAINED batch-side over the resident
-    * corpus ([[graft.ops.Classifier.trainQuality]] — models retrain by
-    * release, not by micro-batch) and its fixed-point weights ship in
-    * the task binary; the document stream then runs the PURE STATELESS
+    * corpus and passed in — in the declared st20 it is the persisted
+    * t31 artifact ([[graft.ops.Classifier.loadModel]]; models retrain
+    * by release, not by micro-batch) — and its fixed-point weights
+    * ship in the task binary; the document stream then runs the PURE STATELESS
     * scoring projection (same hashed featurization, same exact-Long
     * margin, bit-identical score_fp to the batch path) with a bounded
     * complete-mode summary on top. Emits t31's exact five-column
     * summary row — shared pinned oracle; OpsSpec asserts equality
     * against the batch query. */
-  def classifierServeCounts(spark: SparkSession, dir: String): DataFrame = {
+  def classifierServeCounts(spark: SparkSession, dir: String,
+      model: graft.ops.Classifier.LogisticModel): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}
-    val batchDocs = spark.read.parquet(s"$dir/documents.parquet")
     val label = col("pred_lang") === "en"
-    val model = graft.ops.Classifier.trainQuality(
-      graft.ops.TextAnalysis.languageId(batchDocs), label)
     val wHash = (model.weightsFp :+ model.biasFp)
       .foldLeft(17L)((h, x) => h * 31L + x)
     runDrainedOn(spark, dir, "documents", documentsSchema, "clsserve") { src =>

@@ -1350,7 +1350,8 @@ class OpsSpec extends SparkSpec {
       .select("n_docs", "n_pred_pos", "n_agree", "score_mass", "w_hash")
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
         r.getLong(3), r.getLong(4))).toSeq
-    val got = row(graft.streaming.EventsStream.classifierServeCounts(spark, sf001))
+    val got = row(graft.streaming.EventsStream.classifierServeCounts(spark,
+      sf001, Queries.qualityModel(spark, sf001)))
     val batch = row(Queries.all("t31_quality_classifier")(spark, sf001))
     assert(got == batch, s"stream serve diverged: $got vs $batch")
   }
