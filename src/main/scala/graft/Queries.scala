@@ -1547,6 +1547,16 @@ object Queries {
         TextAnalysis.languageId(docs(s, dir)), col("pred_lang"),
         TextAnalysis.langProfiles.map(_._1), dim = 256)),
 
+    // Gopher quality rules (Rae et al., MassiveText A1.1) — the
+    // faithful named rule set with per-rule evidence, vs t02's blended
+    // heuristic. Stop list adapted to the fixture register (Gopher's
+    // English list shares only 'the' with the 31-word vocabulary —
+    // the rule would measure the list, not the corpus). Pure
+    // projection, zero exchanges (t33's shape).
+    "t37_gopher_rules" -> ((s, dir) =>
+      TextAnalysis.gopherRules(docs(s, dir),
+        stopWords = Seq("the", "a", "of", "and", "in"))),
+
     // C4 bad-words gate (blocklist document filter): per doc the
     // total/distinct blocklisted-token hits plus the C4 keep decision.
     // The bounded dictionary folds into the projection as a literal
@@ -3050,6 +3060,31 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM bg JOIN lp USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    // Same integer counts, same one-division-per-ratio expression
+    // shapes, same threshold comparisons on the identical doubles.
+    "t37_gopher_rules" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |m AS (SELECT doc_id, len(t) AS n_words,
+        |    CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE)
+        |      / len(t) AS mean_word_len,
+        |    CAST(len(list_filter(t, w -> contains(w, '#')
+        |        OR contains(w, '...'))) AS DOUBLE) / len(t) AS symbol_ratio,
+        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+        |      AS DOUBLE) / len(t) AS alpha_frac,
+        |    CAST(len(list_filter(
+        |      ['the','a','of','and','in'],
+        |      s -> list_contains(t, s))) AS BIGINT) AS n_stop
+        |  FROM tk)
+        |SELECT doc_id, CAST(n_words AS BIGINT) AS n_words, mean_word_len,
+        |  symbol_ratio, alpha_frac, n_stop,
+        |  CAST(CASE WHEN n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3 AND 10
+        |    AND symbol_ratio <= 0.1
+        |    AND alpha_frac >= 0.8
+        |    AND n_stop >= 2 THEN 1 ELSE 0 END AS BIGINT) AS kept
+        |FROM m""".stripMargin,
 
     // The identical literal blocklist and per-doc list arithmetic
     // (list_filter/list_contains mirror the Spark filter HOF exactly;

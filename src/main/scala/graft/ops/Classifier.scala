@@ -111,28 +111,41 @@ object Classifier {
   /** One IRLS iteration's sufficient statistics, fixed-pointed and
     * exactly summed: upper-triangle entries of X'SX as key
     * `a * (dim+2) + b` (a <= b, intercept at index dim), and the
-    * gradient X'(y - p) as key `-(a + 1)`. One scan, one partial-agg
+    * gradient X'(y - p) as key `-(a + 1)`. Two scans of the cached
+    * feature table (quadratic pairs + gradient), one partial-agg
     * shuffle of <= (dim+1)(dim+4)/2 keys. */
   private def irlsStats(feats: DataFrame, weightsFp: Array[Long],
       biasFp: Long, dim: Int): Map[Long, Long] = {
-    val p = probExpr(weightsFp, biasFp)
-    val farr = featArr(dim)
-    val upper = flatten(transform(col("f"), u =>
-      transform(filter(col("f"), v => v.getField("i") >= u.getField("i")), v =>
-        struct(
-          (u.getField("i") * (dim + 2) + v.getField("i")).as("k"),
-          round(col("s") * u.getField("x") * v.getField("x") * lit(Scale.toDouble))
-            .cast("long").as("c")))))
-    val grad = transform(col("f"), u =>
-      struct((u.getField("i") * -1L - 1L).as("k"),
-        round((col("y") - col("p")) * u.getField("x") * lit(Scale.toDouble))
-          .cast("long").as("c")))
-    feats
-      .withColumn("p", p)
+    // The quadratic pair stream runs through two CODEGEN'D Generates
+    // (posexplode + slice of the sorted feature list — the suffix IS
+    // v.i >= u.i because bkts sort ascending with the intercept last)
+    // instead of a nested interpreted-HOF lambda: pair-for-pair
+    // identical keys and rounding, ~|f|²/2 rows either way, but
+    // whole-stage-codegen'd (the round-7 interpreted-lambda lesson
+    // applied to the classifier's hot pass).
+    // Both branches recompute p/f from the (checkpointed) feats — at
+    // scale recomputing a projection beats materializing a per-doc
+    // array column.
+    val withF = feats
+      .withColumn("p", probExpr(weightsFp, biasFp))
       .withColumn("s", col("p") * (lit(1.0) - col("p")))
-      .withColumn("f", farr)
-      .select(explode(concat(upper, grad)).as("e"))
-      .groupBy(col("e.k")).agg(sum(col("e.c")).as("v"))
+      .withColumn("f", featArr(dim))
+    val pairs = withF
+      .select(col("s"), posexplode(col("f")).as(Seq("pos", "u")), col("f"))
+      .select(col("s"), col("u"),
+        explode(slice(col("f"), col("pos") + 1, size(col("f")) - col("pos")))
+          .as("v"))
+      .select(
+        (col("u.i") * (dim + 2) + col("v.i")).as("k"),
+        round(col("s") * col("u.x") * col("v.x") * lit(Scale.toDouble))
+          .cast("long").as("c"))
+    val grads = withF
+      .select(col("y"), col("p"), explode(col("f")).as("u"))
+      .select((col("u.i") * -1L - 1L).as("k"),
+        round((col("y") - col("p")) * col("u.x") * lit(Scale.toDouble))
+          .cast("long").as("c"))
+    pairs.unionByName(grads)
+      .groupBy(col("k")).agg(sum(col("c")).as("v"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -319,15 +332,18 @@ object Classifier {
     * multiclass training run. Same key scheme as [[irlsStats]]'s upper
     * triangle. */
   private def curvatureStats(feats: DataFrame, dim: Int): Map[Long, Long] = {
-    val upper = flatten(transform(col("f"), u =>
-      transform(filter(col("f"), v => v.getField("i") >= u.getField("i")), v =>
-        struct(
-          (u.getField("i") * (dim + 2) + v.getField("i")).as("k"),
-          round(lit(0.25) * u.getField("x") * v.getField("x") * lit(Scale.toDouble))
-            .cast("long").as("c")))))
+    // Codegen'd posexplode+slice pair stream (see [[irlsStats]]) —
+    // pair-for-pair identical to the nested-HOF form it replaces.
     feats.withColumn("f", featArr(dim))
-      .select(explode(upper).as("e"))
-      .groupBy(col("e.k")).agg(sum(col("e.c")).as("v"))
+      .select(posexplode(col("f")).as(Seq("pos", "u")), col("f"))
+      .select(col("u"),
+        explode(slice(col("f"), col("pos") + 1, size(col("f")) - col("pos")))
+          .as("v"))
+      .select(
+        (col("u.i") * (dim + 2) + col("v.i")).as("k"),
+        round(lit(0.25) * col("u.x") * col("v.x") * lit(Scale.toDouble))
+          .cast("long").as("c"))
+      .groupBy(col("k")).agg(sum(col("c")).as("v"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
@@ -337,19 +353,27 @@ object Classifier {
     * by |classes| * (dim+1) keys per partition. */
   private def multiGradStats(feats: DataFrame, classes: Seq[String],
       w: Seq[Array[Long]], b: Seq[Long], dim: Int): Map[(Int, Long), Long] = {
+    // One codegen'd explode of the feature list with |classes| SUM
+    // AGGREGATES per feature key, replacing the per-class
+    // interpreted-lambda struct stream (|classes|x fewer generated
+    // rows, identical per-(doc,feature,class) rounding, one
+    // (dim+1)-key shuffle carrying |classes| columns).
     var df = feats.withColumn("f", featArr(dim))
     for (c <- classes.indices)
       df = df.withColumn(s"p$c", probExpr(w(c), b(c)))
-    val contribs = concat(classes.indices.map { c =>
-      transform(col("f"), u => struct(
-        lit(c).as("cls"), u.getField("i").as("k"),
-        round((when(col("lab") === c, lit(1.0)).otherwise(lit(0.0)) - col(s"p$c"))
-          * u.getField("x") * lit(Scale.toDouble)).cast("long").as("g")))
-    }: _*)
-    df.select(explode(contribs).as("e"))
-      .groupBy(col("e.cls"), col("e.k"))
-      .agg(sum(col("e.g")).as("v"))
-      .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val ex = df.select(
+      (col("lab") +: classes.indices.map(c => col(s"p$c")) :+
+        explode(col("f")).as("u")): _*)
+    val aggs = classes.indices.map { c =>
+      sum(round((when(col("lab") === c, lit(1.0)).otherwise(lit(0.0)) - col(s"p$c"))
+        * col("u.x") * lit(Scale.toDouble)).cast("long")).as(s"g$c")
+    }
+    ex.groupBy(col("u.i").as("k"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect().flatMap { r =>
+        val k = r.getLong(0)
+        classes.indices.map(c => (c, k) -> r.getLong(c + 1))
+      }.toMap
   }
 
   /** One-vs-rest multiclass training with the Bohning-Lindsay bounded

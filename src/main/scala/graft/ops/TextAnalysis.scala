@@ -707,6 +707,65 @@ object TextAnalysis {
           .as("kept"))
   }
 
+  /** Gopher stop-word list (Rae et al. 2021, A1.1: a document must
+    * contain at least two of these). */
+  val gopherStopWords: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** Gopher quality-rule document filter (Rae et al. 2021, MassiveText
+    * curation, Appendix A1.1) — the faithful NAMED rule set, as
+    * opposed to [[qualityScore]]'s blended heuristic score: per
+    * document the measured evidence for each rule plus the conjunctive
+    * keep decision,
+    * {{{
+    *   50 <= word count <= 100,000
+    *   3 <= mean word length <= 10
+    *   symbol-to-word ratio ('#' or '...') <= 0.1
+    *   >= 80% of words contain an alphabetic character
+    *   >= 2 distinct stop-list words present
+    * }}}
+    * `stopWords` defaults to Gopher's own English list; the rule is
+    * membership-count against a curated register list, so corpora in
+    * another register (or language) pass their own (the declared t37
+    * uses the fixture-register list — Gopher's English list shares
+    * only 'the' with the fixture's 31-word vocabulary, which would
+    * make the gate constant-false, a measurement of the list, not
+    * the corpus).
+    * (The line-shape rules — bullet starts, ellipsis ends — need line
+    * structure the single-line fixture lacks and are omitted; they are
+    * the same projection shape over `split(text, '\n')`.)
+    *
+    * Determinism: every ratio is one IEEE division of exact integer
+    * counts, identical in the DuckDB twin; thresholds compare those
+    * identical doubles. Pure projection over the bound token-array
+    * attribute — zero exchanges, zero joins, scan-bandwidth cost (the
+    * t33 shape; PlanSpec pins it). */
+  def gopherRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text",
+      stopWords: Seq[String] = gopherStopWords): DataFrame = {
+    require(stopWords.nonEmpty, "empty stop-word list")
+    val stopHits = stopWords.map(s =>
+      when(array_contains(col("__tk"), s), 1L).otherwise(0L))
+      .reduce(_ + _)
+    df.select(col(idCol).as("doc_id"), tokens(col(textCol)).as("__tk"))
+      .select(col("doc_id"),
+        size_(col("__tk")).cast("long").as("n_words"),
+        (aggregate(col("__tk"), lit(0L), (acc, w) => acc + length(w))
+          .cast("double") / size_(col("__tk"))).as("mean_word_len"),
+        (size_(filter(col("__tk"),
+            w => w.contains("#") || w.contains("..."))).cast("double") /
+          size_(col("__tk"))).as("symbol_ratio"),
+        (size_(filter(col("__tk"), w => w.rlike("[a-z]"))).cast("double") /
+          size_(col("__tk"))).as("alpha_frac"),
+        stopHits.as("n_stop"))
+      .withColumn("kept",
+        when(col("n_words").between(50L, 100000L) &&
+          col("mean_word_len").between(3.0, 10.0) &&
+          col("symbol_ratio") <= 0.1 &&
+          col("alpha_frac") >= 0.8 &&
+          col("n_stop") >= 2L, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Stupid-backoff trigram LM document scoring (Brants et al. 2007,
     * "Large Language Models in Machine Translation" — the inexpensive
     * smoothing that made distributed web-scale n-gram LMs practical).

@@ -1991,6 +1991,31 @@ class OpsSpec extends SparkSpec {
     assert(run(1) == run(7), "scores must not depend on partitioning")
   }
 
+  test("gopherRules: each rule vetoes independently, hand-computed evidence") {
+    import spark.implicits._
+    val filler = Seq.fill(60)("word").mkString(" ")
+    val d = Seq(
+      (0L, s"the a $filler"),                                // passes all
+      (1L, "the a word word word"),                          // too few words
+      (2L, ("the a " + Seq.fill(60)("x").mkString(" "))),    // mean len < 3
+      (3L, s"the a ${Seq.fill(8)("#t").mkString(" ")} $filler"), // symbols
+      (4L, ("the a " + Seq.fill(60)("123").mkString(" ")))   // alpha < 0.8
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis
+      .gopherRules(d, stopWords = Seq("the", "a", "of", "and", "in"))
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("kept") == 1L)
+    assert(out(0L).getAs[Long]("n_words") == 62L)
+    assert(out(0L).getAs[Long]("n_stop") == 2L)
+    assert(out(1L).getAs[Long]("kept") == 0L, "word-count floor")
+    assert(out(2L).getAs[Long]("kept") == 0L, "mean word length floor")
+    assert(out(2L).getAs[Double]("mean_word_len") < 3.0)
+    assert(out(3L).getAs[Long]("kept") == 0L, "symbol ratio cap")
+    assert(out(3L).getAs[Double]("symbol_ratio") > 0.1)
+    assert(out(4L).getAs[Long]("kept") == 0L, "alphabetic-word floor")
+    assert(out(4L).getAs[Double]("alpha_frac") < 0.8)
+  }
+
   test("corpusDiff: all four statuses from one overlapping pair") {
     import spark.implicits._
     val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")

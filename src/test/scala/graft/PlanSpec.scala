@@ -358,6 +358,16 @@ class PlanSpec extends SparkSpec {
       s"blocklist gate shuffled or joined:\n$p")
   }
 
+  test("t37: the Gopher rule gate is a pure projection — zero exchanges") {
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    val df = graft.ops.TextAnalysis.gopherRules(docs,
+      stopWords = Seq("the", "a", "of", "and", "in"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Exchange") && !p.contains("Join"),
+      s"rule gate shuffled or joined:\n$p")
+  }
+
   test("d15: the index serve never re-shingles the corpus side") {
     // The serve plan's leaves must read the on-disk artifact (shingles/
     // buckets parquet) for the corpus side — the whole point of the
