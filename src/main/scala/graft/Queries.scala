@@ -2274,6 +2274,15 @@ object Queries {
       // 50x token-mass inflation at fixed vocabulary).
       "t26_skewed_bpe" -> ((s, dir) =>
         ops.TextAnalysis.bpeMerges(skewedDocs(s, dir), "text", 20)),
+      // Zipf-heavy trigram LM: the stop-phrase plants corpus-wide hot
+      // trigrams in EVERY document. The model build partial-aggregates
+      // map-side (hot keys combine before the wire — the shuffle is
+      // n-gram-vocabulary-sized however hot the head), the score table
+      // stays model-sized, and the scoring join's per-document sums
+      // combine map-side too. No pairwise expansion exists anywhere
+      // for a hot trigram to blow up.
+      "t34_skewed_trigram" -> ((s, dir) =>
+        ops.TextAnalysis.backoffTrigramLogProb(skewedDocs(s, dir))),
       // Bucketing exhibit (alphabetical order runs the build first):
       // identical sort-merge aggregation over (lineitem x orders), once
       // from the pre-bucketed tables (join shuffles NEITHER side — the

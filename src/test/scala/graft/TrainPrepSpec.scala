@@ -593,6 +593,59 @@ class TrainPrepSpec extends SparkSpec {
     assert(graft.ops.TextAnalysis.bpeMerges(empty, "text", 3).count() == 0)
   }
 
+  test("backoffTrigramLogProb shuffle tracks the n-gram vocabulary, not token mass") {
+    // Same 300-word vocabulary and SAME document count, with each
+    // document's text tiled 5x vs 50x (10x token mass; the tiling
+    // seams add a handful of trigram types, not a multiplier). The
+    // model aggregations partial-agg to n-gram-vocabulary-sized
+    // tables, the score table is model-sized, the small model
+    // auto-broadcasts into the scoring join, and the per-document
+    // sums combine map-side to one row per (doc, partition) — so
+    // total shuffle must stay in the light corpus's league, never
+    // scale with the token mass. Bench twin: t34_skewed_trigram.
+    val vocab = (0 until 300).map(i => s"w${i}tok")
+    val baseRows = vocab.grouped(10).zipWithIndex
+      .map { case (ws, i) => (i.toLong, ws.mkString(" ")) }.toSeq
+    def tiled(copies: Int) = baseRows
+      .map { case (i, t) => (i, Seq.fill(copies)(t).mkString(" ")) }
+      .toDF("doc_id", "text").repartition(8).cache()
+    val light = tiled(5)
+    val heavy = tiled(50)
+    light.count(); heavy.count()
+
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit =
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
+    def measured[A](f: => A): (A, Long) = {
+      quiesce(); shuffle.set(0)
+      val r = f
+      quiesce()
+      (r, shuffle.get)
+    }
+    try {
+      val (lightN, lightBytes) = measured {
+        graft.ops.TextAnalysis.backoffTrigramLogProb(light).count()
+      }
+      val (heavyN, heavyBytes) = measured {
+        graft.ops.TextAnalysis.backoffTrigramLogProb(heavy).count()
+      }
+      assert(lightN == baseRows.size && heavyN == baseRows.size)
+      info(s"shuffle bytes — 5x tiling: $lightBytes, 50x tiling: $heavyBytes")
+      assert(heavyBytes < (lightBytes * 2.0).toLong,
+        s"LM scoring shuffle scaled with token mass: $heavyBytes vs $lightBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      light.unpersist(); heavy.unpersist()
+    }
+  }
+
   // --- Unigram-LM tokenizer ---
 
   /** Independent in-memory Viterbi with the same tie-break contract
