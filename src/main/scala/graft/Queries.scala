@@ -1613,6 +1613,33 @@ object Queries {
         .toDF("n_docs", "total_pieces", "n_vocab")
     }),
 
+    // End-to-end TOKENIZER pipeline (the p02 pattern for the tokenize-
+    // and-pack stage every pretraining run ends with): Viterbi-encode
+    // the corpus under the session-trained t35 vocabulary, pack the
+    // PIECE stream into 256-piece chunks (distributed prefix sum),
+    // and emit the chunk manifest. Deterministic end to end, so the
+    // one-row summary (chunks / docs / piece mass / manifest rolling
+    // hash) pins per SF. Each stage is its own declared scale path
+    // (t35/t36/t11/t15).
+    "p03_tokenize_pack" -> ((s, dir) => {
+      val vocab = unigramPieces(s, dir)
+        .map(r => (r.getString(0), r.getLong(2))).toSeq
+      val enc = graft.ops.UnigramTokenizer.encode(docs(s, dir), vocab)
+        .select(col("doc_id"), col("n_pieces").cast("long").as("n_pieces"))
+      val man = Packing.chunkManifest(
+        Packing.packChunks(enc, "doc_id", "n_pieces", 256), "doc_id", 256)
+      // Order-independent exact fingerprint (sum of bounded per-row
+      // hashes) so the manifest — O(total_pieces/budget) rows — never
+      // reaches the driver; the summary aggregates distributively.
+      man.agg(
+          count(lit(1)).as("n_chunks"),
+          sum(col("n_docs")).as("doc_slots"),
+          sum(col("n_tokens")).as("total_pieces"),
+          sum(pmod(xxhash64(concat_ws(",", col("chunk_id"), col("n_docs"),
+            col("first_doc"), col("last_doc"), col("n_tokens"))),
+            lit(1000000007L))).as("manifest_fp"))
+    }),
+
     // Corpus snapshot diff (versioned-release delta): v1 = ids not
     // divisible by 3, v2 = ids not divisible by 5 with the text of
     // ids divisible by 7 edited — the four statuses all occur. The
@@ -2422,6 +2449,14 @@ object Queries {
       "n_pieces" -> (48L, 48L, 48L),
       "total_count" -> (65355L, 62653L, 629867L),
       "vocab_fp" -> (690015130L, 93162695L, 912691525L)),
+    // Measured 2026-08-14 (round 8, PinDump). Pure function of the
+    // corpus + the deterministic t35 vocabulary + the deterministic
+    // packer; total_pieces must equal t36's by conservation.
+    "p03_tokenize_pack" -> Seq(
+      "n_chunks" -> (256L, 245L, 2461L),
+      "doc_slots" -> (754L, 744L, 7439L),
+      "total_pieces" -> (65355L, 62653L, 629867L),
+      "manifest_fp" -> (129277745298L, 118061890655L, 1241173134709L)),
     // Measured 2026-08-14 (round 8, PinDump). Pure function of the
     // corpus + the deterministic t35 vocabulary (TrainPrepSpec:
     // per-document equality with an independent in-memory Viterbi).
