@@ -1640,6 +1640,43 @@ object Queries {
             lit(1000000007L))).as("manifest_fp"))
     }),
 
+    // Corpus attrition funnel — the per-stage drop accounting every
+    // dataset release publishes (Dolma's attrition tables: which gate
+    // dropped how much). Chains decontaminate -> Gopher rules ->
+    // per-source quantile cut -> exact dedup over the SURVIVOR set of
+    // the previous stage and emits (stage, n_in, n_out, n_dropped).
+    // Each stage is its own declared scale path (d09/t37/t27/d01);
+    // the funnel adds only bounded survivor-id joins and four counts.
+    "p04_attrition" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val corpus = d.filter(col("doc_id") % 20 =!= 0)
+      val n0 = corpus.count()
+      val s1 = Decontaminate.overlapCounts(corpus, bench, "doc_id", "text")
+        .filter(col("n_contaminated") === 0).select("doc_id")
+        .localCheckpoint(true)
+      val n1 = s1.count()
+      val s2 = TextAnalysis
+        .gopherRules(d, stopWords = Seq("the", "a", "of", "and", "in"))
+        .filter(col("kept") === 1).select("doc_id")
+        .join(s1, Seq("doc_id")).localCheckpoint(true)
+      val n2 = s2.count()
+      val scored = TextAnalysis.qualityScore(d)
+        .select(col("doc_id"), col("source"), col("quality"))
+        .join(s2, Seq("doc_id"))
+      val s3 = graft.ops.Sampling
+        .quantileFilter(scored, "doc_id", "source", "quality", 0.25)
+        .filter(col("keep")).select("doc_id").localCheckpoint(true)
+      val n3 = s3.count()
+      val n4 = d.join(s3, Seq("doc_id"))
+        .groupBy("text").agg(min(col("doc_id")).as("doc_id")).count()
+      import s.implicits._
+      Seq(("1_decontaminate", n0, n1), ("2_gopher_rules", n1, n2),
+          ("3_quality_quantile", n2, n3), ("4_exact_dedup", n3, n4))
+        .toDF("stage", "n_in", "n_out")
+        .withColumn("n_dropped", col("n_in") - col("n_out"))
+    }),
+
     // Corpus snapshot diff (versioned-release delta): v1 = ids not
     // divisible by 3, v2 = ids not divisible by 5 with the text of
     // ids divisible by 7 edited — the four statuses all occur. The
@@ -3186,6 +3223,74 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM tri JOIN lp USING (tri)
         |GROUP BY doc_id""".stripMargin,
+
+    // p02's chained-CTE shape with the Gopher stage inserted; each
+    // stage's survivor set feeds the next, and the funnel rows are a
+    // UNION ALL of scalar counts over the chain.
+    "p04_attrition" ->
+      """WITH grams AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |bench AS (SELECT DISTINCT s FROM grams WHERE id % 20 = 0),
+        |corpus AS (SELECT id, s FROM grams WHERE id % 20 <> 0),
+        |s1 AS (
+        |  SELECT c.id AS doc_id
+        |  FROM corpus c LEFT JOIN bench b USING (s)
+        |  GROUP BY c.id HAVING count(b.s) = 0),
+        |gop AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(t) AS n_words,
+        |      CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE)
+        |        / len(t) AS mean_word_len,
+        |      CAST(len(list_filter(t, w -> contains(w, '#')
+        |          OR contains(w, '...'))) AS DOUBLE) / len(t) AS symbol_ratio,
+        |      CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+        |        AS DOUBLE) / len(t) AS alpha_frac,
+        |      len(list_filter(['the','a','of','and','in'],
+        |        x -> list_contains(t, x))) AS n_stop
+        |    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM documents))
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3 AND 10
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2),
+        |s2 AS (SELECT doc_id FROM s1 JOIN gop USING (doc_id)),
+        |scored AS (
+        |  SELECT q.doc_id, q.source, q.quality FROM (
+        |    SELECT doc_id, source,
+        |      (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |        + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |        + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS quality
+        |    FROM (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents)) q
+        |  JOIN s2 USING (doc_id)),
+        |ranked AS (
+        |  SELECT *,
+        |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
+        |    count(*) OVER (PARTITION BY source) AS n_group
+        |  FROM scored),
+        |thr AS (
+        |  SELECT source,
+        |    max(CASE WHEN rn <= greatest(CAST(ceil(0.25 * n_group - 1e-9) AS BIGINT), 1)
+        |      THEN quality END) AS thr
+        |  FROM ranked GROUP BY source),
+        |s3 AS (
+        |  SELECT s.doc_id FROM scored s JOIN thr t USING (source)
+        |  WHERE s.quality >= t.thr),
+        |s4 AS (
+        |  SELECT min(d.doc_id) AS doc_id
+        |  FROM documents d JOIN s3 USING (doc_id) GROUP BY d.text),
+        |n AS (SELECT
+        |  (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0) AS n0,
+        |  (SELECT count(*) FROM s1) AS n1,
+        |  (SELECT count(*) FROM s2) AS n2,
+        |  (SELECT count(*) FROM s3) AS n3,
+        |  (SELECT count(*) FROM s4) AS n4)
+        |SELECT '1_decontaminate' AS stage, n0 AS n_in, n1 AS n_out,
+        |  n0 - n1 AS n_dropped FROM n
+        |UNION ALL SELECT '2_gopher_rules', n1, n2, n1 - n2 FROM n
+        |UNION ALL SELECT '3_quality_quantile', n2, n3, n2 - n3 FROM n
+        |UNION ALL SELECT '4_exact_dedup', n3, n4, n3 - n4 FROM n""".stripMargin,
 
     // Text equality stands in for the Spark side's md5-manifest
     // equality (collision-free on the fixture, and md5(x)=md5(y) iff
