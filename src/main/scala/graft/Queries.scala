@@ -1281,6 +1281,14 @@ object Queries {
     "d03_minhash_pairs" -> ((s, dir) =>
       Dedup.minhashLshPairs(docs(s, dir), "doc_id", "text", 0.7)),
 
+    // Edit-distance verify layer over the d03 pairs: shingle Jaccard
+    // AND character Levenshtein per pair — the two independent
+    // closeness metrics a destructive dedup pass cross-checks
+    // (Dedup.editVerifiedPairs scale notes). Exact-join + levenshtein
+    // oracle; both engines' levenshtein are unit-cost Wagner-Fischer.
+    "d17_edit_verify" -> ((s, dir) =>
+      Dedup.editVerifiedPairs(docs(s, dir), "doc_id", "text", 0.7)),
+
     // SimHash near-dup candidates: pinned summary — candidate count
     // plus coverage of the exact J>=0.8 ground-truth pairs. The sketch
     // is a pure xxhash64 construction, so all three counts are fixed
@@ -2796,6 +2804,37 @@ object Queries {
     "d03_minhash_pairs" -> shingleCte,
     "d08_jaccard_prefix" -> shingleCte,
 
+    // d03's exact-join pairs extended with the character-level verify:
+    // both engines' levenshtein is unit-cost Wagner-Fischer, so the
+    // distance (and everything derived from it) is bit-exact.
+    "d17_edit_verify" ->
+      """WITH sh AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b,
+        |    CAST(inter AS DOUBLE) / (x.n + y.n - inter) AS jaccard
+        |  FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7)
+        |SELECT p.doc_a, p.doc_b, p.jaccard,
+        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+        |  CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len,
+        |  1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
+        |    / greatest(len(a.text), len(b.text)) AS edit_sim,
+        |  CAST(CASE WHEN levenshtein(a.text, b.text) <= 5 THEN 1 ELSE 0 END
+        |    AS BIGINT) AS edit_dup
+        |FROM pairs p
+        |JOIN documents a ON a.doc_id = p.doc_a
+        |JOIN documents b ON b.doc_id = p.doc_b""".stripMargin,
+
     // (Pinned-literal oracles for the hash-dependent approximate ops
     // — s02–s05, s07, d04, n01, n02 — are spliced in from [[pinnedValues]]
     // after this literal; see that table's doc for the scheme.)
@@ -3194,16 +3233,16 @@ object Queries {
         |  SELECT doc_id,
         |    t[i] || chr(1) || t[i + 1] || chr(1) || t[i + 2] AS tri
         |  FROM tk, unnest(range(1, len(t) - 1)) AS u(i)),
-        |c3 AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
+        |tri_c AS (SELECT tri, count(*) AS c3 FROM tri GROUP BY 1),
         |bi AS (
         |  SELECT t[i] || chr(1) || t[i + 1] AS bg
         |  FROM tk, unnest(range(1, len(t))) AS u(i)),
-        |c2 AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
-        |c1 AS (SELECT term AS w, count(*) AS c1 FROM (
+        |bi_c AS (SELECT bg, count(*) AS c2 FROM bi GROUP BY 1),
+        |uni_c AS (SELECT term AS w, count(*) AS c1 FROM (
         |    SELECT unnest(str_split(text, ' ')) AS term FROM documents)
         |  GROUP BY 1),
-        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM c1),
-        |keys AS (SELECT tri, c3, str_split(tri, chr(1)) AS p FROM c3),
+        |tot AS (SELECT CAST(sum(c1) AS DOUBLE) AS n FROM uni_c),
+        |keys AS (SELECT tri, c3, str_split(tri, chr(1)) AS p FROM tri_c),
         |lp AS (
         |  SELECT tri,
         |    CAST(round(ln(
@@ -3214,10 +3253,10 @@ object Queries {
         |          (u3.c1 / tot.n))
         |      END) * 1048576) AS BIGINT) AS lp_fp
         |  FROM keys k
-        |  JOIN c2 b12 ON b12.bg = k.p[1] || chr(1) || k.p[2]
-        |  JOIN c2 b23 ON b23.bg = k.p[2] || chr(1) || k.p[3]
-        |  JOIN c1 u2 ON u2.w = k.p[2]
-        |  JOIN c1 u3 ON u3.w = k.p[3], tot)
+        |  JOIN bi_c b12 ON b12.bg = k.p[1] || chr(1) || k.p[2]
+        |  JOIN bi_c b23 ON b23.bg = k.p[2] || chr(1) || k.p[3]
+        |  JOIN uni_c u2 ON u2.w = k.p[2]
+        |  JOIN uni_c u3 ON u3.w = k.p[3], tot)
         |SELECT doc_id, count(*) AS n_trigrams,
         |  CAST(sum(lp_fp) AS BIGINT) AS logprob_fp,
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
@@ -3236,7 +3275,7 @@ object Queries {
         |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
         |bench AS (SELECT DISTINCT s FROM grams WHERE id % 20 = 0),
         |corpus AS (SELECT id, s FROM grams WHERE id % 20 <> 0),
-        |s1 AS (
+        |decon_ok AS (
         |  SELECT c.id AS doc_id
         |  FROM corpus c LEFT JOIN bench b USING (s)
         |  GROUP BY c.id HAVING count(b.s) = 0),
@@ -3255,7 +3294,7 @@ object Queries {
         |  WHERE n_words BETWEEN 50 AND 100000
         |    AND mean_word_len BETWEEN 3 AND 10
         |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2),
-        |s2 AS (SELECT doc_id FROM s1 JOIN gop USING (doc_id)),
+        |gop_ok AS (SELECT doc_id FROM decon_ok JOIN gop USING (doc_id)),
         |scored AS (
         |  SELECT q.doc_id, q.source, q.quality FROM (
         |    SELECT doc_id, source,
@@ -3263,7 +3302,7 @@ object Queries {
         |        + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
         |        + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS quality
         |    FROM (SELECT doc_id, source, str_split(text, ' ') AS w FROM documents)) q
-        |  JOIN s2 USING (doc_id)),
+        |  JOIN gop_ok USING (doc_id)),
         |ranked AS (
         |  SELECT *,
         |    row_number() OVER (PARTITION BY source ORDER BY quality, doc_id) AS rn,
@@ -3274,18 +3313,18 @@ object Queries {
         |    max(CASE WHEN rn <= greatest(CAST(ceil(0.25 * n_group - 1e-9) AS BIGINT), 1)
         |      THEN quality END) AS thr
         |  FROM ranked GROUP BY source),
-        |s3 AS (
+        |qual_ok AS (
         |  SELECT s.doc_id FROM scored s JOIN thr t USING (source)
         |  WHERE s.quality >= t.thr),
-        |s4 AS (
+        |dedup_ok AS (
         |  SELECT min(d.doc_id) AS doc_id
-        |  FROM documents d JOIN s3 USING (doc_id) GROUP BY d.text),
+        |  FROM documents d JOIN qual_ok USING (doc_id) GROUP BY d.text),
         |n AS (SELECT
         |  (SELECT count(*) FROM documents WHERE doc_id % 20 <> 0) AS n0,
-        |  (SELECT count(*) FROM s1) AS n1,
-        |  (SELECT count(*) FROM s2) AS n2,
-        |  (SELECT count(*) FROM s3) AS n3,
-        |  (SELECT count(*) FROM s4) AS n4)
+        |  (SELECT count(*) FROM decon_ok) AS n1,
+        |  (SELECT count(*) FROM gop_ok) AS n2,
+        |  (SELECT count(*) FROM qual_ok) AS n3,
+        |  (SELECT count(*) FROM dedup_ok) AS n4)
         |SELECT '1_decontaminate' AS stage, n0 AS n_in, n1 AS n_out,
         |  n0 - n1 AS n_dropped FROM n
         |UNION ALL SELECT '2_gopher_rules', n1, n2, n1 - n2 FROM n
@@ -3296,18 +3335,18 @@ object Queries {
     // equality (collision-free on the fixture, and md5(x)=md5(y) iff
     // x=y for release purposes — the op's own contract).
     "d16_corpus_diff" ->
-      """WITH v1 AS (SELECT doc_id, text FROM documents
+      """WITH v_old AS (SELECT doc_id, text FROM documents
         |  WHERE doc_id % 3 <> 0),
-        |v2 AS (SELECT doc_id,
+        |v_new AS (SELECT doc_id,
         |    CASE WHEN doc_id % 7 = 0 THEN text || ' v2' ELSE text END
         |      AS text
         |  FROM documents WHERE doc_id % 5 <> 0)
-        |SELECT coalesce(v1.doc_id, v2.doc_id) AS doc_id,
-        |  CASE WHEN v1.doc_id IS NULL THEN 'added'
-        |    WHEN v2.doc_id IS NULL THEN 'removed'
-        |    WHEN v1.text = v2.text THEN 'unchanged'
+        |SELECT coalesce(v_old.doc_id, v_new.doc_id) AS doc_id,
+        |  CASE WHEN v_old.doc_id IS NULL THEN 'added'
+        |    WHEN v_new.doc_id IS NULL THEN 'removed'
+        |    WHEN v_old.text = v_new.text THEN 'unchanged'
         |    ELSE 'changed' END AS status
-        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id""".stripMargin,
+        |FROM v_old FULL OUTER JOIN v_new ON v_old.doc_id = v_new.doc_id""".stripMargin,
 
     // Mirrors bm25TopK op-for-op: every double constant is CAST to
     // DOUBLE first (DuckDB parses bare decimal literals as DECIMAL,

@@ -877,6 +877,38 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** Edit-distance verification layer over the MinHash-LSH near-dup
+    * pairs — the second, INDEPENDENT verify a production fuzzy-dedup
+    * pass runs before destructive deduplication: shingle-set Jaccard
+    * measures shared vocabulary-in-window, character-level Levenshtein
+    * measures actual textual closeness, and a pair can score high on
+    * one and low on the other (templated boilerplate vs. a true
+    * near-copy). Emits each J >= `threshold` pair with its exact edit
+    * distance, relative edit similarity, and an `edit_dup` flag at the
+    * absolute `maxEditDist` cut.
+    *
+    * Scale shape: candidates are [[minhashLshPairs]]'s verified pairs
+    * (a sliver of the corpus); the two text lookups are id-keyed
+    * joins where the PAIR side is small — Catalyst broadcasts it —
+    * and `levenshtein` is a codegen'd built-in evaluated once per
+    * surviving pair, never corpus-wide. */
+  def editVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double, maxEditDist: Long = 5L): DataFrame = {
+    val pairs = minhashLshPairs(df, idCol, textCol, threshold)
+    val t = df.select(col(idCol).as("__id"), col(textCol).as("__t"))
+    pairs
+      .join(t.select(col("__id").as("doc_a"), col("__t").as("ta")), "doc_a")
+      .join(t.select(col("__id").as("doc_b"), col("__t").as("tb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("jaccard"),
+        levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
+        greatest(length(col("ta")), length(col("tb"))).cast("long")
+          .as("max_len"))
+      .withColumn("edit_sim",
+        lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+      .withColumn("edit_dup",
+        when(col("edit_dist") <= maxEditDist, lit(1L)).otherwise(lit(0L)))
+  }
+
   /** Corpus snapshot diff — the versioned-corpus delta every managed
     * dataset release publishes (which documents were added, removed,
     * changed, or carried unchanged between snapshot v1 and v2). Joins

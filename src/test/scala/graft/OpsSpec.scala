@@ -2016,6 +2016,30 @@ class OpsSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("alpha_frac") < 0.8)
   }
 
+  test("editVerifiedPairs: edit verify splits what shingle Jaccard cannot") {
+    import spark.implicits._
+    // A = one word changed (tiny edit distance); B = the two halves
+    // swapped (shingle set almost intact -> high Jaccard, but half the
+    // characters move -> large edit distance). Both are J >= 0.7
+    // candidates; only A survives the edit cut.
+    val words = (0 until 60).map(i => f"w$i%02d")
+    val base = words.mkString(" ")
+    val a = words.updated(30, "zz").mkString(" ")
+    val b = (words.drop(30) ++ words.take(30)).mkString(" ")
+    val d = Seq((0L, base), (1L, a), (2L, b)).toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .editVerifiedPairs(d, "doc_id", "text", 0.7, maxEditDist = 5L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getLong(3), r.getLong(6)))).toMap
+    val (jA, distA, dupA) = out((0L, 1L))
+    assert(jA >= 0.7 && distA <= 4L && dupA == 1L,
+      s"one-word edit must pass both verifies: $jA/$distA")
+    val (jB, distB, dupB) = out((0L, 2L))
+    assert(jB >= 0.7, s"half-swap keeps the shingle set: $jB")
+    assert(distB > 50L && dupB == 0L,
+      s"half-swap must fail the edit cut: $distB")
+  }
+
   test("corpusDiff: all four statuses from one overlapping pair") {
     import spark.implicits._
     val v1 = Seq((1L, "x"), (2L, "y"), (3L, "z")).toDF("doc_id", "text")
