@@ -993,6 +993,12 @@ object Queries {
         vocabSize = 48, seedSize = 256, maxPieceLen = 4, iters = 3))
       .collect().sortBy(_.getString(0))
 
+  /** Force the session-memoized unigram vocabulary build — Bench's
+    * timed t35_vocab_build phase (pair with
+    * `evictPrebuilt(_, _, "unigram_vocab")` for rerun medians). */
+  def unigramVocabBuild(s: SparkSession, dir: String): Unit =
+    unigramPieces(s, dir)
+
   /** Drop one memoized artifact so a re-timed build phase measures a real
     * build (Bench's median-of-3: without eviction, reruns of
     * `n01_graph_build`/`n02_prior_build` would time a cache hit). The
