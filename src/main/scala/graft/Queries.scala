@@ -2064,6 +2064,14 @@ object Queries {
       graft.streaming.EventsStream.classifierServeCounts(s, dir,
         qualityModel(s, dir))),
 
+    // Streaming tokenizer serving (tokenizer-as-a-service): the t35
+    // vocabulary served over the document stream via foreachBatch —
+    // stateless per-doc encode, so the drained summary = t36
+    // bit-for-bit (shared pinned oracle; OpsSpec equals-batch).
+    "st21_tokenizer_serve" -> ((s, dir) =>
+      graft.streaming.EventsStream.tokenizerServeCounts(s, dir,
+        unigramPieces(s, dir).map(r => (r.getString(0), r.getLong(2))).toSeq)),
+
     // Streaming quality-score histogram (live ingest-quality monitor):
     // stateless t02 scoring projection + complete-mode bucket counts —
     // state one count per occupied bucket forever; drained histogram
@@ -2512,6 +2520,13 @@ object Queries {
     // corpus + the deterministic t35 vocabulary (TrainPrepSpec:
     // per-document equality with an independent in-memory Viterbi).
     "t36_unigram_encode" -> Seq(
+      "n_docs" -> (500L, 500L, 5000L),
+      "total_pieces" -> (65355L, 62653L, 629867L),
+      "n_vocab" -> (43L, 43L, 43L)),
+    // = t36 by construction: the stream runs the identical stateless
+    // per-document encode through foreachBatch, so batch slicing
+    // cannot move the drained summary (OpsSpec asserts row equality).
+    "st21_tokenizer_serve" -> Seq(
       "n_docs" -> (500L, 500L, 5000L),
       "total_pieces" -> (65355L, 62653L, 629867L),
       "n_vocab" -> (43L, 43L, 43L)),

@@ -732,6 +732,38 @@ object EventsStream {
     * complete-mode summary on top. Emits t31's exact five-column
     * summary row — shared pinned oracle; OpsSpec asserts equality
     * against the batch query. */
+  /** Streaming tokenizer serving — the t36 Viterbi encode applied at
+    * ingest time (tokenizer-as-a-service, the artifact-serving half of
+    * the t35 lifecycle): the trained vocabulary is a static broadcast
+    * artifact (tokenizers change by RELEASE, not by micro-batch), and
+    * each document micro-batch runs the stateless mapPartitions
+    * Viterbi kernel through `foreachBatch` — batch-engine logic the
+    * incremental planner cannot run, the st19 idiom; the stream holds
+    * ZERO state. Encoding is per-document, so per-batch outputs union
+    * to the batch encode regardless of how the source splits batches:
+    * the drained summary equals t36 bit-for-bit and shares its pinned
+    * oracle (OpsSpec asserts the row equality). */
+  def tokenizerServeCounts(spark: SparkSession, dir: String,
+      vocab: Seq[(String, Long)]): DataFrame = {
+    import org.apache.spark.sql.functions.{count => cnt}
+    val enc = runDrainedForeachBatch(spark, dir, "documents",
+        documentsSchema, "tokserve") { batch =>
+      graft.ops.UnigramTokenizer.encode(batch, vocab)
+        .select(col("doc_id"),
+          col("n_pieces").cast("long").as("n_pieces"), col("pieces"))
+    }.localCheckpoint(true)
+    val tot = enc
+      .agg(cnt(lit(1)).as("n_docs"), sum(col("n_pieces")).as("total_pieces"))
+      .head()
+    val voc = enc.select(explode(col("pieces")).as("p"))
+      .agg(count_distinct(col("p"))).head().getLong(0)
+    import spark.implicits._
+    if (tot.getLong(0) == 0L)
+      Seq((0L, 0L, 0L)).toDF("n_docs", "total_pieces", "n_vocab")
+    else Seq((tot.getLong(0), tot.getLong(1), voc))
+      .toDF("n_docs", "total_pieces", "n_vocab")
+  }
+
   def classifierServeCounts(spark: SparkSession, dir: String,
       model: graft.ops.Classifier.LogisticModel): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}

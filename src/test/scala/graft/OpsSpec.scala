@@ -2016,6 +2016,20 @@ class OpsSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("alpha_frac") < 0.8)
   }
 
+  test("streaming tokenizer serving equals the batch t36 summary row") {
+    def row(df: org.apache.spark.sql.DataFrame) = df
+      .select("n_docs", "total_pieces", "n_vocab")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val pieces = graft.ops.UnigramTokenizer.train(
+      spark.read.parquet(s"$sf001/documents.parquet"), "text",
+      vocabSize = 48, seedSize = 256, maxPieceLen = 4, iters = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2))).toSeq
+    val got = row(graft.streaming.EventsStream.tokenizerServeCounts(
+      spark, sf001, pieces))
+    val batch = row(Queries.all("t36_unigram_encode")(spark, sf001))
+    assert(got == batch, s"stream serve diverged: $got vs $batch")
+  }
+
   test("editVerifiedPairs: edit verify splits what shingle Jaccard cannot") {
     import spark.implicits._
     // A = one word changed (tiny edit distance); B = the two halves
