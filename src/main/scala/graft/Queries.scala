@@ -2259,6 +2259,26 @@ object Queries {
     // ~1.0 on a cluster-labeled corpus. Reuses the memoized n01
     // artifact — the audit itself never touches features (edge-table-
     // sized shuffle only).
+    // Label propagation from a 10% seed set over the prebuilt n01
+    // graph (Zhu & Ghahramani hard-clamp majority; n04's constructive
+    // sibling). Census: seeds, total labeled, propagated, and
+    // propagated-correct vs the withheld true labels — on this
+    // fixture's geometry-free labels the accuracy is ~chance, the
+    // honest reading (OpsSpec shows ~1.0 on a cluster-labeled corpus).
+    "n05_label_propagation" -> ((s, dir) => {
+      val labels = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("label").cast("int").as("lab"))
+      val seeds = labels.filter(col("id") % 10 === 0)
+      val out = graft.ops.GraphSearch
+        .labelPropagation(knnGraph(s, dir), seeds, iters = 5)
+      out.join(labels.select(col("id"), col("lab").as("true_lab")), "id")
+        .agg(count(lit(1)).as("n_labeled"),
+          sum(when(col("round") === 0, 1L).otherwise(0L)).as("n_seeds"),
+          sum(when(col("round") > 0, 1L).otherwise(0L)).as("n_propagated"),
+          sum(when(col("round") > 0 && col("lab") === col("true_lab"), 1L)
+            .otherwise(0L)).as("n_propagated_correct"))
+    }),
+
     "n04_label_audit" -> ((s, dir) => {
       val labels = t(s, dir, "embeddings")
         .select(col("vec_id").as("id"), col("label").cast("int").as("lab"))
@@ -2560,6 +2580,17 @@ object Queries {
     "n04_label_audit" -> Seq(
       "n_nodes" -> (500L, 500L, 2000L),
       "n_consistent" -> (40L, 60L, 192L)),
+    // Measured 2026-08-14 (round 8, PinDump). Deterministic fact of
+    // the (hash-seeded, partition-invariant) n01 graph + the 10% seed
+    // split: the graph is connected at k=10 so everything labels, and
+    // propagated accuracy sits at ~chance for 10 balanced
+    // geometry-free classes — the honest fixture reading (OpsSpec
+    // shows ~1.0 on a cluster-labeled corpus).
+    "n05_label_propagation" -> Seq(
+      "n_labeled" -> (500L, 500L, 2000L),
+      "n_seeds" -> (50L, 50L, 200L),
+      "n_propagated" -> (450L, 450L, 1800L),
+      "n_propagated_correct" -> (44L, 51L, 168L)),
     // Measured 2026-08-14 (round 8, PinDump). Bohning-Lindsay OvR
     // trajectory is a pure fixed-point function of the corpus
     // (ClassifierSpec: independent in-memory replication, exact

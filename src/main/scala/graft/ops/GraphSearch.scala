@@ -105,6 +105,61 @@ object GraphSearch {
     * @param labels (id, lab) integer class labels
     * @return (id, lab, vote_lab, consistent) per node with >= 1 neighbor
     */
+  /** Semi-supervised label PROPAGATION over the prebuilt K-NN graph —
+    * the hard-clamped majority variant of Zhu & Ghahramani's (2002)
+    * graph SSL, and [[labelConsistency]]'s constructive sibling: the
+    * audit measures existing labels, this SPREADS the scarce ones
+    * (seed labels stay clamped; each round every still-unlabeled node
+    * with >= 1 labeled neighbor takes the deterministic majority label
+    * of its labeled neighbors, count desc then label asc — the n04
+    * tie-break). Labeling a corpus from a small curated seed set is
+    * the standard way to get training labels cheaply when the
+    * embedding geometry carries class structure.
+    *
+    * Returns (id, lab, round): round 0 for seeds, r >= 1 for nodes
+    * first labeled in round r. Terminates early when a round labels
+    * nothing new (graph component exhausted).
+    *
+    * Scale shape: the expensive geometry was already paid by
+    * `NND.buildGraph` — each round is one edge-table-sized join
+    * against the narrow labeled table, an anti-join confining votes to
+    * the frontier, and two partial-agg majority aggregations; the
+    * label table is localCheckpointed per round (the NND C2 lineage
+    * pattern), so state on the driver is O(1) and shuffle per round
+    * is O(N·k) narrow rows. */
+  def labelPropagation(graph: DataFrame, seeds: DataFrame,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 50, s"bad iters=$iters")
+    val edges = graph
+      .filter(col("neighbors").isNotNull)
+      .select(col("id").as("node"), explode(col("neighbors")).as("nb"))
+      .select(col("node"), col("nb.id").as("nbr"))
+      .localCheckpoint()
+    var labeled = seeds
+      .select(col("id"), col("lab").cast("int").as("lab"),
+        lit(0).as("round"))
+      .localCheckpoint(true)
+    var r = 1
+    var grew = true
+    while (r <= iters && grew) {
+      val votes = edges
+        .join(labeled.select(col("id").as("nbr"), col("lab").as("nbr_lab")),
+          "nbr")
+        .join(labeled.select(col("id").as("node")), Seq("node"), "left_anti")
+        .groupBy("node", "nbr_lab").agg(count(lit(1)).as("cnt"))
+        .groupBy("node")
+        .agg(max(struct(col("cnt").as("c"), (-col("nbr_lab")).as("nl")))
+          .as("m"))
+        .select(col("node").as("id"), (-col("m.nl")).cast("int").as("lab"),
+          lit(r).as("round"))
+      val next = labeled.unionByName(votes).localCheckpoint(true)
+      grew = next.count() > labeled.count()
+      labeled = next
+      r += 1
+    }
+    labeled
+  }
+
   def labelConsistency(graph: DataFrame, labels: DataFrame): DataFrame = {
     val edges = graph
       .filter(col("neighbors").isNotNull)

@@ -287,6 +287,43 @@ class OpsSpec extends SparkSpec {
     assert(badFrac <= 0.3, s"shuffled-label audit did not collapse: $badFrac")
   }
 
+  test("label propagation recovers cluster labels from a 10% seed set") {
+    import spark.implicits._
+    // Same 10-tight-cluster fixture as the audit exhibit: seeding one
+    // node in ten and spreading over the K-NN graph must label nearly
+    // everything correctly; seeds stay clamped; rounds are monotone.
+    val rnd = new scala.util.Random(13)
+    val dim = 16
+    val centers = Array.fill(10)(Array.fill(dim)(rnd.nextGaussian().toFloat))
+    val pts = (0 until 400).map { i =>
+      val c = i % 10
+      (i.toLong, centers(c).map(x => x + 0.05f * rnd.nextGaussian().toFloat).toSeq, c)
+    }
+    val corpus = pts.map { case (id, v, _) => (id, v) }.toDF("id", "features")
+      .repartition(8)
+    val graph = graft.nnd.NND.buildGraph(corpus,
+      graft.nnd.NND.Params(k = 10, maxIterations = 5))
+    // Seeds = the first 40 points: 4 per cluster (cluster = i % 10) —
+    // NOT id % 10 == 0, which would be exactly cluster 0 and leave no
+    // unlabeled frontier to spread the other nine labels into.
+    val seeds = pts.collect { case (id, _, c) if id < 40 => (id, c) }
+      .toDF("id", "lab")
+    val out = graft.ops.GraphSearch.labelPropagation(graph, seeds, iters = 8)
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    // Seeds clamped at round 0 with their own label.
+    pts.filter(_._1 < 40).foreach { case (id, _, c) =>
+      assert(out(id) == ((c, 0)), s"seed $id moved: ${out(id)}")
+    }
+    val prop = pts.filter(_._1 >= 40).flatMap { case (id, _, c) =>
+      out.get(id).map(v => (v._1 == c, v._2))
+    }
+    assert(prop.nonEmpty && prop.size >= 350,
+      s"propagation covered only ${prop.size} of 360 non-seeds")
+    val acc = prop.count(_._1).toDouble / prop.size
+    assert(acc >= 0.95, s"cluster-labeled propagation accuracy only $acc")
+    assert(prop.forall(_._2 >= 1), "non-seeds must carry round >= 1")
+  }
+
   test("label audit vote tie-break is count desc then label asc") {
     import spark.implicits._
     // node 1: neighbors labeled [2, 2, 5, 5, 7] -> tie (2,5) -> vote 2.
