@@ -1561,6 +1561,22 @@ object Queries {
         TextAnalysis.languageId(docs(s, dir)), col("pred_lang"),
         TextAnalysis.langProfiles.map(_._1), dim = 256)),
 
+    // Wide-to-long melt via Dataset.unpivot — the inverse of q24's
+    // pivot and the one reshaping verb that family still lacked. A
+    // pure Expand projection (each row fans to |measures| rows, zero
+    // shuffle); values pass through untouched, so the twin is
+    // bit-exact.
+    "q38_unpivot" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") % 100 === 0)
+        .select("l_orderkey", "l_linenumber", "l_quantity",
+          "l_extendedprice", "l_discount", "l_tax")
+        .unpivot(
+          Array(col("l_orderkey"), col("l_linenumber")),
+          Array(col("l_quantity"), col("l_extendedprice"),
+            col("l_discount"), col("l_tax")),
+          "measure", "val")),
+
     // Gopher quality rules (Rae et al., MassiveText A1.1) — the
     // faithful named rule set with per-rule evidence, vs t02's blended
     // heuristic. Stop list adapted to the fixture register (Gopher's
@@ -3232,6 +3248,16 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM bg JOIN lp USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    // DuckDB's UNPIVOT emits the same (name, value) long rows; the
+    // doubles pass through both engines untouched (no arithmetic).
+    "q38_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure, val
+        |FROM (SELECT l_orderkey, l_linenumber, l_quantity,
+        |        l_extendedprice, l_discount, l_tax
+        |      FROM lineitem WHERE l_orderkey % 100 = 0)
+        |UNPIVOT (val FOR measure IN
+        |  (l_quantity, l_extendedprice, l_discount, l_tax))""".stripMargin,
 
     // Same integer counts, same one-division-per-ratio expression
     // shapes, same threshold comparisons on the identical doubles.
