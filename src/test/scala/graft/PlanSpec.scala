@@ -368,6 +368,30 @@ class PlanSpec extends SparkSpec {
       s"rule gate shuffled or joined:\n$p")
   }
 
+  test("q38: unpivot is a pure Expand projection — zero exchanges") {
+    val df = Queries.all("q38_unpivot")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Expand"), s"no Expand in the melt plan:\n$p")
+    assert(!p.contains("Exchange"), s"melt shuffled:\n$p")
+  }
+
+  test("d16: the snapshot diff joins manifests, not documents") {
+    // Both sides must project to (doc_id, md5) BEFORE the full-outer
+    // join: no raw `text` attribute may cross an exchange.
+    val df = Queries.all("d16_corpus_diff")(spark, sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan
+    val exchanges = plan.collect {
+      case e: org.apache.spark.sql.execution.exchange.ShuffleExchangeExec => e
+    }
+    exchanges.foreach { e =>
+      val cols = e.child.output.map(_.name)
+      assert(!cols.contains("text"),
+        s"document text crossed an exchange: $cols")
+    }
+  }
+
   test("d15: the index serve never re-shingles the corpus side") {
     // The serve plan's leaves must read the on-disk artifact (shingles/
     // buckets parquet) for the corpus side — the whole point of the
