@@ -1561,6 +1561,18 @@ object Queries {
         TextAnalysis.languageId(docs(s, dir)), col("pred_lang"),
         TextAnalysis.langProfiles.map(_._1), dim = 256)),
 
+    // Weighted sampling without replacement (Efraimidis-Spirakis
+    // A-Res): 50 documents drawn ∝ token count — the
+    // sample-∝-tokens primitive of a training-mix builder. Selection
+    // key fixed-points before ranking (Sampling scale notes:
+    // TakeOrdered, no window).
+    "t38_weighted_sample" -> ((s, dir) =>
+      graft.ops.Sampling.weightedSample(
+        docs(s, dir).withColumn("n_tokens",
+          size(split(col("text"), " ")).cast("long"))
+          .select("doc_id", "n_tokens"),
+        "doc_id", "n_tokens", 50)),
+
     // Wide-to-long melt via Dataset.unpivot — the inverse of q24's
     // pivot and the one reshaping verb that family still lacked. A
     // pure Expand projection (each row fans to |measures| rows, zero
@@ -3248,6 +3260,22 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM bg JOIN lp USING (bigram)
         |GROUP BY doc_id""".stripMargin,
+
+    // Same draw (md5 of the id's decimal rendering), same u =
+    // (hex8+1)/2^32, same ln/divide/2^-20-round selection key, same
+    // (key desc, id asc) total order — bit-exact top-50.
+    "t38_weighted_sample" ->
+      """WITH d AS (SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_tokens
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_tokens,
+        |    CAST(round(ln(
+        |        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
+        |          AS BIGINT) + 1) / CAST(4294967296 AS DOUBLE))
+        |      / CAST(n_tokens AS DOUBLE) * 1048576) AS BIGINT) AS es_fp
+        |  FROM d WHERE n_tokens > 0)
+        |SELECT doc_id, n_tokens, es_fp FROM k
+        |ORDER BY es_fp DESC, doc_id ASC LIMIT 50""".stripMargin,
 
     // DuckDB's UNPIVOT emits the same (name, value) long rows; the
     // doubles pass through both engines untouched (no arithmetic).

@@ -33,6 +33,35 @@ object Sampling {
       .filter(col("rk") <= n)
   }
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis & Spirakis
+    * 2006, A-Res): every row draws a deterministic uniform u from its
+    * md5 key and exposes the selection key ln(u)/w — order-equivalent
+    * to the paper's u^(1/w) — rounded to 2⁻²⁰ fixed point BEFORE
+    * comparison (the t19 determinism pattern: the only float ops are
+    * one ln and one division per row, and ranking happens on exact
+    * Longs with the id as total tiebreak). Keeping the top `n` keys
+    * draws each row with probability proportional to its weight,
+    * without replacement — the sample-∝-quality/∝-tokens primitive a
+    * training-mix builder uses when uniform sampling over-represents
+    * short or low-value documents. Rows with non-positive weight are
+    * excluded (E-S is undefined there).
+    *
+    * Scale shape: a pure projection followed by a global top-n —
+    * TakeOrderedAndProject (per-partition bounded heaps, no full
+    * sort, no window, no single-task stage); PlanSpec pins it. */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+      n: Int): DataFrame = {
+    require(n >= 1, s"n must be >= 1, got $n")
+    val u = (conv(substring(draw(col(keyCol)), 1, 8), 16, 10).cast("long") + 1L)
+      .cast("double") / lit(4294967296.0)
+    df.filter(col(weightCol) > 0)
+      .withColumn("es_fp",
+        round(log(u) / col(weightCol).cast("double") * lit(1048576.0))
+          .cast("long"))
+      .orderBy(col("es_fp").desc, col(keyCol).asc)
+      .limit(n)
+  }
+
   /** Bernoulli sample at `fraction` — shuffle-free (a pure per-row
     * filter; pushes to the scan). Keeps a row iff the first 8 hex chars
     * of its md5 draw, read as an integer, fall under fraction·2³². */

@@ -171,4 +171,27 @@ class ComponentsSpec extends SparkSpec {
     val s2 = Sampling.hashSample(orders.repartition(7), "o_orderkey", 0.2).select("o_orderkey").as[Long].collect().toSet
     assert(s1 == s2)
   }
+
+  test("weightedSample draws proportional to weight, without replacement, partition-invariant") {
+    import spark.implicits._
+    // 200 heavy rows (w=100) + 200 light rows (w=1): E-S top-60 should
+    // be overwhelmingly heavy (heavy:light inclusion odds ~100:1), the
+    // sample has no repeats, and zero/negative weights are excluded.
+    val rows = (0L until 200L).map(i => (i, 100L)) ++
+      (200L until 400L).map(i => (i, 1L)) ++
+      Seq((400L, 0L), (401L, -5L))
+    val d = rows.toDF("id", "w")
+    def run(parts: Int) = Sampling
+      .weightedSample(d.repartition(parts), "id", "w", 60)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(1)
+    assert(got == run(7), "sample must not depend on partitioning")
+    assert(got.size == 60 && got.map(_._1).distinct.size == 60)
+    assert(!got.exists(t => t._1 == 400L || t._1 == 401L),
+      "non-positive weights must be excluded")
+    val heavy = got.count(_._2 == 100L)
+    assert(heavy >= 55, s"top-60 should be dominated by heavy rows: $heavy")
+    // The selection key really is ordered: output sorted desc.
+    assert(got.map(_._3) == got.map(_._3).sorted(Ordering[Long].reverse))
+  }
 }

@@ -368,6 +368,16 @@ class PlanSpec extends SparkSpec {
       s"rule gate shuffled or joined:\n$p")
   }
 
+  test("t38: weighted sampling is a bounded TakeOrdered, not a window or full sort") {
+    val df = Queries.all("t38_weighted_sample")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("TakeOrderedAndProject"),
+      s"selection is not a bounded per-partition heap:\n$p")
+    assert(!p.contains("WindowExec") && !p.contains("SortExec"),
+      s"selection fell back to a window/full sort:\n$p")
+  }
+
   test("q38: unpivot is a pure Expand projection — zero exchanges") {
     val df = Queries.all("q38_unpivot")(spark, sf0001)
     df.collect()
