@@ -342,4 +342,34 @@ class EdgeCasesSpec extends SparkSpec {
         col("lang") === "en", n = 0)
     }
   }
+
+  test("round-8 text/dedup ops survive empty and degenerate corpora") {
+    import graft.ops.{Dedup, Sampling, TextAnalysis, UnigramTokenizer}
+    val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
+    // Empty corpus: every op returns an empty frame with its schema,
+    // no NPE/divide-by-zero on the driver-side scalars.
+    assert(TextAnalysis.blocklistFlags(empty, Seq("x")).count() == 0)
+    assert(TextAnalysis.gopherRules(empty).count() == 0)
+    assert(TextAnalysis.backoffTrigramLogProb(empty).count() == 0)
+    assert(UnigramTokenizer.train(empty).count() == 0)
+    assert(UnigramTokenizer.encode(empty, Seq(("a", -1L))).count() == 0)
+    assert(Dedup.corpusDiff(empty, empty).count() == 0)
+    assert(Dedup.editVerifiedPairs(empty, "doc_id", "text", 0.7).count() == 0)
+    assert(Sampling.weightedSample(
+      empty.withColumn("w", lit(1L)), "doc_id", "w", 5).count() == 0)
+    // Degenerate: docs too short for any trigram are absent from the
+    // LM output; a one-sided diff classifies everything added/removed.
+    val short = Seq((1L, "a b"), (2L, "x")).toDF("doc_id", "text")
+    assert(TextAnalysis.backoffTrigramLogProb(short).count() == 0)
+    val one = Seq((1L, "a")).toDF("doc_id", "text")
+    val d1 = Dedup.corpusDiff(one, empty).collect()
+    val d2 = Dedup.corpusDiff(empty, one).collect()
+    assert(d1.map(_.getString(1)).toSeq == Seq("removed"))
+    assert(d2.map(_.getString(1)).toSeq == Seq("added"))
+    // Unknown single chars at encode time take the UnkFp fallback and
+    // still reassemble the word.
+    val enc = UnigramTokenizer.encode(one, Seq(("z", -1048576L)))
+      .collect()(0)
+    assert(enc.getSeq[String](3) == Seq("a"))
+  }
 }
