@@ -71,6 +71,53 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("backoffTrigramLogProb equals a naive in-memory reference on random corpora") {
+    // Same branch expressions, same double associativity, same 2^-20
+    // rounding per DISTINCT trigram — any divergence in floors,
+    // context totals, or the backoff chain shows up as a fixed-point
+    // mismatch. Small vocab forces floor hits AND misses per corpus.
+    def refBackoff(docs: Seq[(Long, String)]): Map[Long, (Long, Long)] = {
+      def toks(t: String) = t.split(" ", -1).toSeq
+      val tris = docs.flatMap { case (id, t) =>
+        toks(t).sliding(3).filter(_.size == 3)
+          .map(w => (id, (w(0), w(1), w(2)))) }
+      val c3 = tris.groupBy(_._2).map { case (k, v) => k -> v.size.toLong }
+      val c2 = docs.flatMap { case (_, t) =>
+        toks(t).sliding(2).filter(_.size == 2).map(w => (w(0), w(1))) }
+        .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val unis = docs.flatMap { case (_, t) => toks(t) }
+      val c1 = unis.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+      val n = unis.size.toLong
+      val lp = c3.map { case (k @ (w1, w2, w3), c) =>
+        val s =
+          if (c >= 2L) c.toDouble / c2((w1, w2)).toDouble
+          else if (c2((w2, w3)) >= 2L)
+            0.4 * (c2((w2, w3)).toDouble / c1(w2).toDouble)
+          else 0.4 * (0.4 * (c1(w3).toDouble / n.toDouble))
+        k -> math.round(math.log(s) * 1048576.0)
+      }
+      tris.groupBy(_._1).map { case (id, ts) =>
+        id -> ((ts.size.toLong, ts.map(t => lp(t._2)).sum))
+      }
+    }
+    val docGen = for {
+      n <- Gen.choose(3, 9)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c", "d"))
+    } yield toks.mkString(" ")
+    for (corpus <- 0 until 10) {
+      val docs = sample(docGen, 8).zipWithIndex
+        .map { case (t, i) => (i.toLong, t) }
+      val want = refBackoff(docs)
+      val got = graft.ops.TextAnalysis
+        .backoffTrigramLogProb(docs.toDF("doc_id", "text"))
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+      assert(got == want,
+        s"corpus $corpus diverged: ${got.toSeq.sorted} vs ${want.toSeq.sorted}" +
+          s" on ${docs.mkString("; ")}")
+    }
+  }
+
   test("dupSpanRemove equals a naive in-memory span-scrub on random corpora") {
     // Tiny alphabet so cross-document span collisions are common; the
     // whole corpus is one randomized fixture, evaluated once.
