@@ -40,6 +40,21 @@ class SourcesSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("XML round-trip preserves rows and values (Spark 4 native XML source)") {
+    // The semi-structured feed format crawl pipelines still meet
+    // (sitemaps, RSS, OAI-PMH dumps); Spark 4 ships the XML source
+    // natively — no external package.
+    val dir = java.nio.file.Files.createTempDirectory("graft_xml").toString
+    docs.write.mode("overwrite")
+      .option("rootTag", "docs").option("rowTag", "doc")
+      .xml(dir)
+    val back = spark.read.option("rowTag", "doc").xml(dir)
+      .select(docs.columns.map(col): _*)
+    val a = docs.collect().map(_.toSeq).toSet
+    val b = back.collect().map(_.toSeq).toSet
+    assert(a == b, s"XML round-trip lost rows: ${a.size} vs ${b.size}")
+  }
+
   test("binaryFile source ingests opaque blobs for the multimodal path") {
     // write a few raw files, read them back as (path, content) rows, and
     // run the multimodal decode over the binary column — the real ingest
