@@ -318,23 +318,35 @@ object NND {
     *   the internal k' during refinement.
     * @return same shape as [[buildGraph]] over the full input.
     *
-    * Cost model (the point of the exercise): per iteration, only
-    * NEW-influenced work shuffles —
+    * Cost model — what the carve-outs bound, and what they can't:
     *  - init draws come from the ~|new|·bpi buckets containing a new
     *    point (bucket membership of untouched regions never leaves its
     *    map side);
     *  - forward/reverse edges flow only from ACTIVE lists (those
-    *    holding a new entry), so the features join moves
-    *    O(active·k') rows, not O(N·k');
+    *    holding a new entry), so iteration r's features join moves
+    *    O(active_r·k') rows;
     *  - untouched lists never enter the merge: nodes receiving
-    *    candidates are carved out of the stable set by broadcast
-    *    semi/anti joins on the (increment-sized) target-id set, so the
-    *    big tables see map-side scans, not shuffles.
-    * Old↔old pairs are never re-evaluated (they converged in the
-    * original build); new↔old and new↔new pairs integrate through the
-    * same local join + reverse sampling as a full build, and the
-    * update-count δ (measured against k·|new|) terminates the loop once
-    * the increment has been absorbed. */
+    *    candidates are carved out of the stable set by semi/anti
+    *    joins on the target-id set;
+    *  - old↔old pairs are never re-evaluated (the local join emits a
+    *    pair only when at least one side is a NEW entry), and the
+    *    update-count δ (measured against k·|new|) terminates the loop
+    *    once the increment has been absorbed.
+    * HOWEVER, activation CASCADES: inserting a point re-ranks its
+    * neighbors' lists, whose changed entries activate THEIR neighbors
+    * — the second-order closure that k-NN correctness genuinely
+    * requires — so active_r saturates toward N within a few rounds
+    * even for tiny increments, and each saturated iteration's
+    * adjacency join then moves ~N·k' feature-carrying rows, the same
+    * G4 shape as a full build. Measured at sf0.1 (2 000 pts, k=10):
+    * total update shuffle 53/70/84/91 MB for 0.2/1/5/20 % increments
+    * vs 97 MB for a from-scratch build — the update's real wins are
+    * fewer absorption iterations (δ hits its floor faster), skipped
+    * init churn, and the untouched-list merge carve-out, NOT
+    * per-iteration shuffle once the cascade saturates. For appends
+    * where even that is too much, serve the increment from the
+    * persisted graph (n03 + beam search, or the s16 IVF append) and
+    * fold it in at the next scheduled rebuild. */
   def updateGraph(input: DataFrame, existing: DataFrame, p: Params = Params()): DataFrame = {
     require(input.columns.contains("id") && input.columns.contains("features"),
       s"updateGraph input needs 'id' and 'features' columns; got [${input.columns.mkString(", ")}]")
