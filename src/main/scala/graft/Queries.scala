@@ -2337,6 +2337,35 @@ object Queries {
     // Pinned summary splits recall over NEW nodes (id%5==0, the
     // appended batch) and OLD nodes (whose lists must absorb the new
     // arrivals) — both vs the full-corpus brute force.
+    // Append-only small-increment alternative to n02 (the path
+    // updateGraph's cost model routes tiny appends to): new points
+    // attach via beam search over the PRIOR graph, old lists
+    // byte-untouched. Recall here is measured against the FULL-corpus
+    // truth, so it prices the documented staleness (new<->new links
+    // absent until the next scheduled rebuild) on top of beam-search
+    // recall — deliberately the honest number, below n02's refined
+    // recall and far above useless.
+    "n06_graph_append" -> ((s, dir) => {
+      val e = emb(s, dir)
+      // Wider beam than s03's in-graph serving defaults: an
+      // out-of-graph query has no self-adjacency shortcut, so the
+      // search must actually navigate (sf0.1 sweep: recall 0.39 at
+      // beam 20/hops 3/seeds 8 -> 0.65 at 40/4/8 -> 0.75 at 64/5/16,
+      // ~0.94 of the 0.8 reachable ceiling, flat wall).
+      val appended = graft.ops.GraphSearch.appendToGraph(
+        n02Prior(s, dir), e.filter(col("id") % 5 =!= 0),
+        e.filter(col("id") % 5 === 0), k = 10,
+        beam = 64, hops = 5, seeds = 16)
+      val edges = appended.filter(col("neighbors").isNotNull)
+        .select(col("id").as("query_id"), explode(col("neighbors")).as("nbr"))
+        .select(col("query_id"), col("nbr.id").as("nbr_id"))
+      bruteTruth(s, dir).filter(col("query_id") % 5 === 0)
+        .join(edges.withColumn("hit", lit(1L)),
+          Seq("query_id", "nbr_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits_new"),
+          count(lit(1)).as("n_total_new"))
+    }),
+
     "n02_knn_incremental" -> ((s, dir) => {
       val e = emb(s, dir)
       // 5 update iterations against the converged (5-iteration, same as
@@ -2619,6 +2648,13 @@ object Queries {
       "n_seeds" -> (50L, 50L, 200L),
       "n_propagated" -> (450L, 450L, 1800L),
       "n_propagated_correct" -> (44L, 51L, 168L)),
+    // Measured 2026-08-14 (round 8, PinDump). Prices beam-search
+    // recall PLUS the documented staleness (missing new<->new links)
+    // against the full-corpus truth; n02's refined path is the
+    // recall ceiling, this is the cheap-append floor.
+    "n06_graph_append" -> Seq(
+      "n_hits_new" -> (817L, 778L, 3014L),
+      "n_total_new" -> (1000L, 1000L, 4000L)),
     // Measured 2026-08-14 (round 8, PinDump). Bohning-Lindsay OvR
     // trajectory is a pure fixed-point function of the corpus
     // (ClassifierSpec: independent in-memory replication, exact

@@ -85,26 +85,45 @@ object GraphSearch {
       .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("cosine"))
   }
 
-  /** Label-consistency audit over a built K-NN graph — the label-noise
-    * detector of a labeled-corpus pipeline (confident-learning shape:
-    * a label that disagrees with its geometric neighborhood is a
-    * mislabel candidate; applied corpus-wide it measures whether the
-    * labels carry geometric signal AT ALL — a randomly-labeled corpus
-    * audits at ~1/|classes|). Per node: the majority label among its
-    * graph neighbors (count desc, label asc — total order, so the
-    * vote is deterministic), compared to its own label.
+  /** Cheap small-append for the K-NN graph: attach `newPoints` to an
+    * EXISTING graph without any refinement — each new point's neighbor
+    * list is its top-k beam-search result over the loaded graph,
+    * re-scored with the graph's own 1/(1+L2) similarity; existing
+    * lists are byte-untouched. The [[graft.ops.SimilaritySearch]]
+    * `appendToIvfIndex` lifecycle applied to the serving graph, and
+    * the right tool when the increment is too small to justify
+    * `NND.updateGraph`'s activation cascade (see its cost model): the
+    * cost here is one beam search per new point — O(|new|·beam·hops)
+    * feature fetches — instead of corpus-sized adjacency rounds.
     *
-    * Relational and graph-reusing: one explode of the prebuilt
-    * adjacency, one join to the narrow (id, lab) table, two bounded
-    * aggregations — the expensive geometry was already paid for by
-    * [[graft.nnd.NND.buildGraph]]; the audit itself never touches
-    * features. At 100 TB: shuffle is edge-table-sized (N·k narrow
-    * rows), partial-agg applies everywhere.
-    *
-    * @param graph  (id, neighbors) from `NND.buildGraph`
-    * @param labels (id, lab) integer class labels
-    * @return (id, lab, vote_lab, consistent) per node with >= 1 neighbor
-    */
+    * Documented staleness: OLD points do not link back to the new ones
+    * (reverse edges appear at the next scheduled
+    * `updateGraph`/rebuild), so until then fresh points are reachable
+    * as QUERY RESULTS (their own lists are correct) but not as
+    * traversal waypoints — the standard serve-now/integrate-later
+    * trade of every append-only ANN index. */
+  def appendToGraph(graph: DataFrame, corpus: DataFrame,
+      newPoints: DataFrame, k: Int, beam: Int = 20, hops: Int = 3,
+      seeds: Int = 8): DataFrame = {
+    val found = searchGraph(graph, corpus, newPoints, k, beam, hops, seeds)
+    val feats = corpus.select(col("id").as("nbr_id"),
+      col("features").as("v_c"))
+    val newLists = found
+      .join(broadcast(newPoints.select(col("id").as("query_id"),
+        col("features").as("v_q"))), "query_id")
+      .join(feats, "nbr_id")
+      .withColumn("sim",
+        lit(1.0) / (lit(1.0) + vector_l2(col("v_q"), col("v_c"))))
+      .groupBy(col("query_id").as("id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("sim")).as("neg"), col("nbr_id").as("id"),
+        col("sim").as("similarity")))).as("srt"))
+      .select(col("id"),
+        expr("transform(srt, x -> struct(x.id as id, x.similarity as similarity))")
+          .as("neighbors"))
+    graph.select(col("id"), col("neighbors")).unionByName(newLists)
+  }
+
   /** Semi-supervised label PROPAGATION over the prebuilt K-NN graph —
     * the hard-clamped majority variant of Zhu & Ghahramani's (2002)
     * graph SSL, and [[labelConsistency]]'s constructive sibling: the
@@ -160,6 +179,26 @@ object GraphSearch {
     labeled
   }
 
+  /** Label-consistency audit over a built K-NN graph — the label-noise
+    * detector of a labeled-corpus pipeline (confident-learning shape:
+    * a label that disagrees with its geometric neighborhood is a
+    * mislabel candidate; applied corpus-wide it measures whether the
+    * labels carry geometric signal AT ALL — a randomly-labeled corpus
+    * audits at ~1/|classes|). Per node: the majority label among its
+    * graph neighbors (count desc, label asc — total order, so the
+    * vote is deterministic), compared to its own label.
+    *
+    * Relational and graph-reusing: one explode of the prebuilt
+    * adjacency, one join to the narrow (id, lab) table, two bounded
+    * aggregations — the expensive geometry was already paid for by
+    * [[graft.nnd.NND.buildGraph]]; the audit itself never touches
+    * features. At 100 TB: shuffle is edge-table-sized (N·k narrow
+    * rows), partial-agg applies everywhere.
+    *
+    * @param graph  (id, neighbors) from `NND.buildGraph`
+    * @param labels (id, lab) integer class labels
+    * @return (id, lab, vote_lab, consistent) per node with >= 1 neighbor
+    */
   def labelConsistency(graph: DataFrame, labels: DataFrame): DataFrame = {
     val edges = graph
       .filter(col("neighbors").isNotNull)

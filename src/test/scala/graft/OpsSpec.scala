@@ -287,6 +287,37 @@ class OpsSpec extends SparkSpec {
     assert(badFrac <= 0.3, s"shuffled-label audit did not collapse: $badFrac")
   }
 
+  test("appendToGraph leaves old lists byte-identical and builds valid new lists") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"))
+    val old = emb.filter(col("id") % 5 =!= 0)
+    val nw = emb.filter(col("id") % 5 === 0).limit(40)
+    val prior = graft.nnd.NND.buildGraph(old,
+      graft.nnd.NND.Params(k = 10, maxIterations = 3))
+      .select("id", "neighbors").localCheckpoint()
+    val appended = graft.ops.GraphSearch.appendToGraph(prior, old, nw, 10)
+    // Old side untouched — exact row equality with the prior graph.
+    val before = prior.collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    val after = appended.join(nw.select(col("id")), Seq("id"), "left_anti")
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(after == before, "append must not touch existing lists")
+    // New lists: <= k entries, neighbors drawn from the OLD corpus
+    // only (the documented staleness), similarity strictly ordered.
+    val oldIds = old.select("id").as[Long].collect().toSet
+    val newLists = appended.join(nw.select(col("id")), Seq("id"), "left_semi")
+      .collect().map(r => r.getLong(0) -> r.getSeq[org.apache.spark.sql.Row](1)).toMap
+    assert(newLists.keySet == nw.select("id").as[Long].collect().toSet)
+    newLists.foreach { case (id, nbrs) =>
+      assert(nbrs.nonEmpty && nbrs.size <= 10, s"node $id has ${nbrs.size}")
+      val ids = nbrs.map(_.getLong(0))
+      assert(ids.forall(oldIds.contains), s"node $id links outside the prior corpus")
+      assert(!ids.contains(id))
+      val sims = nbrs.map(_.getDouble(1))
+      assert(sims == sims.sorted(Ordering[Double].reverse), s"node $id unsorted")
+    }
+  }
+
   test("label propagation recovers cluster labels from a 10% seed set") {
     import spark.implicits._
     // Same 10-tight-cluster fixture as the audit exhibit: seeding one
