@@ -553,6 +553,23 @@ object Queries {
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
+    // Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-text
+    // top-n-per-group idiom (Catalyst decorrelates it into a
+    // partitioned rank); the DataFrame twin is q06's window form.
+    // Total tie-break (quantity desc, linenumber asc) keeps the top-2
+    // deterministic; values pass through untouched.
+    "q39_lateral_topn" -> ((s, dir) => {
+      t(s, dir, "orders").createOrReplaceTempView("orders")
+      t(s, dir, "lineitem").createOrReplaceTempView("lineitem")
+      s.sql(
+        """SELECT o_orderkey, l.l_linenumber, l.l_quantity
+          |FROM orders, LATERAL (
+          |  SELECT l_linenumber, l_quantity FROM lineitem
+          |  WHERE l_orderkey = o_orderkey
+          |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+          |WHERE o_orderkey % 100 = 0""".stripMargin)
+    }),
+
     "q25_scalar_subquery" -> ((s, dir) => {
       t(s, dir, "part").createOrReplaceTempView("part")
       s.sql(
@@ -3312,6 +3329,16 @@ object Queries {
         |  FROM d WHERE n_tokens > 0)
         |SELECT doc_id, n_tokens, es_fp FROM k
         |ORDER BY es_fp DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // The identical LATERAL (DuckDB supports the same syntax); same
+    // total tie-break, values untouched.
+    "q39_lateral_topn" ->
+      """SELECT o_orderkey, l.l_linenumber, l.l_quantity
+        |FROM orders, LATERAL (
+        |  SELECT l_linenumber, l_quantity FROM lineitem
+        |  WHERE l_orderkey = o_orderkey
+        |  ORDER BY l_quantity DESC, l_linenumber LIMIT 2) l
+        |WHERE o_orderkey % 100 = 0""".stripMargin,
 
     // DuckDB's UNPIVOT emits the same (name, value) long rows; the
     // doubles pass through both engines untouched (no arithmetic).
