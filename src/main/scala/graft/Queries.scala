@@ -553,6 +553,17 @@ object Queries {
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
+    // Exact INTERPOLATED percentiles (continuous), complementing
+    // q18's discrete form: median + p25 per return flag. l_quantity
+    // holds small integers-as-doubles, so the midpoint interpolation
+    // is exact in binary on both engines.
+    "q40_percentile_cont" -> ((s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(median(col("l_quantity")).as("med_qty"),
+          expr("percentile(l_quantity, 0.25)").as("p25_qty"),
+          count(lit(1)).as("n"))),
+
     // Correlated LATERAL subquery with ORDER BY + LIMIT — the SQL-text
     // top-n-per-group idiom (Catalyst decorrelates it into a
     // partitioned rank); the DataFrame twin is q06's window form.
@@ -3329,6 +3340,16 @@ object Queries {
         |  FROM d WHERE n_tokens > 0)
         |SELECT doc_id, n_tokens, es_fp FROM k
         |ORDER BY es_fp DESC, doc_id ASC LIMIT 50""".stripMargin,
+
+    // quantile_cont is DuckDB's p*(n-1) linear interpolation — the
+    // same definition as Spark's percentile()/median(); the fixture's
+    // integer-valued doubles make every midpoint exact in binary.
+    "q40_percentile_cont" ->
+      """SELECT l_returnflag,
+        |  median(l_quantity) AS med_qty,
+        |  quantile_cont(l_quantity, 0.25) AS p25_qty,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag""".stripMargin,
 
     // The identical LATERAL (DuckDB supports the same syntax); same
     // total tie-break, values untouched.
