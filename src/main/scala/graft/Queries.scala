@@ -2365,6 +2365,14 @@ object Queries {
     // Pinned summary splits recall over NEW nodes (id%5==0, the
     // appended batch) and OLD nodes (whose lists must absorb the new
     // arrivals) — both vs the full-corpus brute force.
+    // Graph health audit over the n01 serving graph: the rebuild
+    // trigger of the n06 append lifecycle (reciprocity decays as
+    // one-directional appended edges accumulate; OpsSpec measures the
+    // decay on an appended graph). Deterministic fact of the graph —
+    // pinned.
+    "n07_graph_health" -> ((s, dir) =>
+      graft.ops.GraphSearch.graphHealth(knnGraph(s, dir))),
+
     // Append-only small-increment alternative to n02 (the path
     // updateGraph's cost model routes tiny appends to): new points
     // attach via beam search over the PRIOR graph, old lists
@@ -2683,6 +2691,16 @@ object Queries {
     "n06_graph_append" -> Seq(
       "n_hits_new" -> (817L, 778L, 3014L),
       "n_total_new" -> (1000L, 1000L, 4000L)),
+    // Measured 2026-08-14 (round 8, PinDump). Deterministic fact of
+    // the (hash-seeded, partition-invariant) n01 graph; reciprocity_fp
+    // = round(frac * 2^20).
+    "n07_graph_health" -> Seq(
+      "n_nodes" -> (500L, 500L, 2000L),
+      "n_edges" -> (5000L, 5000L, 20000L),
+      "min_deg" -> (10L, 10L, 10L),
+      "max_deg" -> (10L, 10L, 10L),
+      "n_reciprocal" -> (4154L, 4048L, 16466L),
+      "reciprocity_fp" -> (871157L, 848927L, 863293L)),
     // Measured 2026-08-14 (round 8, PinDump). Bohning-Lindsay OvR
     // trajectory is a pure fixed-point function of the corpus
     // (ClassifierSpec: independent in-memory replication, exact

@@ -124,6 +124,42 @@ object GraphSearch {
     graph.select(col("id"), col("neighbors")).unionByName(newLists)
   }
 
+  /** Graph health audit — the REBUILD TRIGGER of the append-and-serve
+    * lifecycle: per graph, node/edge counts, degree spread, and
+    * RECIPROCITY (the fraction of directed edges whose reverse edge
+    * also exists). A converged NND build is highly reciprocal (mutual
+    * nearest neighbors dominate); [[appendToGraph]]'s fresh edges are
+    * one-directional by construction, so reciprocity decays as appends
+    * accumulate — the operator rebuilds (or runs `updateGraph`) when
+    * it crosses a floor, turning the documented staleness into a
+    * measured quantity instead of a guess.
+    *
+    * One adjacency explode, one self-semi-join on the reversed pair,
+    * bounded aggregations — edge-table-sized shuffle (N·k narrow
+    * rows), features never touched. */
+  def graphHealth(graph: DataFrame): DataFrame = {
+    val edges = graph.filter(col("neighbors").isNotNull)
+      .select(col("id").as("src"), explode(col("neighbors")).as("nb"))
+      .select(col("src"), col("nb.id").as("dst"))
+      .localCheckpoint()
+    val nRec = edges.as("a").join(edges.as("b"),
+        col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
+        "left_semi")
+      .count()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("n_edges"),
+        min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
+      .head()
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val nEdges = deg.getLong(1)
+    Seq((deg.getLong(0), nEdges, deg.getLong(2), deg.getLong(3), nRec,
+      if (nEdges == 0L) 0L
+      else math.round(nRec.toDouble / nEdges.toDouble * 1048576.0)))
+      .toDF("n_nodes", "n_edges", "min_deg", "max_deg", "n_reciprocal",
+        "reciprocity_fp")
+  }
+
   /** Semi-supervised label PROPAGATION over the prebuilt K-NN graph —
     * the hard-clamped majority variant of Zhu & Ghahramani's (2002)
     * graph SSL, and [[labelConsistency]]'s constructive sibling: the

@@ -318,6 +318,30 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("graphHealth measures the reciprocity decay appends cause") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"))
+    val old = emb.filter(col("id") % 5 =!= 0)
+    val nw = emb.filter(col("id") % 5 === 0).limit(60)
+    val prior = graft.nnd.NND.buildGraph(old,
+      graft.nnd.NND.Params(k = 10, maxIterations = 3))
+      .select("id", "neighbors").localCheckpoint()
+    def health(g: org.apache.spark.sql.DataFrame) = {
+      val r = graft.ops.GraphSearch.graphHealth(g).collect()(0)
+      (r.getAs[Long]("n_nodes"), r.getAs[Long]("n_edges"),
+        r.getAs[Long]("reciprocity_fp"))
+    }
+    val (n0, e0, rec0) = health(prior)
+    assert(rec0 > 700000L, s"converged graph should be highly reciprocal: $rec0")
+    val appended = graft.ops.GraphSearch.appendToGraph(prior, old, nw, 10)
+    val (n1, e1, rec1) = health(appended)
+    assert(n1 == n0 + 60 && e1 > e0)
+    // Appended edges are one-directional by construction, so the
+    // audit must read strictly lower — the rebuild-trigger signal.
+    assert(rec1 < rec0, s"append did not decay reciprocity: $rec0 -> $rec1")
+  }
+
   test("label propagation recovers cluster labels from a 10% seed set") {
     import spark.implicits._
     // Same 10-tight-cluster fixture as the audit exhibit: seeding one
