@@ -2373,6 +2373,27 @@ object Queries {
     "n07_graph_health" -> ((s, dir) =>
       graft.ops.GraphSearch.graphHealth(knnGraph(s, dir))),
 
+    // n06 at INGEST TIME: new points beam-attach per micro-batch
+    // against the resident prior graph (foreachBatch, zero stream
+    // state); per-query independence makes the drained lists equal
+    // the batch append under any slicing — shares n06's pins.
+    "st22_graph_append_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val prior = n02Prior(s, dir)
+      val newLists = graft.streaming.AnnServe.graphAppendServe(
+        s, dir, prior, e.filter(col("id") % 5 =!= 0))
+      val appended = prior.select("id", "neighbors")
+        .unionByName(newLists.select("id", "neighbors"))
+      val edges = appended.filter(col("neighbors").isNotNull)
+        .select(col("id").as("query_id"), explode(col("neighbors")).as("nbr"))
+        .select(col("query_id"), col("nbr.id").as("nbr_id"))
+      bruteTruth(s, dir).filter(col("query_id") % 5 === 0)
+        .join(edges.withColumn("hit", lit(1L)),
+          Seq("query_id", "nbr_id"), "left")
+        .agg(sum(coalesce(col("hit"), lit(0L))).as("n_hits_new"),
+          count(lit(1)).as("n_total_new"))
+    }),
+
     // Append-only small-increment alternative to n02 (the path
     // updateGraph's cost model routes tiny appends to): new points
     // attach via beam search over the PRIOR graph, old lists
@@ -2689,6 +2710,12 @@ object Queries {
     // against the full-corpus truth; n02's refined path is the
     // recall ceiling, this is the cheap-append floor.
     "n06_graph_append" -> Seq(
+      "n_hits_new" -> (817L, 778L, 3014L),
+      "n_total_new" -> (1000L, 1000L, 4000L)),
+    // = n06 by construction: beam search is per-query independent, so
+    // micro-batch slicing cannot move the appended lists (OpsSpec
+    // asserts new-list row equality with the batch append).
+    "st22_graph_append_serve" -> Seq(
       "n_hits_new" -> (817L, 778L, 3014L),
       "n_total_new" -> (1000L, 1000L, 4000L)),
     // Measured 2026-08-14 (round 8, PinDump). Deterministic fact of

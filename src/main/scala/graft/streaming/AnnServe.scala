@@ -80,4 +80,28 @@ object AnnServe {
       index.unpersist()
     }
   }
+
+  /** Streaming K-NN graph APPEND serving — n06's cheap attach run at
+    * ingest time: the prior graph and its corpus are RESIDENT
+    * artifacts, and each embedding micro-batch beam-attaches its new
+    * points through `foreachBatch` (the st19 idiom: the batch engine
+    * plans each micro-batch, the stream holds zero state), so fresh
+    * points become searchable the moment their batch lands. Beam
+    * search is per-query independent — seeds and traversal depend
+    * only on the static graph — so per-batch appends union to the
+    * batch [[graft.ops.GraphSearch.appendToGraph]] under ANY batch
+    * slicing: st22 shares n06's pinned recall oracle by construction
+    * (OpsSpec asserts new-list row equality). Returns only the NEW
+    * lists (the caller unions them with the resident graph). */
+  def graphAppendServe(spark: SparkSession, dir: String,
+      prior: DataFrame, corpus: DataFrame, k: Int = 10, beam: Int = 64,
+      hops: Int = 5, seeds: Int = 16): DataFrame =
+    EventsStream.runDrainedForeachBatch(
+      spark, dir, "embeddings", EventsStream.embeddingsSchema, "gappend") { src =>
+      val nw = src
+        .select(col("vec_id").as("id"), col("embedding").as("features"))
+        .filter(col("id") % 5 === 0)
+      graft.ops.GraphSearch.appendToGraph(prior, corpus, nw, k, beam, hops, seeds)
+        .join(nw.select(col("id")), Seq("id"), "left_semi")
+    }
 }

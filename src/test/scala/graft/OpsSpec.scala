@@ -318,6 +318,28 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("streaming graph-append serving emits the batch append's exact new lists") {
+    import spark.implicits._
+    val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"))
+    val old = emb.filter(col("id") % 5 =!= 0)
+    val prior = graft.nnd.NND.buildGraph(old,
+      graft.nnd.NND.Params(k = 10, maxIterations = 3))
+      .select("id", "neighbors").localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("id"), explode(col("neighbors")).as("nb"))
+      .select(col("id"), col("nb.id").as("nbr"), col("nb.similarity"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val streamed = rows(graft.streaming.AnnServe.graphAppendServe(
+      spark, sf001, prior, old, k = 10, beam = 20, hops = 3, seeds = 8))
+    val nw = emb.filter(col("id") % 5 === 0)
+    val batch = rows(graft.ops.GraphSearch
+      .appendToGraph(prior, old, nw, 10, beam = 20, hops = 3, seeds = 8)
+      .join(nw.select(col("id")), Seq("id"), "left_semi"))
+    assert(streamed == batch, s"streamed append diverged from batch: " +
+      s"${(streamed -- batch).take(3)} vs ${(batch -- streamed).take(3)}")
+  }
+
   test("graphHealth measures the reciprocity decay appends cause") {
     import spark.implicits._
     val emb = spark.read.parquet(s"$sf001/embeddings.parquet")
