@@ -101,7 +101,15 @@ object GraphSearch {
     * `updateGraph`/rebuild), so until then fresh points are reachable
     * as QUERY RESULTS (their own lists are correct) but not as
     * traversal waypoints — the standard serve-now/integrate-later
-    * trade of every append-only ANN index. */
+    * trade of every append-only ANN index.
+    *
+    * Broadcast budget: the increment rides [[searchGraph]]'s
+    * broadcast-query side (and a second broadcast for the re-scoring
+    * join), so `newPoints` must fit the driver/broadcast budget — the
+    * definition of the "small append" this exists for. An append too
+    * large to broadcast should be CHUNKED into broadcastable batches
+    * (each batch is independent — st22 does exactly this per
+    * micro-batch) or taken to `updateGraph` outright. */
   def appendToGraph(graph: DataFrame, corpus: DataFrame,
       newPoints: DataFrame, k: Int, beam: Int = 20, hops: Int = 3,
       seeds: Int = 8): DataFrame = {
