@@ -507,6 +507,36 @@ object Queries {
     // single user is the skew bound — the mitigation is pre-bucketing
     // time into coarse windows (q12's shape), not salting, since a
     // RANGE frame cannot split mid-user.
+    // Classic event-funnel analysis (sessionization's conversion
+    // sibling, not covered by q17/q36): per user the ORDERED
+    // signup -> view -> click -> purchase chain, each stage the
+    // earliest qualifying event strictly after the previous stage and
+    // within 24h of it (the conversion-window form — unwindowed, this
+    // dense fixture converts everyone; 24h reads 150 -> 39 -> 16 -> 5).
+    // Emits the four-row conversion funnel. Four user-keyed partial
+    // aggregations + three narrow joins — no window functions, no
+    // per-user sort, shuffle bounded by |users| per stage.
+    "q41_event_funnel" -> ((s, dir) => {
+      val win = 86400000000L // 24h in micros
+      val e = events(s, dir)
+        .select(col("user_id"), col("event_type"),
+          unix_micros(col("ts")).as("us"))
+      def stage(typ: String, prev: DataFrame, prevT: String, outT: String) =
+        e.filter(col("event_type") === typ)
+          .join(prev, "user_id")
+          .filter(col("us") > col(prevT) && col("us") <= col(prevT) + win)
+          .groupBy("user_id").agg(min(col("us")).as(outT))
+      val s1 = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("t1"))
+      val s2 = stage("view", s1, "t1", "t2")
+      val s3 = stage("click", s2.select("user_id", "t2"), "t2", "t3")
+      val s4 = stage("purchase", s3.select("user_id", "t3"), "t3", "t4")
+      import s.implicits._
+      Seq(("1_signup", s1.count()), ("2_view", s2.count()),
+          ("3_click", s3.count()), ("4_purchase", s4.count()))
+        .toDF("stage", "n_users")
+    }),
+
     "q36_trailing_window" -> ((s, dir) => {
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy(col("user_id"))
@@ -846,6 +876,29 @@ object Queries {
         |  CAST(year(l_shipdate) AS BIGINT))
         |HAVING GROUPING(l_returnflag, l_linestatus,
         |  CAST(year(l_shipdate) AS BIGINT)) > 0""".stripMargin,
+
+    // The identical chained strictly-after-within-24h min-aggregation.
+    "q41_event_funnel" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |fun_a AS (SELECT user_id, min(us) AS t1 FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |fun_b AS (SELECT e.user_id, min(us) AS t2
+        |  FROM e JOIN fun_a USING (user_id)
+        |  WHERE event_type = 'view' AND us > t1
+        |    AND us <= t1 + 86400000000 GROUP BY e.user_id),
+        |fun_c AS (SELECT e.user_id, min(us) AS t3
+        |  FROM e JOIN fun_b USING (user_id)
+        |  WHERE event_type = 'click' AND us > t2
+        |    AND us <= t2 + 86400000000 GROUP BY e.user_id),
+        |fun_d AS (SELECT e.user_id, min(us) AS t4
+        |  FROM e JOIN fun_c USING (user_id)
+        |  WHERE event_type = 'purchase' AND us > t3
+        |    AND us <= t3 + 86400000000 GROUP BY e.user_id)
+        |SELECT '1_signup' AS stage, count(*) AS n_users FROM fun_a
+        |UNION ALL SELECT '2_view', count(*) FROM fun_b
+        |UNION ALL SELECT '3_click', count(*) FROM fun_c
+        |UNION ALL SELECT '4_purchase', count(*) FROM fun_d""".stripMargin,
 
     "q36_trailing_window" ->
       """SELECT event_id, user_id,
