@@ -507,6 +507,28 @@ object Queries {
     // single user is the skew bound — the mitigation is pre-bucketing
     // time into coarse windows (q12's shape), not salting, since a
     // RANGE frame cannot split mid-user.
+    // Retention cohort triangle (the funnel's companion and the other
+    // canonical event analysis): users bucketed by signup week
+    // relative to corpus start, activity counted per (cohort week,
+    // weeks since own signup) with one distinct-activity row per
+    // (user, week). Pure integer week arithmetic (exact `div`, no
+    // float bucketing); two user-keyed aggregations + one narrow
+    // join, shuffle bounded by |users| + |active (user, week) pairs|.
+    "q42_retention_cohorts" -> ((s, dir) => {
+      val e = events(s, dir).select(col("user_id"), col("event_type"),
+        unix_micros(col("ts")).as("us"))
+      val signup = e.filter(col("event_type") === "signup")
+        .groupBy("user_id").agg(min(col("us")).as("su"))
+      val t0 = e.agg(min(col("us"))).head().getLong(0)
+      e.join(signup, "user_id").filter(col("us") >= col("su"))
+        .select(col("user_id"),
+          expr(s"(su - ${t0}L) div 604800000000").as("cohort_week"),
+          expr("(us - su) div 604800000000").as("weeks_since"))
+        .distinct()
+        .groupBy("cohort_week", "weeks_since")
+        .agg(count(lit(1)).as("n_active"))
+    }),
+
     // Classic event-funnel analysis (sessionization's conversion
     // sibling, not covered by q17/q36): per user the ORDERED
     // signup -> view -> click -> purchase chain, each stage the
@@ -876,6 +898,22 @@ object Queries {
         |  CAST(year(l_shipdate) AS BIGINT))
         |HAVING GROUPING(l_returnflag, l_linestatus,
         |  CAST(year(l_shipdate) AS BIGINT)) > 0""".stripMargin,
+
+    // Identical exact integer week arithmetic (// is DuckDB's integer
+    // division; both sides' diffs are non-negative, so trunc = floor).
+    "q42_retention_cohorts" ->
+      """WITH e AS (SELECT user_id, event_type, epoch_us(ts) AS us
+        |  FROM events),
+        |s AS (SELECT user_id, min(us) AS su FROM e
+        |  WHERE event_type = 'signup' GROUP BY user_id),
+        |t0 AS (SELECT min(us) AS t0 FROM e),
+        |act AS (SELECT DISTINCT e.user_id,
+        |    (su - t0) // 604800000000 AS cohort_week,
+        |    (us - su) // 604800000000 AS weeks_since
+        |  FROM e JOIN s USING (user_id), t0
+        |  WHERE us >= su)
+        |SELECT cohort_week, weeks_since, count(*) AS n_active
+        |FROM act GROUP BY 1, 2""".stripMargin,
 
     // The identical chained strictly-after-within-24h min-aggregation.
     "q41_event_funnel" ->
