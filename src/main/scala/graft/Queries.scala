@@ -529,6 +529,36 @@ object Queries {
         .agg(count(lit(1)).as("n_active"))
     }),
 
+    // Ingest-rate anomaly detection — the monitoring family's missing
+    // canonical op (t30/st17 watch the content DISTRIBUTION, st15 the
+    // quality mix; nothing watches the VOLUME — the signal that catches
+    // a dead feed or a runaway crawler): hourly event counts flagged
+    // where the squared deviation from the corpus mean exceeds 9
+    // variances (|z| >= 3). ENTIRELY exact integer algebra — with
+    // n = #hours, S = Σc, SS = Σc², the float-free equivalence
+    //   (c − S/n)² >= 9·(SS/n − S²/n²)  ⇔  (c·n − S)² >= 9·(n·SS − S²)
+    // needs no sqrt and no division, so the flag is bit-stable across
+    // engines (the q42 integer-bucket discipline applied to variance).
+    // Long-range guard: |c·n − S| < 3.04e9 keeps the square in BIGINT —
+    // holds to ~billions of events over ~thousands of hours; beyond
+    // that, production drops to the float z-score (a monitor tolerates
+    // FP there; the exact form is what makes THIS query oracle-checkable).
+    // Shape: one groupBy(hour) shuffle (partial-agg'd map-side), a
+    // 1-row global reduce of 3 scalars broadcast back — no window over
+    // all hours, no driver materialization of the per-hour table.
+    "q43_rate_anomaly" -> ((s, dir) => {
+      val c = events(s, dir)
+        .select(expr("unix_micros(ts) div 3600000000").as("h"))
+        .groupBy("h").agg(count(lit(1)).as("c"))
+      val stats = c.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
+        sum(col("c") * col("c")).as("ss"))
+      c.crossJoin(broadcast(stats))
+        .select(col("h"), col("c"),
+          ((col("c") * col("n") - col("s")) * (col("c") * col("n") - col("s"))
+            >= (col("n") * col("ss") - col("s") * col("s")) * 9L)
+            .cast("long").as("anomaly"))
+    }),
+
     // Classic event-funnel analysis (sessionization's conversion
     // sibling, not covered by q17/q36): per user the ORDERED
     // signup -> view -> click -> purchase chain, each stage the
@@ -914,6 +944,19 @@ object Queries {
         |  WHERE us >= su)
         |SELECT cohort_week, weeks_since, count(*) AS n_active
         |FROM act GROUP BY 1, 2""".stripMargin,
+
+    // The identical float-free |z| >= 3 equivalence; DuckDB's sum()
+    // widens to HUGEINT, so the stats are cast back to BIGINT before
+    // the integer algebra (in range by the documented guard).
+    "q43_rate_anomaly" ->
+      """WITH c AS (SELECT epoch_us(ts) // 3600000000 AS h, count(*) AS c
+        |  FROM events GROUP BY 1),
+        |s AS (SELECT count(*) AS n, CAST(sum(c) AS BIGINT) AS s,
+        |    CAST(sum(c * c) AS BIGINT) AS ss FROM c)
+        |SELECT h, c,
+        |  CAST((c * n - s) * (c * n - s) >= 9 * (n * ss - s * s) AS BIGINT)
+        |    AS anomaly
+        |FROM c, s""".stripMargin,
 
     // The identical chained strictly-after-within-24h min-aggregation.
     "q41_event_funnel" ->
@@ -2000,6 +2043,23 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // MMR result diversification (Carbonell & Goldstein '98) — the
+    // retrieval family's post-processing step: the exact top-50 pool
+    // per fixed query re-ranked to 10 with λ=0.7 relevance/redundancy
+    // trade-off (Retrieval.mmrDiversify: fixed-point λ-algebra,
+    // per-query-bounded greedy). Summary pins the overlap with the
+    // plain relevance top-10 — strictly below 200 = diversification
+    // really displaced redundant hits (OpsSpec keeps the λ=1 exact
+    // reduction and pairwise-similarity-drop properties).
+    "s17_mmr_diversify" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      val pool = SimilaritySearch.bruteForceTopK(e, q, 50)
+      recallCounts(
+        graft.ops.Retrieval.mmrDiversify(pool, e, k = 10, m = 50),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+    }),
+
     // Multimodal: binary media column + stub decode (metadata only —
     // deterministic byte-derived dims so the full decode path is
     // oracle-checkable).
@@ -2641,6 +2701,13 @@ object Queries {
   val pinnedValues: Seq[(String, Seq[(String, (Long, Long, Long))])] = Seq(
     "s02_ann_lsh" -> Seq(
       "n_hits" -> (177L, 191L, 190L), "n_total" -> (200L, 200L, 200L)),
+    // n_hits here is the MMR-vs-relevance-top-10 OVERLAP, not a recall:
+    // strictly below n_total proves λ=0.7 really displaced redundant
+    // hits on every fixture (OpsSpec carries the λ=1 exact reduction).
+    // Measured 2026-08-14 (round 8, PinDump): λ=0.7 keeps ~73% of the
+    // relevance top-10 and displaces the rest with diverse hits.
+    "s17_mmr_diversify" -> Seq(
+      "n_hits" -> (146L, 150L, 143L), "n_total" -> (200L, 200L, 200L)),
     "s03_graph_search" -> Seq(
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
     // = s03 by construction: the persisted (id, neighbors) table

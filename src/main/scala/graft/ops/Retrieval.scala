@@ -3,6 +3,8 @@ package graft.ops
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
+import scala.collection.mutable.ArrayBuffer
+
 /** Hybrid-retrieval fusion: combining the ranked outputs of multiple
   * retrievers (dense ANN, sparse BM25, ...) into one list. The engine's
   * dense family ([[SimilaritySearch]], [[GraphSearch]]) and sparse
@@ -48,5 +50,107 @@ object Retrieval {
       .orderBy(col("rrf_fp").desc, col("id").asc)
       .limit(k)
       .select(col("id").as(idCol), col("rrf_fp"), col("n_lists"))
+  }
+
+  /** Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    * SIGIR 1998) — RESULT DIVERSIFICATION, the retrieval family's
+    * post-processing step none of the rankers cover: a near-dup-heavy
+    * corpus makes every top-k list k copies of one document, and MMR
+    * greedily trades relevance against redundancy:
+    *
+    *   pick argmax over remaining candidates of
+    *     λ·sim(q, d) − (1−λ)·max_{s ∈ selected} sim(d, s)
+    *
+    * `candidates` is any per-query ranked list of the family's shape
+    * (`query_id`, `nbr_id`, `cosine` — [[SimilaritySearch.bruteForceTopK]]
+    * or the IVF/LSH/graph serves), truncated to the re-rank pool `m`
+    * per query; `corpus` (`id`, `features`) supplies candidate vectors.
+    * Output: (`query_id`, `rank` 1..k, `nbr_id`, `mmr_fp`).
+    *
+    * Determinism: relevance and pairwise cosines are quantized to a
+    * 2^-20 fixed point (HALF_EVEN `rint`, like the other fixed-point
+    * ops) BEFORE the λ combination, which is then exact Long algebra
+    * (λ_fp·rel_fp − (2^20−λ_fp)·div_fp, |·| < 2^41); ties break by
+    * nbr_id asc; candidates are sorted (rel_fp desc, id asc) before the
+    * greedy loop — so the output is bit-stable under any partitioning
+    * or candidate arrival order (OpsSpec asserts). λ = 2^20 (1.0)
+    * reduces exactly to the relevance ranking.
+    *
+    * 100 TB shape: the greedy loop is per-query independent —
+    * `groupByKey(query_id).flatMapGroups` with per-group state of at
+    * most m vectors and the O(k·m) pairwise pass (m defaults to tens;
+    * k ≤ m), so queries scale out embarrassingly. The vector-fetch
+    * join ships only (query_id, nbr_id, rel_fp) ids against the
+    * id-keyed corpus (at scale: the corpus bucketed on id makes it a
+    * co-located join; the candidate side is |Q|·m rows, never the
+    * corpus). Nothing global, nothing driver-side. */
+  def mmrDiversify(candidates: DataFrame, corpus: DataFrame, k: Int = 10,
+      m: Int = 50, lambdaFp: Long = 734003L /* rint(0.7·2^20) */,
+      idCol: String = "id", vecCol: String = "features"): DataFrame = {
+    require(k >= 1 && m >= k, s"need m >= k >= 1: k=$k m=$m")
+    require(lambdaFp >= 0L && lambdaFp <= 1048576L, s"bad lambdaFp=$lambdaFp")
+    val spark = candidates.sparkSession
+    import spark.implicits._
+    val pool = candidates.select(col("query_id"), col("nbr_id"),
+      round(col("cosine") * lit(1048576.0), 0).cast("long").as("rel_fp"))
+    val withVec = pool.join(
+      corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("v")), "nbr_id")
+    val lam = lambdaFp
+    val oneMinusLam = 1048576L - lambdaFp
+    val kk = k
+    val mm = m
+    withVec.select(col("query_id"), col("nbr_id"), col("rel_fp"), col("v"))
+      .as[(Long, Long, Long, Array[Float])]
+      .groupByKey(_._1)
+      .flatMapGroups { (qid, it) =>
+        // Pool order is (rel desc, id asc): deterministic regardless of
+        // arrival order; truncation to m happens on the sorted pool.
+        val cands = it.toArray.sortBy(t => (-t._3, t._2)).take(mm)
+        val n = cands.length
+        def cosFp(a: Array[Float], b: Array[Float]): Long = {
+          var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+          while (i < a.length) {
+            dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+            nb += b(i).toDouble * b(i); i += 1
+          }
+          val c = if (na == 0.0 || nb == 0.0) 0.0
+                  else dot / (math.sqrt(na) * math.sqrt(nb))
+          math.rint(c * 1048576.0).toLong
+        }
+        val selected = ArrayBuffer.empty[Int]
+        val maxDiv = Array.fill(n)(Long.MinValue)
+        val taken = Array.fill(n)(false)
+        val out = ArrayBuffer.empty[(Long, Int, Long, Long)]
+        var r = 1
+        while (r <= kk && selected.length < n) {
+          val pick =
+            if (selected.isEmpty) 0 // highest relevance seeds the list
+            else {
+              val last = cands(selected.last)._4
+              var best = -1; var bestScore = Long.MinValue; var bestId = Long.MaxValue
+              var i = 0
+              while (i < n) {
+                if (!taken(i)) {
+                  val d = cosFp(cands(i)._4, last)
+                  if (d > maxDiv(i)) maxDiv(i) = d
+                  val s = lam * cands(i)._3 - oneMinusLam * maxDiv(i)
+                  if (s > bestScore || (s == bestScore && cands(i)._2 < bestId)) {
+                    best = i; bestScore = s; bestId = cands(i)._2
+                  }
+                }
+                i += 1
+              }
+              best
+            }
+          taken(pick) = true
+          selected += pick
+          val score = if (r == 1) lam * cands(pick)._3
+                      else lam * cands(pick)._3 - oneMinusLam * maxDiv(pick)
+          out += ((qid, r, cands(pick)._2, score))
+          r += 1
+        }
+        out.iterator
+      }
+      .toDF("query_id", "rank", "nbr_id", "mmr_fp")
   }
 }

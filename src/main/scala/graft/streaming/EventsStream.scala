@@ -74,10 +74,6 @@ object EventsStream {
     * the raw int64 already IS microseconds. Mirrors the defensive
     * normalization in [[graft.Queries.events]] so the streaming and
     * batch paths agree whichever encoding the generator used. */
-  // Memoized per directory for the session's lifetime: the fixture under a
-  // path is immutable in this harness. If a path's file could be REWRITTEN
-  // with the other timestamp encoding mid-session, key this cache on the
-  // file's modification time (or re-probe per invocation — one footer read).
   // Memoized per directory for the SESSION: a fixture regenerated
   // in-place with the other timestamp encoding mid-session would read
   // through a stale divisor (1000x off). Acceptable for the bench

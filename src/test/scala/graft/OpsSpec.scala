@@ -2026,6 +2026,77 @@ class OpsSpec extends SparkSpec {
     assert(t == Seq(6L, 7L), s"tie-break order wrong: $t")
   }
 
+  test("mmrDiversify: hand-computed greedy displaces the near-dup runner-up") {
+    import spark.implicits._
+    // q = (1,0). Candidate a duplicates the query direction, b is a
+    // near-dup of a (cos(q,b)=cos(a,b)=5/sqrt(26)~0.98), c is diverse
+    // (cos(q,c)=0.6, cos(a,c)=0.6). Relevance alone orders a,b,c; at
+    // lambda=0.3 the redundancy term flips rounds 2-3:
+    //   score(b) = 0.3*0.98 - 0.7*0.98 < score(c) = 0.3*0.6 - 0.7*0.6.
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(5f, 1f)), (3L, Array(3f, 4f)))
+      .toDF("id", "features")
+    val rel = Seq((100L, 1L, 1.0), (100L, 2L, 5.0 / math.sqrt(26.0)),
+      (100L, 3L, 0.6)).toDF("query_id", "nbr_id", "cosine")
+    val got = graft.ops.Retrieval.mmrDiversify(rel, corpus, k = 3, m = 3,
+      lambdaFp = 314573L).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(got == Seq(1L, 3L, 2L), s"greedy order diverged: $got")
+    // lambda=1.0 is the exact relevance ranking.
+    val flat = graft.ops.Retrieval.mmrDiversify(rel, corpus, k = 3, m = 3,
+      lambdaFp = 1048576L).orderBy("rank")
+      .collect().map(_.getLong(2)).toSeq
+    assert(flat == Seq(1L, 2L, 3L), s"lambda=1 should be relevance order: $flat")
+  }
+
+  test("mmrDiversify: lambda=1 reduces to the pool's relevance top-k; " +
+      "diversification lowers within-list similarity; partition-invariant") {
+    val q = emb.filter(col("id") < 20)
+    val pool = graft.ops.SimilaritySearch.bruteForceTopK(emb, q, 50)
+    // lambda=1: exactly the pool re-sorted by (rel_fp desc, id asc).
+    val flat = graft.ops.Retrieval.mmrDiversify(pool, emb, k = 10, m = 50,
+      lambdaFp = 1048576L)
+      .select("query_id", "rank", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("query_id")
+      .orderBy(desc("rel_fp"), asc("nbr_id"))
+    val expect = pool
+      .withColumn("rel_fp", round(col("cosine") * lit(1048576.0), 0).cast("long"))
+      .withColumn("r", row_number().over(w)).filter(col("r") <= 10)
+      .select("query_id", "r", "nbr_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(flat == expect, "lambda=1 must reproduce the quantized relevance top-k")
+
+    // At lambda=0.7 the selected set's mean pairwise cosine must drop
+    // vs the plain top-10 (that is what diversification IS), while
+    // keeping the same k per query.
+    val mmr = graft.ops.Retrieval.mmrDiversify(pool, emb, k = 10, m = 50)
+    def meanPairSim(sel: org.apache.spark.sql.DataFrame): Double = {
+      val v = sel.join(emb.select(col("id").as("nbr_id"), col("features")), "nbr_id")
+        .select("query_id", "nbr_id", "features")
+      val a = v.select(col("query_id"), col("nbr_id").as("ia"), col("features").as("va"))
+      val b = v.select(col("query_id"), col("nbr_id").as("ib"), col("features").as("vb"))
+      a.join(b, Seq("query_id")).filter(col("ia") < col("ib"))
+        .select(graft.functions.VectorFunctions.vector_dot(col("va"), col("vb"))
+          ./(graft.functions.VectorFunctions.vector_norm(col("va"))
+            * graft.functions.VectorFunctions.vector_norm(col("vb"))).as("c"))
+        .agg(avg(col("c"))).head().getDouble(0)
+    }
+    val simMmr = meanPairSim(mmr.select("query_id", "nbr_id"))
+    val simFlat = meanPairSim(
+      graft.ops.SimilaritySearch.bruteForceTopK(emb, q, 10)
+        .select("query_id", "nbr_id"))
+    assert(simMmr < simFlat,
+      s"diversified list should be less self-similar: mmr=$simMmr flat=$simFlat")
+
+    // Partitioning/arrival order cannot move a single row.
+    val shuffled = graft.ops.Retrieval.mmrDiversify(
+      pool.repartition(7, col("nbr_id")), emb, k = 10, m = 50)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    val base = mmr.collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSet
+    assert(shuffled == base, "mmrDiversify must be partition-invariant")
+  }
+
   test("dsirSelect: hand-computed log-ratio weights pull target-like docs first") {
     import spark.implicits._
     // Target (en) docs speak 'aa', source-only docs speak 'bb'; doc 5
