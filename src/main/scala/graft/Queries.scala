@@ -1757,6 +1757,21 @@ object Queries {
     // English list shares only 'the' with the 31-word vocabulary —
     // the rule would measure the list, not the corpus). Pure
     // projection, zero exchanges (t33's shape).
+    // Compression-ratio quality census — the cheap Kolmogorov proxy
+    // (TextAnalysis.compressionStats: per-doc DEFLATE bytes over a
+    // reused per-partition native stream, shuffle-free): corpus-level
+    // counts of the two filter tails (ratio < 0.25 = repetitive/
+    // templated, > 0.75 = near-incompressible junk) plus the exact
+    // compressed byte mass. Deterministic per zlib build (the JDK
+    // bundles its own) — the pinned summary is the change detector.
+    "t39_compression" -> ((s, dir) => {
+      val c = TextAnalysis.compressionStats(docs(s, dir))
+      c.agg(count(lit(1)).as("n_docs"),
+        sum(col("n_comp")).as("sum_comp"),
+        sum((col("ratio_fp") < 262144L).cast("long")).as("n_repetitive"),
+        sum((col("ratio_fp") > 786432L).cast("long")).as("n_incompressible"))
+    }),
+
     "t37_gopher_rules" -> ((s, dir) =>
       TextAnalysis.gopherRules(docs(s, dir),
         stopWords = Seq("the", "a", "of", "and", "in"))),
@@ -2708,6 +2723,16 @@ object Queries {
     // relevance top-10 and displaces the rest with diverse hits.
     "s17_mmr_diversify" -> Seq(
       "n_hits" -> (146L, 150L, 143L), "n_total" -> (200L, 200L, 200L)),
+    // Measured 2026-08-14 (round 8, PinDump). n_repetitive = 0 is the
+    // honest census: the synthetic fixture plants exact-dup DOCS, not
+    // within-doc repetition, so nothing deflates below the production
+    // 0.25 threshold (the planted-repetitive case lives in TrainPrepSpec);
+    // the incompressible tail is the short-doc deflate-overhead cohort.
+    "t39_compression" -> Seq(
+      "n_docs" -> (500L, 500L, 5000L),
+      "sum_comp" -> (72598L, 71349L, 710682L),
+      "n_repetitive" -> (0L, 0L, 0L),
+      "n_incompressible" -> (39L, 30L, 352L)),
     "s03_graph_search" -> Seq(
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
     // = s03 by construction: the persisted (id, neighbors) table

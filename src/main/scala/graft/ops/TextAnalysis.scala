@@ -629,6 +629,65 @@ object TextAnalysis {
     * token stream to one encode per DISTINCT word per partition. Still
     * shuffle-free and embarrassingly parallel — cost scales with scan
     * bandwidth and distinct-word mass, not token mass. */
+  /** Per-document compression ratio — the cheap Kolmogorov-complexity
+    * proxy production pipelines run alongside the rule-based gates
+    * ([[gopherRules]]) and model scores ([[unigramLogProb]]): highly
+    * repetitive/templated text (boilerplate, keyword stuffing, table
+    * dumps) deflates far below natural prose, and near-incompressible
+    * text is usually binary junk or ciphertext — BOTH tails are filter
+    * targets. Emits per doc the exact byte counts (`n_raw` UTF-8
+    * bytes, `n_comp` DEFLATE bytes) plus the 2^-20 fixed-point ratio
+    * (`ratio_fp = round(n_comp·2^20 / max(n_raw,1))`, integer-exact),
+    * leaving thresholds to the caller.
+    *
+    * Determinism: DEFLATE at a fixed level with a fresh dictionary is
+    * a pure function of the bytes for a given zlib build; the JDK
+    * bundles its own zlib, so outputs are stable per JDK (the pinned
+    * t39 summary is the change detector if the runtime's zlib ever
+    * changes). Level 6 — the zlib default — is the standard
+    * speed/ratio operating point.
+    *
+    * Scale shape: a typed `mapPartitions` projection (the [[bpeEncode]]
+    * escape-hatch pattern) — one reused `Deflater` per partition
+    * (reset per doc; allocating one per row multiplies the native
+    * init cost), zero shuffles, zero state, cost linear in scan
+    * bytes. At 100 TB this is exactly as parallel as the scan. */
+  def compressionStats(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", level: Int = 6): DataFrame = {
+    require(level >= 1 && level <= 9, s"bad deflate level: $level")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lvl = level
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        val deflater = new java.util.zip.Deflater(lvl, true)
+        val buf = new Array[Byte](8192)
+        val mapped = it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          deflater.reset()
+          deflater.setInput(raw)
+          deflater.finish()
+          var comp = 0L
+          while (!deflater.finished()) comp += deflater.deflate(buf)
+          val ratioFp = (comp * 1048576L + math.max(raw.length, 1) / 2) /
+            math.max(raw.length, 1) // round-half-up integer division
+          (id, raw.length.toLong, comp, ratioFp)
+        }
+        // Release the native zlib stream when the partition drains —
+        // relying on finalization leaks native memory under long tasks.
+        new Iterator[(Long, Long, Long, Long)] {
+          def hasNext: Boolean = {
+            val h = mapped.hasNext
+            if (!h) deflater.end()
+            h
+          }
+          def next(): (Long, Long, Long, Long) = mapped.next()
+        }
+      }
+      .toDF(idCol, "n_raw", "n_comp", "ratio_fp")
+  }
+
   def bpeEncode(df: DataFrame, rules: Seq[(String, String)],
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession

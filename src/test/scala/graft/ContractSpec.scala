@@ -34,16 +34,22 @@ class ContractSpec extends AnyFunSuite {
 
   test("no pinnedValues row is an unmeasured placeholder (all zeros)") {
     // Catches the round-5 failure class in seconds, without a Spark
-    // session: a pin committed as (0,0,0) means PinDump was never run
-    // for that column — PinsSpec would fail 4 minutes in; this fails
-    // immediately with the remedy.
+    // session: a pin committed as (0,0,0) across EVERY column means
+    // PinDump was never run for that query — PinsSpec would fail 4
+    // minutes in; this fails immediately with the remedy. Per-QUERY,
+    // not per-column: a measured zero column inside an otherwise
+    // non-zero row is a legitimate census fact (t39's n_repetitive —
+    // the fixture plants dup docs, not within-doc repetition), while a
+    // never-measured placeholder is zero everywhere.
     Queries.pinnedValues.foreach { case (name, cols) =>
-      cols.foreach { case (c, (v001, v01, v1)) =>
-        assert(v001 != 0L || v01 != 0L || v1 != 0L,
-          s"""$name.$c is pinned (0,0,0) — an unmeasured placeholder. """ +
-            """Run `sbt "runMain graft.tools.PinDump"` and paste the """ +
-            "measured values into Queries.pinnedValues before committing.")
+      val allZero = cols.forall { case (_, (v001, v01, v1)) =>
+        v001 == 0L && v01 == 0L && v1 == 0L
       }
+      assert(!allZero,
+        s"""$name is pinned (0,0,0) on every column — an unmeasured """ +
+          """placeholder. Run `sbt "runMain graft.tools.PinDump"` and """ +
+          "paste the measured values into Queries.pinnedValues before " +
+          "committing.")
     }
   }
 

@@ -174,4 +174,79 @@ class PropertiesSpec extends SparkSpec {
         s"keepFirst doc $id '${texts(id.toInt)}': ${gotKf(id)} != $e")
     }
   }
+
+  test("mmrDiversify equals a naive in-memory greedy on random pools and lambdas") {
+    // The reference mirrors the operator's exact fixed-point contract:
+    // rel_fp via HALF_UP decimal rounding (Spark's round), pairwise
+    // cosines via rint after a left-to-right double accumulation, Long
+    // lambda-algebra, id-asc ties, (rel desc, id asc) pool order. All
+    // query groups for one lambda evaluate through ONE DataFrame.
+    def relFp(c: Double): Long =
+      java.math.BigDecimal.valueOf(c * 1048576.0)
+        .setScale(0, java.math.RoundingMode.HALF_UP).longValue
+    def cosFp(a: Array[Float], b: Array[Float]): Long = {
+      var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        dot += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      val c = if (na == 0.0 || nb == 0.0) 0.0
+              else dot / (math.sqrt(na) * math.sqrt(nb))
+      math.rint(c * 1048576.0).toLong
+    }
+    def refMmr(pool: Seq[(Long, Double, Array[Float])], k: Int,
+        lambdaFp: Long): Seq[(Int, Long)] = {
+      val cands = pool.map { case (id, c, v) => (id, relFp(c), v) }
+        .sortBy(t => (-t._2, t._1)).toArray
+      val lam = lambdaFp; val olam = 1048576L - lambdaFp
+      val maxDiv = Array.fill(cands.length)(Long.MinValue)
+      val taken = Array.fill(cands.length)(false)
+      var lastIdx = -1
+      (1 to math.min(k, cands.length)).map { r =>
+        val pick =
+          if (r == 1) 0
+          else {
+            cands.indices.filterNot(taken).foreach { i =>
+              val d = cosFp(cands(i)._3, cands(lastIdx)._3)
+              if (d > maxDiv(i)) maxDiv(i) = d
+            }
+            cands.indices.filterNot(taken)
+              .minBy(i => (-(lam * cands(i)._2 - olam * maxDiv(i)), cands(i)._1))
+          }
+        taken(pick) = true; lastIdx = pick
+        (r, cands(pick)._1)
+      }
+    }
+    val vecGen = Gen.listOfN(3, Gen.choose(-2.0f, 2.0f)).map(_.toArray)
+    val poolGen = for {
+      n <- Gen.choose(1, 8)
+      vs <- Gen.listOfN(n, vecGen)
+      cs <- Gen.listOfN(n, Gen.choose(-1.0, 1.0))
+    } yield vs.zip(cs).zipWithIndex.map { case ((v, c), i) =>
+      (i.toLong + 1L, c, v) }
+    for (lambdaFp <- Seq(0L, 314573L, 734003L, 1048576L)) {
+      val pools = sample(poolGen, 60)
+      val cand = pools.zipWithIndex.flatMap { case (p, qi) =>
+        p.map { case (id, c, _) => (qi.toLong, id, c) } }
+        .toDF("query_id", "nbr_id", "cosine")
+      val corpus = pools.zipWithIndex.flatMap { case (p, qi) =>
+        // Per-query id namespace: offset ids so one corpus table serves
+        // every pool without collisions.
+        p.map { case (id, _, v) => (qi * 100L + id, v) } }
+        .toDF("id", "features")
+      val candNs = cand.select(col("query_id"),
+        (col("query_id") * 100L + col("nbr_id")).as("nbr_id"), col("cosine"))
+      val got = graft.ops.Retrieval
+        .mmrDiversify(candNs, corpus, k = 4, m = 8, lambdaFp = lambdaFp)
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+        .groupBy(_._1).view.mapValues(_.sortBy(_._2).map(_._3).toSeq).toMap
+      pools.zipWithIndex.foreach { case (p, qi) =>
+        val want = refMmr(p, k = 4, lambdaFp)
+          .map { case (_, id) => qi * 100L + id }
+        assert(got(qi.toLong) == want,
+          s"lambda=$lambdaFp pool $qi diverged: ${got(qi.toLong)} != $want")
+      }
+    }
+  }
 }

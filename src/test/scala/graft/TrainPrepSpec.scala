@@ -792,4 +792,49 @@ class TrainPrepSpec extends SparkSpec {
         s"doc $id does not reassemble")
     }
   }
+
+  test("compressionStats: bit-equal to a local Deflater reference; " +
+      "planted repetition crosses the 0.25 tail; partition-invariant") {
+    import graft.ops.TextAnalysis
+    def refDeflate(s: String): (Long, Long) = {
+      val raw = s.getBytes("UTF-8")
+      val d = new java.util.zip.Deflater(6, true)
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](8192)
+      var n = 0L
+      while (!d.finished()) n += d.deflate(buf)
+      d.end()
+      (raw.length.toLong, n)
+    }
+    val repetitive = "spark shuffle " * 400 // within-doc repetition
+    val diverse = (0 until 400)
+      .map(i => java.lang.Long.toHexString(i * 2654435761L)).mkString(" ")
+    val docs = Seq(
+      (1L, repetitive), (2L, diverse),
+      (3L, ""),            // empty: n_raw 0, ratio over max(n_raw,1)
+      (4L, "héllo wörld"), // multibyte: n_raw counts UTF-8 BYTES
+      (5L, "x"))
+    val df = docs.toDF("doc_id", "text")
+    val got = TextAnalysis.compressionStats(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    docs.foreach { case (id, text) =>
+      val (nRaw, nComp) = refDeflate(text)
+      val ratio = (nComp * 1048576L + math.max(nRaw, 1L) / 2) / math.max(nRaw, 1L)
+      assert(got(id) == ((nRaw, nComp, ratio)),
+        s"doc $id: ${got(id)} != ${(nRaw, nComp, ratio)}")
+    }
+    assert(got(4L)._1 == "héllo wörld".getBytes("UTF-8").length.toLong)
+    // The planted repetitive doc lands deep in the repetitive tail;
+    // the hex-salad doc does not.
+    assert(got(1L)._3 < 262144L,
+      s"repetitive doc should deflate below 0.25: ${got(1L)._3}")
+    assert(got(2L)._3 > 262144L,
+      s"diverse doc should not: ${got(2L)._3}")
+    // Partitioning cannot change a byte (fresh dictionary per doc).
+    val re = TextAnalysis.compressionStats(df.repartition(4)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(re == got, "compressionStats must be partition-invariant")
+  }
 }
