@@ -545,11 +545,17 @@ object Queries {
     // FP there; the exact form is what makes THIS query oracle-checkable).
     // Shape: one groupBy(hour) shuffle (partial-agg'd map-side), a
     // 1-row global reduce of 3 scalars broadcast back — no window over
-    // all hours, no driver materialization of the per-hour table.
+    // all hours, no driver materialization of the per-hour table. The
+    // hour-count table is localCheckpoint'd so the stats branch reads
+    // the (time-bounded, few-KB) materialized counts instead of
+    // re-deriving its lineage — without it Catalyst plans a SECOND
+    // full corpus scan for the 3 scalars, which doubles the only
+    // data-sized cost in the query at 100 TB.
     "q43_rate_anomaly" -> ((s, dir) => {
       val c = events(s, dir)
         .select(expr("unix_micros(ts) div 3600000000").as("h"))
         .groupBy("h").agg(count(lit(1)).as("c"))
+        .localCheckpoint()
       val stats = c.agg(count(lit(1)).as("n"), sum(col("c")).as("s"),
         sum(col("c") * col("c")).as("ss"))
       c.crossJoin(broadcast(stats))
@@ -2069,10 +2075,14 @@ object Queries {
     "s17_mmr_diversify" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("id") < 20)
-      val pool = SimilaritySearch.bruteForceTopK(e, q, 50)
+      // The pool is checkpointed (1000 tiny rows) and serves BOTH
+      // consumers: its rank<=10 prefix IS the brute top-10 (same
+      // ordering, superset), so the corpus-sized scoring pass runs
+      // once, not three times (mmr + reference + lineage replay).
+      val pool = SimilaritySearch.bruteForceTopK(e, q, 50).localCheckpoint()
       recallCounts(
         graft.ops.Retrieval.mmrDiversify(pool, e, k = 10, m = 50),
-        SimilaritySearch.bruteForceTopK(e, q, 10))
+        pool.filter(col("rank") <= 10))
     }),
 
     // Multimodal: binary media column + stub decode (metadata only —

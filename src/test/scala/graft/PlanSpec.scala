@@ -421,4 +421,21 @@ class PlanSpec extends SparkSpec {
     assert(leaves.contains("shingles") && leaves.contains("buckets"),
       s"serve plan does not scan the persisted artifact:\n$leaves")
   }
+
+  test("q43: the stats branch reads the checkpointed hour counts, not the corpus") {
+    // The per-hour count table is localCheckpoint'd so BOTH join sides
+    // are ExistingRDD scans of the few-KB materialized counts — the
+    // flagged output and its 3-scalar baseline cost ONE corpus scan
+    // total (inside the checkpoint job). Without the checkpoint the
+    // stats branch re-derives its lineage: a second full events scan.
+    val df = Queries.all("q43_rate_anomaly")(spark, sf0001)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("Scan parquet"),
+      s"q43's flagging join re-scanned the corpus:\n$p")
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"),
+      s"the 1-row stats frame should broadcast:\n$p")
+    assert(!p.contains("SortMergeJoin") && !p.contains("Window"),
+      s"unexpected heavyweight operator in the flagging join:\n$p")
+  }
 }
