@@ -152,8 +152,16 @@ object Classifier {
   /** Fixed-order in-place Cholesky solve of the SPD system A x = b —
     * deterministic double arithmetic over exactly-reproducible integer
     * inputs, identical on every driver. */
-  private[ops] def choleskySolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
-    val m = b.length
+  private[ops] def choleskySolve(a: Array[Array[Double]], b: Array[Double]): Array[Double] =
+    choleskySolveWith(choleskyFactor(a), b)
+
+  /** The L factor alone — split out so a FIXED system matrix (the
+    * multiclass Bohning-Lindsay curvature, constant across classes and
+    * iterations) is factorized once and re-solved many times; the
+    * split is bit-identical to the fused form (same operations, same
+    * order). Does not mutate `a`. */
+  private[ops] def choleskyFactor(a: Array[Array[Double]]): Array[Array[Double]] = {
+    val m = a.length
     val l = Array.ofDim[Double](m, m)
     for (i <- 0 until m; j <- 0 to i) {
       var sum = a(i)(j)
@@ -161,6 +169,11 @@ object Classifier {
       if (i == j) l(i)(i) = math.sqrt(sum)
       else l(i)(j) = sum / l(j)(j)
     }
+    l
+  }
+
+  private[ops] def choleskySolveWith(l: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val m = b.length
     val yv = new Array[Double](m)
     for (i <- 0 until m) {
       var sum = b(i)
@@ -287,7 +300,11 @@ object Classifier {
     val rows = spark.read.parquet(path).orderBy("idx").collect()
       .map(r => r.getInt(0) -> r.getLong(1))
     val dim = rows.length - 1
-    require(rows.map(_._1).sameElements(0 to dim), s"corrupt model at $path")
+    // nonEmpty first: an empty artifact gives dim = -1 and the index
+    // comparison (two empty sequences) would pass vacuously, deferring
+    // the failure to an opaque out-of-bounds below.
+    require(rows.nonEmpty && rows.map(_._1).sameElements(0 to dim),
+      s"corrupt model at $path")
     LogisticModel(dim, rows.take(dim).map(_._2), rows(dim)._2)
   }
 
@@ -391,10 +408,17 @@ object Classifier {
       idCol: String = "doc_id", textCol: String = "text", dim: Int = 64,
       iters: Int = 12, ridge: Double = 1e-5): MulticlassModel = {
     require(iters >= 1 && iters <= 100, s"bad iters=$iters")
+    // Train on the LABELED subset only: a doc whose label is outside
+    // `classes` (lab = -1) has no one-vs-rest target — without this
+    // filter it would act as a universal negative for every class and
+    // drag all weights toward the unlabeled mass. (Scoring paths still
+    // featurize the full corpus; on a corpus whose labels all fall in
+    // `classes` — the declared t32 — the filter is a no-op.)
     val feats = featurizeLab(df, labelExpr, classes, idCol, textCol, dim)
+      .filter(col("lab") >= 0)
       .localCheckpoint(true)
     val nDocs = feats.count()
-    require(nDocs > 0, "empty corpus")
+    require(nDocs > 0, "no documents labeled with any of the given classes")
     val m = dim + 1
     val curv = curvatureStats(feats, dim)
     val a = Array.ofDim[Double](m, m)
@@ -405,6 +429,11 @@ object Classifier {
       }
       a(i)(i) += ridge * nDocs
     }
+    // The curvature matrix is constant across classes AND iterations
+    // (the point of the Bohning-Lindsay bound) — factor it once; each
+    // class-iteration is then a pair of triangular solves, not a fresh
+    // O(m^3) factorization.
+    val lFactor = choleskyFactor(a)
     val w = classes.map(_ => Array.fill(dim)(0L)).toIndexedSeq
     val b = Array.fill(classes.size)(0L)
     def fp(x: Double): Long =
@@ -417,7 +446,7 @@ object Classifier {
           g(i) = grads.getOrElse((c, i.toLong), 0L).toDouble / Scale -
             ridge * nDocs * ((if (i < dim) w(c)(i) else b(c)).toDouble / Scale)
         }
-        val d = choleskySolve(a.map(_.clone()), g)
+        val d = choleskySolveWith(lFactor, g)
         for (i <- 0 until dim) w(c)(i) += fp(d(i) * Scale)
         b(c) += fp(d(dim) * Scale)
       }

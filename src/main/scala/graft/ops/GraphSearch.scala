@@ -121,7 +121,7 @@ object GraphSearch {
         col("features").as("v_q"))), "query_id")
       .join(feats, "nbr_id")
       .withColumn("sim",
-        lit(1.0) / (lit(1.0) + vector_l2(col("v_q"), col("v_c"))))
+        vector_l2_sim(col("v_q"), col("v_c")))
       .groupBy(col("query_id").as("id"))
       .agg(sort_array(collect_list(struct(
         (-col("sim")).as("neg"), col("nbr_id").as("id"),
@@ -154,14 +154,26 @@ object GraphSearch {
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
         "left_semi")
       .count()
-    val deg = edges.groupBy("src").agg(count(lit(1)).as("d"))
+    // Degree census over EVERY graph row — a node with a null/empty
+    // neighbor list is degree 0, and it must count: isolated nodes are
+    // exactly what a degenerating appended graph accumulates, and
+    // dropping them (an explode-side census would) overstates
+    // n_nodes/min_deg health. Also the empty-graph guard: with zero
+    // rows the ungrouped agg returns null sum/min/max, which the
+    // isNullAt check turns into the zeroed summary row instead of an
+    // unboxing NPE.
+    val deg = graph.select(
+        coalesce(size(col("neighbors")), lit(0)).cast("long").as("d"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("n_edges"),
         min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
       .head()
     val spark = graph.sparkSession
     import spark.implicits._
-    val nEdges = deg.getLong(1)
-    Seq((deg.getLong(0), nEdges, deg.getLong(2), deg.getLong(3), nRec,
+    val empty = deg.isNullAt(1)
+    val nEdges = if (empty) 0L else deg.getLong(1)
+    Seq((deg.getLong(0), nEdges,
+      if (empty) 0L else deg.getLong(2),
+      if (empty) 0L else deg.getLong(3), nRec,
       if (nEdges == 0L) 0L
       else math.round(nRec.toDouble / nEdges.toDouble * 1048576.0)))
       .toDF("n_nodes", "n_edges", "min_deg", "max_deg", "n_reciprocal",

@@ -68,13 +68,16 @@ object Retrieval {
     * Output: (`query_id`, `rank` 1..k, `nbr_id`, `mmr_fp`).
     *
     * Determinism: relevance and pairwise cosines are quantized to a
-    * 2^-20 fixed point (HALF_EVEN `rint`, like the other fixed-point
-    * ops) BEFORE the λ combination, which is then exact Long algebra
-    * (λ_fp·rel_fp − (2^20−λ_fp)·div_fp, |·| < 2^41); ties break by
-    * nbr_id asc; candidates are sorted (rel_fp desc, id asc) before the
-    * greedy loop — so the output is bit-stable under any partitioning
-    * or candidate arrival order (OpsSpec asserts). λ = 2^20 (1.0)
-    * reduces exactly to the relevance ranking.
+    * 2^-20 fixed point BEFORE the λ combination, which is then exact
+    * Long algebra (λ_fp·rel_fp − (2^20−λ_fp)·div_fp, |·| < 2^41).
+    * Relevance quantizes with Spark's `round` (HALF_UP — the form a
+    * SQL twin mirrors with ROUND); the pairwise cosines, which exist
+    * only inside the JVM kernel, use HALF_EVEN `rint` (the
+    * PropertiesSpec in-memory reference mirrors both exactly). Ties
+    * break by nbr_id asc; candidates are sorted (rel_fp desc, id asc)
+    * before the greedy loop — so the output is bit-stable under any
+    * partitioning or candidate arrival order (OpsSpec asserts).
+    * λ = 2^20 (1.0) reduces exactly to the relevance ranking.
     *
     * 100 TB shape: the greedy loop is per-query independent —
     * `groupByKey(query_id).flatMapGroups` with per-group state of at
@@ -91,8 +94,18 @@ object Retrieval {
     require(lambdaFp >= 0L && lambdaFp <= 1048576L, s"bad lambdaFp=$lambdaFp")
     val spark = candidates.sparkSession
     import spark.implicits._
+    // Truncate to the m-sized re-rank pool BEFORE the vector-fetch
+    // join: a caller handing per-query top-1000 lists should ship
+    // |Q|·m vectors across the join, not |Q|·1000. The window uses the
+    // same (rel_fp desc, id asc) order as the in-group sort, so the
+    // selected pool is identical to truncating after.
+    val pw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(desc("rel_fp"), asc("nbr_id"))
     val pool = candidates.select(col("query_id"), col("nbr_id"),
       round(col("cosine") * lit(1048576.0), 0).cast("long").as("rel_fp"))
+      .withColumn("pr", row_number().over(pw))
+      .filter(col("pr") <= m)
+      .drop("pr")
     val withVec = pool.join(
       corpus.select(col(idCol).as("nbr_id"), col(vecCol).as("v")), "nbr_id")
     val lam = lambdaFp

@@ -203,10 +203,16 @@ object UnigramTokenizer {
     * mapPartitions, broadcast pieces, per-partition word memo).
     * Emits (id, n_tokens, n_pieces, pieces). */
   def encode(df: DataFrame, vocab: Seq[(String, Long)],
-      idCol: String = "doc_id", textCol: String = "text",
-      maxPieceLen: Int = 4): DataFrame = {
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
+    // The Viterbi window is a property OF THE VOCABULARY, not a free
+    // parameter: deriving it as the longest trained piece makes every
+    // piece reachable by construction (a second independent knob could
+    // silently under-shoot the trainer's maxPieceLen, leaving longer
+    // vocabulary pieces dead and every affected word segmenting
+    // suboptimally with no error).
+    val maxPieceLen = if (vocab.isEmpty) 1 else vocab.map(_._1.length).max
     val bc = spark.sparkContext.broadcast(vocab.toArray)
     df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
       .as[(Long, String)]

@@ -290,4 +290,22 @@ class ClassifierSpec extends SparkSpec {
     assert(math.abs(meanP - nPos) < 0.02 * docs.count(),
       s"sum(p)=$meanP vs n_pos=$nPos")
   }
+
+  test("trainMulticlass: out-of-class documents do not move the fit") {
+    // A doc whose label is outside `classes` has no one-vs-rest
+    // target; training must fit the labeled subset only, not treat
+    // the stragglers as universal negatives for every class.
+    val labeled = Seq(
+      (1L, "en", "aa bb aa"), (2L, "fr", "cc dd cc"),
+      (3L, "en", "aa aa bb"), (4L, "fr", "dd cc dd"))
+    val noise = Seq((10L, "de", "zz yy zz"), (11L, "de", "yy yy zz"))
+    def fit(docs: Seq[(Long, String, String)]) =
+      Classifier.trainMulticlass(docs.toDF("doc_id", "lang", "text"),
+        col("lang"), Seq("en", "fr"), dim = 16, iters = 4)
+    val withNoise = fit(labeled ++ noise)
+    val pure = fit(labeled)
+    assert(withNoise.weightsFp.map(_.toSeq) == pure.weightsFp.map(_.toSeq) &&
+      withNoise.biasFp == pure.biasFp,
+      "out-of-class docs changed the trained weights")
+  }
 }

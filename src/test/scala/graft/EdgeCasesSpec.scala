@@ -372,4 +372,61 @@ class EdgeCasesSpec extends SparkSpec {
       .collect()(0)
     assert(enc.getSeq[String](3) == Seq("a"))
   }
+
+  test("graphHealth: empty and zero-edge graphs yield the zeroed census; " +
+      "isolated nodes count toward n_nodes and min_deg") {
+    import graft.ops.GraphSearch
+    val nbrSchema = "array<struct<id:bigint,similarity:double>>"
+    val empty = Seq.empty[Long].toDF("id")
+      .withColumn("neighbors", lit(null).cast(nbrSchema))
+    val e = GraphSearch.graphHealth(empty).collect()(0)
+    assert((0 until 6).map(e.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L),
+      s"empty graph census not zeroed: $e")
+    // All-null neighbor lists: nodes exist, edges do not — the census
+    // must report them (pre-fix this path crashed unboxing null aggs).
+    val isolated = Seq(1L, 2L).toDF("id")
+      .withColumn("neighbors", lit(null).cast(nbrSchema))
+    val i = GraphSearch.graphHealth(isolated).collect()(0)
+    assert((0 until 6).map(i.getLong) == Seq(2L, 0L, 0L, 0L, 0L, 0L),
+      s"zero-edge census wrong: $i")
+    // A mixed graph: the isolated node drags min_deg to 0 and still
+    // counts as a node — the degenerating-append signature the health
+    // audit exists to catch.
+    val mixed = spark.sql(
+      """SELECT 1L AS id,
+        |  array(named_struct('id', 2L, 'similarity', 0.5d)) AS neighbors
+        |UNION ALL SELECT 2L, array(named_struct('id', 1L, 'similarity', 0.5d))
+        |UNION ALL SELECT 3L, CAST(NULL AS
+        |  array<struct<id:bigint,similarity:double>>)""".stripMargin)
+    val m = GraphSearch.graphHealth(mixed).collect()(0)
+    assert((0 until 5).map(m.getLong) == Seq(3L, 2L, 0L, 1L, 2L),
+      s"mixed census wrong: $m")
+  }
+
+  test("classifier model loading rejects an empty artifact; multiclass " +
+      "training requires at least one in-class document") {
+    import graft.ops.Classifier
+    val dir = java.nio.file.Files.createTempDirectory("graft_empty_model")
+    try {
+      Seq.empty[(Int, Long)].toDF("idx", "w_fp")
+        .write.mode("overwrite").parquet(dir.toString)
+      val ex = intercept[IllegalArgumentException] {
+        Classifier.loadModel(spark, dir.toString)
+      }
+      assert(ex.getMessage.contains("corrupt model"),
+        s"wrong failure for empty artifact: ${ex.getMessage}")
+    } finally {
+      val walk = java.nio.file.Files.walk(dir)
+      try walk.sorted(java.util.Comparator.reverseOrder())
+        .forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally walk.close()
+    }
+    val docs = Seq((1L, "de", "aa bb"), (2L, "fr", "cc dd"))
+      .toDF("doc_id", "lang", "text")
+    val ex2 = intercept[IllegalArgumentException] {
+      Classifier.trainMulticlass(docs, col("lang"), Seq("en", "ja"), dim = 8)
+    }
+    assert(ex2.getMessage.contains("labeled"),
+      s"wrong failure for label-free corpus: ${ex2.getMessage}")
+  }
 }

@@ -793,6 +793,19 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("unigram encode derives its Viterbi window from the vocabulary — " +
+      "pieces longer than the old default are reachable") {
+    // A trained vocab can legally contain pieces longer than encode's
+    // former independent maxPieceLen default (4); the window is now
+    // derived from the vocabulary, so such pieces must actually win.
+    val vocab = Seq(("abcdef", -1048576L))
+    val enc = graft.ops.UnigramTokenizer
+      .encode(Seq((1L, "abcdef")).toDF("doc_id", "text"), vocab)
+      .collect()(0)
+    assert(enc.getSeq[String](3) == Seq("abcdef"),
+      s"6-char vocab piece unreachable: ${enc.getSeq[String](3)}")
+  }
+
   test("compressionStats: bit-equal to a local Deflater reference; " +
       "planted repetition crosses the 0.25 tail; partition-invariant") {
     import graft.ops.TextAnalysis
