@@ -3573,7 +3573,7 @@ object Queries {
         |k AS (SELECT doc_id, n_tokens,
         |    CAST(round(ln(
         |        (CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))
-        |          AS BIGINT) + 1) / CAST(4294967296 AS DOUBLE))
+        |          AS BIGINT) + 0.5) / CAST(4294967296 AS DOUBLE))
         |      / CAST(n_tokens AS DOUBLE) * 1048576) AS BIGINT) AS es_fp
         |  FROM d WHERE n_tokens > 0)
         |SELECT doc_id, n_tokens, es_fp FROM k
@@ -3619,7 +3619,7 @@ object Queries {
         |      / len(t) AS mean_word_len,
         |    CAST(len(list_filter(t, w -> contains(w, '#')
         |        OR contains(w, '...'))) AS DOUBLE) / len(t) AS symbol_ratio,
-        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+        |    CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
         |      AS DOUBLE) / len(t) AS alpha_frac,
         |    CAST(len(list_filter(
         |      ['the','a','of','and','in'],
@@ -3714,7 +3714,7 @@ object Queries {
         |        / len(t) AS mean_word_len,
         |      CAST(len(list_filter(t, w -> contains(w, '#')
         |          OR contains(w, '...'))) AS DOUBLE) / len(t) AS symbol_ratio,
-        |      CAST(len(list_filter(t, w -> regexp_matches(w, '[a-z]')))
+        |      CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
         |        AS DOUBLE) / len(t) AS alpha_frac,
         |      len(list_filter(['the','a','of','and','in'],
         |        x -> list_contains(t, x))) AS n_stop
@@ -3772,7 +3772,8 @@ object Queries {
         |SELECT coalesce(v_old.doc_id, v_new.doc_id) AS doc_id,
         |  CASE WHEN v_old.doc_id IS NULL THEN 'added'
         |    WHEN v_new.doc_id IS NULL THEN 'removed'
-        |    WHEN v_old.text = v_new.text THEN 'unchanged'
+        |    WHEN v_old.text IS NOT DISTINCT FROM v_new.text
+        |      THEN 'unchanged'
         |    ELSE 'changed' END AS status
         |FROM v_old FULL OUTER JOIN v_new ON v_old.doc_id = v_new.doc_id""".stripMargin,
 
@@ -4030,6 +4031,7 @@ object Queries {
     "t03_langid" ->
       """SELECT doc_id,
         |  CASE
+        |    WHEN g = 0 THEN 'und'
         |    WHEN s_en = g THEN 'en' WHEN s_de = g THEN 'de' WHEN s_es = g THEN 'es'
         |    WHEN s_fr = g THEN 'fr' WHEN s_zh = g THEN 'zh' ELSE 'und' END AS pred_lang
         |FROM (

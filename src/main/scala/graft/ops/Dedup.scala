@@ -130,14 +130,26 @@ object Dedup {
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
       .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
       .agg(count(lit(1)).as("inter"))
+    jaccardTail(inter, sz, sz, threshold)
+  }
+
+  /** The ONE exact-Jaccard scoring tail every pair path ends with —
+    * union size, the ratio, the threshold cut — over an
+    * (doc_a, doc_b, inter) frame and the per-side shingle-set sizes
+    * (`szA` = doc_a's table, `szB` = doc_b's; the same table for the
+    * single-corpus paths). Shared so the documented bit-identical
+    * contracts between the online, prefix, incremental, and
+    * index-backed paths hold by construction, not by four kept-in-sync
+    * copies. */
+  private[ops] def jaccardTail(inter: DataFrame, szA: DataFrame,
+      szB: DataFrame, threshold: Double): DataFrame =
     inter
-      .join(sz.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .join(szA.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(szB.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
       .withColumn("union_sz", col("na") + col("nb") - col("inter"))
       .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
       .filter(col("jaccard") >= threshold)
       .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
-  }
 
   /** MinHash signatures: for each id, the minimum of `numHashes` seeded
     * xxhash64 values over its shingle set — one aggregation, partial-agg
@@ -173,7 +185,6 @@ object Dedup {
     // product).
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
-    val rowsPerBand = numHashes / bands
     val raw = hashedShingleSet(df, idCol, textCol)
     // df-cap applies BEFORE signatures and verification, so the capped
     // LSH path approximates the capped exact join (same semantics as
@@ -183,14 +194,8 @@ object Dedup {
       .map(f => capDocFreq(raw, df.count(), f))
       .getOrElse(raw)
       .localCheckpoint()
-    val sigs = minhashSignatures(sh, numHashes)
-
-    val bandCols = (0 until bands).map { b =>
-      val slots = (0 until rowsPerBand).map(r => col(s"h${b * rowsPerBand + r}"))
-      struct(lit(b).as("band"), xxhash64(slots: _*).as("bh"))
-    }
-    val buckets = sigs.select(col("id"), explode(array(bandCols: _*)).as("bb"))
-      .select(col("id"), col("bb.band").as("band"), col("bb.bh").as("bh"))
+    // Shared with the persisted-index path — one banding definition.
+    val buckets = bandBuckets(sh, numHashes, bands)
 
     val candidates = buckets.as("a").join(buckets.as("b"),
         col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
@@ -206,13 +211,7 @@ object Dedup {
       .filter(col("s") === col("s2"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+    jaccardTail(inter, sz, sz, threshold)
   }
 
   /** Near-duplicate CLUSTERS: connected components of the exact-Jaccard
@@ -327,13 +326,7 @@ object Dedup {
       .filter(col("s") === col("s2"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sz.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(sz.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+    jaccardTail(inter, sz, sz, threshold)
   }
 
   /** The deduplicated corpus: one canonical document per near-dup
@@ -416,13 +409,7 @@ object Dedup {
       .filter(col("s") === col("s2"))
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("inter"))
-    inter
-      .join(szC.select(col("id").as("doc_a"), col("n").as("na")), "doc_a")
-      .join(szI.select(col("id").as("doc_b"), col("n").as("nb")), "doc_b")
-      .withColumn("union_sz", col("na") + col("nb") - col("inter"))
-      .withColumn("jaccard", col("inter").cast("double") / col("union_sz"))
-      .filter(col("jaccard") >= threshold)
-      .select("doc_a", "doc_b", "inter", "union_sz", "jaccard")
+    jaccardTail(inter, szC, szI, threshold)
   }
 
   /** Persists the MinHash-LSH dedup index for a corpus: the hashed
@@ -509,6 +496,15 @@ object Dedup {
     * maxHamming, blocked on 16-bit bands (a pair within hamming 3 of a
     * 64-bit signature must agree exactly on at least one of 4 bands). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: String, maxHamming: Int = 3): DataFrame = {
+    // Recall contract of the 4x16-bit banding (pigeonhole): a pair
+    // within hamming h is GUARANTEED to collide in some band only for
+    // h <= 3; beyond that the banding is an approximate candidate
+    // generator (4+ differing bits can land one per band and never
+    // collide), which is the declared d04 operating point — its pinned
+    // coverage counts and the OpsSpec recall-vs-Jaccard-truth check
+    // price the miss rate rather than pretending it is zero.
+    require(maxHamming >= 0 && maxHamming <= 63,
+      s"maxHamming out of the 64-bit signature range: $maxHamming")
     val sigs = simhash(df, idCol, textCol)
     val bandCols = (0 until 4).map { i =>
       struct(lit(i).as("band"),
@@ -931,15 +927,21 @@ object Dedup {
     * a sliver-sized follow-up join). */
   def corpusDiff(v1: DataFrame, v2: DataFrame, idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
+    // Presence is tracked by explicit marker columns, NOT hash
+    // null-ness: md5(null text) is null, so a document present in both
+    // snapshots with a null text on one side would masquerade as
+    // added/removed. The hash comparison is null-SAFE (<=>), so two
+    // null texts for a shared id read 'unchanged' (same absent
+    // content) — the oracle uses IS NOT DISTINCT FROM identically.
     val a = v1.select(col(idCol).as("doc_id"),
-      md5(col(textCol).cast("binary")).as("h1"))
+      md5(col(textCol).cast("binary")).as("h1"), lit(1).as("p1"))
     val b = v2.select(col(idCol).as("doc_id"),
-      md5(col(textCol).cast("binary")).as("h2"))
+      md5(col(textCol).cast("binary")).as("h2"), lit(1).as("p2"))
     a.join(b, Seq("doc_id"), "full_outer")
       .select(col("doc_id"),
-        when(col("h1").isNull, lit("added"))
-          .when(col("h2").isNull, lit("removed"))
-          .when(col("h1") === col("h2"), lit("unchanged"))
+        when(col("p1").isNull, lit("added"))
+          .when(col("p2").isNull, lit("removed"))
+          .when(col("h1") <=> col("h2"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
 }

@@ -52,8 +52,14 @@ object Sampling {
   def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
       n: Int): DataFrame = {
     require(n >= 1, s"n must be >= 1, got $n")
-    val u = (conv(substring(draw(col(keyCol)), 1, 8), 16, 10).cast("long") + 1L)
-      .cast("double") / lit(4294967296.0)
+    // u ∈ (0,1) OPEN on both ends via the +0.5 midpoint: with the
+    // former +1 mapping a draw of 0xffffffff gave u = 1 exactly,
+    // ln(u) = 0 — the maximum possible selection key — so that row
+    // entered the sample regardless of its weight (P = 2⁻³² per row:
+    // near-certain somewhere at billions of rows). The oracle SQL
+    // applies the identical midpoint.
+    val u = (conv(substring(draw(col(keyCol)), 1, 8), 16, 10).cast("long")
+      .cast("double") + lit(0.5)) / lit(4294967296.0)
     df.filter(col(weightCol) > 0)
       .withColumn("es_fp",
         round(log(u) / col(weightCol).cast("double") * lit(1048576.0))
@@ -367,7 +373,14 @@ object Sampling {
       valueCol: String, q: Double): DataFrame = {
     require(q > 0 && q <= 1, s"quantile out of (0,1]: $q")
     val byGroup = org.apache.spark.sql.expressions.Window.partitionBy(groupCol)
-    val ranked = byGroup.orderBy(col(valueCol).asc, col(idCol).asc)
+    // Null values are UNRANKABLE, not lowest: they sort last, the group
+    // size counts only non-null values (count(valueCol)), and their
+    // keep is an explicit false. Under Spark's default NULLS FIRST a
+    // null-bearing group would put nulls at ranks 1..k, yielding a
+    // null threshold that silently drops the WHOLE group (and shifts
+    // the statistic otherwise). Null-free groups are byte-identical to
+    // the previous form, which is what the oracle mirrors.
+    val ranked = byGroup.orderBy(col(valueCol).asc_nulls_last, col(idCol).asc)
     // k = ceil(q·n) with a 1e-9 backoff before the ceil: q·n that is
     // mathematically integral can land just ABOVE the integer in IEEE
     // doubles (0.07·100 = 7.000000000000001), silently selecting the
@@ -376,10 +389,10 @@ object Sampling {
     val k = greatest(
       ceil(lit(q) * col("n_group") - lit(1e-9)).cast("long"), lit(1L))
     df.withColumn("rn", row_number().over(ranked))
-      .withColumn("n_group", count(lit(1)).over(byGroup))
+      .withColumn("n_group", count(col(valueCol)).over(byGroup))
       .withColumn("thr",
         max(when(col("rn") <= k, col(valueCol))).over(byGroup))
-      .withColumn("keep", col(valueCol) >= col("thr"))
+      .withColumn("keep", coalesce(col(valueCol) >= col("thr"), lit(false)))
       .drop("rn", "n_group")
   }
 
@@ -397,11 +410,14 @@ object Sampling {
     * from [[quantileFilter]]'s `ceil(q·n)` at rank boundaries — the
     * exact form stays the declared/oracle-checked path wherever a
     * group fits a sort. */
-  def quantileFilterApprox(df: DataFrame, idCol: String, groupCol: String,
+  // No idCol: the sketch path has no rank tie-break to key on (that is
+  // the exact variant's contract); the column resolves through col()
+  // so names needing quoting work like everywhere else.
+  def quantileFilterApprox(df: DataFrame, groupCol: String,
       valueCol: String, q: Double, accuracy: Int = 10000): DataFrame = {
     require(q > 0 && q <= 1, s"quantile out of (0,1]: $q")
     val thr = df.groupBy(col(groupCol))
-      .agg(expr(s"approx_percentile($valueCol, $q, $accuracy)").as("thr"))
+      .agg(percentile_approx(col(valueCol), lit(q), lit(accuracy)).as("thr"))
     df.join(broadcast(thr), Seq(groupCol))
       .withColumn("keep", col(valueCol) >= col("thr"))
   }

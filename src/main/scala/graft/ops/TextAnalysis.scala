@@ -96,9 +96,16 @@ object TextAnalysis {
     }
     val best = greatest(langProfiles.map { case (l, _) => col(s"score_$l") }: _*)
     // foldRight gives profile-order priority on ties (first match wins).
-    val pred = langProfiles.foldRight(lit("und"): Column) { case ((l, _), acc) =>
-      when(col(s"score_$l") === best, lit(l)).otherwise(acc)
-    }
+    // The zero-evidence guard comes FIRST: with every score 0.0 the
+    // first profile's score trivially equals `best`, so without the
+    // guard a document matching NO marker word would silently label as
+    // the first profile and 'und' would be unreachable (the oracle
+    // applies the identical leading CASE arm).
+    val pred = when(best === 0.0, lit("und"))
+      .otherwise(langProfiles.foldRight(lit("und"): Column) {
+        case ((l, _), acc) =>
+          when(col(s"score_$l") === best, lit(l)).otherwise(acc)
+      })
     scored.withColumn("pred_lang", pred)
   }
 
@@ -216,7 +223,12 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
+    // Vocabulary-sized; checkpointed because BOTH the totals action and
+    // the broadcast model read it — without this the corpus-wide
+    // explode+groupBy (the only data-sized stage here) executes twice
+    // (the bigramLogProb pattern).
     val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
+      .localCheckpoint()
     val totals = counts.agg(sum(col("c")), count(lit(1))).head()
     // Empty corpus: sum aggregates to null; any denominator works
     // because the join below is empty (output schema is preserved).
@@ -338,6 +350,12 @@ object TextAnalysis {
       textCol: String = "text", size: Int = 64,
       stride: Int = 32): DataFrame = {
     require(size >= 1 && stride >= 1, s"bad window: size=$size stride=$stride")
+    // stride > size would break the documented every-token-covered
+    // contract (tokens between windows never land in any chunk, and
+    // the tail window count formula emits empty chunks) — fail fast
+    // rather than silently dropping corpus from the embedding path.
+    require(stride <= size,
+      s"stride=$stride > size=$size leaves inter-window tokens uncovered")
     // Token array materialized as an attribute BEFORE the window
     // lambda: an in-lambda `slice(split(text), ...)` would re-split the
     // text once per window (interpreted HOF body — see Dedup.shingles);
@@ -430,7 +448,11 @@ object TextAnalysis {
       k1: Double, b: Double, terms: Option[Seq[String]]): DataFrame = {
     val toks = df.select(col(idCol).as("id"),
       explode(tokens(col(textCol))).as("term"))
+    // Doc-count-sized; checkpointed because the scalars action AND the
+    // final scoring join both read it — without this the corpus token
+    // aggregation executes twice (the bigramLogProb pattern).
     val dls = toks.groupBy("id").agg(count(lit(1)).as("dl"))
+      .localCheckpoint()
     // Corpus scalars: one-row bounded collect (count=0 ⇒ empty output,
     // any avgdl works because every downstream join is empty).
     val scalars = dls.agg(count(lit(1)), sum(col("dl"))).head()
@@ -814,7 +836,10 @@ object TextAnalysis {
         (size_(filter(col("__tk"),
             w => w.contains("#") || w.contains("..."))).cast("double") /
           size_(col("__tk"))).as("symbol_ratio"),
-        (size_(filter(col("__tk"), w => w.rlike("[a-z]"))).cast("double") /
+        // [A-Za-z]: the Gopher rule is "word contains an ALPHABETIC
+        // character" — lowercase-only would veto all-caps prose on any
+        // corpus not pre-normalized (this op never lowercases).
+        (size_(filter(col("__tk"), w => w.rlike("[A-Za-z]"))).cast("double") /
           size_(col("__tk"))).as("alpha_frac"),
         stopHits.as("n_stop"))
       .withColumn("kept",

@@ -373,6 +373,62 @@ class EdgeCasesSpec extends SparkSpec {
     assert(enc.getSeq[String](3) == Seq("a"))
   }
 
+  test("review-fix contracts: zero-evidence langid reads 'und', corpusDiff " +
+      "distinguishes null text from absence, uncovered chunk strides and " +
+      "out-of-guarantee simhash radii fail fast") {
+    import graft.ops.{Dedup, TextAnalysis}
+    // No marker word of any profile: 'und', not the first profile.
+    val gibberish = Seq((1L, "xyzzy qqq zzz")).toDF("doc_id", "text")
+    val lang = TextAnalysis.languageId(gibberish)
+      .select("pred_lang").collect()(0).getString(0)
+    assert(lang == "und", s"zero-evidence doc labeled '$lang'")
+    // Shared id with a null text on one side is CHANGED (the id was
+    // present); both-null is unchanged; true absence is added/removed.
+    val v1 = Seq((7L, null: String), (8L, "same"), (9L, "gone"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((7L, "hello"), (8L, "same"), (10L, "new"))
+      .toDF("doc_id", "text")
+    val st = Dedup.corpusDiff(v1, v2).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(st == Map(7L -> "changed", 8L -> "unchanged",
+      9L -> "removed", 10L -> "added"), s"diff statuses wrong: $st")
+    val bothNull = Dedup.corpusDiff(
+      Seq((1L, null: String)).toDF("doc_id", "text"),
+      Seq((1L, null: String)).toDF("doc_id", "text")).collect()(0).getString(1)
+    assert(bothNull == "unchanged", s"both-null text read '$bothNull'")
+    val d = Seq((1L, "a b c")).toDF("doc_id", "text")
+    intercept[IllegalArgumentException] {
+      TextAnalysis.chunkWindows(d, size = 64, stride = 128)
+    }
+    // Beyond the pigeonhole guarantee (h <= 3) the banding is a
+    // DOCUMENTED approximate candidate generator (d04 runs there), but
+    // a radius outside the 64-bit signature is always a caller bug.
+    intercept[IllegalArgumentException] {
+      Dedup.simhashPairs(d, "doc_id", "text", maxHamming = 64)
+    }
+  }
+
+  test("quantileFilter: null values are unrankable — excluded from the " +
+      "order statistic, kept=false, and an all-null group drops cleanly") {
+    import graft.ops.Sampling
+    val df = Seq(
+      (1L, "g", Some(10.0)), (2L, "g", Some(20.0)), (3L, "g", Some(30.0)),
+      (4L, "g", Some(40.0)), (5L, "g", None), (6L, "g", None),
+      (7L, "h", None), (8L, "h", None))
+      .toDF("doc_id", "source", "quality")
+    val out = Sampling.quantileFilter(df, "doc_id", "source", "quality", 0.5)
+      .collect().map(r => r.getLong(0) ->
+        ((Option(r.get(r.fieldIndex("thr"))), r.getBoolean(r.fieldIndex("keep")))))
+      .toMap
+    // Group g: 4 non-null values, q=0.5 -> k=2 -> threshold 20.0 (the
+    // 2nd order statistic of the NON-NULL values, not shifted by nulls).
+    assert(out(1L) == ((Some(20.0), false)) && out(2L) == ((Some(20.0), true)) &&
+      out(3L) == ((Some(20.0), true)) && out(4L) == ((Some(20.0), true)),
+      s"non-null ranking wrong: $out")
+    assert(!out(5L)._2 && !out(6L)._2, "null-quality rows must not keep")
+    assert(!out(7L)._2 && !out(8L)._2, "all-null group must drop cleanly")
+  }
+
   test("graphHealth: empty and zero-edge graphs yield the zeroed census; " +
       "isolated nodes count toward n_nodes and min_deg") {
     import graft.ops.GraphSearch

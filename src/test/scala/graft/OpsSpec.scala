@@ -1383,7 +1383,7 @@ class OpsSpec extends SparkSpec {
     val df = rows.toDF("doc_id", "source", "quality")
     for (q <- Seq(0.25, 0.5, 0.9)) {
       val out = graft.ops.Sampling
-        .quantileFilterApprox(df, "doc_id", "source", "quality", q)
+        .quantileFilterApprox(df, "source", "quality", q)
       val got = out.collect()
         .map(r => (r.getLong(r.fieldIndex("doc_id")),
           r.getDouble(r.fieldIndex("thr")), r.getBoolean(r.fieldIndex("keep"))))
