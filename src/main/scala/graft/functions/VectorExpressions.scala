@@ -952,6 +952,24 @@ object VectorFunctions {
     lit(1.0) / (lit(1.0) + vector_l2(a, b))
   }
 
+  /** Cosine over a precomputed dot product and norms, guarded for the
+    * RANKING paths: a zero-norm side has no direction, and the naive
+    * dot/(n_q·n_c) yields NaN there — which Spark orders ABOVE every
+    * real value under `desc`, so one degenerate corpus vector would
+    * rank #1 for every query (and primitive-double NaN comparisons
+    * break the streaming top-k aggregator's merge ordering). The guard
+    * scores it −2.0, strictly below any real cosine: it can only
+    * surface when a query has fewer than k real candidates, where it
+    * is a visibly-degenerate tail entry rather than a silent winner.
+    * Threshold-filtered paths (near-dup `cosine >= t`) are naturally
+    * NaN-safe and keep the raw form. For non-degenerate rows the
+    * branch computes the IDENTICAL division, so oracle/pin parity is
+    * untouched. */
+  def cosine_ranked(dot: Column, nq: Column, nc: Column): Column = {
+    import org.apache.spark.sql.functions.{lit, when}
+    when(nq * nc > 0.0, dot / (nq * nc)).otherwise(lit(-2.0))
+  }
+
   def vector_quantize(a: Column, scale: Column): Column =
     GraftColumnBridge.column(VectorQuantize(
       GraftColumnBridge.expression(a), GraftColumnBridge.expression(scale)))

@@ -112,11 +112,22 @@ object GraphSearch {
     * micro-batch) or taken to `updateGraph` outright. */
   def appendToGraph(graph: DataFrame, corpus: DataFrame,
       newPoints: DataFrame, k: Int, beam: Int = 20, hops: Int = 3,
-      seeds: Int = 8): DataFrame = {
+      seeds: Int = 8): DataFrame =
+    graph.select(col("id"), col("neighbors"))
+      .unionByName(appendedLists(graph, corpus, newPoints, k, beam, hops, seeds))
+
+  /** Just the NEW points' adjacency lists of [[appendToGraph]] (which
+    * unions them with the untouched prior graph). Exposed so a
+    * per-micro-batch serve ([[graft.streaming.AnnServe.graphAppendServe]])
+    * can emit only the fresh lists without paying a full prior-graph
+    * union-then-filter per batch. */
+  private[graft] def appendedLists(graph: DataFrame, corpus: DataFrame,
+      newPoints: DataFrame, k: Int, beam: Int, hops: Int,
+      seeds: Int): DataFrame = {
     val found = searchGraph(graph, corpus, newPoints, k, beam, hops, seeds)
     val feats = corpus.select(col("id").as("nbr_id"),
       col("features").as("v_c"))
-    val newLists = found
+    found
       .join(broadcast(newPoints.select(col("id").as("query_id"),
         col("features").as("v_q"))), "query_id")
       .join(feats, "nbr_id")
@@ -129,7 +140,6 @@ object GraphSearch {
       .select(col("id"),
         expr("transform(srt, x -> struct(x.id as id, x.similarity as similarity))")
           .as("neighbors"))
-    graph.select(col("id"), col("neighbors")).unionByName(newLists)
   }
 
   /** Graph health audit — the REBUILD TRIGGER of the append-and-serve

@@ -33,7 +33,9 @@ object SimilaritySearch {
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
     c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        graft.functions.VectorFunctions.cosine_ranked(
+          graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")),
+          col("n_q"), col("n_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select("query_id", "rank", "nbr_id", "cosine")
@@ -320,7 +322,9 @@ object SimilaritySearch {
     c.join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        VectorFunctions.cosine_ranked(
+          VectorFunctions.vector_dot(col("v_q"), col("v_c")),
+          col("n_q"), col("n_c")))
       .select("query_id", "nbr_id", "cosine")
   }
 
@@ -432,7 +436,9 @@ object SimilaritySearch {
       .join(broadcast(q), Seq("cell"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        VectorFunctions.cosine_ranked(
+          VectorFunctions.vector_dot(col("v_q"), col("v_c")),
+          col("n_q"), col("n_c")))
       .select("query_id", "nbr_id", "cosine")
       .transform(rankTopK(_, k))
   }
@@ -461,7 +467,9 @@ object SimilaritySearch {
     rankTopK(
       cands.join(cf, "nbr_id").join(qf, "query_id")
         .withColumn("cosine",
-          VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+          VectorFunctions.cosine_ranked(
+            VectorFunctions.vector_dot(col("v_q"), col("v_c")),
+            col("n_q"), col("n_c")))
         .select("query_id", "nbr_id", "cosine"),
       k)
   }
@@ -780,7 +788,9 @@ object SimilaritySearch {
     c.join(broadcast(q), Seq("tbl", "bucket"))
       .filter(col("query_id") =!= col("nbr_id"))
       .withColumn("cosine",
-        VectorFunctions.vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        VectorFunctions.cosine_ranked(
+          VectorFunctions.vector_dot(col("v_q"), col("v_c")),
+          col("n_q"), col("n_c")))
       // A pair colliding in several tables appears once per collision;
       // the values are identical, so max() is a pure dedup — done BEFORE
       // the downstream rank window so the shuffle carries unique narrow

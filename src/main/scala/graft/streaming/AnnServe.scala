@@ -61,8 +61,11 @@ object AnnServe {
           .join(index, Seq("cell")) // stream-static: no stream state
           .filter(col("query_id") =!= col("nbr_id"))
           .select(col("query_id").as("src"), col("nbr_id").as("dst"),
-            (VectorFunctions.vector_dot(col("v_q"), col("v_c")) /
-              (col("n_q") * col("n_c"))).as("sim"),
+            // cosine_ranked: a NaN here would also break the typed
+            // aggregator's primitive-double merge ordering downstream.
+            VectorFunctions.cosine_ranked(
+              VectorFunctions.vector_dot(col("v_q"), col("v_c")),
+              col("n_q"), col("n_c")).as("sim"),
             lit(false).as("isOld"))
           .as[Cand]
           .groupByKey(_.src)
@@ -101,7 +104,9 @@ object AnnServe {
       val nw = src
         .select(col("vec_id").as("id"), col("embedding").as("features"))
         .filter(col("id") % 5 === 0)
-      graft.ops.GraphSearch.appendToGraph(prior, corpus, nw, k, beam, hops, seeds)
-        .join(nw.select(col("id")), Seq("id"), "left_semi")
+      // appendedLists: only the fresh rows — appendToGraph's union
+      // with the full prior graph would be scanned and then filtered
+      // straight back out here, once per micro-batch.
+      graft.ops.GraphSearch.appendedLists(prior, corpus, nw, k, beam, hops, seeds)
     }
 }

@@ -29,8 +29,10 @@ final case class UserSessionsSeq(user_id: Long, n_sessions: Long, n_events: Long
   * the bounded counter map plus the shard's exact stream length. */
 final case class MgShard(counts: Map[String, Long], n: Long, seq: Long)
 
-/** One per-shard candidate emission (latest `seq` per shard wins). */
-final case class MgShardSummary(shard: Int, terms: Seq[String], seq: Long)
+/** One per-shard candidate emission (latest `seq` per shard wins);
+  * carries the shard's exact stream length so the drained total needs
+  * no extra corpus pass. */
+final case class MgShardSummary(shard: Int, terms: Seq[String], n: Long, seq: Long)
 
 /** Per-shard fixed-point PCA moment sketch carried across
   * micro-batches ([[graft.ops.Pca]] layout: count | component sums |
@@ -130,44 +132,58 @@ object EventsStream {
     q.processAllAvailable()
   }
 
-  private[streaming] def runDrainedOn(
-      spark: SparkSession, dir: String, table: String, schema: StructType,
+  /** Shared drain-harness lifecycle: creates the temp stream directory
+    * with the fixture symlinked in (the file source needs a DIRECTORY),
+    * runs `prepare` (heartbeat files etc.), hands the directory to
+    * `run`, and tears everything down on every path — children first
+    * (prepare may have added files), with the directory stream CLOSED
+    * (an unclosed Files.list leaks one fd per drained query, and a
+    * long-lived Bench/Verify session drains dozens). One definition so
+    * the two drain harnesses cannot diverge on lifecycle fixes. */
+  private def withStreamDir[A](dir: String, table: String, name: String,
+      prepare: java.nio.file.Path => Unit = _ => ())(
+      run: java.nio.file.Path => A): A = {
+    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$name")
+    try {
+      java.nio.file.Files.createSymbolicLink(
+        streamDir.resolve(s"$table.parquet"),
+        java.nio.file.Paths.get(s"$dir/$table.parquet"))
+      prepare(streamDir)
+      run(streamDir)
+    } finally {
+      val children = java.nio.file.Files.list(streamDir)
+      try children.forEach(p => java.nio.file.Files.deleteIfExists(p))
+      finally children.close()
+      java.nio.file.Files.deleteIfExists(streamDir)
+    }
+  }
+
+  private[streaming] def runDrainedOn(      spark: SparkSession, dir: String, table: String, schema: StructType,
       tag: String,
       prepare: java.nio.file.Path => Unit = _ => (),
       settle: org.apache.spark.sql.streaming.StreamingQuery => Unit = _ => ())(
       build: DataFrame => DataFrame): DataFrame = {
     val name = s"${table}_stream_${tag}_${runId.incrementAndGet()}"
-    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    val link = streamDir.resolve(s"$table.parquet")
-    try {
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
-      prepare(streamDir)
-      val src = spark.readStream.schema(schema).parquet(streamDir.toString)
-      val out = build(src)
-      val q = out.writeStream
-        .outputMode(outputModeFor(tag))
-        .format("memory")
-        .queryName(name)
-        .start()
-      try { q.processAllAvailable(); settle(q) }
-      finally q.stop()
-      val sink = spark.table(name)
-      val rows = sink.collect()
-      val sinkSchema = sink.schema
-      spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
-    } finally {
-      // Runs on the failure path too — a mid-drain error must not leave
-      // the memory table registered or the symlink dir behind. `prepare`
-      // may have added extra source files, so clear children first. The
-      // directory stream must be CLOSED (try-with-resources style): an
-      // unclosed Files.list leaks one fd per drained query, and a
-      // long-lived Bench/Verify session drains dozens.
-      try spark.catalog.dropTempView(name) catch { case _: Exception => }
-      val children = java.nio.file.Files.list(streamDir)
-      try children.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally children.close()
-      java.nio.file.Files.deleteIfExists(streamDir)
+    withStreamDir(dir, table, name, prepare) { streamDir =>
+      try {
+        val src = spark.readStream.schema(schema).parquet(streamDir.toString)
+        val out = build(src)
+        val q = out.writeStream
+          .outputMode(outputModeFor(tag))
+          .format("memory")
+          .queryName(name)
+          .start()
+        try { q.processAllAvailable(); settle(q) }
+        finally q.stop()
+        val sink = spark.table(name)
+        val rows = sink.collect()
+        val sinkSchema = sink.schema
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), sinkSchema)
+      } finally {
+        // Failure path too — a mid-drain error must not leave the
+        // memory table registered.
+        try spark.catalog.dropTempView(name) catch { case _: Exception => }
+      }
     }
   }
 
@@ -189,11 +205,7 @@ object EventsStream {
       spark: SparkSession, dir: String, table: String, schema: StructType,
       tag: String)(transform: DataFrame => DataFrame): DataFrame = {
     val name = s"${table}_stream_${tag}_${runId.incrementAndGet()}"
-    val streamDir = java.nio.file.Files.createTempDirectory(s"graft_$name")
-    val link = streamDir.resolve(s"$table.parquet")
-    try {
-      java.nio.file.Files.createSymbolicLink(
-        link, java.nio.file.Paths.get(s"$dir/$table.parquet"))
+    withStreamDir(dir, table, name) { streamDir =>
       val buf = java.util.Collections.synchronizedList(
         new java.util.ArrayList[org.apache.spark.sql.Row]())
       @volatile var outSchema: Option[StructType] = None
@@ -211,11 +223,6 @@ object EventsStream {
         spark.createDataFrame(new java.util.ArrayList[org.apache.spark.sql.Row](),
           schema)).schema)
       spark.createDataFrame(buf, sch)
-    } finally {
-      val children = java.nio.file.Files.list(streamDir)
-      try children.forEach(p => java.nio.file.Files.deleteIfExists(p))
-      finally children.close()
-      java.nio.file.Files.deleteIfExists(streamDir)
     }
   }
 
@@ -566,20 +573,25 @@ object EventsStream {
           it.foreach { t => n += 1; graft.ops.HeavyHitters.mgUpdate(b, t, cap) }
           val next = MgShard(b.toMap, n, prior.seq + 1)
           state.update(next)
-          MgShardSummary(shard, b.keys.toSeq.sorted, next.seq)
+          MgShardSummary(shard, b.keys.toSeq.sorted, n, next.seq)
         }
         .toDF()
     }
     // Latest emission per shard; the union over shards is the global
-    // candidate superset. Recount exactly in one batch pass (the same
-    // broadcast-candidates shape as the batch frequentTerms).
-    val cands = updates
+    // candidate superset, and the per-shard exact lengths sum to the
+    // stream total — the sketch already counted every token, so no
+    // separate corpus count() pass. Recount the candidates exactly in
+    // one batch pass (the same broadcast-candidates shape as the batch
+    // frequentTerms).
+    val latest = updates
       .groupBy("shard")
-      .agg(max_by(col("terms"), col("seq")).as("terms"))
-      .select(explode(col("terms")).as("term"))
+      .agg(max_by(col("terms"), col("seq")).as("terms"),
+        max_by(col("n"), col("seq")).as("n"))
+    val cands = latest.select(explode(col("terms")).as("term"))
+    val totRow = latest.agg(sum(col("n"))).head()
+    val total = if (totRow.isNullAt(0)) 0L else totRow.getLong(0)
     val toks = spark.read.parquet(s"$dir/documents.parquet")
       .select(explode(split(col("text"), " ")).as("term"))
-    val total = toks.count()
     toks.join(broadcast(cands), "term")
       .groupBy("term").agg(count(lit(1)).as("n"))
       .filter(col("n") * lit(den) >= lit(total) * lit(num))
@@ -716,18 +728,6 @@ object EventsStream {
       lit(all).as("n_points"))
   }
 
-  /** Streaming quality-classifier serving — batch t31's model-apply
-    * carried to ingest time (the st12 fitted-model pattern): the
-    * ridge-logistic model is TRAINED batch-side over the resident
-    * corpus and passed in — in the declared st20 it is the persisted
-    * t31 artifact ([[graft.ops.Classifier.loadModel]]; models retrain
-    * by release, not by micro-batch) — and its fixed-point weights
-    * ship in the task binary; the document stream then runs the PURE STATELESS
-    * scoring projection (same hashed featurization, same exact-Long
-    * margin, bit-identical score_fp to the batch path) with a bounded
-    * complete-mode summary on top. Emits t31's exact five-column
-    * summary row — shared pinned oracle; OpsSpec asserts equality
-    * against the batch query. */
   /** Streaming tokenizer serving — the t36 Viterbi encode applied at
     * ingest time (tokenizer-as-a-service, the artifact-serving half of
     * the t35 lifecycle): the trained vocabulary is a static broadcast
@@ -760,6 +760,18 @@ object EventsStream {
       .toDF("n_docs", "total_pieces", "n_vocab")
   }
 
+  /** Streaming quality-classifier serving — batch t31's model-apply
+    * carried to ingest time (the st12 fitted-model pattern): the
+    * ridge-logistic model is TRAINED batch-side over the resident
+    * corpus and passed in — in the declared st20 it is the persisted
+    * t31 artifact ([[graft.ops.Classifier.loadModel]]; models retrain
+    * by release, not by micro-batch) — and its fixed-point weights
+    * ship in the task binary; the document stream then runs the PURE STATELESS
+    * scoring projection (same hashed featurization, same exact-Long
+    * margin, bit-identical score_fp to the batch path) with a bounded
+    * complete-mode summary on top. Emits t31's exact five-column
+    * summary row — shared pinned oracle; OpsSpec asserts equality
+    * against the batch query. */
   def classifierServeCounts(spark: SparkSession, dir: String,
       model: graft.ops.Classifier.LogisticModel): DataFrame = {
     import org.apache.spark.sql.functions.{count => cnt}

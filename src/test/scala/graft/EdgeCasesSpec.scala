@@ -429,6 +429,27 @@ class EdgeCasesSpec extends SparkSpec {
     assert(!out(7L)._2 && !out(8L)._2, "all-null group must drop cleanly")
   }
 
+  test("zero-norm corpus vectors rank LAST, not first: the NaN cosine " +
+      "guard on the ranking paths") {
+    import graft.ops.SimilaritySearch
+    // Without the guard, cosine(q, 0-vector) = 0/0 = NaN, and Spark
+    // orders NaN ABOVE every real value under desc — the degenerate
+    // row would be the #1 neighbor of every query.
+    val corpus = Seq(
+      (1L, Array(1f, 0f)), (2L, Array(0.9f, 0.1f)), (3L, Array(0.5f, 0.5f)),
+      (99L, Array(0f, 0f))).toDF("id", "features")
+    val q = Seq((1L, Array(1f, 0f))).toDF("id", "features")
+    val top = SimilaritySearch.bruteForceTopK(corpus, q, 2)
+      .orderBy("rank").collect().map(_.getLong(2)).toSeq
+    assert(top == Seq(2L, 3L), s"zero vector poisoned the top-k: $top")
+    // With k exceeding the real candidates it may appear — but as the
+    // visibly-degenerate tail (cosine -2), never above a real hit.
+    val last = SimilaritySearch.bruteForceTopK(corpus, q, 3)
+      .orderBy(desc("rank")).collect()(0)
+    assert(last.getLong(2) == 99L && last.getDouble(3) == -2.0,
+      s"degenerate row not at the tail: $last")
+  }
+
   test("graphHealth: empty and zero-edge graphs yield the zeroed census; " +
       "isolated nodes count toward n_nodes and min_deg") {
     import graft.ops.GraphSearch
