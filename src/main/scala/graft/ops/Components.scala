@@ -74,8 +74,12 @@ object Components {
         .join(comp.select(col("id").as("v"), col("comp")), "v")
         .groupBy(col("u").as("id"))
         .agg(min(col("comp")).as("nm"))
-      val propagated = comp.join(nbrMin, Seq("id"), "left_outer")
-        .select(col("id"), least(col("comp"), coalesce(col("nm"), col("comp"))).as("comp"))
+      // Truncated BEFORE the self-join: the compress step references
+      // `propagated` on both sides, and without materialization the
+      // propagate join + neighbor-min aggregation would execute twice
+      // per round — doubled work in the O(log d)-round critical path.
+      val propagated = truncate(comp.join(nbrMin, Seq("id"), "left_outer")
+        .select(col("id"), least(col("comp"), coalesce(col("nm"), col("comp"))).as("comp")))
       // Pointer doubling: comp ← comp(comp). Labels are ids, so the
       // lookup is a self-join; left_outer because a label may already be
       // a component root whose own row maps to itself.
@@ -92,6 +96,14 @@ object Components {
     comp.select(col("id"), col("comp").as("component"))
   }
 
-  private def checksum(comp: DataFrame): Long =
-    comp.agg(coalesce(sum(col("comp")), lit(0L))).head().getLong(0)
+  /** Convergence checksum: the label sum, in DECIMAL(38,0). Labels
+    * only ever decrease (least() then root compression), so an
+    * unchanged sum means an unchanged labeling. BIGINT would overflow
+    * at the advertised scale (billions of nodes × 1e18-magnitude
+    * hashed ids) — Spark 4's ANSI default then THROWS mid-job, and a
+    * wraparound sum could alias two successive rounds; the decimal sum
+    * is exact to 10^38. */
+  private def checksum(comp: DataFrame): java.math.BigDecimal =
+    comp.agg(coalesce(sum(col("comp").cast("decimal(38,0)")),
+      lit(0).cast("decimal(38,0)"))).head().getDecimal(0)
 }

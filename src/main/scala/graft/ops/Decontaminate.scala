@@ -91,6 +91,12 @@ object Decontaminate {
                       n: Int): DataFrame =
     df.select(col(idCol).as("id"),
         explode(array_distinct(Dedup.shingles(col(textCol), n))).as("s"))
+      // A null text yields the [null] shingle, and xxhash64(null) is
+      // the bare seed CONSTANT — one null-text bench row would then
+      // collide with every null-text corpus doc and flag it 100%
+      // contaminated. Null grams carry no content; drop them (a
+      // null-text doc simply has zero grams).
+      .filter(col("s").isNotNull)
       .select(col("id"), xxhash64(col("s")).as("g"))
 
   private def countOverlap(corpusGrams: DataFrame, benchGrams: DataFrame,

@@ -48,10 +48,15 @@ object Multimodal {
   def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Array[Float]) = {
     val w = 16 + (bytes.length % 624)
     val h = 16 + (if (bytes.nonEmpty) bytes(0) & 0xff else 0)
-    val feats = Array.tabulate(8)(i =>
-      if (bytes.length > i) (bytes(i) & 0xff) / 255.0f else 0.0f)
-    (w, h, 3, feats)
+    (w, h, 3, byteFeatures(bytes))
   }
+
+  /** THE byte-derived 8-float fallback feature vector — single
+    * definition shared by the stub decode and both feature kernels so
+    * the oracle-pinned formula cannot drift between paths. */
+  def byteFeatures(bytes: Array[Byte]): Array[Float] =
+    Array.tabulate(8)(i =>
+      if (bytes.length > i) (bytes(i) & 0xff) / 255.0f else 0.0f)
 
   /** Cheap magic-byte sniff for the formats the JVM-bundled readers
     * handle (PNG/JPEG/GIF/BMP). Gate BEFORE ImageIO: the reader-registry
@@ -143,7 +148,13 @@ object Multimodal {
         val bits = fmt.getSampleSizeInBits
         val pcm = fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED ||
           fmt.getEncoding == AudioFormat.Encoding.PCM_UNSIGNED
-        if (frames <= 0 || frames > Int.MaxValue || !pcm || (bits != 8 && bits != 16)) None
+        // getFrameSize/getSampleRate can be AudioSystem.NOT_SPECIFIED
+        // (-1) from a third-party SPI: a negative frameBytes would give
+        // a negative frame count and silently return zeroed features
+        // where the contract is None -> decodeStub.
+        if (frames <= 0 || frames > Int.MaxValue || !pcm ||
+            (bits != 8 && bits != 16) ||
+            fmt.getFrameSize <= 0 || !(fmt.getSampleRate > 0)) None
         else {
           val channels = fmt.getChannels
           val frameBytes = fmt.getFrameSize
@@ -297,16 +308,14 @@ object Multimodal {
     * pass over the whole batch (the reason batching exists); here each
     * blob maps to its deterministic byte-derived 8-float vector. */
   def featureKernelStub(batch: Array[Array[Byte]]): Array[Array[Float]] =
-    batch.map(bytes => Array.tabulate(8)(i =>
-      if (bytes.length > i) (bytes(i) & 0xff) / 255.0f else 0.0f))
+    batch.map(byteFeatures)
 
   /** Batch feature kernel backed by the REAL image decode (per-strip
     * mean luminance via ImageIO); stub byte-features for blobs no codec
     * claims. In production the batch maps to one model forward pass;
     * the decode step here is already real for images. */
   def imageFeatureKernel(batch: Array[Array[Byte]]): Array[Array[Float]] =
-    batch.map(b => decodeImage(b).map(_._4).getOrElse(
-      Array.tabulate(8)(i => if (b.length > i) (b(i) & 0xff) / 255.0f else 0.0f)))
+    batch.map(b => decodeImage(b).map(_._4).getOrElse(byteFeatures(b)))
 
   /** Batched feature extraction — the Scala analog of a Pandas-UDF
     * `mapInPandas` pipeline: the kernel receives a BATCH of blobs at
@@ -492,6 +501,12 @@ object Multimodal {
     * row per sampled frame (every `stride`-th). Pure Column ops —
     * codegen'd, no UDF. */
   def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 2): DataFrame = {
+    // Fail fast at the call site: stride = 0 would evaluate i % 0 per
+    // element mid-job (ANSI divide-by-zero / silent all-dropped under
+    // legacy), frameSize = 0 hits ceil(Infinity) — the extractFeatures
+    // batchSize convention.
+    require(frameSize >= 1 && stride >= 1,
+      s"bad sampling: frameSize=$frameSize stride=$stride")
     val nFrames = ceil(length(col("media")).cast("double") / frameSize).cast("int")
     media
       .withColumn("n_frames", nFrames)

@@ -80,12 +80,17 @@ object Packing {
         (id, n, start)
       }
     }
-    val span = greatest(col("n_tokens"), lit(1L))
+    // Integral `div`, not floor(double /): Long/Long divides as
+    // DOUBLES in Spark, exact only below 2^53 — past ~9e15 stream
+    // offsets (the module's unbounded-corpus pitch) the rounded
+    // quotient can land a doc in the wrong chunk, silently
+    // disagreeing with chunkManifest's exact Long bounds (and with
+    // the oracle's `//`). `div` is exact at any offset.
     spark.createDataFrame(placedRdd)
       .toDF("id", "n_tokens", "start_off")
-      .withColumn("chunk_first", floor(col("start_off") / budget))
+      .withColumn("chunk_first", expr(s"start_off div ${budget}L"))
       .withColumn("chunk_last",
-        floor((col("start_off") + span - 1) / budget))
+        expr(s"(start_off + greatest(n_tokens, 1L) - 1) div ${budget}L"))
       .withColumn("n_chunks",
         col("chunk_last") - col("chunk_first") + lit(1L))
       .withColumnRenamed("id", idCol)

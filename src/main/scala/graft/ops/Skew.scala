@@ -28,9 +28,11 @@ object Skew {
     pmod(xxhash64(cols: _*), lit(salts))
   }
 
-  /** Two-phase salted aggregation: `aggs` must be algebraic pairs of
-    * (partial expression, final re-aggregation) — the common case of
-    * count/sum is provided by [[saltedCounts]]. */
+  /** Two-phase salted COUNT per key: partial counts per (key, salt),
+    * then the per-key sum — the count instance of the generic
+    * algebraic-aggregate pattern (any aggregate with a partial form +
+    * re-aggregation salts the same way; holistic aggregates do not and
+    * need a different strategy). */
   def saltedCounts(df: DataFrame, key: Column, salts: Int = 16,
       saltCols: Seq[Column] = Nil): DataFrame = {
     df.groupBy(key.as("key"), contentSalt(df, saltCols, salts).as("salt"))
