@@ -19,7 +19,21 @@ object Similarity {
 
   /** Euclidean distance over primitive float arrays (single fused pass —
     * the reference's subtract-then-norm, `NND.scala:287-298`, without the
-    * intermediate vector allocation). */
+    * intermediate vector allocation).
+    *
+    * Precision contract: the difference is taken in FLOAT (`a(i)-b(i)`
+    * rounds to float before widening) — the reference's own arithmetic,
+    * and what every NND pin was measured against. The codegen
+    * `VectorL2` subtracts in DOUBLE, so the two kernels can differ in
+    * the last ulp; within one lifecycle that is irrelevant (each path
+    * is self-consistent), but sims STORED by one kernel and RE-derived
+    * by the other (e.g. `appendToGraph` lists folded into
+    * `updateGraph`) may not be bit-equal, and `TopKAggregator`'s
+    * (dst, sim) duplicate-merge then sees two entries for one
+    * neighbor. Aligning both kernels to double-subtraction is the
+    * clean fix; it moves every NND similarity by <= 1 ulp and so
+    * requires re-measuring the whole NND pin family in the same
+    * change. */
   def l2(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length, s"vector size mismatch: ${a.length} vs ${b.length}")
     var s = 0.0

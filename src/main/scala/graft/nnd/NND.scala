@@ -346,12 +346,28 @@ object NND {
     * per-iteration shuffle once the cascade saturates. For appends
     * where even that is too much, serve the increment from the
     * persisted graph (n03 + beam search, or the s16 IVF append) and
-    * fold it in at the next scheduled rebuild. */
+    * fold it in at the next scheduled rebuild.
+    *
+    * Finished-point semantics: a point newly marked `finished = true`
+    * gets null neighbors for its OWN row, but entries referencing it
+    * inside other nodes' pre-existing lists are NOT purged — stable
+    * lists pass through verbatim (that is the whole carve-out), and
+    * re-merged lists may re-admit it as an old candidate. Callers that
+    * retire points must drop them from `existing`'s neighbor arrays
+    * first (one edge-table filter) or schedule a rebuild; the common
+    * case — appends with a static finished set — is unaffected. */
   def updateGraph(input: DataFrame, existing: DataFrame, p: Params = Params()): DataFrame = {
     require(input.columns.contains("id") && input.columns.contains("features"),
       s"updateGraph input needs 'id' and 'features' columns; got [${input.columns.mkString(", ")}]")
     require(existing.columns.contains("id") && existing.columns.contains("neighbors"),
       s"existing graph needs 'id' and 'neighbors' columns; got [${existing.columns.mkString(", ")}]")
+    // Same parameter gate as buildGraph: k = 0 would otherwise run all
+    // iterations on empty candidate lists (0/0 convergence ratio is
+    // NaN, never <= earlyTermination) and return garbage silently.
+    require(p.k > 0, s"k must be positive, got ${p.k}")
+    require(p.sampleRate > 0, s"sampleRate must be positive, got ${p.sampleRate}")
+    require(p.bucketsPerInstance > 0,
+      s"bucketsPerInstance must be positive, got ${p.bucketsPerInstance}")
     val spark = input.sparkSession
     import spark.implicits._
 

@@ -46,10 +46,17 @@ object GraphSearch {
 
     def score(cands: DataFrame): DataFrame =
       cands.join(c, "node").join(q, "query_id")
-        .withColumn("cosine", vector_dot(col("v_q"), col("v_c")) / (col("n_q") * col("n_c")))
+        // cosine_ranked: beam selection sorts desc, so a zero-norm
+        // node's NaN would otherwise occupy the #1 beam slot of every
+        // query (the fleet-wide ranking-path guard).
+        .withColumn("cosine", graft.functions.VectorFunctions.cosine_ranked(
+          vector_dot(col("v_q"), col("v_c")), col("n_q"), col("n_c")))
         .select("query_id", "node", "cosine")
 
-    // Deterministic shared entry points: smallest feature-hash nodes.
+    // Deterministic shared entry points: the `seeds` smallest nodes by
+    // id-hash order — a fixed, embedding-independent entry set (ids
+    // hash uniformly, so the set is a random-looking but stable sample
+    // of the corpus; diversify by raising `seeds`, not by reseeding).
     val seedNodes = corpus.select(col("id").as("node"))
       .orderBy(xxhash64(col("node")), col("node")).limit(seeds)
 
@@ -65,7 +72,7 @@ object GraphSearch {
       val discovered = frontier.join(adj, "node")
         .select(col("query_id"), col("nbr").as("node"))
         .distinct()
-        .join(visited.select(col("query_id"), col("node"), lit(1).as("seen")),
+        .join(visited.select(col("query_id"), col("node")),
           Seq("query_id", "node"), "left_anti")
       visited = visited
         .unionByName(score(discovered))
@@ -120,7 +127,16 @@ object GraphSearch {
     * unions them with the untouched prior graph). Exposed so a
     * per-micro-batch serve ([[graft.streaming.AnnServe.graphAppendServe]])
     * can emit only the fresh lists without paying a full prior-graph
-    * union-then-filter per batch. */
+    * union-then-filter per batch.
+    *
+    * Metric note: candidate MEMBERSHIP comes from [[searchGraph]]'s
+    * cosine beam; only the kept set is re-scored with the graph's
+    * 1/(1+L2) similarity. On normalized (or near-equal-norm)
+    * embeddings the two rankings agree and the n06 pins price the
+    * residual; on wildly norm-varying embeddings a high-cosine/far-L2
+    * point can displace a true L2 neighbor BEFORE the re-score —
+    * normalize the embedding column first (the standard serving
+    * practice), or beam-search by L2 (a pin-refamily change). */
   private[graft] def appendedLists(graph: DataFrame, corpus: DataFrame,
       newPoints: DataFrame, k: Int, beam: Int, hops: Int,
       seeds: Int): DataFrame = {
@@ -226,6 +242,9 @@ object GraphSearch {
       .localCheckpoint(true)
     var r = 1
     var grew = true
+    // Carried across rounds so growth detection is ONE count() action
+    // per round, not a re-count of the prior table too.
+    var nLabeled = labeled.count()
     while (r <= iters && grew) {
       val votes = edges
         .join(labeled.select(col("id").as("nbr"), col("lab").as("nbr_lab")),
@@ -238,7 +257,9 @@ object GraphSearch {
         .select(col("node").as("id"), (-col("m.nl")).cast("int").as("lab"),
           lit(r).as("round"))
       val next = labeled.unionByName(votes).localCheckpoint(true)
-      grew = next.count() > labeled.count()
+      val n = next.count()
+      grew = n > nLabeled
+      nLabeled = n
       labeled = next
       r += 1
     }
