@@ -21,25 +21,23 @@ object Similarity {
     * the reference's subtract-then-norm, `NND.scala:287-298`, without the
     * intermediate vector allocation).
     *
-    * Precision contract: the difference is taken in FLOAT (`a(i)-b(i)`
-    * rounds to float before widening) — the reference's own arithmetic,
-    * and what every NND pin was measured against. The codegen
-    * `VectorL2` subtracts in DOUBLE, so the two kernels can differ in
-    * the last ulp; within one lifecycle that is irrelevant (each path
-    * is self-consistent), but sims STORED by one kernel and RE-derived
-    * by the other (e.g. `appendToGraph` lists folded into
-    * `updateGraph`) may not be bit-equal, and `TopKAggregator`'s
-    * (dst, sim) duplicate-merge then sees two entries for one
-    * neighbor. Aligning both kernels to double-subtraction is the
-    * clean fix; it moves every NND similarity by <= 1 ulp and so
-    * requires re-measuring the whole NND pin family in the same
-    * change. */
+    * Precision contract: each element is promoted to DOUBLE before the
+    * subtraction — the same arithmetic as the codegen `VectorL2`
+    * expression and the `zip_with`/`aggregate` column form, so all
+    * three kernels are bit-identical on identical inputs
+    * (VectorExpressionsSpec pins the parity on adversarial floats).
+    * That cross-kernel equality is load-bearing: similarities STORED
+    * by one kernel and RE-derived by another (appendToGraph lists
+    * folded into a later updateGraph, graph sims compared against
+    * column-form re-scores) must collapse to one entry in
+    * `TopKAggregator`'s (dst, sim) duplicate-merge. The NND pin
+    * family was re-measured against this kernel (round 9). */
   def l2(a: Array[Float], b: Array[Float]): Double = {
     require(a.length == b.length, s"vector size mismatch: ${a.length} vs ${b.length}")
     var s = 0.0
     var i = 0
     while (i < a.length) {
-      val d = (a(i) - b(i)).toDouble
+      val d = a(i).toDouble - b(i).toDouble
       s += d * d
       i += 1
     }

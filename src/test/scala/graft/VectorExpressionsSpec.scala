@@ -33,6 +33,44 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(diff == 0)
   }
 
+  test("JVM kernel bit-equals the codegen kernel on adversarial floats") {
+    // Cross-kernel parity contract (Similarity.l2 scaladoc): the typed
+    // JVM kernel the NND core runs and the codegen VectorL2 expression
+    // must agree to the BIT, or sims stored by one path and re-derived
+    // by the other (appendToGraph lists folded into updateGraph) split
+    // into two TopKAggregator entries for one neighbor. The fixture is
+    // chosen to catch single-precision subtraction: (2^25, 1f) differs
+    // between float-sub (rounds to 2^25) and double-sub (exact 2^25-1),
+    // so a kernel that subtracts in float FAILS here; subnormals and
+    // mixed-exponent randoms cover rounding at the other extreme.
+    val rnd = new scala.util.Random(7)
+    val adversarial: Seq[(Array[Float], Array[Float])] = Seq(
+      (Array(33554432f, 1f, Float.MinPositiveValue),
+        Array(1f, 33554432f, -Float.MinPositiveValue)),
+      (Array(1.0000001f, -1.0000001f), Array(1f, -1f)),
+      (Array(1e30f, 1e-30f), Array(-1e30f, -1e-30f))) ++
+      Seq.fill(100) {
+        def v = Array.fill(8)(
+          (rnd.nextFloat() - 0.5f) * math.pow(2.0, rnd.nextInt(41) - 20).toFloat)
+        (v, v)
+      }
+    import spark.implicits._
+    val df = adversarial.toDF("va", "vb")
+      .select(col("va"), col("vb"),
+        vector_l2(col("va"), col("vb")).as("l2"),
+        vector_l2_sim(col("va"), col("vb")).as("sim"))
+    df.collect().foreach { r =>
+      val va = r.getSeq[Float](0).toArray
+      val vb = r.getSeq[Float](1).toArray
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(2)) ==
+        java.lang.Double.doubleToLongBits(Similarity.l2(va, vb)),
+        s"l2 mismatch on ${va.toSeq} vs ${vb.toSeq}: codegen=${r.getDouble(2)} jvm=${Similarity.l2(va, vb)}")
+      assert(java.lang.Double.doubleToLongBits(r.getDouble(3)) ==
+        java.lang.Double.doubleToLongBits(Similarity.l2Sim(va, vb)),
+        s"l2Sim mismatch on ${va.toSeq} vs ${vb.toSeq}")
+    }
+  }
+
   test("native expressions participate in whole-stage codegen") {
     val df = pairs.select(vector_dot(col("va"), col("vb")))
     df.collect() // finalize the adaptive plan
