@@ -25,6 +25,12 @@ object GraphSearch {
     * @param beam    frontier width per hop
     * @param hops    expansion rounds
     * @param seeds   size of the shared deterministic entry-point set
+    * @param metric  beam-ranking metric: "cosine" (angle search — the
+    *   s03/n03 serving default) or "l2sim" (the graph's own 1/(1+L2),
+    *   so beam membership, final ranking, and the stored adjacency all
+    *   use ONE metric — what [[appendedLists]] needs)
+    * @return (query_id, rank, nbr_id, score) — `score` in the chosen
+    *   metric, rank by (score desc, id asc)
     */
   def searchGraph(
       graph: DataFrame,
@@ -33,7 +39,9 @@ object GraphSearch {
       k: Int,
       beam: Int = 20,
       hops: Int = 3,
-      seeds: Int = 8): DataFrame = {
+      seeds: Int = 8,
+      metric: String = "cosine"): DataFrame = {
+    require(metric == "cosine" || metric == "l2sim", s"unknown metric '$metric'")
 
     val adj = graph
       .select(col("id").as("node"), explode(col("neighbors")).as("nb"))
@@ -48,10 +56,14 @@ object GraphSearch {
       cands.join(c, "node").join(q, "query_id")
         // cosine_ranked: beam selection sorts desc, so a zero-norm
         // node's NaN would otherwise occupy the #1 beam slot of every
-        // query (the fleet-wide ranking-path guard).
-        .withColumn("cosine", graft.functions.VectorFunctions.cosine_ranked(
-          vector_dot(col("v_q"), col("v_c")), col("n_q"), col("n_c")))
-        .select("query_id", "node", "cosine")
+        // query (the fleet-wide ranking-path guard). l2sim needs no
+        // guard — 1/(1+L2) is total on all inputs.
+        .withColumn("score",
+          if (metric == "cosine")
+            graft.functions.VectorFunctions.cosine_ranked(
+              vector_dot(col("v_q"), col("v_c")), col("n_q"), col("n_c"))
+          else vector_l2_sim(col("v_q"), col("v_c")))
+        .select("query_id", "node", "score")
 
     // Deterministic shared entry points: the `seeds` smallest nodes by
     // id-hash order — a fixed, embedding-independent entry set (ids
@@ -60,7 +72,7 @@ object GraphSearch {
     val seedNodes = corpus.select(col("id").as("node"))
       .orderBy(xxhash64(col("node")), col("node")).limit(seeds)
 
-    val wBeam = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("node"))
+    val wBeam = Window.partitionBy("query_id").orderBy(desc("score"), asc("node"))
 
     var visited = score(q.select("query_id").crossJoin(seedNodes))
     var hop = 0
@@ -89,13 +101,13 @@ object GraphSearch {
       .filter(col("query_id") =!= col("node"))
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("cosine"))
+      .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("score"))
   }
 
   /** Cheap small-append for the K-NN graph: attach `newPoints` to an
     * EXISTING graph without any refinement — each new point's neighbor
     * list is its top-k beam-search result over the loaded graph,
-    * re-scored with the graph's own 1/(1+L2) similarity; existing
+    * searched directly in the graph's own 1/(1+L2) metric; existing
     * lists are byte-untouched. The [[graft.ops.SimilaritySearch]]
     * `appendToIvfIndex` lifecycle applied to the serving graph, and
     * the right tool when the increment is too small to justify
@@ -111,8 +123,7 @@ object GraphSearch {
     * trade of every append-only ANN index.
     *
     * Broadcast budget: the increment rides [[searchGraph]]'s
-    * broadcast-query side (and a second broadcast for the re-scoring
-    * join), so `newPoints` must fit the driver/broadcast budget — the
+    * broadcast-query side, so `newPoints` must fit the driver/broadcast budget — the
     * definition of the "small append" this exists for. An append too
     * large to broadcast should be CHUNKED into broadcastable batches
     * (each batch is independent — st22 does exactly this per
@@ -129,34 +140,26 @@ object GraphSearch {
     * can emit only the fresh lists without paying a full prior-graph
     * union-then-filter per batch.
     *
-    * Metric note: candidate MEMBERSHIP comes from [[searchGraph]]'s
-    * cosine beam; only the kept set is re-scored with the graph's
-    * 1/(1+L2) similarity. On normalized (or near-equal-norm)
-    * embeddings the two rankings agree and the n06 pins price the
-    * residual; on wildly norm-varying embeddings a high-cosine/far-L2
-    * point can displace a true L2 neighbor BEFORE the re-score —
-    * normalize the embedding column first (the standard serving
-    * practice), or beam-search by L2 (a pin-refamily change). */
+    * One metric end to end: the beam runs under [[searchGraph]]'s
+    * "l2sim" mode, so candidate membership, beam ranking, and the
+    * emitted similarities are all the graph's own 1/(1+L2) — a
+    * high-cosine/far-L2 point can no longer displace a true L2
+    * neighbor during the search (the round-8 metric-mix defect;
+    * OpsSpec pins the norm-skewed counterexample). The beam score IS
+    * the stored similarity (same codegen kernel, bit-equal to the JVM
+    * kernel that scored the prior graph), so no re-scoring join is
+    * needed at all. */
   private[graft] def appendedLists(graph: DataFrame, corpus: DataFrame,
       newPoints: DataFrame, k: Int, beam: Int, hops: Int,
-      seeds: Int): DataFrame = {
-    val found = searchGraph(graph, corpus, newPoints, k, beam, hops, seeds)
-    val feats = corpus.select(col("id").as("nbr_id"),
-      col("features").as("v_c"))
-    found
-      .join(broadcast(newPoints.select(col("id").as("query_id"),
-        col("features").as("v_q"))), "query_id")
-      .join(feats, "nbr_id")
-      .withColumn("sim",
-        vector_l2_sim(col("v_q"), col("v_c")))
+      seeds: Int): DataFrame =
+    searchGraph(graph, corpus, newPoints, k, beam, hops, seeds, metric = "l2sim")
       .groupBy(col("query_id").as("id"))
       .agg(sort_array(collect_list(struct(
-        (-col("sim")).as("neg"), col("nbr_id").as("id"),
-        col("sim").as("similarity")))).as("srt"))
+        (-col("score")).as("neg"), col("nbr_id").as("id"),
+        col("score").as("similarity")))).as("srt"))
       .select(col("id"),
         expr("transform(srt, x -> struct(x.id as id, x.similarity as similarity))")
           .as("neighbors"))
-  }
 
   /** Graph health audit — the REBUILD TRIGGER of the append-and-serve
     * lifecycle: per graph, node/edge counts, degree spread, and

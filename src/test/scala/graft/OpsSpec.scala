@@ -866,6 +866,42 @@ class OpsSpec extends SparkSpec {
     assert(mean >= 0.9, s"recall $mean below the s03 operating point")
   }
 
+  test("graph append beams by L2: a far-L2/high-cosine decoy cannot displace a true neighbor") {
+    // The round-8 metric-mix counterexample: the query is (1, 0); n1 at
+    // (1, 0.1) is its true L2 neighbor (d ~ 0.1); six decoys sit exactly
+    // ON the query's ray at 10x the radius (cosine = 1.0, L2 distance
+    // >= 9). A cosine-ranked beam puts every decoy above n1 and the
+    // beam bound evicts it BEFORE any re-score; the unified L2 beam
+    // must keep n1 at rank 1 of the appended list.
+    import spark.implicits._
+    val corpusRows =
+      (1L, Array(1f, 0.1f)) +: (2L to 7L).map(i => (i, Array(i * 10f, 0f)))
+    val corpus = corpusRows.toDF("id", "features")
+    // Fully connected hand graph so reachability can't mask the ranking.
+    val ids = corpusRows.map(_._1)
+    val graph = ids.map(i =>
+        (i, ids.filter(_ != i).map(j => (j, 0.5)).toArray))
+      .toDF("id", "neighbors")
+      .select(col("id"),
+        expr("transform(neighbors, x -> struct(x._1 as id, x._2 as similarity))")
+          .as("neighbors"))
+    val newPoint = Seq((100L, Array(1f, 0f))).toDF("id", "features")
+    val appended = graft.ops.GraphSearch.appendToGraph(
+        graph, corpus, newPoint, k = 1, beam = 1, hops = 1, seeds = 2)
+      .filter(col("id") === 100L)
+      .select(explode(col("neighbors")).as("nb"))
+      .select(col("nb.id"), col("nb.similarity"))
+      .collect()
+    assert(appended.length == 1)
+    assert(appended(0).getLong(0) == 1L,
+      s"decoy displaced the true L2 neighbor: got ${appended(0)}")
+    val sim = appended(0).getDouble(1)
+    val want = graft.core.Similarity.l2Sim(Array(1f, 0f), Array(1f, 0.1f))
+    assert(java.lang.Double.doubleToLongBits(sim) ==
+      java.lang.Double.doubleToLongBits(want),
+      s"appended sim $sim not bit-equal to the JVM kernel's $want")
+  }
+
   test("embedding near-dup threshold has a safe float margin") {
     val cos = Dedup.embeddingPairs(emb, "id", "features", 0.0)
       .select("cosine").collect().map(_.getDouble(0))
