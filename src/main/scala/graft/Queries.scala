@@ -2722,7 +2722,14 @@ object Queries {
     * syntax) and paste the output here IN THE SAME COMMIT as the
     * behavior change. Last measured 2026-08-13 (round 6, all queries,
     * zero drift) at lshTopK planes=8/tables=24/radius=1, ivfTopK
-    * nCells=32/nProbe=16. */
+    * nCells=32/nProbe=16. NND family (n01-n07, s03, st22) re-measured
+    * 2026-08-14 (round 9) across the double-subtraction kernel
+    * unification, the n06 L2 beam, and the updateGraph finished-point
+    * purge: zero drift at all three SFs — the fixture's floats never
+    * flip a ranking on the <=1-ulp kernel move, its near-uniform norms
+    * make cosine and L2 beam membership coincide (the metric-mix fix
+    * shows up on norm-skewed data only, pinned in OpsSpec), and the
+    * purge subtree folds away when nothing is finished. */
   val pinnedValues: Seq[(String, Seq[(String, (Long, Long, Long))])] = Seq(
     "s02_ann_lsh" -> Seq(
       "n_hits" -> (177L, 191L, 190L), "n_total" -> (200L, 200L, 200L)),

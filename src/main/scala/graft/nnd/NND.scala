@@ -349,13 +349,15 @@ object NND {
     * fold it in at the next scheduled rebuild.
     *
     * Finished-point semantics: a point newly marked `finished = true`
-    * gets null neighbors for its OWN row, but entries referencing it
-    * inside other nodes' pre-existing lists are NOT purged — stable
-    * lists pass through verbatim (that is the whole carve-out), and
-    * re-merged lists may re-admit it as an old candidate. Callers that
-    * retire points must drop them from `existing`'s neighbor arrays
-    * first (one edge-table filter) or schedule a rebuild; the common
-    * case — appends with a static finished set — is unaffected. */
+    * gets null neighbors for its OWN row, AND entries referencing it
+    * inside other nodes' pre-existing lists are purged up front (one
+    * narrow edge-table filter with a carve-out — only lists actually
+    * holding a finished neighbor regroup; the subtree folds away
+    * entirely when nothing is finished), so retirement cannot
+    * resurface via old candidates. A purged hole refills when NN-
+    * descent touches that list; a list emptied entirely re-enters as
+    * a new point. EdgeCasesSpec pins the retire-between-build-and-
+    * update case. */
   def updateGraph(input: DataFrame, existing: DataFrame, p: Params = Params()): DataFrame = {
     require(input.columns.contains("id") && input.columns.contains("features"),
       s"updateGraph input needs 'id' and 'features' columns; got [${input.columns.mkString(", ")}]")
@@ -405,10 +407,46 @@ object NND {
       math.max(1L, math.ceil(counts.values.max.toDouble * bpi / (2.0 * k)).toLong)
 
     // Prior lists (all-old flags); ids absent here are the increment.
-    val priorLists = existing
+    val priorListsRaw = existing
       .select(col("id").cast("long").as("id"),
         col("neighbors").cast("array<struct<id:bigint,similarity:double>>").as("neighbors"))
       .filter(col("neighbors").isNotNull)
+
+    // Finished-point purge: a point marked `finished` in THIS update's
+    // input gets null neighbors for its own row (it is absent from
+    // `nodes`), but entries referencing it inside other nodes' prior
+    // lists must also go — stable lists pass through verbatim and
+    // re-merged lists re-admit old candidates, so without this filter
+    // retirement silently resurfaces. Carve-out shape: one narrow
+    // explode locates the affected lists (left_semi on the finished
+    // set), only those regroup (sim desc, id asc — the TopKAggregator
+    // order); everyone else passes by anti-join untouched. In the
+    // common no-finished-column case the filter below folds to an
+    // empty relation and Catalyst's PropagateEmptyRelation deletes
+    // the whole purge subtree at plan time. A list whose every entry
+    // was purged drops out of the prior set entirely and re-enters as
+    // a NEW point (fresh init draws) — its old list carried no
+    // surviving information.
+    val finishedIds = base.filter(col("finished"))
+      .select(col("id").cast("long").as("fid"))
+    val priorEdges = priorListsRaw
+      .select(col("id"), explode(col("neighbors")).as("nb"))
+    val purgeAffected = priorEdges
+      .join(finishedIds, col("nb.id") === col("fid"), "left_semi")
+      .select(col("id")).distinct()
+    val purgedLists = priorEdges
+      .join(purgeAffected, Seq("id"), "left_semi")
+      .join(finishedIds, col("nb.id") === col("fid"), "left_anti")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(
+        (-col("nb.similarity")).as("neg"), col("nb.id").as("id"),
+        col("nb.similarity").as("similarity")))).as("srt"))
+      .select(col("id"),
+        expr("transform(srt, x -> struct(x.id as id, x.similarity as similarity))")
+          .as("neighbors"))
+    val priorLists = priorListsRaw
+      .join(purgeAffected, Seq("id"), "left_anti")
+      .unionByName(purgedLists)
       .as[NeighborList]
     var stable: Dataset[FlaggedList] = truncate(
       priorLists.toDF().join(nodes.toDF().select($"id"), Seq("id"), "left_semi")

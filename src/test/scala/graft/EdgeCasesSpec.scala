@@ -227,6 +227,33 @@ class EdgeCasesSpec extends SparkSpec {
     assert(out.count() == 1 && out.filter(col("neighbors").isNull).count() == 1)
   }
 
+  test("updateGraph purges a point finished between build and update from every list") {
+    // 20 points on a line; point 7 is retired (finished=true) in the
+    // update input. Its own row must come back with null neighbors AND
+    // no other node's list may still reference it — the round-8 defect
+    // was exactly that stable lists carried it through verbatim and
+    // the merge re-admitted it as an old candidate.
+    val pts = (0 until 20).map(i => (i.toLong, Array(i.toFloat, 0f)))
+    val built = NND.buildGraph(pts.toDF("id", "features"),
+      NND.Params(k = 4, maxIterations = 3))
+    assert(built.select("id", "neighbors")
+      .select(explode(col("neighbors")).as("nb"))
+      .filter(col("nb.id") === 7L).count() > 0,
+      "fixture must reference point 7 before retirement for the purge to mean anything")
+    val updated = NND.updateGraph(
+      pts.toDF("id", "features")
+        .withColumn("finished", col("id") === 7L),
+      built.select("id", "neighbors"),
+      NND.Params(k = 4, maxIterations = 2))
+    assert(updated.filter(col("id") === 7L)
+      .filter(col("neighbors").isNull).count() == 1,
+      "retired point's own row must carry null neighbors")
+    val stale = updated.filter(col("neighbors").isNotNull)
+      .select(explode(col("neighbors")).as("nb"))
+      .filter(col("nb.id") === 7L).count()
+    assert(stale == 0, s"$stale lists still reference the retired point")
+  }
+
   test("unigramLogProb: empty corpus yields an empty frame, not a crash") {
     val empty = Seq.empty[(Long, String)].toDF("doc_id", "text")
     val out = graft.ops.TextAnalysis.unigramLogProb(empty)
