@@ -638,6 +638,18 @@ object Queries {
       ops.Dedup.dupSpanRemove(docs(s, dir), "doc_id", "text",
         keepFirst = true)),
 
+    // Variable-length EXACT-SUBSTRING dedup (Lee et al.'s ExactSubstr
+    // semantics — the suffix-array half that d13's fixed trigrams
+    // approximate): tokens inside any >= 20-token substring occurring
+    // >= 2 times in the corpus (total occurrences — within-document
+    // repeats count) are deleted. W = 20 scales the paper's 50-BPE
+    // rule to the fixture's ~130-token documents; the rolling 8-byte
+    // window keys + exact sliver verify make the result bit-identical
+    // to the text-level oracle (no hash-equivalence caveat).
+    "d18_substr_remove" -> ((s, dir) =>
+      ops.Dedup.exactSubstrRemove(docs(s, dir), "doc_id", "text",
+        minLen = 20)),
+
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
@@ -1015,6 +1027,36 @@ object Queries {
         |  SELECT sp.doc_id, sp.p, unnest(range(sp.l)) AS off
         |  FROM spans sp JOIN dup d USING (s)
         |  WHERE sp.doc_id <> d.keep_id)),
+        |toks AS (SELECT doc_id,
+        |  unnest([{'p': i - 1, 'tok': w[i]} for i in range(1, len(w) + 1)],
+        |    recursive := true)
+        |  FROM w)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(count(c.cp) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN c.cp IS NULL THEN t.tok END, ' '
+        |    ORDER BY t.p), '') AS clean_text
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // Mirrors the Spark semantics at the text level: positioned
+    // 20-token windows (docs shorter than 20 tokens have none — the
+    // absolute-threshold rule), duplication by TOTAL occurrence count
+    // (no DISTINCT doc — within-document repeats count, the Lee et al.
+    // ExactSubstr convention), coverage and rebuild as in d13. The
+    // Spark side's rolling-hash candidates are text-verified before
+    // coverage, so this text-level oracle is bit-exact by construction
+    // — no 64-bit-collision equivalence caveat.
+    "d18_substr_remove" ->
+      """WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
+        |wins AS (
+        |  SELECT doc_id, unnest(
+        |    [{'p': i - 1, 's': array_to_string(w[i:i+19], ' ')}
+        |     for i in range(1, len(w) - 18)], recursive := true)
+        |  FROM w WHERE len(w) >= 20),
+        |dup AS (SELECT s FROM wins GROUP BY s HAVING count(*) >= 2),
+        |cov AS (SELECT DISTINCT doc_id, p + off AS cp FROM (
+        |  SELECT wi.doc_id, wi.p, unnest(range(20)) AS off
+        |  FROM wins wi JOIN dup USING (s))),
         |toks AS (SELECT doc_id,
         |  unnest([{'p': i - 1, 'tok': w[i]} for i in range(1, len(w) + 1)],
         |    recursive := true)

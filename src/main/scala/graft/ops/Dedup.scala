@@ -873,6 +873,98 @@ object Dedup {
         col("clean_text"))
   }
 
+  /** Variable-length EXACT-SUBSTRING dedup — Lee et al.'s
+    * (arXiv:2107.06499 §4.1, "ExactSubstr") production semantics that
+    * [[dupSpanRemove]] approximates with fixed trigrams: delete every
+    * token lying inside a duplicated substring of length >= `minLen`
+    * tokens, where "duplicated" counts TOTAL corpus occurrences (a
+    * passage repeated twice inside one document is a duplicate; the
+    * paper treats the corpus as one string via a suffix array).
+    *
+    * Window reduction instead of a distributed suffix array: a token
+    * sits inside some duplicated substring of length >= W iff it sits
+    * inside some duplicated W-token window — every position of a
+    * dup substring of length L >= W is covered by one of its L-W+1
+    * windows (each of which occurs wherever the substring does), and
+    * any dup window IS a dup substring of length W. So exact window-
+    * coverage equals exact substring-coverage, and the maximal-
+    * duplicated-span union falls out of the same coverage merge. This
+    * is the standard MapReduce-able restatement; the suffix array buys
+    * the paper O(corpus) construction on one machine, not different
+    * semantics.
+    *
+    * Scale shape — the W-window stream must NOT materialize W-token
+    * strings (at the paper's W = 50 that is a 50x corpus inflation on
+    * the wire, the reason d13 stops at trigrams): each document hashes
+    * its tokens once, then every anchor folds its W token-hashes into
+    * one signed-64 cyclic key (rotate-XOR, the Buzhash rolling-hash
+    * family, computed locally per row), so the
+    * occurrence-count aggregation shuffles ~8 bytes per token position
+    * regardless of W, with map-side combine collapsing hot windows
+    * before the wire. Only anchors whose KEY count reaches 2 re-derive
+    * their window text (an id-keyed join over the candidate sliver)
+    * and are re-counted by exact text — so 64-bit collisions are
+    * VERIFIED AWAY, not accepted: the result is bit-identical to the
+    * text-level oracle by construction, unlike the d12/d13
+    * hash-equivalence caveat. Coverage then expands the duplicated
+    * sliver <= W positions per occurrence, and only touched documents
+    * enter the token-level rebuild (the [[dupSpanRemove]] carve-out).
+    *
+    * Documents shorter than `minLen` tokens cannot contain a
+    * qualifying substring and pass through verbatim (no d12-style
+    * whole-text fallback — the paper's threshold is absolute).
+    *
+    * @return (idCol, n_tokens, n_removed, clean_text) per document */
+  def exactSubstrRemove(df: DataFrame, idCol: String, textCol: String,
+      minLen: Int = 50): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val w = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      split(col(textCol), " ").as("w"))
+    // Per-anchor rolling keys: 8 B each, window text stays in the row.
+    // Cyclic (Buzhash-style) combine — rotate-left-1 then XOR — is
+    // order-sensitive like a polynomial hash but pure bit ops, so it
+    // cannot trip ANSI overflow the way wraparound multiply-add does.
+    val wins = w.filter(size(col("w")) >= minLen)
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, size(w) - $minLen),
+           |  p -> aggregate(slice(transform(w, t -> xxhash64(t)), p + 1, $minLen),
+           |    0L, (acc, x) -> (shiftleft(acc, 1) | shiftrightunsigned(acc, 63)) ^ x))""".stripMargin)))
+      .select(col("id"), col("pos").as("p"), col("col").as("g"))
+    // Total-occurrence count (within-document repeats count), then the
+    // exact-text verify over the candidate sliver only.
+    val hotKeys = wins.groupBy("g").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2).select("g")
+    val candTxt = wins.join(hotKeys, Seq("g"), "left_semi")
+      .join(w.select(col("id"), col("w")), "id")
+      .select(col("id"), col("p"),
+        array_join(slice(col("w"), col("p") + 1, lit(minLen)), " ").as("s"))
+    val dupTxt = candTxt.groupBy("s").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("s")
+    val covered = candTxt.join(dupTxt, Seq("s"), "left_semi")
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + lit(minLen - 1))).as("p"))
+      .distinct()
+      .withColumn("cov", lit(1))
+      .localCheckpoint()
+    val touched = covered.select("id").distinct()
+    val untouched = w.join(touched, Seq("id"), "left_anti")
+      .select(col("id"), size(col("w")).cast("long").as("n_tokens"),
+        lit(0L).as("n_removed"), col("text").as("clean_text"))
+    val toks = w.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(col("w")))
+      .select(col("id"), col("pos").as("p"), col("col").as("tok"))
+    val rebuilt = toks.join(covered, Seq("id", "p"), "left_outer")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_tokens"),
+        count(col("cov")).as("n_removed"),
+        array_join(sort_array(collect_list(when(col("cov").isNull,
+          struct(col("p"), col("tok"))))).getField("tok"), " ")
+          .as("clean_text"))
+    rebuilt.unionByName(untouched)
+      .select(col("id").as(idCol), col("n_tokens"), col("n_removed"),
+        col("clean_text"))
+  }
+
   /** Edit-distance verification layer over the MinHash-LSH near-dup
     * pairs — the second, INDEPENDENT verify a production fuzzy-dedup
     * pass runs before destructive deduplication: shingle-set Jaccard

@@ -175,6 +175,54 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("exactSubstrRemove equals a naive in-memory window-scrub on random corpora") {
+    // Variable-length semantics via the window reduction: a token is
+    // removed iff one of its W-token windows occurs >= 2 times in the
+    // corpus by TOTAL count. Tiny alphabet + docs up to 14 tokens at
+    // W = 4 makes cross-document window collisions, overlapping-window
+    // span merging, and boundary anchors all common. Two planted docs
+    // pin the semantics d13 cannot express: a passage repeated WITHIN
+    // one document is a duplicate (total-occurrence counting), and a
+    // doc of exactly W unique tokens survives verbatim (absolute
+    // threshold, no short-doc fallback).
+    val W = 4
+    val docGen = for {
+      n <- Gen.choose(0, 14)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield toks.mkString(" ")
+    val texts = sample(docGen, 120) ++ Seq(
+      "q r s t q r s t u", // "q r s t" twice in ONE doc -> duplicated
+      "j k l m")           // exactly W unique tokens, single occurrence
+    val corpus = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val winCount = corpus.flatMap { case (_, t) =>
+      val w = t.split(" ", -1)
+      if (w.length >= W) (0 to w.length - W).map(i => w.slice(i, i + W).mkString(" "))
+      else Seq.empty
+    }.groupBy(identity).view.mapValues(_.size).toMap
+    val expected = corpus.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val covered = (if (w.length >= W) 0 to w.length - W else Range(0, 0))
+        .filter(i => winCount(w.slice(i, i + W).mkString(" ")) >= 2)
+        .flatMap(i => i until i + W).toSet
+      val kept = w.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> ((w.length.toLong, covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = graft.ops.Dedup
+      .exactSubstrRemove(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        minLen = W)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id '${texts(id.toInt)}': ${got(id)} != $e")
+    }
+    // The planted within-document duplicate really was scrubbed, and
+    // the single-occurrence W-token doc really survived.
+    assert(got(120L)._2 == 8L, s"within-doc dup not scrubbed: ${got(120L)}")
+    assert(got(121L) == ((4L, 0L, "j k l m")), s"short doc mangled: ${got(121L)}")
+  }
+
   test("mmrDiversify equals a naive in-memory greedy on random pools and lambdas") {
     // The reference mirrors the operator's exact fixed-point contract:
     // rel_fp via HALF_UP decimal rounding (Spark's round), pairwise
