@@ -512,17 +512,29 @@ object Queries {
     // relative to corpus start, activity counted per (cohort week,
     // weeks since own signup) with one distinct-activity row per
     // (user, week). Pure integer week arithmetic (exact `div`, no
-    // float bucketing); two user-keyed aggregations + one narrow
-    // join, shuffle bounded by |users| + |active (user, week) pairs|.
+    // float bucketing); one user-keyed aggregation + one narrow join,
+    // shuffle bounded by |users| + |active (user, week) pairs|.
+    // Corpus-start t0 is derived INSIDE the job (the q43 discipline):
+    // the per-user aggregate carries each user's overall min(us)
+    // alongside the signup min, is localCheckpoint'd (|users|-sized),
+    // and both the signup table and the 1-row broadcast t0 read the
+    // checkpoint — so the per-cohort job's plan holds exactly ONE
+    // events scan (the activity join side) instead of paying a
+    // separate full-scan driver action for one scalar.
     "q42_retention_cohorts" -> ((s, dir) => {
       val e = events(s, dir).select(col("user_id"), col("event_type"),
         unix_micros(col("ts")).as("us"))
-      val signup = e.filter(col("event_type") === "signup")
-        .groupBy("user_id").agg(min(col("us")).as("su"))
-      val t0 = e.agg(min(col("us"))).head().getLong(0)
-      e.join(signup, "user_id").filter(col("us") >= col("su"))
+      val perUser = e.groupBy("user_id")
+        .agg(min(col("us")).as("mn"),
+          min(when(col("event_type") === "signup", col("us"))).as("su"))
+        .localCheckpoint()
+      val t0 = broadcast(perUser.agg(min(col("mn")).as("t0")))
+      val signup = perUser.filter(col("su").isNotNull)
+        .select(col("user_id"), col("su"))
+      e.join(signup, "user_id").crossJoin(t0)
+        .filter(col("us") >= col("su"))
         .select(col("user_id"),
-          expr(s"(su - ${t0}L) div 604800000000").as("cohort_week"),
+          expr("(su - t0) div 604800000000").as("cohort_week"),
           expr("(us - su) div 604800000000").as("weeks_since"))
         .distinct()
         .groupBy("cohort_week", "weeks_since")
@@ -2702,6 +2714,31 @@ object Queries {
       // pairs-by-shared-span join, quadratic here).
       "d12_skewed_dupspan" -> ((s, dir) =>
         ops.Dedup.dupSpanStats(skewedDocs(s, dir), "doc_id", "text")),
+      // Hot-span REMOVAL (d13's scale witness — the round-8 dedup
+      // heavyweight gets its own exhibit): the stop-phrase makes every
+      // document a scrub target, the worst case for the touched-doc
+      // carve-out. Still strictly linear — span df partial-aggs
+      // map-side, the scrub sliver is one row per (doc, hot span),
+      // coverage fans out <= n positions per occurrence, and the
+      // rebuild explodes each touched document exactly once; no
+      // pairwise stage exists for the df = N span to blow up (OpsSpec
+      // measures ~linear shuffle under 10x document-mass tiling).
+      "d13_skewed_removal" -> ((s, dir) =>
+        ops.Dedup.dupSpanRemove(skewedDocs(s, dir), "doc_id", "text")),
+      // Hot LONG-substring removal (d18's scale witness): a 24-token
+      // passage prepended to every document makes five of each doc's
+      // 20-token window keys corpus-hot and every document a scrub
+      // target — worst case for both the key-count aggregation and
+      // the touched-doc carve-out. Still linear: counts partial-agg
+      // map-side, the exact-text verify runs once per candidate
+      // anchor, coverage fans out <= W per occurrence (OpsSpec
+      // measures ~linear shuffle under 10x document-mass tiling).
+      "d18_skewed_substr" -> ((s, dir) =>
+        ops.Dedup.exactSubstrRemove(
+          docs(s, dir).withColumn("text", concat(
+            lit(Seq.fill(4)("the quick brown fox jumps over").mkString(" ") + " "),
+            col("text"))),
+          "doc_id", "text", minLen = 20)),
       // Zipf-heavy BPE training: the prepended stop-phrase makes six
       // words own ~37% of the token stream. The trainer's one corpus
       // pass partial-aggregates to the word-frequency table (map-side
@@ -2721,6 +2758,20 @@ object Queries {
       // for a hot trigram to blow up.
       "t34_skewed_trigram" -> ((s, dir) =>
         ops.TextAnalysis.backoffTrigramLogProb(skewedDocs(s, dir))),
+      // Zipf-heavy multiclass training (t32's scale witness — the
+      // heaviest bench phase gets the same exhibit as t26/t34): the
+      // stop-phrase plants six white-hot hashed feature buckets in
+      // EVERY document. Both training shuffles are feature-keyed with
+      // map-side combine — curvature dim²-bounded (one scan ever),
+      // gradient (dim+1)-keyed carrying |classes| sum columns per
+      // iteration — so hot buckets collapse per partition before the
+      // wire and the shuffle stays flat however hot the head
+      // (TrainPrepSpec measures invariance to 10x document-mass
+      // tiling at fixed feature width).
+      "t32_skewed_langid" -> ((s, dir) =>
+        ops.Classifier.multiclassSummary(
+          ops.TextAnalysis.languageId(skewedDocs(s, dir)), col("pred_lang"),
+          ops.TextAnalysis.langProfiles.map(_._1), dim = 256)),
       // Bucketing exhibit (alphabetical order runs the build first):
       // identical sort-merge aggregation over (lineitem x orders), once
       // from the pre-bucketed tables (join shuffles NEITHER side — the

@@ -76,18 +76,24 @@ object EventsStream {
     * the raw int64 already IS microseconds. Mirrors the defensive
     * normalization in [[graft.Queries.events]] so the streaming and
     * batch paths agree whichever encoding the generator used. */
-  // Memoized per directory for the SESSION: a fixture regenerated
-  // in-place with the other timestamp encoding mid-session would read
-  // through a stale divisor (1000x off). Acceptable for the bench
-  // harness — fixtures are immutable per run; if that ever changes,
-  // key the cache on the parquet footer's mtime or probe per call
-  // (it is a single footer read).
+  // Memoized per (directory, mtime): regenerating a fixture in-place
+  // with the other timestamp encoding mid-session bumps the path's
+  // mtime and misses the cache, so the divisor re-probes (one footer
+  // read) instead of reading 1000x off through a stale entry. On a
+  // path the local filesystem can't stat (e.g. a DFS URI) the mtime
+  // probe degrades to 0 — plain per-directory session memoization,
+  // the pre-round-9 behavior.
   private val tsDivisorCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
-  private def tsDivisor(spark: SparkSession, dir: String): Long =
-    tsDivisorCache.computeIfAbsent(dir, d => {
-      val t = spark.read.parquet(s"$d/events.parquet").schema("ts").dataType
+  private def tsDivisor(spark: SparkSession, dir: String): Long = {
+    val mtime =
+      try java.nio.file.Files.getLastModifiedTime(
+        java.nio.file.Paths.get(s"$dir/events.parquet")).toMillis
+      catch { case _: Exception => 0L }
+    tsDivisorCache.computeIfAbsent(s"$dir@$mtime", _ => {
+      val t = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
       if (t == LongType) 1000L else 1L
     })
+  }
 
   /** The raw streamed `ts` column as a proper microsecond TIMESTAMP. */
   private def tsCol(spark: SparkSession, dir: String): org.apache.spark.sql.Column =

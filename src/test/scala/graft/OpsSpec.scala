@@ -215,6 +215,123 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("dup-span removal stays linear when one span is white-hot") {
+    // Every document opens with the same phrase, so its 3-gram spans
+    // are corpus-wide hot (df = N). dupSpanRemove has no pairwise
+    // stage anywhere — span df partial-aggs map-side, the scrub
+    // sliver is one occurrence per (doc, span), coverage fans out <= n
+    // per occurrence — so 10x the document mass must cost ~10x the
+    // shuffle (linear), never the df² of a pairs-by-shared-span join
+    // (which would be 100x here). The bench twin is d13_skewed_removal.
+    import spark.implicits._
+    val hot = "the quick brown fox jumps over"
+    def corpus(nDocs: Int) = (0L until nDocs.toLong).map(i =>
+        (i, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text").repartition(8).cache()
+    val light = corpus(400)
+    val heavy = corpus(4000)
+    light.count(); heavy.count()
+
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit =
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
+    def measured[A](f: => A): (A, Long) = {
+      quiesce(); shuffle.set(0)
+      val r = f
+      quiesce()
+      (r, shuffle.get)
+    }
+    try {
+      val (lightRows, lightBytes) = measured {
+        Dedup.dupSpanRemove(light, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      }
+      val (heavyRows, heavyBytes) = measured {
+        Dedup.dupSpanRemove(heavy, "doc_id", "text")
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      }
+      // Correctness on the hot corpus: exactly the shared phrase is
+      // scrubbed from every document, unique tails survive.
+      assert(lightRows.length == 400 && heavyRows.length == 4000)
+      lightRows.foreach { case (id, nRemoved, clean) =>
+        assert(nRemoved == 6L, s"doc $id removed $nRemoved tokens, want the 6 hot ones")
+        assert(clean == s"u${id}a u${id}b u${id}c u${id}d u${id}e",
+          s"doc $id tail corrupted: '$clean'")
+      }
+      info(s"shuffle bytes — 400 docs: $lightBytes, 4000 docs: $heavyBytes")
+      assert(heavyBytes < lightBytes * 15,
+        s"dup-span removal went super-linear on the hot span: $heavyBytes vs $lightBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      light.unpersist(); heavy.unpersist()
+    }
+  }
+
+  test("exact-substring removal stays linear when one long substring is white-hot") {
+    // Every document opens with the same 24-token passage, so at
+    // W = 20 five window keys per document are corpus-hot (count = N
+    // each) and EVERY document is a scrub target. Like d13, no
+    // pairwise stage exists: key counts partial-agg map-side, the
+    // verify join re-derives window text once per candidate anchor,
+    // coverage fans out <= W positions per occurrence — so 10x the
+    // document mass must cost ~10x the shuffle, never the count² of a
+    // windows-by-shared-key self-join. Bench twin: d18_skewed_substr.
+    import spark.implicits._
+    val hot = Seq.fill(4)("the quick brown fox jumps over").mkString(" ") // 24 tokens
+    def corpus(nDocs: Int) = (0L until nDocs.toLong).map(i =>
+        (i, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text").repartition(8).cache()
+    val light = corpus(400)
+    val heavy = corpus(4000)
+    light.count(); heavy.count()
+
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit =
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
+    def measured[A](f: => A): (A, Long) = {
+      quiesce(); shuffle.set(0)
+      val r = f
+      quiesce()
+      (r, shuffle.get)
+    }
+    try {
+      val (lightRows, lightBytes) = measured {
+        Dedup.exactSubstrRemove(light, "doc_id", "text", minLen = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      }
+      val (heavyRows, heavyBytes) = measured {
+        Dedup.exactSubstrRemove(heavy, "doc_id", "text", minLen = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      }
+      assert(lightRows.length == 400 && heavyRows.length == 4000)
+      lightRows.foreach { case (id, nRemoved, clean) =>
+        assert(nRemoved == 24L, s"doc $id removed $nRemoved tokens, want the 24 hot ones")
+        assert(clean == s"u${id}a u${id}b u${id}c u${id}d u${id}e",
+          s"doc $id tail corrupted: '$clean'")
+      }
+      info(s"shuffle bytes — 400 docs: $lightBytes, 4000 docs: $heavyBytes")
+      assert(heavyBytes < lightBytes * 15,
+        s"exact-substring removal went super-linear on the hot passage: $heavyBytes vs $lightBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      light.unpersist(); heavy.unpersist()
+    }
+  }
+
   test("hash-keyed exact dedup equals the text-keyed form") {
     val byText = Dedup.exact(docs, "doc_id", "text")
       .collect().map(r => (r.getLong(0), r.getLong(1))).toSet

@@ -539,6 +539,63 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  test("multiclass trainer shuffle is feature-bounded: invariant to 10x document-mass tiling") {
+    // Two trivially-separable two-class corpora over one fixed token
+    // set, one with 30 docs per class replicated 10 times and one 100
+    // times (10x the document mass, same feature geometry; both
+    // replicated enough that every partition's map-side combine is
+    // saturated). The trainer's shuffles are all feature-keyed —
+    // curvature dim²-keyed (one scan), gradient (dim+1)-keyed with
+    // |classes| sum columns per iteration — so total shuffle must
+    // track the FEATURE WIDTH, not the corpus. The bench twin is
+    // t32_skewed_langid (hot-phrase corpus).
+    val classTok = Map(0 -> "alpha beta gamma delta", 1 -> "omega sigma theta kappa")
+    def corpus(copies: Int) = (0 until copies).flatMap(r =>
+      (0 until 60).map { i =>
+        val c = i % 2
+        (r * 1000L + i, s"${classTok(c)} filler${i % 5}", if (c == 0) "a" else "b")
+      }).toDF("doc_id", "text", "cls").repartition(8).cache()
+    val light = corpus(10)
+    val heavy = corpus(100)
+    light.count(); heavy.count()
+
+    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
+        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
+    }
+    spark.sparkContext.addSparkListener(listener)
+    def quiesce(): Unit =
+      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
+        spark.sparkContext, 30000L)
+    def measured[A](f: => A): (A, Long) = {
+      quiesce(); shuffle.set(0)
+      val r = f
+      quiesce()
+      (r, shuffle.get)
+    }
+    def trainAcc(df: org.apache.spark.sql.DataFrame): Double = {
+      val m = graft.ops.Classifier.trainMulticlass(
+        df, col("cls"), Seq("a", "b"), dim = 64, iters = 6)
+      val scored = graft.ops.Classifier.scoreMulticlass(df, m, col("cls"))
+      val n = scored.count()
+      scored.filter(col("pred") === col("lab")).count().toDouble / n
+    }
+    try {
+      val (lightAcc, lightBytes) = measured(trainAcc(light))
+      val (heavyAcc, heavyBytes) = measured(trainAcc(heavy))
+      assert(lightAcc >= 0.99 && heavyAcc >= 0.99,
+        s"trainer failed the separable corpus: $lightAcc / $heavyAcc")
+      info(s"shuffle bytes — 10x mass: $lightBytes, 100x mass: $heavyBytes")
+      assert(heavyBytes < (lightBytes * 1.3).toLong,
+        s"trainer shuffle scaled with document mass: $heavyBytes vs $lightBytes")
+    } finally {
+      spark.sparkContext.removeSparkListener(listener)
+      light.unpersist(); heavy.unpersist()
+    }
+  }
+
   /** Reference greedy encoder matching [[refBpe]]'s merge fold. */
   private def refEncode(word: String, rules: Seq[(String, String)]): Vector[String] =
     rules.foldLeft(word.split("").filter(_.nonEmpty).toVector) { case (syms, (a, b)) =>
