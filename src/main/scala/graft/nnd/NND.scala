@@ -444,10 +444,22 @@ object NND {
       .select(col("id"),
         expr("transform(srt, x -> struct(x.id as id, x.similarity as similarity))")
           .as("neighbors"))
-    val priorLists = priorListsRaw
-      .join(purgeAffected, Seq("id"), "left_anti")
-      .unionByName(purgedLists)
-      .as[NeighborList]
+    // With a real finished set the purge subtree (edge explode + two
+    // joins + regroup) would otherwise re-execute for every priorLists
+    // consumer (stable init, newIds anti-join, the per-iteration old-
+    // candidate reads via stable) — truncate it once. When the input
+    // has no finished column the subtree constant-folds away and
+    // priorLists is a cheap select/filter, so no materialization is
+    // paid on the common append path.
+    val hasFinished = input.columns.contains("finished") &&
+      !base.filter(col("finished")).isEmpty
+    val priorLists = {
+      val pl = priorListsRaw
+        .join(purgeAffected, Seq("id"), "left_anti")
+        .unionByName(purgedLists)
+        .as[NeighborList]
+      if (hasFinished) truncate(pl) else pl
+    }
     var stable: Dataset[FlaggedList] = truncate(
       priorLists.toDF().join(nodes.toDF().select($"id"), Seq("id"), "left_semi")
         .as[NeighborList]

@@ -76,23 +76,28 @@ object EventsStream {
     * the raw int64 already IS microseconds. Mirrors the defensive
     * normalization in [[graft.Queries.events]] so the streaming and
     * batch paths agree whichever encoding the generator used. */
-  // Memoized per (directory, mtime): regenerating a fixture in-place
-  // with the other timestamp encoding mid-session bumps the path's
-  // mtime and misses the cache, so the divisor re-probes (one footer
-  // read) instead of reading 1000x off through a stale entry. On a
-  // path the local filesystem can't stat (e.g. a DFS URI) the mtime
-  // probe degrades to 0 — plain per-directory session memoization,
-  // the pre-round-9 behavior.
-  private val tsDivisorCache = new java.util.concurrent.ConcurrentHashMap[String, java.lang.Long]()
+  // Memoized per directory, invalidated on mtime change: regenerating
+  // a fixture in-place with the other timestamp encoding bumps the
+  // path's mtime and the stale entry is REPLACED (one footer re-probe)
+  // instead of read through 1000x off — and the cache holds exactly
+  // one entry per directory however often fixtures regenerate. The
+  // stat strips a `file:` scheme prefix first; on a path the local
+  // filesystem genuinely can't stat (a DFS URI) the mtime probe
+  // degrades to 0 — plain per-directory session memoization.
+  private val tsDivisorCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Long, Long)]()
   private def tsDivisor(spark: SparkSession, dir: String): Long = {
     val mtime =
-      try java.nio.file.Files.getLastModifiedTime(
-        java.nio.file.Paths.get(s"$dir/events.parquet")).toMillis
+      try java.nio.file.Files.getLastModifiedTime(java.nio.file.Paths.get(
+        s"${dir.stripPrefix("file://").stripPrefix("file:")}/events.parquet"))
+        .toMillis
       catch { case _: Exception => 0L }
-    tsDivisorCache.computeIfAbsent(s"$dir@$mtime", _ => {
-      val t = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
-      if (t == LongType) 1000L else 1L
-    })
+    tsDivisorCache.compute(dir, (_, prev) =>
+      if (prev != null && prev._1 == mtime) prev
+      else {
+        val t = spark.read.parquet(s"$dir/events.parquet").schema("ts").dataType
+        (mtime, if (t == LongType) 1000L else 1L)
+      })._2
   }
 
   /** The raw streamed `ts` column as a proper microsecond TIMESTAMP. */

@@ -168,36 +168,15 @@ class OpsSpec extends SparkSpec {
       .repartition(8).cache()
     corpus.count()
 
-    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
     def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
-    // Deterministic bus drain around each measurement — a late
-    // stage-completed event must not leak bytes into the next
-    // measurement's counter, and a fixed-interval poll can declare
-    // quiet while events are still queued.
-    def quiesce(): Unit =
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
-        spark.sparkContext, 30000L)
-    def measured(f: => Set[(Long, Long)]): (Set[(Long, Long)], Long) = {
-      quiesce(); shuffle.set(0)
-      val r = f
-      quiesce()
-      (r, shuffle.get)
-    }
-
     try {
       val (naive, naiveBytes) =
-        measured(pairsOf(Dedup.jaccardPairs(corpus, "doc_id", "text", 0.7)))
+        shuffleMeasured(pairsOf(Dedup.jaccardPairs(corpus, "doc_id", "text", 0.7)))
       val (prefix, prefixBytes) =
-        measured(pairsOf(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 0.7)))
+        shuffleMeasured(pairsOf(Dedup.jaccardPairsPrefix(corpus, "doc_id", "text", 0.7)))
       val (capped, cappedBytes) =
-        measured(pairsOf(Dedup.jaccardPairs(corpus, "doc_id", "text", 0.7,
+        shuffleMeasured(pairsOf(Dedup.jaccardPairs(corpus, "doc_id", "text", 0.7,
           maxDocFraction = Some(0.1))))
 
       val planted = (0L until 10L).map(i => (i, i + 10000L)).toSet
@@ -209,10 +188,7 @@ class OpsSpec extends SparkSpec {
         s"prefix join did not beat naive on shuffle: $prefixBytes vs $naiveBytes")
       assert(cappedBytes < naiveBytes * 7 / 10,
         s"df-cap did not beat naive on shuffle: $cappedBytes vs $naiveBytes")
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      corpus.unpersist()
-    }
+    } finally corpus.unpersist()
   }
 
   test("dup-span removal stays linear when one span is white-hot") {
@@ -231,29 +207,12 @@ class OpsSpec extends SparkSpec {
     val light = corpus(400)
     val heavy = corpus(4000)
     light.count(); heavy.count()
-
-    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    def quiesce(): Unit =
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
-        spark.sparkContext, 30000L)
-    def measured[A](f: => A): (A, Long) = {
-      quiesce(); shuffle.set(0)
-      val r = f
-      quiesce()
-      (r, shuffle.get)
-    }
     try {
-      val (lightRows, lightBytes) = measured {
+      val (lightRows, lightBytes) = shuffleMeasured {
         Dedup.dupSpanRemove(light, "doc_id", "text")
           .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
       }
-      val (heavyRows, heavyBytes) = measured {
+      val (heavyRows, heavyBytes) = shuffleMeasured {
         Dedup.dupSpanRemove(heavy, "doc_id", "text")
           .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
       }
@@ -269,7 +228,6 @@ class OpsSpec extends SparkSpec {
       assert(heavyBytes < lightBytes * 15,
         s"dup-span removal went super-linear on the hot span: $heavyBytes vs $lightBytes")
     } finally {
-      spark.sparkContext.removeSparkListener(listener)
       light.unpersist(); heavy.unpersist()
     }
   }
@@ -291,29 +249,12 @@ class OpsSpec extends SparkSpec {
     val light = corpus(400)
     val heavy = corpus(4000)
     light.count(); heavy.count()
-
-    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    def quiesce(): Unit =
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
-        spark.sparkContext, 30000L)
-    def measured[A](f: => A): (A, Long) = {
-      quiesce(); shuffle.set(0)
-      val r = f
-      quiesce()
-      (r, shuffle.get)
-    }
     try {
-      val (lightRows, lightBytes) = measured {
+      val (lightRows, lightBytes) = shuffleMeasured {
         Dedup.exactSubstrRemove(light, "doc_id", "text", minLen = 20)
           .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
       }
-      val (heavyRows, heavyBytes) = measured {
+      val (heavyRows, heavyBytes) = shuffleMeasured {
         Dedup.exactSubstrRemove(heavy, "doc_id", "text", minLen = 20)
           .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
       }
@@ -327,7 +268,6 @@ class OpsSpec extends SparkSpec {
       assert(heavyBytes < lightBytes * 15,
         s"exact-substring removal went super-linear on the hot passage: $heavyBytes vs $lightBytes")
     } finally {
-      spark.sparkContext.removeSparkListener(listener)
       light.unpersist(); heavy.unpersist()
     }
   }

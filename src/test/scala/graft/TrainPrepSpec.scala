@@ -107,34 +107,15 @@ class TrainPrepSpec extends SparkSpec {
     }.toDF("doc_id", "text").repartition(8).cache()
     docs.count()
 
-    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    // Deterministic bus drain (not a fixed-interval poll, which can
-    // declare quiet while stage-completed events are still queued and
-    // leak bytes into the next measurement — the PlanSpec hazard).
-    def quiesce(): Unit =
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
-        spark.sparkContext, 30000L)
-    def measured[A](f: => A): (A, Long) = {
-      quiesce(); shuffle.set(0)
-      val r = f
-      quiesce()
-      (r, shuffle.get)
-    }
     try {
       val toks = docs.select(explode(split($"text", " ")).as("term"))
       val total = toks.count()
-      val (naive, naiveBytes) = measured {
+      val (naive, naiveBytes) = shuffleMeasured {
         toks.groupBy("term").agg(count(lit(1)).as("n"))
           .filter($"n" * 100L >= total * 1L)
           .select("term").as[String].collect().toSet
       }
-      val (got, mgBytes) = measured {
+      val (got, mgBytes) = shuffleMeasured {
         HeavyHitters.frequentTerms(docs, split($"text", " "), 1L, 100L)
           .select("term").as[String].collect().toSet
       }
@@ -143,10 +124,7 @@ class TrainPrepSpec extends SparkSpec {
       info(s"shuffle bytes — naive groupBy: $naiveBytes, Misra-Gries: $mgBytes")
       assert(mgBytes < naiveBytes / 2,
         s"MG sketch did not beat the vocabulary-wide shuffle: $mgBytes vs $naiveBytes")
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      docs.unpersist()
-    }
+    } finally docs.unpersist()
   }
 
   test("bm25TopK's query-term cut shuffles a fraction of the full tf aggregation") {
@@ -161,38 +139,19 @@ class TrainPrepSpec extends SparkSpec {
       (i, s"needle $noise")
     }.toDF("doc_id", "text").repartition(8).cache()
     docs.count()
-    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    def quiesce(): Unit =
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
-        spark.sparkContext, 30000L)
-    def measured[A](f: => A): (A, Long) = {
-      quiesce(); shuffle.set(0)
-      val r = f
-      quiesce()
-      (r, shuffle.get)
-    }
     try {
-      val (fullRows, fullBytes) = measured {
+      val (fullRows, fullBytes) = shuffleMeasured {
         docs.select($"doc_id", explode(split($"text", " ")).as("term"))
           .groupBy("doc_id", "term").agg(count(lit(1)).as("tf")).count()
       }
-      val (hits, bmBytes) = measured {
+      val (hits, bmBytes) = shuffleMeasured {
         TextAnalysis.bm25TopK(docs, Seq("needle"), k = 500).count()
       }
       assert(fullRows == 500L * 21 && hits == 500L)
       info(s"shuffle bytes — full tf agg: $fullBytes, bm25TopK: $bmBytes")
       assert(bmBytes < fullBytes / 2,
         s"query-term cut did not bound the tf shuffle: $bmBytes vs $fullBytes")
-    } finally {
-      spark.sparkContext.removeSparkListener(listener)
-      docs.unpersist()
-    }
+    } finally docs.unpersist()
   }
 
   test("mixturePlan budgets and epochs match a local recompute; unplanned strata excluded") {
@@ -501,28 +460,12 @@ class TrainPrepSpec extends SparkSpec {
     val heavy = replicated(500)
     light.count(); heavy.count()
 
-    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    def quiesce(): Unit =
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
-        spark.sparkContext, 30000L)
-    def measured[A](f: => A): (A, Long) = {
-      quiesce(); shuffle.set(0)
-      val r = f
-      quiesce()
-      (r, shuffle.get)
-    }
     try {
-      val (lightRules, lightBytes) = measured {
+      val (lightRules, lightBytes) = shuffleMeasured {
         graft.ops.TextAnalysis.bpeMerges(light, "text", 5)
           .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
       }
-      val (heavyRules, heavyBytes) = measured {
+      val (heavyRules, heavyBytes) = shuffleMeasured {
         graft.ops.TextAnalysis.bpeMerges(heavy, "text", 5)
           .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2))).toSeq
       }
@@ -534,7 +477,6 @@ class TrainPrepSpec extends SparkSpec {
       assert(heavyBytes < (lightBytes * 1.3).toLong,
         s"trainer shuffle scaled with token mass: $heavyBytes vs $lightBytes")
     } finally {
-      spark.sparkContext.removeSparkListener(listener)
       light.unpersist(); heavy.unpersist()
     }
   }
@@ -559,22 +501,6 @@ class TrainPrepSpec extends SparkSpec {
     val heavy = corpus(100)
     light.count(); heavy.count()
 
-    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    def quiesce(): Unit =
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
-        spark.sparkContext, 30000L)
-    def measured[A](f: => A): (A, Long) = {
-      quiesce(); shuffle.set(0)
-      val r = f
-      quiesce()
-      (r, shuffle.get)
-    }
     def trainAcc(df: org.apache.spark.sql.DataFrame): Double = {
       val m = graft.ops.Classifier.trainMulticlass(
         df, col("cls"), Seq("a", "b"), dim = 64, iters = 6)
@@ -583,15 +509,14 @@ class TrainPrepSpec extends SparkSpec {
       scored.filter(col("pred") === col("lab")).count().toDouble / n
     }
     try {
-      val (lightAcc, lightBytes) = measured(trainAcc(light))
-      val (heavyAcc, heavyBytes) = measured(trainAcc(heavy))
+      val (lightAcc, lightBytes) = shuffleMeasured(trainAcc(light))
+      val (heavyAcc, heavyBytes) = shuffleMeasured(trainAcc(heavy))
       assert(lightAcc >= 0.99 && heavyAcc >= 0.99,
         s"trainer failed the separable corpus: $lightAcc / $heavyAcc")
       info(s"shuffle bytes — 10x mass: $lightBytes, 100x mass: $heavyBytes")
       assert(heavyBytes < (lightBytes * 1.3).toLong,
         s"trainer shuffle scaled with document mass: $heavyBytes vs $lightBytes")
     } finally {
-      spark.sparkContext.removeSparkListener(listener)
       light.unpersist(); heavy.unpersist()
     }
   }
@@ -670,27 +595,11 @@ class TrainPrepSpec extends SparkSpec {
     val heavy = tiled(50)
     light.count(); heavy.count()
 
-    val shuffle = new java.util.concurrent.atomic.AtomicLong(0)
-    val listener = new org.apache.spark.scheduler.SparkListener {
-      override def onStageCompleted(
-          sc: org.apache.spark.scheduler.SparkListenerStageCompleted): Unit =
-        shuffle.addAndGet(sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten)
-    }
-    spark.sparkContext.addSparkListener(listener)
-    def quiesce(): Unit =
-      org.apache.spark.graft.ListenerBusAccess.waitUntilEmpty(
-        spark.sparkContext, 30000L)
-    def measured[A](f: => A): (A, Long) = {
-      quiesce(); shuffle.set(0)
-      val r = f
-      quiesce()
-      (r, shuffle.get)
-    }
     try {
-      val (lightN, lightBytes) = measured {
+      val (lightN, lightBytes) = shuffleMeasured {
         graft.ops.TextAnalysis.backoffTrigramLogProb(light).count()
       }
-      val (heavyN, heavyBytes) = measured {
+      val (heavyN, heavyBytes) = shuffleMeasured {
         graft.ops.TextAnalysis.backoffTrigramLogProb(heavy).count()
       }
       assert(lightN == baseRows.size && heavyN == baseRows.size)
@@ -698,7 +607,6 @@ class TrainPrepSpec extends SparkSpec {
       assert(heavyBytes < (lightBytes * 2.0).toLong,
         s"LM scoring shuffle scaled with token mass: $heavyBytes vs $lightBytes")
     } finally {
-      spark.sparkContext.removeSparkListener(listener)
       light.unpersist(); heavy.unpersist()
     }
   }
