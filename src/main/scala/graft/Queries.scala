@@ -662,6 +662,21 @@ object Queries {
       ops.Dedup.exactSubstrRemove(docs(s, dir), "doc_id", "text",
         minLen = 20)),
 
+    // Substring-level benchmark decontamination — d09's destructive
+    // companion (d09 MEASURES trigram overlap, this REMOVES >= 20-token
+    // spans appearing verbatim in the benchmark split) and the
+    // cross-set form of d18. Same train/eval split as d09
+    // (doc_id % 20 == 0 plays the eval suite); corpus side streams as
+    // 8-byte window keys, the benchmark key and text carriers
+    // broadcast, candidates text-verified — bit-exact oracle.
+    "d19_substr_decontaminate" -> ((s, dir) => {
+      val d = docs(s, dir)
+      ops.Dedup.substrDecontaminate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), "doc_id", "text",
+        minLen = 20)
+    }),
+
     // SQL-text surface: a correlated scalar subquery through spark.sql
     // (Catalyst decorrelates it into a join) — parts priced above their
     // brand's average. Decimal-exact average on both sides.
@@ -1043,6 +1058,39 @@ object Queries {
         |  unnest([{'p': i - 1, 'tok': w[i]} for i in range(1, len(w) + 1)],
         |    recursive := true)
         |  FROM w)
+        |SELECT t.doc_id, count(*) AS n_tokens,
+        |  CAST(count(c.cp) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN c.cp IS NULL THEN t.tok END, ' '
+        |    ORDER BY t.p), '') AS clean_text
+        |FROM toks t LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.p = c.cp
+        |GROUP BY t.doc_id""".stripMargin,
+
+    // d19: the d18 window machinery across the train/eval split —
+    // coverage from corpus windows whose exact text appears anywhere
+    // in the benchmark window set. The Spark side's hashed candidates
+    // are text-verified before coverage, so this text-level oracle is
+    // bit-exact by construction.
+    "d19_substr_decontaminate" ->
+      """WITH c AS (SELECT doc_id, text, str_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 20 <> 0),
+        |b AS (SELECT str_split(text, ' ') AS w
+        |  FROM documents WHERE doc_id % 20 = 0),
+        |bwin AS (SELECT DISTINCT
+        |    unnest([array_to_string(w[i:i+19], ' ')
+        |            for i in range(1, len(w) - 18)]) AS s
+        |  FROM b WHERE len(w) >= 20),
+        |cwin AS (
+        |  SELECT doc_id, unnest(
+        |    [{'p': i - 1, 's': array_to_string(w[i:i+19], ' ')}
+        |     for i in range(1, len(w) - 18)], recursive := true)
+        |  FROM c WHERE len(w) >= 20),
+        |cov AS (SELECT DISTINCT doc_id, p + off AS cp FROM (
+        |  SELECT cw.doc_id, cw.p, unnest(range(20)) AS off
+        |  FROM cwin cw JOIN bwin USING (s))),
+        |toks AS (SELECT doc_id,
+        |  unnest([{'p': i - 1, 'tok': w[i]} for i in range(1, len(w) + 1)],
+        |    recursive := true)
+        |  FROM c)
         |SELECT t.doc_id, count(*) AS n_tokens,
         |  CAST(count(c.cp) AS BIGINT) AS n_removed,
         |  coalesce(string_agg(CASE WHEN c.cp IS NULL THEN t.tok END, ' '

@@ -849,11 +849,20 @@ object Dedup {
       .distinct()
       .withColumn("cov", lit(1))
       .localCheckpoint()
-    // Only documents with >= 1 covered token need the token-level
-    // rebuild; in a healthy corpus duplication is sparse, so the
-    // explode/rejoin path runs over a SLIVER and every untouched
-    // document passes through verbatim — no explode, no aggregation,
-    // its text column untouched.
+    rebuildScrubbed(w, covered, idCol)
+  }
+
+  /** Shared token-level reassembly of the span-scrub family
+    * ([[dupSpanRemove]], [[exactSubstrRemove]]): given the positioned
+    * token table `w` = (id, text, w ARRAY<STRING>) and the
+    * materialized covered-position sliver (id, p, cov = 1), emit
+    * (idCol, n_tokens, n_removed, clean_text). Only documents with
+    * >= 1 covered token take the token-level explode/rejoin; in a
+    * healthy corpus duplication is sparse, so the rebuild runs over a
+    * SLIVER and every untouched document passes through verbatim — no
+    * explode, no aggregation, its text column untouched. */
+  private def rebuildScrubbed(w: DataFrame, covered: DataFrame,
+      idCol: String): DataFrame = {
     val touched = covered.select("id").distinct()
     val untouched = w.join(touched, Seq("id"), "left_anti")
       .select(col("id"), size(col("w")).cast("long").as("n_tokens"),
@@ -920,18 +929,13 @@ object Dedup {
     require(minLen >= 2, s"minLen must be >= 2, got $minLen")
     val w = df.select(col(idCol).as("id"), col(textCol).as("text"),
       split(col(textCol), " ").as("w"))
-    // Per-anchor rolling keys: 8 B each, window text stays in the row.
-    // Cyclic (Buzhash-style) combine — rotate-left-1 then XOR — is
-    // order-sensitive like a polynomial hash but pure bit ops, so it
-    // cannot trip ANSI overflow the way wraparound multiply-add does.
-    val wins = w.filter(size(col("w")) >= minLen)
-      .select(col("id"), posexplode(expr(
-        s"""transform(sequence(0, size(w) - $minLen),
-           |  p -> aggregate(slice(transform(w, t -> xxhash64(t)), p + 1, $minLen),
-           |    0L, (acc, x) -> (shiftleft(acc, 1) | shiftrightunsigned(acc, 63)) ^ x))""".stripMargin)))
-      .select(col("id"), col("pos").as("p"), col("col").as("g"))
+    val wins = windowKeyStream(w, minLen)
     // Total-occurrence count (within-document repeats count), then the
-    // exact-text verify over the candidate sliver only.
+    // exact-text verify over the candidate sliver only. `wins` is
+    // deliberately re-derived for the semi-join side rather than
+    // persisted (the d13 `spans` trade): a checkpoint would
+    // materialize a corpus-sized 24 B/position block store, while the
+    // re-derivation is one scan plus the cheap pre-hashed fold.
     val hotKeys = wins.groupBy("g").agg(count(lit(1)).as("cnt"))
       .filter(col("cnt") >= 2).select("g")
     val candTxt = wins.join(hotKeys, Seq("g"), "left_semi")
@@ -946,23 +950,86 @@ object Dedup {
       .distinct()
       .withColumn("cov", lit(1))
       .localCheckpoint()
-    val touched = covered.select("id").distinct()
-    val untouched = w.join(touched, Seq("id"), "left_anti")
-      .select(col("id"), size(col("w")).cast("long").as("n_tokens"),
-        lit(0L).as("n_removed"), col("text").as("clean_text"))
-    val toks = w.join(touched, Seq("id"), "left_semi")
-      .select(col("id"), posexplode(col("w")))
-      .select(col("id"), col("pos").as("p"), col("col").as("tok"))
-    val rebuilt = toks.join(covered, Seq("id", "p"), "left_outer")
-      .groupBy("id")
-      .agg(count(lit(1)).as("n_tokens"),
-        count(col("cov")).as("n_removed"),
-        array_join(sort_array(collect_list(when(col("cov").isNull,
-          struct(col("p"), col("tok"))))).getField("tok"), " ")
-          .as("clean_text"))
-    rebuilt.unionByName(untouched)
-      .select(col("id").as(idCol), col("n_tokens"), col("n_removed"),
-        col("clean_text"))
+    rebuildScrubbed(w, covered, idCol)
+  }
+
+  /** Positioned per-anchor window keys (id, p, g) of every `minLen`-token
+    * window in `w` = (id, text, w ARRAY<STRING>) — the shared first
+    * stage of [[exactSubstrRemove]] and [[substrDecontaminate]]. 8 B
+    * per anchor; window text stays inside the document row. The cyclic
+    * (Buzhash-style) combine — rotate-left-1 then XOR — is
+    * order-sensitive like a polynomial hash but pure bit ops, so it
+    * cannot trip ANSI overflow the way wraparound multiply-add does.
+    * The token-hash array is hoisted to its own column FIRST (one
+    * xxhash64 per token), so each anchor's key is an O(W) fold over
+    * pre-hashed longs — W·n adds per document, not the O(W·n)
+    * re-hashes an inlined transform would cost per anchor. (A true
+    * sequential Buzhash rotation would be O(n) total, but needs a
+    * stateful scan the expression layer cannot stream; the fold keeps
+    * the whole derivation codegen-adjacent and shuffle-free.) */
+  private def windowKeyStream(w: DataFrame, minLen: Int): DataFrame =
+    w.filter(size(col("w")) >= minLen)
+      .withColumn("th", expr("transform(w, t -> xxhash64(t))"))
+      .select(col("id"), posexplode(expr(
+        s"""transform(sequence(0, size(w) - $minLen),
+           |  p -> aggregate(slice(th, p + 1, $minLen),
+           |    0L, (acc, x) -> (shiftleft(acc, 1) | shiftrightunsigned(acc, 63)) ^ x))""".stripMargin)))
+      .select(col("id"), col("pos").as("p"), col("col").as("g"))
+
+  /** Substring-level benchmark DECONTAMINATION — the destructive
+    * companion of [[graft.ops.Decontaminate.overlapCounts]] (d09
+    * measures trigram overlap; this REMOVES) and the cross-set form of
+    * [[exactSubstrRemove]]: every token of a training document lying
+    * inside a >= `minLen`-token window that appears VERBATIM anywhere
+    * in the benchmark set is deleted — Lee et al. (arXiv:2107.06499)
+    * report exactly this train-test substring leak as the reason
+    * dedup'd models measure honestly, and scrubbing the span (rather
+    * than dropping the whole document) keeps the surrounding clean
+    * tokens in the training mix.
+    *
+    * Scale shape — the d09 broadcast-carrier contract at substring
+    * width: the corpus side streams map-side as 8-byte
+    * [[windowKeyStream]] keys (never shuffled by content, no W-fold
+    * string inflation); the BENCHMARK side is eval-suite-sized by
+    * definition, so its distinct key set and distinct window-text set
+    * both broadcast. Candidates = corpus anchors whose key matches a
+    * benchmark key (broadcast semi-join); only that sliver re-derives
+    * its window text and is verified against the benchmark TEXT set
+    * (second broadcast semi-join), so hash collisions are removed and
+    * the output is bit-identical to the text-level oracle. Coverage
+    * and the touched-document rebuild are [[rebuildScrubbed]].
+    *
+    * @return (idCol, n_tokens, n_removed, clean_text) per corpus doc */
+  def substrDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String, minLen: Int = 50): DataFrame = {
+    require(minLen >= 2, s"minLen must be >= 2, got $minLen")
+    val w = corpus.select(col(idCol).as("id"), col(textCol).as("text"),
+      split(col(textCol), " ").as("w"))
+    val cwins = windowKeyStream(w, minLen)
+    val bw = bench
+      .select(col(textCol).as("text"), split(col(textCol), " ").as("w"))
+      .withColumn("id", monotonically_increasing_id())
+    val bKeys = windowKeyStream(bw, minLen).select("g").distinct()
+    // Benchmark window TEXTS (the verify carrier): W-token strings,
+    // |bench| * (len - W + 1) of them — eval-suite-sized, broadcast.
+    val bTxt = bw.filter(size(col("w")) >= minLen)
+      .select(explode(expr(
+        s"""transform(sequence(0, size(w) - $minLen),
+           |  p -> array_join(slice(w, p + 1, $minLen), ' '))""".stripMargin))
+        .as("s"))
+      .distinct()
+    val cand = cwins.join(bKeys, Seq("g"), "left_semi")
+      .join(w.select(col("id"), col("w")), "id")
+      .select(col("id"), col("p"),
+        array_join(slice(col("w"), col("p") + 1, lit(minLen)), " ").as("s"))
+      .join(bTxt, Seq("s"), "left_semi")
+    val covered = cand
+      .select(col("id"),
+        explode(sequence(col("p"), col("p") + lit(minLen - 1))).as("p"))
+      .distinct()
+      .withColumn("cov", lit(1))
+      .localCheckpoint()
+    rebuildScrubbed(w, covered, idCol)
   }
 
   /** Edit-distance verification layer over the MinHash-LSH near-dup

@@ -223,6 +223,61 @@ class PropertiesSpec extends SparkSpec {
     assert(got(121L) == ((4L, 0L, "j k l m")), s"short doc mangled: ${got(121L)}")
   }
 
+  test("substrDecontaminate equals a naive in-memory cross-set window-scrub") {
+    // The d19 semantics: a corpus token is removed iff one of its
+    // W-token windows appears verbatim anywhere in the BENCHMARK set
+    // (cross-set containment, not within-corpus duplication — a
+    // corpus-internal duplicate with no benchmark twin must survive).
+    val W = 4
+    val docGen = for {
+      n <- Gen.choose(0, 14)
+      toks <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+    } yield toks.mkString(" ")
+    val corpusTexts = sample(docGen, 100) ++ Seq(
+      "q r s t u v",      // planted: shares "q r s t" with the bench
+      "q r s t u v")      // corpus-internal duplicate, bench-free tail
+    val benchTexts = sample(docGen, 30) :+ "x q r s t y"
+    val corpus = corpusTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+    val benchWins = benchTexts.flatMap { t =>
+      val w = t.split(" ", -1)
+      if (w.length >= W) (0 to w.length - W).map(i => w.slice(i, i + W).mkString(" "))
+      else Seq.empty
+    }.toSet
+    val expected = corpus.map { case (id, t) =>
+      val w = t.split(" ", -1)
+      val covered = (if (w.length >= W) 0 to w.length - W else Range(0, 0))
+        .filter(i => benchWins(w.slice(i, i + W).mkString(" ")))
+        .flatMap(i => i until i + W).toSet
+      val kept = w.zipWithIndex.collect { case (tok, i) if !covered(i) => tok }
+      id -> ((w.length.toLong, covered.size.toLong, kept.mkString(" ")))
+    }.toMap
+    val got = graft.ops.Dedup.substrDecontaminate(
+        corpus.toDF("doc_id", "text"),
+        benchTexts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+          .toDF("doc_id", "text"),
+        "doc_id", "text", minLen = W)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(got.keySet == expected.keySet)
+    expected.foreach { case (id, e) =>
+      assert(got(id) == e, s"doc $id '${corpusTexts(id.toInt)}': ${got(id)} != $e")
+    }
+    // The planted leak is scrubbed (both copies — "u v" survives each)
+    // even though the pair is ALSO a corpus-internal duplicate, and
+    // the scrub came from benchmark containment, not self-duplication:
+    // positions 0-3 go, the bench-free "u v" tail stays.
+    assert(got(100L) == ((6L, 4L, "u v")), s"planted leak: ${got(100L)}")
+    assert(got(101L) == ((6L, 4L, "u v")), s"planted leak: ${got(101L)}")
+    // Empty benchmark: nothing is removed, corpus round-trips.
+    val none = graft.ops.Dedup.substrDecontaminate(
+        corpus.toDF("doc_id", "text"),
+        Seq.empty[(Long, String)].toDF("doc_id", "text"),
+        "doc_id", "text", minLen = W)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(none.values.forall(_ == 0L), "empty benchmark must scrub nothing")
+  }
+
   test("mmrDiversify equals a naive in-memory greedy on random pools and lambdas") {
     // The reference mirrors the operator's exact fixed-point contract:
     // rel_fp via HALF_UP decimal rounding (Spark's round), pairwise
