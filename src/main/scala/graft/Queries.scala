@@ -3137,10 +3137,15 @@ object Queries {
     "n01_knn_graph" -> Seq(
       "n_hits" -> (4985L, 4978L, 18790L),
       "n_total" -> (5000L, 5000L, 20000L)),
+    // Measured 2026-08-14 (round 9, PinDump) after the sparse-append
+    // fix (stable lists of reverse-edge-receiving nodes re-enter their
+    // adjacency groups as old[v]): recall rose at every SF — the
+    // missing candidates were real (sf0.1 new 3711 -> 3769, old
+    // 15576 -> 15647).
     "n02_knn_incremental" -> Seq(
-      "n_hits_new" -> (997L, 993L, 3711L),
+      "n_hits_new" -> (997L, 996L, 3769L),
       "n_total_new" -> (1000L, 1000L, 4000L),
-      "n_hits_old" -> (3997L, 3994L, 15576L),
+      "n_hits_old" -> (3997L, 3996L, 15647L),
       "n_total_old" -> (4000L, 4000L, 16000L)))
 
   private val shingleCte =

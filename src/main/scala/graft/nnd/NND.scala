@@ -545,7 +545,24 @@ object NND {
       // back to a shuffle join.
       val adjInput = edges.toDF().select($"src", $"dst", $"isNew").union(sampledRev)
       val activeSrcs = adjInput.filter($"isNew").select($"src").distinct()
+      // Dong et al.'s old[v] half of the incremental join: a STABLE
+      // node that just received a new reverse edge must bring its own
+      // current list into its adjacency group as old-flagged members,
+      // or the group is a singleton {new point} — no pairs, the new
+      // point never meets the neighborhood it landed in, and a sparse
+      // append (the documented daily-append case, down to ONE point)
+      // silently keeps nothing but its random init draws while no old
+      // node ever gains an edge to it. Active lists already re-emit
+      // their old halves via `edges`; this is the stable carve-out's
+      // missing counterpart, and it stays cascade-sized: only lists of
+      // srcs that actually received a new member are pulled in.
+      val stableOldEdges = stable.toDF()
+        .join(activeSrcs.select($"src".as("id")), Seq("id"), "left_semi")
+        .as[FlaggedList]
+        .flatMap(nl => nl.neighbors.iterator.map(nb => (nl.id, nb.id, false)))
+        .toDF("src", "dst", "isNew")
       val adj: Dataset[AdjRow] = adjInput
+        .union(stableOldEdges)
         .join(activeSrcs, Seq("src"), "left_semi")
         .join(nodes.toDF().select($"id".as("dst"), $"features", $"partition"), "dst")
         .select($"src", $"dst", $"features", $"partition", $"isNew")

@@ -177,6 +177,43 @@ class NNDSpec extends SparkSpec {
     assert(oldMean >= 0.7, s"old nodes did not absorb the increment: $oldMean")
   }
 
+  test("updateGraph integrates a SINGLE appended point (sparse-append regression)") {
+    import spark.implicits._
+    // The round-9 review defect: stable nodes emitted no forward edges,
+    // so a lone new point's adjacency groups were singletons — zero
+    // refinement pairs, the point retired after iteration 1 with only
+    // its random init draws, and no old node ever linked back to it.
+    // The 20%-increment test masks this (co-bucketed new points rescue
+    // each other); ONE appended point is the sharp case. Fix: stable
+    // lists of reverse-edge-receiving nodes re-enter their adjacency
+    // groups as old[v] (Dong et al.'s incremental join).
+    val pts = (0 until 60).map(i => (i.toLong, Array((i * 7 % 60).toFloat, (i * 13 % 60).toFloat)))
+    val prior = pts.filter(_._1 != 30L)
+    val built = NND.buildGraph(prior.toDF("id", "features"),
+      NND.Params(k = 4, maxIterations = 4)).select("id", "neighbors")
+    val updated = NND.updateGraph(pts.toDF("id", "features"), built,
+        NND.Params(k = 4, maxIterations = 4))
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) -> Option(r.getSeq[Row](1)).map(_.map(n => n.getLong(0)).toSet))
+      .toMap
+    val f30 = pts.find(_._1 == 30L).get._2
+    val truth = pts.filter(_._1 != 30L)
+      .map { case (oid, of) => (oid, Similarity.l2Sim(f30, of)) }
+      .sortBy { case (oid, s) => (-s, oid) }
+      .take(4).map(_._1).toSet
+    val got = updated(30L).getOrElse(Set.empty)
+    val recall = truth.intersect(got).size.toDouble / 4
+    info(s"lone-append recall@4 = $recall (got $got, truth $truth)")
+    assert(recall >= 0.75, s"lone appended point not integrated: $got vs $truth")
+    // Reverse integration: at least one OLD node must now list point 30
+    // (it is among several old nodes' true top-4).
+    val referencing = updated.collect {
+      case (id, Some(nbrs)) if id != 30L && nbrs.contains(30L) => id
+    }
+    info(s"old nodes referencing the appended point: ${referencing.toSeq.sorted}")
+    assert(referencing.nonEmpty, "no old node gained an edge to the appended point")
+  }
+
   test("updateGraph with an empty increment returns the existing graph unchanged") {
     import org.apache.spark.sql.functions.col
     val built = NND.buildGraph(embeddings, NND.Params(k = K, maxIterations = 2))
