@@ -3363,7 +3363,7 @@ object Queries {
         |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
         |  CAST(greatest(len(a.text), len(b.text)) AS BIGINT) AS max_len,
         |  1 - CAST(levenshtein(a.text, b.text) AS DOUBLE)
-        |    / greatest(len(a.text), len(b.text)) AS edit_sim,
+        |    / greatest(len(a.text), len(b.text), 1) AS edit_sim,
         |  CAST(CASE WHEN levenshtein(a.text, b.text) <= 5 THEN 1 ELSE 0 END
         |    AS BIGINT) AS edit_dup
         |FROM pairs p

@@ -95,10 +95,7 @@ object NND {
   def buildGraph(input: DataFrame, p: Params = Params()): DataFrame = {
     require(input.columns.contains("id") && input.columns.contains("features"),
       s"buildGraph input needs 'id' and 'features' columns; got [${input.columns.mkString(", ")}]")
-    require(p.k > 0, s"k must be positive, got ${p.k}")
-    require(p.sampleRate > 0, s"sampleRate must be positive, got ${p.sampleRate}")
-    require(p.bucketsPerInstance > 0,
-      s"bucketsPerInstance must be positive, got ${p.bucketsPerInstance}")
+    gateParams(p)
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -108,12 +105,7 @@ object NND {
     def truncate[T](ds: Dataset[T]): Dataset[T] =
       if (p.checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint(true)
 
-    val base = {
-      var df = input
-      if (!df.columns.contains("partition")) df = df.withColumn("partition", lit(0L))
-      if (!df.columns.contains("finished")) df = df.withColumn("finished", lit(false))
-      df
-    }
+    val base = withDefaultCols(input)
 
     // Persisted pre-partitioned on id: every per-iteration features join
     // (adjacency build) then reuses this partitioning, so the feature
@@ -151,21 +143,10 @@ object NND {
       math.max(1L, math.ceil(counts.values.max.toDouble * bpi / (2.0 * k)).toLong)
 
     // --- Blocked random init (reference G1, NND.scala:87-102) ---
-    // Deterministic per-node bucket choice seeded by the feature hash
-    // (reference F4, NND.scala:88-89); bucket ids namespaced per logical
-    // partition so initial candidates never cross partitions.
-    // O(bpi) distinct-draw per node (NOT the reference's full
-    // Fisher-Yates over all nb bucket ids, NND.scala:91, which is
-    // O(nodes-per-partition) work and garbage PER NODE — quadratic total
-    // and an overflow at nb > 2^31).
+    // [[drawBuckets]] bucket choice, namespaced per logical partition so
+    // initial candidates never cross partitions.
     val bucketed: Dataset[BucketedNode] = nodes.flatMap { nd =>
-      val nb = math.max(1L,
-        math.ceil(bcCounts.value(nd.partition).toDouble * bpi / (2.0 * k)).toLong)
-      val r = new Random(seed ^ java.util.Arrays.hashCode(nd.features).toLong)
-      val picks = mutable.LinkedHashSet.empty[Long]
-      val want = math.min(bpi.toLong, nb).toInt
-      while (picks.size < want) picks += 1L + math.floorMod(r.nextLong(), nb)
-      picks.iterator
+      drawBuckets(seed, nd.features, bcCounts.value(nd.partition), bpi, k)
         .map(b => BucketedNode(maxBuckets * nd.partition + b, nd.id, nd.features, nd.partition))
         .toSeq
     }
@@ -174,16 +155,7 @@ object NND {
       .groupByKey(_.bucket)
       .flatMapGroups { (bucket, it) =>
         val members = dedupById(it)
-        members.iterator.flatMap { nd =>
-          // K random in-bucket draws with replacement, self excluded
-          // (reference NND.scala:98-99) — seeded per (bucket, node).
-          val r = new Random(mix(seed, bucket, nd.id))
-          Iterator.tabulate(k)(_ => members(r.nextInt(members.length)))
-            .filter(_.id != nd.id)
-            .map(c => Cand(nd.id, c.id,
-              Similarity.partitionGated(nd.features, nd.partition, c.features, c.partition),
-              isOld = false))
-        }
+        members.iterator.flatMap(nd => inBucketDraws(seed, bucket, nd, members, k))
       }
 
     var graph: Dataset[FlaggedList] = truncate(
@@ -198,35 +170,7 @@ object NND {
         graph.flatMap(nl => nl.neighbors.iterator.zip(nl.isNew.iterator)
           .map { case (nb, fresh) => FlaggedEdge(nl.id, nb.id, nb.similarity, fresh) })
 
-      // Reverse-edge ρ-sample (reference G2+G3, NND.scala:116-169): each
-      // node keeps a deterministic ~ceil(ρ·|Rv|) (min 1) subset of its
-      // incoming edges. At ρ >= 1 (the reference default regime) the
-      // sample is the whole reverse set and nothing extra runs. At ρ < 1
-      // the draw is a count-conditioned hash filter: one narrow partial
-      // aggregation computes (|Rv|, min-hash) per dst, then a hash-mod
-      // threshold keeps each edge with probability ceil(ρ·|Rv|)/|Rv| and
-      // the min-hash edge unconditionally (the ≥1 floor). Unlike a
-      // row_number window this needs NO per-iteration full sort of the
-      // edge table — at scale the sort, not the shuffle, is the cost.
-      // The subset size is ~Binomial around ceil(ρ·|Rv|) rather than
-      // exact; NN-descent's ρ-sample is itself a random subsample (Dong
-      // et al. §2.3), so expected-size sampling preserves the algorithm
-      // (recall bar held in NNDSpec at ρ=0.5).
-      // Reverse edges inherit the forward edge's new/old flag (Dong et
-      // al.: new'[v] includes sampled reverse-new, old'[v] reverse-old).
-      val sampledRev =
-        if (p.sampleRate >= 1.0)
-          edges.toDF().select($"dst".as("src"), $"src".as("dst"), $"isNew")
-        else {
-          val tagged = edges.toDF()
-            .withColumn("h", xxhash64($"src", $"dst", lit(iter), lit(seed)))
-          val stats = tagged.groupBy($"dst")
-            .agg(count(lit(1)).as("cnt"), min($"h").as("hmin"))
-          tagged.join(stats, "dst")
-            .filter($"h" === $"hmin" ||
-              pmod($"h", $"cnt") < ceil($"cnt" * p.sampleRate))
-            .select($"dst".as("src"), $"src".as("dst"), $"isNew")
-        }
+      val sampledRev = sampleReverse(edges, p.sampleRate, iter, seed)
 
       // Adjacency set Av = Bv ∪ sample(Rv) (reference G4): the ONLY place
       // features are shuffled — one narrow-ids union, one join against the
@@ -243,34 +187,9 @@ object NND {
         .select($"src", $"dst", $"features", $"partition", $"isNew")
         .as[AdjRow]
 
-      // Incremental local join (reference G5 + B flags, NND.scala:199-242;
-      // Dong et al. §2.3): within each Av, introduce every ordered pair
-      // (u, p) with at least one NEW member as a candidate edge u→p.
-      // Old-old pairs were already evaluated the iteration both entries
-      // arrived, so skipping them loses nothing — and as the graph
-      // converges (fewer new entries) the per-iteration pair count decays
-      // toward zero instead of staying at |Av|² forever.
       val pairCands: Dataset[Cand] = adj
         .groupByKey(_.src)
-        .flatMapGroups { (_, it) =>
-          val a = dedupByDst(it)
-          val out = new mutable.ArrayBuffer[Cand]()
-          var i = 0
-          while (i < a.length) {
-            var j = 0
-            while (j < a.length) {
-              if (i != j && a(i).dst != a(j).dst && (a(i).isNew || a(j).isNew)) {
-                out += Cand(a(i).dst, a(j).dst,
-                  Similarity.partitionGated(
-                    a(i).features, a(i).partition, a(j).features, a(j).partition),
-                  isOld = false)
-              }
-              j += 1
-            }
-            i += 1
-          }
-          out.iterator
-        }
+        .flatMapGroups((_, it) => localJoinPairs(it))
 
       val oldCands: Dataset[Cand] = edges.map(e => Cand(e.src, e.dst, e.sim, isOld = true))
 
@@ -284,7 +203,7 @@ object NND {
 
       val prev = graph
       graph = newGraph
-      prev.unpersist()
+      release(prev)
       iter += 1
 
       // δ-convergence (Dong et al.; reference C3, NND.scala:259-262).
@@ -366,10 +285,7 @@ object NND {
     // Same parameter gate as buildGraph: k = 0 would otherwise run all
     // iterations on empty candidate lists (0/0 convergence ratio is
     // NaN, never <= earlyTermination) and return garbage silently.
-    require(p.k > 0, s"k must be positive, got ${p.k}")
-    require(p.sampleRate > 0, s"sampleRate must be positive, got ${p.sampleRate}")
-    require(p.bucketsPerInstance > 0,
-      s"bucketsPerInstance must be positive, got ${p.bucketsPerInstance}")
+    gateParams(p)
     val spark = input.sparkSession
     import spark.implicits._
 
@@ -377,12 +293,7 @@ object NND {
     def truncate[T](ds: Dataset[T]): Dataset[T] =
       if (p.checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint(true)
 
-    val base = {
-      var df = input
-      if (!df.columns.contains("partition")) df = df.withColumn("partition", lit(0L))
-      if (!df.columns.contains("finished")) df = df.withColumn("finished", lit(false))
-      df
-    }
+    val base = withDefaultCols(input)
     val nodes = base
       .filter(!col("finished"))
       .select(col("id").cast("long").as("id"),
@@ -434,16 +345,11 @@ object NND {
     val purgeAffected = priorEdges
       .join(finishedIds, col("nb.id") === col("fid"), "left_semi")
       .select(col("id")).distinct()
-    val purgedLists = priorEdges
-      .join(purgeAffected, Seq("id"), "left_semi")
-      .join(finishedIds, col("nb.id") === col("fid"), "left_anti")
-      .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(
-        (-col("nb.similarity")).as("neg"), col("nb.id").as("id"),
-        col("nb.similarity").as("similarity")))).as("srt"))
-      .select(col("id"),
-        expr("transform(srt, x -> struct(x.id as id, x.similarity as similarity))")
-          .as("neighbors"))
+    val purgedLists = graft.core.Neighbors.assemble(
+      priorEdges
+        .join(purgeAffected, Seq("id"), "left_semi")
+        .join(finishedIds, col("nb.id") === col("fid"), "left_anti"),
+      col("id"), col("nb.id"), col("nb.similarity"))
     // With a real finished set the purge subtree (edge explode + two
     // joins + regroup) would otherwise re-execute for every priorLists
     // consumer (stable init, newIds anti-join, the per-iteration old-
@@ -475,13 +381,7 @@ object NND {
       .withColumn("is_new", coalesce($"is_new", lit(false)))
       .as[(Long, Array[Float], Long, Boolean)]
       .flatMap { case (id, features, partition, isNewNode) =>
-        val nb = math.max(1L,
-          math.ceil(bcCounts.value(partition).toDouble * bpi / (2.0 * k)).toLong)
-        val r = new Random(seed ^ java.util.Arrays.hashCode(features).toLong)
-        val picks = mutable.LinkedHashSet.empty[Long]
-        val want = math.min(bpi.toLong, nb).toInt
-        while (picks.size < want) picks += 1L + math.floorMod(r.nextLong(), nb)
-        picks.iterator
+        drawBuckets(seed, features, bcCounts.value(partition), bpi, k)
           .map(b => (maxBuckets * partition + b, id, features, partition, isNewNode))
           .toSeq
       }
@@ -498,13 +398,11 @@ object NND {
           if (!seen.contains(id)) seen.update(id, (BucketedNode(b, id, f, part), fresh))
         }
         val members = seen.values.toArray.sortBy(_._1.id)
+        // Plain member array hoisted out of the per-node loop so the
+        // draw indices hit the same ordering buildGraph draws from.
+        val plain = members.map(_._1)
         members.iterator.filter(_._2).flatMap { case (nd, _) =>
-          val r = new Random(mix(seed, bucket, nd.id))
-          Iterator.tabulate(k)(_ => members(r.nextInt(members.length))._1)
-            .filter(_.id != nd.id)
-            .map(c => Cand(nd.id, c.id,
-              Similarity.partitionGated(nd.features, nd.partition, c.features, c.partition),
-              isOld = false))
+          inBucketDraws(seed, bucket, nd, plain, k)
         }
       }
 
@@ -521,19 +419,7 @@ object NND {
         active.flatMap(nl => nl.neighbors.iterator.zip(nl.isNew.iterator)
           .map { case (nb, fresh) => FlaggedEdge(nl.id, nb.id, nb.similarity, fresh) })
 
-      val sampledRev =
-        if (p.sampleRate >= 1.0)
-          edges.toDF().select($"dst".as("src"), $"src".as("dst"), $"isNew")
-        else {
-          val tagged = edges.toDF()
-            .withColumn("h", xxhash64($"src", $"dst", lit(iter), lit(seed)))
-          val stats = tagged.groupBy($"dst")
-            .agg(count(lit(1)).as("cnt"), min($"h").as("hmin"))
-          tagged.join(stats, "dst")
-            .filter($"h" === $"hmin" ||
-              pmod($"h", $"cnt") < ceil($"cnt" * p.sampleRate))
-            .select($"dst".as("src"), $"src".as("dst"), $"isNew")
-        }
+      val sampledRev = sampleReverse(edges, p.sampleRate, iter, seed)
 
       // Only adjacency groups with a NEW member generate pairs; carve
       // them out before the features join so untouched groups cost
@@ -570,25 +456,7 @@ object NND {
 
       val pairCandsRaw: Dataset[Cand] = adj
         .groupByKey(_.src)
-        .flatMapGroups { (_, it) =>
-          val a = dedupByDst(it)
-          val out = new mutable.ArrayBuffer[Cand]()
-          var i = 0
-          while (i < a.length) {
-            var j = 0
-            while (j < a.length) {
-              if (i != j && a(i).dst != a(j).dst && (a(i).isNew || a(j).isNew)) {
-                out += Cand(a(i).dst, a(j).dst,
-                  Similarity.partitionGated(
-                    a(i).features, a(i).partition, a(j).features, a(j).partition),
-                  isOld = false)
-              }
-              j += 1
-            }
-            i += 1
-          }
-          out.iterator
-        }
+        .flatMapGroups((_, it) => localJoinPairs(it))
 
       // The O(|Av|²) local join is the iteration's dominant compute and
       // feeds THREE consumers (merge input, targets for the carve-outs,
@@ -623,9 +491,9 @@ object NND {
         stable.toDF().join(targets, Seq("id"), "left_anti").as[FlaggedList]
           .unionByName(retired))
       active = merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
-      prevStable.unpersist()
-      prevActive.unpersist()
-      pairCands.unpersist()
+      release(prevStable)
+      release(prevActive)
+      release(pairCands)
       iter += 1
 
       val ratio = updates.toDouble / (k.toDouble * newCount.toDouble)
@@ -670,6 +538,132 @@ object NND {
       }
     }
     seen.values.toArray.sortBy(_.dst)
+  }
+
+  /** Parameter gate shared by [[buildGraph]] and [[updateGraph]] — one
+    * definition so the two entry points cannot drift on what they
+    * reject. */
+  private def gateParams(p: Params): Unit = {
+    require(p.k > 0, s"k must be positive, got ${p.k}")
+    require(p.sampleRate > 0, s"sampleRate must be positive, got ${p.sampleRate}")
+    require(p.bucketsPerInstance > 0,
+      s"bucketsPerInstance must be positive, got ${p.bucketsPerInstance}")
+  }
+
+  /** Default the optional input columns (`partition`, `finished`) —
+    * shared input normalization of both entry points. */
+  private def withDefaultCols(input: DataFrame): DataFrame = {
+    var df = input
+    if (!df.columns.contains("partition")) df = df.withColumn("partition", lit(0L))
+    if (!df.columns.contains("finished")) df = df.withColumn("finished", lit(false))
+    df
+  }
+
+  /** Reverse-edge ρ-sample (reference G2+G3, `NND.scala:116-169`),
+    * shared by build and update so the xxhash64(src, dst, iter, seed)
+    * keep-recipe stays bit-identical between them (the
+    * update-from-empty-equals-build contract depends on it). Each node
+    * keeps a deterministic ~ceil(ρ·|Rv|) (min 1) subset of its incoming
+    * edges. At ρ >= 1 (the reference default regime) the sample is the
+    * whole reverse set and nothing extra runs. At ρ < 1 the draw is a
+    * count-conditioned hash filter: one narrow partial aggregation
+    * computes (|Rv|, min-hash) per dst, then a hash-mod threshold keeps
+    * each edge with probability ceil(ρ·|Rv|)/|Rv| and the min-hash edge
+    * unconditionally (the >= 1 floor). Unlike a row_number window this
+    * needs NO per-iteration full sort of the edge table — at scale the
+    * sort, not the shuffle, is the cost. The subset size is ~Binomial
+    * around ceil(ρ·|Rv|) rather than exact; NN-descent's ρ-sample is
+    * itself a random subsample (Dong et al. §2.3), so expected-size
+    * sampling preserves the algorithm (recall bar held in NNDSpec at
+    * ρ = 0.5). Reverse edges inherit the forward edge's new/old flag
+    * (Dong et al.: new'[v] includes sampled reverse-new, old'[v]
+    * reverse-old). */
+  private def sampleReverse(edges: Dataset[FlaggedEdge], rate: Double,
+      iter: Int, seed: Long): DataFrame = {
+    import edges.sparkSession.implicits._
+    if (rate >= 1.0)
+      edges.toDF().select($"dst".as("src"), $"src".as("dst"), $"isNew")
+    else {
+      val tagged = edges.toDF()
+        .withColumn("h", xxhash64($"src", $"dst", lit(iter), lit(seed)))
+      val stats = tagged.groupBy($"dst")
+        .agg(count(lit(1)).as("cnt"), min($"h").as("hmin"))
+      tagged.join(stats, "dst")
+        .filter($"h" === $"hmin" ||
+          pmod($"h", $"cnt") < ceil($"cnt" * rate))
+        .select($"dst".as("src"), $"src".as("dst"), $"isNew")
+    }
+  }
+
+  /** Incremental local join over one adjacency group (reference G5 +
+    * B flags, `NND.scala:199-242`; Dong et al. §2.3), shared by build
+    * and update: within Av, every ordered pair (u, p) with at least one
+    * NEW member becomes a candidate edge u→p. Old-old pairs were
+    * already evaluated the iteration both entries arrived, so skipping
+    * them loses nothing — and as the graph converges the per-iteration
+    * pair count decays toward zero instead of staying |Av|² forever. */
+  private def localJoinPairs(it: Iterator[AdjRow]): Iterator[Cand] = {
+    val a = dedupByDst(it)
+    val out = new mutable.ArrayBuffer[Cand]()
+    var i = 0
+    while (i < a.length) {
+      var j = 0
+      while (j < a.length) {
+        if (i != j && a(i).dst != a(j).dst && (a(i).isNew || a(j).isNew)) {
+          out += Cand(a(i).dst, a(j).dst,
+            Similarity.partitionGated(
+              a(i).features, a(i).partition, a(j).features, a(j).partition),
+            isOld = false)
+        }
+        j += 1
+      }
+      i += 1
+    }
+    out.iterator
+  }
+
+  /** Deterministic per-node bucket choice seeded by the feature hash
+    * (reference F4, `NND.scala:88-89`), shared by build and update.
+    * O(bpi) distinct-draw per node (NOT the reference's full
+    * Fisher-Yates over all nb bucket ids, `NND.scala:91`, which is
+    * O(nodes-per-partition) work and garbage PER NODE — quadratic total
+    * and an overflow at nb > 2^31). Bucket ids are 1-based within the
+    * logical partition; callers namespace with
+    * `maxBuckets * partition + b`. */
+  private def drawBuckets(seed: Long, features: Array[Float],
+      partitionCount: Long, bpi: Int, k: Int): Iterator[Long] = {
+    val nb = math.max(1L,
+      math.ceil(partitionCount.toDouble * bpi / (2.0 * k)).toLong)
+    val r = new Random(seed ^ java.util.Arrays.hashCode(features).toLong)
+    val picks = mutable.LinkedHashSet.empty[Long]
+    val want = math.min(bpi.toLong, nb).toInt
+    while (picks.size < want) picks += 1L + math.floorMod(r.nextLong(), nb)
+    picks.iterator
+  }
+
+  /** K random in-bucket draws with replacement, self excluded
+    * (reference `NND.scala:98-99`) — seeded per (bucket, node), shared
+    * by build and update so init draws are bit-identical between
+    * them. */
+  private def inBucketDraws(seed: Long, bucket: Long, nd: BucketedNode,
+      members: Array[BucketedNode], k: Int): Iterator[Cand] = {
+    val r = new Random(mix(seed, bucket, nd.id))
+    Iterator.tabulate(k)(_ => members(r.nextInt(members.length)))
+      .filter(_.id != nd.id)
+      .map(c => Cand(nd.id, c.id,
+        Similarity.partitionGated(nd.features, nd.partition, c.features, c.partition),
+        isOld = false))
+  }
+
+  /** Release a retired per-iteration table: the CacheManager path
+    * (`unpersist`, for persisted plans) plus the localCheckpoint block
+    * store (which `Dataset.unpersist` never reaches — without the
+    * second call every iteration's checkpoint blocks would stay
+    * resident until driver GC; a no-op for reliable `checkpointDir`
+    * checkpoints, whose files are the caller's retention). */
+  private def release(ds: Dataset[_]): Unit = {
+    ds.unpersist()
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(ds)
   }
 
   /** splitmix64-style mix for per-(bucket,node) deterministic seeds. */

@@ -105,6 +105,29 @@ object Dedup {
     sh.join(rare.select("s"), "s")
   }
 
+  /** The (optionally df-capped) checkpointed shingle universe both the
+    * exact and LSH pair paths score over. On the capped path the raw
+    * shingle stream is checkpointed FIRST: [[capDocFreq]] consumes it
+    * on both sides of its rare-join (the df aggregation and the probe),
+    * so without the intermediate materialization the corpus would be
+    * shingled and distinct-shuffled twice per call — at 100 TB that
+    * doubles the most expensive stage. The raw checkpoint's blocks are
+    * released as soon as the capped result is materialized; the
+    * returned frame is itself checkpointed (every caller consumes it
+    * at least twice: sizes + both self-join sides). */
+  private def cappedShingles(df: DataFrame, idCol: String, textCol: String,
+      maxDocFraction: Option[Double]): DataFrame = {
+    val raw0 = hashedShingleSet(df, idCol, textCol)
+    maxDocFraction match {
+      case Some(f) =>
+        val raw = raw0.localCheckpoint()
+        val capped = capDocFreq(raw, df.count(), f).localCheckpoint()
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(raw)
+        capped
+      case None => raw0.localCheckpoint()
+    }
+  }
+
   /** Near-duplicate pairs by exact shingle-set Jaccard >= threshold.
     * The join key is the shingle itself, so only documents sharing at
     * least one shingle ever meet — no quadratic blow-up on a sparse
@@ -120,11 +143,7 @@ object Dedup {
     // localCheckpoint (not cache) so the shingle set's distinct shuffle
     // runs once without pinning storage for the application lifetime —
     // the checkpointed RDD is released with the returned plan.
-    val raw = hashedShingleSet(df, idCol, textCol)
-    val sh = maxDocFraction
-      .map(f => capDocFreq(raw, df.count(), f))
-      .getOrElse(raw)
-      .localCheckpoint()
+    val sh = cappedShingles(df, idCol, textCol, maxDocFraction)
     val sz = sh.groupBy("id").agg(count(lit(1)).as("n"))
     val inter = sh.as("a").join(sh.as("b"),
         col("a.s") === col("b.s") && col("a.id") < col("b.id"))
@@ -185,15 +204,11 @@ object Dedup {
     // product).
     require(bands > 0 && numHashes % bands == 0,
       s"bands ($bands) must evenly divide numHashes ($numHashes)")
-    val raw = hashedShingleSet(df, idCol, textCol)
     // df-cap applies BEFORE signatures and verification, so the capped
     // LSH path approximates the capped exact join (same semantics as
     // jaccardPairs with the same maxDocFraction) — the stop-phrase skew
     // defense survives the switch to the corpus-scale path.
-    val sh = maxDocFraction
-      .map(f => capDocFreq(raw, df.count(), f))
-      .getOrElse(raw)
-      .localCheckpoint()
+    val sh = cappedShingles(df, idCol, textCol, maxDocFraction)
     // Shared with the persisted-index path — one banding definition.
     val buckets = bandBuckets(sh, numHashes, bands)
 
@@ -1058,8 +1073,13 @@ object Dedup {
         levenshtein(col("ta"), col("tb")).cast("long").as("edit_dist"),
         greatest(length(col("ta")), length(col("tb"))).cast("long")
           .as("max_len"))
+      // greatest(max_len, 1): a pair of EMPTY texts (shingle fallback
+      // makes them J = 1 candidates) has max_len = 0, and 0/0 would
+      // emit NaN — which a desc sort ranks above every real score.
+      // Their edit_dist is 0, so the guard yields the correct 1.0.
       .withColumn("edit_sim",
-        lit(1.0) - col("edit_dist").cast("double") / col("max_len"))
+        lit(1.0) - col("edit_dist").cast("double") /
+          greatest(col("max_len"), lit(1L)))
       .withColumn("edit_dup",
         when(col("edit_dist") <= maxEditDist, lit(1L)).otherwise(lit(0L)))
   }

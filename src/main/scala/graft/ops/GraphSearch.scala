@@ -42,18 +42,43 @@ object GraphSearch {
       seeds: Int = 8,
       metric: String = "cosine"): DataFrame = {
     require(metric == "cosine" || metric == "l2sim", s"unknown metric '$metric'")
+    // Fail fast like NND's param gates: k = 0 or seeds = 0 would
+    // otherwise return an empty frame silently (and appendToGraph
+    // would then union nothing — a no-op append with no error).
+    require(k > 0, s"k must be positive, got $k")
+    require(beam > 0, s"beam must be positive, got $beam")
+    require(hops >= 0, s"hops must be >= 0, got $hops")
+    require(seeds > 0, s"seeds must be positive, got $seeds")
+
+    // Logical-partition gate (the NND data-model contract: similarity
+    // across different `partition` values is -Infinity, so the graph is
+    // independent per partition). When the corpus carries a partition
+    // column, queries must too, candidates are score-gated to the
+    // query's partition, and entry points are drawn PER PARTITION —
+    // otherwise an appended list could store a cross-partition
+    // neighbor with a finite similarity that a later updateGraph would
+    // preserve as an old candidate. The unpartitioned path below is
+    // byte-identical to the flat serving plan (TakeOrdered seeds, no
+    // window), so s03/n03/n06/st22 plans and pins are untouched.
+    val hasPart = corpus.columns.contains("partition")
+    require(!hasPart || queries.columns.contains("partition"),
+      "corpus is logically partitioned; queries need a 'partition' column too")
 
     val adj = graph
       .select(col("id").as("node"), explode(col("neighbors")).as("nb"))
       .select(col("node"), col("nb.id").as("nbr"))
 
     val c = corpus.select(col("id").as("node"), col("features").as("v_c"),
-      vector_norm(col("features")).as("n_c"))
+      vector_norm(col("features")).as("n_c"),
+      (if (hasPart) col("partition") else lit(0L)).as("p_c"))
     val q = broadcast(queries.select(col("id").as("query_id"),
-      col("features").as("v_q"), vector_norm(col("features")).as("n_q")))
+      col("features").as("v_q"), vector_norm(col("features")).as("n_q"),
+      (if (hasPart) col("partition") else lit(0L)).as("p_q")))
 
     def score(cands: DataFrame): DataFrame =
       cands.join(c, "node").join(q, "query_id")
+        // Partition gate: folds away on the flat path (0 === 0).
+        .filter(col("p_c") === col("p_q"))
         // cosine_ranked: beam selection sorts desc, so a zero-norm
         // node's NaN would otherwise occupy the #1 beam slot of every
         // query (the fleet-wide ranking-path guard). l2sim needs no
@@ -69,12 +94,26 @@ object GraphSearch {
     // id-hash order — a fixed, embedding-independent entry set (ids
     // hash uniformly, so the set is a random-looking but stable sample
     // of the corpus; diversify by raising `seeds`, not by reseeding).
-    val seedNodes = corpus.select(col("id").as("node"))
-      .orderBy(xxhash64(col("node")), col("node")).limit(seeds)
-
+    // Partitioned corpora draw `seeds` entry points per logical
+    // partition (a keyed window, tasks = |partitions|); the flat path
+    // keeps the windowless TakeOrdered plan.
     val wBeam = Window.partitionBy("query_id").orderBy(desc("score"), asc("node"))
 
-    var visited = score(q.select("query_id").crossJoin(seedNodes))
+    var visited = score(
+      if (hasPart) {
+        val wSeed = Window.partitionBy("partition")
+          .orderBy(xxhash64(col("node")), col("node"))
+        val seedNodes = corpus.select(col("id").as("node"), col("partition"))
+          .withColumn("rk", row_number().over(wSeed))
+          .filter(col("rk") <= seeds)
+        q.select(col("query_id"), col("p_q"))
+          .join(seedNodes, col("p_q") === col("partition"))
+          .select("query_id", "node")
+      } else {
+        val seedNodes = corpus.select(col("id").as("node"))
+          .orderBy(xxhash64(col("node")), col("node")).limit(seeds)
+        q.select("query_id").crossJoin(seedNodes)
+      })
     var hop = 0
     while (hop < hops) {
       val frontier = visited
@@ -86,6 +125,7 @@ object GraphSearch {
         .distinct()
         .join(visited.select(col("query_id"), col("node")),
           Seq("query_id", "node"), "left_anti")
+      val prevVisited = visited
       visited = visited
         .unionByName(score(discovered))
         // bound state growth: keep a generous multiple of the beam, but
@@ -94,6 +134,11 @@ object GraphSearch {
         .filter(col("rk") <= math.max(4 * beam, k + 1))
         .drop("rk")
         .localCheckpoint(true)
+      // Per-hop checkpoint blocks are dead once the next hop is
+      // materialized; Dataset.unpersist never reaches them (see
+      // GraftColumnBridge.releaseLocalCheckpoint). No-op on hop 0's
+      // un-checkpointed seed frame.
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(prevVisited)
       hop += 1
     }
 
@@ -152,14 +197,9 @@ object GraphSearch {
   private[graft] def appendedLists(graph: DataFrame, corpus: DataFrame,
       newPoints: DataFrame, k: Int, beam: Int, hops: Int,
       seeds: Int): DataFrame =
-    searchGraph(graph, corpus, newPoints, k, beam, hops, seeds, metric = "l2sim")
-      .groupBy(col("query_id").as("id"))
-      .agg(sort_array(collect_list(struct(
-        (-col("score")).as("neg"), col("nbr_id").as("id"),
-        col("score").as("similarity")))).as("srt"))
-      .select(col("id"),
-        expr("transform(srt, x -> struct(x.id as id, x.similarity as similarity))")
-          .as("neighbors"))
+    graft.core.Neighbors.assemble(
+      searchGraph(graph, corpus, newPoints, k, beam, hops, seeds, metric = "l2sim"),
+      col("query_id"), col("nbr_id"), col("score"))
 
   /** Graph health audit — the REBUILD TRIGGER of the append-and-serve
     * lifecycle: per graph, node/edge counts, degree spread, and

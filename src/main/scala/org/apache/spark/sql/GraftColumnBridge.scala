@@ -10,4 +10,25 @@ import org.apache.spark.sql.catalyst.expressions.Expression
 object GraftColumnBridge {
   def column(e: Expression): Column = classic.ExpressionUtils.column(e)
   def expression(c: Column): Expression = classic.ExpressionUtils.expression(c)
+
+  /** Free the executor blocks backing a `localCheckpoint`'ed Dataset.
+    *
+    * `Dataset.unpersist()` goes through the CacheManager, which never
+    * saw a localCheckpoint (the checkpoint persists its internal RDD at
+    * the RDD level), so in an iterative loop every per-iteration
+    * checkpoint's MEMORY_AND_DISK blocks would otherwise stay resident
+    * until the driver happens to GC the dataset reference and the
+    * ContextCleaner gets to it. The checkpointed plan is a `LogicalRDD`
+    * leaf over that internal RDD — unpersisting it releases the blocks
+    * immediately. A no-op on anything that is not a local checkpoint
+    * (no LogicalRDD in the plan, or a reliable file-based checkpoint,
+    * whose lifecycle is the caller's checkpoint-dir retention). */
+  def releaseLocalCheckpoint(ds: Dataset[_]): Unit = ds match {
+    case d: classic.Dataset[_] =>
+      d.queryExecution.analyzed.foreach {
+        case lr: execution.LogicalRDD => lr.rdd.unpersist(false)
+        case _ => ()
+      }
+    case _ => ()
+  }
 }

@@ -959,6 +959,39 @@ class OpsSpec extends SparkSpec {
       s"appended sim $sim not bit-equal to the JVM kernel's $want")
   }
 
+  test("graph append honors the logical-partition gate") {
+    // The NND contract: similarity across partition values is -Inf, so
+    // lists never cross partitions. The appended point sits at (5, 0)
+    // in partition 0; its nearest overall neighbor is (5.1, 0) in
+    // partition 1, but its list may only draw from partition 0 — and
+    // an ungated beam (the round-9 review defect) would store the
+    // partition-1 neighbor with a finite sim that a later updateGraph
+    // preserves as an old candidate.
+    import spark.implicits._
+    val p0 = (0 until 20).map(i => (i.toLong, Array(i.toFloat, 0f), 0L))
+    val p1 = (0 until 20).map(i => (100L + i, Array(i / 10f + 4.6f, 0f), 1L))
+    val corpus = (p0 ++ p1).toDF("id", "features", "partition")
+    val graph = graft.nnd.NND.buildGraph(corpus,
+        graft.nnd.NND.Params(k = 4, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    val newPoint = Seq((500L, Array(5f, 0f), 0L))
+      .toDF("id", "features", "partition")
+    val appended = graft.ops.GraphSearch.appendToGraph(
+        graph, corpus, newPoint, k = 4, beam = 8, hops = 2, seeds = 4)
+      .filter(col("id") === 500L)
+      .select(explode(col("neighbors")).as("nb"))
+      .select(col("nb.id")).collect().map(_.getLong(0)).toSet
+    assert(appended.nonEmpty, "appended point got no neighbors")
+    assert(appended.forall(_ < 100L),
+      s"appended list crossed the logical partition: $appended")
+    // Queries without a partition column are rejected up front.
+    intercept[IllegalArgumentException] {
+      graft.ops.GraphSearch.appendToGraph(
+        graph, corpus, Seq((501L, Array(5f, 0f))).toDF("id", "features"),
+        k = 4, beam = 8, hops = 2, seeds = 4)
+    }
+  }
+
   test("embedding near-dup threshold has a safe float margin") {
     val cos = Dedup.embeddingPairs(emb, "id", "features", 0.0)
       .select("cosine").collect().map(_.getDouble(0))
