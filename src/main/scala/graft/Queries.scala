@@ -1500,6 +1500,37 @@ object Queries {
         docs(s, dir).withColumn("n_tokens", size(split(col("text"), " "))),
         "doc_id", "n_tokens", 256)),
 
+    // Whole-document bin packing (Krell et al. histogram packing —
+    // t11's no-split complement: no attention bleed across documents,
+    // padding waste priced instead). Best-fit-decreasing solved on the
+    // driver over the LENGTH HISTOGRAM (bounded by capacity, never by
+    // corpus size), assignment fully relational. The summary pins the
+    // whole assignment: bin count, packed/oversize split, token mass,
+    // fill rate (2^-20 fixed point), and an order-independent
+    // xxhash64 sum over (doc, bin) placements — any drift in the
+    // solve or the rank plumbing moves assign_hash.
+    "t40_pack_bins" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .select("doc_id", "n_tokens")
+      val packed = Packing.packBins(d, "doc_id", "n_tokens", capacity = 128L)
+      packed.agg(
+          coalesce(max("bin_id") + 1, lit(0L)).as("n_bins"),
+          sum(when(col("oversize"), 0L).otherwise(1L)).as("n_docs_packed"),
+          sum(when(col("oversize"), 1L).otherwise(0L)).as("n_oversize"),
+          sum(when(col("oversize"), 0L).otherwise(col("n_tokens")))
+            .as("packed_tokens"),
+          // Order-independent exact fingerprint (bounded per-row mod,
+          // the t15 manifest_fp convention — a raw xxhash64 sum
+          // overflows Long under ANSI).
+          sum(when(col("oversize"), lit(0L))
+            .otherwise(pmod(xxhash64(col("doc_id"), col("bin_id")),
+              lit(1000000007L)))).as("assign_hash"))
+        .withColumn("fill_fp",
+          round(col("packed_tokens") * 1048576.0 / (col("n_bins") * 128.0))
+            .cast("long"))
+    }),
+
     // Deterministic training-order shuffle: every document's global
     // rank under a portable md5 permutation draw — a distributed
     // row_number (range partition + zipWithIndex), never a single-task
@@ -2583,6 +2614,42 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // DiskANN-style occlusion prune of the serving graph (Vamana
+    // RobustPrune over the stored lists): keep only neighbors no
+    // closer kept neighbor occludes — the diversity-preserving
+    // sparsification that makes low-degree graphs navigable. The
+    // summary prices the trade the operator sells: edges removed
+    // (before/after) vs search recall over the PRUNED graph with s03's
+    // exact serving parameters (n_hits directly comparable to s03's
+    // pin — diversity holds the redundant cliques' recall at a
+    // fraction of their edges). Operating point α = 1.0 (the strict
+    // RNG rule): on this fixture's near-isotropic unit-norm
+    // embeddings, neighbor-neighbor distances concentrate barely
+    // above node-neighbor distances, so the DiskANN slack (α = 1.2,
+    // built for clustered corpora) occludes almost nothing — the
+    // strict rule is where the trade is priced; OpsSpec exercises the
+    // α-knob on planted geometry.
+    "n08_graph_prune" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      val g = knnGraph(s, dir)
+        .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      // Consumed twice (edge census + every search hop) — checkpoint.
+      val pruned = graft.ops.GraphSearch.pruneGraph(g, e, alpha = 1.0)
+        .localCheckpoint()
+      val before = g
+        .select(size(col("neighbors")).cast("long").as("d"))
+        .agg(sum(col("d")).as("n_edges_before"))
+      val after = pruned
+        .select(size(col("neighbors")).cast("long").as("d"))
+        .agg(sum(col("d")).as("n_edges_after"))
+      recallCounts(
+        graft.ops.GraphSearch.searchGraph(pruned, e, q, k = 10,
+          beam = 32, hops = 4, seeds = 16),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+        .crossJoin(before).crossJoin(after)
+    }),
+
     // Label-noise audit over the prebuilt K-NN graph (confident-
     // learning shape): each node's label vs the deterministic majority
     // label of its graph neighborhood. On this fixture the label
@@ -3059,6 +3126,27 @@ object Queries {
     "st22_graph_append_serve" -> Seq(
       "n_hits_new" -> (817L, 778L, 3014L),
       "n_total_new" -> (1000L, 1000L, 4000L)),
+    // Measured 2026-08-14 (round 9, PinDump, first measurement).
+    // Deterministic whole-assignment fingerprint of the histogram
+    // bin-packing solve at capacity 128 (pure function of the
+    // (length, id) multiset — partition-invariant, TrainPrepSpec).
+    "t40_pack_bins" -> Seq(
+      "n_bins" -> (220L, 214L, 2121L),
+      "n_docs_packed" -> (500L, 500L, 5000L),
+      "n_oversize" -> (0L, 0L, 0L),
+      "packed_tokens" -> (27939L, 27165L, 270704L),
+      "assign_hash" -> (240683156977L, 241384893016L, 2492728507766L),
+      "fill_fp" -> (1040347L, 1039886L, 1045548L)),
+    // Measured 2026-08-14 (round 9, PinDump, first measurement).
+    // α = 1.0 strict-RNG occlusion prune of the n01 graph: edge census
+    // before vs after, plus search recall over the PRUNED graph at
+    // s03's exact serving parameters (s03's n_hits over the unpruned
+    // graph is the direct comparison point).
+    "n08_graph_prune" -> Seq(
+      "n_hits" -> (198L, 199L, 192L),
+      "n_total" -> (200L, 200L, 200L),
+      "n_edges_before" -> (5000L, 5000L, 20000L),
+      "n_edges_after" -> (4088L, 4060L, 17581L)),
     // Measured 2026-08-14 (round 8, PinDump). Deterministic fact of
     // the (hash-seeded, partition-invariant) n01 graph; reciprocity_fp
     // = round(frac * 2^20).

@@ -4,7 +4,15 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.core.{Neighbor, NeighborList, Similarity}
 import graft.functions.VectorFunctions._
+
+import scala.collection.mutable
+
+// Top-level (not object-nested) so Catalyst's generated deserializer can
+// access it — the repo-wide encoder convention (see nnd.NND's row types).
+private[ops] final case class PruneCand(
+    src: Long, dst: Long, sim: Double, features: Array[Float])
 
 /** Greedy beam search over a built K-NN graph (the reference's output
   * put to its canonical use: approximate similarity search seeded from a
@@ -200,6 +208,90 @@ object GraphSearch {
     graft.core.Neighbors.assemble(
       searchGraph(graph, corpus, newPoints, k, beam, hops, seeds, metric = "l2sim"),
       col("query_id"), col("nbr_id"), col("score"))
+
+  /** α-occlusion prune of a built K-NN graph (Vamana/DiskANN
+    * RobustPrune, Subramanya et al. 2019, applied to the stored lists):
+    * per node, walk its neighbor list in distance order and keep a
+    * candidate c only if NO already-kept neighbor p occludes it —
+    * `α · d(p, c) <= d(v, c)` drops c. At α = 1 this is the strict
+    * relative-neighborhood-graph (RNG) edge rule; α > 1 keeps
+    * progressively more (denser graph, longer detour edges survive).
+    *
+    * Why a pipeline wants it: NND's top-K lists are locally clustered —
+    * a node's 10 nearest neighbors mostly see each other, so beam
+    * search wastes hops re-scoring one tight clique. Occlusion pruning
+    * keeps the DIVERSE subset (each kept edge opens a genuinely new
+    * direction), which is what makes DiskANN-family graphs navigable
+    * at low degree: fewer edges to fetch per hop, recall held by
+    * diversity rather than redundancy (the n08 pins price exactly
+    * this trade on the serving fixture).
+    *
+    * Distances: d(v, c) is recovered from the STORED similarity
+    * (`d = 1/sim − 1`, exact inverse of the build's `1/(1+d)` modulo
+    * one double rounding — deterministic, so pins are stable);
+    * d(p, c) between two list members is computed fresh via
+    * [[graft.core.Similarity.l2]] (the double-subtraction kernel all
+    * stored sims were measured with). Neighbors are same-partition by
+    * the NND contract, so no partition gate is needed inside a list.
+    *
+    * Scale shape: one edge-table explode, ONE features join (edge-
+    * sized — features of list members only), one groupBy(src) with an
+    * O(k²·dim) in-memory kernel per node (k <= ~100 by construction of
+    * the lists) — the same bounded-group pattern as NND's local join.
+    * No all-pairs anything; null-list (finished) rows pass through
+    * byte-untouched.
+    *
+    * @param graph     (id, neighbors) from `NND.buildGraph` (or any
+    *                  composition that preserves its schema)
+    * @param corpus    (id, features) covering every list member — a
+    *                  list entry whose features are absent from the
+    *                  corpus is DROPPED (inner join): pruning cannot
+    *                  certify an edge it cannot measure
+    * @param alpha     occlusion slack, >= 1.0 (1.0 = strict RNG prune)
+    * @param maxDegree optional hard degree cap applied AFTER the
+    *                  occlusion rule, in distance order (DiskANN's R)
+    */
+  def pruneGraph(graph: DataFrame, corpus: DataFrame,
+      alpha: Double = 1.2, maxDegree: Int = Int.MaxValue): DataFrame = {
+    require(alpha >= 1.0, s"alpha must be >= 1.0 (strict RNG prune), got $alpha")
+    require(maxDegree > 0, s"maxDegree must be positive, got $maxDegree")
+    val spark = graph.sparkSession
+    import spark.implicits._
+    val passthrough = graph.filter(col("neighbors").isNull)
+      .select(col("id"), col("neighbors"))
+    val cands = graph.filter(col("neighbors").isNotNull)
+      .select(col("id").as("src"), explode(col("neighbors")).as("nb"))
+      .select(col("src"), col("nb.id").as("dst"), col("nb.similarity").as("sim"))
+      .join(corpus.select(col("id").as("dst"), col("features")), "dst")
+      .select(col("src"), col("dst"), col("sim"), col("features"))
+      .as[PruneCand]
+    val pruned = cands.groupByKey(_.src).mapGroups { (src, it) =>
+      // (sim desc, id asc) = distance asc with the aggregator's
+      // deterministic tie order — the same total order the lists were
+      // built under.
+      val a = it.toArray.sortBy(c => (-c.sim, c.dst))
+      val kept = mutable.ArrayBuffer.empty[PruneCand]
+      var i = 0
+      while (i < a.length && kept.length < maxDegree) {
+        val c = a(i)
+        // Stored sims are finite and > 0 for real neighbors; a -Inf
+        // (cross-partition, contract-violating) entry maps to infinite
+        // distance and is occluded by anything already kept.
+        val dC = if (c.sim > 0.0) 1.0 / c.sim - 1.0 else Double.PositiveInfinity
+        var occluded = false
+        var j = 0
+        while (j < kept.length && !occluded) {
+          if (alpha * Similarity.l2(kept(j).features, c.features) <= dC)
+            occluded = true
+          j += 1
+        }
+        if (!occluded) kept += c
+        i += 1
+      }
+      NeighborList(src, kept.map(c => Neighbor(c.dst, c.sim)).toSeq)
+    }
+    pruned.toDF().unionByName(passthrough)
+  }
 
   /** Graph health audit — the REBUILD TRIGGER of the append-and-serve
     * lifecycle: per graph, node/edge counts, degree spread, and

@@ -139,6 +139,130 @@ object Packing {
     spark.createDataFrame(ranked, schema).drop(ordNames: _*)
   }
 
+  /** Whole-document bin packing — the NO-SPLIT complement of
+    * [[packChunks]] (Krell et al. 2021, "Efficient Sequence Packing
+    * without Cross-contamination": concat-and-chunk lets attention
+    * bleed across unrelated documents; packing whole documents into
+    * fixed-capacity bins avoids it at the cost of padding waste, and
+    * the packing problem collapses to the LENGTH HISTOGRAM because
+    * docs of equal length are interchangeable).
+    *
+    * Algorithm: best-fit-decreasing on the gap histogram. The solve
+    * runs on the driver over aggregate (gap, bin-range) counts — never
+    * per bin, never per doc — so driver work/state is bounded by the
+    * number of distinct lengths (<= capacity) times the layer count,
+    * independent of corpus size. Doc-to-bin assignment is then fully
+    * relational: a distributed rank within each length class (via
+    * [[globalRank]] on (length, id) minus the broadcast histogram
+    * prefix — no per-length window, no hot-length task), range-joined
+    * against the broadcast solve log ("spans": rank interval -> bin
+    * base), bin id = base + rank offset. Deterministic end to end: a
+    * pure function of the (length, id) multiset, partition-invariant
+    * (TrainPrepSpec).
+    *
+    * Documents longer than `capacity` cannot be packed whole; they
+    * come back with `bin_id` NULL and `oversize` true (the caller
+    * chooses truncate/split/drop — this operator refuses to pick
+    * silently). Empty documents clamp to length 1 (they occupy a slot,
+    * [[packChunks]]' convention).
+    *
+    * @return (idCol, n_tokens, bin_id, oversize) — every input row,
+    *         exactly once; per-bin token sums <= capacity by
+    *         construction. */
+  def packBins(df: DataFrame, idCol: String, tokenCol: String,
+               capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    val spark = df.sparkSession
+    val base = df.select(col(idCol).cast("long").as("id"),
+      greatest(col(tokenCol).cast("long"), lit(1L)).as("n_tokens"))
+    val packable = base.filter(col("n_tokens") <= capacity)
+    // The length histogram: <= capacity rows to the driver.
+    val hist = packable.groupBy(col("n_tokens").as("len"))
+      .agg(count(lit(1)).as("c")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+    // Rank base of each length class in (len asc, id asc) rank order.
+    val cumStart = {
+      var acc = 0L
+      hist.map { case (len, c) => val s = acc; acc += c; (len, s) }.toMap
+    }
+    // ---- Driver solve: best-fit-decreasing over gap classes. ----
+    // State: gap -> FIFO of contiguous bin-id ranges (start, count).
+    // Each placement step consumes whole ranges or splits one — counts
+    // move in aggregate, never bin-by-bin.
+    val byGap = scala.collection.mutable.TreeMap
+      .empty[Long, scala.collection.mutable.ArrayDeque[(Long, Long)]]
+    def push(gap: Long, start: Long, n: Long, front: Boolean): Unit =
+      if (gap > 0 && n > 0) {
+        val q = byGap.getOrElseUpdate(gap,
+          scala.collection.mutable.ArrayDeque.empty)
+        if (front) q.prepend((start, n)) else q.append((start, n))
+      }
+    var nextBin = 0L
+    // Solve log: (len, span_start_rank, span_len, bin_base) — doc with
+    // within-length rank r in [start, start+len) lands in bin
+    // base + (r - start), one doc per bin per span.
+    val spans = scala.collection.mutable.ArrayBuffer[(Long, Long, Long, Long)]()
+    for ((len, total) <- hist.sortBy(-_._1)) {
+      var need = total
+      var cum = 0L
+      while (need > 0) {
+        // Best fit: smallest gap that admits this length.
+        byGap.minAfter(len) match {
+          case Some((gap, q)) =>
+            val (start, r) = q.removeHead()
+            if (q.isEmpty) byGap.remove(gap)
+            val m = math.min(need, r)
+            // Untouched remainder keeps its position at the front so
+            // the next placement continues deterministically.
+            if (m < r) push(gap, start + m, r - m, front = true)
+            spans += ((len, cum, m, start))
+            push(gap - len, start, m, front = false)
+            cum += m; need -= m
+          case None =>
+            // No open bin admits `len`: open fresh bins, packed in
+            // same-length layers (floor(capacity/len) docs per bin) —
+            // aggregate arithmetic, not a per-bin loop.
+            val per = capacity / len
+            val full = need / per
+            if (full > 0) {
+              var j = 0L
+              while (j < per) { spans += ((len, cum + j * full, full, nextBin)); j += 1 }
+              push(capacity - per * len, nextBin, full, front = false)
+              nextBin += full; cum += per * full; need -= per * full
+            }
+            if (need > 0 && full == 0) {
+              // Fewer than one full layer remains: one last bin takes
+              // them all (need < per docs of this length).
+              var j = 0L
+              while (j < need) { spans += ((len, cum + j, 1L, nextBin)); j += 1 }
+              push(capacity - need * len, nextBin, 1L, front = false)
+              nextBin += 1; cum += need; need = 0
+            }
+          }
+      }
+    }
+    val nBins = nextBin
+    // ---- Relational assignment. ----
+    import spark.implicits._
+    val spansDf = broadcast(spans.toSeq
+      .toDF("len", "span_start", "span_len", "bin_base"))
+    val cumDf = broadcast(cumStart.toSeq.toDF("n_tokens", "cum_start"))
+    val ranked = globalRank(packable, Seq(col("n_tokens"), col("id")), "grank")
+    val assigned = ranked.join(cumDf, "n_tokens")
+      .withColumn("lrank", col("grank") - col("cum_start"))
+      .join(spansDf,
+        col("n_tokens") === col("len") &&
+          col("lrank") >= col("span_start") &&
+          col("lrank") < col("span_start") + col("span_len"))
+      .select(col("id").as(idCol), col("n_tokens"),
+        (col("bin_base") + col("lrank") - col("span_start")).as("bin_id"),
+        lit(false).as("oversize"))
+    val oversize = base.filter(col("n_tokens") > capacity)
+      .select(col("id").as(idCol), col("n_tokens"),
+        lit(null).cast("long").as("bin_id"), lit(true).as("oversize"))
+    assigned.unionByName(oversize)
+  }
+
   /** The consumer-side inverse of [[packChunks]]: per chunk of the
     * concatenated stream, the ordered span of documents it draws from —
     * `(chunk_id, n_docs, first_doc, last_doc, n_tokens)` where

@@ -992,6 +992,109 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("pruneGraph drops the occluded neighbor and keeps the diverse one (α-RNG rule)") {
+    import spark.implicits._
+    import graft.core.{Neighbor, NeighborList}
+    // v = 0 at the origin; c1 = (1,0) at d 1; c2 = (2,0) at d 2 —
+    // collinear behind c1, occluded at α = 1.2 (1.2·d(c1,c2) = 1.2 <= 2);
+    // c3 = (0,1.5) at d 1.5 — a different direction, kept
+    // (1.2·d(c1,c3) = 1.2·1.803 = 2.16 > 1.5).
+    val corpus = Seq(
+      (0L, Array(0f, 0f)), (1L, Array(1f, 0f)),
+      (2L, Array(2f, 0f)), (3L, Array(0f, 1.5f))).toDF("id", "features")
+    val g = Seq(NeighborList(0L,
+      Seq(Neighbor(1L, 1.0 / 2.0), Neighbor(3L, 1.0 / 2.5), Neighbor(2L, 1.0 / 3.0))))
+      .toDS().toDF()
+    val got = graft.ops.GraphSearch.pruneGraph(g, corpus, alpha = 1.2)
+      .as[NeighborList].collect().head
+    assert(got.id == 0L)
+    assert(got.neighbors.map(_.id) == Seq(1L, 3L),
+      s"expected the collinear far neighbor pruned: ${got.neighbors}")
+    assert(got.neighbors.map(_.similarity) == Seq(1.0 / 2.0, 1.0 / 2.5),
+      "stored similarities must pass through byte-untouched")
+  }
+
+  test("pruneGraph: huge α keeps every list bit-identical; maxDegree caps in distance order") {
+    import spark.implicits._
+    import graft.core.NeighborList
+    val corpus = emb
+    val g = graft.nnd.NND.buildGraph(corpus,
+        graft.nnd.NND.Params(k = 5, maxIterations = 2))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    def lists(df: org.apache.spark.sql.DataFrame) =
+      df.as[NeighborList].collect()
+        .map(nl => nl.id -> nl.neighbors.map(n => (n.id, n.similarity)))
+        .toMap
+    val orig = lists(g)
+    // α → ∞: the occlusion test never fires, every list survives whole
+    // (lists are already in (sim desc, id asc) order, the kernel's sort).
+    val loose = lists(graft.ops.GraphSearch.pruneGraph(g, corpus, alpha = 1e12))
+    assert(loose == orig, "α=1e12 must be the identity prune")
+    // maxDegree alone = top-2 prefix of each list.
+    val capped = lists(graft.ops.GraphSearch.pruneGraph(
+      g, corpus, alpha = 1e12, maxDegree = 2))
+    assert(capped == orig.map { case (id, ns) => id -> ns.take(2) },
+      "maxDegree must keep the closest-2 prefix")
+    intercept[IllegalArgumentException] {
+      graft.ops.GraphSearch.pruneGraph(g, corpus, alpha = 0.9)
+    }
+  }
+
+  test("pruneGraph matches an independent in-memory greedy and preserves search recall") {
+    import spark.implicits._
+    import graft.core.NeighborList
+    val corpus = emb
+    val g = graft.nnd.NND.buildGraph(corpus,
+        graft.nnd.NND.Params(k = 10, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val feats = corpus.collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    // α = 1.0 (strict RNG): the declared operating point — the
+    // isotropic fixture's neighbor-neighbor distances concentrate just
+    // above node-neighbor distances, so the slack rules barely fire.
+    val alpha = 1.0
+    val expected = g.as[NeighborList].collect().map { nl =>
+      val sorted = nl.neighbors.sortBy(n => (-n.similarity, n.id))
+      val kept = scala.collection.mutable.ArrayBuffer.empty[graft.core.Neighbor]
+      for (c <- sorted) {
+        val dC = 1.0 / c.similarity - 1.0
+        if (!kept.exists(p =>
+            alpha * graft.core.Similarity.l2(feats(p.id), feats(c.id)) <= dC))
+          kept += c
+      }
+      nl.id -> kept.toSeq.map(n => (n.id, n.similarity))
+    }.toMap
+    val prunedDf = graft.ops.GraphSearch.pruneGraph(g, corpus, alpha = alpha)
+      .localCheckpoint()
+    val got = prunedDf.as[NeighborList].collect()
+      .map(nl => nl.id -> nl.neighbors.map(n => (n.id, n.similarity))).toMap
+    assert(got == expected, "distributed prune diverged from the in-memory greedy")
+    // The strict rule must actually bite (~18% of this fixture's
+    // edges sit behind a closer kept neighbor)...
+    val before = g.as[NeighborList].collect().map(_.neighbors.size).sum
+    val after = got.values.map(_.size).sum
+    assert(after <= before * 0.95, s"strict RNG prune removed almost nothing ($before -> $after)")
+    // ...while the kept DIVERSE edges preserve navigability: beam
+    // search over the pruned graph recovers nearly the unpruned
+    // graph's recall at the same serving parameters.
+    val q = corpus.filter(col("id") < 20)
+    val truth = SimilaritySearch.bruteForceTopK(corpus, q, 10)
+      .select("query_id", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(graph: org.apache.spark.sql.DataFrame) =
+      graft.ops.GraphSearch.searchGraph(graph, corpus, q, k = 10,
+          beam = 32, hops = 4, seeds = 16)
+        .select("query_id", "nbr_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet.intersect(truth).size
+    val hFull = hits(g)
+    val hPruned = hits(prunedDf)
+    info(s"recall@10 over 20 queries: unpruned $hFull/${truth.size}, pruned $hPruned/${truth.size}, edges $before -> $after")
+    assert(hPruned >= hFull - truth.size / 20,
+      s"pruned graph lost navigability: $hPruned vs $hFull of ${truth.size}")
+  }
+
   test("embedding near-dup threshold has a safe float margin") {
     val cos = Dedup.embeddingPairs(emb, "id", "features", 0.0)
       .select("cosine").collect().map(_.getDouble(0))

@@ -346,6 +346,122 @@ class TrainPrepSpec extends SparkSpec {
     }
   }
 
+  // Independent per-bin replica of packBins' policy (histogram
+  // best-fit-decreasing with FIFO bin ranges and layered opening),
+  // written at single-bin granularity — no spans, no ranks, no
+  // histogram aggregation — so the distributed plumbing (globalRank,
+  // prefix offsets, span range-join) is validated end to end against
+  // straight-line local code.
+  private def referencePack(ds: Seq[(Long, Long)], cap: Long): Map[Long, Long] = {
+    val assign = scala.collection.mutable.Map.empty[Long, Long]
+    // gap -> FIFO of contiguous bin-id ranges
+    val classes = scala.collection.mutable.TreeMap
+      .empty[Long, scala.collection.mutable.ArrayDeque[(Long, Long)]]
+    def push(gap: Long, start: Long, n: Long, front: Boolean): Unit =
+      if (gap > 0 && n > 0) {
+        val q = classes.getOrElseUpdate(gap,
+          scala.collection.mutable.ArrayDeque.empty)
+        if (front) q.prepend((start, n)) else q.append((start, n))
+      }
+    var nextBin = 0L
+    val byLen = ds.filter(_._2 <= cap).groupBy(_._2)
+    for (len <- byLen.keys.toSeq.sorted.reverse) {
+      val ids = byLen(len).map(_._1).sorted
+      var i = 0
+      while (i < ids.length) {
+        classes.minAfter(len) match {
+          case Some((gap, q)) =>
+            val (start, r) = q.removeHead()
+            if (q.isEmpty) classes.remove(gap)
+            val m = math.min(ids.length - i, r).toInt
+            if (m < r) push(gap, start + m, r - m, front = true)
+            var j = 0
+            while (j < m) { assign(ids(i + j)) = start + j; j += 1 }
+            push(gap - len, start, m, front = false)
+            i += m
+          case None =>
+            val per = cap / len
+            val full = (ids.length - i) / per
+            if (full > 0) {
+              var j = 0
+              while (j < per * full) {
+                assign(ids(i + j)) = nextBin + j % full; j += 1
+              }
+              push(cap - per * len, nextBin, full, front = false)
+              nextBin += full; i += (per * full).toInt
+            } else {
+              val rem = ids.length - i
+              var j = 0
+              while (j < rem) { assign(ids(i + j)) = nextBin; j += 1 }
+              push(cap - rem * len, nextBin, 1L, front = false)
+              nextBin += 1; i += rem
+            }
+        }
+      }
+    }
+    assign.toMap
+  }
+
+  test("packBins equals the independent per-bin replica; capacity and conservation hold") {
+    val withTokens = docs
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .select("doc_id", "n_tokens")
+    val cap = 128L
+    val got = Packing.packBins(withTokens, "doc_id", "n_tokens", cap)
+      .select("doc_id", "n_tokens", "bin_id", "oversize")
+      .as[(Long, Long, Option[Long], Boolean)].collect()
+    val local = withTokens.as[(Long, Long)].collect().toSeq
+      .map { case (id, n) => (id, math.max(n, 1L)) }
+    val expected = referencePack(local, cap)
+    // Every input doc exactly once.
+    assert(got.map(_._1).sorted.toSeq == local.map(_._1).sorted)
+    // Exact assignment equality with the local replica.
+    val gotAssign = got.collect { case (id, _, Some(b), false) => id -> b }.toMap
+    assert(got.count(_._4) == local.count(_._2 > cap))
+    assert(gotAssign == expected, {
+      val diff = (gotAssign.keySet ++ expected.keySet)
+        .filter(k => gotAssign.get(k) != expected.get(k)).take(5)
+      s"assignment diverged at ${diff.map(k => (k, gotAssign.get(k), expected.get(k)))}"
+    })
+    // Per-bin capacity, and the FFD lower bound is nearly met.
+    val binSums = got.collect { case (_, n, Some(b), _) => (b, n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum)
+    assert(binSums.values.forall(_ <= cap), "a bin exceeded capacity")
+    val nBins = binSums.size
+    val lower = math.ceil(binSums.values.sum.toDouble / cap).toLong
+    assert(nBins >= lower && nBins <= math.ceil(lower * 1.2).toLong,
+      s"bin count $nBins far from the $lower lower bound")
+  }
+
+  test("packBins: hand-computed toy — exact fit, layered same-length opening, gap cascade, oversize") {
+    // capacity 10; lengths desc: 12 oversize; 10 exact-fits bin0;
+    // three 4s: one full layer (2 per bin) -> docs 1,2 in bin1, doc 3
+    // opens bin2 (gap 6); two 3s cascade into bin2 (gap 6 -> 3 -> 0).
+    val d = Seq((1L, 4L), (2L, 4L), (3L, 4L), (4L, 12L), (5L, 3L),
+      (6L, 3L), (7L, 10L)).toDF("doc_id", "n_tokens")
+    val got = Packing.packBins(d, "doc_id", "n_tokens", 10L)
+      .select("doc_id", "bin_id", "oversize")
+      .as[(Long, Option[Long], Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(4L) == ((None, true)), s"oversize doc mishandled: ${got(4L)}")
+    assert(got(7L) == ((Some(0L), false)))
+    assert(got(1L) == ((Some(1L), false)) && got(2L) == ((Some(1L), false)))
+    assert(got(3L) == ((Some(2L), false)))
+    assert(got(5L) == ((Some(2L), false)) && got(6L) == ((Some(2L), false)))
+  }
+
+  test("packBins is invariant to input partitioning") {
+    val withTokens = docs
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .select("doc_id", "n_tokens")
+    def run(parts: Int) =
+      Packing.packBins(withTokens.repartition(parts), "doc_id", "n_tokens", 128L)
+        .select("doc_id", "bin_id").as[(Long, Option[Long])].collect().toMap
+    val a = run(1)
+    assert(run(3) == a && run(17) == a,
+      "bin assignment moved under a repartition")
+  }
+
   test("selectByBudget: greedy prefix cut line, hand-computed") {
     import spark.implicits._
     val d = Seq(
