@@ -21,6 +21,29 @@ import org.apache.spark.sql.types._
   * Both inputs must be ARRAY<FLOAT> (the engine's canonical embedding
   * type, SURVEY.md §1.4).
   */
+/** Shared input guard: every expression here reads ARRAY elements via
+  * unchecked primitive getters, and on Spark's array layouts a NULL
+  * element surfaces as 0.0f/0.0 SILENTLY — a wrong sim feeding the
+  * ranking paths, and a divergence from the HOF/oracle forms (which
+  * return NULL). Parquet schemas default to containsNull = true even
+  * for null-free data, so the nullability cannot be rejected at
+  * analysis; instead each expression runs this one O(n) prepass per
+  * array argument (L1-resident — the data is about to be read anyway)
+  * and fails fast with a descriptive error in BOTH eval paths
+  * (a standalone object compiles to a class with static forwarders,
+  * so generated Java calls it directly). */
+object VecGuards {
+  def requireNoNulls(name: String, v: ArrayData): Unit = {
+    val n = v.numElements()
+    var i = 0
+    while (i < n) {
+      if (v.isNullAt(i)) throw new IllegalArgumentException(
+        s"$name: null array element at index $i — vector columns must be null-free")
+      i += 1
+    }
+  }
+}
+
 abstract class VectorFold extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
@@ -37,8 +60,11 @@ abstract class VectorFold extends BinaryExpression {
   }
 
   /** Java source for the loop body given element accessors; accumulates
-    * into a local `s`. */
-  protected def loopBody(a: String, b: String, i: String): String
+    * into a local `s`. Locals the body declares must come from
+    * `ctx.freshName` — a bare name collides with enclosing scopes in a
+    * fused whole-stage method and Janino then rejects the whole stage
+    * (silent interpreted fallback on the hot kernel). */
+  protected def loopBody(ctx: CodegenContext, a: String, b: String, i: String): String
 
   /** JVM fold for the interpreted path. */
   protected def fold(a: ArrayData, b: ArrayData): Double
@@ -47,8 +73,13 @@ abstract class VectorFold extends BinaryExpression {
     * identity). */
   protected def epilogue(s: String): String = s
 
-  override def nullSafeEval(a: Any, b: Any): Any =
-    fold(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    VecGuards.requireNoNulls(prettyName, x)
+    VecGuards.requireNoNulls(prettyName, y)
+    fold(x, y)
+  }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
@@ -61,9 +92,11 @@ abstract class VectorFold extends BinaryExpression {
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $n + " vs " + $b.numElements());
          |}
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $a);
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $b);
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
-         |  ${loopBody(a, b, i).replace("ACC", s)}
+         |  ${loopBody(ctx, a, b, i).replace("ACC", s)}
          |}
          |${ev.value} = ${epilogue(s)};
        """.stripMargin
@@ -74,7 +107,7 @@ abstract class VectorFold extends BinaryExpression {
   * `aggregate(zip_with(cast(a), cast(b), (x,y) -> x*y), 0D, +)`. */
 case class VectorDot(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "vector_dot"
-  override protected def loopBody(a: String, b: String, i: String): String =
+  override protected def loopBody(ctx: CodegenContext, a: String, b: String, i: String): String =
     s"ACC += (double)$a.getFloat($i) * (double)$b.getFloat($i);"
   override protected def fold(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -92,9 +125,11 @@ case class VectorDot(left: Expression, right: Expression) extends VectorFold {
   * HOF form in Similarity.l2Col. */
 case class VectorL2(left: Expression, right: Expression) extends VectorFold {
   override def prettyName: String = "vector_l2"
-  override protected def loopBody(a: String, b: String, i: String): String =
-    s"""double d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
-       |  ACC += d * d;""".stripMargin
+  override protected def loopBody(ctx: CodegenContext, a: String, b: String, i: String): String = {
+    val d = ctx.freshName("d")
+    s"""double $d = (double)$a.getFloat($i) - (double)$b.getFloat($i);
+       |  ACC += $d * $d;""".stripMargin
+  }
   override protected def epilogue(s: String): String = s"java.lang.Math.sqrt($s)"
   override protected def fold(a: ArrayData, b: ArrayData): Double = {
     val n = a.numElements()
@@ -136,6 +171,10 @@ case class VectorQuantize(left: Expression, right: Expression) extends BinaryExp
   override def nullSafeEval(a: Any, s: Any): Any = {
     val arr = a.asInstanceOf[ArrayData]
     val scale = s.asInstanceOf[Double]
+    // !(scale > 0) also catches NaN: x/0 or x/NaN quantizes every
+    // vector to the all-zero code — a silently meaningless ranking.
+    require(scale > 0.0, s"$prettyName: scale must be > 0, got $scale")
+    VecGuards.requireNoNulls(prettyName, arr)
     val out = new Array[Byte](arr.numElements())
     var i = 0
     while (i < out.length) { out(i) = quantize(arr.getFloat(i).toDouble, scale); i += 1 }
@@ -149,6 +188,11 @@ case class VectorQuantize(left: Expression, right: Expression) extends BinaryExp
       val out = ctx.freshName("out")
       val q = ctx.freshName("q")
       s"""
+         |if (!($s > 0.0)) {
+         |  throw new IllegalArgumentException(
+         |    "$prettyName: scale must be > 0, got " + $s);
+         |}
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $a);
          |final int $n = $a.numElements();
          |final byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
@@ -265,6 +309,7 @@ case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    VecGuards.requireNoNulls(prettyName, v)
     val dim = v.numElements()
     val m = signMatrix(dim)
     val out = new Array[Long](numTables)
@@ -299,6 +344,7 @@ case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int,
       val bucket = ctx.freshName("bucket")
       val row = ctx.freshName("row")
       s"""
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
          |final int $dim = $v.numElements();
          |final byte[][] $m = $self.signMatrix($dim);
          |final long[] $out = new long[$numTables];
@@ -339,7 +385,8 @@ case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int,
   * it). */
 case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     extends UnaryExpression {
-  require(centroids.nonEmpty, "empty centroid matrix")
+  require(centroids.nonEmpty && centroids.forall(_.length == centroids.head.length),
+    "centroid matrix must be non-empty and rectangular")
 
   override def prettyName: String = "nearest_centroid"
   override def dataType: DataType = IntegerType
@@ -364,6 +411,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     val v = input.asInstanceOf[ArrayData]
     require(v.numElements() == centroids(0).length,
       s"vector size mismatch: ${v.numElements()} vs ${centroids(0).length}")
+    VecGuards.requireNoNulls(prettyName, v)
     val b = biases
     var best = 0
     var bestScore = Double.PositiveInfinity
@@ -399,6 +447,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + $m[0].length);
          |}
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
          |int $best = 0;
          |double $bestScore = Double.POSITIVE_INFINITY;
          |for (int $t = 0; $t < $m.length; $t++) {
@@ -439,9 +488,15 @@ case class CentroidDot(left: Expression, right: Expression,
 
   override def nullSafeEval(a: Any, c: Any): Any = {
     val v = a.asInstanceOf[ArrayData]
-    val row = centroids(c.asInstanceOf[Int])
+    val ci = c.asInstanceOf[Int]
+    // The cluster id is DATA (a stored assignment column): stale or
+    // foreign ids must fail with context, not a bare AIOOBE.
+    require(ci >= 0 && ci < centroids.length,
+      s"$prettyName: cluster id $ci outside [0, ${centroids.length})")
+    val row = centroids(ci)
     require(v.numElements() == row.length,
       s"vector size mismatch: ${v.numElements()} vs ${row.length}")
+    VecGuards.requireNoNulls(prettyName, v)
     var s = 0.0
     var j = 0
     while (j < row.length) { s += v.getFloat(j).toDouble * row(j); j += 1 }
@@ -455,11 +510,16 @@ case class CentroidDot(left: Expression, right: Expression,
       val j = ctx.freshName("j")
       val s = ctx.freshName("s")
       s"""
+         |if ($c < 0 || $c >= $self.centroids().length) {
+         |  throw new IllegalArgumentException("$prettyName: cluster id " +
+         |    $c + " outside [0, " + $self.centroids().length + ")");
+         |}
          |final float[] $row = $self.centroids()[$c];
          |if ($v.numElements() != $row.length) {
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + $row.length);
          |}
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
          |double $s = 0.0;
          |for (int $j = 0; $j < $row.length; $j++) {
          |  $s += (double)$v.getFloat($j) * (double)$row[$j];
@@ -527,6 +587,7 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
+    VecGuards.requireNoNulls(prettyName, v)
     val dim = v.numElements()
     val m = signMatrix(dim)
     val scale = invSqrtOut
@@ -555,6 +616,7 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
       val s = ctx.freshName("s")
       val row = ctx.freshName("row")
       s"""
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
          |final int $dim = $v.numElements();
          |final byte[][] $m = $self.signMatrix($dim);
          |final double $scale = $self.invSqrtOut();
@@ -606,6 +668,7 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Float]])
     val v = input.asInstanceOf[ArrayData]
     require(v.numElements() == inDim,
       s"vector size mismatch: ${v.numElements()} vs $inDim")
+    VecGuards.requireNoNulls(prettyName, v)
     val out = new Array[Float](outDim)
     var r = 0
     while (r < outDim) {
@@ -636,6 +699,7 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Float]])
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + $inDimV);
          |}
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
          |final float[] $out = new float[$outDimV];
          |for (int $r = 0; $r < $outDimV; $r++) {
          |  final float[] $row = $m[$r];
@@ -671,8 +735,10 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
   require(codebooks.forall(_.length <= 256),
     s"codebook size ${codebooks.map(_.length).max} > 256 cannot encode in one byte")
-  require(codebooks.forall(_.head.length == codebooks.head.head.length),
-    "subspace widths differ across codebooks")
+  // EVERY row, not just each codebook's head: a ragged row inside a
+  // codebook would crash (shorter) or silently truncate (longer).
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)),
+    "codebook rows must all have one subspace width")
 
   override def prettyName: String = "pq_encode"
   override def dataType: DataType = BinaryType
@@ -700,6 +766,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     val v = input.asInstanceOf[ArrayData]
     require(v.numElements() == numSub * subDim,
       s"vector size mismatch: ${v.numElements()} vs ${numSub}x$subDim")
+    VecGuards.requireNoNulls(prettyName, v)
     val out = new Array[Byte](numSub)
     var sub = 0
     while (sub < numSub) {
@@ -750,6 +817,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + ($numSubV * $subDimV));
          |}
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
          |final byte[] $out = new byte[$numSubV];
          |for (int $sub = 0; $sub < $numSubV; $sub++) {
          |  final float[][] $book = $books[$sub];
@@ -790,8 +858,8 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
   require(codebooks.nonEmpty && codebooks.forall(_.nonEmpty), "empty codebooks")
   require(codebooks.forall(_.length == codebooks.head.length),
     "codebook sizes differ across subspaces")
-  require(codebooks.forall(_.head.length == codebooks.head.head.length),
-    "subspace widths differ across codebooks")
+  require(codebooks.forall(_.forall(_.length == codebooks.head.head.length)),
+    "codebook rows must all have one subspace width")
 
   override def prettyName: String = "pq_lut"
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
@@ -811,6 +879,7 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
     val v = input.asInstanceOf[ArrayData]
     require(v.numElements() == numSub * subDim,
       s"vector size mismatch: ${v.numElements()} vs ${numSub}x$subDim")
+    VecGuards.requireNoNulls(prettyName, v)
     val k = bookSize
     val out = new Array[Double](numSub * k)
     var sub = 0
@@ -852,6 +921,7 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + ($numSubV * $subDimV));
          |}
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
          |final double[] $out = new double[$numSubV * $kV];
          |for (int $sub = 0; $sub < $numSubV; $sub++) {
          |  final float[][] $book = $books[$sub];
@@ -897,11 +967,18 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     val codes = b.asInstanceOf[Array[Byte]]
     require(codes.length > 0 && lut.numElements() % codes.length == 0,
       s"LUT size ${lut.numElements()} not a multiple of code length ${codes.length}")
+    VecGuards.requireNoNulls(prettyName, lut)
     val k = lut.numElements() / codes.length
     var s = 0.0
     var sub = 0
     while (sub < codes.length) {
-      s += lut.getDouble(sub * k + (codes(sub) & 0xFF))
+      val c = codes(sub) & 0xFF
+      // k is only RECOVERED from the shapes — codes written with a
+      // larger codebook than the LUT's would otherwise read another
+      // subspace's slot (or past the array) silently.
+      require(c < k, s"$prettyName: code $c at subspace $sub outside " +
+        s"codebook size $k — codes and LUT come from different codebooks")
+      s += lut.getDouble(sub * k + c)
       sub += 1
     }
     s
@@ -912,15 +989,23 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
       val k = ctx.freshName("k")
       val s = ctx.freshName("s")
       val sub = ctx.freshName("sub")
+      val c = ctx.freshName("c")
       s"""
          |if ($codes.length == 0 || $lut.numElements() % $codes.length != 0) {
          |  throw new IllegalArgumentException("LUT size " + $lut.numElements() +
          |    " not a multiple of code length " + $codes.length);
          |}
+         |graft.functions.VecGuards.requireNoNulls("$prettyName", $lut);
          |final int $k = $lut.numElements() / $codes.length;
          |double $s = 0.0;
          |for (int $sub = 0; $sub < $codes.length; $sub++) {
-         |  $s += $lut.getDouble($sub * $k + ($codes[$sub] & 0xFF));
+         |  final int $c = $codes[$sub] & 0xFF;
+         |  if ($c >= $k) {
+         |    throw new IllegalArgumentException("$prettyName: code " + $c +
+         |      " at subspace " + $sub + " outside codebook size " + $k +
+         |      " — codes and LUT come from different codebooks");
+         |  }
+         |  $s += $lut.getDouble($sub * $k + $c);
          |}
          |${ev.value} = $s;
        """.stripMargin

@@ -39,12 +39,36 @@ final class TopKAggregator(k: Int) extends Aggregator[Cand, TopKBuf, TopKResult]
 
   override def zero: TopKBuf = TopKBuf(Array.empty, Array.empty, Array.empty)
 
-  override def reduce(b: TopKBuf, c: Cand): TopKBuf =
+  override def reduce(b: TopKBuf, c: Cand): TopKBuf = {
+    // Dominant post-convergence case: the buffer is full and the
+    // candidate sorts strictly after its last entry — it can neither
+    // enter the list nor be a duplicate of anything kept (a duplicate
+    // has an IDENTICAL (sim, dst) and so never sorts strictly after
+    // the kept copy), so the result is `b` unchanged. Returning it
+    // directly skips the merge's six array allocations per input row
+    // in NND's hottest aggregation; the outcome is bit-identical.
+    val n = b.dst.length
+    if (n >= k) {
+      val cmp = java.lang.Double.compare(c.sim, b.sim(n - 1))
+      if (cmp < 0 || (cmp == 0 && c.dst > b.dst(n - 1))) return b
+    }
     merge(b, TopKBuf(Array(c.dst), Array(c.sim), Array(c.isOld)))
+  }
 
   override def merge(a: TopKBuf, b: TopKBuf): TopKBuf = {
     // Two-pointer merge of (sim desc, dst asc)-sorted runs with dedup by
     // dst (old flag ORs — sim of duplicates is identical by construction).
+    // Ordering and the dedup equality go through Double.compare, NOT
+    // primitive </==: a NaN similarity (corrupt upstream features — the
+    // l2sim paths have no cosine_ranked-style guard) makes every
+    // primitive comparison false, which silently breaks the sorted-run
+    // invariant and lets duplicates escape dedup. Under compare's IEEE
+    // total order NaN sorts as the LARGEST value (first in the list,
+    // matching Spark's own sort order and Neighbors.assemble), so
+    // corrupt input yields a deterministic, structurally-valid list
+    // instead of silent corruption. Sims here are 1/(1+d) or -Inf —
+    // never -0.0 — so compare is bit-identical to the primitive ops on
+    // every valid input (pins unchanged).
     val n = math.min(a.dst.length + b.dst.length, 2 * k)
     val dst = new Array[Long](n)
     val sim = new Array[Double](n)
@@ -52,13 +76,15 @@ final class TopKAggregator(k: Int) extends Aggregator[Cand, TopKBuf, TopKResult]
     var i = 0; var j = 0; var o = 0
     while (o < n && (i < a.dst.length || j < b.dst.length)) {
       val takeA =
-        j >= b.dst.length || (i < a.dst.length &&
-          (a.sim(i) > b.sim(j) || (a.sim(i) == b.sim(j) && a.dst(i) <= b.dst(j))))
+        j >= b.dst.length || (i < a.dst.length && {
+          val cmp = java.lang.Double.compare(a.sim(i), b.sim(j))
+          cmp > 0 || (cmp == 0 && a.dst(i) <= b.dst(j))
+        })
       val (d, s, ol) =
         if (takeA) { val r = (a.dst(i), a.sim(i), a.old(i)); i += 1; r }
         else { val r = (b.dst(j), b.sim(j), b.old(j)); j += 1; r }
       // dedup: equal (sim, dst) neighbors are adjacent in the merged order
-      if (o > 0 && dst(o - 1) == d && sim(o - 1) == s) {
+      if (o > 0 && dst(o - 1) == d && java.lang.Double.compare(sim(o - 1), s) == 0) {
         old(o - 1) = old(o - 1) || ol
       } else if (o < k) {
         dst(o) = d; sim(o) = s; old(o) = ol; o += 1

@@ -83,4 +83,37 @@ class TopKAggregatorSpec extends AnyFunSuite {
         s"split at $cut of: $cs")
     }
   }
+
+  test("a NaN similarity keeps the buffer structurally valid (IEEE total order, dedup intact)") {
+    // Corrupt upstream features make l2Sim return NaN; under primitive
+    // comparisons every branch is false, merge loses its sorted-run
+    // invariant, and duplicates escape dedup. Under Double.compare NaN
+    // sorts as the LARGEST sim (first), deterministically.
+    val cs = List(
+      Cand(0L, 1L, 0.5, false), Cand(0L, 2L, Double.NaN, false),
+      Cand(0L, 3L, 0.7, true), Cand(0L, 2L, Double.NaN, true),
+      Cand(0L, 4L, 0.7, false), Cand(0L, 2L, Double.NaN, false),
+      Cand(0L, 5L, 0.1, false), Cand(0L, 6L, 0.9, false))
+    // Every split order must agree (the partial-agg contract), lists
+    // must be unique-by-dst, ordered by (compare desc, dst asc), and
+    // the NaN duplicates must merge to ONE entry with OR'd flags.
+    val whole = fold(cs)
+    // Bit-level canon: Seq[Double].== uses primitive NaN != NaN.
+    def bits(b: TopKBuf) =
+      (b.dst.toSeq, b.sim.toSeq.map(java.lang.Double.doubleToLongBits), b.old.toSeq)
+    (0 to cs.length).foreach { cut =>
+      val (a, b) = cs.splitAt(cut)
+      assert(bits(agg.merge(fold(a), fold(b))) == bits(whole), s"split $cut")
+    }
+    assert(whole.dst.length == whole.dst.distinct.length, "dup escaped dedup")
+    assert(whole.dst.count(_ == 2L) == 1)
+    assert(whole.old(whole.dst.indexOf(2L)), "old flag lost in NaN dedup")
+    val ord = whole.sim.zip(whole.dst).toSeq
+    val sorted = ord.sortWith { case ((s1, d1), (s2, d2)) =>
+      val c = java.lang.Double.compare(s1, s2)
+      c > 0 || (c == 0 && d1 < d2)
+    }
+    assert(ord == sorted, s"list not in total order: $ord")
+    assert(java.lang.Double.isNaN(whole.sim(0)), "NaN must sort first (largest)")
+  }
 }

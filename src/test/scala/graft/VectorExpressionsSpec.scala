@@ -419,4 +419,56 @@ class VectorExpressionsSpec extends SparkSpec {
     }
     assert(bad.getMessage.toLowerCase.contains("array"), bad.getMessage)
   }
+
+  test("null array elements fail fast instead of silently scoring as 0.0") {
+    import spark.implicits._
+    // Unsafe float reads surface a null element as 0.0f — a silently
+    // wrong sim on the ranking paths, and a divergence from the HOF
+    // forms (which return NULL). The guard throws descriptively.
+    val d = Seq((Seq[java.lang.Float](1.0f, null), Seq[java.lang.Float](1.0f, 2.0f)))
+      .toDF("va", "vb")
+    val e = intercept[Exception] {
+      d.select(vector_dot(col("va"), col("vb"))).collect()
+    }
+    assert(e.getMessage.contains("null array element"), e.getMessage)
+    val e2 = intercept[Exception] {
+      d.select(lsh_buckets(col("va"), 4, 2)).collect()
+    }
+    assert(e2.getMessage.contains("null array element"), e2.getMessage)
+  }
+
+  test("pq_adc rejects codes outside the LUT's codebook size") {
+    import spark.implicits._
+    // LUT from k=4 codebooks (numSub=1), codes byte 7: without the
+    // bounds check this reads another subspace's slot (or past the
+    // array) silently.
+    val d = Seq((Seq(0.1, 0.2, 0.3, 0.4), Array[Byte](7))).toDF("lut", "codes")
+    val e = intercept[Exception] {
+      d.select(pq_adc(col("lut"), col("codes"))).collect()
+    }
+    assert(e.getMessage.contains("outside codebook size"), e.getMessage)
+  }
+
+  test("centroid_dot rejects out-of-range cluster ids with context") {
+    import spark.implicits._
+    val cents = Array(Array(1.0f, 0.0f))
+    val d = Seq((Seq(1.0f, 2.0f), 3)).toDF("v", "c")
+    val e = intercept[Exception] {
+      d.select(centroid_dot(col("v"), col("c"), cents)).collect()
+    }
+    assert(e.getMessage.contains("outside [0, 1)"), e.getMessage)
+  }
+
+  test("nearest_centroid rejects a ragged centroid matrix; vector_quantize rejects scale <= 0") {
+    import spark.implicits._
+    intercept[IllegalArgumentException] {
+      graft.functions.NearestCentroid(null,
+        Array(Array(1.0f, 2.0f), Array(3.0f)))
+    }
+    val d = Seq(Tuple1(Seq(1.0f, 2.0f))).toDF("v")
+    val e = intercept[Exception] {
+      d.select(vector_quantize(col("v"), lit(0.0))).collect()
+    }
+    assert(e.getMessage.contains("scale must be > 0"), e.getMessage)
+  }
 }
