@@ -84,6 +84,13 @@ object Bench {
         // inside buildGraph, so the measured work is the build itself.
         "n01_graph_build" -> (() => Queries.knnGraph(spark, sfDir).count()),
         "n02_prior_build" -> (() => Queries.n02Prior(spark, sfDir).count()),
+        // The pruned-serving-artifact write (declared n09 serves from
+        // the reloaded artifact; the prune itself is priced here, over
+        // the memoized n01 graph).
+        "n09_prune_build" -> (() => { Queries.prunedGraphPath(spark, sfDir); 0L }),
+        // The partitioned-graph build (declared n10 measures the
+        // partition-gated SEARCH over it).
+        "n10_part_build" -> (() => Queries.partitionedGraph(spark, sfDir).count()),
         // The on-disk IVF index write (declared s14 then measures the
         // pruned SERVE against the artifact, not construction).
         "s14_index_build" -> (() => { Queries.ivfIndexPath(spark, sfDir); 0L }),
@@ -133,18 +140,26 @@ object Bench {
     val rerunPrep: Map[String, () => Unit] = Map(
       "n01_graph_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n01_graph")),
       "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")),
+      "n09_prune_build" -> (() => Queries.evictPrunedGraph(spark, sfDir)),
+      "n10_part_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n10_graph")),
       "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)),
       "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
       "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),
       "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)),
       "t35_vocab_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "unigram_vocab")))
+    // Forced per-sample telemetry regardless of pass-1 rank: queries
+    // whose regression history warrants per-round diagnosis (st18:
+    // 32.9 s in r7, then 3.45 <-> 4.71 s across r8/r9 with its code
+    // untouched — the swing needs samples, not a shrug).
+    val forced = Set("st18_stream_join_outer")
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
-      if (!heavy(name) && !rerunPrep.contains(name)) r
+      if (!heavy(name) && !rerunPrep.contains(name) && !forced(name)) r
       else {
         // Median-of-3 for heavy queries; median-of-5 for the build
         // phases (the BASELINE-comparable numbers), whose iterative
-        // JIT/GC profile still swung ~2× between median-of-3 runs.
-        val extra = if (rerunPrep.contains(name)) 4 else 2
+        // JIT/GC profile still swung ~2× between median-of-3 runs, and
+        // for the forced-telemetry set.
+        val extra = if (rerunPrep.contains(name) || forced(name)) 4 else 2
         // A crashed rerun contributes NO sample (its time-to-crash is
         // not a build time); if every rerun fails, pass 1 stands.
         val reruns = (1 to extra).flatMap { _ =>

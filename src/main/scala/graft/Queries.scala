@@ -1404,6 +1404,40 @@ object Queries {
         .write.mode("overwrite").parquet(s"$p/graph")
     }
 
+  /** The persisted PRUNED serving graph (n09): n08's α = 1.0 occlusion
+    * prune of the n01 graph, written once to parquet — the minimal-
+    * degree serving artifact (DiskANN's actual deployment shape: build
+    * full, prune, SERVE the pruned graph — fewer edges fetched per
+    * beam hop at near-held recall). Bench pays the prune+write as
+    * `n09_prune_build`; the declared n09 query serves from the
+    * reloaded artifact. */
+  def prunedGraphPath(s: SparkSession, dir: String): String =
+    memoPath(s, dir, "pruned_graph") { p =>
+      graft.ops.GraphSearch.pruneGraph(
+        knnGraph(s, dir).filter(col("neighbors").isNotNull)
+          .select("id", "neighbors"),
+        emb(s, dir), alpha = 1.0)
+        .write.mode("overwrite").parquet(s"$p/graph")
+    }
+
+  /** Drop the memoized pruned-graph path (Bench rerun contract, as
+    * [[evictIvfIndex]]). The underlying n01 graph stays memoized, so a
+    * rerun times the prune+write, not a graph rebuild. */
+  def evictPrunedGraph(s: SparkSession, dir: String): Unit =
+    artifactPaths.remove(s"${s.sparkContext.applicationId}|$dir|pruned_graph")
+
+  /** The n10 PARTITIONED serving graph: NND over the two-logical-
+    * partition corpus (partition = id % 2) — the reference's
+    * partition-gated data model exercised end to end (graph
+    * construction and search both confined per partition). Built once
+    * per session; Bench pays it as `n10_part_build`. */
+  def partitionedGraph(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "n10_graph") {
+      graft.nnd.NND.buildGraph(
+        emb(s, dir).withColumn("partition", pmod(col("id"), lit(2L))),
+        graft.nnd.NND.Params(k = 10, maxIterations = 5))
+    }
+
   /** The persisted t31 quality-classifier model artifact: IRLS-trained
     * once per session (6 iterations over the langid-labeled corpus)
     * and written via [[ops.Classifier.saveModel]] — the train-once /
@@ -1529,6 +1563,36 @@ object Queries {
         .withColumn("fill_fp",
           round(col("packed_tokens") * 1048576.0 / (col("n_bins") * 128.0))
             .cast("long"))
+    }),
+
+    // Per-bin manifest of the t40 packing (the t15 loader-manifest
+    // convention applied to whole-document bins): bin -> ordered
+    // member ids + fill + residual gap, so a loader consumes bins
+    // without re-deriving the assignment. Pinned summary (the
+    // assignment is a driver histogram solve, not SQL-expressible);
+    // conservation is structural — n_bins / n_docs_packed /
+    // packed_tokens must equal t40's pins column for column, max_fill
+    // <= capacity by construction, pad_tokens = n_bins*128 -
+    // packed_tokens (TrainPrepSpec carries the row-level round-trip
+    // equality with the assignment).
+    "t41_bin_manifest" -> ((s, dir) => {
+      val d = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .select("doc_id", "n_tokens")
+      val m = Packing.binManifest(
+        Packing.packBins(d, "doc_id", "n_tokens", capacity = 128L),
+        "doc_id", capacity = 128L)
+      m.agg(
+        count(lit(1)).as("n_bins"),
+        sum(col("n_docs")).as("n_docs_packed"),
+        sum(col("fill_tokens")).as("packed_tokens"),
+        coalesce(max(col("fill_tokens")), lit(0L)).as("max_fill"),
+        coalesce(sum(col("gap")), lit(0L)).as("pad_tokens"),
+        // Order-independent exact fingerprint over the loader's whole
+        // view — bin id, ordered member list, fill (t40's bounded-mod
+        // convention).
+        sum(pmod(xxhash64(col("bin_id"), col("doc_ids"), col("fill_tokens")),
+          lit(1000000007L))).as("manifest_fp"))
     }),
 
     // Deterministic training-order shuffle: every document's global
@@ -2650,6 +2714,69 @@ object Queries {
         .crossJoin(before).crossJoin(after)
     }),
 
+    // Pruned-graph SERVING (n08's artifact put to work — the n03
+    // persist/reload lifecycle on the occlusion-pruned graph): the
+    // α = 1.0 prune of the n01 graph is written to parquet once
+    // (Bench's n09_prune_build phase) and searches serve from the
+    // RELOADED artifact at s03's exact parameters — the DiskANN
+    // deployment shape, where the low-degree diverse graph is what
+    // production actually serves (≈18% fewer edges fetched per beam
+    // hop at ≤1-hit recall cost vs s03; OpsSpec measures the
+    // search-shuffle drop and asserts the artifact round-trips
+    // row-identically). Census columns pin the loaded artifact's
+    // shape next to the recall.
+    "n09_pruned_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      val g = s.read.parquet(s"${prunedGraphPath(s, dir)}/graph")
+      val census = g.agg(
+        count(lit(1)).as("n_nodes"),
+        coalesce(sum(size(col("neighbors")).cast("long")), lit(0L))
+          .as("n_edges"))
+      recallCounts(
+        graft.ops.GraphSearch.searchGraph(g, e, q, k = 10,
+          beam = 32, hops = 4, seeds = 16),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+        .crossJoin(census)
+    }),
+
+    // Partition-GATED serving — the reference's core data-model
+    // semantic (similarity across logical partitions is -Infinity,
+    // `/root/reference/.../NND.scala:296-306`) under a driver oracle:
+    // a two-partition corpus (partition = id % 2), its own NND graph
+    // (n10_part_build), and the partitioned beam-search path (entry
+    // points drawn PER partition, candidates score-gated to the
+    // query's partition). n_cross pins the isolation contract at
+    // literally zero — no result may cross partitions, ever — and
+    // recall is measured against the PARTITION-RESTRICTED brute truth
+    // (the correct ground truth under the gate). OpsSpec carries the
+    // planted adversarial fixture; this puts the CORRECTNESS gate on
+    // the contract at fixture scale.
+    "n10_partitioned_search" -> ((s, dir) => {
+      val e2 = emb(s, dir).withColumn("partition", pmod(col("id"), lit(2L)))
+      val g = partitionedGraph(s, dir)
+        .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      val q = e2.filter(col("id") < 20)
+      val res = graft.ops.GraphSearch.searchGraph(
+        g, e2.select("id", "features", "partition"),
+        q.select("id", "features", "partition"), k = 10,
+        beam = 32, hops = 4, seeds = 16).localCheckpoint()
+      val crossed = res
+        .join(q.select(col("id").as("query_id"),
+          col("partition").as("q_part")), "query_id")
+        .join(e2.select(col("id").as("nbr_id"),
+          col("partition").as("nbr_part")), "nbr_id")
+        .agg(count(lit(1)).as("n_results"),
+          coalesce(sum(when(col("nbr_part") =!= col("q_part"), 1L)
+            .otherwise(0L)), lit(0L)).as("n_cross"))
+      val truth = Seq(0L, 1L).map { p =>
+        SimilaritySearch.bruteForceTopK(
+          e2.filter(col("partition") === p).select("id", "features"),
+          q.filter(col("partition") === p).select("id", "features"), 10)
+      }.reduce(_ unionByName _)
+      recallCounts(res, truth).crossJoin(crossed)
+    }),
+
     // Label-noise audit over the prebuilt K-NN graph (confident-
     // learning shape): each node's label vs the deterministic majority
     // label of its graph neighborhood. On this fixture the label
@@ -2854,6 +2981,23 @@ object Queries {
             lit(Seq.fill(4)("the quick brown fox jumps over").mkString(" ") + " "),
             col("text"))),
           "doc_id", "text", minLen = 20)),
+      // Hot cross-set decontamination (d19's scale witness — d18's
+      // worst case in cross-set form): EVERY corpus document opens
+      // with a passage the single benchmark document contains, so
+      // every document is a scrub target and five window keys per
+      // document hit the broadcast benchmark key set. Still linear:
+      // the corpus side is never shuffled by content, the benchmark
+      // carriers broadcast, the text verify runs once per candidate
+      // anchor, coverage fans out <= W per occurrence (OpsSpec
+      // measures ~linear shuffle under 10x document-mass tiling).
+      "d19_skewed_decon" -> ((s, dir) => {
+        val hot = Seq.fill(4)("the quick brown fox jumps over").mkString(" ")
+        ops.Dedup.substrDecontaminate(
+          docs(s, dir).withColumn("text", concat(lit(hot + " "), col("text"))),
+          docs(s, dir).limit(1)
+            .select(col("doc_id"), lit(s"leak $hot end").as("text")),
+          "doc_id", "text", minLen = 20)
+      }),
       // Zipf-heavy BPE training: the prepended stop-phrase makes six
       // words own ~37% of the token stream. The trainer's one corpus
       // pass partial-aggregates to the word-frequency table (map-side
@@ -3147,6 +3291,36 @@ object Queries {
       "n_total" -> (200L, 200L, 200L),
       "n_edges_before" -> (5000L, 5000L, 20000L),
       "n_edges_after" -> (4088L, 4060L, 17581L)),
+    // Measured 2026-08-14 (round 10, PinDump, first measurement).
+    // Serving from the PERSISTED pruned artifact: recall and censuses
+    // must equal n08's (doubles/ids round-trip parquet exactly;
+    // OpsSpec asserts the artifact row-identical to a fresh prune).
+    "n09_pruned_serve" -> Seq(
+      "n_hits" -> (198L, 199L, 192L),
+      "n_total" -> (200L, 200L, 200L),
+      "n_nodes" -> (500L, 500L, 2000L),
+      "n_edges" -> (4088L, 4060L, 17581L)),
+    // Measured 2026-08-14 (round 10, PinDump, first measurement).
+    // n_cross = 0 IS the partition-isolation contract (a structural
+    // zero, not a measured accident — the score gate makes a
+    // cross-partition candidate impossible); recall is vs the
+    // partition-restricted brute truth.
+    "n10_partitioned_search" -> Seq(
+      "n_hits" -> (200L, 200L, 199L),
+      "n_total" -> (200L, 200L, 200L),
+      "n_results" -> (200L, 200L, 200L),
+      "n_cross" -> (0L, 0L, 0L)),
+    // Measured 2026-08-14 (round 10, PinDump, first measurement).
+    // Conservation vs t40 is column-for-column: n_bins /
+    // n_docs_packed / packed_tokens equal t40's pins; max_fill <= 128
+    // by construction; pad_tokens = n_bins*128 - packed_tokens.
+    "t41_bin_manifest" -> Seq(
+      "n_bins" -> (220L, 214L, 2121L),
+      "n_docs_packed" -> (500L, 500L, 5000L),
+      "packed_tokens" -> (27939L, 27165L, 270704L),
+      "max_fill" -> (128L, 128L, 128L),
+      "pad_tokens" -> (221L, 227L, 784L),
+      "manifest_fp" -> (115587143505L, 102009911245L, 1063162083134L)),
     // Measured 2026-08-14 (round 8, PinDump). Deterministic fact of
     // the (hash-seeded, partition-invariant) n01 graph; reciprocity_fp
     // = round(frac * 2^20).

@@ -42,6 +42,24 @@ object VecGuards {
       i += 1
     }
   }
+
+  /** True when the child's type PROVES its arrays null-free
+    * (`containsNull = false`) — the per-row scan is then pure overhead
+    * and every expression here elides it in both eval paths. Parquet
+    * schemas default to containsNull = true, so corpus scans keep the
+    * guard; the elision pays on engine-internal columns (our own
+    * expressions and `transform`/`array` outputs declare
+    * containsNull = false), which chain through the hottest scoring
+    * kernels. */
+  def nullFree(t: DataType): Boolean = t match {
+    case ArrayType(_, containsNull) => !containsNull
+    case _ => false
+  }
+
+  /** The conditional codegen guard line ("" when provably unneeded). */
+  def genGuard(t: DataType, name: String, v: String): String =
+    if (nullFree(t)) ""
+    else s"""graft.functions.VecGuards.requireNoNulls("$name", $v);"""
 }
 
 abstract class VectorFold extends BinaryExpression {
@@ -76,8 +94,8 @@ abstract class VectorFold extends BinaryExpression {
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    VecGuards.requireNoNulls(prettyName, x)
-    VecGuards.requireNoNulls(prettyName, y)
+    if (!VecGuards.nullFree(left.dataType)) VecGuards.requireNoNulls(prettyName, x)
+    if (!VecGuards.nullFree(right.dataType)) VecGuards.requireNoNulls(prettyName, y)
     fold(x, y)
   }
 
@@ -92,8 +110,8 @@ abstract class VectorFold extends BinaryExpression {
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $n + " vs " + $b.numElements());
          |}
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $a);
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $b);
+         |${VecGuards.genGuard(left.dataType, prettyName, a)}
+         |${VecGuards.genGuard(right.dataType, prettyName, b)}
          |double $s = 0.0;
          |for (int $i = 0; $i < $n; $i++) {
          |  ${loopBody(ctx, a, b, i).replace("ACC", s)}
@@ -174,7 +192,7 @@ case class VectorQuantize(left: Expression, right: Expression) extends BinaryExp
     // !(scale > 0) also catches NaN: x/0 or x/NaN quantizes every
     // vector to the all-zero code — a silently meaningless ranking.
     require(scale > 0.0, s"$prettyName: scale must be > 0, got $scale")
-    VecGuards.requireNoNulls(prettyName, arr)
+    if (!VecGuards.nullFree(left.dataType)) VecGuards.requireNoNulls(prettyName, arr)
     val out = new Array[Byte](arr.numElements())
     var i = 0
     while (i < out.length) { out(i) = quantize(arr.getFloat(i).toDouble, scale); i += 1 }
@@ -192,7 +210,7 @@ case class VectorQuantize(left: Expression, right: Expression) extends BinaryExp
          |  throw new IllegalArgumentException(
          |    "$prettyName: scale must be > 0, got " + $s);
          |}
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $a);
+         |${VecGuards.genGuard(left.dataType, prettyName, a)}
          |final int $n = $a.numElements();
          |final byte[] $out = new byte[$n];
          |for (int $i = 0; $i < $n; $i++) {
@@ -309,7 +327,7 @@ case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int,
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    VecGuards.requireNoNulls(prettyName, v)
+    if (!VecGuards.nullFree(child.dataType)) VecGuards.requireNoNulls(prettyName, v)
     val dim = v.numElements()
     val m = signMatrix(dim)
     val out = new Array[Long](numTables)
@@ -344,7 +362,7 @@ case class LshBuckets(child: Expression, numPlanes: Int, numTables: Int,
       val bucket = ctx.freshName("bucket")
       val row = ctx.freshName("row")
       s"""
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
+         |${VecGuards.genGuard(child.dataType, prettyName, v)}
          |final int $dim = $v.numElements();
          |final byte[][] $m = $self.signMatrix($dim);
          |final long[] $out = new long[$numTables];
@@ -411,7 +429,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
     val v = input.asInstanceOf[ArrayData]
     require(v.numElements() == centroids(0).length,
       s"vector size mismatch: ${v.numElements()} vs ${centroids(0).length}")
-    VecGuards.requireNoNulls(prettyName, v)
+    if (!VecGuards.nullFree(child.dataType)) VecGuards.requireNoNulls(prettyName, v)
     val b = biases
     var best = 0
     var bestScore = Double.PositiveInfinity
@@ -447,7 +465,7 @@ case class NearestCentroid(child: Expression, centroids: Array[Array[Float]])
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + $m[0].length);
          |}
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
+         |${VecGuards.genGuard(child.dataType, prettyName, v)}
          |int $best = 0;
          |double $bestScore = Double.POSITIVE_INFINITY;
          |for (int $t = 0; $t < $m.length; $t++) {
@@ -496,7 +514,7 @@ case class CentroidDot(left: Expression, right: Expression,
     val row = centroids(ci)
     require(v.numElements() == row.length,
       s"vector size mismatch: ${v.numElements()} vs ${row.length}")
-    VecGuards.requireNoNulls(prettyName, v)
+    if (!VecGuards.nullFree(left.dataType)) VecGuards.requireNoNulls(prettyName, v)
     var s = 0.0
     var j = 0
     while (j < row.length) { s += v.getFloat(j).toDouble * row(j); j += 1 }
@@ -519,7 +537,7 @@ case class CentroidDot(left: Expression, right: Expression,
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + $row.length);
          |}
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
+         |${VecGuards.genGuard(left.dataType, prettyName, v)}
          |double $s = 0.0;
          |for (int $j = 0; $j < $row.length; $j++) {
          |  $s += (double)$v.getFloat($j) * (double)$row[$j];
@@ -587,7 +605,7 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
 
   override def nullSafeEval(input: Any): Any = {
     val v = input.asInstanceOf[ArrayData]
-    VecGuards.requireNoNulls(prettyName, v)
+    if (!VecGuards.nullFree(child.dataType)) VecGuards.requireNoNulls(prettyName, v)
     val dim = v.numElements()
     val m = signMatrix(dim)
     val scale = invSqrtOut
@@ -616,7 +634,7 @@ case class RandomProject(child: Expression, outDim: Int, seed: Long = 42L)
       val s = ctx.freshName("s")
       val row = ctx.freshName("row")
       s"""
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
+         |${VecGuards.genGuard(child.dataType, prettyName, v)}
          |final int $dim = $v.numElements();
          |final byte[][] $m = $self.signMatrix($dim);
          |final double $scale = $self.invSqrtOut();
@@ -668,7 +686,7 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Float]])
     val v = input.asInstanceOf[ArrayData]
     require(v.numElements() == inDim,
       s"vector size mismatch: ${v.numElements()} vs $inDim")
-    VecGuards.requireNoNulls(prettyName, v)
+    if (!VecGuards.nullFree(child.dataType)) VecGuards.requireNoNulls(prettyName, v)
     val out = new Array[Float](outDim)
     var r = 0
     while (r < outDim) {
@@ -699,7 +717,7 @@ case class MatrixProject(child: Expression, matrix: Array[Array[Float]])
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + $inDimV);
          |}
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
+         |${VecGuards.genGuard(child.dataType, prettyName, v)}
          |final float[] $out = new float[$outDimV];
          |for (int $r = 0; $r < $outDimV; $r++) {
          |  final float[] $row = $m[$r];
@@ -766,7 +784,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
     val v = input.asInstanceOf[ArrayData]
     require(v.numElements() == numSub * subDim,
       s"vector size mismatch: ${v.numElements()} vs ${numSub}x$subDim")
-    VecGuards.requireNoNulls(prettyName, v)
+    if (!VecGuards.nullFree(child.dataType)) VecGuards.requireNoNulls(prettyName, v)
     val out = new Array[Byte](numSub)
     var sub = 0
     while (sub < numSub) {
@@ -817,7 +835,7 @@ case class PqEncode(child: Expression, codebooks: Array[Array[Array[Float]]])
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + ($numSubV * $subDimV));
          |}
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
+         |${VecGuards.genGuard(child.dataType, prettyName, v)}
          |final byte[] $out = new byte[$numSubV];
          |for (int $sub = 0; $sub < $numSubV; $sub++) {
          |  final float[][] $book = $books[$sub];
@@ -879,7 +897,7 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
     val v = input.asInstanceOf[ArrayData]
     require(v.numElements() == numSub * subDim,
       s"vector size mismatch: ${v.numElements()} vs ${numSub}x$subDim")
-    VecGuards.requireNoNulls(prettyName, v)
+    if (!VecGuards.nullFree(child.dataType)) VecGuards.requireNoNulls(prettyName, v)
     val k = bookSize
     val out = new Array[Double](numSub * k)
     var sub = 0
@@ -921,7 +939,7 @@ case class PqLut(child: Expression, codebooks: Array[Array[Array[Float]]])
          |  throw new IllegalArgumentException("vector size mismatch: " +
          |    $v.numElements() + " vs " + ($numSubV * $subDimV));
          |}
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $v);
+         |${VecGuards.genGuard(child.dataType, prettyName, v)}
          |final double[] $out = new double[$numSubV * $kV];
          |for (int $sub = 0; $sub < $numSubV; $sub++) {
          |  final float[][] $book = $books[$sub];
@@ -967,7 +985,7 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
     val codes = b.asInstanceOf[Array[Byte]]
     require(codes.length > 0 && lut.numElements() % codes.length == 0,
       s"LUT size ${lut.numElements()} not a multiple of code length ${codes.length}")
-    VecGuards.requireNoNulls(prettyName, lut)
+    if (!VecGuards.nullFree(left.dataType)) VecGuards.requireNoNulls(prettyName, lut)
     val k = lut.numElements() / codes.length
     var s = 0.0
     var sub = 0
@@ -995,7 +1013,7 @@ case class PqAdc(left: Expression, right: Expression) extends BinaryExpression {
          |  throw new IllegalArgumentException("LUT size " + $lut.numElements() +
          |    " not a multiple of code length " + $codes.length);
          |}
-         |graft.functions.VecGuards.requireNoNulls("$prettyName", $lut);
+         |${VecGuards.genGuard(left.dataType, prettyName, lut)}
          |final int $k = $lut.numElements() / $codes.length;
          |double $s = 0.0;
          |for (int $sub = 0; $sub < $codes.length; $sub++) {

@@ -161,6 +161,12 @@ object NND {
     var graph: Dataset[FlaggedList] = truncate(
       mergeTopK(initCands, k)
         .map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))))
+    // The checkpoint BACKING `graph`: from iteration 1 on, `graph` is a
+    // map over the checkpointed `merged`, and release() must target the
+    // checkpointed frame itself (the bridge frees only a checkpoint-
+    // ROOTED plan — walking arbitrary plans for LogicalRDD leaves would
+    // also free checkpoints a caller composed in).
+    var graphCk: Dataset[_] = graph
 
     // --- Iterative refinement (reference C1 loop, NND.scala:111-263) ---
     var finished = false
@@ -201,8 +207,9 @@ object NND {
         .agg(coalesce(sum($"u"), lit(0L))).as[Long].head()
       val newGraph = merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
 
-      val prev = graph
+      val prev = graphCk
       graph = newGraph
+      graphCk = merged
       release(prev)
       iter += 1
 
@@ -338,34 +345,39 @@ object NND {
     // was purged drops out of the prior set entirely and re-enters as
     // a NEW point (fresh init draws) — its old list carried no
     // surviving information.
-    val finishedIds = base.filter(col("finished"))
-      .select(col("id").cast("long").as("fid"))
-    val priorEdges = priorListsRaw
-      .select(col("id"), explode(col("neighbors")).as("nb"))
-    val purgeAffected = priorEdges
-      .join(finishedIds, col("nb.id") === col("fid"), "left_semi")
-      .select(col("id")).distinct()
-    val purgedLists = graft.core.Neighbors.assemble(
-      priorEdges
-        .join(purgeAffected, Seq("id"), "left_semi")
-        .join(finishedIds, col("nb.id") === col("fid"), "left_anti"),
-      col("id"), col("nb.id"), col("nb.similarity"))
-    // With a real finished set the purge subtree (edge explode + two
-    // joins + regroup) would otherwise re-execute for every priorLists
-    // consumer (stable init, newIds anti-join, the per-iteration old-
-    // candidate reads via stable) — truncate it once. When the input
-    // has no finished column the subtree constant-folds away and
-    // priorLists is a cheap select/filter, so no materialization is
-    // paid on the common append path.
+    // The purge is built ONLY when the input actually carries finished
+    // rows: with a finished column present but empty, `finishedIds`
+    // is only empty at RUNTIME (not constant-folded), so the purge
+    // subtree (edge explode + two joins + regroup) would re-execute
+    // for every priorLists consumer — exactly the repetition the
+    // truncate exists to prevent, paid for nothing. The one eager
+    // isEmpty scan below runs only when a finished column exists (the
+    // common append input has none and skips it via the &&).
     val hasFinished = input.columns.contains("finished") &&
       !base.filter(col("finished")).isEmpty
-    val priorLists = {
-      val pl = priorListsRaw
-        .join(purgeAffected, Seq("id"), "left_anti")
-        .unionByName(purgedLists)
-        .as[NeighborList]
-      if (hasFinished) truncate(pl) else pl
-    }
+    val priorLists: Dataset[NeighborList] =
+      if (!hasFinished) priorListsRaw.as[NeighborList]
+      else {
+        val finishedIds = base.filter(col("finished"))
+          .select(col("id").cast("long").as("fid"))
+        val priorEdges = priorListsRaw
+          .select(col("id"), explode(col("neighbors")).as("nb"))
+        val purgeAffected = priorEdges
+          .join(finishedIds, col("nb.id") === col("fid"), "left_semi")
+          .select(col("id")).distinct()
+        val purgedLists = graft.core.Neighbors.assemble(
+          priorEdges
+            .join(purgeAffected, Seq("id"), "left_semi")
+            .join(finishedIds, col("nb.id") === col("fid"), "left_anti"),
+          col("id"), col("nb.id"), col("nb.similarity"))
+        // The purge subtree feeds every priorLists consumer (stable
+        // init, newIds anti-join, the per-iteration old-candidate
+        // reads via stable) — truncate it once.
+        truncate(priorListsRaw
+          .join(purgeAffected, Seq("id"), "left_anti")
+          .unionByName(purgedLists)
+          .as[NeighborList])
+      }
     var stable: Dataset[FlaggedList] = truncate(
       priorLists.toDF().join(nodes.toDF().select($"id"), Seq("id"), "left_semi")
         .as[NeighborList]
@@ -409,6 +421,10 @@ object NND {
     var active: Dataset[FlaggedList] = truncate(
       mergeTopK(initCands, k)
         .map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))))
+    // Checkpoint backing `active` (buildGraph's graphCk pattern): from
+    // iteration 1 on, `active` is a map over the checkpointed `merged`;
+    // release() targets the checkpointed frame itself.
+    var activeCk: Dataset[_] = active
 
     var finished = false
     var iter = 0
@@ -486,11 +502,12 @@ object NND {
         .as[FlaggedList]
         .map(nl => FlaggedList(nl.id, nl.neighbors, nl.neighbors.map(_ => false)))
       val prevStable = stable
-      val prevActive = active
+      val prevActive = activeCk
       stable = truncate(
         stable.toDF().join(targets, Seq("id"), "left_anti").as[FlaggedList]
           .unionByName(retired))
       active = merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
+      activeCk = merged
       release(prevStable)
       release(prevActive)
       release(pairCands)
@@ -660,7 +677,11 @@ object NND {
     * store (which `Dataset.unpersist` never reaches — without the
     * second call every iteration's checkpoint blocks would stay
     * resident until driver GC; a no-op for reliable `checkpointDir`
-    * checkpoints, whose files are the caller's retention). */
+    * checkpoints, whose files are the caller's retention). Callers
+    * must pass the checkpoint-ROOTED frame itself (graphCk/activeCk
+    * track it when the loop variable is a map over the checkpoint) —
+    * the bridge deliberately ignores checkpoints buried in derived
+    * plans. */
   private def release(ds: Dataset[_]): Unit = {
     ds.unpersist()
     org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(ds)

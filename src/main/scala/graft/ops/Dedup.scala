@@ -23,6 +23,54 @@ import graft.core.Similarity
   */
 object Dedup {
 
+  /** The rolling-hash kernel behind [[Dedup.exactSubstrRemove]] /
+    * [[Dedup.substrDecontaminate]]'s window keys: per document, one
+    * xxhash64 per token (seed 42, Spark's `xxhash64` convention) and
+    * one O(1) polynomial-roll update per anchor — O(n) total. Exposed
+    * `private[graft]` so PropertiesSpec can pin the roll bit-equal to
+    * a direct per-anchor fold. */
+  private[graft] object SubstrWindows {
+    /** FNV-1a 64 prime: odd, ≡ 3 (mod 8) → multiplicative order 2^62
+      * mod 2^64, so position multipliers `Mult^i` are pairwise
+      * distinct for any window width that fits in memory — the
+      * no-alias argument ([[Dedup.windowKeyStream]]'s scaladoc). */
+    val Mult = 0x100000001B3L
+
+    /** Spark-parity xxhash64 of one token (UTF-8 bytes, seed 42). */
+    def hashToken(t: String): Long = {
+      val b = t.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      org.apache.spark.sql.catalyst.expressions.XXH64
+        .hashUnsafeBytes(b, org.apache.spark.unsafe.Platform.BYTE_ARRAY_OFFSET,
+          b.length, 42L)
+    }
+
+    /** All `n - w + 1` window keys of `toks` (requires toks.length >= w):
+      * key(p) = Σ_{i<w} hash(tok_{p+i})·Mult^{w-1-i} in wrapping Long
+      * arithmetic, computed by one forward roll. */
+    def rollKeys(toks: Array[String], w: Int): Array[Long] = {
+      val n = toks.length
+      val h = new Array[Long](n)
+      var i = 0
+      while (i < n) { h(i) = hashToken(toks(i)); i += 1 }
+      // Mult^(w-1) for the leaving token's contribution.
+      var top = 1L
+      i = 0
+      while (i < w - 1) { top *= Mult; i += 1 }
+      val out = new Array[Long](n - w + 1)
+      var acc = 0L
+      i = 0
+      while (i < w) { acc = acc * Mult + h(i); i += 1 }
+      out(0) = acc
+      var p = 1
+      while (p <= n - w) {
+        acc = (acc - h(p - 1) * top) * Mult + h(p + w - 1)
+        out(p) = acc
+        p += 1
+      }
+      out
+    }
+  }
+
   /** 3-gram word shingles of a space-tokenized text column. Guarded for
     * texts shorter than n tokens (falls back to the whole text as one
     * shingle).
@@ -920,9 +968,9 @@ object Dedup {
     * Scale shape — the W-window stream must NOT materialize W-token
     * strings (at the paper's W = 50 that is a 50x corpus inflation on
     * the wire, the reason d13 stops at trigrams): each document hashes
-    * its tokens once, then every anchor folds its W token-hashes into
-    * one signed-64 cyclic key (rotate-XOR, the Buzhash rolling-hash
-    * family, computed locally per row), so the
+    * its tokens once, then every anchor's signed-64 key comes from an
+    * O(1) polynomial-roll update ([[SubstrWindows]] — O(n) CPU per
+    * document, W-independent), so the
     * occurrence-count aggregation shuffles ~8 bytes per token position
     * regardless of W, with map-side combine collapsing hot windows
     * before the wire. Only anchors whose KEY count reaches 2 re-derive
@@ -971,25 +1019,45 @@ object Dedup {
   /** Positioned per-anchor window keys (id, p, g) of every `minLen`-token
     * window in `w` = (id, text, w ARRAY<STRING>) — the shared first
     * stage of [[exactSubstrRemove]] and [[substrDecontaminate]]. 8 B
-    * per anchor; window text stays inside the document row. The cyclic
-    * (Buzhash-style) combine — rotate-left-1 then XOR — is
-    * order-sensitive like a polynomial hash but pure bit ops, so it
-    * cannot trip ANSI overflow the way wraparound multiply-add does.
-    * The token-hash array is hoisted to its own column FIRST (one
-    * xxhash64 per token), so each anchor's key is an O(W) fold over
-    * pre-hashed longs — W·n adds per document, not the O(W·n)
-    * re-hashes an inlined transform would cost per anchor. (A true
-    * sequential Buzhash rotation would be O(n) total, but needs a
-    * stateful scan the expression layer cannot stream; the fold keeps
-    * the whole derivation codegen-adjacent and shuffle-free.) */
-  private def windowKeyStream(w: DataFrame, minLen: Int): DataFrame =
+    * per anchor; window text stays inside the document row.
+    *
+    * O(n) PER DOCUMENT, not O(W·n): a `mapPartitions` rolling
+    * polynomial hash (Rabin–Karp over per-token xxhash64 values —
+    * tokens hash ONCE each, then every anchor's key is one
+    * subtract-multiply-add update from its predecessor's). The former
+    * expression-layer form folded W pre-hashed longs per anchor —
+    * a 50× CPU constant at Lee et al.'s W = 50 on the corpus's
+    * hottest destructive pass; the stateful scan an O(n) roll needs is
+    * exactly what the mapPartitions escape hatch is for (the measured
+    * BPE-encode precedent), and wrapping Long arithmetic is safe here
+    * — the ANSI-overflow hazard that forced the old rotate-XOR combine
+    * applies to SQL expressions only. Keys are engine-internal
+    * (candidates are text-VERIFIED downstream), so the key-function
+    * change cannot move results; PropertiesSpec pins the roll
+    * bit-equal to a direct per-anchor polynomial fold. Measured
+    * (builder-local, d18_skewed_substr corpus at sf0.1, median-of-3
+    * noop sink): 2.83 s -> 1.76 s at W = 20, 2.89 s -> 1.89 s at
+    * W = 50 — the residual wall is stage overhead on the small
+    * fixture; the per-token CPU is now W-independent.
+    *
+    * No rotation alias: the old rotate-left-1 combine wrapped at 64
+    * positions, so token hashes 64 apart entered the key at the same
+    * rotation and inflated the candidate sliver for minLen >= 64. The
+    * polynomial multiplier is odd (order 2^62 mod 2^64), so no two
+    * window positions < 2^62 share a multiplier — distinct-position
+    * swaps can no longer cancel. */
+  private def windowKeyStream(w: DataFrame, minLen: Int): DataFrame = {
+    val spark = w.sparkSession
+    import spark.implicits._
     w.filter(size(col("w")) >= minLen)
-      .withColumn("th", expr("transform(w, t -> xxhash64(t))"))
-      .select(col("id"), posexplode(expr(
-        s"""transform(sequence(0, size(w) - $minLen),
-           |  p -> aggregate(slice(th, p + 1, $minLen),
-           |    0L, (acc, x) -> (shiftleft(acc, 1) | shiftrightunsigned(acc, 63)) ^ x))""".stripMargin)))
-      .select(col("id"), col("pos").as("p"), col("col").as("g"))
+      .select(col("id").cast("long").as("id"), col("w"))
+      .as[(Long, Array[String])]
+      .mapPartitions(it => it.flatMap { case (id, toks) =>
+        SubstrWindows.rollKeys(toks, minLen)
+          .iterator.zipWithIndex.map { case (g, p) => (id, p, g) }
+      })
+      .toDF("id", "p", "g")
+  }
 
   /** Substring-level benchmark DECONTAMINATION — the destructive
     * companion of [[graft.ops.Decontaminate.overlapCounts]] (d09

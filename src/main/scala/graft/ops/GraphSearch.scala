@@ -246,7 +246,12 @@ object GraphSearch {
     * @param corpus    (id, features) covering every list member — a
     *                  list entry whose features are absent from the
     *                  corpus is DROPPED (inner join): pruning cannot
-    *                  certify an edge it cannot measure
+    *                  certify an edge it cannot measure. The node's ROW
+    *                  survives regardless: a non-null input list whose
+    *                  every entry drops (or was empty) comes back as an
+    *                  EMPTY list, so the output keeps one row per input
+    *                  node and downstream unions/audits see the same
+    *                  node set
     * @param alpha     occlusion slack, >= 1.0 (1.0 = strict RNG prune)
     * @param maxDegree optional hard degree cap applied AFTER the
     *                  occlusion rule, in distance order (DiskANN's R)
@@ -290,7 +295,18 @@ object GraphSearch {
       }
       NeighborList(src, kept.map(c => Neighbor(c.dst, c.sim)).toSeq)
     }
-    pruned.toDF().unionByName(passthrough)
+    // Row preservation: a node with an EMPTY input list, or whose every
+    // list member is absent from the corpus, never reaches mapGroups
+    // (the candidate explode/join emitted nothing for it) — left-join
+    // the pruned lists back over the full non-null node set so such
+    // nodes come back with an empty list instead of vanishing.
+    val nonNull = graph.filter(col("neighbors").isNotNull).select(col("id"))
+    nonNull.join(pruned.toDF(), Seq("id"), "left_outer")
+      .select(col("id"),
+        coalesce(col("neighbors"),
+          array().cast("array<struct<id:bigint,similarity:double>>"))
+          .as("neighbors"))
+      .unionByName(passthrough)
   }
 
   /** Graph health audit — the REBUILD TRIGGER of the append-and-serve

@@ -172,6 +172,15 @@ object Packing {
   def packBins(df: DataFrame, idCol: String, tokenCol: String,
                capacity: Long): DataFrame = {
     require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    // Driver-state guard: the histogram is <= capacity rows and the
+    // solve log is histogram-size x layers, so a pathological capacity
+    // (adversarial distinct lengths) would silently grow driver memory.
+    // 2^24 covers any real context length with ~100x headroom; raise
+    // deliberately, not by accident.
+    require(capacity <= (1L << 24),
+      s"capacity $capacity exceeds 2^24 — the driver solve is bounded by " +
+        "the distinct-length histogram (<= capacity rows); a larger " +
+        "capacity needs an explicit design review, not a silent solve")
     val spark = df.sparkSession
     val base = df.select(col(idCol).cast("long").as("id"),
       greatest(col(tokenCol).cast("long"), lit(1L)).as("n_tokens"))
@@ -261,6 +270,40 @@ object Packing {
       .select(col("id").as(idCol), col("n_tokens"),
         lit(null).cast("long").as("bin_id"), lit(true).as("oversize"))
     assigned.unionByName(oversize)
+  }
+
+  /** The consumer-side inverse of [[packBins]] — the per-bin manifest a
+    * training loader consumes directly ([[chunkManifest]]'s convention
+    * applied to whole-document bins): per bin, the document count, the
+    * ORDERED member list, the token fill, and the residual gap. With
+    * this artifact the loader never re-derives the assignment — it
+    * seeks each bin's documents by id and pads `gap` tokens.
+    *
+    * `doc_ids` is bounded by construction: every member has >= 1
+    * token, so a bin holds <= capacity documents — the collect_list is
+    * capacity-bounded per group, never corpus-bounded. Oversize rows
+    * (bin_id null) are excluded — they were never packed; the caller's
+    * oversize policy owns them.
+    *
+    * Scale shape: one groupBy on bin_id with partial aggregation;
+    * output rows = bins (corpus tokens / capacity at the measured
+    * ~99% fill). Conservation (TrainPrepSpec): sum(n_docs) and
+    * sum(fill_tokens) equal the packed input's counts, every fill <=
+    * capacity, and doc_ids round-trips the assignment exactly.
+    *
+    * @param assignments [[packBins]] output (idCol, n_tokens, bin_id,
+    *                    oversize)
+    * @return (bin_id, n_docs, doc_ids ARRAY<BIGINT> id-asc,
+    *         fill_tokens, gap) */
+  def binManifest(assignments: DataFrame, idCol: String,
+                  capacity: Long): DataFrame = {
+    require(capacity >= 1, s"capacity must be >= 1, got $capacity")
+    assignments.filter(!col("oversize"))
+      .groupBy("bin_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sort_array(collect_list(col(idCol))).as("doc_ids"),
+        sum(col("n_tokens")).as("fill_tokens"))
+      .withColumn("gap", lit(capacity) - col("fill_tokens"))
   }
 
   /** The consumer-side inverse of [[packChunks]]: per chunk of the

@@ -18,14 +18,21 @@ object GraftColumnBridge {
     * the RDD level), so in an iterative loop every per-iteration
     * checkpoint's MEMORY_AND_DISK blocks would otherwise stay resident
     * until the driver happens to GC the dataset reference and the
-    * ContextCleaner gets to it. The checkpointed plan is a `LogicalRDD`
-    * leaf over that internal RDD — unpersisting it releases the blocks
-    * immediately. A no-op on anything that is not a local checkpoint
-    * (no LogicalRDD in the plan, or a reliable file-based checkpoint,
+    * ContextCleaner gets to it. A checkpointed Dataset's plan is
+    * exactly one `LogicalRDD` ROOT over the internal persisted RDD —
+    * unpersisting that root releases the blocks immediately.
+    *
+    * Root-only, deliberately: matching ANY LogicalRDD in the plan
+    * would also unpersist checkpoints the CALLER composed in (e.g. a
+    * resident prior-graph artifact joined into a derived frame) —
+    * blocks that, lineage being truncated, cannot be recomputed, so a
+    * later action on the caller's artifact would die on missing
+    * checkpoint blocks. A no-op on anything whose root is not a local
+    * checkpoint (derived plans, reliable file-based checkpoints —
     * whose lifecycle is the caller's checkpoint-dir retention). */
   def releaseLocalCheckpoint(ds: Dataset[_]): Unit = ds match {
     case d: classic.Dataset[_] =>
-      d.queryExecution.analyzed.foreach {
+      d.queryExecution.analyzed match {
         case lr: execution.LogicalRDD => lr.rdd.unpersist(false)
         case _ => ()
       }

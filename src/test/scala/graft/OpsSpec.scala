@@ -1095,6 +1095,116 @@ class OpsSpec extends SparkSpec {
       s"pruned graph lost navigability: $hPruned vs $hFull of ${truth.size}")
   }
 
+  test("pruneGraph keeps one row per input node even when every candidate drops") {
+    import spark.implicits._
+    import graft.core.{Neighbor, NeighborList}
+    // Node 0's only neighbor is absent from the corpus (the inner
+    // features join drops the candidate — pruning cannot certify what
+    // it cannot measure); node 1's list is already empty; node 2 is a
+    // finished passthrough. All three must come back: 0 and 1 with
+    // EMPTY lists (not vanished — downstream unions/audits expect one
+    // row per node), 2 with its null untouched.
+    val corpus = Seq((0L, Array(0f, 0f)), (1L, Array(1f, 0f)))
+      .toDF("id", "features")
+    val g = Seq(
+        NeighborList(0L, Seq(Neighbor(99L, 0.5))),
+        NeighborList(1L, Seq.empty))
+      .toDS().toDF()
+      .unionByName(Seq(2L).toDF("id")
+        .withColumn("neighbors",
+          lit(null).cast("array<struct<id:bigint,similarity:double>>")))
+    val got = graft.ops.GraphSearch.pruneGraph(g, corpus, alpha = 1.0)
+      .collect().map(r => r.getLong(0) ->
+        Option(r.getSeq[org.apache.spark.sql.Row](1)).map(_.size)).toMap
+    assert(got == Map(0L -> Some(0), 1L -> Some(0), 2L -> None),
+      s"row preservation broken: $got")
+  }
+
+  test("pruned serving artifact round-trips row-identically and cuts search shuffle") {
+    import spark.implicits._
+    import graft.core.NeighborList
+    // The n09 lifecycle: prune -> parquet -> reload must reproduce the
+    // in-memory prune row for row (doubles/ids round-trip parquet
+    // exactly), and serving from the pruned artifact must move LESS
+    // shuffle per search than the unpruned graph — the DiskANN payoff
+    // (fewer edges fetched per beam hop) measured, not asserted on
+    // faith.
+    val corpus = emb
+    val g = graft.nnd.NND.buildGraph(corpus,
+        graft.nnd.NND.Params(k = 10, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val pruned = graft.ops.GraphSearch.pruneGraph(g, corpus, alpha = 1.0)
+      .localCheckpoint()
+    val dir = java.nio.file.Files.createTempDirectory("graft_prune_rt").toString
+    try {
+      pruned.write.mode("overwrite").parquet(s"$dir/graph")
+      val reloaded = spark.read.parquet(s"$dir/graph")
+      def rows(df: org.apache.spark.sql.DataFrame) =
+        df.as[NeighborList].collect()
+          .map(nl => nl.id -> nl.neighbors.map(n => (n.id, n.similarity)))
+          .toMap
+      assert(rows(reloaded) == rows(pruned),
+        "pruned artifact did not round-trip parquet row-identically")
+      val q = corpus.filter(col("id") < 20)
+      def searchBytes(graph: org.apache.spark.sql.DataFrame): Long =
+        shuffleMeasured {
+          graft.ops.GraphSearch.searchGraph(graph, corpus, q, k = 10,
+            beam = 32, hops = 4, seeds = 16).collect()
+        }._2
+      val fullBytes = searchBytes(g)
+      val prunedBytes = searchBytes(reloaded)
+      info(s"search shuffle bytes: unpruned $fullBytes, pruned artifact $prunedBytes")
+      assert(prunedBytes < fullBytes,
+        s"pruned serve must shuffle less than unpruned: $prunedBytes vs $fullBytes")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(new java.io.File(dir))
+    }
+  }
+
+  test("cross-set substring decontamination stays linear on a white-hot leak") {
+    // d19's scale witness (the d18 tiling exhibit in cross-set form):
+    // every corpus document opens with a passage the single benchmark
+    // document contains, so every document is a scrub target. The
+    // corpus side is never shuffled by content (benchmark carriers
+    // broadcast; candidates partial-agg map-side), so 10x the
+    // document mass must cost ~10x the shuffle. Bench twin:
+    // d19_skewed_decon.
+    import spark.implicits._
+    val hot = Seq.fill(4)("the quick brown fox jumps over").mkString(" ") // 24 tokens
+    val bench = Seq((0L, s"leak $hot end")).toDF("doc_id", "text")
+    def corpus(nDocs: Int) = (0L until nDocs.toLong).map(i =>
+        (i, s"$hot u${i}a u${i}b u${i}c u${i}d u${i}e"))
+      .toDF("doc_id", "text").repartition(8).cache()
+    val light = corpus(400)
+    val heavy = corpus(4000)
+    light.count(); heavy.count()
+    try {
+      val (lightRows, lightBytes) = shuffleMeasured {
+        Dedup.substrDecontaminate(light, bench, "doc_id", "text", minLen = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      }
+      val (heavyRows, heavyBytes) = shuffleMeasured {
+        Dedup.substrDecontaminate(heavy, bench, "doc_id", "text", minLen = 20)
+          .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3)))
+      }
+      assert(lightRows.length == 400 && heavyRows.length == 4000)
+      lightRows.foreach { case (id, nRemoved, clean) =>
+        assert(nRemoved == 24L, s"doc $id removed $nRemoved tokens, want the 24 leaked ones")
+        assert(clean == s"u${id}a u${id}b u${id}c u${id}d u${id}e",
+          s"doc $id tail corrupted: '$clean'")
+      }
+      info(s"shuffle bytes — 400 docs: $lightBytes, 4000 docs: $heavyBytes")
+      assert(heavyBytes < lightBytes * 15,
+        s"cross-set substring scrub went super-linear on the hot leak: $heavyBytes vs $lightBytes")
+    } finally {
+      light.unpersist(); heavy.unpersist()
+    }
+  }
+
   test("embedding near-dup threshold has a safe float margin") {
     val cos = Dedup.embeddingPairs(emb, "id", "features", 0.0)
       .select("cosine").collect().map(_.getDouble(0))

@@ -278,6 +278,45 @@ class PropertiesSpec extends SparkSpec {
     assert(none.values.forall(_ == 0L), "empty benchmark must scrub nothing")
   }
 
+  test("SubstrWindows roll bit-equals the direct per-anchor fold; 64-apart alias gone") {
+    import graft.ops.Dedup.SubstrWindows
+    // The O(n) rolling update (subtract the leaving token's Mult^(W-1)
+    // term, multiply, add the entering token) must produce exactly the
+    // keys a direct O(W) fold per anchor does — wrapping Long
+    // arithmetic included. Random widths straddle 64 on purpose.
+    val rnd = new scala.util.Random(7)
+    def directKeys(toks: Array[String], w: Int): Seq[Long] =
+      (0 to toks.length - w).map { p =>
+        var acc = 0L
+        var i = 0
+        while (i < w) {
+          acc = acc * SubstrWindows.Mult + SubstrWindows.hashToken(toks(p + i))
+          i += 1
+        }
+        acc
+      }
+    for (_ <- 0 until 60) {
+      val w = 2 + rnd.nextInt(70)
+      val n = w + rnd.nextInt(150)
+      val toks = Array.fill(n)(rnd.nextInt(6).toString)
+      val got = SubstrWindows.rollKeys(toks, w)
+      assert(got.toSeq == directKeys(toks, w), s"roll != fold at n=$n w=$w")
+    }
+    // The retired rotate-left-1 combine wrapped at 64 positions: in a
+    // 65-token window, tokens 0 and 64 both entered at rotation 0, so
+    // swapping them could not change the key (candidate-sliver
+    // inflation for minLen >= 64 — VERDICT r9). Demonstrate the old
+    // alias, then assert the polynomial key separates the pair.
+    val a = Array.tabulate(65)(i => s"t$i")
+    val b = a.clone(); val tmp = b(0); b(0) = b(64); b(64) = tmp
+    def rotKey(t: Array[String]): Long =
+      t.foldLeft(0L)((acc, x) =>
+        ((acc << 1) | (acc >>> 63)) ^ SubstrWindows.hashToken(x))
+    assert(rotKey(a) == rotKey(b), "sanity: the retired rotate combine aliased here")
+    assert(SubstrWindows.rollKeys(a, 65)(0) != SubstrWindows.rollKeys(b, 65)(0),
+      "polynomial key must separate a 64-apart token swap")
+  }
+
   test("mmrDiversify equals a naive in-memory greedy on random pools and lambdas") {
     // The reference mirrors the operator's exact fixed-point contract:
     // rel_fp via HALF_UP decimal rounding (Spark's round), pairwise

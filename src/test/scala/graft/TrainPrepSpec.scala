@@ -450,6 +450,47 @@ class TrainPrepSpec extends SparkSpec {
     assert(got(5L) == ((Some(2L), false)) && got(6L) == ((Some(2L), false)))
   }
 
+  test("binManifest round-trips the assignment: membership, conservation, capacity") {
+    // The t41 loader contract: the manifest's ordered member lists must
+    // BE the assignment (grouped), fills must conserve the packed token
+    // mass and respect capacity, gap must be the exact residual, and
+    // oversize rows must not appear anywhere in it.
+    val cap = 128L
+    val withTokens = docs
+      .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
+      .select("doc_id", "n_tokens")
+      // One planted oversize row: the manifest must exclude it.
+      .unionByName(Seq((999999L, cap + 7L)).toDF("doc_id", "n_tokens"))
+    val assigned = Packing.packBins(withTokens, "doc_id", "n_tokens", cap)
+      .localCheckpoint()
+    val m = Packing.binManifest(assigned, "doc_id", cap)
+      .as[(Long, Long, Seq[Long], Long, Long)].collect()
+    val packed = assigned.filter(!$"oversize")
+      .select("doc_id", "n_tokens", "bin_id")
+      .as[(Long, Long, Long)].collect()
+    val byBin = packed.groupBy(_._3)
+    assert(m.map(_._1).sorted.toSeq == byBin.keys.toSeq.sorted,
+      "manifest bins != assignment bins")
+    m.foreach { case (bin, nDocs, ids, fill, gap) =>
+      val members = byBin(bin)
+      assert(nDocs == members.length && ids == members.map(_._1).sorted.toSeq,
+        s"bin $bin member list diverged")
+      assert(fill == members.map(_._2).sum && fill <= cap && gap == cap - fill,
+        s"bin $bin fill/gap wrong: fill=$fill gap=$gap")
+    }
+    assert(!m.exists(_._3.contains(999999L)), "oversize row leaked into the manifest")
+    // Whole-corpus conservation (the t40/t41 pin cross-check).
+    assert(m.map(_._2).sum == packed.length.toLong)
+    assert(m.map(_._4).sum == packed.map(_._2).sum)
+  }
+
+  test("packBins rejects a driver-state-hazard capacity") {
+    intercept[IllegalArgumentException] {
+      Packing.packBins(Seq((1L, 5L)).toDF("doc_id", "n_tokens"), "doc_id",
+        "n_tokens", (1L << 24) + 1L)
+    }
+  }
+
   test("packBins is invariant to input partitioning") {
     val withTokens = docs
       .withColumn("n_tokens", size(split($"text", " ")).cast("long"))
