@@ -91,6 +91,11 @@ object Bench {
         // The partitioned-graph build (declared n10 measures the
         // partition-gated SEARCH over it).
         "n10_part_build" -> (() => Queries.partitionedGraph(spark, sfDir).count()),
+        // The in-loop-pruned build (Vamana construction shape; the
+        // declared n11 verifies recall + census over the artifact).
+        // Directly comparable to n01_graph_build: same corpus, same
+        // k/iterations, plus the per-iteration occlusion prune.
+        "n11_inloop_build" -> (() => Queries.inLoopPrunedGraph(spark, sfDir).count()),
         // The on-disk IVF index write (declared s14 then measures the
         // pruned SERVE against the artifact, not construction).
         "s14_index_build" -> (() => { Queries.ivfIndexPath(spark, sfDir); 0L }),
@@ -142,6 +147,7 @@ object Bench {
       "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")),
       "n09_prune_build" -> (() => Queries.evictPrunedGraph(spark, sfDir)),
       "n10_part_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n10_graph")),
+      "n11_inloop_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n11_graph")),
       "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)),
       "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
       "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),

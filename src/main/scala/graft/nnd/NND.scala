@@ -71,6 +71,26 @@ object NND {
     * `spark.cleaner.referenceTracking.cleanCheckpoints=true`), and the
     * checkpoint dir is GLOBAL SparkContext state — concurrent builds in
     * one session should share a single directory. */
+  /** `pruneAlpha`/`pruneMaxDegree`: when `pruneAlpha` is set, every
+    * merged neighbor list is occlusion-pruned IN-LOOP with the shared
+    * RobustPrune kernel ([[graft.core.Occlusion]]) — DiskANN's
+    * construction shape (prune while building, not post-hoc), bounding
+    * list degree to `pruneMaxDegree` DURING construction so each
+    * iteration's adjacency join moves fewer edges. Trade-offs the
+    * caller owns: (1) pruned lists explore fewer neighbor-of-neighbor
+    * pairs AND keep fewer than k entries, so direct list recall
+    * converges lower than build-then-
+    * [[graft.ops.GraphSearch.pruneGraph]] at equal k — measured on the
+    * sf0.001 fixture: 0.94 at the DiskANN α = 1.2 operating point vs
+    * 0.997 unpruned, collapsing to 0.68 at strict-RNG α = 1.0
+    * (NNDSpec prices it; the artifact's value is navigability at low
+    * degree, not raw list recall); (2) a pruned-away candidate can be
+    * re-proposed by a later
+    * local join and re-counted as an update, so the δ-termination
+    * ratio may stay above threshold and the loop run to
+    * `maxIterations` — the iteration cap, not δ, is the bound under
+    * aggressive pruning. `pruneAlpha = None` (default) is bit-exact
+    * legacy behavior. */
   final case class Params(
       k: Int = 10,
       maxIterations: Int = 5,
@@ -79,7 +99,9 @@ object NND {
       bucketsPerInstance: Int = 4,
       seed: Long = 42L,
       expansion: Double = 2.0,
-      checkpointDir: Option[String] = None)
+      checkpointDir: Option[String] = None,
+      pruneAlpha: Option[Double] = None,
+      pruneMaxDegree: Int = Int.MaxValue)
 
   /** Build the approximate K-NN graph.
     *
@@ -167,6 +189,15 @@ object NND {
     // ROOTED plan — walking arbitrary plans for LogicalRDD leaves would
     // also free checkpoints a caller composed in).
     var graphCk: Dataset[_] = graph
+    // In-loop occlusion prune (DiskANN construction shape): the init
+    // lists are pruned like every later merge, so degree is bounded
+    // from the first adjacency join on.
+    p.pruneAlpha.foreach { a =>
+      val pruned = truncate(pruneFlagged(graph, nodes, a, p.pruneMaxDegree))
+      release(graphCk)
+      graph = pruned
+      graphCk = pruned
+    }
 
     // --- Iterative refinement (reference C1 loop, NND.scala:111-263) ---
     var finished = false
@@ -205,11 +236,26 @@ object NND {
       val merged = truncate(mergeTopK(pairCands.unionByName(oldCands), k))
       val updates = merged.map(_._2.updated.toLong).toDF("u")
         .agg(coalesce(sum($"u"), lit(0L))).as[Long].head()
-      val newGraph = merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
+      // Update counting happens on the UNPRUNED merge (an entry that
+      // made the top-k' is an update whether or not occlusion then
+      // drops it) — the δ semantics stay identical to the unpruned
+      // path; the Params scaladoc documents the re-proposal caveat.
+      val (newGraph, newCk): (Dataset[FlaggedList], Dataset[_]) =
+        p.pruneAlpha match {
+          case None =>
+            (merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))),
+              merged)
+          case Some(a) =>
+            val pruned = truncate(pruneFlagged(
+              merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))),
+              nodes, a, p.pruneMaxDegree))
+            release(merged) // pruned is materialized; merged has no other reader
+            (pruned, pruned)
+        }
 
       val prev = graphCk
       graph = newGraph
-      graphCk = merged
+      graphCk = newCk
       release(prev)
       iter += 1
 
@@ -425,6 +471,16 @@ object NND {
     // iteration 1 on, `active` is a map over the checkpointed `merged`;
     // release() targets the checkpointed frame itself.
     var activeCk: Dataset[_] = active
+    // In-loop prune, buildGraph's placement: merged/init ACTIVE lists
+    // prune; stable lists from `existing` pass as-is (a pruned prior
+    // build's lists re-prune to themselves — Occlusion is idempotent —
+    // so update-from-empty-equals-build holds).
+    p.pruneAlpha.foreach { a =>
+      val pruned = truncate(pruneFlagged(active, nodes, a, p.pruneMaxDegree))
+      release(activeCk)
+      active = pruned
+      activeCk = pruned
+    }
 
     var finished = false
     var iter = 0
@@ -506,8 +562,20 @@ object NND {
       stable = truncate(
         stable.toDF().join(targets, Seq("id"), "left_anti").as[FlaggedList]
           .unionByName(retired))
-      active = merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_)))
-      activeCk = merged
+      val (newActive, newActiveCk): (Dataset[FlaggedList], Dataset[_]) =
+        p.pruneAlpha match {
+          case None =>
+            (merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))),
+              merged)
+          case Some(a) =>
+            val pruned = truncate(pruneFlagged(
+              merged.map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))),
+              nodes, a, p.pruneMaxDegree))
+            release(merged)
+            (pruned, pruned)
+        }
+      active = newActive
+      activeCk = newActiveCk
       release(prevStable)
       release(prevActive)
       release(pairCands)
@@ -565,6 +633,40 @@ object NND {
     require(p.sampleRate > 0, s"sampleRate must be positive, got ${p.sampleRate}")
     require(p.bucketsPerInstance > 0,
       s"bucketsPerInstance must be positive, got ${p.bucketsPerInstance}")
+    p.pruneAlpha.foreach(a => require(a >= 1.0,
+      s"pruneAlpha must be >= 1.0 (strict RNG prune), got $a"))
+    require(p.pruneMaxDegree > 0,
+      s"pruneMaxDegree must be positive, got ${p.pruneMaxDegree}")
+  }
+
+  /** In-loop occlusion prune of flagged lists (the `pruneAlpha` path):
+    * one edge-sized features join against the persisted pre-partitioned
+    * node table + the shared bounded RobustPrune kernel per group —
+    * exactly [[graft.ops.GraphSearch.pruneGraph]]'s shape, but carrying
+    * the new/old flags through so the incremental local join still
+    * distinguishes fresh entries. Shared by build and update so the
+    * update-from-empty-equals-build contract holds (the kernel is
+    * idempotent on its own output — see [[graft.core.Occlusion]]). */
+  private def pruneFlagged(g: Dataset[FlaggedList], nodes: Dataset[NodeRow],
+      alpha: Double, maxDegree: Int): Dataset[FlaggedList] = {
+    val spark = g.sparkSession
+    import spark.implicits._
+    val edges = g.flatMap(nl => nl.neighbors.iterator.zip(nl.isNew.iterator)
+      .map { case (nb, fresh) => (nl.id, nb.id, nb.similarity, fresh) })
+      .toDF("src", "dst", "sim", "isNew")
+    edges
+      .join(nodes.toDF().select($"id".as("dst"), $"features"), "dst")
+      .select($"src", $"dst", $"sim", $"isNew", $"features")
+      .as[(Long, Long, Double, Boolean, Array[Float])]
+      .groupByKey(_._1)
+      .mapGroups { (src, it) =>
+        val a = it.toArray.sortBy(c => (-c._3, c._2))
+        val keep = graft.core.Occlusion.keepIndices(
+          a.map(_._3), a.map(_._5), alpha, maxDegree)
+        FlaggedList(src,
+          keep.toSeq.map(i => Neighbor(a(i)._2, a(i)._3)),
+          keep.toSeq.map(i => a(i)._4))
+      }
   }
 
   /** Default the optional input columns (`partition`, `finished`) —

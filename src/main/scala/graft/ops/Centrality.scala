@@ -1,0 +1,121 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Graph-centrality scoring of the K-NN serving graph — the corpus-
+  * selection signal on top of the engine's core artifact (the built
+  * graph is the reference's sole product, `/root/reference/src/main/
+  * scala/com/github/fvictorio/nnd/NND.scala:282`): a document central
+  * in the similarity graph is similar to many documents that are
+  * themselves similar to many — the "representativeness" axis coreset-
+  * selection pipelines rank by, complementing the per-document quality
+  * gates (t37/t42/t43) and the diversity selectors (MMR s17, occlusion
+  * n08) with a GLOBAL structural signal.
+  *
+  * PageRank (Page et al. 1999) by power iteration, in EXACT FIXED-POINT
+  * integer arithmetic: ranks are BIGINT multiples of 2⁻²⁰ (the repo's
+  * pin-rounding convention), every per-edge contribution and the
+  * damping blend are integer multiply-then-floor-divide, so the result
+  * is bit-deterministic regardless of partitioning, aggregation order,
+  * or cluster size — a double-precision power iteration would make the
+  * per-node in-sums order-dependent and the pinned oracle unstable.
+  * Floor division loses at most one 2⁻²⁰ unit per edge per iteration
+  * (≤ outdeg units per node), a relative drift < 2⁻¹⁴ at k ≤ 64 —
+  * priced and bounded, never nondeterministic.
+  */
+object Centrality {
+
+  /** Fixed-point scale: ranks are multiples of 2⁻²⁰ of one unit mass. */
+  val Scale: Long = 1L << 20
+
+  /** Damped PageRank over a neighbor-list graph.
+    *
+    * @param graph       `(id BIGINT, neighbors ARRAY<STRUCT<id, …>>)` —
+    *                    the serving-graph shape; a NULL or empty list is
+    *                    a dangling node (its mass redistributes
+    *                    uniformly, the standard treatment). Out-edges
+    *                    are UNWEIGHTED (each neighbor receives
+    *                    rank ÷ outdeg): centrality here measures the
+    *                    graph's structure, which already encodes
+    *                    similarity through membership. Contributions to
+    *                    ids absent from the node set are dropped (the
+    *                    serving artifact has none — `pruneGraph`
+    *                    row-preserves and `graphHealth` audits; an
+    *                    append-stale graph loses that mass, documented
+    *                    not redistributed).
+    * @param iterations  fixed power-iteration count — a FIXED count,
+    *                    not a convergence test, so the output is a
+    *                    deterministic function of the graph.
+    * @param dampingNum/dampingDen the damping factor as an exact
+    *                    rational (default 85/100).
+    * @return `(id BIGINT, rank BIGINT)` — rank in 2⁻²⁰ units; total
+    *         mass ≈ N·2²⁰ minus the bounded floor drift.
+    *
+    * Scale shape: the edge table (one explode of the adjacency, N·k
+    * rows) is checkpointed once and re-joined each iteration — the
+    * NND C1/C2 idiom: per iteration ONE edge-sized hash join (ranks ⋈
+    * edges on src), ONE map-side-combining groupBy(dst), one 1-row
+    * dangling aggregate, and a left join back over the node set; per-
+    * iteration checkpoint + release keeps lineage and executor blocks
+    * flat across iterations. No per-node driver state, no collect of
+    * anything wider than one row.
+    */
+  def pageRank(graph: DataFrame, iterations: Int = 10,
+      dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame = {
+    require(iterations >= 0, s"iterations must be >= 0, got $iterations")
+    require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
+      s"damping must satisfy 0 <= num <= den, got $dampingNum/$dampingDen")
+    val spark = graph.sparkSession
+    import spark.implicits._
+
+    def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
+    def release(df: DataFrame): Unit = {
+      df.unpersist()
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(df)
+    }
+
+    val nodes = truncate(graph.select(col("id").cast("long").as("id"),
+      coalesce(col("neighbors.id"), array().cast("array<bigint>"))
+        .as("out")))
+    val n = nodes.count()
+    if (n == 0L || iterations == 0) {
+      // The returned frame maps over the checkpointed node set — its
+      // (at most N-row) blocks stay with the caller's lifecycle.
+      return nodes.select(col("id"), lit(Scale).as("rank"))
+    }
+
+    // Static per-iteration operands, checkpointed once: the edge table
+    // with its source outdegree, and the dangling-node id set.
+    val edges = truncate(nodes.filter(size(col("out")) > 0)
+      .select(col("id").as("src"),
+        size(col("out")).cast("long").as("outdeg"),
+        explode(col("out")).as("dst")))
+    val dangling = truncate(nodes.filter(size(col("out")) === 0)
+      .select(col("id")))
+    val base = (Scale * (dampingDen - dampingNum)) / dampingDen
+
+    var ranks = truncate(nodes.select(col("id"), lit(Scale).as("rank")))
+    var iter = 0
+    while (iter < iterations) {
+      val dangMass = ranks.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0L))).as[Long].head()
+      val dangShare = dangMass / n
+      val inSum = ranks.join(edges, col("id") === col("src"))
+        .select(col("dst").as("id"), expr("rank DIV outdeg").as("c"))
+        .groupBy("id").agg(sum(col("c")).as("in_sum"))
+      val next = truncate(nodes.select(col("id"))
+        .join(inSum, Seq("id"), "left")
+        .select(col("id"),
+          (lit(base) +
+            expr(s"(${dampingNum}L * (coalesce(in_sum, 0L) + ${dangShare}L))" +
+              s" DIV ${dampingDen}L")).as("rank")))
+      val prev = ranks
+      ranks = next
+      release(prev)
+      iter += 1
+    }
+    release(edges); release(dangling); release(nodes)
+    ranks
+  }
+}

@@ -273,27 +273,14 @@ object GraphSearch {
     val pruned = cands.groupByKey(_.src).mapGroups { (src, it) =>
       // (sim desc, id asc) = distance asc with the aggregator's
       // deterministic tie order — the same total order the lists were
-      // built under.
+      // built under. The greedy keep-set is the SHARED RobustPrune
+      // kernel (graft.core.Occlusion) — the in-loop construction prune
+      // (NND `pruneAlpha`) runs the identical code, so build-time and
+      // post-hoc pruning cannot drift.
       val a = it.toArray.sortBy(c => (-c.sim, c.dst))
-      val kept = mutable.ArrayBuffer.empty[PruneCand]
-      var i = 0
-      while (i < a.length && kept.length < maxDegree) {
-        val c = a(i)
-        // Stored sims are finite and > 0 for real neighbors; a -Inf
-        // (cross-partition, contract-violating) entry maps to infinite
-        // distance and is occluded by anything already kept.
-        val dC = if (c.sim > 0.0) 1.0 / c.sim - 1.0 else Double.PositiveInfinity
-        var occluded = false
-        var j = 0
-        while (j < kept.length && !occluded) {
-          if (alpha * Similarity.l2(kept(j).features, c.features) <= dC)
-            occluded = true
-          j += 1
-        }
-        if (!occluded) kept += c
-        i += 1
-      }
-      NeighborList(src, kept.map(c => Neighbor(c.dst, c.sim)).toSeq)
+      val keep = graft.core.Occlusion.keepIndices(
+        a.map(_.sim), a.map(_.features), alpha, maxDegree)
+      NeighborList(src, keep.map(i => Neighbor(a(i).dst, a(i).sim)).toSeq)
     }
     // Row preservation: a node with an EMPTY input list, or whose every
     // list member is absent from the corpus, never reaches mapGroups

@@ -850,6 +850,205 @@ object TextAnalysis {
           col("n_stop") >= 2L, lit(1L)).otherwise(lit(0L)))
   }
 
+  /** Gopher repetition-removal rules (Rae et al. 2021, MassiveText
+    * curation, Appendix A1.2) — the WITHIN-document repetition half the
+    * [[gopherRules]] quality gate omits: a page is removed when too much
+    * of its character mass sits inside repeated n-grams,
+    * {{{
+    *   chars in the most frequent 2-gram  > 0.20 · total   → drop
+    *   chars in the most frequent 3-gram  > 0.18 · total   → drop
+    *   chars in the most frequent 4-gram  > 0.16 · total   → drop
+    *   chars covered by duplicated 5-grams  > 0.15 · total → drop
+    *   …   6-grams > 0.14,  7 > 0.13,  8 > 0.12,  9 > 0.11,
+    *       10-grams > 0.10 · total                          → drop
+    * }}}
+    * Two distinct semantics, both the paper's: the 2–4-gram rules count
+    * OCCURRENCE mass (count × the gram's character length — repeats of
+    * the single most frequent gram), while the 5–10-gram rules count
+    * COVERAGE (characters lying inside any ≥2× n-gram, overlapping
+    * occurrences counted once). "Characters" here are token characters
+    * under the corpus's whitespace tokenization (separators carry no
+    * mass), so every metric is an exact BIGINT and the keep decision is
+    * pure integer arithmetic (mass·100 ≤ threshold·total) — bit-identical
+    * in the DuckDB twin, which recomputes both semantics relationally
+    * (per-doc n-gram counts, top-1 by (count desc, gram asc), and a
+    * distinct-position coverage join). The duplicate-line/-paragraph
+    * rules need line structure the single-line fixture lacks and are
+    * omitted (same shape over `split(text, '\n')` — the t37 precedent).
+    *
+    * Scale shape: repetition is a WITHIN-document property, so the
+    * whole rule set needs no cross-document state at all — one
+    * mapPartitions projection, zero exchanges, zero joins; the kernel
+    * is O(Σₙ L) time and O(L) space per document (hash counts per n,
+    * then a coverage mark pass). The relational alternative (nine
+    * per-n explode → groupBy(doc, gram) rounds) would shuffle ~9× the
+    * token stream to compute a per-row answer — the measured-escape-
+    * hatch precedent (BPE encode, Viterbi, DEFLATE) applies. */
+  def repetitionRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          val toks = text.split(" ")
+          val lens = toks.map(_.length)
+          var total = 0L
+          lens.foreach(total += _)
+          val sep = '\u0001'
+          // gram key for positions [start, start+n): tokens joined by
+          // U+0001 (absent from any token; the LM-key convention).
+          def key(start: Int, n: Int): String = {
+            val sb = new java.lang.StringBuilder()
+            var i = 0
+            while (i < n) {
+              if (i > 0) sb.append(sep)
+              sb.append(toks(start + i))
+              i += 1
+            }
+            sb.toString
+          }
+          // Occurrence mass of the most frequent n-gram; ties broken
+          // (count desc, gram asc) — the repo's deterministic order.
+          def topMass(n: Int): Long = {
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            var s = 0
+            while (s + n <= toks.length) {
+              val k = key(s, n); m.update(k, m.getOrElse(k, 0L) + 1L); s += 1
+            }
+            if (m.isEmpty) 0L
+            else {
+              var bestK: String = null; var bestC = 0L
+              m.foreach { case (k, c) =>
+                if (c > bestC || (c == bestC && (bestK == null || k < bestK))) {
+                  bestK = k; bestC = c
+                }
+              }
+              // chars of one occurrence = joined length minus separators
+              bestC * (bestK.length - (n - 1)).toLong
+            }
+          }
+          // Character coverage of all duplicated n-grams: mark token
+          // positions lying in any gram with count >= 2, count once.
+          def dupMass(n: Int, covered: Array[Boolean]): Long = {
+            java.util.Arrays.fill(covered, false)
+            val m = scala.collection.mutable.HashMap.empty[String, Long]
+            var s = 0
+            while (s + n <= toks.length) {
+              val k = key(s, n); m.update(k, m.getOrElse(k, 0L) + 1L); s += 1
+            }
+            s = 0
+            while (s + n <= toks.length) {
+              if (m(key(s, n)) >= 2L) {
+                var i = s; val e = s + n
+                while (i < e) { covered(i) = true; i += 1 }
+              }
+              s += 1
+            }
+            var mass = 0L
+            var i = 0
+            while (i < toks.length) {
+              if (covered(i)) mass += lens(i); i += 1
+            }
+            mass
+          }
+          val covered = new Array[Boolean](toks.length)
+          val top2 = topMass(2); val top3 = topMass(3); val top4 = topMass(4)
+          val d = (5 to 10).map(n => dupMass(n, covered)).toArray
+          val kept =
+            if (top2 * 100L <= 20L * total && top3 * 100L <= 18L * total &&
+              top4 * 100L <= 16L * total &&
+              d(0) * 100L <= 15L * total && d(1) * 100L <= 14L * total &&
+              d(2) * 100L <= 13L * total && d(3) * 100L <= 12L * total &&
+              d(4) * 100L <= 11L * total && d(5) * 100L <= 10L * total) 1L
+            else 0L
+          (id, total, top2, top3, top4, d(0), d(1), d(2), d(3), d(4), d(5),
+            kept)
+        }
+      }
+      .toDF(idCol, "total_chars", "top2_chars", "top3_chars", "top4_chars",
+        "dup5_chars", "dup6_chars", "dup7_chars", "dup8_chars", "dup9_chars",
+        "dup10_chars", "kept")
+  }
+
+  /** Gopher repetition-removal rules, the LINE/PARAGRAPH half (Rae et
+    * al. 2021, MassiveText curation, Appendix A1.2 — the structural
+    * complement of [[repetitionRules]]' n-gram half): a page is removed
+    * when too much of it is literally repeated lines or paragraphs,
+    * {{{
+    *   duplicate lines      > 0.30 · n_lines       → drop
+    *   duplicate paragraphs > 0.30 · n_paragraphs  → drop
+    *   duplicate line chars      > 0.20 · total    → drop
+    *   duplicate paragraph chars > 0.20 · total    → drop
+    * }}}
+    * Structure and counting follow the paper's published reading (and
+    * the de-facto reference implementations): paragraphs split on
+    * `"\n\n"`, lines on `"\n"`, and an element is a DUPLICATE when an
+    * identical element already occurred earlier in the document — each
+    * occurrence after the first counts once, and contributes its own
+    * character length to the duplicate char mass (so k copies of a
+    * line count k−1 elements and (k−1)·len chars). Characters are
+    * non-separator characters (`total_chars` = text length minus every
+    * line/paragraph separator), all metrics exact BIGINTs, and the
+    * keep decision pure integer arithmetic (count·100 ≤ thr·denom) —
+    * bit-identical in the DuckDB twin, which recomputes the same
+    * splits and occurrence-after-first counts relationally. Empty
+    * elements (consecutive separators) participate in dup counting
+    * with zero char mass — the reference-implementation convention.
+    * A document with no separators is one paragraph of one line:
+    * nothing can duplicate, so it always keeps (the single-line
+    * fixture motivates the declared query's deterministic reflow).
+    *
+    * Scale shape: like [[repetitionRules]], repetition-by-structure is
+    * a WITHIN-document property — one mapPartitions projection, zero
+    * exchanges, zero joins; the kernel is one hash-set pass per
+    * granularity, O(L) time and space per document. The relational
+    * alternative (explode lines → groupBy(doc, line) → re-aggregate)
+    * would shuffle the whole line stream to compute a per-row answer —
+    * the measured-escape-hatch precedent applies. */
+  def lineDupRules(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long").as("id"), col(textCol).as("text"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          // Duplicate-after-first census of one granularity's elements:
+          // (n_elements, dup_count, dup_chars, char_mass).
+          def census(elems: Array[String]): (Long, Long, Long, Long) = {
+            val seen = new java.util.HashSet[String]()
+            var dupN = 0L; var dupC = 0L; var mass = 0L
+            var i = 0
+            while (i < elems.length) {
+              val e = elems(i)
+              mass += e.length
+              if (!seen.add(e)) { dupN += 1L; dupC += e.length }
+              i += 1
+            }
+            (elems.length.toLong, dupN, dupC, mass)
+          }
+          // split(sep, -1) keeps trailing empties — every separator
+          // delimits, so char mass is exactly text minus separators.
+          val paras = text.split("\n\n", -1)
+          val lines = text.split("\n", -1)
+          val (nP, dupP, dupPc, _) = census(paras)
+          val (nL, dupL, dupLc, mass) = census(lines)
+          // Paragraph census re-counts the "\n\n" split's members; the
+          // line census's mass is the canonical total (paragraph
+          // members still contain single newlines, line members none).
+          val kept =
+            if (dupL * 100L <= 30L * nL && dupP * 100L <= 30L * nP &&
+              dupLc * 100L <= 20L * mass && dupPc * 100L <= 20L * mass) 1L
+            else 0L
+          (id, nL, nP, dupL, dupP, dupLc, dupPc, mass, kept)
+        }
+      }
+      .toDF(idCol, "n_lines", "n_paras", "dup_lines", "dup_paras",
+        "dup_line_chars", "dup_para_chars", "total_chars", "kept")
+  }
+
   /** Stupid-backoff trigram LM document scoring (Brants et al. 2007,
     * "Large Language Models in Machine Translation" — the inexpensive
     * smoothing that made distributed web-scale n-gram LMs practical).

@@ -62,10 +62,10 @@ class ContractSpec extends AnyFunSuite {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
     SparkEntry.oracleSql.foreach { case (name, sql) =>
-      val froms = "(?i)(?:FROM|JOIN)\\s+([a-z_]+)".r
+      val froms = "(?i)(?:FROM|JOIN)\\s+([a-z_][a-z0-9_]*)".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val known = tables ++ Set("unnest", "range") // table functions
-      val cteNames = "(?i)([a-z_]+)\\s*(?:\\([a-z_, ]*\\))?\\s*AS\\s*\\(".r
+      val cteNames = "(?i)([a-z_][a-z0-9_]*)\\s*(?:\\([a-z_, ]*\\))?\\s*AS\\s*\\(".r
         .findAllMatchIn(sql).map(_.group(1).toLowerCase).toSet
       val unknown = froms -- known -- cteNames
       assert(unknown.isEmpty, s"$name references unknown tables: $unknown")

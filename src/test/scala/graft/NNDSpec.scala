@@ -240,6 +240,70 @@ class NNDSpec extends SparkSpec {
       "all-new update must reduce to a fresh build")
   }
 
+  test("in-loop prune: degree bounded during build, recall within 10% of unpruned") {
+    val df = NND.buildGraph(embeddings,
+      NND.Params(k = K, maxIterations = 5, pruneAlpha = Some(1.2),
+        pruneMaxDegree = 12))
+    val lists = df.select("id", "neighbors").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    // The k-truncation on output would mask a maxDegree >= k, so the
+    // IN-LOOP bound is proven with a cap BELOW k: no output list may
+    // exceed it even though k (10) and k' (20) both allow more.
+    val capped = NND.buildGraph(embeddings,
+      NND.Params(k = K, maxIterations = 2, pruneAlpha = Some(1.0),
+        pruneMaxDegree = 6))
+      .select("neighbors").collect()
+      .flatMap(r => Option(r.getSeq[Row](0)))
+    assert(capped.nonEmpty)
+    capped.foreach(nbrs =>
+      assert(nbrs.size <= 6, s"in-loop cap violated: ${nbrs.size} > 6"))
+    val recalls = lists.collect { case (id, Some(nbrs)) =>
+      exact(id).intersect(nbrs.map(_._1).toSet).size.toDouble / K
+    }
+    val mean = recalls.sum / recalls.size
+    val baseline = result.collect { case (id, Some(nbrs)) =>
+      exact(id).intersect(nbrs.map(_._1).toSet).size.toDouble / K
+    }
+    val baseMean = baseline.sum / baseline.size
+    info(s"pruned-build recall@10 = $mean vs unpruned $baseMean")
+    assert(mean >= baseMean - 0.10,
+      s"in-loop prune recall $mean collapsed vs unpruned $baseMean")
+  }
+
+  test("in-loop prune at huge alpha with no degree cap is bit-identical to unpruned") {
+    // alpha -> infinity disables occlusion (alpha*d <= dC never fires
+    // for finite candidates beyond the first), so the only remaining
+    // effect would be maxDegree — uncapped, the pruned path must
+    // reproduce the legacy build EXACTLY, list for list, sim for sim.
+    def lists(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    val p0 = NND.Params(k = K, maxIterations = 3)
+    val p1 = p0.copy(pruneAlpha = Some(1e18))
+    assert(lists(NND.buildGraph(embeddings, p1)) ==
+      lists(NND.buildGraph(embeddings, p0)),
+      "huge-alpha prune must be the identity")
+  }
+
+  test("in-loop prune: updateGraph from empty equals pruned build") {
+    import spark.implicits._
+    def lists(df: org.apache.spark.sql.DataFrame) = df
+      .select("id", "neighbors").collect()
+      .map(r => r.getLong(0) ->
+        Option(r.getSeq[Row](1)).map(_.map(n => (n.getLong(0), n.getDouble(1)))))
+      .toMap
+    val empty = Seq.empty[(Long, Seq[(Long, Double)])].toDF("id", "neighbors")
+    val p = NND.Params(k = K, maxIterations = 2, pruneAlpha = Some(1.0),
+      pruneMaxDegree = 12)
+    assert(lists(NND.updateGraph(embeddings, empty, p)) ==
+      lists(NND.buildGraph(embeddings, p)),
+      "pruned all-new update must reduce to a pruned fresh build")
+  }
+
   test("incremental updateGraph is deterministic") {
     import org.apache.spark.sql.functions.col
     val oldPts = embeddings.filter(col("id") % 5 =!= 0)

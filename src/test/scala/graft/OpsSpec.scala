@@ -2540,6 +2540,236 @@ class OpsSpec extends SparkSpec {
     assert(out(4L).getAs[Double]("alpha_frac") < 0.8)
   }
 
+  test("repetitionRules: both Gopher A1.2 semantics, hand-computed") {
+    import spark.implicits._
+    // 60 distinct 3-char tokens: every n-gram unique, so each top-n
+    // metric is one occurrence's mass and every dup metric is 0 —
+    // passes all nine thresholds.
+    val clean = (0 until 60).map(i => f"w$i%02d!").mkString(" ")
+    val d = Seq(
+      (0L, clean),
+      // [aa bb]x2 + trailing aa: top2 = "aa bb" (counts tie with
+      // "bb aa", gram-asc breaks it) = 2 occ x 4 chars = 8 of 10 -> drop.
+      (1L, "aa bb aa bb aa"),
+      // Two tied-count 2-grams with DIFFERENT masses: "dd e" (mass 3)
+      // vs "f ggg"/"ggg f" (mass 4), all count 2 -> gram-asc picks
+      // "dd e": top2 = 6, not 8.
+      (2L, "dd e dd e f ggg f ggg f"),
+      // [p..t]x3: every 5-gram duplicated, so COVERAGE = all 15 chars
+      // (occurrence mass would be 55 - the overlap-once distinction).
+      (3L, "p q r s t p q r s t p q r s t"),
+      // "m n o p q" at 0 and 6; the separator token at 5 is uncovered.
+      (4L, "m n o p q x m n o p q")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.repetitionRules(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("kept") == 1L)
+    assert(out(0L).getAs[Long]("total_chars") == 240L)
+    assert(out(0L).getAs[Long]("top2_chars") == 8L)
+    assert(out(0L).getAs[Long]("dup5_chars") == 0L)
+    assert(out(1L).getAs[Long]("top2_chars") == 8L)
+    assert(out(1L).getAs[Long]("kept") == 0L, "top-2-gram mass cap")
+    assert(out(2L).getAs[Long]("top2_chars") == 6L,
+      "ties break (count desc, gram asc)")
+    assert(out(3L).getAs[Long]("dup5_chars") == 15L,
+      "coverage counts overlapping occurrences once")
+    assert(out(3L).getAs[Long]("total_chars") == 15L)
+    assert(out(4L).getAs[Long]("dup5_chars") == 10L,
+      "uncovered separator token carries no dup mass")
+  }
+
+  test("repetitionRules: equals an independent reference; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(4242)
+    val vocab = Array("a", "bb", "ccc", "d", "ee", "fff", "g", "hh")
+    val docs = (0 until 40).map(i =>
+      (i.toLong, Seq.fill(rnd.nextInt(31))(vocab(rnd.nextInt(vocab.length)))
+        .mkString(" ")))
+    // Independent reference: sliding windows via collections groupBy
+    // (the kernel uses hand-rolled hash counting) — same contract,
+    // different construction.
+    def ref(text: String): Seq[Long] = {
+      val t = text.split(" ").toSeq
+      val lens = t.map(_.length.toLong)
+      val total = lens.sum
+      def gramsOf(n: Int): Seq[(Seq[String], Int)] =
+        if (t.length < n) Seq.empty
+        else t.sliding(n).toSeq.zipWithIndex.map { case (g, i) => (g, i) }
+      def topM(n: Int): Long = {
+        val byGram = gramsOf(n).groupBy(_._1)
+        if (byGram.isEmpty) 0L
+        else {
+          val (g, occ) = byGram.toSeq
+            .sortBy { case (g, o) => (-o.size, g.mkString("\u0001")) }.head
+          occ.size.toLong * g.map(_.length).sum
+        }
+      }
+      def dupM(n: Int): Long = {
+        val byGram = gramsOf(n).groupBy(_._1)
+        val covered = byGram.valuesIterator.filter(_.size >= 2)
+          .flatMap(_.map(_._2)).flatMap(i => i until i + n).toSet
+        covered.toSeq.map(i => lens(i)).sum
+      }
+      Seq(total, topM(2), topM(3), topM(4)) ++ (5 to 10).map(dupM)
+    }
+    val expected = docs.map { case (id, tx) => id -> ref(tx) }.toMap
+    def run(parts: Int) = graft.ops.TextAnalysis
+      .repetitionRules(docs.toDF("doc_id", "text").repartition(parts))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 10).map(r.getLong(_)).toSeq).toMap
+    val got = run(3)
+    assert(got == expected, "kernel must equal the independent reference")
+    assert(run(1) == got, "partition-invariant")
+  }
+
+  test("lineDupRules: Gopher A1.2 line/paragraph semantics, hand-computed") {
+    import spark.implicits._
+    val d = Seq(
+      // No separators: one line, one paragraph, nothing duplicable.
+      (0L, "plain single line text"),
+      // Duplicate line "a" (after-first counting: 1 dup, 1 char);
+      // single paragraph. dup_line_chars 1*100 > 20*total 4 -> drop.
+      (1L, "a\nb\na\nc"),
+      // Duplicate paragraph "x\ny" (3 chars incl. interior newline);
+      // lines [x,y,,x,y,,z]: dups x,y,"" -> 3 dup lines, 2 dup chars,
+      // 7 lines, total 5. dup_lines 300 > 210 -> drop.
+      (2L, "x\ny\n\nx\ny\n\nz"),
+      // 10 distinct 3-char lines + 1 dup of "aaa" (11 lines, 33 chars):
+      // dup_lines 100 <= 330, dup chars 300 <= 660 -> keep.
+      (3L, (('a' to 'j').map(_.toString.* (3)) :+ "aaa").mkString("\n"))
+    ).toDF("doc_id", "text")
+    val out = graft.ops.TextAnalysis.lineDupRules(d)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("n_lines") == 1L)
+    assert(out(0L).getAs[Long]("n_paras") == 1L)
+    assert(out(0L).getAs[Long]("dup_lines") == 0L)
+    assert(out(0L).getAs[Long]("total_chars") == 22L)
+    assert(out(0L).getAs[Long]("kept") == 1L)
+    assert(out(1L).getAs[Long]("n_lines") == 4L)
+    assert(out(1L).getAs[Long]("dup_lines") == 1L)
+    assert(out(1L).getAs[Long]("dup_line_chars") == 1L)
+    assert(out(1L).getAs[Long]("total_chars") == 4L)
+    assert(out(1L).getAs[Long]("kept") == 0L, "dup-line char mass cap")
+    assert(out(2L).getAs[Long]("n_paras") == 3L)
+    assert(out(2L).getAs[Long]("dup_paras") == 1L)
+    assert(out(2L).getAs[Long]("dup_para_chars") == 3L,
+      "paragraph element length includes its interior newline")
+    assert(out(2L).getAs[Long]("n_lines") == 7L,
+      "empty lines from the blank separator participate")
+    assert(out(2L).getAs[Long]("dup_lines") == 3L,
+      "second empty line is a zero-mass duplicate")
+    assert(out(2L).getAs[Long]("dup_line_chars") == 2L)
+    assert(out(2L).getAs[Long]("kept") == 0L, "dup-line fraction cap")
+    assert(out(3L).getAs[Long]("dup_lines") == 1L)
+    assert(out(3L).getAs[Long]("kept") == 1L)
+  }
+
+  test("lineDupRules: equals an independent reference; partition-invariant") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2929)
+    val vocab = Array("aa", "b", "ccc", "dd")
+    val docs = (0 until 40).map { i =>
+      val lines = Seq.fill(1 + rnd.nextInt(12))(
+        Seq.fill(1 + rnd.nextInt(3))(vocab(rnd.nextInt(vocab.length)))
+          .mkString(" "))
+      // group lines into paragraphs of 1-3, join with blank lines
+      val paras = lines.grouped(1 + rnd.nextInt(3)).map(_.mkString("\n"))
+      (i.toLong, paras.mkString("\n\n"))
+    }
+    // Independent reference: collections groupBy occurrence counting
+    // (the kernel uses a streaming seen-set pass).
+    def ref(text: String): Seq[Long] = {
+      def census(els: Seq[String]): (Long, Long, Long) = {
+        val dups = els.groupBy(identity).values
+          .map(g => (g.size - 1).toLong -> (g.size - 1).toLong * g.head.length)
+        (els.size.toLong, dups.map(_._1).sum, dups.map(_._2).sum)
+      }
+      val (nl, dl, dlc) = census(text.split("\n", -1).toSeq)
+      val (np, dp, dpc) = census(text.split("\n\n", -1).toSeq)
+      val total = text.split("\n", -1).map(_.length.toLong).sum
+      Seq(nl, np, dl, dp, dlc, dpc, total)
+    }
+    val expected = docs.map { case (id, tx) => id -> ref(tx) }.toMap
+    def run(parts: Int) = graft.ops.TextAnalysis
+      .lineDupRules(docs.toDF("doc_id", "text").repartition(parts))
+      .collect()
+      .map(r => r.getLong(0) -> (1 to 7).map(r.getLong(_)).toSeq).toMap
+    val got = run(3)
+    assert(got == expected, "kernel must equal the independent reference")
+    assert(run(1) == got, "partition-invariant")
+  }
+
+  test("pageRank: matches a double-precision reference; exact determinism") {
+    import spark.implicits._
+    import graft.core.{Neighbor, NeighborList}
+    // Star + chain + dangling: a(->d) b(->d) c(->d) d(->a) e(dangling).
+    val adj: Map[Long, Seq[Long]] = Map(
+      1L -> Seq(4L), 2L -> Seq(4L), 3L -> Seq(4L), 4L -> Seq(1L),
+      5L -> Seq.empty)
+    val g = adj.toSeq.map { case (id, out) =>
+      NeighborList(id, out.map(o => Neighbor(o, 0.5)))
+    }.toDS().toDF()
+    def refPr(iters: Int): Map[Long, Double] = {
+      val n = adj.size
+      var r: Map[Long, Double] = adj.keys.map(_ -> 1.0).toMap
+      for (_ <- 0 until iters) {
+        val dang = adj.collect { case (k, out) if out.isEmpty => r(k) }.sum / n
+        val in = adj.toSeq
+          .flatMap { case (s, out) => out.map(d => d -> r(s) / out.size) }
+          .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+        r = adj.keys.map(k =>
+          k -> (0.15 + 0.85 * (in.getOrElse(k, 0.0) + dang))).toMap
+      }
+      r
+    }
+    val expect = refPr(10)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Centrality.pageRank(df, iterations = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(g)
+    adj.keys.foreach { k =>
+      val fx = got(k).toDouble / graft.ops.Centrality.Scale
+      assert(math.abs(fx - expect(k)) < 1e-3,
+        s"node $k: fixed $fx vs reference ${expect(k)}")
+    }
+    // Both cycle nodes (1 and 4 trade the star's mass each iteration —
+    // the oscillation parity decides which holds more at iteration 10)
+    // strictly outrank the contribution-less leaves; symmetric leaves
+    // tie EXACTLY (determinism makes the tie bit-exact).
+    assert(got(4L) > got(2L) && got(1L) > got(2L) && got(2L) == got(3L),
+      s"star ranks out of order: $got")
+    // Bit-exact determinism and partition invariance — the POINT of the
+    // fixed-point arithmetic (a double kernel would drift with
+    // aggregation order).
+    assert(run(g.repartition(7)) == got, "partition-variant ranks")
+    assert(run(g) == got, "rerun drifted")
+    // Mass conservation up to the priced floor drift: each of the 10
+    // iterations loses < 1 unit per edge + 1 per node (floor of the
+    // damping blend and the dangling share).
+    val mass = got.values.sum
+    val full = adj.size.toLong * graft.ops.Centrality.Scale
+    assert(mass <= full && mass > full - 10L * (5 + 5 + 2),
+      s"mass drifted: $mass vs $full")
+  }
+
+  test("pageRank: null neighbor lists are dangling; zero iterations is uniform") {
+    import spark.implicits._
+    val g = Seq((1L, Some(Seq((2L, 0.9)))), (2L, None))
+      .toDF("id", "neighbors")
+      .select(col("id"), col("neighbors")
+        .cast("array<struct<id:bigint,similarity:double>>").as("neighbors"))
+    val r0 = graft.ops.Centrality.pageRank(g, iterations = 0)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(r0 == Map(1L -> graft.ops.Centrality.Scale,
+      2L -> graft.ops.Centrality.Scale))
+    val r = graft.ops.Centrality.pageRank(g, iterations = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2 receives all of 1's mass; 1 receives only the dangling share —
+    // the null list must behave as dangling, not crash or self-loop.
+    assert(r(2L) > r(1L), s"dangling flow inverted: $r")
+    assert(r.values.forall(_ > 0L))
+  }
+
   test("streaming tokenizer serving equals the batch t36 summary row") {
     def row(df: org.apache.spark.sql.DataFrame) = df
       .select("n_docs", "total_pieces", "n_vocab")

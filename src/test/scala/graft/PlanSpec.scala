@@ -368,6 +368,20 @@ class PlanSpec extends SparkSpec {
       s"rule gate shuffled or joined:\n$p")
   }
 
+  test("t42/t43: both Gopher repetition halves are pure projections — zero exchanges") {
+    // Repetition (n-gram or structural) is a within-document property;
+    // a plan with an exchange or join would mean the token/line stream
+    // moved across the wire to answer a per-row question.
+    val docs = spark.read.parquet(s"$sf0001/documents.parquet")
+    for (df <- Seq(graft.ops.TextAnalysis.repetitionRules(docs),
+        graft.ops.TextAnalysis.lineDupRules(docs))) {
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("Exchange") && !p.contains("Join"),
+        s"repetition gate shuffled or joined:\n$p")
+    }
+  }
+
   test("t38: weighted sampling is a bounded TakeOrdered, not a window or full sort") {
     val df = Queries.all("t38_weighted_sample")(spark, sf0001)
     df.collect()
