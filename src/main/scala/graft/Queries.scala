@@ -2333,6 +2333,33 @@ object Queries {
         pool.filter(col("rank") <= 10))
     }),
 
+    // K-center greedy coreset (s18, Gonzalez 1985 farthest-point
+    // traversal / Sener-Savarese 2018 coreset selection): the GLOBAL
+    // diversity guarantee the query-relative MMR (s17) and the
+    // list-local occlusion rule (n08) don't give — 8 centers within 2×
+    // of the optimal covering radius, every corpus point provably
+    // inside it. Fully deterministic (first center = min id; each
+    // round argmax distance, tie min id; no accumulated floats), so
+    // the pins are exact facts: center count, the selection-order
+    // fingerprint Σ(round+1)·id, the max selection distance (round 1's
+    // pick — the farthest point from the min-id seed), the exact
+    // covering radius from the zero-shuffle assignment projection, and
+    // the heaviest center's load. t−1 corpus scans + 1-row argmaxes;
+    // the assignment is one literal-folded projection (SCALE.md).
+    "s18_kcenter" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val centers = graft.ops.Coreset.kCenters(e, 8)
+      val asn = graft.ops.Coreset.assign(e, centers)
+      val cagg = centers.agg(
+        count(lit(1)).as("n_centers"),
+        sum((col("round") + 1) * col("id")).as("centers_fp"),
+        max(col("sel_dist_fp")).as("max_sel_fp"))
+      val cov = asn.agg(max(col("dist_fp")).as("radius_fp"))
+      val load = asn.groupBy("center_id").agg(count(lit(1)).as("c"))
+        .agg(max(col("c")).as("max_load"))
+      cagg.crossJoin(cov).crossJoin(load)
+    }),
+
     // Multimodal: binary media column + stub decode (metadata only —
     // deterministic byte-derived dims so the full decode path is
     // oracle-checkable).
@@ -2819,6 +2846,29 @@ object Queries {
         .select(col("id").as("top_id"), col("rank").as("top_rank"))
       pr.agg(count(lit(1)).as("n_nodes"), sum(col("rank")).as("total_mass"))
         .crossJoin(top)
+    }),
+
+    // Personalized PageRank (n13, Page et al. §6 / Haveliwala 2002):
+    // n12's seeded-teleport complement — restart AND dangling mass
+    // flow only to the 16-document seed set, so rank concentrates
+    // around the seeds: the seed-expansion selection signal ("find
+    // documents like these trusted ones") on the serving graph. Same
+    // exact fixed-point arithmetic, so every column is a
+    // bit-deterministic fact: node count, total mass (conserved up to
+    // floor drift, like n12), the mass held by the seeds themselves
+    // (the locality evidence — 16/N of the corpus holding a far
+    // larger share than uniform would give; compare n12 where no node
+    // exceeds ~2·2^20), and the argmax node + rank.
+    "n13_ppr" -> ((s, dir) => {
+      val pr = graft.ops.Centrality.personalizedPageRank(
+        knnGraph(s, dir).select("id", "neighbors"),
+        s.range(0, 16).toDF("id"), iterations = 10)
+      val top = pr.orderBy(desc("rank"), asc("id")).limit(1)
+        .select(col("id").as("top_id"), col("rank").as("top_rank"))
+      val seedMass = pr.filter(col("id") < 16)
+        .agg(sum(col("rank")).as("seed_mass"))
+      pr.agg(count(lit(1)).as("n_nodes"), sum(col("rank")).as("total_mass"))
+        .crossJoin(seedMass).crossJoin(top)
     }),
 
     // Pruned-graph SERVING (n08's artifact put to work — the n03
@@ -3542,7 +3592,32 @@ object Queries {
       "n_nodes" -> (500L, 500L, 2000L),
       "total_mass" -> (524275257L, 524275442L, 2097101187L),
       "top_id" -> (172L, 384L, 1600L),
-      "top_rank" -> (1964944L, 2088446L, 2092420L)))
+      "top_rank" -> (1964944L, 2088446L, 2092420L)),
+    // Measured 2026-08-15 (round 11, PinDump, first measurement).
+    // Personalized PageRank with seeds = ids 0..15: every column an
+    // exact fact (same fixed-point arithmetic as n12). seed_mass IS
+    // the locality finding: 16 nodes (3.2% / 0.8% of the corpus)
+    // holding this share of total mass where uniform PageRank gives
+    // every node ~2^20; the argmax is always a seed.
+    "n13_ppr" -> Seq(
+      "n_nodes" -> (500L, 500L, 2000L),
+      "total_mass" -> (524276463L, 524276364L, 2097105379L),
+      "seed_mass" -> (96359437L, 97251438L, 346501826L),
+      "top_id" -> (10L, 7L, 5L),
+      "top_rank" -> (6570467L, 7103627L, 23152951L)),
+    // Measured 2026-08-15 (round 11, PinDump, first measurement).
+    // Gonzalez k-center at t = 8 over the embeddings: deterministic by
+    // total order (no hash, no accumulated float), so every column is
+    // exact. max_sel_fp (round 1's pick — the farthest point from the
+    // min-id seed) upper-bounds radius_fp strictly: the covering
+    // radius tightened as centers were added (the Gonzalez invariant;
+    // OpsSpec pins monotonicity round by round).
+    "s18_kcenter" -> Seq(
+      "n_centers" -> (8L, 8L, 8L),
+      "centers_fp" -> (8605L, 5114L, 34523L),
+      "max_sel_fp" -> (1735511L, 1714732L, 1746347L),
+      "radius_fp" -> (1458946L, 1462746L, 1467130L),
+      "max_load" -> (74L, 75L, 267L)))
 
   private val shingleCte =
     """WITH sh AS (

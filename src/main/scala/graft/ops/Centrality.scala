@@ -62,7 +62,40 @@ object Centrality {
     * anything wider than one row.
     */
   def pageRank(graph: DataFrame, iterations: Int = 10,
-      dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame = {
+      dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame =
+    pprImpl(graph, None, iterations, dampingNum, dampingDen)
+
+  /** Personalized PageRank (the seeded-teleport variant, Page et al.
+    * 1999 §6 / Haveliwala 2002 topic-sensitive PageRank): the teleport
+    * mass — the (1−d) restart AND every dangling node's redistributed
+    * rank — flows only to `seeds` instead of uniformly, so rank
+    * concentrates around the seed set: the seed-expansion signal
+    * curation pipelines rank by when a small trusted set ("documents
+    * like these") should pull in its graph neighborhood, complementing
+    * [[pageRank]]'s global representativeness.
+    *
+    * Same exact fixed-point arithmetic as [[pageRank]] (BIGINT 2⁻²⁰
+    * units, integer multiply/floor-divide, bit-deterministic under any
+    * partitioning): each in-graph seed's per-iteration restart is
+    * (N·2²⁰·(den−num)) DIV (den·|S|) — when `seeds` covers every node
+    * the rational equals the uniform base exactly, so PPR(all nodes)
+    * is BIT-IDENTICAL to [[pageRank]] (OpsSpec pins it). Ranks
+    * initialize uniformly at 2²⁰ (any fixed init converges to the same
+    * stationary neighborhood; uniform keeps zero-iteration behavior
+    * identical across both variants). Total mass stays ≈ N·2²⁰ minus
+    * the same bounded floor drift.
+    *
+    * @param seeds one `id` column; ids absent from the graph are
+    *              ignored (the teleport targets are the INTERSECTION —
+    *              at least one must be present). Duplicates collapse.
+    */
+  def personalizedPageRank(graph: DataFrame, seeds: DataFrame,
+      iterations: Int = 10, dampingNum: Long = 85L,
+      dampingDen: Long = 100L): DataFrame =
+    pprImpl(graph, Some(seeds), iterations, dampingNum, dampingDen)
+
+  private def pprImpl(graph: DataFrame, seeds: Option[DataFrame],
+      iterations: Int, dampingNum: Long, dampingDen: Long): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping must satisfy 0 <= num <= den, got $dampingNum/$dampingDen")
@@ -86,36 +119,61 @@ object Centrality {
     }
 
     // Static per-iteration operands, checkpointed once: the edge table
-    // with its source outdegree, and the dangling-node id set.
+    // with its source outdegree, the dangling-node id set, and the
+    // per-node teleport table (id, base, tgt) — base the node's restart
+    // mass, tgt whether dangling mass lands on it. Uniform PageRank is
+    // the degenerate case where every node is a target; the seeded
+    // case restricts both flows to the (in-graph, deduplicated) seeds.
+    // (N·Scale·(den−num)) DIV (den·|S|) reduces to the uniform base
+    // exactly when |S| = N — the two variants share one loop with no
+    // value drift.
     val edges = truncate(nodes.filter(size(col("out")) > 0)
       .select(col("id").as("src"),
         size(col("out")).cast("long").as("outdeg"),
         explode(col("out")).as("dst")))
     val dangling = truncate(nodes.filter(size(col("out")) === 0)
       .select(col("id")))
-    val base = (Scale * (dampingDen - dampingNum)) / dampingDen
+    val (teleport, tgtCount) = seeds match {
+      case None =>
+        val base = (Scale * (dampingDen - dampingNum)) / dampingDen
+        (truncate(nodes.select(col("id"), lit(base).as("base"),
+          lit(true).as("tgt"))), n)
+      case Some(sd) =>
+        val inGraph = nodes.select("id").join(
+          sd.select(col("id").cast("long").as("id")).distinct(), "id")
+        val c = inGraph.count()
+        require(c > 0, "personalizedPageRank: no seed id is in the graph")
+        val baseSeed =
+          (n * Scale * (dampingDen - dampingNum)) / (dampingDen * c)
+        (truncate(nodes.select("id")
+          .join(inGraph.withColumn("s", lit(true)), Seq("id"), "left")
+          .select(col("id"),
+            when(col("s"), lit(baseSeed)).otherwise(lit(0L)).as("base"),
+            coalesce(col("s"), lit(false)).as("tgt"))), c)
+    }
 
     var ranks = truncate(nodes.select(col("id"), lit(Scale).as("rank")))
     var iter = 0
     while (iter < iterations) {
       val dangMass = ranks.join(dangling, Seq("id"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L))).as[Long].head()
-      val dangShare = dangMass / n
+      val dangShare = dangMass / tgtCount
       val inSum = ranks.join(edges, col("id") === col("src"))
         .select(col("dst").as("id"), expr("rank DIV outdeg").as("c"))
         .groupBy("id").agg(sum(col("c")).as("in_sum"))
-      val next = truncate(nodes.select(col("id"))
+      val next = truncate(teleport
         .join(inSum, Seq("id"), "left")
         .select(col("id"),
-          (lit(base) +
-            expr(s"(${dampingNum}L * (coalesce(in_sum, 0L) + ${dangShare}L))" +
+          (col("base") +
+            expr(s"(${dampingNum}L * (coalesce(in_sum, 0L) +" +
+              s" (CASE WHEN tgt THEN ${dangShare}L ELSE 0L END)))" +
               s" DIV ${dampingDen}L")).as("rank")))
       val prev = ranks
       ranks = next
       release(prev)
       iter += 1
     }
-    release(edges); release(dangling); release(nodes)
+    release(edges); release(dangling); release(teleport); release(nodes)
     ranks
   }
 }

@@ -2770,6 +2770,182 @@ class OpsSpec extends SparkSpec {
     assert(r.values.forall(_ > 0L))
   }
 
+  test("personalizedPageRank: double reference, locality, determinism") {
+    import spark.implicits._
+    import graft.core.{Neighbor, NeighborList}
+    // Two loosely-coupled triangles (1-2-3 and 4-5-6) plus a dangling
+    // 7: teleporting to {1} must concentrate mass in ITS triangle.
+    val adj: Map[Long, Seq[Long]] = Map(
+      1L -> Seq(2L), 2L -> Seq(3L), 3L -> Seq(1L, 4L),
+      4L -> Seq(5L), 5L -> Seq(6L), 6L -> Seq(4L), 7L -> Seq.empty)
+    val g = adj.toSeq.map { case (id, out) =>
+      NeighborList(id, out.map(o => Neighbor(o, 0.5)))
+    }.toDS().toDF()
+    val seeds = Seq(1L)
+    def refPpr(iters: Int): Map[Long, Double] = {
+      val n = adj.size
+      var r: Map[Long, Double] = adj.keys.map(_ -> 1.0).toMap
+      for (_ <- 0 until iters) {
+        val dang = adj.collect { case (k, out) if out.isEmpty => r(k) }.sum
+        val in = adj.toSeq
+          .flatMap { case (s, out) => out.map(d => d -> r(s) / out.size) }
+          .groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+        r = adj.keys.map { k =>
+          val tele = if (seeds.contains(k)) 0.15 * n / seeds.size else 0.0
+          val dg = if (seeds.contains(k)) dang / seeds.size else 0.0
+          k -> (tele + 0.85 * (in.getOrElse(k, 0.0) + dg))
+        }.toMap
+      }
+      r
+    }
+    val expect = refPpr(10)
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.ops.Centrality.personalizedPageRank(
+        df, seeds.toDF("id"), iterations = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val got = run(g)
+    adj.keys.foreach { k =>
+      val fx = got(k).toDouble / graft.ops.Centrality.Scale
+      assert(math.abs(fx - expect(k)) < 1e-3,
+        s"node $k: fixed $fx vs reference ${expect(k)}")
+    }
+    // Locality: the seed triangle holds strictly more mass than the
+    // far triangle; the contribution-less dangling node holds least.
+    val near = got(1L) + got(2L) + got(3L)
+    val far = got(4L) + got(5L) + got(6L)
+    assert(near > far, s"teleport locality inverted: near=$near far=$far")
+    assert(adj.keys.filter(_ != 7L).forall(k => got(k) > got(7L)),
+      s"dangling node outranked a reachable one: $got")
+    assert(run(g.repartition(5)) == got, "partition-variant ranks")
+    assert(run(g) == got, "rerun drifted")
+  }
+
+  test("personalizedPageRank: all-node seeds bit-equal uniform; seed rules") {
+    import spark.implicits._
+    import graft.core.{Neighbor, NeighborList}
+    val adj: Map[Long, Seq[Long]] = Map(
+      1L -> Seq(4L), 2L -> Seq(4L), 3L -> Seq(4L), 4L -> Seq(1L),
+      5L -> Seq.empty)
+    val g = adj.toSeq.map { case (id, out) =>
+      NeighborList(id, out.map(o => Neighbor(o, 0.5)))
+    }.toDS().toDF()
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Seeds = every node: (N·Scale·15) DIV (100·N) = (Scale·15) DIV 100
+    // exactly (the rationals are equal), so the seeded loop must
+    // reproduce uniform PageRank BIT-FOR-BIT — the two variants share
+    // one code path with no value drift.
+    val uniform = collect(graft.ops.Centrality.pageRank(g, iterations = 10))
+    val allSeeds = collect(graft.ops.Centrality.personalizedPageRank(
+      g, adj.keys.toSeq.toDF("id"), iterations = 10))
+    assert(allSeeds == uniform, "all-node PPR diverged from uniform")
+    // Out-of-graph seed ids are ignored: {1, 99} ≡ {1}; duplicates
+    // collapse: {1, 1} ≡ {1}; an empty intersection is rejected.
+    val s1 = collect(graft.ops.Centrality.personalizedPageRank(
+      g, Seq(1L).toDF("id"), iterations = 5))
+    assert(collect(graft.ops.Centrality.personalizedPageRank(
+      g, Seq(1L, 99L).toDF("id"), iterations = 5)) == s1)
+    assert(collect(graft.ops.Centrality.personalizedPageRank(
+      g, Seq(1L, 1L).toDF("id"), iterations = 5)) == s1)
+    intercept[IllegalArgumentException] {
+      graft.ops.Centrality.personalizedPageRank(
+        g, Seq(99L).toDF("id"), iterations = 5).collect()
+    }
+  }
+
+  test("kCenters: hand-computed greedy sequence on a line; assignment") {
+    import spark.implicits._
+    // 1-D geometry in 2-dim vectors: x = 0, 1, 2, 10, 25. Greedy from
+    // min id: pick 5 (d=25), then 4 (d=10), then 3 (d=2).
+    val pts = Seq(1L -> 0f, 2L -> 1f, 3L -> 2f, 4L -> 10f, 5L -> 25f)
+    val df = pts.map { case (id, x) => (id, Array(x, 0f)) }
+      .toDF("id", "features")
+    val centers = graft.ops.Coreset.kCenters(df, 4)
+    val rows = centers.orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    val S = graft.ops.Coreset.Scale
+    assert(rows.toSeq == Seq((0, 1L, 0L), (1, 5L, 25L * S),
+      (2, 4L, 10L * S), (3, 3L, 2L * S)), s"greedy sequence: ${rows.toSeq}")
+    // Assignment: the one uncovered point (2, at x=1) is distance 1
+    // from center 1 — the exact covering radius; ties (none here) and
+    // center self-assignment at distance 0.
+    val asn = graft.ops.Coreset.assign(df, centers)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(asn(2L) == (1L, S), s"point 2: ${asn(2L)}")
+    assert(Seq(1L, 3L, 4L, 5L).forall(id => asn(id) == (id, 0L)),
+      s"centers must self-assign at 0: $asn")
+  }
+
+  test("kCenters: equals a brute-force reference; invariants") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val pts: Seq[(Long, Array[Float])] =
+      (0L until 40L).map(i => i -> Array.fill(8)(rnd.nextFloat()))
+    val df = pts.toDF("id", "features")
+    // Driver-side Gonzalez with the same kernel and tie order.
+    def ref(t: Int): Seq[(Int, Long, Double)] = {
+      val m = pts.toMap
+      var centers = Seq((0, 0L, 0.0))
+      var d = pts.filter(_._1 != 0L)
+        .map { case (id, v) => id -> graft.core.Similarity.l2(v, m(0L)) }
+        .toMap
+      for (r <- 1 until t) {
+        val (cid, dist) = d.toSeq.maxBy { case (id, dd) => (dd, -id) }
+        centers :+= ((r, cid, dist))
+        d = (d - cid).map { case (id, dd) =>
+          id -> math.min(dd, graft.core.Similarity.l2(m(id), m(cid)))
+        }
+      }
+      centers
+    }
+    val expect = ref(6).map { case (r, id, dd) =>
+      (r, id, math.rint(dd * graft.ops.Coreset.Scale.toDouble).toLong)
+    }
+    def run(d: org.apache.spark.sql.DataFrame) = graft.ops.Coreset
+      .kCenters(d, 6).orderBy("round").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val got = run(df)
+    assert(got == expect, s"greedy drifted from reference:\n$got\n$expect")
+    assert(run(df.repartition(7)) == got, "partition-variant selection")
+    // Gonzalez invariant: selection distances nonincreasing from round
+    // 1, and the final covering radius is at most the LAST selection
+    // distance (adding centers only tightens cover).
+    val sel = got.drop(1).map(_._3)
+    assert(sel.zip(sel.tail).forall { case (a, b) => a >= b },
+      s"selection distances not monotone: $sel")
+    val asn = graft.ops.Coreset.assign(df, graft.ops.Coreset.kCenters(df, 6))
+    val radius = asn.agg(max(col("dist_fp"))).collect()(0).getLong(0)
+    assert(radius <= sel.last, s"radius $radius above last pick ${sel.last}")
+    // Coverage: every point within the radius of SOME center, each
+    // center self-assigned.
+    assert(asn.filter(col("dist_fp") > radius).count() == 0L)
+  }
+
+  test("kCenters: small corpus exhausts; assignment ties pick earliest round") {
+    import spark.implicits._
+    val df = Seq((3L, Array(0f)), (8L, Array(4f)), (5L, Array(9f)))
+      .toDF("id", "features")
+    // t far above N: every point becomes a center exactly once.
+    val centers = graft.ops.Coreset.kCenters(df, 10)
+    assert(centers.count() == 3L)
+    assert(centers.select("id").collect().map(_.getLong(0)).sorted.toSeq ==
+      Seq(3L, 5L, 8L))
+    // Equidistant point between two centers assigns to the EARLIER
+    // round (array_position finds the first minimum): centers from
+    // {0, 10} make x=5 exactly 5 from both; round order is 0 -> 10.
+    val df2 = Seq((1L, Array(0f)), (2L, Array(10f)), (9L, Array(5f)))
+      .toDF("id", "features")
+    val c2 = graft.ops.Coreset.kCenters(df2, 2)
+    val a2 = graft.ops.Coreset.assign(df2, c2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a2(9L) == 1L, s"tie must resolve to round-0 center: $a2")
+    // The assignment is a zero-exchange projection — the centers fold
+    // in as literals, no join, no shuffle.
+    val plan = graft.ops.Coreset.assign(df2, c2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"assign plan shuffles:\n$plan")
+  }
+
   test("streaming tokenizer serving equals the batch t36 summary row") {
     def row(df: org.apache.spark.sql.DataFrame) = df
       .select("n_docs", "total_pieces", "n_vocab")
