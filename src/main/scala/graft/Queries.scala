@@ -1497,6 +1497,14 @@ object Queries {
           pruneAlpha = Some(1.0), pruneMaxDegree = 12))
     }
 
+  /** The t = 8 Gonzalez coreset of the embeddings, shared by s18 (its
+    * own exhibit) and p05 (the balance pipeline's strata) — the greedy
+    * traversal runs once per session. */
+  def kcenterCenters(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "s18_centers") {
+      graft.ops.Coreset.kCenters(emb(s, dir), 8)
+    }
+
   /** The exact whole-corpus top-10 ground truth shared by the n01 and
     * n02 recall verifiers — one brute-force pass per session instead of
     * one per verifier. */
@@ -2150,6 +2158,30 @@ object Queries {
         .withColumn("n_dropped", col("n_in") - col("n_out"))
     }),
 
+    // Coreset-balanced subsampling pipeline (p05): the s18 k-center
+    // assignment used as SEMANTIC STRATA for the q30 stratified
+    // sampler — "take <= 25 per covering region", the embedding-space
+    // balance pass a pretraining mix runs so dense regions can't
+    // crowd out sparse ones (the k-center guarantee makes the strata
+    // cover the corpus within 2x the optimal radius; md5-draw
+    // selection keeps the subsample deterministic). Composition of
+    // two shipped operators — zero new kernels; the summary pins the
+    // whole selection: per-stratum cap conservation, the exact id
+    // mass of the picked set, and the min/max stratum fill (the
+    // balance evidence: uniform sampling at this rate would draw
+    // ~N/8 per region; the cap binds every dense region to 25).
+    "p05_coreset_balance" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val asn = graft.ops.Coreset.assign(e, kcenterCenters(s, dir))
+      val picked = graft.ops.Sampling
+        .stratifiedSample(asn, "center_id", "id", 25)
+      val fills = picked.groupBy("center_id").agg(count(lit(1)).as("c"))
+        .agg(min(col("c")).as("min_fill"), max(col("c")).as("max_fill"),
+          count(lit(1)).as("n_strata"))
+      picked.agg(count(lit(1)).as("n_picked"), sum(col("id")).as("ids_fp"))
+        .crossJoin(fills)
+    }),
+
     // Corpus snapshot diff (versioned-release delta): v1 = ids not
     // divisible by 3, v2 = ids not divisible by 5 with the text of
     // ids divisible by 7 edited — the four statuses all occur. The
@@ -2348,7 +2380,7 @@ object Queries {
     // the assignment is one literal-folded projection (SCALE.md).
     "s18_kcenter" -> ((s, dir) => {
       val e = emb(s, dir)
-      val centers = graft.ops.Coreset.kCenters(e, 8)
+      val centers = kcenterCenters(s, dir)
       val asn = graft.ops.Coreset.assign(e, centers)
       val cagg = centers.agg(
         count(lit(1)).as("n_centers"),
@@ -2869,6 +2901,27 @@ object Queries {
         .agg(sum(col("rank")).as("seed_mass"))
       pr.agg(count(lit(1)).as("n_nodes"), sum(col("rank")).as("total_mass"))
         .crossJoin(seedMass).crossJoin(top)
+    }),
+
+    // Edge-WEIGHTED PageRank (n14): rank flows in proportion to the
+    // stored edge similarities instead of uniformly — similarity MASS
+    // rather than membership, the natural refinement on a graph whose
+    // edges carry trusted strengths. Still exact fixed point (weights
+    // quantized once to BIGINT 2^-20 units, per-source sums exact,
+    // contributions through an exact DECIMAL(38,0) product), so the
+    // pins are facts; equal weights provably reduce to n12
+    // BIT-FOR-BIT (OpsSpec), which anchors the semantics. Compare the
+    // pins against n12's: on this isotropic fixture the argmax HOLDS
+    // (near-uniform similarities barely tilt the flow) while every
+    // rank value moves — the honest exhibit; OpsSpec carries the
+    // skewed-weight fixture where the argmax genuinely flips.
+    "n14_weighted_pagerank" -> ((s, dir) => {
+      val pr = graft.ops.Centrality.weightedPageRank(
+        knnGraph(s, dir).select("id", "neighbors"), iterations = 10)
+      val top = pr.orderBy(desc("rank"), asc("id")).limit(1)
+        .select(col("id").as("top_id"), col("rank").as("top_rank"))
+      pr.agg(count(lit(1)).as("n_nodes"), sum(col("rank")).as("total_mass"))
+        .crossJoin(top)
     }),
 
     // Pruned-graph SERVING (n08's artifact put to work — the n03
@@ -3617,7 +3670,36 @@ object Queries {
       "centers_fp" -> (8605L, 5114L, 34523L),
       "max_sel_fp" -> (1735511L, 1714732L, 1746347L),
       "radius_fp" -> (1458946L, 1462746L, 1467130L),
-      "max_load" -> (74L, 75L, 267L)))
+      "max_load" -> (74L, 75L, 267L)),
+    // Measured 2026-08-15 (round 11, PinDump, first measurement).
+    // Weighted PageRank over the n01 graph: exact facts like n12. On
+    // this fixture the argmax HOLDS n12's (172/384/1600 — the
+    // near-uniform similarities of isotropic data barely tilt the
+    // flow) while every rank value moves (top_rank differs from
+    // n12's 1964944/2088446/2092420) — the honest reading, pinned as
+    // such; equal weights reduce to n12 bit-for-bit (OpsSpec carries
+    // the witness plus a skewed-weight fixture where the argmax DOES
+    // move).
+    "n14_weighted_pagerank" -> Seq(
+      "n_nodes" -> (500L, 500L, 2000L),
+      "total_mass" -> (524274313L, 524274260L, 2097097064L),
+      "top_id" -> (172L, 384L, 1600L),
+      "top_rank" -> (1970450L, 2103669L, 2080770L)),
+    // Measured 2026-08-15 (round 11, PinDump, first measurement).
+    // Coreset-balanced subsample: deterministic end to end (greedy
+    // centers + literal-folded assignment + md5-draw strata picks) —
+    // the whole selection pins exactly. min_fill = max_fill = 25 at
+    // every SF: the cap binds in ALL eight covering regions (the
+    // sparsest holds >= 25 members even at sf0.001), so n_picked is
+    // exactly 8 x 25 where uniform sampling at the same rate would
+    // draw 74-267 per region (s18's load pins) — the balance
+    // evidence.
+    "p05_coreset_balance" -> Seq(
+      "n_picked" -> (200L, 200L, 200L),
+      "ids_fp" -> (50449L, 50252L, 192553L),
+      "n_strata" -> (8L, 8L, 8L),
+      "min_fill" -> (25L, 25L, 25L),
+      "max_fill" -> (25L, 25L, 25L)))
 
   private val shingleCte =
     """WITH sh AS (

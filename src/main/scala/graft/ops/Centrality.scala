@@ -63,7 +63,31 @@ object Centrality {
     */
   def pageRank(graph: DataFrame, iterations: Int = 10,
       dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame =
-    pprImpl(graph, None, iterations, dampingNum, dampingDen)
+    pprImpl(graph, None, iterations, dampingNum, dampingDen,
+      weighted = false)
+
+  /** Edge-weighted PageRank: each out-edge receives rank in proportion
+    * to its stored `similarity` instead of uniformly — on the K-NN
+    * serving graph this measures similarity MASS, not just membership
+    * (a node kept at distance ~0 by its neighbors pulls more rank than
+    * one kept at the list tail), the natural refinement when edge
+    * strengths are trusted.
+    *
+    * Exactness is preserved: weights quantize once to BIGINT 2⁻²⁰
+    * units (floored to ≥ 1 so a sub-ulp similarity still conducts),
+    * per-source weight sums are exact BIGINTs, and each contribution
+    * is (rank·w) DIV wsum computed through an exact DECIMAL(38,0)
+    * product — no overflow to any realistic corpus, no reassociation,
+    * bit-deterministic like the uniform kernel. Degeneracy contract:
+    * EQUAL weights reduce to (rank·w) DIV (k·w) = rank DIV k, so a
+    * constant-similarity graph is BIT-IDENTICAL to [[pageRank]]
+    * (OpsSpec pins it — the same cannot-drift argument the
+    * personalized variant carries for its teleport).
+    */
+  def weightedPageRank(graph: DataFrame, iterations: Int = 10,
+      dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame =
+    pprImpl(graph, None, iterations, dampingNum, dampingDen,
+      weighted = true)
 
   /** Personalized PageRank (the seeded-teleport variant, Page et al.
     * 1999 §6 / Haveliwala 2002 topic-sensitive PageRank): the teleport
@@ -91,11 +115,12 @@ object Centrality {
     */
   def personalizedPageRank(graph: DataFrame, seeds: DataFrame,
       iterations: Int = 10, dampingNum: Long = 85L,
-      dampingDen: Long = 100L): DataFrame =
-    pprImpl(graph, Some(seeds), iterations, dampingNum, dampingDen)
+      dampingDen: Long = 100L, weighted: Boolean = false): DataFrame =
+    pprImpl(graph, Some(seeds), iterations, dampingNum, dampingDen, weighted)
 
   private def pprImpl(graph: DataFrame, seeds: Option[DataFrame],
-      iterations: Int, dampingNum: Long, dampingDen: Long): DataFrame = {
+      iterations: Int, dampingNum: Long, dampingDen: Long,
+      weighted: Boolean): DataFrame = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping must satisfy 0 <= num <= den, got $dampingNum/$dampingDen")
@@ -127,10 +152,29 @@ object Centrality {
     // (N·Scale·(den−num)) DIV (den·|S|) reduces to the uniform base
     // exactly when |S| = N — the two variants share one loop with no
     // value drift.
-    val edges = truncate(nodes.filter(size(col("out")) > 0)
-      .select(col("id").as("src"),
-        size(col("out")).cast("long").as("outdeg"),
-        explode(col("out")).as("dst")))
+    // The weighted edge table carries each edge's quantized weight and
+    // its source's exact weight sum (one edge-sized window shuffle at
+    // setup, checkpointed once — never repeated per iteration); the
+    // uniform table carries only the outdegree. Weights floor to >= 1
+    // unit so a sub-ulp similarity still conducts (and wsum > 0 by
+    // construction).
+    val edges = truncate(
+      if (!weighted)
+        nodes.filter(size(col("out")) > 0)
+          .select(col("id").as("src"),
+            size(col("out")).cast("long").as("outdeg"),
+            explode(col("out")).as("dst"))
+      else {
+        val sw = org.apache.spark.sql.expressions.Window.partitionBy("src")
+        graph
+          .filter(col("neighbors").isNotNull && size(col("neighbors")) > 0)
+          .select(col("id").cast("long").as("src"),
+            explode(col("neighbors")).as("nb"))
+          .select(col("src"), col("nb.id").cast("long").as("dst"),
+            greatest(bround(col("nb.similarity") * lit(Scale.toDouble), 0)
+              .cast("long"), lit(1L)).as("w"))
+          .withColumn("wsum", sum(col("w")).over(sw))
+      })
     val dangling = truncate(nodes.filter(size(col("out")) === 0)
       .select(col("id")))
     val (teleport, tgtCount) = seeds match {
@@ -158,8 +202,12 @@ object Centrality {
       val dangMass = ranks.join(dangling, Seq("id"), "left_semi")
         .agg(coalesce(sum(col("rank")), lit(0L))).as[Long].head()
       val dangShare = dangMass / tgtCount
+      val contrib =
+        if (!weighted) expr("rank DIV outdeg")
+        else expr(
+          "CAST((CAST(rank AS DECIMAL(38,0)) * w) DIV wsum AS BIGINT)")
       val inSum = ranks.join(edges, col("id") === col("src"))
-        .select(col("dst").as("id"), expr("rank DIV outdeg").as("c"))
+        .select(col("dst").as("id"), contrib.as("c"))
         .groupBy("id").agg(sum(col("c")).as("in_sum"))
       val next = truncate(teleport
         .join(inSum, Seq("id"), "left")

@@ -2853,6 +2853,58 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("weightedPageRank: equal weights bit-equal uniform; skew flips argmax") {
+    import spark.implicits._
+    import graft.core.{Neighbor, NeighborList}
+    def mk(adj: Map[Long, Seq[(Long, Double)]]) =
+      adj.toSeq.map { case (id, out) =>
+        NeighborList(id, out.map { case (o, w) => Neighbor(o, w) })
+      }.toDS().toDF()
+    def collect(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Equal weights: (rank·w) DIV (k·w) = rank DIV k exactly, so the
+    // weighted kernel must reproduce the uniform one BIT-FOR-BIT.
+    val eq: Map[Long, Seq[(Long, Double)]] = Map(
+      1L -> Seq(2L -> 0.5, 3L -> 0.5), 2L -> Seq(3L -> 0.5),
+      3L -> Seq(1L -> 0.5, 2L -> 0.5), 4L -> Seq.empty)
+    assert(
+      collect(graft.ops.Centrality.weightedPageRank(mk(eq), iterations = 10))
+        == collect(graft.ops.Centrality.pageRank(mk(eq), iterations = 10)),
+      "equal-weight graph diverged from the uniform kernel")
+    // Skewed weights: 1 points at {2, 3} with all its strength on 3;
+    // under uniform flow 2 and 3 tie exactly (symmetric receivers of
+    // the same sources), under weighted flow 3 must win.
+    val sk: Map[Long, Seq[(Long, Double)]] = Map(
+      1L -> Seq(2L -> 0.01, 3L -> 0.99), 2L -> Seq(1L -> 0.5),
+      3L -> Seq(1L -> 0.5))
+    val uni = collect(graft.ops.Centrality.pageRank(mk(sk), iterations = 10))
+    val wtd = collect(
+      graft.ops.Centrality.weightedPageRank(mk(sk), iterations = 10))
+    assert(uni(2L) == uni(3L), s"uniform flow must tie 2 and 3: $uni")
+    assert(wtd(3L) > wtd(2L), s"weighted flow must favor 3: $wtd")
+    // Determinism and partition invariance, as for the other variants.
+    assert(collect(graft.ops.Centrality.weightedPageRank(
+      mk(sk).repartition(5), iterations = 10)) == wtd)
+    // Double-precision reference on the skewed graph.
+    def refWpr(iters: Int): Map[Long, Double] = {
+      var r: Map[Long, Double] = sk.keys.map(_ -> 1.0).toMap
+      for (_ <- 0 until iters) {
+        val in = sk.toSeq.flatMap { case (s0, out) =>
+          val tot = out.map(_._2).sum
+          out.map { case (d, w) => d -> r(s0) * w / tot }
+        }.groupBy(_._1).map { case (d, xs) => d -> xs.map(_._2).sum }
+        r = sk.keys.map(k => k -> (0.15 + 0.85 * in.getOrElse(k, 0.0))).toMap
+      }
+      r
+    }
+    val expect = refWpr(10)
+    sk.keys.foreach { k =>
+      val fx = wtd(k).toDouble / graft.ops.Centrality.Scale
+      assert(math.abs(fx - expect(k)) < 1e-3,
+        s"node $k: fixed $fx vs reference ${expect(k)}")
+    }
+  }
+
   test("kCenters: hand-computed greedy sequence on a line; assignment") {
     import spark.implicits._
     // 1-D geometry in 2-dim vectors: x = 0, 1, 2, 10, 25. Greedy from
