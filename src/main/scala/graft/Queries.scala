@@ -2438,6 +2438,18 @@ object Queries {
           (col("id") === col("component")).cast("int").as("keep"))
     }),
 
+    // Multimodal: multi-frame PIXEL decode (m07) — real animated-GIF
+    // frame decoding via the JVM-bundled ImageIO plugin (per sampled
+    // frame: true dims + mean luminance in 2^-20 fixed point), with
+    // the deterministic byte-chunk stub for containers no JVM codec
+    // claims. The text fixture exercises the stub bit-exactly against
+    // the SQL twin (the m03/m04 convention); the REAL multi-frame
+    // path is pinned by an in-test ImageIO-written 3-frame GIF in
+    // OpsSpec. Zero exchanges — one mapPartitions projection + a
+    // bounded per-row explode.
+    "m07_anim_frames" -> ((s, dir) =>
+      Multimodal.animationFrames(Multimodal.asMedia(docs(s, dir)))),
+
     // Rolling-hash content fingerprint (order-sensitive).
     "t07_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir)).select("doc_id", "rolling_fp")),
@@ -5028,6 +5040,35 @@ object Queries {
         |    CAST(ceil(octet_length(CAST(text AS BLOB)) / 64.0) AS INT) AS n_frames
         |  FROM documents), unnest(range(0, n_frames)) AS u(frame_id)
         |WHERE frame_id % 2 = 0""".stripMargin,
+
+    // m02's chunking + the stub-path frame metrics recomputed from raw
+    // bytes (the m04 hex-substr idiom): per sampled frame the exact
+    // byte list, decodeStub's dim conventions, and the pure-integer
+    // luminance floor(sum·2^20 / (255·len)) — bit-exact because the
+    // text fixture never carries image magic (the real GIF path is
+    // OpsSpec-pinned).
+    "m07_anim_frames" ->
+      """WITH hx AS (
+        |  SELECT doc_id, hex(encode(text)) AS hh,
+        |    octet_length(encode(text)) AS n
+        |  FROM documents),
+        |fr AS (SELECT doc_id, hh, n,
+        |    CAST(ceil(n / 64.0) AS INT) AS n_frames FROM hx),
+        |sampled AS (
+        |  SELECT doc_id, hh, n, n_frames, frame_id
+        |  FROM fr, unnest(range(0, n_frames)) AS u(frame_id)
+        |  WHERE frame_id % 2 = 0),
+        |b AS (
+        |  SELECT doc_id, n_frames, frame_id,
+        |    least(64, n - frame_id * 64) AS len,
+        |    [('0x' || substr(hh, CAST(2*(frame_id*64 + i) + 1 AS INT), 2))::BIGINT
+        |      FOR i IN range(0, least(64, n - frame_id * 64))] AS bs
+        |  FROM sampled)
+        |SELECT doc_id, n_frames, CAST(frame_id AS INT) AS frame_id,
+        |  CAST(16 + len % 624 AS INT) AS w,
+        |  CAST(16 + bs[1] AS INT) AS h,
+        |  CAST(list_sum(bs) * 1048576 // (255 * len) AS BIGINT) AS luma_fp
+        |FROM b""".stripMargin,
 
     "st02_stateful_sessions" ->
       """SELECT user_id,

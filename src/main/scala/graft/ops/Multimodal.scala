@@ -13,8 +13,11 @@ import org.apache.spark.sql.functions._
   * `javax.sound.sampled` (JVM-bundled; WAV/AIFF PCM) produces sample
   * rate, frame count, channels, and an RMS energy profile. Video
   * CONTAINER metadata is REAL: an MP4 box walk yields track
-  * dimensions, duration, and track count (frame decode itself stays a
-  * stub — the JVM ships no video codec). Blobs nothing claims (the
+  * dimensions, duration, and track count. MULTI-FRAME pixel decode is
+  * REAL for the one animation container the JVM ships a codec for
+  * (animated GIF, [[animationFrames]]) — per-frame dims + luminance;
+  * MP4/MKV frame decode stays a stub (no JVM codec). Blobs nothing
+  * claims (the
   * text fixture's fake blobs) fall back to a clearly-marked
   * DETERMINISTIC STUB that derives metadata from the raw bytes, so
   * the distributed plumbing — binary schema, mapPartitions batch
@@ -500,6 +503,101 @@ object Multimodal {
   /** Frame sampling: split each blob into fixed-size frames and emit one
     * row per sampled frame (every `stride`-th). Pure Column ops —
     * codegen'd, no UDF. */
+  /** Multi-frame PIXEL decode (m07) — the real animation path for the
+    * one multi-frame container the JVM ships a codec for (animated
+    * GIF, via the bundled `javax.imageio` GIF plugin; single-frame
+    * PNG/JPEG/BMP decode as 1-frame animations). Per sampled frame
+    * (every `stride`-th of the container's frame count): true
+    * width/height and the mean pixel luminance in 2⁻²⁰ fixed point —
+    * the per-frame brightness profile a video-quality gate thresholds
+    * on. This closes the video-decode stub to the extent a pure-JVM
+    * engine honestly can: MULTI-FRAME pixel decoding is real end to
+    * end; containers the JVM has no codec for (MP4/MKV) still fall
+    * back to the deterministic stub, which chunks the blob into
+    * `frameSize`-byte pseudo-frames (the m02 shape) with byte-derived
+    * dims (the [[decodeStub]] conventions) and
+    * `luma_fp = ⌊Σbytes·2²⁰ / (255·len)⌋` — pure integer arithmetic
+    * the DuckDB twin replicates bit-exactly (the m04 hex-substr
+    * idiom). Real-path luminance is `rint(mean/255·2²⁰)` on the
+    * decoded ARGB rasters — codec-deterministic; OpsSpec pins it with
+    * an in-test ImageIO-written 3-frame GIF.
+    *
+    * Scale shape: one mapPartitions projection + a per-row bounded
+    * explode — zero exchanges, zero joins (OpsSpec pins the
+    * no-Exchange plan); the magic-byte gate keeps the 100 TB
+    * mostly-non-media miss path allocation-only, exactly like
+    * [[decodeImage]]. */
+  def animationFrames(media: DataFrame, frameSize: Int = 64,
+      stride: Int = 2): DataFrame = {
+    require(frameSize >= 1 && stride >= 1,
+      s"bad sampling: frameSize=$frameSize stride=$stride")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val fs = frameSize
+    val st = stride
+    media.select(col("doc_id").cast("long"), col("media"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.flatMap { case (id, bytes) =>
+          val real: Option[Seq[(Long, Int, Int, Int, Int, Long)]] =
+            if (!looksLikeImage(bytes)) None
+            else {
+              var reader: javax.imageio.ImageReader = null
+              try {
+                val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                  new java.io.ByteArrayInputStream(bytes))
+                val readers = javax.imageio.ImageIO.getImageReaders(iis)
+                if (!readers.hasNext) None
+                else {
+                  reader = readers.next()
+                  reader.setInput(iis)
+                  val nf = reader.getNumImages(true)
+                  if (nf <= 0) None
+                  else Some((0 until nf by st).map { f =>
+                    val img = reader.read(f)
+                    val w = img.getWidth
+                    val h = img.getHeight
+                    var sum = 0.0
+                    var y = 0
+                    while (y < h) {
+                      var x = 0
+                      while (x < w) {
+                        val rgb = img.getRGB(x, y)
+                        sum += 0.299 * ((rgb >> 16) & 0xff) +
+                          0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+                        x += 1
+                      }
+                      y += 1
+                    }
+                    val lum = if (w > 0 && h > 0)
+                      math.rint(sum / (w.toLong * h) / 255.0 * 1048576.0).toLong
+                    else 0L
+                    (id, nf, f, w, h, lum)
+                  })
+                }
+              } catch { case _: Exception => None }
+              finally if (reader != null) reader.dispose()
+            }
+          real.getOrElse {
+            // Stub: m02's byte chunking with decodeStub's dim
+            // conventions and exact-integer luminance — the SQL twin's
+            // formula, bit for bit.
+            val nf = (bytes.length + fs - 1) / fs
+            (0 until nf by st).map { f =>
+              val from = f * fs
+              val len = math.min(fs, bytes.length - from)
+              var s = 0L
+              var i = from
+              while (i < from + len) { s += (bytes(i) & 0xff); i += 1 }
+              ((id, nf, f, 16 + len % 624, 16 + (bytes(from) & 0xff),
+                s * 1048576L / (255L * len)))
+            }
+          }
+        }
+      }
+      .toDF("doc_id", "n_frames", "frame_id", "w", "h", "luma_fp")
+  }
+
   def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 2): DataFrame = {
     // Fail fast at the call site: stride = 0 would evaluate i % 0 per
     // element mid-job (ANSI divide-by-zero / silent all-dropped under

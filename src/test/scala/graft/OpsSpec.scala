@@ -1307,6 +1307,60 @@ class OpsSpec extends SparkSpec {
     assert(resized(2L) == ((64, 16)), s"32x8 -> ${resized(2L)}")   // 8*64/32
   }
 
+  test("animationFrames: real 3-frame GIF decodes per-frame pixels; stub is exact") {
+    import spark.implicits._
+    // Write a genuine ANIMATED gif with the JVM's bundled writer:
+    // three 10x8 solid frames — black, mid-gray (0x808080), white.
+    def animatedGif(colors: Seq[Int], w: Int, h: Int): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      val ios = javax.imageio.ImageIO.createImageOutputStream(baos)
+      val writer = javax.imageio.ImageIO
+        .getImageWritersByFormatName("gif").next()
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      colors.foreach { c =>
+        val img = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, c)
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+      }
+      writer.endWriteSequence()
+      writer.dispose()
+      ios.close()
+      baos.toByteArray
+    }
+    val gif = animatedGif(Seq(0x000000, 0x808080, 0xffffff), 10, 8)
+    val media = Seq(
+      (1L, gif, "image/gif"),
+      (2L, "abcd".getBytes("UTF-8"), "application/octet-stream"))
+      .toDF("doc_id", "media", "media_type")
+    val rows = graft.ops.Multimodal.animationFrames(media)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(2)) ->
+        (r.getInt(1), r.getInt(3), r.getInt(4), r.getLong(5))).toMap
+    // Real path: 3 frames found, frames 0 and 2 sampled at stride 2,
+    // true 10x8 dims, luminance exact at the palette extremes (GIF
+    // stores solid black/white losslessly): 0 and 2^20.
+    assert(rows((1L, 0)) == ((3, 10, 8, 0L)), s"frame 0: ${rows((1L, 0))}")
+    assert(rows((1L, 2)) == ((3, 10, 8, 1048576L)), s"frame 2: ${rows((1L, 2))}")
+    assert(!rows.contains((1L, 1)), "stride must skip frame 1")
+    // Mid-gray sanity on the unsampled frame via stride 1: strictly
+    // between the extremes and near 0x80/255.
+    val all = graft.ops.Multimodal.animationFrames(media, stride = 1)
+      .filter(col("doc_id") === 1L).collect()
+      .map(r => r.getInt(2) -> r.getLong(5)).toMap
+    assert(all(1) > 400000L && all(1) < 650000L, s"gray luma: ${all(1)}")
+    // Stub path, hand-computed: "abcd" = one 4-byte frame; w = 16+4,
+    // h = 16+'a'(97), luma = (97+98+99+100)·2^20 / (255·4).
+    assert(rows((2L, 0)) ==
+      ((1, 20, 113, 394L * 1048576L / 1020L)), s"stub: ${rows((2L, 0))}")
+    // Zero exchanges: a projection + bounded explode, never a shuffle.
+    val plan = graft.ops.Multimodal.animationFrames(media)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"m07 plan shuffles:\n$plan")
+  }
+
   test("real pixel resize: in-test PNGs are resampled, non-images keep stub dims") {
     import spark.implicits._
     def png(w: Int, h: Int, rgbAt: (Int, Int) => Int): Array[Byte] = {
