@@ -784,10 +784,8 @@ object NND {
     * track it when the loop variable is a map over the checkpoint) —
     * the bridge deliberately ignores checkpoints buried in derived
     * plans. */
-  private def release(ds: Dataset[_]): Unit = {
-    ds.unpersist()
-    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(ds)
-  }
+  private def release(ds: Dataset[_]): Unit =
+    graft.core.Checkpoints.release(ds)
 
   /** splitmix64-style mix for per-(bucket,node) deterministic seeds. */
   private def mix(a: Long, b: Long, c: Long): Long = {

@@ -127,11 +127,7 @@ object Centrality {
     val spark = graph.sparkSession
     import spark.implicits._
 
-    def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    def release(df: DataFrame): Unit = {
-      df.unpersist()
-      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(df)
-    }
+    import graft.core.Checkpoints.{truncate, release}
 
     val nodes = truncate(graph.select(col("id").cast("long").as("id"),
       coalesce(col("neighbors.id"), array().cast("array<bigint>"))

@@ -57,35 +57,35 @@ object Coreset {
     val spark = corpus.sparkSession
     import spark.implicits._
 
-    def truncate(df: DataFrame): DataFrame = df.localCheckpoint(true)
-    def release(df: DataFrame): Unit = {
-      df.unpersist()
-      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(df)
-    }
+    import graft.core.Checkpoints.{truncate, release}
 
     // Round 0: the minimum id — deterministic without any distance.
     // min(struct(id, features)) resolves on id alone (ids unique); the
-    // features ride along so no second fetch is needed.
+    // features ride along so no second fetch is needed. Row-decoded
+    // like the per-round pick: on an empty corpus the 1-row aggregate
+    // carries a NULL struct, which a non-nullable tuple encoder would
+    // reject before the emptiness guard could see it.
     val first = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .agg(min(struct(col("id"), col("v"))).as("m"))
-      .select(col("m.id"), col("m.v")).as[(Long, Array[Float])]
-      .collect()
-    if (first.isEmpty) {
+      .select(col("m.id"), col("m.v"))
+      .collect()(0)
+    if (first.isNullAt(0)) {
       return spark.emptyDataset[(Int, Long, Long)]
         .toDF("round", "id", "sel_dist_fp")
     }
+    val firstId = first.getLong(0)
     val centers = scala.collection.mutable.ArrayBuffer[(Int, Long, Long)](
-      (0, first(0)._1, 0L))
+      (0, firstId, 0L))
 
     // Running state: every not-yet-picked point with its distance to
     // the nearest chosen center. Each round: one narrow map against
     // the single new center (no join — the center is a literal), one
     // 1-row argmax.
-    var cVec = first(0)._2
+    var cVec = first.getSeq[Float](1).toArray
     var state = truncate(corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
-      .filter(col("id") =!= first(0)._1)
+      .filter(col("id") =!= firstId)
       .withColumn("d", Similarity.l2Col(col("v"), typedLit(cVec))))
     var round = 1
     var exhausted = false

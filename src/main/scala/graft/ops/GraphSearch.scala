@@ -7,7 +7,6 @@ import org.apache.spark.sql.functions._
 import graft.core.{Neighbor, NeighborList, Similarity}
 import graft.functions.VectorFunctions._
 
-import scala.collection.mutable
 
 // Top-level (not object-nested) so Catalyst's generated deserializer can
 // access it — the repo-wide encoder convention (see nnd.NND's row types).

@@ -500,9 +500,6 @@ object Multimodal {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Frame sampling: split each blob into fixed-size frames and emit one
-    * row per sampled frame (every `stride`-th). Pure Column ops —
-    * codegen'd, no UDF. */
   /** Multi-frame PIXEL decode (m07) — the real animation path for the
     * one multi-frame container the JVM ships a codec for (animated
     * GIF, via the bundled `javax.imageio` GIF plugin; single-frame
@@ -598,6 +595,9 @@ object Multimodal {
       .toDF("doc_id", "n_frames", "frame_id", "w", "h", "luma_fp")
   }
 
+  /** Frame sampling: split each blob into fixed-size frames and emit one
+    * row per sampled frame (every `stride`-th). Pure Column ops —
+    * codegen'd, no UDF. */
   def sampleFrames(media: DataFrame, frameSize: Int = 64, stride: Int = 2): DataFrame = {
     // Fail fast at the call site: stride = 0 would evaluate i % 0 per
     // element mid-job (ANSI divide-by-zero / silent all-dropped under

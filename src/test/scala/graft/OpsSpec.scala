@@ -3031,6 +3031,10 @@ class OpsSpec extends SparkSpec {
     import spark.implicits._
     val df = Seq((3L, Array(0f)), (8L, Array(4f)), (5L, Array(9f)))
       .toDF("id", "features")
+    // Empty corpus: zero centers, no NULL-struct decode crash (the
+    // round-0 aggregate always returns one row).
+    assert(graft.ops.Coreset.kCenters(df.filter(col("id") < 0L), 4)
+      .count() == 0L)
     // t far above N: every point becomes a center exactly once.
     val centers = graft.ops.Coreset.kCenters(df, 10)
     assert(centers.count() == 3L)
