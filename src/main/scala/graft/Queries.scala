@@ -2173,8 +2173,15 @@ object Queries {
     "p05_coreset_balance" -> ((s, dir) => {
       val e = emb(s, dir)
       val asn = graft.ops.Coreset.assign(e, kcenterCenters(s, dir))
+      // The SALTED sampler: 8 strata is the maximally-hot case for a
+      // stratum-partitioned window (8 tasks would each sort a whole
+      // covering region at 100 TB); the salted two-phase form ranks
+      // (stratum × 16 salts) locally then re-ranks the <= 16·25
+      // survivors per stratum — selection-identical (top-n by
+      // (draw, id) is associative through the phases; the pins prove
+      // it), parallelism restored.
       val picked = graft.ops.Sampling
-        .stratifiedSample(asn, "center_id", "id", 25)
+        .stratifiedSampleSalted(asn, "center_id", "id", 25)
       val fills = picked.groupBy("center_id").agg(count(lit(1)).as("c"))
         .agg(min(col("c")).as("min_fill"), max(col("c")).as("max_fill"),
           count(lit(1)).as("n_strata"))
