@@ -2461,6 +2461,17 @@ object Queries {
     "t07_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir)).select("doc_id", "rolling_fp")),
 
+    // Winnowing fingerprints (t44, Schleimer-Wilkerson-Aiken 2003 —
+    // the MOSS algorithm): token 3-gram polynomial hashes, windows of
+    // 4, rightmost minimum selected per window — any shared substring
+    // of >= w+k-1 tokens shares a fingerprint while only ~2/(w+1) of
+    // grams are kept. Within-document property: one codegen'd HOF
+    // projection, zero exchanges; per-doc summary (gram count,
+    // distinct selected count, exact fingerprint mass) is a bit-exact
+    // BIGINT twin (the t07 portable-polynomial convention).
+    "t44_winnow_fp" -> ((s, dir) =>
+      TextAnalysis.winnowFingerprints(docs(s, dir))),
+
     // Structured Streaming path: tumbling daily window over a streaming
     // read of events, drained synchronously — must equal the batch SQL.
     "st01_stream_daily" -> ((s, dir) =>
@@ -4954,6 +4965,41 @@ object Queries {
         |      list_transform(str_split(text, ''), c -> CAST(ord(c) AS BIGINT))),
         |    (h, c) -> (h * 31 + c) % 1000000007) AS rolling_fp
         |FROM documents""".stripMargin,
+
+    // The identical token/gram polynomial arithmetic and the same
+    // rightmost-min rule, expressed as list_min + a reversed
+    // list_position (rightmost 0-based pos = q + L − position of the
+    // min in the reversed slice) — every intermediate an exact BIGINT.
+    "t44_winnow_fp" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, list_transform(t, tok ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(str_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hs FROM tk),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(hs) >= 3 THEN
+        |      list_transform(range(1, len(hs) - 1), p ->
+        |        (((hs[p] * 1000003 + hs[p+1]) % 1000000007) * 1000003
+        |          + hs[p+2]) % 1000000007)
+        |    ELSE CAST([] AS BIGINT[]) END AS gs FROM th),
+        |sel AS (SELECT doc_id, gs,
+        |    CASE WHEN len(gs) > 0 THEN
+        |      list_distinct(list_transform(
+        |        range(0, greatest(len(gs) - 4, 0) + 1), q ->
+        |          q + least(4, len(gs) - q)
+        |            - list_position(
+        |                list_reverse(list_slice(gs, CAST(q + 1 AS INT),
+        |                  CAST(least(q + 4, len(gs)) AS INT))),
+        |                list_min(list_slice(gs, CAST(q + 1 AS INT),
+        |                  CAST(least(q + 4, len(gs)) AS INT))))))
+        |    ELSE CAST([] AS BIGINT[]) END AS fps FROM g)
+        |SELECT doc_id,
+        |  CAST(len(gs) AS BIGINT) AS n_grams,
+        |  CAST(len(fps) AS BIGINT) AS n_fps,
+        |  CAST(COALESCE(list_sum(list_transform(fps, p ->
+        |    gs[CAST(p AS INT) + 1] + p)), 0) AS BIGINT) AS fp_mass
+        |FROM sel""".stripMargin,
 
     // Stub-path aHash: first 64 UTF-8 BYTES as the pixel grid (hex-pair
     // slicing of encode(text) — byte-exact vs Spark's bytes(i), unlike

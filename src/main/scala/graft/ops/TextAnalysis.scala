@@ -136,6 +136,78 @@ object TextAnalysis {
         lit(0L),
         (h, c) => (h * 31L + c) % 1000000007L))
 
+  /** Winnowing document fingerprints (Schleimer, Wilkerson & Aiken
+    * 2003 — the MOSS local fingerprinting algorithm): hash every token
+    * k-gram, slide a window of `w` consecutive gram hashes, and select
+    * the RIGHTMOST MINIMUM of each window. The winnowing guarantee:
+    * any shared substring of at least w + k − 1 tokens contributes at
+    * least one IDENTICAL selected (position-independent) fingerprint
+    * to both documents, while only ~2/(w+1) of all grams are kept —
+    * the robust, density-bounded near-dup signature t07's whole-text
+    * rolling hash (order-sensitive, all-or-nothing) cannot give.
+    *
+    * Arithmetic is the repo's portable polynomial convention (t07):
+    * token hash = fold (h·31 + code) mod 1e9+7 over characters; gram
+    * hash = fold (g·1000003 + tokenHash) mod 1e9+7 over the k tokens —
+    * every intermediate < 1e15, exact in BIGINT on both engines, so
+    * the DuckDB twin is bit-exact. Documents with fewer than k tokens
+    * have no grams (zero row values); with fewer than w grams, one
+    * window spans all of them (at least one fingerprint per non-empty
+    * gram stream — the standard boundary treatment).
+    *
+    * Scale shape: winnowing is a WITHIN-document property — one
+    * codegen'd HOF projection (transform/aggregate over the bound
+    * token array), zero exchanges, zero joins, O(n·w + Σ|token|) per
+    * document. The per-doc summary (gram count, distinct selected
+    * count, exact fingerprint mass) keeps the declared query
+    * scan-bandwidth-bounded; the selected sets themselves would feed
+    * a d03-style bucket join for cross-document matching. */
+  def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
+    val M = 1000000007L
+    val A = 1000003L
+    val toks = split(col(textCol), " ")
+    val tokHash = transform(toks, t =>
+      aggregate(
+        transform(filter(split(t, ""), c => c =!= ""),
+          c => ascii(c).cast("long")),
+        lit(0L),
+        (h, c) => (h * 31L + c) % M))
+    // gram hash g_p (0-based p): fold over the k token hashes.
+    val grams = transform(
+      sequence(lit(0), size(col("th")) - k),
+      p => aggregate(
+        sequence(p, p + (k - 1)),
+        lit(0L),
+        (g, i) => (g * A + element_at(col("th"), i + 1)) % M))
+    // Rightmost minimum of window q over grams [q, min(q+w, m)):
+    // aggregate keeps the LAST index attaining the min (<=), the
+    // paper's tie rule.
+    val sels = transform(
+      sequence(lit(0), greatest(size(col("g")) - w, lit(0))),
+      q => aggregate(
+        sequence(q, least(q + w, size(col("g"))) - 1),
+        struct(lit(-1L).as("p"), lit(Long.MaxValue).as("h")),
+        (acc, i) => when(element_at(col("g"), i + 1) <= acc.getField("h"),
+          struct(i.cast("long").as("p"),
+            element_at(col("g"), i + 1).as("h")))
+          .otherwise(acc),
+        acc => acc.getField("p")))
+    df.select(col(idCol).cast("long").as(idCol), col(textCol))
+      .withColumn("th", tokHash)
+      .withColumn("g", when(size(col("th")) >= k, grams)
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("fps", when(size(col("g")) > 0, array_distinct(sels))
+        .otherwise(array().cast("array<bigint>")))
+      .select(col(idCol),
+        size(col("g")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        coalesce(aggregate(col("fps"), lit(0L),
+          (s, p) => s + element_at(col("g"), (p + 1).cast("int")) + p),
+          lit(0L)).as("fp_mass"))
+  }
+
   /** Canonical text normalization: lowercase, strip everything outside
     * [a-z0-9 ], collapse whitespace runs, trim. The standard pre-pass
     * before tokenizing/shingling scraped text; pure per-row projection

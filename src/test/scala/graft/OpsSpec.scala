@@ -1307,6 +1307,65 @@ class OpsSpec extends SparkSpec {
     assert(resized(2L) == ((64, 16)), s"32x8 -> ${resized(2L)}")   // 8*64/32
   }
 
+  test("winnowFingerprints: SWA03 semantics vs an independent reference") {
+    import spark.implicits._
+    val M = 1000000007L
+    val A = 1000003L
+    // Independent driver-side reference: same published algorithm,
+    // written directly (character fold, gram fold, sliding rightmost
+    // min), no shared code with the HOF kernel.
+    def ref(text: String, k: Int, w: Int): (Long, Long, Long) = {
+      val th = text.split(" ").map(_.foldLeft(0L)((h, c) => (h * 31 + c) % M))
+      if (th.length < k) return (0L, 0L, 0L)
+      val g = (0 to th.length - k).map(p =>
+        (p until p + k).foldLeft(0L)((a, i) => (a * A + th(i)) % M)).toArray
+      val sels = (0 to math.max(g.length - w, 0)).map { q =>
+        val e = math.min(q + w, g.length)
+        (q until e).foldLeft(-1) { (best, i) =>
+          if (best < 0 || g(i) <= g(best)) i else best
+        }
+      }.distinct
+      (g.length.toLong, sels.length.toLong,
+        sels.map(p => g(p) + p).sum)
+    }
+    val docs = Seq(
+      (1L, "a b a b a b a b"),            // periodic: heavy dedup of picks
+      (2L, "the quick brown fox jumps over the lazy dog"),
+      (3L, "x y"),                        // fewer than k tokens: no grams
+      (4L, "one two three"),              // exactly k: one gram, one window
+      (5L, "p q r s"),                    // m=2 < w: single spanning window
+      (6L, "z z z z z z z z z z"))        // all-equal hashes: tie rule bites
+    val got = graft.ops.TextAnalysis
+      .winnowFingerprints(docs.toDF("doc_id", "text").repartition(3))
+      .collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    docs.foreach { case (id, tx) =>
+      assert(got(id) == ref(tx, 3, 4), s"doc $id: ${got(id)} vs ${ref(tx, 3, 4)}")
+    }
+    // The winnowing guarantee on a planted clone: two documents
+    // sharing a >= w+k-1 = 6-token run share at least one identical
+    // gram hash among their SELECTED fingerprints.
+    val shared = "alpha beta gamma delta epsilon zeta"
+    def selectedHashes(text: String): Set[Long] = {
+      val th = text.split(" ").map(_.foldLeft(0L)((h, c) => (h * 31 + c) % M))
+      val g = (0 to th.length - 3).map(p =>
+        (p until p + 3).foldLeft(0L)((a, i) => (a * A + th(i)) % M)).toArray
+      (0 to math.max(g.length - 4, 0)).map { q =>
+        val e = math.min(q + 4, g.length)
+        (q until e).foldLeft(-1)((b, i) => if (b < 0 || g(i) <= g(b)) i else b)
+      }.distinct.map(g(_)).toSet
+    }
+    val a = selectedHashes(s"prefix words here $shared")
+    val b = selectedHashes(s"$shared and a different tail entirely")
+    assert(a.intersect(b).nonEmpty, "winnowing guarantee violated")
+    // Zero exchanges: a pure projection.
+    val plan = graft.ops.TextAnalysis
+      .winnowFingerprints(docs.toDF("doc_id", "text"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"t44 plan shuffles:\n$plan")
+  }
+
   test("animationFrames: real 3-frame GIF decodes per-frame pixels; stub is exact") {
     import spark.implicits._
     // Write a genuine ANIMATED gif with the JVM's bundled writer:
