@@ -2472,6 +2472,17 @@ object Queries {
     "t44_winnow_fp" -> ((s, dir) =>
       TextAnalysis.winnowFingerprints(docs(s, dir))),
 
+    // Winnowing cross-document match (t45 — MOSS's actual use, the
+    // second half of SWA03): each doc's DISTINCT selected gram hashes
+    // bucket-join, pairs scored by intersection size. The winnowing
+    // guarantee makes every >= w+k-1-token shared run surface; the
+    // join input is already thinned to ~2/(w+1) of the gram mass, and
+    // maxDf (the d02 df-cap) caps boilerplate-fingerprint buckets at
+    // 100 TB (unneeded at fixture scale, so the declared query runs
+    // uncapped and stays bit-exact).
+    "t45_winnow_pairs" -> ((s, dir) =>
+      TextAnalysis.winnowPairs(docs(s, dir))),
+
     // Structured Streaming path: tumbling daily window over a streaming
     // read of events, drained synchronously — must equal the batch SQL.
     "st01_stream_daily" -> ((s, dir) =>
@@ -5000,6 +5011,42 @@ object Queries {
         |  CAST(COALESCE(list_sum(list_transform(fps, p ->
         |    gs[CAST(p AS INT) + 1] + p)), 0) AS BIGINT) AS fp_mass
         |FROM sel""".stripMargin,
+
+    // t44's selection CTEs, then the distinct per-doc hash sets
+    // self-joined and intersection-counted — the identical pair
+    // semantics.
+    "t45_winnow_pairs" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |th AS (SELECT doc_id, list_transform(t, tok ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(str_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hs FROM tk),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(hs) >= 3 THEN
+        |      list_transform(range(1, len(hs) - 1), p ->
+        |        (((hs[p] * 1000003 + hs[p+1]) % 1000000007) * 1000003
+        |          + hs[p+2]) % 1000000007)
+        |    ELSE CAST([] AS BIGINT[]) END AS gs FROM th),
+        |sel AS (SELECT doc_id, gs,
+        |    CASE WHEN len(gs) > 0 THEN
+        |      list_distinct(list_transform(
+        |        range(0, greatest(len(gs) - 4, 0) + 1), q ->
+        |          q + least(4, len(gs) - q)
+        |            - list_position(
+        |                list_reverse(list_slice(gs, CAST(q + 1 AS INT),
+        |                  CAST(least(q + 4, len(gs)) AS INT))),
+        |                list_min(list_slice(gs, CAST(q + 1 AS INT),
+        |                  CAST(least(q + 4, len(gs)) AS INT))))))
+        |    ELSE CAST([] AS BIGINT[]) END AS fps FROM g),
+        |sets AS (SELECT DISTINCT doc_id, u.fp AS fp
+        |  FROM sel, unnest(list_transform(fps, p ->
+        |    gs[CAST(p AS INT) + 1])) AS u(fp))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        |  count(*) AS n_shared
+        |FROM sets a JOIN sets b
+        |  ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |GROUP BY 1, 2""".stripMargin,
 
     // Stub-path aHash: first 64 UTF-8 BYTES as the pixel grid (hex-pair
     // slicing of encode(text) — byte-exact vs Spark's bytes(i), unlike

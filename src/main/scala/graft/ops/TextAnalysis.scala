@@ -165,6 +165,71 @@ object TextAnalysis {
   def winnowFingerprints(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame = {
     require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
+    winnowed(df, idCol, textCol, k, w)
+      .select(col(idCol),
+        size(col("g")).cast("long").as("n_grams"),
+        size(col("fps")).cast("long").as("n_fps"),
+        coalesce(aggregate(col("fps"), lit(0L),
+          (s, p) => s + element_at(col("g"), (p + 1).cast("int")) + p),
+          lit(0L)).as("fp_mass"))
+  }
+
+  /** Cross-document winnowing match (the SECOND half of Schleimer-
+    * Wilkerson-Aiken 2003 — MOSS's actual use: documents sharing
+    * selected fingerprints share content): each document's DISTINCT
+    * selected gram hashes bucket-join against every other document's,
+    * and a pair's `n_shared` counts the intersection. By the winnowing
+    * guarantee, any pair sharing a run of >= w + k − 1 tokens surfaces
+    * with n_shared >= 1; raising `minShared` trades recall for
+    * precision exactly as MOSS's match threshold does.
+    *
+    * Scale shape: the d03 bucket-join pattern on a stream winnowing
+    * has ALREADY thinned to ~2/(w+1) of the gram mass — the join's
+    * input is a priced fraction of corpus tokens, never all of them.
+    * `maxDf` (the d02 df-cap precedent) drops fingerprints present in
+    * more than that many documents before the self-join — boilerplate
+    * grams (license headers, navigation chrome) are exactly the hot
+    * keys whose buckets would otherwise explode quadratically at
+    * 100 TB; capped fingerprints are dropped from COUNTING, not from
+    * the documents, so the op degrades conservatively (fewer shared
+    * counts, never false pairs).
+    *
+    * @return `(doc_a, doc_b, n_shared)`, doc_a < doc_b, n_shared >=
+    *         `minShared`. */
+  def winnowPairs(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, w: Int = 4,
+      minShared: Int = 1, maxDf: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    maxDf.foreach(d => require(d >= 2, s"maxDf must be >= 2, got $d"))
+    val sets = winnowed(df, idCol, textCol, k, w)
+      .select(col(idCol).as("id"),
+        explode(array_distinct(transform(col("fps"),
+          p => element_at(col("g"), (p + 1).cast("int"))))).as("fp"))
+    val kept = maxDf match {
+      case None => sets
+      case Some(d) =>
+        // One narrow partial-agg'd census, then a broadcast-free
+        // semi-join shape: fingerprints over the cap never reach the
+        // self-join.
+        sets.join(
+          sets.groupBy("fp").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= d).select("fp"),
+          Seq("fp"), "left_semi")
+    }
+    kept.as("a").join(kept.as("b"), col("a.fp") === col("b.fp"))
+      .filter(col("a.id") < col("b.id"))
+      .groupBy(col("a.id").as("doc_a"), col("b.id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** Shared winnowing internals: per document the gram-hash array `g`
+    * and the selected positions `fps` (rightmost window minima,
+    * deduplicated) — the SWA03 kernel both the per-doc summary (t44)
+    * and the cross-doc match (t45) project from. */
+  private def winnowed(df: DataFrame, idCol: String,
+      textCol: String, k: Int, w: Int): DataFrame = {
+    require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
     val M = 1000000007L
     val A = 1000003L
     val toks = split(col(textCol), " ")
@@ -200,12 +265,7 @@ object TextAnalysis {
         .otherwise(array().cast("array<bigint>")))
       .withColumn("fps", when(size(col("g")) > 0, array_distinct(sels))
         .otherwise(array().cast("array<bigint>")))
-      .select(col(idCol),
-        size(col("g")).cast("long").as("n_grams"),
-        size(col("fps")).cast("long").as("n_fps"),
-        coalesce(aggregate(col("fps"), lit(0L),
-          (s, p) => s + element_at(col("g"), (p + 1).cast("int")) + p),
-          lit(0L)).as("fp_mass"))
+      .select(col(idCol), col("g"), col("fps"))
   }
 
   /** Canonical text normalization: lowercase, strip everything outside

@@ -1366,6 +1366,41 @@ class OpsSpec extends SparkSpec {
     assert(!plan.contains("Exchange"), s"t44 plan shuffles:\n$plan")
   }
 
+  test("winnowPairs: planted clone surfaces; df-cap drops boilerplate") {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta"
+    val docs = Seq(
+      (1L, s"prefix words here $shared"),
+      (2L, s"$shared and a different tail entirely"),
+      (3L, "totally unrelated content with nothing in common at all"),
+      (4L, "another disjoint document about other various things"))
+      .toDF("doc_id", "text")
+    val pairs = graft.ops.TextAnalysis.winnowPairs(docs)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // The winnowing guarantee: the 6-token (= w+k-1) shared run MUST
+    // surface the (1,2) pair; the disjoint docs must not pair with
+    // anything (distinct vocabularies -> disjoint gram hashes).
+    assert(pairs.contains((1L, 2L)), s"planted clone missed: $pairs")
+    assert(pairs.keySet == Set((1L, 2L)), s"false pairs: $pairs")
+    // minShared thresholds exactly on the intersection size.
+    val n = pairs((1L, 2L))
+    assert(graft.ops.TextAnalysis.winnowPairs(docs, minShared = n.toInt)
+      .count() == 1L)
+    assert(graft.ops.TextAnalysis.winnowPairs(docs, minShared = n.toInt + 1)
+      .count() == 0L)
+    // df-cap: a fingerprint present in >= 3 docs is boilerplate; with
+    // maxDf = 2 a three-way clone stops pairing through it.
+    val boiler = Seq(
+      (1L, s"$shared one"), (2L, s"$shared two"), (3L, s"$shared three"),
+      (4L, "disjoint text entirely unrelated to the rest here"))
+      .toDF("doc_id", "text")
+    assert(graft.ops.TextAnalysis.winnowPairs(boiler).count() >= 3L,
+      "uncapped three-way clone must pair all three")
+    assert(graft.ops.TextAnalysis
+      .winnowPairs(boiler, maxDf = Some(2)).count() == 0L,
+      "df-capped boilerplate must not pair")
+  }
+
   test("animationFrames: real 3-frame GIF decodes per-frame pixels; stub is exact") {
     import spark.implicits._
     // Write a genuine ANIMATED gif with the JVM's bundled writer:
