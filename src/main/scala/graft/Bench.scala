@@ -156,8 +156,13 @@ object Bench {
     // Forced per-sample telemetry regardless of pass-1 rank: queries
     // whose regression history warrants per-round diagnosis (st18:
     // 32.9 s in r7, then 3.45 <-> 4.71 s across r8/r9 with its code
-    // untouched — the swing needs samples, not a shrug).
-    val forced = Set("st18_stream_join_outer")
+    // untouched — the swing needs samples, not a shrug; n02: 5.70 s in
+    // r9 -> 9.41 s in r11 flagged as a possible updateGraph regression,
+    // but a same-machine A/B at the r9 and r12 commits read overlapping
+    // 7-sample distributions — median 7.51 s vs 7.94 s, fastest sample
+    // AT head — so the drift is shared-JVM swing; the per-sample line
+    // below keeps that diagnosable per round).
+    val forced = Set("st18_stream_join_outer", "n02_knn_incremental")
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
       if (!heavy(name) && !rerunPrep.contains(name) && !forced(name)) r
       else {
