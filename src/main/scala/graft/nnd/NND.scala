@@ -646,7 +646,20 @@ object NND {
     * the new/old flags through so the incremental local join still
     * distinguishes fresh entries. Shared by build and update so the
     * update-from-empty-equals-build contract holds (the kernel is
-    * idempotent on its own output — see [[graft.core.Occlusion]]). */
+    * idempotent on its own output — see [[graft.core.Occlusion]]).
+    *
+    * PRECONDITION (row preservation): every input list must be
+    * nonempty and every neighbor id must resolve in `nodes` — an
+    * empty list emits no edges and an unresolvable id drops its edge
+    * at the features join, so either would silently delete the node
+    * from the pruned graph (unlike
+    * [[graft.ops.GraphSearch.pruneGraph]], which left-joins rows
+    * back). Both hold at every call site by construction: the input
+    * is a [[mergeTopK]] output (groups exist only where >= 1
+    * candidate arrived) and candidate ids are drawn from the
+    * persisted `nodes` table itself. A per-iteration row-preserving
+    * left-join would re-pay an id-sized shuffle per loop turn to
+    * defend a state the loop cannot produce. */
   private def pruneFlagged(g: Dataset[FlaggedList], nodes: Dataset[NodeRow],
       alpha: Double, maxDegree: Int): Dataset[FlaggedList] = {
     val spark = g.sparkSession

@@ -540,8 +540,9 @@ object Multimodal {
             if (!looksLikeImage(bytes)) None
             else {
               var reader: javax.imageio.ImageReader = null
+              var iis: javax.imageio.stream.MemoryCacheImageInputStream = null
               try {
-                val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+                iis = new javax.imageio.stream.MemoryCacheImageInputStream(
                   new java.io.ByteArrayInputStream(bytes))
                 val readers = javax.imageio.ImageIO.getImageReaders(iis)
                 if (!readers.hasNext) None
@@ -573,7 +574,12 @@ object Multimodal {
                   })
                 }
               } catch { case _: Exception => None }
-              finally if (reader != null) reader.dispose()
+              finally {
+                if (reader != null) reader.dispose()
+                // The stream (and its memory cache) must close with the
+                // reader — dispose() alone leaves it for GC.
+                if (iis != null) iis.close()
+              }
             }
           real.getOrElse {
             // Stub: m02's byte chunking with decodeStub's dim
