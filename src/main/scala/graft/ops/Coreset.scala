@@ -131,6 +131,8 @@ object Coreset {
     * `array_min` over t codegen'd distance kernels; nearest-center
     * ties resolve to the earliest round via `array_position`, a total
     * order). No join against the corpus, no shuffle, no per-row UDF.
+    * Capped at 256 centers — past that the folded expression falls out
+    * of codegen and a join-based plan wins (the require below).
     *
     * @param centers [[kCenters]] output (`round`, `id`).
     * @return `(id BIGINT, center_id BIGINT, dist_fp BIGINT)`.
@@ -143,6 +145,19 @@ object Coreset {
       .select(col("round").cast("int"), col("id").cast("long"))
       .as[(Int, Long)].collect().sortBy(_._1)
     require(rc.nonEmpty, "assign: no centers")
+    // The literal-folded plan is only right while the generated
+    // expression stays inside codegen limits: each center contributes a
+    // full L2 kernel to ONE projection, and past a few hundred centers
+    // Janino splits/overflows and Spark falls back to INTERPRETED
+    // per-row evaluation of t kernels — silently, at corpus scale. Gate
+    // rather than degrade (the packBins capacity-guard precedent); a
+    // t-in-the-thousands assignment wants a (corpus x centers)
+    // broadcast-join plan, which no current caller needs (declared t is
+    // 8-32).
+    require(rc.length <= 256,
+      s"assign: ${rc.length} centers exceeds the literal-folding cap " +
+        "(256); a center set this large needs a join-based assignment, " +
+        "not a folded projection")
     val vecs: Map[Long, Array[Float]] = corpus
       .select(col(idCol).cast("long").as("id"), col(vecCol).as("v"))
       .join(spark.createDataset(rc.map(_._2).toSeq).toDF("id"), "id")

@@ -2900,6 +2900,39 @@ class OpsSpec extends SparkSpec {
       s"mass drifted: $mass vs $full")
   }
 
+  test("pageRankWithResidual: contracts geometrically; ranks bit-equal plain") {
+    import spark.implicits._
+    import graft.core.{Neighbor, NeighborList}
+    val adj: Map[Long, Seq[Long]] = Map(
+      1L -> Seq(4L), 2L -> Seq(4L), 3L -> Seq(4L), 4L -> Seq(1L),
+      5L -> Seq.empty)
+    val g = adj.toSeq.map { case (id, out) =>
+      NeighborList(id, out.map(o => Neighbor(o, 0.5)))
+    }.toDS().toDF()
+    def run(iters: Int) =
+      graft.ops.Centrality.pageRankWithResidual(g, iterations = iters)
+    // The residual-carrying entry point must not perturb the ranks: the
+    // extra join reads the final two iterates, it does not change them.
+    val (pr10, res10) = run(10)
+    assert(pr10.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap ==
+      graft.ops.Centrality.pageRank(g, iterations = 10)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap,
+      "withResidual drifted the ranks")
+    // Geometric contraction: the L1 delta between consecutive iterates
+    // shrinks as the iterate approaches the fixed point (rate <= d for
+    // power iteration), so more iterations -> strictly smaller residual
+    // until it bottoms out at the integer floor.
+    val (_, res2) = run(2)
+    assert(res10 < res2,
+      s"residual did not contract: iter2=$res2 iter10=$res10")
+    assert(res10 >= 0L && res2 > 0L, s"degenerate residuals: $res2 $res10")
+    // Zero iterations: no two iterates exist — residual 0 by the
+    // documented convention.
+    assert(run(0)._2 == 0L)
+    // Determinism: the residual is a bit-exact fact like the ranks.
+    assert(run(10)._2 == res10, "residual drifted across reruns")
+  }
+
   test("pageRank: null neighbor lists are dangling; zero iterations is uniform") {
     import spark.implicits._
     val g = Seq((1L, Some(Seq((2L, 0.9)))), (2L, None))
@@ -3148,6 +3181,15 @@ class OpsSpec extends SparkSpec {
     val plan = graft.ops.Coreset.assign(df2, c2)
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"assign plan shuffles:\n$plan")
+    // Literal-folding cap: past ~256 centers the folded projection
+    // would silently drop out of codegen into interpreted per-row
+    // evaluation — assign must refuse, not degrade.
+    val bigCenters = spark.range(257)
+      .select(col("id").cast("int").as("round"), col("id"))
+    val e = intercept[IllegalArgumentException] {
+      graft.ops.Coreset.assign(df2, bigCenters)
+    }
+    assert(e.getMessage.contains("literal-folding cap"), e.getMessage)
   }
 
   test("streaming tokenizer serving equals the batch t36 summary row") {
