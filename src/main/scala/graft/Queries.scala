@@ -1191,6 +1191,29 @@ object Queries {
 
   private def docs(s: SparkSession, dir: String): DataFrame = t(s, dir, "documents")
 
+  /** t45_capped's planted boilerplate: 12 tokens >= w+k-1 = 6, so
+    * winnowing GUARANTEES every planted document shares a selected
+    * fingerprint. Single source for the Spark query and the oracle SQL
+    * (the bm25Query pattern — the two cannot desync). */
+  val LicenseHeader: String =
+    "copyright license granted free of charge to any person obtaining a copy"
+
+  /** t46's deterministic HTML-ification boilerplate, single source for
+    * the Spark query and the oracle SQL (no single quotes, so the
+    * strings embed verbatim in a SQL literal). The head carries every
+    * boilerplate class the extractor must drop (title, style, script
+    * with a `<` in its payload, nav links) plus one KEPT summary
+    * paragraph whose entities must decode into the output; the foot is
+    * a sub-threshold footer line. */
+  val HtmlHead: String =
+    "<html><head><title>doc &amp; spec</title>" +
+      "<style>body { margin: 0; }</style>" +
+      "<script>var x = 1; if (x < 2) { x = 3; }</script></head>" +
+      "<body><nav><a href=\"/\">home</a> <a href=\"/docs\">docs</a></nav>" +
+      "<p>summary: tokens &amp; hashes &lt;fast&gt; dedup at scale</p>"
+  val HtmlFoot: String =
+    "<footer>copyright 2026 example corp</footer></body></html>"
+
   /** t21's fixed retrieval query: two common terms plus the rare 'dup'
     * (df ≈ 5% of docs in the synthetic corpus) so the idf term
     * actually differentiates scores. Shared by the Spark query and the
@@ -2478,10 +2501,71 @@ object Queries {
     // guarantee makes every >= w+k-1-token shared run surface; the
     // join input is already thinned to ~2/(w+1) of the gram mass, and
     // maxDf (the d02 df-cap) caps boilerplate-fingerprint buckets at
-    // 100 TB (unneeded at fixture scale, so the declared query runs
-    // uncapped and stays bit-exact).
+    // 100 TB (unneeded at fixture scale, so this declared query runs
+    // uncapped and stays bit-exact; the cap path's own driver oracle
+    // is t45_capped_pairs below).
     "t45_winnow_pairs" -> ((s, dir) =>
       TextAnalysis.winnowPairs(docs(s, dir))),
+
+    // The df-capped path's DRIVER oracle (the d02_skewed_dfcap skew
+    // defense, now driver-checked instead of ScalaTest-only): a
+    // 12-token license header planted on docs 0-39 makes its winnowed
+    // fingerprints df = 40, far over the cap of 10, so every planted
+    // pair (40·39/2 = 780) surfaces UNCAPPED — the >= w+k-1 shared-run
+    // guarantee — while the CAPPED run drops the boilerplate buckets
+    // before the self-join and the planted pairs collapse to only
+    // those sharing real (sub-cap) content. Bit-exact twin: the whole
+    // pipeline is integer arithmetic, so both pair censuses and the
+    // conservative-degradation witness (capped <= uncapped, planted
+    // mass gone) are exact BIGINT facts.
+    "t45_capped_pairs" -> ((s, dir) => {
+      val d = docs(s, dir).withColumn("text",
+        when(col("doc_id") < 40,
+          concat(lit(LicenseHeader + " "), col("text")))
+          .otherwise(col("text")))
+      val planted = (a: Column, b: Column) =>
+        coalesce(sum(when(a < 40 && b < 40, 1L).otherwise(0L)), lit(0L))
+      val un = TextAnalysis.winnowPairs(d)
+        .agg(count(lit(1)).as("n_pairs_uncapped"),
+          planted(col("doc_a"), col("doc_b")).as("n_planted_uncapped"))
+      val cp = TextAnalysis.winnowPairs(d, maxDf = Some(10))
+        .agg(count(lit(1)).as("n_pairs_capped"),
+          planted(col("doc_a"), col("doc_b")).as("n_planted_capped"))
+      un.crossJoin(cp)
+    }),
+
+    // HTML/boilerplate main-content extraction (t46, jusText/
+    // trafilatura shape — the stage every web pretraining corpus
+    // STARTS with; VERDICT r11 "What's missing" #1): the documents
+    // fixture is deterministically HTML-ified (title/style/script/nav
+    // boilerplate + the text reflowed into 10-token <p> paragraphs +
+    // a footer), then extracted back — script/style payloads vanish,
+    // block tags become line breaks, entities decode, and only
+    // prose-like lines (>= 5 tokens, >= 50% alphanumeric) survive.
+    // The short-tail paragraph (len % 10 in 1..4 tokens) exercises
+    // the token rule on real data, not just the planted chrome. The
+    // extracted column then feeds t01's token stats unchanged — the
+    // end-to-end witness that the output IS the clean-text column
+    // the rest of the engine consumes. Everything integer/string
+    // arithmetic: bit-exact DuckDB twin, including the extracted
+    // text itself.
+    "t46_html_extract" -> ((s, dir) => {
+      val w = split(col("text"), " ")
+      val nPar = ceil(size(w) / lit(10.0)).cast("int")
+      val paras = when(size(w) >= 1,
+        transform(sequence(lit(0), nPar - 1), i =>
+          concat(lit("<p>"),
+            array_join(slice(w, i * 10 + 1, lit(10)), " "), lit("</p>"))))
+        .otherwise(array().cast("array<string>"))
+      val html = concat(lit(HtmlHead), array_join(paras, ""), lit(HtmlFoot))
+      val ex = TextAnalysis.extractMainContent(
+        docs(s, dir).withColumn("html", html), "doc_id", "html")
+      TextAnalysis.tokenStats(ex, "extracted")
+        .select(col("doc_id"), col("n_lines"), col("n_kept"),
+          col("extracted"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct").cast("long").as("n_distinct"))
+    }),
 
     // Structured Streaming path: tumbling daily window over a streaming
     // read of events, drained synchronously — must equal the batch SQL.
@@ -2910,15 +2994,20 @@ object Queries {
     // Integer multiply/floor-divide throughout, so the summary is
     // bit-deterministic under any partitioning or aggregation order:
     // node count, total rank mass (order-independent BIGINT sum; the
-    // gap below N·2^20 is the priced floor drift), and the argmax node
-    // (rank desc, id asc) with its rank.
+    // gap below N·2^20 is the priced floor drift), the argmax node
+    // (rank desc, id asc) with its rank, and the CONVERGENCE RESIDUAL —
+    // the exact L1 delta between the last two iterations (2^-20 units),
+    // so the fixed 10-iteration count is pinned evidence of
+    // convergence, not convention (remaining distance to stationarity
+    // is bounded by residual/(1-d)).
     "n12_pagerank" -> ((s, dir) => {
-      val pr = graft.ops.Centrality.pageRank(
+      val (pr, resid) = graft.ops.Centrality.pageRankWithResidual(
         knnGraph(s, dir).select("id", "neighbors"), iterations = 10)
       val top = pr.orderBy(desc("rank"), asc("id")).limit(1)
         .select(col("id").as("top_id"), col("rank").as("top_rank"))
       pr.agg(count(lit(1)).as("n_nodes"), sum(col("rank")).as("total_mass"))
         .crossJoin(top)
+        .withColumn("l1_residual", lit(resid))
     }),
 
     // Personalized PageRank (n13, Page et al. §6 / Haveliwala 2002):
@@ -2933,15 +3022,16 @@ object Queries {
     // larger share than uniform would give; compare n12 where no node
     // exceeds ~2·2^20), and the argmax node + rank.
     "n13_ppr" -> ((s, dir) => {
-      val pr = graft.ops.Centrality.personalizedPageRank(
+      val (pr, resid) = graft.ops.Centrality.pageRankWithResidual(
         knnGraph(s, dir).select("id", "neighbors"),
-        s.range(0, 16).toDF("id"), iterations = 10)
+        Some(s.range(0, 16).toDF("id")), iterations = 10)
       val top = pr.orderBy(desc("rank"), asc("id")).limit(1)
         .select(col("id").as("top_id"), col("rank").as("top_rank"))
       val seedMass = pr.filter(col("id") < 16)
         .agg(sum(col("rank")).as("seed_mass"))
       pr.agg(count(lit(1)).as("n_nodes"), sum(col("rank")).as("total_mass"))
         .crossJoin(seedMass).crossJoin(top)
+        .withColumn("l1_residual", lit(resid))
     }),
 
     // Edge-WEIGHTED PageRank (n14): rank flows in proportion to the
@@ -2957,12 +3047,14 @@ object Queries {
     // rank value moves — the honest exhibit; OpsSpec carries the
     // skewed-weight fixture where the argmax genuinely flips.
     "n14_weighted_pagerank" -> ((s, dir) => {
-      val pr = graft.ops.Centrality.weightedPageRank(
-        knnGraph(s, dir).select("id", "neighbors"), iterations = 10)
+      val (pr, resid) = graft.ops.Centrality.pageRankWithResidual(
+        knnGraph(s, dir).select("id", "neighbors"), iterations = 10,
+        weighted = true)
       val top = pr.orderBy(desc("rank"), asc("id")).limit(1)
         .select(col("id").as("top_id"), col("rank").as("top_rank"))
       pr.agg(count(lit(1)).as("n_nodes"), sum(col("rank")).as("total_mass"))
         .crossJoin(top)
+        .withColumn("l1_residual", lit(resid))
     }),
 
     // Pruned-graph SERVING (n08's artifact put to work — the n03
@@ -3682,11 +3774,21 @@ object Queries {
     // bit-deterministic (integer arithmetic throughout), so the pins
     // are exact facts of the graph artifact, not tolerances. total_mass
     // sits just under N·2^20 (floor drift, priced in the scaladoc).
+    // l1_residual (round 12, PinDump-measured): the exact L1 delta
+    // between iterations 9 and 10 — ~72-81 rank units per node of
+    // remaining motion against a per-node mass of 2^20 (relative
+    // ~7e-5, i.e. converged to ~4 decimal digits); the residual/(1-d)
+    // stationarity bound puts the whole vector within ~5e-4 relative
+    // L1 of the fixed point. Pinned evidence that 10 iterations
+    // suffice, not convention. (n13's residual is ~3x larger: the
+    // seeded teleport concentrates mass, so per-node ranks are
+    // larger where they move.)
     "n12_pagerank" -> Seq(
       "n_nodes" -> (500L, 500L, 2000L),
       "total_mass" -> (524275257L, 524275442L, 2097101187L),
       "top_id" -> (172L, 384L, 1600L),
-      "top_rank" -> (1964944L, 2088446L, 2092420L)),
+      "top_rank" -> (1964944L, 2088446L, 2092420L),
+      "l1_residual" -> (40290L, 35731L, 143633L)),
     // Measured 2026-08-15 (round 11, PinDump, first measurement).
     // Personalized PageRank with seeds = ids 0..15: every column an
     // exact fact (same fixed-point arithmetic as n12). seed_mass IS
@@ -3698,7 +3800,8 @@ object Queries {
       "total_mass" -> (524276463L, 524276364L, 2097105379L),
       "seed_mass" -> (96359437L, 97251438L, 346501826L),
       "top_id" -> (10L, 7L, 5L),
-      "top_rank" -> (6570467L, 7103627L, 23152951L)),
+      "top_rank" -> (6570467L, 7103627L, 23152951L),
+      "l1_residual" -> (139748L, 144137L, 953995L)),
     // Measured 2026-08-15 (round 11, PinDump, first measurement).
     // Gonzalez k-center at t = 8 over the embeddings: deterministic by
     // total order (no hash, no accumulated float), so every column is
@@ -3725,7 +3828,8 @@ object Queries {
       "n_nodes" -> (500L, 500L, 2000L),
       "total_mass" -> (524274313L, 524274260L, 2097097064L),
       "top_id" -> (172L, 384L, 1600L),
-      "top_rank" -> (1970450L, 2103669L, 2080770L)),
+      "top_rank" -> (1970450L, 2103669L, 2080770L),
+      "l1_residual" -> (40565L, 36391L, 145443L)),
     // Measured 2026-08-15 (round 11, PinDump, first measurement).
     // Coreset-balanced subsample: deterministic end to end (greedy
     // centers + literal-folded assignment + md5-draw strata picks) —
@@ -4453,7 +4557,13 @@ object Queries {
     // element) occurrence counts, duplicates-after-first = sum(cnt−1),
     // duplicate char mass = sum((cnt − 1) · len) — len of a paragraph
     // includes its interior newlines, exactly the kernel's element
-    // length — and the four integer threshold rules.
+    // length — and the four integer threshold rules. BOTH censuses run
+    // over the RE-SPLIT reassembled text (lines on chr(10), paragraphs
+    // on chr(10)||chr(10)), never the pre-assembly arrays: the kernel
+    // re-splits, and the two diverge whenever a reflowed 2-token line
+    // is empty (consecutive spaces embed a blank line — i.e. "\n\n" —
+    // inside a paragraph, so re-splitting yields more, shorter
+    // paragraphs than were assembled).
     "t43_gopher_lines" ->
       """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
         |  FROM documents),
@@ -4476,8 +4586,11 @@ object Queries {
         |    CAST(sum((c - 1) * el_len) AS BIGINT) AS dup_line_chars,
         |    CAST(sum(c * el_len) AS BIGINT) AS total_chars
         |  FROM lc GROUP BY 1),
+        |rp AS (SELECT doc_id,
+        |    str_split(array_to_string(paras, chr(10) || chr(10)),
+        |      chr(10) || chr(10)) AS paras FROM pr),
         |pc AS (SELECT doc_id, el, count(*) AS c, len(el) AS el_len
-        |  FROM (SELECT doc_id, u.p AS el FROM pr, unnest(paras) AS u(p))
+        |  FROM (SELECT doc_id, u.p AS el FROM rp, unnest(paras) AS u(p))
         |  GROUP BY 1, 2, len(el)),
         |pagg AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_paras,
         |    CAST(sum(c - 1) AS BIGINT) AS dup_paras,
@@ -5047,6 +5160,107 @@ object Queries {
         |FROM sets a JOIN sets b
         |  ON a.fp = b.fp AND a.doc_id < b.doc_id
         |GROUP BY 1, 2""".stripMargin,
+
+    // t45's CTEs over the header-planted corpus, then BOTH pair
+    // censuses from one distinct fingerprint-set table: uncapped
+    // directly, capped through the df census (fingerprints in > 10
+    // docs never reach the self-join). All exact BIGINT — the planted
+    // 780 pairs and their collapse under the cap are facts, not
+    // tolerances.
+    "t45_capped_pairs" ->
+      s"""WITH d2 AS (SELECT doc_id,
+        |    CASE WHEN doc_id < 40 THEN '$LicenseHeader ' || text
+        |      ELSE text END AS text
+        |  FROM documents),
+        |tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM d2),
+        |th AS (SELECT doc_id, list_transform(t, tok ->
+        |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(str_split(tok, ''), c -> CAST(ord(c) AS BIGINT))),
+        |      (h, c) -> (h * 31 + c) % 1000000007)) AS hs FROM tk),
+        |g AS (SELECT doc_id,
+        |    CASE WHEN len(hs) >= 3 THEN
+        |      list_transform(range(1, len(hs) - 1), p ->
+        |        (((hs[p] * 1000003 + hs[p+1]) % 1000000007) * 1000003
+        |          + hs[p+2]) % 1000000007)
+        |    ELSE CAST([] AS BIGINT[]) END AS gs FROM th),
+        |sel AS (SELECT doc_id, gs,
+        |    CASE WHEN len(gs) > 0 THEN
+        |      list_distinct(list_transform(
+        |        range(0, greatest(len(gs) - 4, 0) + 1), q ->
+        |          q + least(4, len(gs) - q)
+        |            - list_position(
+        |                list_reverse(list_slice(gs, CAST(q + 1 AS INT),
+        |                  CAST(least(q + 4, len(gs)) AS INT))),
+        |                list_min(list_slice(gs, CAST(q + 1 AS INT),
+        |                  CAST(least(q + 4, len(gs)) AS INT))))))
+        |    ELSE CAST([] AS BIGINT[]) END AS fps FROM g),
+        |sets AS (SELECT DISTINCT doc_id, u.fp AS fp
+        |  FROM sel, unnest(list_transform(fps, p ->
+        |    gs[CAST(p AS INT) + 1])) AS u(fp)),
+        |kept AS (SELECT s.doc_id, s.fp FROM sets s
+        |  JOIN (SELECT fp FROM sets GROUP BY fp HAVING count(*) <= 10)
+        |    c USING (fp)),
+        |up AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM sets a JOIN sets b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2),
+        |cp AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        |  FROM kept a JOIN kept b
+        |    ON a.fp = b.fp AND a.doc_id < b.doc_id
+        |  GROUP BY 1, 2)
+        |SELECT
+        |  (SELECT count(*) FROM up) AS n_pairs_uncapped,
+        |  (SELECT count(*) FROM up WHERE doc_a < 40 AND doc_b < 40)
+        |    AS n_planted_uncapped,
+        |  (SELECT count(*) FROM cp) AS n_pairs_capped,
+        |  (SELECT count(*) FROM cp WHERE doc_a < 40 AND doc_b < 40)
+        |    AS n_planted_capped""".stripMargin,
+
+    // The identical HTML-ification (same boilerplate constants, same
+    // ceil/slice reflow) and the identical extraction chain: script/
+    // style removal first (their payloads carry '<'), closing block
+    // tags to chr(10), tag strip, entity decode with &amp; LAST, then
+    // the per-line prose gate (>= 5 real tokens AND alnum >= 50% of
+    // non-space chars) — every step the Java-regex/RE2 common subset,
+    // so the extracted STRING itself hash-matches, not just counts.
+    "t46_html_extract" ->
+      s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    '$HtmlHead' ||
+        |    array_to_string(list_transform(
+        |      range(0, CAST(ceil(len(w) / 10.0) AS INT)), i ->
+        |        '<p>' || array_to_string(
+        |          list_slice(w, i*10 + 1, i*10 + 10), ' ') || '</p>'),
+        |      '') ||
+        |    '$HtmlFoot' AS html FROM base),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |    '<script[^>]*>.*?</script>', '', 'gs'),
+        |    '<style[^>]*>.*?</style>', '', 'gs') AS t FROM h),
+        |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+        |    '</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|' ||
+        |      '</header>|</footer>|<br>|<br/>',
+        |    chr(10), 'g'), '<[^>]*>', '', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s2),
+        |ln AS (SELECT doc_id, list_transform(str_split(t, chr(10)), l ->
+        |    trim(regexp_replace(l, ' +', ' ', 'g'))) AS lines FROM s3),
+        |kp AS (SELECT doc_id, lines, list_filter(lines, l ->
+        |    len(list_filter(str_split(l, ' '), x -> x <> '')) >= 5
+        |    AND length(regexp_replace(l, '[^a-zA-Z0-9]', '', 'g')) * 100
+        |      >= 50 * length(replace(l, ' ', ''))) AS kept FROM ln),
+        |ex AS (SELECT doc_id,
+        |    CAST(len(lines) AS BIGINT) AS n_lines,
+        |    CAST(len(kept) AS BIGINT) AS n_kept,
+        |    array_to_string(kept, chr(10)) AS extracted FROM kp)
+        |SELECT doc_id, n_lines, n_kept, extracted,
+        |  CAST(len(str_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(str_split(extracted, ' '))) AS BIGINT)
+        |    AS n_distinct
+        |FROM ex""".stripMargin,
 
     // Stub-path aHash: first 64 UTF-8 BYTES as the pixel grid (hex-pair
     // slicing of encode(text) — byte-exact vs Spark's bytes(i), unlike

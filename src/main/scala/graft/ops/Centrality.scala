@@ -59,12 +59,16 @@ object Centrality {
     * dangling aggregate, and a left join back over the node set; per-
     * iteration checkpoint + release keeps lineage and executor blocks
     * flat across iterations. No per-node driver state, no collect of
-    * anything wider than one row.
+    * anything wider than one row — but that 1-row dangling aggregate IS
+    * a synchronous driver action per iteration, so total driver latency
+    * grows as iterations × round-trip; at the default 10 iterations
+    * it is noise, at hundreds of iterations it would dominate wall and
+    * the dangling mass should move into the joined plan instead.
     */
   def pageRank(graph: DataFrame, iterations: Int = 10,
       dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame =
     pprImpl(graph, None, iterations, dampingNum, dampingDen,
-      weighted = false)
+      weighted = false)._1
 
   /** Edge-weighted PageRank: each out-edge receives rank in proportion
     * to its stored `similarity` instead of uniformly — on the K-NN
@@ -87,7 +91,7 @@ object Centrality {
   def weightedPageRank(graph: DataFrame, iterations: Int = 10,
       dampingNum: Long = 85L, dampingDen: Long = 100L): DataFrame =
     pprImpl(graph, None, iterations, dampingNum, dampingDen,
-      weighted = true)
+      weighted = true)._1
 
   /** Personalized PageRank (the seeded-teleport variant, Page et al.
     * 1999 §6 / Haveliwala 2002 topic-sensitive PageRank): the teleport
@@ -116,11 +120,30 @@ object Centrality {
   def personalizedPageRank(graph: DataFrame, seeds: DataFrame,
       iterations: Int = 10, dampingNum: Long = 85L,
       dampingDen: Long = 100L, weighted: Boolean = false): DataFrame =
-    pprImpl(graph, Some(seeds), iterations, dampingNum, dampingDen, weighted)
+    pprImpl(graph, Some(seeds), iterations, dampingNum, dampingDen,
+      weighted)._1
+
+  /** Any of the three variants plus the CONVERGENCE RESIDUAL: the exact
+    * BIGINT L1 distance `Σ|rank_T − rank_{T−1}|` (in 2⁻²⁰ units)
+    * between the final two iterations — evidence that the fixed
+    * iteration count actually converged, not a convention (power
+    * iteration contracts geometrically at rate ≈ d·|λ₂|, so a small
+    * residual bounds the remaining distance to the stationary vector by
+    * residual/(1−d)). Exact integer arithmetic like the ranks
+    * themselves, so the residual is a pinnable bit-deterministic fact.
+    * Zero iterations have no two iterates to difference — residual 0 by
+    * convention (the init IS the output). Costs one extra N-row join +
+    * 1-row aggregate over [[pageRank]]; the residual-free entry points
+    * skip it. */
+  def pageRankWithResidual(graph: DataFrame, seeds: Option[DataFrame] = None,
+      iterations: Int = 10, dampingNum: Long = 85L,
+      dampingDen: Long = 100L, weighted: Boolean = false): (DataFrame, Long) =
+    pprImpl(graph, seeds, iterations, dampingNum, dampingDen, weighted,
+      withResidual = true)
 
   private def pprImpl(graph: DataFrame, seeds: Option[DataFrame],
       iterations: Int, dampingNum: Long, dampingDen: Long,
-      weighted: Boolean): DataFrame = {
+      weighted: Boolean, withResidual: Boolean = false): (DataFrame, Long) = {
     require(iterations >= 0, s"iterations must be >= 0, got $iterations")
     require(dampingDen > 0 && dampingNum >= 0 && dampingNum <= dampingDen,
       s"damping must satisfy 0 <= num <= den, got $dampingNum/$dampingDen")
@@ -135,8 +158,9 @@ object Centrality {
     val n = nodes.count()
     if (n == 0L || iterations == 0) {
       // The returned frame maps over the checkpointed node set — its
-      // (at most N-row) blocks stay with the caller's lifecycle.
-      return nodes.select(col("id"), lit(Scale).as("rank"))
+      // (at most N-row) blocks stay with the caller's lifecycle. No
+      // second iterate exists to difference: residual 0 by convention.
+      return (nodes.select(col("id"), lit(Scale).as("rank")), 0L)
     }
 
     // Static per-iteration operands, checkpointed once: the edge table
@@ -193,6 +217,7 @@ object Centrality {
     }
 
     var ranks = truncate(nodes.select(col("id"), lit(Scale).as("rank")))
+    var residual = 0L
     var iter = 0
     while (iter < iterations) {
       val dangMass = ranks.join(dangling, Seq("id"), "left_semi")
@@ -214,10 +239,19 @@ object Centrality {
               s" DIV ${dampingDen}L")).as("rank")))
       val prev = ranks
       ranks = next
-      release(prev)
       iter += 1
+      // The final iteration's predecessor stays alive when the caller
+      // asked for the residual — it is one of the two iterates being
+      // differenced; every earlier predecessor releases as before.
+      if (withResidual && iter == iterations) {
+        residual = ranks.select(col("id"), col("rank").as("r1"))
+          .join(prev.select(col("id"), col("rank").as("r0")), "id")
+          .agg(coalesce(sum(abs(col("r1") - col("r0"))), lit(0L)))
+          .as[Long].head()
+      }
+      release(prev)
     }
     release(edges); release(dangling); release(teleport); release(nodes)
-    ranks
+    (ranks, residual)
   }
 }
