@@ -207,7 +207,9 @@ object Classifier {
     val w = Array.fill(dim)(0L)
     var bias = 0L
     val m = dim + 1
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val stats = irlsStats(feats, w, bias, dim)
       val a = Array.ofDim[Double](m, m)
       val g = new Array[Double](m)
@@ -227,8 +229,34 @@ object Classifier {
       val d = choleskySolve(a, g)
       def fp(x: Double): Long =
         BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-      for (i <- 0 until dim) w(i) += fp(d(i) * Scale)
-      bias += fp(d(dim) * Scale)
+      var moved = false
+      for (i <- 0 until dim) {
+        val dw = fp(d(i) * Scale)
+        if (dw != 0L) moved = true
+        w(i) += dw
+      }
+      val db = fp(d(dim) * Scale)
+      if (db != 0L) moved = true
+      bias += db
+      // Deterministic early stop at the EXACT fixed point: once every
+      // fixed-point delta rounds to zero, the weights are unchanged, so
+      // the next iteration recomputes the identical sufficient
+      // statistics and steps zero again — the fixed point is ABSORBING
+      // and every remaining iteration is a priced no-op (one full stats
+      // scan + driver round-trip each). Stopping here is bit-identical
+      // to running all `iters` rounds (ClassifierSpec asserts it).
+      // MEASURED LIMIT (round 12, the honest negative finding): on the
+      // declared fixtures this never fires — the quantized trajectory
+      // jitters at the rounding floor (per-iteration L1 delta settles
+      // at ~400-4000 of ~10^6-unit weights from iteration ~6 and stays
+      // nonzero through 50; rounding feedback, not divergence), so the
+      // t31/t32 iteration budgets are real cost, priced in SCALE.md. A
+      // tolerance-based stop would cut them but change the trajectory
+      // and break the pinned w_hash — deliberately not taken. The
+      // exact stop stays: it is free, and it does fire on degenerate
+      // inputs (label-symmetric corpora cancel the gradient exactly).
+      converged = !moved
+      it += 1
     }
     LogisticModel(dim, w, bias)
   }
@@ -438,8 +466,11 @@ object Classifier {
     val b = Array.fill(classes.size)(0L)
     def fp(x: Double): Long =
       BigDecimal(x).setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
-    for (_ <- 1 to iters) {
+    var it = 0
+    var converged = false
+    while (it < iters && !converged) {
       val grads = multiGradStats(feats, classes, w, b.toSeq, dim)
+      var moved = false
       for (c <- classes.indices) {
         val g = new Array[Double](m)
         for (i <- 0 until m) {
@@ -447,9 +478,22 @@ object Classifier {
             ridge * nDocs * ((if (i < dim) w(c)(i) else b(c)).toDouble / Scale)
         }
         val d = choleskySolveWith(lFactor, g)
-        for (i <- 0 until dim) w(c)(i) += fp(d(i) * Scale)
-        b(c) += fp(d(dim) * Scale)
+        for (i <- 0 until dim) {
+          val dw = fp(d(i) * Scale)
+          if (dw != 0L) moved = true
+          w(c)(i) += dw
+        }
+        val db = fp(d(dim) * Scale)
+        if (db != 0L) moved = true
+        b(c) += db
       }
+      // Same exact-fixed-point early stop as [[trainQuality]] (and the
+      // same measured limit — the round-12 trajectory audit shows the
+      // Bohning-Lindsay fit still genuinely contracting at its
+      // 12-iteration budget, L1 delta 45481 units at iteration 12 on
+      // the sf0.001 fixture, so the budget is real work, not padding).
+      converged = !moved
+      it += 1
     }
     MulticlassModel(dim, classes, w.map(_.clone()), b.toSeq)
   }

@@ -137,6 +137,53 @@ class ClassifierSpec extends SparkSpec {
     assert(a.weightsFp.toSeq == b.weightsFp.toSeq && a.biasFp == b.biasFp)
   }
 
+  test("early stop fires only at the EXACT fixed point, and is exact there") {
+    // The trainers stop once every fixed-point delta rounds to zero —
+    // an ABSORBING state (unchanged weights reproduce the identical
+    // statistics and step zero again). On a label-symmetric corpus
+    // (the same feature rows under y = 1 and y = 0) the HALF_UP
+    // contributions cancel EXACTLY, so the zero vector is the fixed
+    // point and iteration 1 already steps zero: the stop must fire
+    // immediately, every budget must return the all-zero model, and
+    // the Spark job count must show the remaining 49 statistics scans
+    // were actually SKIPPED, not run as no-ops.
+    val sym = (0L until 8L).flatMap(i => Seq(
+      (2 * i, 1L, s"alpha beta gamma tok$i"),
+      (2 * i + 1, 0L, s"alpha beta gamma tok$i")))
+      .toDF("doc_id", "y", "text")
+    var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(
+          js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val m50 = Classifier.trainQuality(sym, $"y" === 1L, dim = 16, iters = 50)
+      // Listener events are async; a short settle keeps the count
+      // complete without reaching into the private listener bus.
+      Thread.sleep(500)
+      assert(m50.weightsFp.forall(_ == 0L) && m50.biasFp == 0L,
+        "symmetric corpus must fix at the zero model")
+      // featurize checkpoint + count + ONE stats round (a handful of
+      // jobs); 50 un-stopped rounds would be >= 50 jobs.
+      assert(jobs < 20, s"early stop did not skip the remaining rounds: $jobs jobs")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // On the REAL fixture the stop measurably never fires: the
+    // fixed-point trajectory jitters at the rounding floor (round-12
+    // measurement, sf0.001 dim=32: per-iteration L1 delta falls to
+    // ~400-4000 units by iteration 6 and stays there through 50 —
+    // rounding feedback, not convergence failure; the multiclass
+    // Bohning-Lindsay fit is still genuinely contracting at its
+    // 12-iteration budget). So the assertable property here is
+    // DETERMINISM of the stop decision, not absorption: identical
+    // budgets give bit-identical weights.
+    val a = Classifier.trainQuality(docs, $"lang" === "en", dim = 32, iters = 12)
+    val b = Classifier.trainQuality(docs, $"lang" === "en", dim = 32, iters = 12)
+    assert(a.weightsFp.toSeq == b.weightsFp.toSeq && a.biasFp == b.biasFp,
+      "trajectory drifted across reruns")
+  }
+
   test("distilling the t03 language-ID label beats the majority class on the fixture") {
     // The declared t31 task: the label (languageId's argmax of linear
     // marker-overlap scores) is learnable from the hashed counts, so
