@@ -279,6 +279,70 @@ object TextAnalysis {
         regexp_replace(lower(col(textCol)), "[^a-z0-9 ]+", " "),
         " +", " ")))
 
+  /** HTML/boilerplate main-content extraction (t46) — the stage every
+    * web-scale pretraining pipeline STARTS with (C4, CCNet, RefinedWeb,
+    * Dolma all begin at crawled markup, not clean text): deterministic
+    * tag stripping plus jusText/trafilatura-shape line-quality scoring,
+    * turning a crawled HTML blob into the `text` column every other
+    * operator in this engine consumes. (The reference has no text
+    * surface at all — `/root/reference/src/main/scala/com/github/
+    * fvictorio/nnd/NND.scala` is vectors-only; this is north-star
+    * pipeline surface.)
+    *
+    * Pipeline (each step a codegen'd regex/string projection — zero
+    * exchanges, zero UDFs; PlanSpec pins the no-Exchange plan):
+    *  1. `<script>`/`<style>` blocks removed WITH their content
+    *     (executable/presentational payloads are never text);
+    *  2. closing block-level tags (`</p> </h1-6> </li> </tr> </div>
+    *     </title> </nav> </header> </footer>`) and `<br>`/`<br/>`
+    *     become line breaks — block structure survives tag removal;
+    *  3. every remaining tag is stripped;
+    *  4. the five core entities + `&nbsp;` decode, `&amp;` LAST so
+    *     double-encoded text cannot double-decode;
+    *  5. lines split on the breaks, whitespace-collapsed and trimmed,
+    *     and KEPT only if they look like prose: >= `minTokens` tokens
+    *     (navigation chrome, titles, footers are short) AND
+    *     alphanumeric chars >= `minAlphaPct`% of non-space chars
+    *     (script residue and symbol junk are not). Integer
+    *     arithmetic only, so the whole extraction is a bit-exact
+    *     DuckDB twin (patterns in the Java-regex/RE2 common subset,
+    *     the [[scrubPii]] convention).
+    *
+    * @return `(idCol, n_lines BIGINT, n_kept BIGINT, extracted
+    *         STRING)` — kept lines joined by newline, the clean-text
+    *         column downstream ops consume (t46 feeds it to the t01
+    *         token stats as the end-to-end witness). */
+  def extractMainContent(df: DataFrame, idCol: String = "doc_id",
+      htmlCol: String = "html", minTokens: Int = 5,
+      minAlphaPct: Int = 50): DataFrame = {
+    require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
+    require(minAlphaPct >= 0 && minAlphaPct <= 100,
+      s"minAlphaPct must be a percentage, got $minAlphaPct")
+    val noScript = regexp_replace(col(htmlCol),
+      "(?s)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
+    val withBreaks = regexp_replace(noStyle,
+      "</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|</header>|" +
+        "</footer>|<br>|<br/>", "\n")
+    val noTags = regexp_replace(withBreaks, "<[^>]*>", "")
+    val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
+    def prose(l: Column): Column =
+      size(filter(split(l, " "), t => t =!= "")) >= minTokens &&
+        length(regexp_replace(l, "[^a-zA-Z0-9]", "")) * 100 >=
+          lit(minAlphaPct) * length(replace(l, lit(" "), lit("")))
+    df.select(col(idCol), decoded.as("t"))
+      .withColumn("lines",
+        transform(split(col("t"), "\n"),
+          l => trim(regexp_replace(l, " +", " "))))
+      .withColumn("kept", filter(col("lines"), prose(_)))
+      .select(col(idCol),
+        size(col("lines")).cast("long").as("n_lines"),
+        size(col("kept")).cast("long").as("n_kept"),
+        array_join(col("kept"), "\n").as("extracted"))
+  }
+
   /** PII scrubbing: emails, IPv4 addresses, and phone-like digit runs
     * replaced with typed placeholders — the redaction pre-pass a
     * training corpus gets before anything else sees it. A pure
