@@ -1307,6 +1307,42 @@ class OpsSpec extends SparkSpec {
     assert(resized(2L) == ((64, 16)), s"32x8 -> ${resized(2L)}")   // 8*64/32
   }
 
+  test("extractMainContent: tags, entities, script/style, line rules — hand-computed") {
+    import spark.implicits._
+    val rows = Seq(
+      // Nested tags: inline markup strips, block closers break lines.
+      1L -> "<div><p>alpha <b>bold</b> beta gamma delta</p></div>",
+      // Entities decode in kept output; double-encoded &amp;lt; must
+      // come out as the LITERAL '&lt;' (amp decodes last), never '<'.
+      2L -> ("<p>alpha beta gamma delta epsilon &amp; zeta " +
+        "&lt;eta&gt; &amp;lt;</p>"),
+      // Script payload (with a bare '<' inside) and style vanish WITH
+      // their content before any tag stripping can mangle them.
+      3L -> ("<script type=\"text/javascript\">if (a < b) { alert(1); }" +
+        "</script><style>.a { color: red; }</style>" +
+        "<p>content words one two three</p>"),
+      // Token rule: 4-token line drops, 5-token line survives.
+      4L -> "<p>one two three four</p><p>five six seven eight nine</p>",
+      // Alpha rule: six tokens of pure symbols drop.
+      5L -> "<p>== == == == == ==</p>",
+      // No markup at all: a plain line passes through untouched.
+      6L -> "just plain prose with six tokens",
+      // Whitespace runs collapse before scoring and in the output.
+      7L -> "<p>a  b   c    d     e</p>")
+      .toDF("doc_id", "html")
+    val got = graft.ops.TextAnalysis.extractMainContent(rows)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) == ((3L, 1L, "alpha bold beta gamma delta")), got(1L))
+    assert(got(2L) == ((2L, 1L,
+      "alpha beta gamma delta epsilon & zeta <eta> &lt;")), got(2L))
+    assert(got(3L) == ((2L, 1L, "content words one two three")), got(3L))
+    assert(got(4L) == ((3L, 1L, "five six seven eight nine")), got(4L))
+    assert(got(5L) == ((2L, 0L, "")), got(5L))
+    assert(got(6L) == ((1L, 1L, "just plain prose with six tokens")), got(6L))
+    assert(got(7L) == ((2L, 1L, "a b c d e")), got(7L))
+  }
+
   test("winnowFingerprints: SWA03 semantics vs an independent reference") {
     import spark.implicits._
     val M = 1000000007L

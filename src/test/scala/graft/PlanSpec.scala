@@ -208,6 +208,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Exchange"), s"chunkWindows shuffled:\n$p")
   }
 
+  test("t46: HTML extraction is a pure projection — zero exchanges, no UDF") {
+    val p = plan("t46_html_extract")
+    assert(!p.contains("Exchange"), s"extractMainContent shuffled:\n$p")
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+      s"extraction fell out of codegen'd built-ins:\n$p")
+  }
+
   test("t19: the vocabulary table broadcasts — the token stream never shuffles by content") {
     // The frequency-table AGGREGATION shuffles on term (vocab-bounded,
     // fine); the score JOIN must not — it broadcasts the vocab side.
