@@ -2212,6 +2212,38 @@ object Queries {
         .crossJoin(fills)
     }),
 
+    // Centrality-ranked corpus selection (p06): n12's PageRank over
+    // the serving graph used as the QUALITY axis for the t22
+    // token-budget selector — "spend the token budget on the most
+    // REPRESENTATIVE documents", closing the loop Centrality's
+    // scaladoc promises (rank is the global representativeness signal
+    // coreset-selection pipelines rank by). Pure composition of two
+    // shipped operators (the p05 precedent — zero new kernels): ranks
+    // are exact BIGINT fixed point and the selector's order key is
+    // (rank desc, id asc), so the whole selection is bit-deterministic
+    // and the summary pins exactly: corpus size (graph nodes with a
+    // document row), kept count, picked token mass (the budget
+    // conservation: <= 10000 by construction, pinned at its exact
+    // landing point), picked rank mass, the rank threshold (the cut
+    // line — min rank among kept), and the picked id mass.
+    "p06_central_select" -> ((s, dir) => {
+      val pr = graft.ops.Centrality.pageRank(
+        knnGraph(s, dir).select("id", "neighbors"), iterations = 10)
+      val toks = docs(s, dir).select(col("doc_id").as("id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val scored = pr.join(toks, "id")
+      val sel = graft.ops.Sampling
+        .selectByBudget(scored, "id", "rank", "n_tokens", 10000L)
+        .join(pr, "id")
+      sel.agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("kept")).as("n_kept"),
+        sum(col("kept") * col("n_tokens")).as("picked_tokens"),
+        sum(col("kept") * col("rank")).as("picked_rank_mass"),
+        min(when(col("kept") === 1L, col("rank"))).as("rank_threshold"),
+        sum(col("kept") * col("id")).as("ids_fp"))
+    }),
+
     // Corpus snapshot diff (versioned-release delta): v1 = ids not
     // divisible by 3, v2 = ids not divisible by 5 with the text of
     // ids divisible by 7 edited — the four statuses all occur. The
@@ -3830,6 +3862,18 @@ object Queries {
       "top_id" -> (172L, 384L, 1600L),
       "top_rank" -> (1970450L, 2103669L, 2080770L),
       "l1_residual" -> (40565L, 36391L, 145443L)),
+    // Centrality-ranked budget selection: every column an exact fact
+    // (fixed-point ranks, integer token counts, total order). The
+    // budget conservation reads directly: picked_tokens <= 10000 with
+    // the cut landing as close as whole documents allow;
+    // rank_threshold is the representativeness bar the budget bought.
+    "p06_central_select" -> Seq(
+      "n_docs" -> (500L, 500L, 2000L),
+      "n_kept" -> (179L, 184L, 179L),
+      "picked_tokens" -> (9974L, 9962L, 9931L),
+      "picked_rank_mass" -> (246104970L, 257828938L, 290198365L),
+      "rank_threshold" -> (1168106L, 1129643L, 1466024L),
+      "ids_fp" -> (45936L, 47915L, 173829L)),
     // Measured 2026-08-15 (round 11, PinDump, first measurement).
     // Coreset-balanced subsample: deterministic end to end (greedy
     // centers + literal-folded assignment + md5-draw strata picks) —
