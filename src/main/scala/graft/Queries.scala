@@ -1201,16 +1201,23 @@ object Queries {
   /** t46's deterministic HTML-ification boilerplate, single source for
     * the Spark query and the oracle SQL (no single quotes, so the
     * strings embed verbatim in a SQL literal). The head carries every
-    * boilerplate class the extractor must drop (title, style, script
-    * with a `<` in its payload, nav links) plus one KEPT summary
-    * paragraph whose entities must decode into the output; the foot is
-    * a sub-threshold footer line. */
+    * boilerplate class the extractor must drop — title, style, script
+    * with a `<` in its payload, and an EIGHT-link navigation bar that
+    * PASSES the token rule (8 tokens) so only the link-density rule
+    * can drop it — plus one KEPT summary paragraph whose entities must
+    * decode into the output and whose inline anchor must NOT drop it
+    * (prose with a link survives; chrome that IS links does not). The
+    * foot is a sub-threshold footer line. */
   val HtmlHead: String =
     "<html><head><title>doc &amp; spec</title>" +
       "<style>body { margin: 0; }</style>" +
       "<script>var x = 1; if (x < 2) { x = 3; }</script></head>" +
-      "<body><nav><a href=\"/\">home</a> <a href=\"/docs\">docs</a></nav>" +
-      "<p>summary: tokens &amp; hashes &lt;fast&gt; dedup at scale</p>"
+      "<body><nav><a href=\"/\">home</a> <a href=\"/d\">docs</a> " +
+      "<a href=\"/a\">api</a> <a href=\"/b\">blog</a> " +
+      "<a href=\"/c\">about</a> <a href=\"/e\">careers</a> " +
+      "<a href=\"/f\">contact</a> <a href=\"/g\">legal</a></nav>" +
+      "<p>summary: tokens &amp; hashes &lt;fast&gt; dedup at scale " +
+      "via the <a href=\"/docs\">spark guide</a> reference</p>"
   val HtmlFoot: String =
     "<footer>copyright 2026 example corp</footer></body></html>"
 
@@ -5262,11 +5269,16 @@ object Queries {
 
     // The identical HTML-ification (same boilerplate constants, same
     // ceil/slice reflow) and the identical extraction chain: script/
-    // style removal first (their payloads carry '<'), closing block
-    // tags to chr(10), tag strip, entity decode with &amp; LAST, then
-    // the per-line prose gate (>= 5 real tokens AND alnum >= 50% of
-    // non-space chars) — every step the Java-regex/RE2 common subset,
-    // so the extracted STRING itself hash-matches, not just counts.
+    // style removal first (their payloads carry '<'), anchor runs
+    // marked chr(1)/chr(2) before the tag strip, closing block tags to
+    // chr(10), tag strip, entity decode with &amp; LAST, then the
+    // per-line prose gate (>= 5 real tokens AND alnum >= 50% of
+    // non-space chars AND anchor nonspace mass <= 33% — the jusText
+    // link-density rule; the 8-link nav passes the token rule and
+    // drops HERE) — every step the Java-regex/RE2 common subset, so
+    // the extracted STRING itself hash-matches, not just counts. The
+    // predicate recomputes the visible form where the Spark side
+    // carries a struct — same semantics, engine-idiomatic shapes.
     "t46_html_extract" ->
       s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS w
         |  FROM documents),
@@ -5281,25 +5293,41 @@ object Queries {
         |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
         |    '<script[^>]*>.*?</script>', '', 'gs'),
         |    '<style[^>]*>.*?</style>', '', 'gs') AS t FROM h),
+        |s1m AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+        |    '<a(\\s[^>]*)?>', chr(1), 'g'), '</a>', chr(2), 'g') AS t
+        |  FROM s1),
         |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
         |    '</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|' ||
         |      '</header>|</footer>|<br>|<br/>',
-        |    chr(10), 'g'), '<[^>]*>', '', 'g') AS t FROM s1),
+        |    chr(10), 'g'), '<[^>]*>', '', 'g') AS t FROM s1m),
         |s3 AS (SELECT doc_id,
         |    replace(replace(replace(replace(replace(replace(t,
         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
         |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
         |  FROM s2),
-        |ln AS (SELECT doc_id, list_transform(str_split(t, chr(10)), l ->
-        |    trim(regexp_replace(l, ' +', ' ', 'g'))) AS lines FROM s3),
-        |kp AS (SELECT doc_id, lines, list_filter(lines, l ->
-        |    len(list_filter(str_split(l, ' '), x -> x <> '')) >= 5
+        |ln AS (SELECT doc_id, str_split(t, chr(10)) AS rls FROM s3),
+        |kp AS (SELECT doc_id, rls, list_filter(rls, l ->
+        |    len(list_filter(str_split(
+        |      trim(regexp_replace(replace(replace(l, chr(1), ''),
+        |        chr(2), ''), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '')) >= 5
         |    AND length(regexp_replace(l, '[^a-zA-Z0-9]', '', 'g')) * 100
-        |      >= 50 * length(replace(l, ' ', ''))) AS kept FROM ln),
+        |      >= 50 * length(replace(replace(replace(l,
+        |        chr(1), ''), chr(2), ''), ' ', ''))
+        |    AND COALESCE(list_sum(list_transform(
+        |        list_slice(str_split(l, chr(1)), 2,
+        |          len(str_split(l, chr(1)))),
+        |        s -> length(replace(str_split(s, chr(2))[1], ' ', '')))),
+        |      0) * 100
+        |      <= 33 * length(replace(replace(replace(l,
+        |        chr(1), ''), chr(2), ''), ' ', ''))) AS keptraw FROM ln),
         |ex AS (SELECT doc_id,
-        |    CAST(len(lines) AS BIGINT) AS n_lines,
-        |    CAST(len(kept) AS BIGINT) AS n_kept,
-        |    array_to_string(kept, chr(10)) AS extracted FROM kp)
+        |    CAST(len(rls) AS BIGINT) AS n_lines,
+        |    CAST(len(keptraw) AS BIGINT) AS n_kept,
+        |    array_to_string(list_transform(keptraw, l ->
+        |      trim(regexp_replace(replace(replace(l, chr(1), ''),
+        |        chr(2), ''), ' +', ' ', 'g'))), chr(10)) AS extracted
+        |  FROM kp)
         |SELECT doc_id, n_lines, n_kept, extracted,
         |  CAST(len(str_split(extracted, ' ')) AS BIGINT) AS n_tokens,
         |  CAST(len(list_distinct(str_split(extracted, ' '))) AS BIGINT)

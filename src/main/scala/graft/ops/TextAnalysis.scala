@@ -303,10 +303,19 @@ object TextAnalysis {
     *     and KEPT only if they look like prose: >= `minTokens` tokens
     *     (navigation chrome, titles, footers are short) AND
     *     alphanumeric chars >= `minAlphaPct`% of non-space chars
-    *     (script residue and symbol junk are not). Integer
+    *     (script residue and symbol junk are not) AND anchor-text
+    *     chars <= `maxLinkPct`% of non-space chars — jusText's core
+    *     LINK-DENSITY signal: `<a>` runs are marked with \u0001/\u0002
+    *     sentinels before tag stripping, so a long navigation bar of
+    *     many short links (which the token rule alone passes) still
+    *     drops, while prose with an inline link survives. Integer
     *     arithmetic only, so the whole extraction is a bit-exact
     *     DuckDB twin (patterns in the Java-regex/RE2 common subset,
     *     the [[scrubPii]] convention).
+    *
+    * Anchor accounting contract: an unterminated `<a>` (anchor spans a
+    * block break) counts its whole remaining line as link text — the
+    * conservative reading, identical in both engines.
     *
     * @return `(idCol, n_lines BIGINT, n_kept BIGINT, extracted
     *         STRING)` — kept lines joined by newline, the clean-text
@@ -314,33 +323,63 @@ object TextAnalysis {
     *         token stats as the end-to-end witness). */
   def extractMainContent(df: DataFrame, idCol: String = "doc_id",
       htmlCol: String = "html", minTokens: Int = 5,
-      minAlphaPct: Int = 50): DataFrame = {
+      minAlphaPct: Int = 50, maxLinkPct: Int = 33): DataFrame = {
     require(minTokens >= 1, s"minTokens must be >= 1, got $minTokens")
     require(minAlphaPct >= 0 && minAlphaPct <= 100,
       s"minAlphaPct must be a percentage, got $minAlphaPct")
+    require(maxLinkPct >= 0 && maxLinkPct <= 100,
+      s"maxLinkPct must be a percentage, got $maxLinkPct")
     val noScript = regexp_replace(col(htmlCol),
       "(?s)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
-    val withBreaks = regexp_replace(noStyle,
+    // Anchor sentinels BEFORE the generic tag strip (the only tag whose
+    // extent must survive stripping); \s-gated so <abbr>/<address>
+    // never match.
+    val marked = regexp_replace(
+      regexp_replace(noStyle, "<a(\\s[^>]*)?>", "\u0001"),
+      "</a>", "\u0002")
+    val withBreaks = regexp_replace(marked,
       "</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|</header>|" +
         "</footer>|<br>|<br/>", "\n")
     val noTags = regexp_replace(withBreaks, "<[^>]*>", "")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
       .foldLeft(noTags) { case (c, (e, r)) => replace(c, lit(e), lit(r)) }
-    def prose(l: Column): Column =
-      size(filter(split(l, " "), t => t =!= "")) >= minTokens &&
-        length(regexp_replace(l, "[^a-zA-Z0-9]", "")) * 100 >=
-          lit(minAlphaPct) * length(replace(l, lit(" "), lit("")))
+    // Non-space anchor-char mass of a raw line: every \u0001-split
+    // segment after the first starts with anchor text running to its
+    // \u0002 (or to line end if unterminated — split yields the whole
+    // segment as element 1 either way).
+    def linkMass(l: Column): Column = {
+      val segs = split(l, "\u0001")
+      coalesce(aggregate(
+        slice(segs, lit(2), greatest(size(segs) - 1, lit(0))),
+        lit(0L),
+        (acc, s) => acc +
+          length(replace(element_at(split(s, "\u0002"), 1),
+            lit(" "), lit("")))), lit(0L))
+    }
+    def visible(l: Column): Column =
+      trim(regexp_replace(
+        replace(replace(l, lit("\u0001"), lit("")),
+          lit("\u0002"), lit("")), " +", " "))
+    def prose(v: Column, lm: Column): Column = {
+      val nonspace = length(replace(v, lit(" "), lit("")))
+      size(filter(split(v, " "), t => t =!= "")) >= minTokens &&
+        length(regexp_replace(v, "[^a-zA-Z0-9]", "")) * 100 >=
+          lit(minAlphaPct) * nonspace &&
+        lm * 100 <= lit(maxLinkPct) * nonspace
+    }
     df.select(col(idCol), decoded.as("t"))
       .withColumn("lines",
         transform(split(col("t"), "\n"),
-          l => trim(regexp_replace(l, " +", " "))))
-      .withColumn("kept", filter(col("lines"), prose(_)))
+          l => struct(visible(l).as("v"), linkMass(l).as("lm"))))
+      .withColumn("kept",
+        filter(col("lines"), e => prose(e.getField("v"), e.getField("lm"))))
       .select(col(idCol),
         size(col("lines")).cast("long").as("n_lines"),
         size(col("kept")).cast("long").as("n_kept"),
-        array_join(col("kept"), "\n").as("extracted"))
+        array_join(transform(col("kept"), e => e.getField("v")), "\n")
+          .as("extracted"))
   }
 
   /** PII scrubbing: emails, IPv4 addresses, and phone-like digit runs

@@ -1328,7 +1328,20 @@ class OpsSpec extends SparkSpec {
       // No markup at all: a plain line passes through untouched.
       6L -> "just plain prose with six tokens",
       // Whitespace runs collapse before scoring and in the output.
-      7L -> "<p>a  b   c    d     e</p>")
+      7L -> "<p>a  b   c    d     e</p>",
+      // Link density (jusText's core rule): an 8-link nav bar PASSES
+      // the token rule (8 tokens) and must drop on anchor mass alone.
+      8L -> ("<nav><a href=\"/\">home</a> <a href=\"/a\">docs</a> " +
+        "<a href=\"/b\">api</a> <a href=\"/c\">blog</a> " +
+        "<a href=\"/d\">about</a> <a href=\"/e\">careers</a> " +
+        "<a href=\"/f\">contact</a> <a href=\"/g\">legal</a></nav>"),
+      // Prose with one inline link survives: 10/37 nonspace chars of
+      // anchor mass is under the 33% bar.
+      9L -> ("<p>read the <a href=\"/docs\">spark guide</a> when " +
+        "things break badly</p>"),
+      // Unterminated anchor: the rest of the line counts as link text
+      // (the documented conservative contract) — 25/30 drops it.
+      10L -> "<p>alpha <a href=\"/x\">beta gamma delta epsilon zeta</p>")
       .toDF("doc_id", "html")
     val got = graft.ops.TextAnalysis.extractMainContent(rows)
       .collect().map(r => r.getLong(0) ->
@@ -1341,6 +1354,10 @@ class OpsSpec extends SparkSpec {
     assert(got(5L) == ((2L, 0L, "")), got(5L))
     assert(got(6L) == ((1L, 1L, "just plain prose with six tokens")), got(6L))
     assert(got(7L) == ((2L, 1L, "a b c d e")), got(7L))
+    assert(got(8L) == ((2L, 0L, "")), got(8L))
+    assert(got(9L) == ((2L, 1L,
+      "read the spark guide when things break badly")), got(9L))
+    assert(got(10L) == ((2L, 0L, "")), got(10L))
   }
 
   test("winnowFingerprints: SWA03 semantics vs an independent reference") {
