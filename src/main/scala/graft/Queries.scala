@@ -1221,6 +1221,84 @@ object Queries {
   val HtmlFoot: String =
     "<footer>copyright 2026 example corp</footer></body></html>"
 
+  /** The t46 pipeline body — HTML-ify deterministically (10-token <p>
+    * reflow between [[HtmlHead]] and [[HtmlFoot]]), extract, and feed
+    * the extracted column to the t01 token stats (the end-to-end
+    * witness). One function consumed by BOTH the batch query (t46) and
+    * the streaming serve (st23), so the two surfaces cannot drift. */
+  private def htmlExtractFrame(d: DataFrame): DataFrame = {
+    val w = split(col("text"), " ")
+    val nPar = ceil(size(w) / lit(10.0)).cast("int")
+    val paras = when(size(w) >= 1,
+      transform(sequence(lit(0), nPar - 1), i =>
+        concat(lit("<p>"),
+          array_join(slice(w, i * 10 + 1, lit(10)), " "), lit("</p>"))))
+      .otherwise(array().cast("array<string>"))
+    val html = concat(lit(HtmlHead), array_join(paras, ""), lit(HtmlFoot))
+    val ex = TextAnalysis.extractMainContent(
+      d.withColumn("html", html), "doc_id", "html")
+    TextAnalysis.tokenStats(ex, "extracted")
+      .select(col("doc_id"), col("n_lines"), col("n_kept"),
+        col("extracted"),
+        col("n_tokens").cast("long").as("n_tokens"),
+        col("n_distinct").cast("long").as("n_distinct"))
+  }
+
+  private lazy val htmlExtractSql: String =
+      s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS w
+        |  FROM documents),
+        |h AS (SELECT doc_id,
+        |    '$HtmlHead' ||
+        |    array_to_string(list_transform(
+        |      range(0, CAST(ceil(len(w) / 10.0) AS INT)), i ->
+        |        '<p>' || array_to_string(
+        |          list_slice(w, i*10 + 1, i*10 + 10), ' ') || '</p>'),
+        |      '') ||
+        |    '$HtmlFoot' AS html FROM base),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
+        |    '<script[^>]*>.*?</script>', '', 'gs'),
+        |    '<style[^>]*>.*?</style>', '', 'gs') AS t FROM h),
+        |s1m AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+        |    '<a(\\s[^>]*)?>', chr(1), 'g'), '</a>', chr(2), 'g') AS t
+        |  FROM s1),
+        |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
+        |    '</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|' ||
+        |      '</header>|</footer>|<br>|<br/>',
+        |    chr(10), 'g'), '<[^>]*>', '', 'g') AS t FROM s1m),
+        |s3 AS (SELECT doc_id,
+        |    replace(replace(replace(replace(replace(replace(t,
+        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
+        |  FROM s2),
+        |ln AS (SELECT doc_id, str_split(t, chr(10)) AS rls FROM s3),
+        |kp AS (SELECT doc_id, rls, list_filter(rls, l ->
+        |    len(list_filter(str_split(
+        |      trim(regexp_replace(replace(replace(l, chr(1), ''),
+        |        chr(2), ''), ' +', ' ', 'g')), ' '),
+        |      x -> x <> '')) >= 5
+        |    AND length(regexp_replace(l, '[^a-zA-Z0-9]', '', 'g')) * 100
+        |      >= 50 * length(replace(replace(replace(l,
+        |        chr(1), ''), chr(2), ''), ' ', ''))
+        |    AND COALESCE(list_sum(list_transform(
+        |        list_slice(str_split(l, chr(1)), 2,
+        |          len(str_split(l, chr(1)))),
+        |        s -> length(replace(str_split(s, chr(2))[1], ' ', '')))),
+        |      0) * 100
+        |      <= 33 * length(replace(replace(replace(l,
+        |        chr(1), ''), chr(2), ''), ' ', ''))) AS keptraw FROM ln),
+        |ex AS (SELECT doc_id,
+        |    CAST(len(rls) AS BIGINT) AS n_lines,
+        |    CAST(len(keptraw) AS BIGINT) AS n_kept,
+        |    array_to_string(list_transform(keptraw, l ->
+        |      trim(regexp_replace(replace(replace(l, chr(1), ''),
+        |        chr(2), ''), ' +', ' ', 'g'))), chr(10)) AS extracted
+        |  FROM kp)
+        |SELECT doc_id, n_lines, n_kept, extracted,
+        |  CAST(len(str_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+        |  CAST(len(list_distinct(str_split(extracted, ' '))) AS BIGINT)
+        |    AS n_distinct
+        |FROM ex""".stripMargin
+
   /** t21's fixed retrieval query: two common terms plus the rare 'dup'
     * (df ≈ 5% of docs in the synthetic corpus) so the idf term
     * actually differentiates scores. Shared by the Spark query and the
@@ -2588,23 +2666,17 @@ object Queries {
     // the rest of the engine consumes. Everything integer/string
     // arithmetic: bit-exact DuckDB twin, including the extracted
     // text itself.
-    "t46_html_extract" -> ((s, dir) => {
-      val w = split(col("text"), " ")
-      val nPar = ceil(size(w) / lit(10.0)).cast("int")
-      val paras = when(size(w) >= 1,
-        transform(sequence(lit(0), nPar - 1), i =>
-          concat(lit("<p>"),
-            array_join(slice(w, i * 10 + 1, lit(10)), " "), lit("</p>"))))
-        .otherwise(array().cast("array<string>"))
-      val html = concat(lit(HtmlHead), array_join(paras, ""), lit(HtmlFoot))
-      val ex = TextAnalysis.extractMainContent(
-        docs(s, dir).withColumn("html", html), "doc_id", "html")
-      TextAnalysis.tokenStats(ex, "extracted")
-        .select(col("doc_id"), col("n_lines"), col("n_kept"),
-          col("extracted"),
-          col("n_tokens").cast("long").as("n_tokens"),
-          col("n_distinct").cast("long").as("n_distinct"))
-    }),
+    "t46_html_extract" -> ((s, dir) => htmlExtractFrame(docs(s, dir))),
+
+    // st23: the t46 extraction AT INGEST — the same pipeline function
+    // (shared by construction, the two surfaces cannot drift) run over
+    // a streaming read of documents in append mode with ZERO state
+    // (pure per-row projection, so per-row independence makes the
+    // drained stream equal the batch result under any micro-batch
+    // slicing). Shares t46's bit-exact SQL twin verbatim.
+    "st23_html_extract_serve" -> ((s, dir) =>
+      graft.streaming.EventsStream.htmlExtractServe(s, dir,
+        htmlExtractFrame)),
 
     // Structured Streaming path: tumbling daily window over a streaming
     // read of events, drained synchronously — must equal the batch SQL.
@@ -5279,61 +5351,10 @@ object Queries {
     // the extracted STRING itself hash-matches, not just counts. The
     // predicate recomputes the visible form where the Spark side
     // carries a struct — same semantics, engine-idiomatic shapes.
-    "t46_html_extract" ->
-      s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS w
-        |  FROM documents),
-        |h AS (SELECT doc_id,
-        |    '$HtmlHead' ||
-        |    array_to_string(list_transform(
-        |      range(0, CAST(ceil(len(w) / 10.0) AS INT)), i ->
-        |        '<p>' || array_to_string(
-        |          list_slice(w, i*10 + 1, i*10 + 10), ' ') || '</p>'),
-        |      '') ||
-        |    '$HtmlFoot' AS html FROM base),
-        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-        |    '<script[^>]*>.*?</script>', '', 'gs'),
-        |    '<style[^>]*>.*?</style>', '', 'gs') AS t FROM h),
-        |s1m AS (SELECT doc_id, regexp_replace(regexp_replace(t,
-        |    '<a(\\s[^>]*)?>', chr(1), 'g'), '</a>', chr(2), 'g') AS t
-        |  FROM s1),
-        |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
-        |    '</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|' ||
-        |      '</header>|</footer>|<br>|<br/>',
-        |    chr(10), 'g'), '<[^>]*>', '', 'g') AS t FROM s1m),
-        |s3 AS (SELECT doc_id,
-        |    replace(replace(replace(replace(replace(replace(t,
-        |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
-        |      '&#39;', chr(39)), '&nbsp;', ' '), '&amp;', '&') AS t
-        |  FROM s2),
-        |ln AS (SELECT doc_id, str_split(t, chr(10)) AS rls FROM s3),
-        |kp AS (SELECT doc_id, rls, list_filter(rls, l ->
-        |    len(list_filter(str_split(
-        |      trim(regexp_replace(replace(replace(l, chr(1), ''),
-        |        chr(2), ''), ' +', ' ', 'g')), ' '),
-        |      x -> x <> '')) >= 5
-        |    AND length(regexp_replace(l, '[^a-zA-Z0-9]', '', 'g')) * 100
-        |      >= 50 * length(replace(replace(replace(l,
-        |        chr(1), ''), chr(2), ''), ' ', ''))
-        |    AND COALESCE(list_sum(list_transform(
-        |        list_slice(str_split(l, chr(1)), 2,
-        |          len(str_split(l, chr(1)))),
-        |        s -> length(replace(str_split(s, chr(2))[1], ' ', '')))),
-        |      0) * 100
-        |      <= 33 * length(replace(replace(replace(l,
-        |        chr(1), ''), chr(2), ''), ' ', ''))) AS keptraw FROM ln),
-        |ex AS (SELECT doc_id,
-        |    CAST(len(rls) AS BIGINT) AS n_lines,
-        |    CAST(len(keptraw) AS BIGINT) AS n_kept,
-        |    array_to_string(list_transform(keptraw, l ->
-        |      trim(regexp_replace(replace(replace(l, chr(1), ''),
-        |        chr(2), ''), ' +', ' ', 'g'))), chr(10)) AS extracted
-        |  FROM kp)
-        |SELECT doc_id, n_lines, n_kept, extracted,
-        |  CAST(len(str_split(extracted, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(str_split(extracted, ' '))) AS BIGINT)
-        |    AS n_distinct
-        |FROM ex""".stripMargin,
-
+    // (st23 shares this SQL verbatim — the streaming serve is the same
+    // pipeline function drained, the st19/d07 precedent.)
+    "t46_html_extract" -> htmlExtractSql,
+    "st23_html_extract_serve" -> htmlExtractSql,
     // Stub-path aHash: first 64 UTF-8 BYTES as the pixel grid (hex-pair
     // slicing of encode(text) — byte-exact vs Spark's bytes(i), unlike
     // a character-indexed ord/substr form that diverges on any

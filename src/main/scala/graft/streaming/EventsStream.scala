@@ -241,7 +241,8 @@ object EventsStream {
     * incrementally (append/update); windowed and global aggregations
     * re-emit the full result (complete). */
   private def outputModeFor(tag: String): String = tag match {
-    case "join" | "decon" | "chunks" | "sesswin" | "ingestdedup" => "append"
+    case "join" | "decon" | "chunks" | "sesswin" | "ingestdedup"
+       | "htmlx" => "append"
     case "sessions" | "heavy" | "pca"                            => "update"
     case _                                                       => "complete" // incl. "annserve"
   }
@@ -428,6 +429,20 @@ object EventsStream {
     * count per OCCUPIED bucket (≤ 21 rows) forever, scale-free in
     * stream length. Bucketing happens on bit-identical doubles, so the
     * drained histogram equals the batch SQL bit-for-bit. */
+  /** Streaming HTML main-content extraction (st23): the t46 extraction
+    * pipeline applied AT INGEST — crawled markup arrives as a stream
+    * and the clean-text column is produced before anything lands. The
+    * whole extraction is a stateless per-row projection (six codegen'd
+    * regex/string steps, no aggregation, no join), so it streams in
+    * APPEND mode with ZERO state: per-row independence makes the
+    * drained output equal the batch t46 result under ANY micro-batch
+    * slicing — the strongest oracle class the streaming family has.
+    * `build` is the batch pipeline itself (the t46 query body), passed
+    * in so the two surfaces cannot drift. */
+  def htmlExtractServe(spark: SparkSession, dir: String,
+      build: DataFrame => DataFrame): DataFrame =
+    runDrainedOn(spark, dir, "documents", documentsSchema, "htmlx")(build)
+
   def qualityHistogram(spark: SparkSession, dir: String): DataFrame =
     runDrainedOn(spark, dir, "documents", documentsSchema, "qhist") { src =>
       graft.ops.TextAnalysis.qualityScore(src)

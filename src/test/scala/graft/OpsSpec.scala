@@ -3245,6 +3245,17 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal-folding cap"), e.getMessage)
   }
 
+  test("streaming HTML extraction equals the batch t46 frame bit-for-bit") {
+    // Stateless per-row projection: the drained stream must reproduce
+    // the batch result exactly, row for row (per-row independence
+    // makes the equality hold under any micro-batch slicing).
+    def rows(name: String) = Queries.all(name)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    assert(rows("st23_html_extract_serve") == rows("t46_html_extract"),
+      "drained stream diverged from the batch extraction")
+  }
+
   test("streaming tokenizer serving equals the batch t36 summary row") {
     def row(df: org.apache.spark.sql.DataFrame) = df
       .select("n_docs", "total_pieces", "n_vocab")
