@@ -1244,9 +1244,13 @@ object Queries {
         col("n_distinct").cast("long").as("n_distinct"))
   }
 
-  private lazy val htmlExtractSql: String =
-      s"""WITH base AS (SELECT doc_id, str_split(text, ' ') AS w
-        |  FROM documents),
+  /** The extraction CTE chain (HTML-ify through `ex(doc_id, n_lines,
+    * n_kept, extracted)`) parameterized on the source relation, so t46
+    * consumes it over `documents` and p07 over the duplicate-augmented
+    * corpus — one definition, no drift. */
+  private def htmlExtractCtes(src: String): String =
+      s"""base AS (SELECT doc_id, str_split(text, ' ') AS w
+        |  FROM $src),
         |h AS (SELECT doc_id,
         |    '$HtmlHead' ||
         |    array_to_string(list_transform(
@@ -1292,12 +1296,15 @@ object Queries {
         |    array_to_string(list_transform(keptraw, l ->
         |      trim(regexp_replace(replace(replace(l, chr(1), ''),
         |        chr(2), ''), ' +', ' ', 'g'))), chr(10)) AS extracted
-        |  FROM kp)
-        |SELECT doc_id, n_lines, n_kept, extracted,
-        |  CAST(len(str_split(extracted, ' ')) AS BIGINT) AS n_tokens,
-        |  CAST(len(list_distinct(str_split(extracted, ' '))) AS BIGINT)
-        |    AS n_distinct
-        |FROM ex""".stripMargin
+        |  FROM kp)""".stripMargin
+
+  private lazy val htmlExtractSql: String =
+    s"""WITH ${htmlExtractCtes("documents")}
+      |SELECT doc_id, n_lines, n_kept, extracted,
+      |  CAST(len(str_split(extracted, ' ')) AS BIGINT) AS n_tokens,
+      |  CAST(len(list_distinct(str_split(extracted, ' '))) AS BIGINT)
+      |    AS n_distinct
+      |FROM ex""".stripMargin
 
   /** t21's fixed retrieval query: two common terms plus the rare 'dup'
     * (df ≈ 5% of docs in the synthetic corpus) so the idf term
@@ -2667,6 +2674,47 @@ object Queries {
     // arithmetic: bit-exact DuckDB twin, including the extracted
     // text itself.
     "t46_html_extract" -> ((s, dir) => htmlExtractFrame(docs(s, dir))),
+
+    // Web-corpus ASSEMBLY, end to end (p07): the four stages a crawl
+    // actually passes through, composed from shipped operators into
+    // one bit-exact pipeline — (1) t46 extraction over a
+    // duplicate-augmented corpus (every doc_id % 10 == 0 re-crawled at
+    // id + 10^6, the d05 augmentation precedent: identical markup,
+    // identical extraction), (2) exact-dedup survivors on the CLEAN
+    // text keyed by md5 so the dedup shuffle moves 32-byte digests,
+    // never bodies (the exactByHash scale argument; min-id wins, so
+    // every re-crawl loses to its original), (3) the t02 quality
+    // scorer over the extracted text, (4) the t22 budget selector at
+    // 8000 tokens. Every stage deterministic, so the one-row summary
+    // is a bit-exact twin: input/survivor/kept counts, picked token
+    // mass (<= 8000 by construction), the quality threshold the
+    // budget bought (a DOUBLE, but both engines compute the identical
+    // IEEE value per doc — the t02 twin proves it — and min is
+    // order-independent), and the picked-id mass.
+    "p07_web_assembly" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(docs(s, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val cl = htmlExtractFrame(aug)
+        .select(col("doc_id"), col("extracted").as("text"))
+      val sv = cl.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val svt = cl.join(sv, "doc_id")
+      val scored = TextAnalysis.qualityScore(svt)
+        .select(col("doc_id"), col("quality"),
+          size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      val sel = graft.ops.Sampling
+        .selectByBudget(scored, "doc_id", "quality", "n_tokens", 8000L)
+        .join(scored.select(col("doc_id"), col("quality")), "doc_id")
+      sel.agg(
+          count(lit(1)).as("n_unique"),
+          sum(col("kept")).as("n_kept"),
+          sum(col("kept") * col("n_tokens")).as("picked_tokens"),
+          min(when(col("kept") === 1L, col("quality"))).as("q_threshold"),
+          sum(col("kept") * col("doc_id")).as("ids_fp"))
+        .crossJoin(cl.agg(count(lit(1)).as("n_input")))
+    }),
 
     // st23: the t46 extraction AT INGEST — the same pipeline function
     // (shared by construction, the two surfaces cannot drift) run over
@@ -5355,6 +5403,49 @@ object Queries {
     // pipeline function drained, the st19/d07 precedent.)
     "t46_html_extract" -> htmlExtractSql,
     "st23_html_extract_serve" -> htmlExtractSql,
+
+    // The four-stage assembly over the duplicate-augmented corpus:
+    // the shared extraction CTE chain re-sourced at d0 (the builder —
+    // one definition with t46), then md5-keyed min-id survivors, the
+    // t02 quality formula over the extracted text, and the running-sum
+    // budget cut at 8000 tokens — ORDER BY (quality DESC, doc_id), the
+    // selector's exact total order.
+    "p07_web_assembly" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |${htmlExtractCtes("d0")},
+        |cl AS (SELECT doc_id, extracted AS text FROM ex),
+        |sv AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY md5(text)),
+        |svt AS (SELECT cl.doc_id, cl.text FROM cl JOIN sv USING (doc_id)),
+        |tk2 AS (SELECT doc_id, str_split(text, ' ') AS w FROM svt),
+        |sc AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_tokens,
+        |    (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END)
+        |      * 0.4
+        |    + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |    + least((CAST(len(list_filter(w, x ->
+        |        x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w))
+        |        * 10.0, 1.0) * 0.3 AS quality
+        |  FROM tk2),
+        |rk2 AS (SELECT doc_id, n_tokens, quality,
+        |    COALESCE(sum(n_tokens) OVER (ORDER BY quality DESC, doc_id
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+        |      AS cum_before
+        |  FROM sc),
+        |kp2 AS (SELECT doc_id, n_tokens, quality,
+        |    CASE WHEN cum_before + n_tokens <= 8000 THEN 1 ELSE 0 END
+        |      AS kept
+        |  FROM rk2)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(kept) AS BIGINT) AS n_kept,
+        |  CAST(sum(kept * n_tokens) AS BIGINT) AS picked_tokens,
+        |  min(CASE WHEN kept = 1 THEN quality END) AS q_threshold,
+        |  CAST(sum(kept * doc_id) AS BIGINT) AS ids_fp,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_input
+        |FROM kp2""".stripMargin,
     // Stub-path aHash: first 64 UTF-8 BYTES as the pixel grid (hex-pair
     // slicing of encode(text) — byte-exact vs Spark's bytes(i), unlike
     // a character-indexed ord/substr form that diverges on any
