@@ -22,18 +22,20 @@ object Bench {
     }
   }
 
-  def main(args: Array[String]): Unit = {
-    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    // Default to the documented driver environment (local[32]); override
-    // with SPARK_GRAFT_CPUS for constrained local runs. Shuffle
-    // parallelism is decoupled: at bench scale (sf0.1) stages are small,
-    // so fewer, fuller shuffle tasks beat one-per-core scheduling
-    // overhead — while scans/maps still use every core.
+  /** THE measurement session config, shared with
+    * [[graft.tools.TimeQuery]] so a per-query diagnostic sample is
+    * comparable to a driver bench reading BY CONSTRUCTION — a config
+    * line added here reaches both surfaces (the round-12 review found
+    * the two copies already one drift away from diverging).
+    *
+    * Defaults to the documented driver environment (local[32]); override
+    * with SPARK_GRAFT_CPUS for constrained local runs. Shuffle
+    * parallelism is decoupled: at bench scale (sf0.1) stages are small,
+    * so fewer, fuller shuffle tasks beat one-per-core scheduling
+    * overhead — while scans/maps still use every core. */
+  private[graft] def session(): SparkSession = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", "8")
-    // Parsed up front: a malformed value must fail before pass 1, not
-    // after minutes of measurement.
-    val nHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY", "10").toInt
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", shuffle)
@@ -42,12 +44,15 @@ object Bench {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    spark.sparkContext.addSparkListener(new ShuffleListener)
+    spark
+  }
 
-    // Warm the JIT/codegen paths so the first measured query isn't
-    // charged session bring-up — once for the relational path, once for
-    // the NND iteration machinery (whose generated code dominates the
-    // run-to-run variance of n01/s03 when cold).
+  /** Warm the JIT/codegen paths so the first measured query isn't
+    * charged session bring-up — once for the relational path, once for
+    * the NND iteration machinery (whose generated code dominates the
+    * run-to-run variance of n01/s03 when cold). Shared with TimeQuery,
+    * like [[session]]. */
+  private[graft] def warmUp(spark: SparkSession, sfDir: String): Unit = {
     try SparkEntry.queries("q01_pricing_summary")(spark, sfDir).count()
     catch { case _: Throwable => }
     try {
@@ -57,6 +62,16 @@ object Bench {
         .limit(256)
       graft.nnd.NND.buildGraph(e, graft.nnd.NND.Params(k = 5, maxIterations = 2)).count()
     } catch { case _: Throwable => }
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // Parsed up front: a malformed value must fail before pass 1, not
+    // after minutes of measurement.
+    val nHeavy = sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY", "10").toInt
+    val spark = session()
+    spark.sparkContext.addSparkListener(new ShuffleListener)
+    warmUp(spark, sfDir)
 
     // Prebuilt-artifact phases are timed as their own entries so the
     // declared queries measure what they claim: n02 measures the UPDATE

@@ -1260,13 +1260,13 @@ object Queries {
         |      '') ||
         |    '$HtmlFoot' AS html FROM base),
         |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-        |    '<script[^>]*>.*?</script>', '', 'gs'),
-        |    '<style[^>]*>.*?</style>', '', 'gs') AS t FROM h),
+        |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM h),
         |s1m AS (SELECT doc_id, regexp_replace(regexp_replace(t,
-        |    '<a(\\s[^>]*)?>', chr(1), 'g'), '</a>', chr(2), 'g') AS t
+        |    '(?i)<a(\\s[^>]*)?>', chr(1), 'g'), '(?i)</a>', chr(2), 'g') AS t
         |  FROM s1),
         |s2 AS (SELECT doc_id, regexp_replace(regexp_replace(t,
-        |    '</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|' ||
+        |    '(?i)</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|' ||
         |      '</header>|</footer>|<br>|<br/>',
         |    chr(10), 'g'), '<[^>]*>', '', 'g') AS t FROM s1m),
         |s3 AS (SELECT doc_id,
@@ -2649,6 +2649,12 @@ object Queries {
           .otherwise(col("text")))
       val planted = (a: Column, b: Column) =>
         coalesce(sum(when(a < 40 && b < 40, 1L).otherwise(0L)), lit(0L))
+      // Two independent operator invocations — the winnowing kernel
+      // deliberately runs twice (the SQL twin reuses one `sets` CTE):
+      // each half is its own public-API call, and threading a shared
+      // materialized fingerprint table through winnowPairs would
+      // complicate the operator surface to save one pass of a cheap
+      // projection in a fixture-scale exhibit.
       val un = TextAnalysis.winnowPairs(d)
         .agg(count(lit(1)).as("n_pairs_uncapped"),
           planted(col("doc_a"), col("doc_b")).as("n_planted_uncapped"))
@@ -2696,14 +2702,22 @@ object Queries {
         .unionByName(docs(s, dir)
           .filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      // The extraction feeds THREE consumers (the md5 census, the
+      // survivor join-back, and the input count) and the scored frame
+      // two (the selector's rank and the threshold re-join); without
+      // materialization Catalyst re-executes the regex-heaviest
+      // subtree per consumer (round-12 review) — the pairCands
+      // truncate-once precedent.
       val cl = htmlExtractFrame(aug)
         .select(col("doc_id"), col("extracted").as("text"))
+        .localCheckpoint(true)
       val sv = cl.groupBy(md5(col("text")).as("h"))
         .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
       val svt = cl.join(sv, "doc_id")
       val scored = TextAnalysis.qualityScore(svt)
         .select(col("doc_id"), col("quality"),
           size(split(col("text"), " ")).cast("long").as("n_tokens"))
+        .localCheckpoint(true)
       val sel = graft.ops.Sampling
         .selectByBudget(scored, "doc_id", "quality", "n_tokens", 8000L)
         .join(scored.select(col("doc_id"), col("quality")), "doc_id")

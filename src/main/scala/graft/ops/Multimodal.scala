@@ -575,10 +575,16 @@ object Multimodal {
                 }
               } catch { case _: Exception => None }
               finally {
-                if (reader != null) reader.dispose()
+                // Each cleanup swallows its own failure: a throwing
+                // dispose() must not skip the stream close, and a
+                // throwing close() must not escape the per-row
+                // None-on-bad-image contract and fail the whole task.
+                if (reader != null)
+                  try reader.dispose() catch { case _: Exception => }
                 // The stream (and its memory cache) must close with the
                 // reader — dispose() alone leaves it for GC.
-                if (iis != null) iis.close()
+                if (iis != null)
+                  try iis.close() catch { case _: Exception => }
               }
             }
           real.getOrElse {

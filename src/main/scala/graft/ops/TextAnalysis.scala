@@ -329,18 +329,24 @@ object TextAnalysis {
       s"minAlphaPct must be a percentage, got $minAlphaPct")
     require(maxLinkPct >= 0 && maxLinkPct <= 100,
       s"maxLinkPct must be a percentage, got $maxLinkPct")
+    // All tag patterns case-INSENSITIVE ((?i) inline, so the DuckDB
+    // twin carries the identical pattern string): crawled markup mixes
+    // <SCRIPT>/<Script> freely, and a case-sensitive match would leak
+    // script payloads into the text and let uppercase anchors evade
+    // the link-density rule (round-12 review finding). Entities stay
+    // case-sensitive -- HTML5 named references are.
     val noScript = regexp_replace(col(htmlCol),
-      "(?s)<script[^>]*>.*?</script>", "")
-    val noStyle = regexp_replace(noScript, "(?s)<style[^>]*>.*?</style>", "")
+      "(?is)<script[^>]*>.*?</script>", "")
+    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
     // Anchor sentinels BEFORE the generic tag strip (the only tag whose
     // extent must survive stripping); \s-gated so <abbr>/<address>
     // never match.
     val marked = regexp_replace(
-      regexp_replace(noStyle, "<a(\\s[^>]*)?>", "\u0001"),
-      "</a>", "\u0002")
+      regexp_replace(noStyle, "(?i)<a(\\s[^>]*)?>", "\u0001"),
+      "(?i)</a>", "\u0002")
     val withBreaks = regexp_replace(marked,
-      "</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|</header>|" +
-        "</footer>|<br>|<br/>", "\n")
+      "(?i)</p>|</h[1-6]>|</li>|</tr>|</div>|</title>|</nav>|" +
+        "</header>|</footer>|<br>|<br/>", "\n")
     val noTags = regexp_replace(withBreaks, "<[^>]*>", "")
     val decoded = Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
       "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")

@@ -419,16 +419,6 @@ object EventsStream {
     graft.ops.TextAnalysis.corpusDriftFromCounts(staticCounts, streamed)
   }
 
-  /** Streaming quality-score histogram over the document stream: the
-    * live data-quality monitoring surface of an ingest pipeline (drift
-    * in the bucket profile flags a bad crawl batch before it lands).
-    * The per-document quality score is a stateless projection
-    * ([[graft.ops.TextAnalysis.qualityScore]], the batch t02
-    * expression verbatim); the histogram is a complete-mode global
-    * aggregation over `floor(quality·20)` buckets — state is one
-    * count per OCCUPIED bucket (≤ 21 rows) forever, scale-free in
-    * stream length. Bucketing happens on bit-identical doubles, so the
-    * drained histogram equals the batch SQL bit-for-bit. */
   /** Streaming HTML main-content extraction (st23): the t46 extraction
     * pipeline applied AT INGEST — crawled markup arrives as a stream
     * and the clean-text column is produced before anything lands. The
@@ -443,6 +433,16 @@ object EventsStream {
       build: DataFrame => DataFrame): DataFrame =
     runDrainedOn(spark, dir, "documents", documentsSchema, "htmlx")(build)
 
+  /** Streaming quality-score histogram over the document stream: the
+    * live data-quality monitoring surface of an ingest pipeline (drift
+    * in the bucket profile flags a bad crawl batch before it lands).
+    * The per-document quality score is a stateless projection
+    * ([[graft.ops.TextAnalysis.qualityScore]], the batch t02
+    * expression verbatim); the histogram is a complete-mode global
+    * aggregation over `floor(quality·20)` buckets — state is one
+    * count per OCCUPIED bucket (≤ 21 rows) forever, scale-free in
+    * stream length. Bucketing happens on bit-identical doubles, so the
+    * drained histogram equals the batch SQL bit-for-bit. */
   def qualityHistogram(spark: SparkSession, dir: String): DataFrame =
     runDrainedOn(spark, dir, "documents", documentsSchema, "qhist") { src =>
       graft.ops.TextAnalysis.qualityScore(src)

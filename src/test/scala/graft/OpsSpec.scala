@@ -1341,7 +1341,16 @@ class OpsSpec extends SparkSpec {
         "things break badly</p>"),
       // Unterminated anchor: the rest of the line counts as link text
       // (the documented conservative contract) — 25/30 drops it.
-      10L -> "<p>alpha <a href=\"/x\">beta gamma delta epsilon zeta</p>")
+      10L -> "<p>alpha <a href=\"/x\">beta gamma delta epsilon zeta</p>",
+      // Case-insensitivity: uppercase script must vanish WITH payload
+      // and uppercase anchors must still mark (else the nav evades the
+      // link rule) — crawled markup mixes cases freely.
+      11L -> ("<SCRIPT>if (a < b) { alert(1); }</SCRIPT>" +
+        "<P>one two three four five six</P>" +
+        "<NAV><A HREF=\"/\">home</A> <A HREF=\"/b\">docs</A> " +
+        "<A HREF=\"/c\">api</A> <A HREF=\"/d\">blog</A> " +
+        "<A HREF=\"/e\">about</A> <A HREF=\"/f\">careers</A> " +
+        "<A HREF=\"/g\">contact</A> <A HREF=\"/h\">legal</A></NAV>"))
       .toDF("doc_id", "html")
     val got = graft.ops.TextAnalysis.extractMainContent(rows)
       .collect().map(r => r.getLong(0) ->
@@ -1358,6 +1367,7 @@ class OpsSpec extends SparkSpec {
     assert(got(9L) == ((2L, 1L,
       "read the spark guide when things break badly")), got(9L))
     assert(got(10L) == ((2L, 0L, "")), got(10L))
+    assert(got(11L) == ((3L, 1L, "one two three four five six")), got(11L))
   }
 
   test("winnowFingerprints: SWA03 semantics vs an independent reference") {
