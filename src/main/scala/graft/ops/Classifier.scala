@@ -85,10 +85,19 @@ object Classifier {
   /** The fixed margin/probability expressions shared by training and
     * scoring: exact Long dot product of counts x fixed-point weights,
     * one double division by (Scale * n), intercept added in double,
-    * sigmoid. `weightsFp` arrives as a `dim`-element literal array
-    * (shipped in the task binary — dim <= 1024 Longs). */
+    * sigmoid. `weightsFp` arrives as ONE array-typed literal
+    * (`typedlit`, shipped in the task binary — dim <= 1024 Longs) —
+    * NOT a `array(lit, lit, ...)` CreateArray of dim nodes: at the
+    * declared t32 shape (dim = 256, 5 classes, 12 iterations) the
+    * CreateArray form made every training iteration re-analyze and
+    * Janino-recompile ~1300 literal nodes, and that DRIVER cost — not
+    * the 28 KB-shuffle jobs — dominated the t32 wall (measured round
+    * 12: the one-node literal cut t32_multiclass from ~11.5 s to the
+    * job-bound floor). Values and arithmetic are identical
+    * (element_at over the same Longs), so the training trajectory and
+    * the pinned w_hash are byte-unchanged. */
   private def marginExpr(weightsFp: Array[Long], biasFp: Long): Column = {
-    val w = array(weightsFp.map(lit(_)): _*)
+    val w = typedlit(weightsFp.toSeq)
     val dotFp = aggregate(
       zip_with(col("bkts"), col("cnts"),
         (b, c) => element_at(w, b + 1) * c),
@@ -200,7 +209,16 @@ object Classifier {
       textCol: String = "text", dim: Int = 64, iters: Int = 6,
       ridge: Double = 1e-5): LogisticModel = {
     require(iters >= 1 && iters <= 50, s"bad iters=$iters")
+    // Spread the featurized table across the executors BEFORE
+    // checkpointing: the training corpus often arrives as few (locally:
+    // ONE) parquet splits, and without this every one of the 1 + iters
+    // statistics scans — the O(k²)-per-doc quadratic pass included —
+    // runs on a single task (measured round 12: the whole t31/t32
+    // in-job time was one-core-bound). One round-robin shuffle of the
+    // narrow feature rows, paid once; the fit is proven
+    // partition-invariant, so the trajectory and pins are unchanged.
     val feats = hashedDocFeatures(df, labelExpr, idCol, textCol, dim)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val nDocs = feats.count()
     require(nDocs > 0, "empty corpus")
@@ -442,8 +460,11 @@ object Classifier {
     // drag all weights toward the unlabeled mass. (Scoring paths still
     // featurize the full corpus; on a corpus whose labels all fall in
     // `classes` — the declared t32 — the filter is a no-op.)
+    // Same pre-checkpoint spread as [[trainQuality]] — the gradient
+    // scans are one-task-bound otherwise.
     val feats = featurizeLab(df, labelExpr, classes, idCol, textCol, dim)
       .filter(col("lab") >= 0)
+      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val nDocs = feats.count()
     require(nDocs > 0, "no documents labeled with any of the given classes")
