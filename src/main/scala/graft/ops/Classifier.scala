@@ -209,16 +209,20 @@ object Classifier {
       textCol: String = "text", dim: Int = 64, iters: Int = 6,
       ridge: Double = 1e-5): LogisticModel = {
     require(iters >= 1 && iters <= 50, s"bad iters=$iters")
-    // Spread the featurized table across the executors BEFORE
-    // checkpointing: the training corpus often arrives as few (locally:
-    // ONE) parquet splits, and without this every one of the 1 + iters
-    // statistics scans — the O(k²)-per-doc quadratic pass included —
-    // runs on a single task (measured round 12: the whole t31/t32
-    // in-job time was one-core-bound). One round-robin shuffle of the
-    // narrow feature rows, paid once; the fit is proven
+    // Spread the corpus across the executors BEFORE featurizing: the
+    // training corpus often arrives as few (locally: ONE) parquet
+    // splits, and without this the featurize pass AND every one of the
+    // 1 + iters statistics scans — the O(k²)-per-doc quadratic pass
+    // included — run on a single task (measured round 12: the whole
+    // t31/t32 in-job time was one-core-bound). The round-robin
+    // exchange sits BELOW the featurize projection (repartitioning the
+    // projection's output would still compute it one-task) and the
+    // checkpoint inherits the spread for the repeated scans. One
+    // narrow shuffle, paid once; the fit is proven
     // partition-invariant, so the trajectory and pins are unchanged.
-    val feats = hashedDocFeatures(df, labelExpr, idCol, textCol, dim)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
+    val feats = hashedDocFeatures(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        labelExpr, idCol, textCol, dim)
       .localCheckpoint(true)
     val nDocs = feats.count()
     require(nDocs > 0, "empty corpus")
@@ -460,11 +464,12 @@ object Classifier {
     // drag all weights toward the unlabeled mass. (Scoring paths still
     // featurize the full corpus; on a corpus whose labels all fall in
     // `classes` — the declared t32 — the filter is a no-op.)
-    // Same pre-checkpoint spread as [[trainQuality]] — the gradient
-    // scans are one-task-bound otherwise.
-    val feats = featurizeLab(df, labelExpr, classes, idCol, textCol, dim)
+    // Same pre-featurize spread as [[trainQuality]] — the featurize
+    // pass and every gradient scan are one-task-bound otherwise.
+    val feats = featurizeLab(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        labelExpr, classes, idCol, textCol, dim)
       .filter(col("lab") >= 0)
-      .repartition(df.sparkSession.sparkContext.defaultParallelism)
       .localCheckpoint(true)
     val nDocs = feats.count()
     require(nDocs > 0, "no documents labeled with any of the given classes")
@@ -553,7 +558,12 @@ object Classifier {
     val wHash = model.weightsFp.zip(model.biasFp)
       .flatMap { case (ws, bs) => ws :+ bs }
       .foldLeft(17L)((h, x) => h * 31L + x)
-    val scored = scoreMulticlass(df, model, labelExpr, idCol, textCol)
+    // Same pre-compute spread as the trainers: the scoring pass
+    // (5 margin kernels per row) would otherwise run on the source's
+    // task count — one, for a single-split corpus.
+    val scored = scoreMulticlass(
+        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
+        model, labelExpr, idCol, textCol)
       .localCheckpoint()
     val predCounts = scored.groupBy("pred").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
