@@ -48,6 +48,25 @@ object Classifier {
   /** 2^-20 fixed point, the house scale (t19/t25/t30). */
   private val Scale = 1048576L
 
+  /** Round-robin-spread a DEFICIENTLY-split corpus to the session
+    * default parallelism — and do NOTHING (no exchange) otherwise.
+    * The conditional is load-bearing in both directions: a single-split
+    * corpus (the bench fixture; any small-file ingest) would otherwise
+    * run the featurize pass and every training scan on ONE task
+    * (measured round 12: the whole t31/t32 in-job time was
+    * one-core-bound; the spread cut t32_multiclass 10.15 → 6.2 s), but
+    * an UNCONDITIONAL repartition would shuffle the whole corpus — at
+    * 100 TB a corpus-sized exchange that would also break the proven
+    * feature-bounded trainer-shuffle invariant (TrainPrepSpec pins
+    * shuffle invariance under 10x document-mass tiling; an
+    * adequately-split source must stay exchange-free). Results are
+    * partition-invariant either way, so the trajectory and pins never
+    * move. */
+  private def spread(df: DataFrame): DataFrame = {
+    val p = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+  }
+
   /** Trained model: `dim` bucket weights plus an intercept, all in
     * 2^-20 fixed point. */
   final case class LogisticModel(dim: Int, weightsFp: Array[Long], biasFp: Long) {
@@ -209,20 +228,12 @@ object Classifier {
       textCol: String = "text", dim: Int = 64, iters: Int = 6,
       ridge: Double = 1e-5): LogisticModel = {
     require(iters >= 1 && iters <= 50, s"bad iters=$iters")
-    // Spread the corpus across the executors BEFORE featurizing: the
-    // training corpus often arrives as few (locally: ONE) parquet
-    // splits, and without this the featurize pass AND every one of the
-    // 1 + iters statistics scans — the O(k²)-per-doc quadratic pass
-    // included — run on a single task (measured round 12: the whole
-    // t31/t32 in-job time was one-core-bound). The round-robin
-    // exchange sits BELOW the featurize projection (repartitioning the
-    // projection's output would still compute it one-task) and the
-    // checkpoint inherits the spread for the repeated scans. One
-    // narrow shuffle, paid once; the fit is proven
-    // partition-invariant, so the trajectory and pins are unchanged.
-    val feats = hashedDocFeatures(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
-        labelExpr, idCol, textCol, dim)
+    // Conditionally spread the corpus BEFORE featurizing (see
+    // [[spread]]): the exchange must sit BELOW the featurize
+    // projection (repartitioning the projection's output would still
+    // compute it one-task), and the checkpoint inherits the spread for
+    // all 1 + iters statistics scans.
+    val feats = hashedDocFeatures(spread(df), labelExpr, idCol, textCol, dim)
       .localCheckpoint(true)
     val nDocs = feats.count()
     require(nDocs > 0, "empty corpus")
@@ -464,11 +475,10 @@ object Classifier {
     // drag all weights toward the unlabeled mass. (Scoring paths still
     // featurize the full corpus; on a corpus whose labels all fall in
     // `classes` — the declared t32 — the filter is a no-op.)
-    // Same pre-featurize spread as [[trainQuality]] — the featurize
-    // pass and every gradient scan are one-task-bound otherwise.
-    val feats = featurizeLab(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
-        labelExpr, classes, idCol, textCol, dim)
+    // Same conditional pre-featurize spread as [[trainQuality]] — the
+    // featurize pass and every gradient scan are one-task-bound on a
+    // few-split source otherwise.
+    val feats = featurizeLab(spread(df), labelExpr, classes, idCol, textCol, dim)
       .filter(col("lab") >= 0)
       .localCheckpoint(true)
     val nDocs = feats.count()
@@ -558,12 +568,10 @@ object Classifier {
     val wHash = model.weightsFp.zip(model.biasFp)
       .flatMap { case (ws, bs) => ws :+ bs }
       .foldLeft(17L)((h, x) => h * 31L + x)
-    // Same pre-compute spread as the trainers: the scoring pass
-    // (5 margin kernels per row) would otherwise run on the source's
-    // task count — one, for a single-split corpus.
-    val scored = scoreMulticlass(
-        df.repartition(df.sparkSession.sparkContext.defaultParallelism),
-        model, labelExpr, idCol, textCol)
+    // Same conditional pre-compute spread as the trainers: the scoring
+    // pass (5 margin kernels per row) would otherwise run on a
+    // few-split source's task count.
+    val scored = scoreMulticlass(spread(df), model, labelExpr, idCol, textCol)
       .localCheckpoint()
     val predCounts = scored.groupBy("pred").agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
