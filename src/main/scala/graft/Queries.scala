@@ -1226,7 +1226,7 @@ object Queries {
     * the extracted column to the t01 token stats (the end-to-end
     * witness). One function consumed by BOTH the batch query (t46) and
     * the streaming serve (st23), so the two surfaces cannot drift. */
-  private def htmlExtractFrame(d: DataFrame): DataFrame = {
+  private[graft] def htmlExtractFrame(d: DataFrame): DataFrame = {
     val w = split(col("text"), " ")
     val nPar = ceil(size(w) / lit(10.0)).cast("int")
     val paras = when(size(w) >= 1,

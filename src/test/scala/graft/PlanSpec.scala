@@ -215,6 +215,20 @@ class PlanSpec extends SparkSpec {
       s"extraction fell out of codegen'd built-ins:\n$p")
   }
 
+  test("p06/p07: selection pipelines carry no cartesian product, no UDF") {
+    // Both compose iterative/checkpointed stages, so the single
+    // executedPlan string covers only the FINAL job — the pin is the
+    // absence of the two unconditional scale-breakers in what it does
+    // cover (the summary joins; the 1-row crossJoins must plan as
+    // broadcast nested-loop over one row, never CartesianProduct).
+    for (name <- Seq("p06_central_select", "p07_web_assembly")) {
+      val p = plan(name)
+      assert(!p.contains("CartesianProduct"), s"$name cartesian:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$name uses a UDF:\n$p")
+    }
+  }
+
   test("t19: the vocabulary table broadcasts — the token stream never shuffles by content") {
     // The frequency-table AGGREGATION shuffles on term (vocab-bounded,
     // fine); the score JOIN must not — it broadcasts the vocab side.

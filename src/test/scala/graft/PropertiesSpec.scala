@@ -317,6 +317,42 @@ class PropertiesSpec extends SparkSpec {
       "polynomial key must separate a 64-apart token swap")
   }
 
+  test("t46 pipeline inverts the HTML-ification up to the line gate (random corpora)") {
+    // Generative end-to-end oracle: for ANY alnum token list, the t46
+    // pipeline (HTML-ify between the fixed boilerplate, extract) must
+    // return exactly the independent in-memory model — the fixed
+    // boilerplate lines always resolve the same way (title/nav/footer
+    // dropped, the entity-decoded summary kept with its inline link
+    // surviving the density rule) and each 10-token reflow chunk is
+    // kept iff it holds >= 5 tokens (alnum tokens make the alpha rule
+    // vacuous). Covers n = 0 (the [""]-token split convention), exact
+    // multiples of 10, and 1-4/5-9-token tails.
+    val tokGen: Gen[Seq[String]] = for {
+      n <- Gen.choose(0, 27)
+      toks <- Gen.listOfN(n,
+        Gen.oneOf("alpha", "b2", "gamma7", "dd", "e", "fox", "g8g", "hij"))
+    } yield toks
+    val cases = sample(tokGen, 200)
+    val df = cases.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = graft.Queries.htmlExtractFrame(df).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    val summary = "summary: tokens & hashes <fast> dedup at scale " +
+      "via the spark guide reference"
+    cases.zipWithIndex.foreach { case (toks, i) =>
+      val w = if (toks.isEmpty) Seq("") else toks // split("", " ") = [""]
+      val chunks = w.grouped(10).map(_.mkString(" ")).toSeq
+      val keptChunks = chunks.filter(_.split(" ").count(_.nonEmpty) >= 5)
+      // title, nav, summary, P paragraphs, footer, trailing "".
+      val expLines = (chunks.size + 5).toLong
+      val expKept = (1 + keptChunks.size).toLong
+      val expText = (summary +: keptChunks).mkString("\n")
+      assert(got(i.toLong) == ((expLines, expKept, expText)),
+        s"toks=$toks: ${got(i.toLong)}")
+    }
+  }
+
   test("mmrDiversify equals a naive in-memory greedy on random pools and lambdas") {
     // The reference mirrors the operator's exact fixed-point contract:
     // rel_fp via HALF_UP decimal rounding (Spark's round), pairwise
