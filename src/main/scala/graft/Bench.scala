@@ -14,6 +14,17 @@ object Bench {
   private val curShuffle = new AtomicLong(0L)
   private val maxStageShuffle = new AtomicLong(0L)
 
+  /** Cumulative JVM GC milliseconds — the telemetry that ATTRIBUTES a
+    * wall-time outlier (round 12: n02 samples spread 9.4-40.8 s in one
+    * run with code and shuffle constant; whether that is GC pressure
+    * from the session's accumulated artifacts or scheduler/JIT swing
+    * is exactly what per-sample gc deltas decide). */
+  private[graft] def gcMillis(): Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans
+      .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
+  }
+
   private class ShuffleListener extends SparkListener {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
@@ -188,15 +199,24 @@ object Bench {
         val extra = if (rerunPrep.contains(name) || forced(name)) 4 else 2
         // A crashed rerun contributes NO sample (its time-to-crash is
         // not a build time); if every rerun fails, pass 1 stands.
+        // Each sample carries its GC delta so a wall outlier is
+        // attributable (collection pause vs scheduler/JIT swing).
         val reruns = (1 to extra).flatMap { _ =>
           rerunPrep.get(name).foreach(_())
+          val g0 = gcMillis()
           val t0 = System.nanoTime()
-          try { runFn(name)(); Some((System.nanoTime() - t0) / 1e9)
+          try {
+            runFn(name)()
+            Some(((System.nanoTime() - t0) / 1e9, gcMillis() - g0))
           } catch { case e: Throwable =>
             System.err.println(s"[bench] rerun of $name failed: $e"); None
           }
         }
-        val ts = (t1 +: reruns).sorted
+        val gcs = reruns.map(_._2)
+        if (gcs.nonEmpty)
+          System.err.println(s"[bench] $name rerun gc_ms=" +
+            gcs.mkString("[", ",", "]"))
+        val ts = (t1 +: reruns.map(_._1)).sorted
         // True median: with an even surviving-sample count (a rerun
         // crashed), average the two middle values instead of always
         // taking the upper one — ts(n/2) alone is a systematic
@@ -223,9 +243,14 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalShuffle = results.map(_._3).sum
+    // Whole-run GC budget: how much of `total` the collector ate. A
+    // large fraction says the heap (SPARK_DRIVER_MEM, default 8g) is
+    // tight for the session's accumulated artifacts and the per-query
+    // walls carry pause noise.
+    val gcTotal = gcMillis()
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"max_stage_shuffle_bytes":$mx,""" +
-      s""""total_shuffle_bytes":$totalShuffle,"sf":"$sfDir"}"""
+      s""""total_shuffle_bytes":$totalShuffle,"gc_ms":$gcTotal,"sf":"$sfDir"}"""
     // Durable copy first: round 1 lost the stdout line to interleaved
     // logging, so the driver's parser got only a tail. The file is the
     // source of truth; stdout is printed after spark.stop() so no
@@ -248,7 +273,7 @@ object Bench {
     val maxStage = results.map(_._4).max
     val compact = s"""{"metric":"total","value":$total,"unit":"sec",""" +
       s""""queries":$slowQs,"total_shuffle_bytes":$totalShuffle,""" +
-      s""""max_stage_shuffle_bytes":$maxStage,""" +
+      s""""max_stage_shuffle_bytes":$maxStage,"gc_ms":$gcTotal,""" +
       s""""n_queries":${SparkEntry.queries.size},"n_phases":${results.size},""" +
       s""""sf":"$sfDir","detail":"bench.json"}"""
     spark.stop()

@@ -38,8 +38,13 @@ object TimeQuery {
     val build = once()
     println(f"[timequery] $name artifact-build pass (untimed): $build%.2f s")
     val ts = (1 to n).map { i =>
+      val g0 = graft.Bench.gcMillis()
       val t = once()
-      println(f"[timequery] $name sample $i: $t%.2f s")
+      // The GC delta attributes a wall outlier: a ~10 s sample with
+      // ~10 s of collection time is heap pressure, one with ~0 is
+      // scheduler/JIT swing.
+      println(f"[timequery] $name sample $i: $t%.2f s" +
+        s" gc_ms=${graft.Bench.gcMillis() - g0}")
       t
     }.sorted
     val med =
