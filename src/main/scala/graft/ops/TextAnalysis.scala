@@ -335,7 +335,11 @@ object TextAnalysis {
     // script payloads into the text and let uppercase anchors evade
     // the link-density rule (round-12 review finding). Entities stay
     // case-sensitive -- HTML5 named references are.
-    val noScript = regexp_replace(col(htmlCol),
+    // Comments FIRST: their payload is inert markup (`<!-- <p>x -->`),
+    // and the generic tag strip would otherwise eat only up to the
+    // first '>' and leak the remainder into the text.
+    val noComment = regexp_replace(col(htmlCol), "(?s)<!--.*?-->", "")
+    val noScript = regexp_replace(noComment,
       "(?is)<script[^>]*>.*?</script>", "")
     val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
     // Anchor sentinels BEFORE the generic tag strip (the only tag whose

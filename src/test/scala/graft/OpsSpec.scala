@@ -1350,7 +1350,12 @@ class OpsSpec extends SparkSpec {
         "<NAV><A HREF=\"/\">home</A> <A HREF=\"/b\">docs</A> " +
         "<A HREF=\"/c\">api</A> <A HREF=\"/d\">blog</A> " +
         "<A HREF=\"/e\">about</A> <A HREF=\"/f\">careers</A> " +
-        "<A HREF=\"/g\">contact</A> <A HREF=\"/h\">legal</A></NAV>"))
+        "<A HREF=\"/g\">contact</A> <A HREF=\"/h\">legal</A></NAV>"),
+      // Comments are inert markup: their payload (tags included) must
+      // vanish whole — the generic strip would eat only to the first
+      // '>' and leak "commented out words -->" into the text.
+      12L -> ("<!-- <p>commented out words here</p> -->" +
+        "<p>real words one two three</p><!-- trailing note -->"))
       .toDF("doc_id", "html")
     val got = graft.ops.TextAnalysis.extractMainContent(rows)
       .collect().map(r => r.getLong(0) ->
@@ -1368,6 +1373,7 @@ class OpsSpec extends SparkSpec {
       "read the spark guide when things break badly")), got(9L))
     assert(got(10L) == ((2L, 0L, "")), got(10L))
     assert(got(11L) == ((3L, 1L, "one two three four five six")), got(11L))
+    assert(got(12L) == ((2L, 1L, "real words one two three")), got(12L))
   }
 
   test("winnowFingerprints: SWA03 semantics vs an independent reference") {
