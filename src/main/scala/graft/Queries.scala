@@ -2480,6 +2480,19 @@ object Queries {
         .select("query_id", "rank", "nbr_id")
     }),
 
+    // Hard-negative mining (s19, the DPR/ANCE contrastive-training
+    // recipe): per anchor the top-5 most-similar DIFFERENT-label
+    // points — close in embedding space, wrong by supervision.
+    // Ids+ranks only (the s01 float-parity convention); exact form at
+    // fixture scale, with the documented over-retrieve-and-filter ANN
+    // recipe as the 100 TB path (OpsSpec pins their equivalence).
+    "s19_hard_negatives" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").as("features"), col("label"))
+      SimilaritySearch.hardNegatives(e, e.filter(col("id") < 20), 5)
+        .select("query_id", "rank", "nbr_id")
+    }),
+
     // Exact MIPS top-10 (two-tower retrieval scoring: raw inner
     // product, not angle — longer item vectors legitimately rank
     // higher). Ids+ranks only, same rank-margin argument as s01.
@@ -5245,6 +5258,17 @@ object Queries {
         |  FROM embeddings q JOIN embeddings c ON q.vec_id != c.vec_id
         |  WHERE q.vec_id < 20)
         |WHERE rank <= 10""".stripMargin,
+
+    // s01's window form with the label inequality fused into the join.
+    "s19_hard_negatives" ->
+      """SELECT query_id, rank, nbr_id FROM (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS nbr_id,
+        |    row_number() OVER (PARTITION BY q.vec_id
+        |      ORDER BY list_cosine_similarity(q.embedding, c.embedding) DESC, c.vec_id) AS rank
+        |  FROM embeddings q JOIN embeddings c
+        |    ON q.vec_id != c.vec_id AND q.label != c.label
+        |  WHERE q.vec_id < 20)
+        |WHERE rank <= 5""".stripMargin,
 
     "s06_mips_brute" ->
       """SELECT query_id, rank, nbr_id FROM (

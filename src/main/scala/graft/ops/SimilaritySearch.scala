@@ -41,6 +41,42 @@ object SimilaritySearch {
       .select("query_id", "rank", "nbr_id", "cosine")
   }
 
+  /** Hard-negative mining for contrastive / dense-retrieval training
+    * (the DPR/ANCE recipe — Karpukhin et al. 2020, Xiong et al. 2021):
+    * per anchor, the top-k most-SIMILAR corpus points with a DIFFERENT
+    * label — close in embedding space, wrong by supervision, exactly
+    * the negatives that move a contrastive loss (random negatives are
+    * trivially separated and teach nothing). Same broadcast shape as
+    * [[bruteForceTopK]] with the label inequality fused into the join
+    * condition: the corpus never shuffles, anchors broadcast, one
+    * codegen'd dot per surviving pair, per-anchor top-k with the
+    * deterministic id tie-break. This exact form is the oracle/
+    * fixture path; at corpus scale mine through an ANN front instead —
+    * retrieve top-(c·k) via [[ivfTopK]] / the graph serve, drop
+    * same-label hits, keep k (the standard over-retrieve-and-filter
+    * recipe; OpsSpec pins its equivalence to this exact form at full
+    * retrieval depth). */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
+      col("label").as("nbr_label"),
+      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_c"))
+    val q = queries.select(col("id").as("query_id"), col("features").as("v_q"),
+      col("label").as("query_label"),
+      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_q"))
+    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
+    c.join(broadcast(q),
+        col("query_id") =!= col("nbr_id") &&
+          col("query_label") =!= col("nbr_label"))
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.cosine_ranked(
+          graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")),
+          col("n_q"), col("n_c")))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select("query_id", "query_label", "rank", "nbr_id", "nbr_label",
+        "cosine")
+  }
+
   /** Exact top-k by MAX INNER PRODUCT (MIPS) — the retrieval scoring a
     * two-tower recommender / dense-retrieval model uses (query·item,
     * NOT angle: a longer item vector legitimately scores higher, so

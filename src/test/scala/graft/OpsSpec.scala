@@ -546,6 +546,52 @@ class OpsSpec extends SparkSpec {
     assert(covered >= 0.9, s"recall $covered too low")
   }
 
+  test("hardNegatives: label exclusion, planted ordering, over-retrieve recipe equality") {
+    import spark.implicits._
+    // Anchor label 0 at the origin-axis; its NEAREST point shares the
+    // label (must be excluded), the next two differ (must rank 1, 2 by
+    // cosine then id).
+    val corpus = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.99f, 0.01f), 0),  // closest — same label, excluded
+      (3L, Array(0.9f, 0.1f), 1),
+      (4L, Array(0.5f, 0.5f), 2),
+      (5L, Array(0.0f, 1.0f), 1)).toDF("id", "features", "label")
+    val got = SimilaritySearch.hardNegatives(corpus, corpus.filter($"id" === 1L), 3)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(2), r.getLong(3), r.getInt(4)))
+    assert(got.map(_._2).toSeq == Seq(3L, 4L, 5L), got.mkString(","))
+    assert(got.forall(_._3 != 0), s"a same-label negative leaked: ${got.mkString(",")}")
+
+    // Fixture-scale: every mined negative differs in label from its
+    // anchor, and the documented 100 TB recipe — over-retrieve with
+    // the plain top-k, drop same-label, keep k — equals the fused
+    // exact form at full retrieval depth (the equivalence that makes
+    // an ANN front a drop-in).
+    val e = spark.read.parquet(s"$sf001/embeddings.parquet")
+      .select(col("vec_id").as("id"), col("embedding").as("features"), col("label"))
+    val queries = e.filter(col("id") < 20)
+    val mined = SimilaritySearch.hardNegatives(e, queries, 5)
+    val labels = e.select(col("id"), col("label")).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val minedRows = mined.select("query_id", "rank", "nbr_id").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(minedRows.nonEmpty)
+    minedRows.foreach { case (qid, _, nid) =>
+      assert(labels(qid) != labels(nid), s"same-label pair $qid-$nid")
+    }
+    val n = e.count().toInt
+    val recipe = SimilaritySearch.bruteForceTopK(e, queries, n)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+      .filter { case (qid, _, nid) => labels(qid) != labels(nid) }
+      .groupBy(_._1).toSeq.flatMap { case (qid, rows) =>
+        rows.sortBy(_._2).take(5).zipWithIndex
+          .map { case ((_, _, nid), i) => (qid, i + 1, nid) }
+      }.toSet
+    assert(minedRows.toSet == recipe,
+      "over-retrieve-and-filter diverged from the fused exact form")
+  }
+
   test("MIPS ranks by raw inner product, not angle") {
     import spark.implicits._
     // Item 2 is item 1 doubled: identical angle to the query, twice the
