@@ -83,6 +83,7 @@ object Bench {
     val spark = session()
     spark.sparkContext.addSparkListener(new ShuffleListener)
     warmUp(spark, sfDir)
+    val gcBase = gcMillis()
 
     // Prebuilt-artifact phases are timed as their own entries so the
     // declared queries measure what they claim: n02 measures the UPDATE
@@ -243,11 +244,15 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     val totalShuffle = results.map(_._3).sum
-    // Whole-run GC budget: how much of `total` the collector ate. A
-    // large fraction says the heap (SPARK_DRIVER_MEM, default 8g) is
-    // tight for the session's accumulated artifacts and the per-query
-    // walls carry pause noise.
-    val gcTotal = gcMillis()
+    // Whole-MEASUREMENT GC total, baselined after warm-up (gcBase):
+    // collection time across pass 1 AND all reruns — a process-level
+    // diagnostic, deliberately NOT a fraction of `total` (which sums
+    // one median per phase while rerun-heavy phases execute up to 5x,
+    // so gc_ms/total would overstate the share ~2x). Large absolute
+    // values say the heap (SPARK_DRIVER_MEM, default 8g) is tight for
+    // the session's accumulated artifacts; the per-sample deltas in
+    // the stderr telemetry attribute any individual outlier.
+    val gcTotal = gcMillis() - gcBase
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"max_stage_shuffle_bytes":$mx,""" +
       s""""total_shuffle_bytes":$totalShuffle,"gc_ms":$gcTotal,"sf":"$sfDir"}"""

@@ -1259,12 +1259,10 @@ object Queries {
         |          list_slice(w, i*10 + 1, i*10 + 10), ' ') || '</p>'),
         |      '') ||
         |    '$HtmlFoot' AS html FROM base),
-        |s0 AS (SELECT doc_id,
-        |    regexp_replace(html, '(?s)<!--.*?-->', '', 'g') AS html
-        |  FROM h),
-        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(html,
-        |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
-        |    '(?is)<style[^>]*>.*?</style>', '', 'g') AS t FROM s0),
+        |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
+        |    html, '(?is)<script[^>]*>.*?</script>', '', 'g'),
+        |    '(?is)<style[^>]*>.*?</style>', '', 'g'),
+        |    '(?s)<!--.*?-->', '', 'g') AS t FROM h),
         |s1m AS (SELECT doc_id, regexp_replace(regexp_replace(t,
         |    '(?i)<a(\\s[^>]*)?>', chr(1), 'g'), '(?i)</a>', chr(2), 'g') AS t
         |  FROM s1),

@@ -23,22 +23,38 @@ object SimilaritySearch {
 
   /** Exact top-k by cosine: every (query, corpus) pair via broadcast of
     * the query side, ranked per query with a deterministic id tie-break. */
-  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    // Norms hoisted to one pass per row; dot/(nq*nc) is the same
-    // expression tree as cosineCol, so values are bit-identical.
-    val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_c"))
-    val q = queries.select(col("id").as("query_id"), col("features").as("v_q"),
-      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_q"))
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    cosineTopK(corpus, queries, k, Nil)
+      .select("query_id", "rank", "nbr_id", "cosine")
+
+  /** THE exact cosine top-k scaffold — one definition of the
+    * broadcast-join / hoisted-norm / (cosine desc, id asc) ranking
+    * shared by [[bruteForceTopK]] and [[hardNegatives]], so the
+    * documented bit-parity of the cosine expression tree and the
+    * deterministic tie-break cannot drift between them. `carry` names
+    * extra corpus/query columns to select through (they may also be
+    * referenced by `extraPred`); the join always excludes self-pairs.
+    * Norms hoisted to one pass per row; dot/(nq*nc) is the same
+    * expression tree as cosineCol, so values are bit-identical. */
+  private def cosineTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      carry: Seq[(String, String)],
+      extraPred: Column = lit(true)): DataFrame = {
+    val c = corpus.select(Seq(col("id").as("nbr_id"),
+      col("features").as("v_c"),
+      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_c")) ++
+      carry.map { case (in, out) => col(in).as("nbr_" + out) }: _*)
+    val q = queries.select(Seq(col("id").as("query_id"),
+      col("features").as("v_q"),
+      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_q")) ++
+      carry.map { case (in, out) => col(in).as("query_" + out) }: _*)
     val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    c.join(broadcast(q), col("query_id") =!= col("nbr_id"))
+    c.join(broadcast(q), col("query_id") =!= col("nbr_id") && extraPred)
       .withColumn("cosine",
         graft.functions.VectorFunctions.cosine_ranked(
           graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")),
           col("n_q"), col("n_c")))
       .withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
-      .select("query_id", "rank", "nbr_id", "cosine")
   }
 
   /** Hard-negative mining for contrastive / dense-retrieval training
@@ -55,27 +71,13 @@ object SimilaritySearch {
     * retrieve top-(c·k) via [[ivfTopK]] / the graph serve, drop
     * same-label hits, keep k (the standard over-retrieve-and-filter
     * recipe; OpsSpec pins its equivalence to this exact form at full
-    * retrieval depth). */
-  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("id").as("nbr_id"), col("features").as("v_c"),
-      col("label").as("nbr_label"),
-      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_c"))
-    val q = queries.select(col("id").as("query_id"), col("features").as("v_q"),
-      col("label").as("query_label"),
-      graft.functions.VectorFunctions.vector_norm(col("features")).as("n_q"))
-    val w = Window.partitionBy("query_id").orderBy(desc("cosine"), asc("nbr_id"))
-    c.join(broadcast(q),
-        col("query_id") =!= col("nbr_id") &&
-          col("query_label") =!= col("nbr_label"))
-      .withColumn("cosine",
-        graft.functions.VectorFunctions.cosine_ranked(
-          graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")),
-          col("n_q"), col("n_c")))
-      .withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    * retrieval depth). [[cosineTopK]]'s scaffold with the label
+    * inequality as the extra join predicate. */
+  def hardNegatives(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame =
+    cosineTopK(corpus, queries, k, Seq("label" -> "label"),
+      extraPred = col("query_label") =!= col("nbr_label"))
       .select("query_id", "query_label", "rank", "nbr_id", "nbr_label",
         "cosine")
-  }
 
   /** Exact top-k by MAX INNER PRODUCT (MIPS) — the retrieval scoring a
     * two-tower recommender / dense-retrieval model uses (query·item,

@@ -335,13 +335,17 @@ object TextAnalysis {
     // script payloads into the text and let uppercase anchors evade
     // the link-density rule (round-12 review finding). Entities stay
     // case-sensitive -- HTML5 named references are.
-    // Comments FIRST: their payload is inert markup (`<!-- <p>x -->`),
-    // and the generic tag strip would otherwise eat only up to the
-    // first '>' and leak the remainder into the text.
-    val noComment = regexp_replace(col(htmlCol), "(?s)<!--.*?-->", "")
-    val noScript = regexp_replace(noComment,
+    // Script/style BEFORE comments: a '<!--' inside a script payload
+    // (the legacy `<script><!--` hiding idiom, document.write("<!--"))
+    // would otherwise open a bogus comment that swallows real content
+    // up to the next '-->'. With the block removed first, comment
+    // stripping then sees only genuine comments — whose payload is
+    // inert markup (`<!-- <p>x -->`) the generic tag strip would
+    // otherwise leak (it eats only to the first '>').
+    val noScript = regexp_replace(col(htmlCol),
       "(?is)<script[^>]*>.*?</script>", "")
-    val noStyle = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noStyle0 = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
+    val noStyle = regexp_replace(noStyle0, "(?s)<!--.*?-->", "")
     // Anchor sentinels BEFORE the generic tag strip (the only tag whose
     // extent must survive stripping); \s-gated so <abbr>/<address>
     // never match.

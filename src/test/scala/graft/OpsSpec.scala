@@ -1401,7 +1401,12 @@ class OpsSpec extends SparkSpec {
       // vanish whole — the generic strip would eat only to the first
       // '>' and leak "commented out words -->" into the text.
       12L -> ("<!-- <p>commented out words here</p> -->" +
-        "<p>real words one two three</p><!-- trailing note -->"))
+        "<p>real words one two three</p><!-- trailing note -->"),
+      // A '<!--' INSIDE a script payload (the legacy hiding idiom)
+      // must not open a comment that swallows the following prose —
+      // script blocks remove before comment stripping.
+      13L -> ("<script>document.write(\"<!--\");</script>" +
+        "<p>prose that must survive the idiom</p><!-- real note -->"))
       .toDF("doc_id", "html")
     val got = graft.ops.TextAnalysis.extractMainContent(rows)
       .collect().map(r => r.getLong(0) ->
@@ -1420,6 +1425,8 @@ class OpsSpec extends SparkSpec {
     assert(got(10L) == ((2L, 0L, "")), got(10L))
     assert(got(11L) == ((3L, 1L, "one two three four five six")), got(11L))
     assert(got(12L) == ((2L, 1L, "real words one two three")), got(12L))
+    assert(got(13L) == ((2L, 1L, "prose that must survive the idiom")),
+      got(13L))
   }
 
   test("winnowFingerprints: SWA03 semantics vs an independent reference") {
