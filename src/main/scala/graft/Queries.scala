@@ -1846,6 +1846,31 @@ object Queries {
           sum(coalesce(col("hit"), lit(0L))).as("n_found"))
     }),
 
+    // SemDeDup's DROP LIST (d21 — Abbas et al. '23 run to its end):
+    // d11's cluster-blocked semantic pairs closed into connected
+    // components, min-id survivor per component — "which embeddings
+    // actually leave the corpus". Pure composition (semanticPairs +
+    // connectedComponents, both shipped); the whole summary is a
+    // deterministic fact (fixed-point k-means blocking, exact cosine
+    // verify, min-id closure), pinned at every SF: corpus size,
+    // survivor count, dropped count (>= the 500/500/2000 planted
+    // perturbed copies whenever each lands in its original's cluster —
+    // the d11 recall pins say they do), and the dropped-id mass.
+    "d21_semantic_survivors" -> ((s, dir) => {
+      val e = augEmb(s, dir)
+      val comp = graft.ops.Components.connectedComponents(
+        e.select("id"),
+        Dedup.semanticPairs(e, "id", "features", 0.9)
+          .select("id_a", "id_b"))
+      comp.agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("component")).as("n_survivors"),
+        sum(when(col("id") =!= col("component"), 1L).otherwise(0L))
+          .as("n_dropped"),
+        sum(when(col("id") =!= col("component"), col("id"))
+          .otherwise(lit(0L))).as("dropped_ids_fp"))
+    }),
+
     // Near-dup CLUSTERS: connected components over the near-dup pair
     // graph — every doc gets a cluster id (min doc id in its component)
     // and a keep flag on the canonical representative. The declared path
@@ -3901,6 +3926,17 @@ object Queries {
     // boundary.
     "d11_semantic_pairs" -> Seq(
       "n_truth" -> (500L, 500L, 2000L), "n_found" -> (492L, 486L, 1922L)),
+    // Measured 2026-08-15 (round 12, PinDump, first measurement).
+    // SemDeDup's drop list over the same fixture (d11's pairs closed
+    // into min-id components): n_dropped EQUALS d11's n_found at every
+    // SF — each found pair is (original, planted copy at id+10^6), the
+    // copy always loses the min-id closure, and no component chains on
+    // this fixture. n_survivors = n_docs − n_dropped accordingly.
+    "d21_semantic_survivors" -> Seq(
+      "n_docs" -> (1000L, 1000L, 4000L),
+      "n_survivors" -> (508L, 514L, 2078L),
+      "n_dropped" -> (492L, 486L, 1922L),
+      "dropped_ids_fp" -> (492122614L, 486120858L, 1923919954L)),
     // Measured 2026-08-13 (round 6, PinDump). The isotropic fixture is
     // RP's worst case — true neighbors sit within one ~1/sqrt(32)
     // distortion sigma of background, and the gap narrows with N (the
