@@ -2516,6 +2516,31 @@ object Queries {
         .select("query_id", "rank", "nbr_id")
     }),
 
+    // s19's 100 TB PATH as its own declared exhibit (the s01<->s04
+    // pattern): hard negatives mined through the IVF front —
+    // over-retrieve top-25 per anchor, drop same-label hits, keep the
+    // 5 best-ranked — with recall pinned against the exact fused form.
+    // The only approximation is the IVF front's own (the recipe is
+    // proven exact at full depth in OpsSpec); the label filter and
+    // re-rank are id-deterministic.
+    "s20_hard_negatives_ivf" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").as("features"), col("label"))
+      val q = e.filter(col("id") < 20)
+      val labels = e.select(col("id"), col("label"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("query_id").orderBy(asc("rank"))
+      val mined = SimilaritySearch.ivfTopK(e, q, 25)
+        .join(labels.select(col("id").as("nbr_id"),
+          col("label").as("nbr_label")), "nbr_id")
+        .join(labels.select(col("id").as("query_id"),
+          col("label").as("query_label")), "query_id")
+        .filter(col("query_label") =!= col("nbr_label"))
+        .withColumn("nrank", row_number().over(w))
+        .filter(col("nrank") <= 5)
+      recallCounts(mined, SimilaritySearch.hardNegatives(e, q, 5))
+    }),
+
     // Exact MIPS top-10 (two-tower retrieval scoring: raw inner
     // product, not angle — longer item vectors legitimately rank
     // higher). Ids+ranks only, same rank-margin argument as s01.
@@ -3926,6 +3951,14 @@ object Queries {
     // boundary.
     "d11_semantic_pairs" -> Seq(
       "n_truth" -> (500L, 500L, 2000L), "n_found" -> (492L, 486L, 1922L)),
+    // Measured 2026-08-15 (round 12, PinDump, first measurement).
+    // IVF-fronted hard negatives vs the exact fused form: recall
+    // 0.84-0.87 — squarely the IVF front's own regime (s04's 32/16
+    // geometry floors at ~0.85), confirming the shortfall is the
+    // front's, not the recipe's (proven exact at full depth in
+    // OpsSpec).
+    "s20_hard_negatives_ivf" -> Seq(
+      "n_hits" -> (87L, 86L, 84L), "n_total" -> (100L, 100L, 100L)),
     // Measured 2026-08-15 (round 12, PinDump, first measurement).
     // SemDeDup's drop list over the same fixture (d11's pairs closed
     // into min-id components): n_dropped EQUALS d11's n_found at every
