@@ -342,7 +342,12 @@ object TextAnalysis {
     // stripping then sees only genuine comments — whose payload is
     // inert markup (`<!-- <p>x -->`) the generic tag strip would
     // otherwise leak (it eats only to the first '>').
-    val noScript = regexp_replace(col(htmlCol),
+    // NULL markup = the empty document (one empty line, nothing kept,
+    // extracted "") — a crawl corpus carries null payloads, and
+    // letting the NULL propagate would poison every downstream
+    // column (token stats over a null text) instead of the empty-doc
+    // semantics every other text op gives.
+    val noScript = regexp_replace(coalesce(col(htmlCol), lit("")),
       "(?is)<script[^>]*>.*?</script>", "")
     val noStyle0 = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
     val noStyle = regexp_replace(noStyle0, "(?s)<!--.*?-->", "")

@@ -562,6 +562,11 @@ class OpsSpec extends SparkSpec {
       .map(r => (r.getInt(2), r.getLong(3), r.getInt(4)))
     assert(got.map(_._2).toSeq == Seq(3L, 4L, 5L), got.mkString(","))
     assert(got.forall(_._3 != 0), s"a same-label negative leaked: ${got.mkString(",")}")
+    // Degenerate corpus — every point shares the anchor's label: the
+    // mine returns zero rows (no negatives exist), never errors.
+    assert(SimilaritySearch.hardNegatives(
+      corpus.withColumn("label", lit(7)), corpus.filter($"id" === 1L), 3)
+      .count() == 0L)
 
     // Fixture-scale: every mined negative differs in label from its
     // anchor, and the documented 100 TB recipe — over-retrieve with
@@ -1406,7 +1411,10 @@ class OpsSpec extends SparkSpec {
       // must not open a comment that swallows the following prose —
       // script blocks remove before comment stripping.
       13L -> ("<script>document.write(\"<!--\");</script>" +
-        "<p>prose that must survive the idiom</p><!-- real note -->"))
+        "<p>prose that must survive the idiom</p><!-- real note -->"),
+      // NULL markup = the empty document (row preserved, non-null
+      // outputs — a crawl's null payload must not poison downstream).
+      14L -> (null: String))
       .toDF("doc_id", "html")
     val got = graft.ops.TextAnalysis.extractMainContent(rows)
       .collect().map(r => r.getLong(0) ->
@@ -1427,6 +1435,7 @@ class OpsSpec extends SparkSpec {
     assert(got(12L) == ((2L, 1L, "real words one two three")), got(12L))
     assert(got(13L) == ((2L, 1L, "prose that must survive the idiom")),
       got(13L))
+    assert(got(14L) == ((1L, 0L, "")), got(14L))
   }
 
   test("winnowFingerprints: SWA03 semantics vs an independent reference") {
