@@ -563,9 +563,13 @@ class OpsSpec extends SparkSpec {
     assert(got.map(_._2).toSeq == Seq(3L, 4L, 5L), got.mkString(","))
     assert(got.forall(_._3 != 0), s"a same-label negative leaked: ${got.mkString(",")}")
     // Degenerate corpus — every point shares the anchor's label: the
-    // mine returns zero rows (no negatives exist), never errors.
+    // mine returns zero rows (no negatives exist), never errors. The
+    // query row must come from the RELABELED frame (anchors carry
+    // their own label; drawing it pre-relabel keeps label 0 on the
+    // anchor and 3 cross-label negatives legitimately exist).
+    val relabeled = corpus.withColumn("label", lit(7))
     assert(SimilaritySearch.hardNegatives(
-      corpus.withColumn("label", lit(7)), corpus.filter($"id" === 1L), 3)
+      relabeled, relabeled.filter($"id" === 1L), 3)
       .count() == 0L)
 
     // Fixture-scale: every mined negative differs in label from its
