@@ -190,6 +190,11 @@ object Bench {
     // AT head — so the drift is shared-JVM swing; the per-sample line
     // below keeps that diagnosable per round).
     val forced = Set("st18_stream_join_outer", "n02_knn_incremental")
+    // Per-sample telemetry destined for the DURABLE bench.json (round-1
+    // lesson: stderr interleaves with Spark logging and may not survive
+    // a round) — wall samples and per-rerun GC deltas per rerun query.
+    val sampleLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    val gcLog = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
       if (!heavy(name) && !rerunPrep.contains(name) && !forced(name)) r
       else {
@@ -214,10 +219,13 @@ object Bench {
           }
         }
         val gcs = reruns.map(_._2)
-        if (gcs.nonEmpty)
+        if (gcs.nonEmpty) {
           System.err.println(s"[bench] $name rerun gc_ms=" +
             gcs.mkString("[", ",", "]"))
+          gcLog(name) = gcs
+        }
         val ts = (t1 +: reruns.map(_._1)).sorted
+        sampleLog(name) = ts
         // True median: with an even surviving-sample count (a rerun
         // crashed), average the two middle values instead of always
         // taking the upper one — ts(n/2) alone is a systematic
@@ -253,9 +261,20 @@ object Bench {
     // the session's accumulated artifacts; the per-sample deltas in
     // the stderr telemetry attribute any individual outlier.
     val gcTotal = gcMillis() - gcBase
+    // Durable per-sample attribution (sorted wall samples and per-rerun
+    // GC deltas for every rerun query): the stderr lines above are a
+    // convenience, THIS is the record a later round diagnoses from.
+    val samplesJson = sampleLog.map { case (k, v) =>
+      "\"" + k + "\":" + v.map(t => math.round(t * 1000) / 1000.0)
+        .mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val rerunGcJson = gcLog.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"max_stage_shuffle_bytes":$mx,""" +
-      s""""total_shuffle_bytes":$totalShuffle,"gc_ms":$gcTotal,"sf":"$sfDir"}"""
+      s""""total_shuffle_bytes":$totalShuffle,"gc_ms":$gcTotal,""" +
+      s""""samples":$samplesJson,"rerun_gc_ms":$rerunGcJson,"sf":"$sfDir"}"""
     // Durable copy first: round 1 lost the stdout line to interleaved
     // logging, so the driver's parser got only a tail. The file is the
     // source of truth; stdout is printed after spark.stop() so no

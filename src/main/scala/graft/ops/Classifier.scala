@@ -61,10 +61,21 @@ object Classifier {
     * shuffle invariance under 10x document-mass tiling; an
     * adequately-split source must stay exchange-free). Results are
     * partition-invariant either way, so the trajectory and pins never
-    * move. */
+    * move.
+    *
+    * The split count is read off `queryExecution.toRdd` (the planned
+    * InternalRow RDD the frame itself executes through) rather than
+    * `df.rdd`, which would plan a SECOND physical tree with a
+    * deserialize-to-objects step just to ask for a partition count.
+    * Threshold is `< p`, not `*2 < p`: a source with p/2..p-1 splits
+    * is still under the session's core count, and the spread only
+    * ever fires on small sources (a 100 TB scan has orders of
+    * magnitude more splits than cores), so the exchange-free
+    * invariant for adequately-split corpora is untouched. */
   private def spread(df: DataFrame): DataFrame = {
     val p = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions * 2 < p) df.repartition(p) else df
+    if (df.queryExecution.toRdd.getNumPartitions < p) df.repartition(p)
+    else df
   }
 
   /** Trained model: `dim` bucket weights plus an intercept, all in

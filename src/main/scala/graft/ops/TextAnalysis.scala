@@ -347,7 +347,14 @@ object TextAnalysis {
     // letting the NULL propagate would poison every downstream
     // column (token stats over a null text) instead of the empty-doc
     // semantics every other text op gives.
-    val noScript = regexp_replace(coalesce(col(htmlCol), lit("")),
+    // Strip any pre-existing U+0001/U+0002 from the INPUT before the
+    // chain runs: those code points are reused below as anchor
+    // sentinels, and real crawled markup can carry stray control
+    // bytes — left in place they would be miscounted as anchor text
+    // and corrupt the link-density rule for the whole line.
+    val sanitized = translate(coalesce(col(htmlCol), lit("")),
+      "\u0001\u0002", "")
+    val noScript = regexp_replace(sanitized,
       "(?is)<script[^>]*>.*?</script>", "")
     val noStyle0 = regexp_replace(noScript, "(?is)<style[^>]*>.*?</style>", "")
     val noStyle = regexp_replace(noStyle0, "(?s)<!--.*?-->", "")

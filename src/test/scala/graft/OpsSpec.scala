@@ -1418,7 +1418,12 @@ class OpsSpec extends SparkSpec {
         "<p>prose that must survive the idiom</p><!-- real note -->"),
       // NULL markup = the empty document (row preserved, non-null
       // outputs — a crawl's null payload must not poison downstream).
-      14L -> (null: String))
+      14L -> (null: String),
+      // Stray U+0001/U+0002 control bytes in crawled markup must not
+      // be mistaken for anchor sentinels: left in place they would
+      // inflate the line's link mass (everything after U+0001 counts
+      // as anchor text) and drop genuine prose. They strip on input.
+      15L -> "<p>raw \u0001control\u0002 bytes survive scoring fine</p>")
       .toDF("doc_id", "html")
     val got = graft.ops.TextAnalysis.extractMainContent(rows)
       .collect().map(r => r.getLong(0) ->
@@ -1440,6 +1445,8 @@ class OpsSpec extends SparkSpec {
     assert(got(13L) == ((2L, 1L, "prose that must survive the idiom")),
       got(13L))
     assert(got(14L) == ((1L, 0L, "")), got(14L))
+    assert(got(15L) == ((2L, 1L, "raw control bytes survive scoring fine")),
+      got(15L))
   }
 
   test("winnowFingerprints: SWA03 semantics vs an independent reference") {
