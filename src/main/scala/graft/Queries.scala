@@ -1643,6 +1643,29 @@ object Queries {
     * driver-visible change detector instead of a rows-only check
     * (VERDICT r2 #4). All-BIGINT output keeps floats out of the hash
     * compare entirely. */
+  /** The over-retrieve-and-filter half of the hard-negative recipe
+    * (s20/s20b), shared so the two exhibits differ ONLY in their ANN
+    * front: given a labeled corpus and a front's ranked
+    * `(query_id, rank, nbr_id)` stream, drop same-label hits and keep
+    * the `keep` best-ranked per anchor. Label joins are id-keyed and
+    * the re-rank is (rank asc) — id-deterministic end to end, so any
+    * recall shortfall is the FRONT's (OpsSpec proves the recipe exact
+    * at full retrieval depth). */
+  private def minedNegatives(corpus: DataFrame, front: DataFrame,
+      keep: Int = 5): DataFrame = {
+    val labels = corpus.select(col("id"), col("label"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id").orderBy(asc("rank"))
+    front
+      .join(labels.select(col("id").as("nbr_id"),
+        col("label").as("nbr_label")), "nbr_id")
+      .join(labels.select(col("id").as("query_id"),
+        col("label").as("query_label")), "query_id")
+      .filter(col("query_label") =!= col("nbr_label"))
+      .withColumn("nrank", row_number().over(w))
+      .filter(col("nrank") <= keep)
+  }
+
   private def recallCounts(approx: DataFrame, exact: DataFrame): DataFrame =
     exact.select(col("query_id"), col("nbr_id"))
       .join(approx.select(col("query_id"), col("nbr_id")).withColumn("hit", lit(1L)),
@@ -2528,23 +2551,40 @@ object Queries {
     // 5 best-ranked — with recall pinned against the exact fused form.
     // The only approximation is the IVF front's own (the recipe is
     // proven exact at full depth in OpsSpec); the label filter and
-    // re-rank are id-deterministic.
+    // re-rank are id-deterministic. Pinned 0.84-0.87: squarely the
+    // 32/16 IVF geometry's own floor on the isotropic fixture (s04
+    // pins ~0.85 at the same settings) — s20b serves the SAME recipe
+    // through the stronger graph front and clears 0.9, so a mining
+    // pipeline picks its front by the recall it needs.
     "s20_hard_negatives_ivf" -> ((s, dir) => {
       val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
         col("embedding").as("features"), col("label"))
       val q = e.filter(col("id") < 20)
-      val labels = e.select(col("id"), col("label"))
-      val w = org.apache.spark.sql.expressions.Window
-        .partitionBy("query_id").orderBy(asc("rank"))
-      val mined = SimilaritySearch.ivfTopK(e, q, 25)
-        .join(labels.select(col("id").as("nbr_id"),
-          col("label").as("nbr_label")), "nbr_id")
-        .join(labels.select(col("id").as("query_id"),
-          col("label").as("query_label")), "query_id")
-        .filter(col("query_label") =!= col("nbr_label"))
-        .withColumn("nrank", row_number().over(w))
-        .filter(col("nrank") <= 5)
-      recallCounts(mined, SimilaritySearch.hardNegatives(e, q, 5))
+      recallCounts(
+        minedNegatives(e, SimilaritySearch.ivfTopK(e, q, 25)),
+        SimilaritySearch.hardNegatives(e, q, 5))
+    }),
+
+    // The s20 recipe through the GRAPH front (n01's memoized serving
+    // graph, s03's beam parameters): over-retrieve top-25 per anchor
+    // via beam search, drop same-label hits, keep the 5 best-ranked.
+    // Same id-deterministic filter+re-rank (shared [[minedNegatives]]
+    // scaffold — the two exhibits differ ONLY in the front), but the
+    // graph serve holds ~0.96 recall where the 32/16 IVF floors at
+    // ~0.85 on this isotropic fixture, so the mined set clears the
+    // ANN family's 0.9 bar. At 100 TB the trade is the usual one:
+    // the graph front costs an NND build (n01, amortized across
+    // serves) while IVF costs one k-means + one cell shuffle.
+    "s20b_hard_negatives_graph" -> ((s, dir) => {
+      val e = t(s, dir, "embeddings").select(col("vec_id").as("id"),
+        col("embedding").as("features"), col("label"))
+      val q = e.filter(col("id") < 20)
+      val g = knnGraph(s, dir)
+        .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      recallCounts(
+        minedNegatives(e, graft.ops.GraphSearch.searchGraph(
+          g, e, q, k = 25, beam = 32, hops = 4, seeds = 16)),
+        SimilaritySearch.hardNegatives(e, q, 5))
     }),
 
     // Exact MIPS top-10 (two-tower retrieval scoring: raw inner
@@ -3973,6 +4013,12 @@ object Queries {
     // OpsSpec).
     "s20_hard_negatives_ivf" -> Seq(
       "n_hits" -> (87L, 86L, 84L), "n_total" -> (100L, 100L, 100L)),
+    // Measured 2026-08-15 (round 13, PinDump, first measurement).
+    // The same recipe through the graph front: clears the family's
+    // 0.9 bar at every SF (the front is s03's 0.96-recall serve; the
+    // s20 shortfall was the IVF front's, as its pin comment reads).
+    "s20b_hard_negatives_graph" -> Seq(
+      "n_hits" -> (99L, 99L, 97L), "n_total" -> (100L, 100L, 100L)),
     // Measured 2026-08-15 (round 12, PinDump, first measurement).
     // SemDeDup's drop list over the same fixture (d11's pairs closed
     // into min-id components): n_dropped EQUALS d11's n_found at every
