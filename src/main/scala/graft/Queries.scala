@@ -2759,19 +2759,25 @@ object Queries {
           .otherwise(col("text")))
       val planted = (a: Column, b: Column) =>
         coalesce(sum(when(a < 40 && b < 40, 1L).otherwise(0L)), lit(0L))
-      // Two independent operator invocations — the winnowing kernel
-      // deliberately runs twice (the SQL twin reuses one `sets` CTE):
-      // each half is its own public-API call, and threading a shared
-      // materialized fingerprint table through winnowPairs would
-      // complicate the operator surface to save one pass of a cheap
-      // projection in a fixture-scale exhibit.
-      val un = TextAnalysis.winnowPairs(d)
+      // ONE fingerprint pass feeds both censuses (winnowSets is the
+      // index half of the operator, matchable under any cap — exactly
+      // the SQL twin's shared `sets` CTE): materialize it once, run
+      // the capped and uncapped matches from the checkpoint, then
+      // release the blocks after the 1-row summary is collected (the
+      // p07 discipline).
+      val sets = TextAnalysis.winnowSets(d).localCheckpoint(true)
+      val un = TextAnalysis.winnowPairsFromSets(sets)
         .agg(count(lit(1)).as("n_pairs_uncapped"),
           planted(col("doc_a"), col("doc_b")).as("n_planted_uncapped"))
-      val cp = TextAnalysis.winnowPairs(d, maxDf = Some(10))
+      val cp = TextAnalysis.winnowPairsFromSets(sets, maxDf = Some(10))
         .agg(count(lit(1)).as("n_pairs_capped"),
           planted(col("doc_a"), col("doc_b")).as("n_planted_capped"))
-      un.crossJoin(cp)
+      val summary = un.crossJoin(cp)
+      val rows = summary.collect().toSeq
+      val schema = summary.schema
+      sets.unpersist()
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
     }),
 
     // HTML/boilerplate main-content extraction (t46, jusText/

@@ -198,13 +198,29 @@ object TextAnalysis {
     *         `minShared`. */
   def winnowPairs(df: DataFrame, idCol: String = "doc_id",
       textCol: String = "text", k: Int = 3, w: Int = 4,
-      minShared: Int = 1, maxDf: Option[Int] = None): DataFrame = {
-    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
-    maxDf.foreach(d => require(d >= 2, s"maxDf must be >= 2, got $d"))
-    val sets = winnowed(df, idCol, textCol, k, w)
+      minShared: Int = 1, maxDf: Option[Int] = None): DataFrame =
+    winnowPairsFromSets(winnowSets(df, idCol, textCol, k, w),
+      minShared, maxDf)
+
+  /** The fingerprint-index half of [[winnowPairs]]: each document's
+    * DISTINCT selected gram hashes as a `(id, fp)` stream — MOSS's
+    * fingerprint index, built once and matchable under any number of
+    * thresholds/caps (t45_capped materializes it once and runs its
+    * capped and uncapped censuses from the same pass, mirroring its
+    * SQL twin's shared `sets` CTE). */
+  def winnowSets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", k: Int = 3, w: Int = 4): DataFrame =
+    winnowed(df, idCol, textCol, k, w)
       .select(col(idCol).as("id"),
         explode(array_distinct(transform(col("fps"),
           p => element_at(col("g"), (p + 1).cast("int"))))).as("fp"))
+
+  /** The match half of [[winnowPairs]], over a prebuilt
+    * [[winnowSets]] `(id, fp)` stream. */
+  def winnowPairsFromSets(sets: DataFrame, minShared: Int = 1,
+      maxDf: Option[Int] = None): DataFrame = {
+    require(minShared >= 1, s"minShared must be >= 1, got $minShared")
+    maxDf.foreach(d => require(d >= 2, s"maxDf must be >= 2, got $d"))
     val kept = maxDf match {
       case None => sets
       case Some(d) =>
@@ -224,48 +240,86 @@ object TextAnalysis {
   }
 
   /** Shared winnowing internals: per document the gram-hash array `g`
-    * and the selected positions `fps` (rightmost window minima,
-    * deduplicated) — the SWA03 kernel both the per-doc summary (t44)
-    * and the cross-doc match (t45) project from. */
+    * and the selected positions `fps` (rightmost window minima with
+    * the paper's `<=` last-wins tie rule, deduplicated in
+    * first-occurrence order) — the SWA03 kernel both the per-doc
+    * summary (t44) and the cross-doc match (t45) project from.
+    *
+    * Implemented as a typed `mapPartitions` pass (one tight per-row
+    * loop, still a shuffle-free projection): the original nested-HOF
+    * form (`transform`/`aggregate` folds over per-character splits)
+    * ran every lambda INTERPRETED per array element — the documented
+    * SCALE.md anti-shape — and priced the t44/t45/t45_capped family
+    * at ~8.8 s of local wall for a within-row O(n·w) computation.
+    * The arithmetic is bit-identical (same per-code-point 31-fold mod
+    * 1e9+7, same 1000003 gram fold, same window rule), so the DuckDB
+    * twins and OpsSpec's independent reference pin the rewrite. */
   private def winnowed(df: DataFrame, idCol: String,
       textCol: String, k: Int, w: Int): DataFrame = {
     require(k >= 1 && w >= 1, s"bad winnowing params: k=$k w=$w")
     val M = 1000000007L
     val A = 1000003L
-    val toks = split(col(textCol), " ")
-    val tokHash = transform(toks, t =>
-      aggregate(
-        transform(filter(split(t, ""), c => c =!= ""),
-          c => ascii(c).cast("long")),
-        lit(0L),
-        (h, c) => (h * 31L + c) % M))
-    // gram hash g_p (0-based p): fold over the k token hashes.
-    val grams = transform(
-      sequence(lit(0), size(col("th")) - k),
-      p => aggregate(
-        sequence(p, p + (k - 1)),
-        lit(0L),
-        (g, i) => (g * A + element_at(col("th"), i + 1)) % M))
-    // Rightmost minimum of window q over grams [q, min(q+w, m)):
-    // aggregate keeps the LAST index attaining the min (<=), the
-    // paper's tie rule.
-    val sels = transform(
-      sequence(lit(0), greatest(size(col("g")) - w, lit(0))),
-      q => aggregate(
-        sequence(q, least(q + w, size(col("g"))) - 1),
-        struct(lit(-1L).as("p"), lit(Long.MaxValue).as("h")),
-        (acc, i) => when(element_at(col("g"), i + 1) <= acc.getField("h"),
-          struct(i.cast("long").as("p"),
-            element_at(col("g"), i + 1).as("h")))
-          .otherwise(acc),
-        acc => acc.getField("p")))
-    df.select(col(idCol).cast("long").as(idCol), col(textCol))
-      .withColumn("th", tokHash)
-      .withColumn("g", when(size(col("th")) >= k, grams)
-        .otherwise(array().cast("array<bigint>")))
-      .withColumn("fps", when(size(col("g")) > 0, array_distinct(sels))
-        .otherwise(array().cast("array<bigint>")))
-      .select(col(idCol), col("g"), col("fps"))
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).cast("long"), col(textCol).cast("string"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        it.map { case (id, text) =>
+          // NULL text = no grams (the HOF form's when-guard semantics).
+          if (text == null) (id, Array.empty[Long], Array.empty[Long])
+          else {
+            // split(" ", -1): Spark's split keeps trailing empty
+            // tokens (hash 0), unlike Java's default limit.
+            val toks = text.split(" ", -1)
+            val th = new Array[Long](toks.length)
+            var i = 0
+            while (i < toks.length) {
+              var h = 0L
+              // Code-point fold == the HOF form's per-char ascii():
+              // both see one value per code point, not per UTF-16 unit.
+              val cps = toks(i).codePoints().iterator()
+              while (cps.hasNext) h = (h * 31L + cps.nextInt()) % M
+              th(i) = h
+              i += 1
+            }
+            if (th.length < k) (id, Array.empty[Long], Array.empty[Long])
+            else {
+              val m = th.length - k + 1
+              val g = new Array[Long](m)
+              var p = 0
+              while (p < m) {
+                var gh = 0L
+                var j = 0
+                while (j < k) { gh = (gh * A + th(p + j)) % M; j += 1 }
+                g(p) = gh
+                p += 1
+              }
+              // Rightmost minimum of window q over grams [q, min(q+w, m)).
+              val qEnd = math.max(m - w, 0)
+              val seen = new java.util.LinkedHashSet[java.lang.Long]()
+              var q = 0
+              while (q <= qEnd) {
+                val e = math.min(q + w, m)
+                var best = -1L
+                var bh = Long.MaxValue
+                var x = q
+                while (x < e) {
+                  if (g(x) <= bh) { bh = g(x); best = x.toLong }
+                  x += 1
+                }
+                seen.add(best)
+                q += 1
+              }
+              val fps = new Array[Long](seen.size)
+              val itSel = seen.iterator()
+              var f = 0
+              while (itSel.hasNext) { fps(f) = itSel.next(); f += 1 }
+              (id, g, fps)
+            }
+          }
+        }
+      }
+      .toDF(idCol, "g", "fps")
   }
 
   /** Canonical text normalization: lowercase, strip everything outside
