@@ -2063,6 +2063,32 @@ object Queries {
       graft.ops.Sampling.temperatureMixturePlan(
         docs(s, dir), "lang", size(split(col("text"), " ")))),
 
+    // DoReMi-style LEARNED mixture (t47 — the one modern-pipeline
+    // stage the mixture family lacked: t17 is hand-curated, t29
+    // closed-form; this one ITERATES per-domain weights against
+    // excess loss, proxy = t19 unigram LM vs reference = t25 bigram
+    // LM, multiplicative-weights + uniform smoothing, all 2^-20
+    // fixed point on the driver over <= |sources| = 20 rows).
+    // Summary row: domain count, the exact-2^20 weight-mass
+    // invariant, the weight extremes (spread > 0 = the loop really
+    // moved mass toward high-excess domains), an order-independent
+    // weight fingerprint (p03's bounded per-row hash sum), and the
+    // total token budget. Pinned oracle (weights depend on
+    // StrictMath.exp of fixed-point args — deterministic on the JVM,
+    // not re-derivable in DuckDB); TrainPrepSpec holds the full-frame
+    // equality against an independent in-memory reweighter.
+    "t47_doremi_mixture" -> ((s, dir) => {
+      val plan = graft.ops.Sampling.doremiReweight(docs(s, dir), "source")
+      plan.agg(
+        count(lit(1)).as("n_domains"),
+        sum(col("weight_fp")).as("w_sum_fp"),
+        min(col("weight_fp")).as("w_min_fp"),
+        max(col("weight_fp")).as("w_max_fp"),
+        sum(pmod(xxhash64(concat_ws(":", col("stratum"), col("weight_fp"))),
+          lit(1000000007L))).as("w_hash"),
+        sum(col("budget_tokens")).as("budget_total"))
+    }),
+
     // Corpus drift (Jeffreys divergence of smoothed unigram
     // distributions between the even-id and odd-id document splits —
     // stand-ins for yesterday's and today's crawl): the ingest
@@ -4025,6 +4051,18 @@ object Queries {
     // s20 shortfall was the IVF front's, as its pin comment reads).
     "s20b_hard_negatives_graph" -> Seq(
       "n_hits" -> (99L, 99L, 97L), "n_total" -> (100L, 100L, 100L)),
+    // Measured 2026-08-15 (round 13, PinDump, first measurement).
+    // DoReMi iterated mixture over the 20 sources: w_sum_fp pins the
+    // exact-2^20 mass invariant; min < max pins that the loop moved
+    // mass (excess spread ~0.004-0.03 nats on this fixture); the
+    // hash pins every (domain, weight) pair order-independently.
+    "t47_doremi_mixture" -> Seq(
+      "n_domains" -> (20L, 20L, 20L),
+      "w_sum_fp" -> (1048576L, 1048576L, 1048576L),
+      "w_min_fp" -> (48803L, 50186L, 52138L),
+      "w_max_fp" -> (55786L, 55988L, 52751L),
+      "w_hash" -> (12284855744L, 9734081991L, 9459218588L),
+      "budget_total" -> (27937L, 27163L, 270703L)),
     // Measured 2026-08-15 (round 12, PinDump, first measurement).
     // SemDeDup's drop list over the same fixture (d11's pairs closed
     // into min-id components): n_dropped EQUALS d11's n_found at every

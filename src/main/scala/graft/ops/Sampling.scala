@@ -348,6 +348,138 @@ object Sampling {
     }.toDF("stratum", "n_docs", "n_tokens", "target_w", "budget_tokens", "epochs")
   }
 
+  /** DoReMi-style LEARNED mixture plan (Xie et al. 2023,
+    * arXiv:2305.10429, "Doremi: Optimizing Data Mixtures Speeds Up
+    * Language Model Pretraining" — the iterated-reweighting shape,
+    * with the paper's trained proxy/reference models stood in by the
+    * engine's own LM scorers): per-domain weights are NOT hand-curated
+    * (t17) or a closed-form function of counts (t29) but ITERATED
+    * against each domain's EXCESS LOSS — how much a stronger reference
+    * model improves on a weak proxy, the paper's signal for "this
+    * domain has learnable structure left". Proxy = the t19 unigram LM,
+    * reference = the t25 bigram LM (order-sensitive, strictly more
+    * expressive); excess_d = max(nll_proxy(d) − nll_reference(d), 0)
+    * per token. The multiplicative-weights loop is the paper's
+    * exponentiated-gradient update with uniform smoothing:
+    * w ← normalize(w · exp(η · excess)), then
+    * w ← normalize((1 − c) · w + c · uniform).
+    *
+    * Determinism: scoring is the scorers' own exact-BIGINT fixed point;
+    * the driver loop is pure integer 2⁻²⁰ fixed-point arithmetic — the
+    * only float op is |domains|·iters calls to `StrictMath.exp`
+    * (bit-identical across JVMs by spec, unlike `math.exp`) on
+    * fixed-point-quantized arguments, each immediately re-quantized.
+    * Normalization floors to sum EXACTLY 2²⁰ and hands the remainder
+    * out +1 at a time in (weight desc, domain asc) order — no float
+    * renormalization anywhere, so the final weights are a pure integer
+    * function of the per-domain fixed-point NLLs.
+    *
+    * Scale shape: two corpus passes (one per scorer, each the scorer's
+    * own declared broadcast-model plan) plus a narrow id-keyed domain
+    * projection; the iteration itself touches ≤ |domains| driver rows
+    * (domains are languages/sources — tens, not data-sized) for a
+    * bounded `iters` rounds. Nothing in the loop grows with the
+    * corpus. `n_tokens` in the emitted plan is the scorers' own
+    * whitespace tokenization (= t17's `size(split(text, ' '))`).
+    *
+    * @return the [[mixturePlan]] plan-frame contract — `(stratum,
+    *         n_docs, n_tokens, target_w, budget_tokens, epochs)` —
+    *         plus the learned `weight_fp` and its driving `excess_fp`
+    *         (2⁻²⁰ fixed point) for auditability. */
+  def doremiReweight(df: DataFrame, domainCol: String,
+      idCol: String = "doc_id", textCol: String = "text",
+      iters: Int = 10, etaFp: Long = 1048576L,
+      smoothFp: Long = 131072L): DataFrame = {
+    val S = 1048576L
+    require(iters >= 0, s"iters must be >= 0, got $iters")
+    require(etaFp >= 0, s"etaFp must be >= 0, got $etaFp")
+    require(smoothFp >= 0 && smoothFp <= S,
+      s"smoothFp must be a fixed-point fraction in [0, 2^20], got $smoothFp")
+    val spark = df.sparkSession
+    import spark.implicits._
+
+    val dom = df.select(col(idCol).as("id"), col(domainCol).as("stratum"))
+    val uni = TextAnalysis.unigramLogProb(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("n_tokens"),
+        col("logprob_fp").as("uni_fp"))
+    val bi = TextAnalysis.bigramLogProb(df, idCol, textCol)
+      .select(col(idCol).as("id"), col("n_bigrams"),
+        col("logprob_fp").as("bi_fp"))
+    // Left join on the bigram side: documents under two tokens have no
+    // bigrams and must still count toward their domain's plan stats.
+    val rows = dom.join(uni, "id").join(bi, Seq("id"), "left_outer")
+      .groupBy("stratum")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("uni_fp")).as("uni_fp"),
+        coalesce(sum(col("n_bigrams")), lit(0L)).as("n_bigrams"),
+        coalesce(sum(col("bi_fp")), lit(0L)).as("bi_fp"))
+      .collect()
+      .sortBy(_.getString(0))
+    require(rows.nonEmpty, "empty corpus")
+    rows.foreach(r => require(!r.isNullAt(2) && r.getLong(2) > 0,
+      s"stratum ${r.getString(0)} has no tokens"))
+    val names = rows.map(_.getString(0))
+    val nDomains = names.length
+
+    // Per-token mean NLL in 2^-20 fixed point (floorDiv: the scorers'
+    // log-prob sums are negative, so −sum is positive and floorDiv is
+    // plain integer division). A domain whose every document is a
+    // single token has no bigram evidence: excess 0 (no signal), never
+    // a division by zero.
+    val excess = rows.map { r =>
+      val nllU = Math.floorDiv(-r.getLong(3), r.getLong(2))
+      val nllB =
+        if (r.getLong(4) == 0L) nllU
+        else Math.floorDiv(-r.getLong(5), r.getLong(4))
+      math.max(nllU - nllB, 0L)
+    }
+
+    // Floor-normalize to sum EXACTLY S; the remainder (< |domains|)
+    // goes out +1 at a time in (weight desc, domain asc) order — a
+    // total order, so the result is deterministic. BigInt for the
+    // scale multiply only (post-update magnitudes × 2^20 can exceed
+    // Long); everything stored stays Long.
+    def normalize(v: Array[Long]): Array[Long] = {
+      val s = v.map(BigInt(_)).sum
+      val q =
+        if (s <= 0) Array.fill(nDomains)(S / nDomains)
+        else v.map(x => (BigInt(x) * S / s).toLong)
+      val deficit = (S - q.sum).toInt
+      val order = q.zipWithIndex
+        .sortBy { case (wgt, i) => (-wgt, names(i)) }.map(_._2)
+      val out = q.clone()
+      var i = 0
+      while (i < deficit) { out(order(i)) += 1L; i += 1 }
+      out
+    }
+
+    var w = normalize(Array.fill(nDomains)(1L))
+    var it = 0
+    while (it < iters) {
+      val stepped = Array.tabulate(nDomains) { i =>
+        // η·excess is capped at 10 nats: far beyond any real LM excess
+        // (fixture regime ~0.03), and keeps w·factor inside Long.
+        val arg = math.min(
+          etaFp.toDouble / S * excess(i).toDouble / S, 10.0)
+        w(i) * math.round(StrictMath.exp(arg) * S) / S
+      }
+      val n = normalize(stepped)
+      w = normalize(Array.tabulate(nDomains)(i =>
+        (S - smoothFp) * n(i) / S + smoothFp / nDomains))
+      it += 1
+    }
+
+    val total = rows.map(_.getLong(2)).sum
+    names.indices.map { i =>
+      val r = rows(i)
+      val tw = w(i).toDouble / S
+      (names(i), r.getLong(1), r.getLong(2), excess(i), w(i), tw,
+        math.round(tw * total), tw * total / r.getLong(2))
+    }.toDF("stratum", "n_docs", "n_tokens", "excess_fp", "weight_fp",
+      "target_w", "budget_tokens", "epochs")
+  }
+
   /** Per-group quantile threshold filter: flags every row whose value
     * reaches its group's q-quantile — "keep documents at or above the
     * p25 quality within their source", the standard per-domain

@@ -972,4 +972,99 @@ class TrainPrepSpec extends SparkSpec {
       .toMap
     assert(re == got, "compressionStats must be partition-invariant")
   }
+
+  /** Independent in-memory DoReMi reweighter: same published recipe
+    * (Laplace unigram/bigram scoring, multiplicative weights with
+    * uniform smoothing, 2^-20 fixed point), written directly over
+    * Scala collections with immutable maps — no shared code with
+    * `Sampling.doremiReweight`'s DataFrame scoring or array loop. */
+  private def refDoremi(rows: Seq[(String, String)], iters: Int,
+      etaFp: Long, smoothFp: Long): Map[String, (Long, Long)] = {
+    val S = 1048576L
+    val toks = rows.map { case (dom, t) => (dom, t.split(" ", -1).toSeq) }
+    val allToks = toks.flatMap(_._2)
+    val cnt = allToks.groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val denom = (allToks.size.toLong + cnt.size).toDouble
+    val lp = cnt.map { case (t, c) => t -> math.round(math.log((c + 1.0) / denom) * S) }
+    val bgs = toks.map { case (dom, ts) => (dom, ts.zip(ts.drop(1))) }
+    val bcnt = bgs.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    val ctx = bcnt.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val vocab = cnt.size.toLong
+    val blp = bcnt.map { case (bg, c) =>
+      bg -> math.round(math.log((c + 1.0) / (ctx(bg._1) + vocab).toDouble) * S) }
+    val domains = toks.map(_._1).distinct.sorted
+    val uniSum = toks.groupBy(_._1).map { case (d, ds) =>
+      val ts = ds.flatMap(_._2); d -> ((ts.size.toLong, ts.map(lp).sum)) }
+    val biSum = bgs.groupBy(_._1).map { case (d, ds) =>
+      val bs = ds.flatMap(_._2); d -> ((bs.size.toLong, bs.map(blp).sum)) }
+    val excess = domains.map { d =>
+      val (nt, ul) = uniSum(d)
+      val (nb, bl) = biSum(d)
+      val nllU = Math.floorDiv(-ul, nt)
+      val nllB = if (nb == 0) nllU else Math.floorDiv(-bl, nb)
+      d -> math.max(nllU - nllB, 0L)
+    }.toMap
+    def norm(v: Map[String, BigInt]): Map[String, Long] = {
+      val s = v.values.sum
+      val q =
+        if (s <= 0) domains.map(_ -> S / domains.size).toMap
+        else v.map { case (d, x) => d -> (x * S / s).toLong }
+      val deficit = (S - q.values.sum).toInt
+      val boosted = q.toSeq.sortBy { case (d, wv) => (-wv, d) }
+        .take(deficit).map(_._1).toSet
+      q.map { case (d, wv) => d -> (if (boosted(d)) wv + 1L else wv) }
+    }
+    var w = norm(domains.map(_ -> BigInt(1)).toMap)
+    (1 to iters).foreach { _ =>
+      val up = w.map { case (d, wi) =>
+        val arg = math.min(etaFp.toDouble / S * excess(d).toDouble / S, 10.0)
+        d -> BigInt(wi) * math.round(StrictMath.exp(arg) * S) / S
+      }
+      val n = norm(up)
+      w = norm(n.map { case (d, wi) =>
+        d -> (BigInt(S - smoothFp) * wi / S + smoothFp / domains.size) })
+    }
+    domains.map(d => d -> ((excess(d), w(d)))).toMap
+  }
+
+  test("doremiReweight equals the independent reweighter and holds the DoReMi invariants") {
+    val S = 1048576L
+    val d = docs.select("doc_id", "text", "source")
+    val got = graft.ops.Sampling.doremiReweight(d, "source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    val ref = refDoremi(
+      d.select("source", "text").as[(String, String)].collect().toSeq,
+      iters = 10, etaFp = 1048576L, smoothFp = 131072L)
+    assert(got.keySet == ref.keySet)
+    ref.foreach { case (dom, (ex, wfp)) =>
+      val r = got(dom)
+      assert(r.getLong(3) == ex, s"$dom excess_fp: ${r.getLong(3)} != $ex")
+      assert(r.getLong(4) == wfp, s"$dom weight_fp: ${r.getLong(4)} != $wfp")
+    }
+    // Exact weight-mass invariant and real movement.
+    assert(got.values.map(_.getLong(4)).sum == S)
+    assert(got.values.map(_.getLong(4)).max >
+      got.values.map(_.getLong(4)).min, "the loop must move mass")
+    // Weak monotonicity: more excess never gets less weight.
+    val byEx = got.values.toSeq.sortBy(r => (-r.getLong(3), r.getString(0)))
+    byEx.sliding(2).collect { case Seq(a, b) => (a, b) }.foreach {
+      case (a, b) =>
+        if (a.getLong(3) > b.getLong(3))
+          assert(a.getLong(4) >= b.getLong(4),
+            s"${a.getString(0)} excess>${b.getString(0)} but weight<")
+    }
+    // The t17 plan-frame contract columns derive from weight_fp.
+    val total = got.values.map(_.getLong(2)).sum
+    got.values.foreach { r =>
+      val tw = r.getLong(4).toDouble / S
+      assert(r.getDouble(5) == tw)
+      assert(r.getLong(6) == math.round(tw * total))
+      assert(r.getDouble(7) == tw * total / r.getLong(2))
+    }
+    // iters = 0: no movement — the (deficit-corrected) uniform plan.
+    val flat = graft.ops.Sampling.doremiReweight(d, "source", iters = 0)
+      .select("weight_fp").as[Long].collect()
+    assert(flat.sum == S && (flat.max - flat.min) <= 1L)
+  }
 }
+
