@@ -1308,6 +1308,87 @@ object Queries {
       |    AS n_distinct
       |FROM ex""".stripMargin
 
+  /** Deterministic URL-ification of the documents fixture (the t46
+    * HTML-ification precedent): five cycling surface variants per
+    * doc_id exercising every normalization rule — mixed-case
+    * scheme/host, `www.`, default ports (`:443`, `:80`), tracking
+    * parameters leading/mid/trailing, fragments, trailing slashes.
+    * Variants 0 and 3 are two surface forms of the SAME shared-site
+    * page (`news.example.com/articles/{doc_id div 5}`), so every
+    * complete 5-block yields one guaranteed URL-dedup collision;
+    * variants 1/2/4 live on per-source hosts, the domain-gate (t49)
+    * key. Single source for the Spark queries and the SQL twins. */
+  private[graft] def urlifiedDocs(d: DataFrame): DataFrame = {
+    val b = expr("doc_id div 5")
+    val v = pmod(col("doc_id"), lit(5))
+    d.select(col("doc_id"), col("source"),
+      when(v === 0, concat(lit("HTTPS://WWW.News.Example.COM:443/articles/"),
+          b, lit("/?utm_source=crawler&utm_medium=rss#sec-"), col("doc_id")))
+        .when(v === 1, concat(lit("https://"), col("source"),
+          lit(".example.com/articles/"), b, lit("?id="), col("doc_id")))
+        .when(v === 2, concat(lit("http://"), col("source"),
+          lit(".example.com:80/posts/"), col("doc_id"), lit("/")))
+        .when(v === 3, concat(lit("https://www.news.example.com/articles/"),
+          b, lit("?utm_campaign=feed")))
+        .otherwise(concat(lit("https://"), col("source"),
+          lit(".example.com/articles/"), b, lit("?id="), col("doc_id"),
+          lit("&utm_term=x&fbclid=abc"))).as("url"))
+  }
+
+  /** The t48-family URL synthesis as a DuckDB CTE —
+    * `urls(doc_id, url)` over `src` — mirroring [[urlifiedDocs]]. */
+  private def urlSynthCte(src: String): String =
+    s"""urls AS (SELECT doc_id,
+      |  CASE doc_id % 5
+      |    WHEN 0 THEN 'HTTPS://WWW.News.Example.COM:443/articles/' ||
+      |      (doc_id // 5) || '/?utm_source=crawler&utm_medium=rss#sec-' ||
+      |      doc_id
+      |    WHEN 1 THEN 'https://' || source || '.example.com/articles/' ||
+      |      (doc_id // 5) || '?id=' || doc_id
+      |    WHEN 2 THEN 'http://' || source || '.example.com:80/posts/' ||
+      |      doc_id || '/'
+      |    WHEN 3 THEN 'https://www.news.example.com/articles/' ||
+      |      (doc_id // 5) || '?utm_campaign=feed'
+      |    ELSE 'https://' || source || '.example.com/articles/' ||
+      |      (doc_id // 5) || '?id=' || doc_id || '&utm_term=x&fbclid=abc'
+      |  END AS url FROM $src)""".stripMargin
+
+  /** The `Web.normalizeUrls` chain as DuckDB CTEs: consumes a
+    * `urls(doc_id, url)` CTE and yields
+    * `normed(doc_id, url, norm_url, domain)` — one definition shared
+    * by t48/d22/t49 and p07's stage 0, the htmlExtractCtes
+    * discipline. Patterns are the operator's own (Java-regex/RE2
+    * common subset); replacements use DuckDB's `\\1` group syntax for
+    * Spark's `$$1` — same semantics. */
+  private def urlNormCtes: String =
+    """up AS (SELECT doc_id, url, trim(coalesce(url, '')) AS u FROM urls),
+      |ux AS (SELECT doc_id, url, u,
+      |  lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\-]*)://', 1))
+      |    AS scheme,
+      |  lower(regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://([^/?#]*)', 1))
+      |    AS hostport,
+      |  regexp_extract(u, '^[A-Za-z][A-Za-z0-9+.\-]*://[^/?#]*([^#]*)', 1)
+      |    AS rest FROM up),
+      |uy AS (SELECT doc_id, url, u, scheme,
+      |  regexp_replace(CASE
+      |      WHEN scheme = 'http' THEN regexp_replace(hostport, ':80$', '')
+      |      WHEN scheme = 'https' THEN regexp_replace(hostport, ':443$', '')
+      |      ELSE hostport END, '^www\.', '') AS host,
+      |  regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '/+$', '')
+      |    AS path,
+      |  regexp_extract(rest, '^[^?]*(.*)$', 1) AS query0 FROM ux),
+      |uz AS (SELECT doc_id, url, u, scheme, host, path,
+      |  regexp_replace(replace(regexp_replace(
+      |    regexp_replace(query0,
+      |      '([?&])(?:utm_[a-z0-9_]*|fbclid|gclid)=[^&]*', '\1', 'g'),
+      |    '&&+', '&', 'g'), '?&', '?'), '[?&]+$', '') AS q FROM uy),
+      |normed AS (SELECT doc_id, url,
+      |  CASE WHEN scheme = '' THEN lower(u)
+      |       ELSE scheme || '://' || host || path || q END AS norm_url,
+      |  CASE WHEN scheme = '' THEN ''
+      |       ELSE regexp_replace(host, ':[0-9]+$', '') END AS domain
+      |  FROM uz)""".stripMargin
+
   /** t21's fixed retrieval query: two common terms plus the rare 'dup'
     * (df ≈ 5% of docs in the synthetic corpus) so the idf term
     * actually differentiates scores. Shared by the Spark query and the
@@ -1315,6 +1396,13 @@ object Queries {
     * the two cannot desync). */
   val bm25Query: Seq[String] = Seq("hash", "join", "dup")
   private val bm25QueryInList = bm25Query.map(t => s"'$t'").mkString(", ")
+
+  /** t49's curated domain blocklist — the shared news site (variants
+    * 0/3) plus two per-source hosts; single source for the Spark
+    * query and the oracle SQL's IN list (the bm25Query discipline). */
+  val UrlBlocklist: Seq[String] =
+    Seq("news.example.com", "src3.example.com", "src11.example.com")
+  private val urlBlocklistInList = UrlBlocklist.map(d => s"'$d'").mkString(", ")
   private def emb(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "embeddings").select(col("vec_id").as("id"), col("embedding").as("features"))
 
@@ -2823,19 +2911,51 @@ object Queries {
     // text itself.
     "t46_html_extract" -> ((s, dir) => htmlExtractFrame(docs(s, dir))),
 
-    // Web-corpus ASSEMBLY, end to end (p07): the four stages a crawl
+    // URL canonicalization (t48 — the stage C4/RefinedWeb run BEFORE
+    // any text pass; VERDICT r12 "What's missing" #2): the documents
+    // fixture deterministically URL-ified into five cycling messy
+    // surface variants (case, www., default ports, tracking params,
+    // fragments, trailing slashes), normalized by Web.normalizeUrls.
+    // Full (doc_id, url, norm_url, domain) table, bit-exact twin —
+    // the twin re-implements the whole regex chain in DuckDB.
+    "t48_url_normalize" -> ((s, dir) =>
+      graft.ops.Web.normalizeUrls(urlifiedDocs(docs(s, dir)))
+        .select("doc_id", "url", "norm_url", "domain")),
+
+    // Per-URL exact dedup (d22 — d01 keyed by the canonical URL, the
+    // cheapest dedup a crawl runs: surface forms of one page collapse
+    // BEFORE anything reads the body; min-id wins). The t48 fixture
+    // guarantees one collision per complete 5-block (variants 0/3 are
+    // two surfaces of the same shared-site page).
+    "d22_url_dedup" -> ((s, dir) =>
+      Dedup.exact(graft.ops.Web.normalizeUrls(urlifiedDocs(docs(s, dir))),
+        "doc_id", "norm_url")),
+
+    // Domain blocklist gate (t49 — the t33 blocklist shape one level
+    // up the stack: RefinedWeb/C4 drop whole domains before reading a
+    // byte of their text; the blocklist is shared with the twin via
+    // UrlBlocklist, the bm25Query single-source discipline).
+    "t49_domain_gate" -> ((s, dir) =>
+      graft.ops.Web.domainGate(
+        graft.ops.Web.normalizeUrls(urlifiedDocs(docs(s, dir))),
+        UrlBlocklist)
+        .select("doc_id", "domain", "kept")),
+
+    // Web-corpus ASSEMBLY, end to end (p07): the five stages a crawl
     // actually passes through, composed from shipped operators into
-    // one bit-exact pipeline — (1) t46 extraction over a
-    // duplicate-augmented corpus (every doc_id % 10 == 0 re-crawled at
-    // id + 10^6, the d05 augmentation precedent: identical markup,
-    // identical extraction), (2) exact-dedup survivors on the CLEAN
-    // text keyed by md5 so the dedup shuffle moves 32-byte digests,
-    // never bodies (the exactByHash scale argument; min-id wins, so
-    // every re-crawl loses to its original), (3) the t02 quality
-    // scorer over the extracted text, (4) the t22 budget selector at
-    // 8000 tokens. Every stage deterministic, so the one-row summary
-    // is a bit-exact twin: input/survivor/kept counts, picked token
-    // mass (<= 8000 by construction), the quality threshold the
+    // one bit-exact pipeline — (0) URL canonicalization + per-URL
+    // exact dedup (t48/d22 — every doc_id % 10 == 0 re-crawled at
+    // id + 10^6 under a MESSY surface form of its original's URL;
+    // normalization collapses them before a byte of markup is read),
+    // (1) t46 extraction over the URL-surviving corpus, (2)
+    // exact-dedup survivors on the CLEAN text keyed by md5 so the
+    // dedup shuffle moves 32-byte digests, never bodies (the
+    // exactByHash scale argument; catches the organic exact dupes the
+    // URL pass can't see), (3) the t02 quality scorer over the
+    // extracted text, (4) the t22 budget selector at 8000 tokens.
+    // Every stage deterministic, so the one-row summary is a
+    // bit-exact twin: crawled/input/survivor/kept counts, picked
+    // token mass (<= 8000 by construction), the quality threshold the
     // budget bought (a DOUBLE, but both engines compute the identical
     // IEEE value per doc — the t02 twin proves it — and min is
     // order-independent), and the picked-id mass.
@@ -2844,13 +2964,31 @@ object Queries {
         .unionByName(docs(s, dir)
           .filter(col("doc_id") % 10 === 0)
           .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      // Stage 0 (round 13, VERDICT r12 "What's missing" #2): URL-level
+      // dedup BEFORE extraction — each re-crawl carries a messy
+      // surface form of its ORIGINAL's URL (case/www./port/tracking/
+      // fragment noise), so canonicalization + min-id collapse drops
+      // every re-crawl for the price of a url-keyed shuffle, bodies
+      // untouched (the d22 scale argument: at 100 TB this is the
+      // cheapest dedup a crawl runs, and it runs FIRST). The md5
+      // text-dedup stage below then catches only organic exact dupes.
+      val urled = aug.withColumn("url",
+        when(col("doc_id") < 1000000L,
+          concat(lit("https://crawl.example.com/doc/"), col("doc_id")))
+          .otherwise(concat(lit("HTTPS://WWW.Crawl.Example.COM:443/doc/"),
+            col("doc_id") - lit(1000000L),
+            lit("?utm_source=recrawl#cached"))))
+      val sv0 = graft.ops.Web.normalizeUrls(urled)
+        .groupBy("norm_url").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val stage0 = aug.join(sv0, "doc_id")
       // The extraction feeds THREE consumers (the md5 census, the
       // survivor join-back, and the input count) and the scored frame
       // two (the selector's rank and the threshold re-join); without
       // materialization Catalyst re-executes the regex-heaviest
       // subtree per consumer (round-12 review) — the pairCands
       // truncate-once precedent.
-      val cl = htmlExtractFrame(aug)
+      val cl = htmlExtractFrame(stage0)
         .select(col("doc_id"), col("extracted").as("text"))
         .localCheckpoint(true)
       val sv = cl.groupBy(md5(col("text")).as("h"))
@@ -2870,6 +3008,7 @@ object Queries {
           min(when(col("kept") === 1L, col("quality"))).as("q_threshold"),
           sum(col("kept") * col("doc_id")).as("ids_fp"))
         .crossJoin(cl.agg(count(lit(1)).as("n_input")))
+        .crossJoin(aug.agg(count(lit(1)).as("n_crawled")))
       // Materialize the 1-row summary, then release both checkpointed
       // frames — otherwise every invocation (bench pass + reruns)
       // leaks two persisted block sets for the rest of the session.
@@ -5614,6 +5753,25 @@ object Queries {
     // (st23 shares this SQL verbatim — the streaming serve is the same
     // pipeline function drained, the st19/d07 precedent.)
     "t46_html_extract" -> htmlExtractSql,
+
+    "t48_url_normalize" ->
+      s"""WITH ${urlSynthCte("documents")},
+        |$urlNormCtes
+        |SELECT doc_id, url, norm_url, domain FROM normed""".stripMargin,
+
+    "d22_url_dedup" ->
+      s"""WITH ${urlSynthCte("documents")},
+        |$urlNormCtes
+        |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
+        |FROM normed GROUP BY norm_url""".stripMargin,
+
+    "t49_domain_gate" ->
+      s"""WITH ${urlSynthCte("documents")},
+        |$urlNormCtes
+        |SELECT doc_id, domain,
+        |  CASE WHEN domain IN ($urlBlocklistInList)
+        |    THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS kept
+        |FROM normed""".stripMargin,
     "st23_html_extract_serve" -> htmlExtractSql,
 
     // The four-stage assembly over the duplicate-augmented corpus:
@@ -5628,7 +5786,16 @@ object Queries {
         |  UNION ALL
         |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
         |  WHERE doc_id % 10 = 0),
-        |${htmlExtractCtes("d0")},
+        |urls AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 1000000
+        |    THEN 'https://crawl.example.com/doc/' || doc_id
+        |    ELSE 'HTTPS://WWW.Crawl.Example.COM:443/doc/' ||
+        |      (doc_id - 1000000) || '?utm_source=recrawl#cached'
+        |  END AS url FROM d0),
+        |$urlNormCtes,
+        |sv0 AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY norm_url),
+        |s0 AS (SELECT d0.doc_id, d0.text FROM d0 JOIN sv0 USING (doc_id)),
+        |${htmlExtractCtes("s0")},
         |cl AS (SELECT doc_id, extracted AS text FROM ex),
         |sv AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY md5(text)),
         |svt AS (SELECT cl.doc_id, cl.text FROM cl JOIN sv USING (doc_id)),
@@ -5656,7 +5823,8 @@ object Queries {
         |  CAST(sum(kept * n_tokens) AS BIGINT) AS picked_tokens,
         |  min(CASE WHEN kept = 1 THEN quality END) AS q_threshold,
         |  CAST(sum(kept * doc_id) AS BIGINT) AS ids_fp,
-        |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_input
+        |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_input,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_crawled
         |FROM kp2""".stripMargin,
     // Stub-path aHash: first 64 UTF-8 BYTES as the pixel grid (hex-pair
     // slicing of encode(text) — byte-exact vs Spark's bytes(i), unlike

@@ -3392,4 +3392,56 @@ class OpsSpec extends SparkSpec {
     assert(out == Map(1L -> "removed", 2L -> "unchanged",
       3L -> "changed", 4L -> "added"))
   }
+
+  test("normalizeUrls: hand-computed canonical forms") {
+    import spark.implicits._
+    val d = Seq(
+      // scheme/host case, www., default port, tracking params, fragment,
+      // trailing slash -- every rule at once; equals doc 2 after norm.
+      (1L, "HTTPS://WWW.News.Example.COM:443/Articles/Story-1/" +
+        "?utm_source=feed&utm_medium=rss#top"),
+      (2L, "https://news.example.com/Articles/Story-1"),
+      // http default port + trailing slash on a non-root path.
+      (3L, "http://a.example.com:80/posts/7/"),
+      // mid-query strips heal separators; equals doc 5 after norm.
+      (4L, "https://a.example.com/p?id=9&utm_term=x&fbclid=abc"),
+      (5L, "https://a.example.com/p?utm_campaign=z&id=9"),
+      // root trailing slash drops entirely.
+      (6L, "https://a.example.com/"),
+      // non-URL rows pass through lowercased, empty domain.
+      (7L, "Not A URL"),
+      (8L, null.asInstanceOf[String]),
+      // every parameter tracked: the whole query vanishes.
+      (9L, "https://b.example.com/x?utm_a=1&utm_b=2"),
+      // NON-default port survives; :80$ must not eat :8080.
+      (10L, "HTTP://B.example.com:8080/x")
+    ).toDF("doc_id", "url")
+    val got = graft.ops.Web.normalizeUrls(d)
+      .select("doc_id", "norm_url", "domain").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    assert(got(1L) == (("https://news.example.com/Articles/Story-1",
+      "news.example.com")), got(1L))
+    assert(got(2L) == got(1L), "surface forms of one page must collide")
+    assert(got(3L) == (("http://a.example.com/posts/7", "a.example.com")))
+    assert(got(4L) == (("https://a.example.com/p?id=9", "a.example.com")),
+      got(4L))
+    assert(got(5L) == got(4L), "param order/strip variants must collide")
+    assert(got(6L) == (("https://a.example.com", "a.example.com")))
+    assert(got(7L) == (("not a url", "")))
+    assert(got(8L) == (("", "")))
+    assert(got(9L) == (("https://b.example.com/x", "b.example.com")),
+      got(9L))
+    assert(got(10L) == (("http://b.example.com:8080/x", "b.example.com")),
+      got(10L))
+  }
+
+  test("domainGate flags exactly the blocked domains") {
+    import spark.implicits._
+    val d = Seq((1L, "a.example.com"), (2L, "b.example.com"),
+      (3L, "c.example.com")).toDF("doc_id", "domain")
+    val got = graft.ops.Web.domainGate(d, Seq("b.example.com", "z.example.com"))
+      .select("doc_id", "kept").as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
+  }
 }
+
