@@ -1335,6 +1335,25 @@ object Queries {
           lit("&utm_term=x&fbclid=abc"))).as("url"))
   }
 
+  /** t49's twin, shared verbatim by the st24 streaming serve (the
+    * st23/t46 convention). */
+  private lazy val urlGateSql: String =
+    s"""WITH ${urlSynthCte("documents")},
+      |$urlNormCtes
+      |SELECT doc_id, domain,
+      |  CASE WHEN domain IN ($urlBlocklistInList)
+      |    THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS kept
+      |FROM normed""".stripMargin
+
+  /** The t49 pipeline body — URL-ify deterministically, normalize,
+    * gate on [[UrlBlocklist]]. One function consumed by BOTH the
+    * batch query (t49) and the streaming serve (st24), so the two
+    * surfaces cannot drift (the htmlExtractFrame discipline). */
+  private[graft] def urlGateFrame(d: DataFrame): DataFrame =
+    graft.ops.Web.domainGate(
+      graft.ops.Web.normalizeUrls(urlifiedDocs(d)), UrlBlocklist)
+      .select("doc_id", "domain", "kept")
+
   /** The t48-family URL synthesis as a DuckDB CTE —
     * `urls(doc_id, url)` over `src` — mirroring [[urlifiedDocs]]. */
   private def urlSynthCte(src: String): String =
@@ -2177,6 +2196,26 @@ object Queries {
         sum(col("budget_tokens")).as("budget_total"))
     }),
 
+    // The learned mixture EXECUTED (p08 — t47's plan materialized as
+    // (doc, rep) training copies through the same executePlan kernel
+    // t18 uses, closing the learn-then-materialize loop: floor(epochs)
+    // whole copies per doc plus one md5-Bernoulli fractional copy, so
+    // realized per-domain token mass tracks the LEARNED weights).
+    // Deterministic end to end (the t47 weights are a pure integer
+    // function of the corpus; the copy draw is the t18 md5 rule), so
+    // the copy census pins: total copies, distinct docs, and an
+    // order-independent (doc, rep) fingerprint.
+    "p08_doremi_execute" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val plan = graft.ops.Sampling.doremiReweight(d, "source")
+      graft.ops.Sampling.executePlan(d, "source", "doc_id", plan)
+        .agg(
+          count(lit(1)).as("n_copies"),
+          count_distinct(col("doc_id")).as("n_docs"),
+          sum(pmod(xxhash64(concat_ws(":", col("doc_id"), col("rep"))),
+            lit(1000000007L))).as("copies_fp"))
+    }),
+
     // Corpus drift (Jeffreys divergence of smoothed unigram
     // distributions between the even-id and odd-id document splits —
     // stand-ins for yesterday's and today's crawl): the ingest
@@ -2934,12 +2973,17 @@ object Queries {
     // Domain blocklist gate (t49 — the t33 blocklist shape one level
     // up the stack: RefinedWeb/C4 drop whole domains before reading a
     // byte of their text; the blocklist is shared with the twin via
-    // UrlBlocklist, the bm25Query single-source discipline).
-    "t49_domain_gate" -> ((s, dir) =>
-      graft.ops.Web.domainGate(
-        graft.ops.Web.normalizeUrls(urlifiedDocs(docs(s, dir))),
-        UrlBlocklist)
-        .select("doc_id", "domain", "kept")),
+    // UrlBlocklist, the bm25Query single-source discipline). One
+    // pipeline function shared with the st24 streaming serve.
+    "t49_domain_gate" -> ((s, dir) => urlGateFrame(docs(s, dir))),
+
+    // st24: the t48/t49 URL curation AT INGEST — the same pipeline
+    // function run over a streaming read of documents in append mode
+    // with ZERO state (pure per-row projections, so the drained
+    // stream equals the batch result under any micro-batch slicing —
+    // the st23 argument verbatim). Shares t49's bit-exact twin.
+    "st24_url_gate_serve" -> ((s, dir) =>
+      graft.streaming.EventsStream.urlGateServe(s, dir, urlGateFrame)),
 
     // Web-corpus ASSEMBLY, end to end (p07): the five stages a crawl
     // actually passes through, composed from shipped operators into
@@ -4195,6 +4239,14 @@ object Queries {
     // exact-2^20 mass invariant; min < max pins that the loop moved
     // mass (excess spread ~0.004-0.03 nats on this fixture); the
     // hash pins every (domain, weight) pair order-independently.
+    // Measured 2026-08-15 (round 13, PinDump, first measurement).
+    // t47's plan executed: every domain's epochs is ~1 (weights near
+    // uniform against a near-uniform corpus), so the copy census sits
+    // near |docs| with the md5-Bernoulli fringe deciding the rest.
+    "p08_doremi_execute" -> Seq(
+      "n_copies" -> (509L, 503L, 5011L),
+      "n_docs" -> (484L, 484L, 4940L),
+      "copies_fp" -> (258559120890L, 255368689553L, 2474698545710L)),
     "t47_doremi_mixture" -> Seq(
       "n_domains" -> (20L, 20L, 20L),
       "w_sum_fp" -> (1048576L, 1048576L, 1048576L),
@@ -5765,13 +5817,8 @@ object Queries {
         |SELECT min(doc_id) AS keep_id, CAST(count(*) AS BIGINT) AS n_copies
         |FROM normed GROUP BY norm_url""".stripMargin,
 
-    "t49_domain_gate" ->
-      s"""WITH ${urlSynthCte("documents")},
-        |$urlNormCtes
-        |SELECT doc_id, domain,
-        |  CASE WHEN domain IN ($urlBlocklistInList)
-        |    THEN CAST(0 AS BIGINT) ELSE CAST(1 AS BIGINT) END AS kept
-        |FROM normed""".stripMargin,
+    "t49_domain_gate" -> urlGateSql,
+    "st24_url_gate_serve" -> urlGateSql,
     "st23_html_extract_serve" -> htmlExtractSql,
 
     // The four-stage assembly over the duplicate-augmented corpus:

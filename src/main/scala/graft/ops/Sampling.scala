@@ -158,13 +158,28 @@ object Sampling {
   def executeMixture(df: DataFrame, stratumCol: String, keyCol: String,
       tokens: Column, targets: Seq[(String, Double)]): DataFrame = {
     require(targets.forall(_._2 > 0), s"non-positive target weight in $targets")
-    val plan = mixturePlan(df, stratumCol, tokens, targets)
-      .select(col("stratum").as(stratumCol), col("epochs"))
+    executePlan(df, stratumCol, keyCol,
+      mixturePlan(df, stratumCol, tokens, targets))
+  }
+
+  /** [[executeMixture]]'s materialization half over an ALREADY-BUILT
+    * plan frame (`stratum`, `epochs`, any other columns ignored) — so
+    * a plan from any planner ([[mixturePlan]],
+    * [[temperatureMixturePlan]], [[doremiReweight]]) executes through
+    * one implementation. Precondition: every plan row has
+    * `epochs > 0` (all three planners guarantee it — `sequence` on a
+    * non-positive ceil would DESCEND, not empty out). Same per-row
+    * cost and determinism contract as [[executeMixture]]: the plan
+    * broadcasts, the keep decision is a scan-side md5 predicate, and
+    * the copy set is a pure function of the data. */
+  def executePlan(df: DataFrame, stratumCol: String, keyCol: String,
+      plan: DataFrame): DataFrame = {
+    val p = plan.select(col("stratum").as(stratumCol), col("epochs"))
     val frac = col("epochs") - floor(col("epochs"))
     val drawNum = conv(substring(
       draw(concat(col(keyCol).cast("string"), lit("#"), col("rep").cast("string"))),
       1, 8), 16, 10).cast("long")
-    df.join(broadcast(plan), stratumCol)
+    df.join(broadcast(p), stratumCol)
       .withColumn("rep",
         explode(sequence(lit(0L), ceil(col("epochs")).cast("long") - 1)))
       .filter(col("rep") < floor(col("epochs")) ||

@@ -242,7 +242,7 @@ object EventsStream {
     * re-emit the full result (complete). */
   private def outputModeFor(tag: String): String = tag match {
     case "join" | "decon" | "chunks" | "sesswin" | "ingestdedup"
-       | "htmlx" => "append"
+       | "htmlx" | "urlgate" => "append"
     case "sessions" | "heavy" | "pca"                            => "update"
     case _                                                       => "complete" // incl. "annserve"
   }
@@ -432,6 +432,18 @@ object EventsStream {
   def htmlExtractServe(spark: SparkSession, dir: String,
       build: DataFrame => DataFrame): DataFrame =
     runDrainedOn(spark, dir, "documents", documentsSchema, "htmlx")(build)
+
+  /** Streaming URL curation at ingest (st24 — the t48/t49 chain over
+    * a streaming documents read in APPEND mode with ZERO state: URL
+    * canonicalization and the domain gate are stateless per-row
+    * projections, so per-row independence makes the drained stream
+    * equal the batch result under any micro-batch slicing — the st23
+    * argument verbatim). The caller passes the batch pipeline
+    * function, so the two surfaces share one definition and one
+    * bit-exact twin. */
+  def urlGateServe(spark: SparkSession, dir: String,
+      build: DataFrame => DataFrame): DataFrame =
+    runDrainedOn(spark, dir, "documents", documentsSchema, "urlgate")(build)
 
   /** Streaming quality-score histogram over the document stream: the
     * live data-quality monitoring surface of an ingest pipeline (drift

@@ -3334,6 +3334,16 @@ class OpsSpec extends SparkSpec {
     assert(e.getMessage.contains("literal-folding cap"), e.getMessage)
   }
 
+  test("streaming URL gate equals the batch t49 frame bit-for-bit") {
+    // Stateless per-row projections (normalize + gate): the drained
+    // stream must reproduce the batch result exactly, row for row.
+    def rows(name: String) = Queries.all(name)(spark, sf001)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    assert(rows("st24_url_gate_serve") == rows("t49_domain_gate"),
+      "drained stream diverged from the batch URL gate")
+  }
+
   test("streaming HTML extraction equals the batch t46 frame bit-for-bit") {
     // Stateless per-row projection: the drained stream must reproduce
     // the batch result exactly, row for row (per-row independence

@@ -1066,5 +1066,33 @@ class TrainPrepSpec extends SparkSpec {
       .select("weight_fp").as[Long].collect()
     assert(flat.sum == S && (flat.max - flat.min) <= 1L)
   }
+
+  test("executePlan over a prebuilt plan equals executeMixture; a learned plan executes in-band") {
+    val targets = Seq("en" -> 0.5, "de" -> 0.15, "es" -> 0.15,
+      "fr" -> 0.1, "zh" -> 0.1)
+    val toks = size(split(col("text"), " "))
+    val direct = graft.ops.Sampling
+      .executeMixture(docs, "lang", "doc_id", toks, targets)
+    val viaPlan = graft.ops.Sampling.executePlan(docs, "lang", "doc_id",
+      graft.ops.Sampling.mixturePlan(docs, "lang", toks, targets))
+    assert(direct.exceptAll(viaPlan).isEmpty &&
+      viaPlan.exceptAll(direct).isEmpty,
+      "executePlan must reproduce executeMixture exactly")
+    // Learned plan: every materialized doc's copy count sits inside
+    // its domain's [floor(epochs), ceil(epochs)] band.
+    val plan = graft.ops.Sampling.doremiReweight(docs, "source")
+    val eps = plan.select("stratum", "epochs").collect()
+      .map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val copies = graft.ops.Sampling.executePlan(docs, "source", "doc_id", plan)
+      .groupBy("doc_id", "source").agg(count(lit(1)).as("c"))
+      .collect().map(r => (r.getString(1), r.getLong(2)))
+    assert(copies.nonEmpty)
+    copies.foreach { case (src, c) =>
+      val e = eps(src)
+      assert(c >= math.floor(e).toLong && c <= math.ceil(e).toLong,
+        s"$src: $c copies outside [floor, ceil] of epochs $e")
+    }
+  }
 }
+
 
