@@ -215,6 +215,28 @@ class PlanSpec extends SparkSpec {
       s"extraction fell out of codegen'd built-ins:\n$p")
   }
 
+  test("t48/t49: URL curation is a pure projection — zero exchanges, no UDF") {
+    for (name <- Seq("t48_url_normalize", "t49_domain_gate")) {
+      val p = plan(name)
+      assert(!p.contains("Exchange"), s"$name shuffled:\n$p")
+      assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"),
+        s"$name fell out of codegen'd built-ins:\n$p")
+    }
+  }
+
+  test("d22: per-URL dedup shuffles once, on the canonical URL key") {
+    // AQE renders the final AND the initial plan in one string; count
+    // exchanges in the final-plan section only.
+    val p = plan("d22_url_dedup")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(fin.contains("Exchange hashpartitioning(norm_url"),
+      s"d22 must group on norm_url:\n$p")
+    assert(fin.split("Exchange hashpartitioning").length - 1 == 1,
+      s"d22 must shuffle exactly once:\n$p")
+    assert(fin.contains("partial_min"),
+      s"d22 lost map-side combine:\n$p")
+  }
+
   test("p06/p07: selection pipelines carry no cartesian product, no UDF") {
     // Both compose iterative/checkpointed stages, so the single
     // executedPlan string covers only the FINAL job — the pin is the
