@@ -427,4 +427,61 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  // --- URL normalization (t48) ---
+
+  /** Component-wise URL generator: builds a messy surface form AND its
+    * known canonical form from the same components, so the expected
+    * value is constructive — no reference re-implementation of the
+    * regex chain to drift against. */
+  private val urlCaseGen: Gen[(String, String, String)] = for {
+    https <- Gen.oneOf(true, false)
+    schemeCase <- Gen.oneOf(identity[String] _, (x: String) => x.toUpperCase)
+    www <- Gen.oneOf(true, false)
+    hostCase <- Gen.oneOf(identity[String] _, (x: String) => x.toUpperCase)
+    host <- Gen.oneOf("a.example.com", "b-site.example.org", "example.net")
+    defPort <- Gen.oneOf(true, false)
+    oddPort <- Gen.oneOf(None, Some(8080), Some(3000))
+    segs <- Gen.choose(0, 3).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("Articles", "p", "x7", "Very-Long")))
+    trailSlash <- Gen.oneOf(true, false)
+    keep <- Gen.choose(0, 2).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("id=9", "q=Spark", "page=2")))
+    strip <- Gen.choose(0, 2).flatMap(n => Gen.listOfN(n,
+      Gen.oneOf("utm_source=feed", "utm_medium=rss", "fbclid=xYz", "gclid=1")))
+    shuffleFirstStrip <- Gen.oneOf(true, false)
+    frag <- Gen.oneOf(None, Some("sec-2"))
+  } yield {
+    val scheme = if (https) "https" else "http"
+    // Odd port wins over the default-port flag (a URL has one port).
+    val port = oddPort.map(":" + _)
+      .getOrElse(if (defPort) { if (https) ":443" else ":80" } else "")
+    val path = segs.map("/" + _).mkString + (if (trailSlash) "/" else "")
+    // Interleave: optionally lead with a stripped param, then keepers,
+    // then the remaining stripped ones — exercises lead/mid/tail strip.
+    val params =
+      if (shuffleFirstStrip && strip.nonEmpty) strip.take(1) ++ keep ++ strip.drop(1)
+      else keep ++ strip
+    val query = if (params.isEmpty) "" else "?" + params.mkString("&")
+    val messy = schemeCase(scheme) + "://" + hostCase(if (www) "www." else "") +
+      hostCase(host) + port + path + query + frag.map("#" + _).getOrElse("")
+    val canonPort = oddPort.map(":" + _).getOrElse("")
+    val canonPath = segs.map("/" + _).mkString // trailing slashes always drop
+    val canonQuery = if (keep.isEmpty) "" else "?" + keep.mkString("&")
+    (messy, scheme + "://" + host + canonPort + canonPath + canonQuery, host)
+  }
+
+  test("normalizeUrls recovers the constructive canonical form on randomized URLs") {
+    val cases = sample(urlCaseGen, Cases)
+    val df = cases.zipWithIndex
+      .map { case ((messy, _, _), i) => (i.toLong, messy) }.toDF("doc_id", "url")
+    val got = graft.ops.Web.normalizeUrls(df)
+      .select("doc_id", "norm_url", "domain").collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getString(2)))).toMap
+    cases.zipWithIndex.foreach { case ((messy, canon, host), i) =>
+      assert(got(i.toLong) == ((canon, host)),
+        s"url='$messy': ${got(i.toLong)} != ${(canon, host)}")
+    }
+  }
 }
+

@@ -1067,6 +1067,21 @@ class TrainPrepSpec extends SparkSpec {
     assert(flat.sum == S && (flat.max - flat.min) <= 1L)
   }
 
+  test("doremiReweight: a domain with no bigram evidence gets zero excess and stays in the plan") {
+    val d = Seq(
+      (1L, "x", "tiny"), (2L, "y", "tiny"), // single-token docs: no bigrams
+      (3L, "a b a b a", "big"), (4L, "b a b a b", "big"))
+      .toDF("doc_id", "text", "source")
+    val got = graft.ops.Sampling.doremiReweight(d, "source").collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(got.keySet == Set("big", "tiny"))
+    assert(got("tiny").getLong(3) == 0L,
+      s"no bigram evidence must mean zero excess: ${got("tiny")}")
+    assert(got.values.map(_.getLong(4)).sum == 1048576L)
+    assert(got("big").getLong(4) >= got("tiny").getLong(4),
+      "the domain with measurable excess must not lose mass to the one without")
+  }
+
   test("executePlan over a prebuilt plan equals executeMixture; a learned plan executes in-band") {
     val targets = Seq("en" -> 0.5, "de" -> 0.15, "es" -> 0.15,
       "fr" -> 0.1, "zh" -> 0.1)
