@@ -27,7 +27,9 @@ class ContractSpec extends AnyFunSuite {
   }
 
   test("query names follow the family naming scheme") {
-    val pat = "^(q|d|t|s|m|n|st|p)[0-9]+_[a-z0-9_]+$".r
+    // One optional letter after the number: sibling exhibits of one
+    // recipe under different fronts (s20 IVF / s20b graph).
+    val pat = "^(q|d|t|s|m|n|st|p)[0-9]+[a-z]?_[a-z0-9_]+$".r
     val bad = SparkEntry.queries.keySet.filterNot(n => pat.matches(n))
     assert(bad.isEmpty, s"off-scheme query names: $bad")
   }
