@@ -3063,6 +3063,50 @@ object Queries {
       s.createDataFrame(rows.asJava, schema)
     }),
 
+    // Dataset card (p09 — the release artifact every corpus publishes:
+    // Dolma/FineWeb ship exactly this table next to the data): corpus
+    // census (docs, tokens, languages, sources, distinct texts), the
+    // EXACT quality quartiles at the (quality asc, doc_id asc) total
+    // order (order statistics are data elements — bit-exact, the
+    // quantileFilter argument — ranked by Packing.globalRank's
+    // range-partitioned rank, never a single-task global window),
+    // contaminated-doc count (the d09 trigram overlap vs the
+    // doc_id % 20 == 0 bench split), and PII-bearing docs (rows the
+    // t10 scrubber would change). Pure composition of shipped
+    // operators; every stat is DuckDB-derivable, so the single row is
+    // a bit-exact twin — quartile DOUBLEs included (per-doc IEEE
+    // parity is t02's twin proof; selection is integer ranks).
+    "p09_dataset_card" -> ((s, dir) => {
+      val d = docs(s, dir)
+      val base = d.agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("n_tokens"),
+        count_distinct(col("lang")).as("n_langs"),
+        count_distinct(col("source")).as("n_sources"),
+        count_distinct(col("text")).as("n_unique_texts"))
+      val sc = TextAnalysis.qualityScore(d).select(col("doc_id"), col("quality"))
+      // globalRank is 0-based; the k-th smallest (1-based, k = ceil(q·n))
+      // is rk + 1 == k.
+      val ranked = Packing.globalRank(sc, Seq(col("quality"), col("doc_id")), "rk")
+      def atQ(f: Double) = col("rk") + 1 === ceil(col("nd") * f).cast("long")
+      val qs = ranked.crossJoin(broadcast(base.select(col("n_docs").as("nd"))))
+        .filter(atQ(0.25) || atQ(0.5) || atQ(0.75))
+        .agg(
+          min(when(atQ(0.25), col("quality"))).as("q25"),
+          min(when(atQ(0.5), col("quality"))).as("q50"),
+          min(when(atQ(0.75), col("quality"))).as("q75"))
+      val cont = Decontaminate.overlapCounts(
+          d.filter(col("doc_id") % 20 =!= 0),
+          d.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+        .agg(sum((col("n_contaminated") > 0).cast("long"))
+          .as("n_contaminated_docs"))
+      val pii = TextAnalysis.scrubPii(d)
+        .join(d.select(col("doc_id"), col("text")), "doc_id")
+        .agg(sum((col("scrubbed") =!= col("text")).cast("long"))
+          .as("n_pii_docs"))
+      base.crossJoin(qs).crossJoin(cont).crossJoin(pii)
+    }),
+
     // st23: the t46 extraction AT INGEST — the same pipeline function
     // (shared by construction, the two surfaces cannot drift) run over
     // a streaming read of documents in append mode with ZERO state
@@ -5805,6 +5849,55 @@ object Queries {
     // (st23 shares this SQL verbatim — the streaming serve is the same
     // pipeline function drained, the st19/d07 precedent.)
     "t46_html_extract" -> htmlExtractSql,
+
+    // Every stat re-derived independently: the census over the split
+    // word table, quartiles via row_number over the same (quality,
+    // doc_id) order, contamination as distinct corpus docs sharing a
+    // trigram with the bench split, PII via the t10 scrub chain.
+    "p09_dataset_card" ->
+      """WITH wd AS (
+        |  SELECT doc_id, text, lang, source, str_split(text, ' ') AS w
+        |  FROM documents),
+        |base AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(len(w)) AS BIGINT) AS n_tokens,
+        |  CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+        |  CAST(count(DISTINCT source) AS BIGINT) AS n_sources,
+        |  CAST(count(DISTINCT text) AS BIGINT) AS n_unique_texts FROM wd),
+        |sc AS (SELECT doc_id,
+        |  (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |  + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |  + least((CAST(len(list_filter(w, x ->
+        |      x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w))
+        |      * 10.0, 1.0) * 0.3 AS quality
+        |  FROM wd),
+        |rk AS (SELECT quality,
+        |    row_number() OVER (ORDER BY quality, doc_id) AS rk FROM sc),
+        |qs AS (SELECT
+        |  min(CASE WHEN rk = CAST(ceil(0.25 * n_docs) AS BIGINT)
+        |    THEN quality END) AS q25,
+        |  min(CASE WHEN rk = CAST(ceil(0.5 * n_docs) AS BIGINT)
+        |    THEN quality END) AS q50,
+        |  min(CASE WHEN rk = CAST(ceil(0.75 * n_docs) AS BIGINT)
+        |    THEN quality END) AS q75
+        |  FROM rk, base),
+        |grams AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM wd)),
+        |cont AS (SELECT CAST(count(*) AS BIGINT) AS n_contaminated_docs
+        |  FROM (SELECT c.id FROM
+        |    (SELECT id, s FROM grams WHERE id % 20 <> 0) c
+        |    JOIN (SELECT DISTINCT s FROM grams WHERE id % 20 = 0) b
+        |    USING (s) GROUP BY c.id)),
+        |pii AS (SELECT CAST(count(*) AS BIGINT) AS n_pii_docs
+        |  FROM documents
+        |  WHERE regexp_replace(regexp_replace(regexp_replace(text,
+        |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+        |    '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b', '<IP>', 'g'),
+        |    '\+?\d[\d()\s.-]{7,}\d', '<PHONE>', 'g') <> text)
+        |SELECT base.*, qs.*, cont.*, pii.* FROM base, qs, cont, pii""".stripMargin,
 
     "t48_url_normalize" ->
       s"""WITH ${urlSynthCte("documents")},
