@@ -3445,6 +3445,20 @@ class OpsSpec extends SparkSpec {
       got(10L))
   }
 
+  test("dataset card invariants: quartile order, census bounds, full coverage") {
+    val r = Queries.all("p09_dataset_card")(spark, sf001).collect().head
+    val (nDocs, nTokens, nUnique) = (r.getLong(0), r.getLong(1), r.getLong(4))
+    val (q25, q50, q75) = (r.getDouble(5), r.getDouble(6), r.getDouble(7))
+    val (nCont, nPii) = (r.getLong(8), r.getLong(9))
+    assert(nDocs == 500L && nTokens > 0L)
+    assert(nUnique <= nDocs && nUnique > 0L)
+    assert(q25 <= q50 && q50 <= q75, s"quartiles out of order: $q25 $q50 $q75")
+    // Both counts are doc subsets; contamination excludes the bench
+    // split itself (5% of ids), so its bound is the corpus side.
+    assert(nCont <= nDocs - nDocs / 20 && nCont >= 0L)
+    assert(nPii >= 0L && nPii <= nDocs)
+  }
+
   test("domainGate flags exactly the blocked domains") {
     import spark.implicits._
     val d = Seq((1L, "a.example.com"), (2L, "b.example.com"),
