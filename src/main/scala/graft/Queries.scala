@@ -3328,6 +3328,30 @@ object Queries {
     // pure function of the fixture at ANY partitioning, so the cluster
     // census + exactly-summable fixed-point inertia are pinned facts
     // (partition-invariance asserted in ClusteringSpec).
+    // Embedding-space drift monitor (s21 — t30's analogue for the
+    // vector modality: a new encoder version or crawler shift moves
+    // the embedding distribution in ways no text statistic sees).
+    // Even/odd vec_id split plays yesterday's/today's snapshot (the
+    // t30 convention); cells fit on the union so the geometry is
+    // snapshot-independent. Summary: cell count, per-snapshot mass,
+    // cells occupied by both, the exact cross-multiplied L1 mean-shift
+    // mass and its max cell — all BIGINT, pinned (the fit's centroids
+    // are not DuckDB-derivable; determinism via fixed-point sums).
+    "s21_embedding_drift" -> ((s, dir) => {
+      val e = emb(s, dir)
+      graft.ops.Clustering.embeddingDrift(
+          e.filter(col("id") % 2 === 0), e.filter(col("id") % 2 =!= 0),
+          "id", "features")
+        .agg(
+          count(lit(1)).as("n_cells"),
+          sum(col("n_a")).as("n_a_total"),
+          sum(col("n_b")).as("n_b_total"),
+          sum(when(col("n_a") > 0 && col("n_b") > 0, 1L).otherwise(0L))
+            .as("n_cells_shared"),
+          sum(col("drift_fp")).as("drift_total"),
+          max(col("drift_fp")).as("drift_max"))
+    }),
+
     "s07_kmeans_clusters" -> ((s, dir) => {
       val sizes = Clustering.kmeansAssign(emb(s, dir), "id", "features", 8)
         .groupBy("cluster")
@@ -4291,6 +4315,18 @@ object Queries {
       "n_copies" -> (509L, 503L, 5011L),
       "n_docs" -> (484L, 484L, 4940L),
       "copies_fp" -> (258559120890L, 255368689553L, 2474698545710L)),
+    // Measured 2026-08-15 (round 13, PinDump, first measurement).
+    // The even/odd snapshots are two uniform halves of one corpus, so
+    // every cell is shared and the drift mass is the sampling noise
+    // floor for this fixture — the reading a healthy ingest shows;
+    // OpsSpec plants a real shift and a zero case.
+    "s21_embedding_drift" -> Seq(
+      "n_cells" -> (8L, 8L, 8L),
+      "n_a_total" -> (250L, 250L, 1000L),
+      "n_b_total" -> (250L, 250L, 1000L),
+      "n_cells_shared" -> (8L, 8L, 8L),
+      "drift_total" -> (12543338703L, 13549176399L, 99458173508L),
+      "drift_max" -> (2158768900L, 2273944453L, 13693688066L)),
     "t47_doremi_mixture" -> Seq(
       "n_domains" -> (20L, 20L, 20L),
       "w_sum_fp" -> (1048576L, 1048576L, 1048576L),

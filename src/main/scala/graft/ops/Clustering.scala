@@ -139,4 +139,55 @@ object Clustering {
                     seed: Long = 42L): DataFrame =
     kmeansAssign(df, idCol, vecCol, k, iterations, seed)
       .filter(col("dist_fp") <= maxDistFp)
+
+  /** Embedding-space drift monitor (s21) — [[graft.ops.TextAnalysis
+    * .corpusDrift]]'s analogue for the vector modality: a new
+    * embedding-model version, a crawler shift, or an encoder bug moves
+    * the EMBEDDING distribution in ways no text statistic sees. Two
+    * snapshots are compared per Voronoi cell of ONE shared geometry
+    * (centroids fit on the union — the IVF index contract: the cells
+    * must not depend on which snapshot a point came from):
+    *
+    *  - `n_a`/`n_b`: the cell's occupancy per snapshot — mass
+    *    MOVEMENT between cells (the signal when a cell empties out,
+    *    which the mean test below cannot price: with one side absent
+    *    there is no mean to compare and `drift_fp` reads 0).
+    *  - `drift_fp`: the cross-multiplied L1 mean shift
+    *    Σ_d |sa_d·n_b − sb_d·n_a| over 2⁻²⁰-fixed-point component
+    *    sums — exactly 0 iff the per-cell snapshot means are equal
+    *    (it is |meanA−meanB|·n_a·n_b in fixed point, division-free so
+    *    the whole monitor stays in exact BIGINT arithmetic and pins).
+    *
+    * Scale shape: one driver-bounded centroid fit (kmeansCentroids'
+    * own ≤ k·d-row collects), then a stateless codegen'd assignment
+    * and ONE (cluster, pos)-keyed partial-agg'd aggregation of the
+    * exploded components — shuffle bounded by k·dim rows, never the
+    * corpus. Deterministic end to end (fixed-point sums, seeded fit),
+    * so the per-cell table is a pure function of the two snapshots. */
+  def embeddingDrift(a: DataFrame, b: DataFrame, idCol: String = "id",
+      vecCol: String = "features", k: Int = 8, iterations: Int = 5,
+      seed: Long = 42L): DataFrame = {
+    val all = a.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .withColumn("snap", lit(0))
+      .unionByName(b.select(col(idCol).as("id"), col(vecCol).as("v"))
+        .withColumn("snap", lit(1)))
+    val centroids = kmeansCentroids(all, "id", "v", k, iterations, seed)
+    all.withColumn("cluster", nearestCentroid(col("v"), centroids))
+      .select(col("cluster"), col("snap"),
+        posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cluster", "pos")
+      .agg(
+        coalesce(sum(when(col("snap") === 0,
+          round(col("x") * Scale).cast("long"))), lit(0L)).as("sa"),
+        coalesce(sum(when(col("snap") === 1,
+          round(col("x") * Scale).cast("long"))), lit(0L)).as("sb"),
+        sum(when(col("snap") === 0, 1L).otherwise(0L)).as("na"),
+        sum(when(col("snap") === 1, 1L).otherwise(0L)).as("nb"))
+      .groupBy("cluster")
+      .agg(
+        sum(abs(col("sa") * col("nb") - col("sb") * col("na")))
+          .as("drift_fp"),
+        max(col("na")).as("n_a"),
+        max(col("nb")).as("n_b"))
+  }
 }

@@ -99,4 +99,33 @@ class ClusteringSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet
     assert(keptIds == viaAssign)
   }
+
+  test("embeddingDrift: identical snapshots read exactly zero; a planted shift reads positive in its cell means") {
+    // Identical snapshots: per-cell means are equal by construction,
+    // so the cross-multiplied L1 is EXACTLY zero in every cell
+    // (division-free fixed point — no epsilon).
+    val a = planted.select(col("id"), col("features"))
+    val same = Clustering.embeddingDrift(a, a.select((col("id") + 1000L).as("id"), col("features")),
+      "id", "features", k = 3)
+      .select("drift_fp", "n_a", "n_b").collect()
+    assert(same.nonEmpty)
+    same.foreach { r =>
+      assert(r.getLong(1) == r.getLong(2), s"occupancy mismatch: $r")
+      assert(r.getLong(0) == 0L, s"identical snapshots must read zero drift: $r")
+    }
+    // Planted shift: +0.5 on dimension 0 of snapshot B moves every
+    // cell's B-mean; total drift must be strictly positive and every
+    // shared cell must read it.
+    val shifted = a.select((col("id") + 1000L).as("id"),
+      transform(col("features"), (x, i) =>
+        when(i === 0, x + 0.5f).otherwise(x)).as("features"))
+    val drift = Clustering.embeddingDrift(a, shifted, "id", "features", k = 3)
+      .select("drift_fp", "n_a", "n_b").collect()
+    val shared = drift.filter(r => r.getLong(1) > 0 && r.getLong(2) > 0)
+    assert(shared.nonEmpty)
+    shared.foreach { r =>
+      assert(r.getLong(0) > 0L, s"shifted cell read zero drift: $r")
+    }
+  }
 }
+
