@@ -180,16 +180,20 @@ object Bench {
       "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),
       "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)),
       "t35_vocab_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "unigram_vocab")))
-    // Forced per-sample telemetry regardless of pass-1 rank: queries
-    // whose regression history warrants per-round diagnosis (st18:
-    // 32.9 s in r7, then 3.45 <-> 4.71 s across r8/r9 with its code
-    // untouched — the swing needs samples, not a shrug; n02: 5.70 s in
-    // r9 -> 9.41 s in r11 flagged as a possible updateGraph regression,
-    // but a same-machine A/B at the r9 and r12 commits read overlapping
-    // 7-sample distributions — median 7.51 s vs 7.94 s, fastest sample
-    // AT head — so the drift is shared-JVM swing; the per-sample line
-    // below keeps that diagnosable per round).
-    val forced = Set("st18_stream_join_outer", "n02_knn_incremental")
+    // Forced median-of-5 (with per-sample telemetry): the historical
+    // diagnosis pair (st18: 32.9 s in r7, then 3.45 <-> 4.71 s across
+    // r8/r9 with its code untouched; n02: 5.70 s in r9 -> 9.41 s in
+    // r11, adjudicated as shared-JVM swing by overlapping 7-sample
+    // A/B distributions) PLUS every phase whose pass-1 wall exceeds
+    // 5 s. Round 13 made the case for the dynamic rule: the number of
+    // record for t32_multiclass whipsawed 7.69 -> 17.17 s on
+    // byte-untouched code because one median-of-3 rerun ate a
+    // co-tenant burst (samples [9.44, 17.17, 68.78] with 38 ms GC) —
+    // a median of 5 with durable samples absorbs one such burst and
+    // leaves the outlier attributable instead of headline.
+    val forcedStatic = Set("st18_stream_join_outer", "n02_knn_incremental")
+    val forced = forcedStatic ++
+      pass1.filter(_._2 > 5.0).map(_._1)
     // Per-sample telemetry destined for the DURABLE bench.json (round-1
     // lesson: stderr interleaves with Spark logging and may not survive
     // a round) — wall samples and per-rerun GC deltas per rerun query.

@@ -1312,7 +1312,9 @@ object Queries {
     * HTML-ification precedent): five cycling surface variants per
     * doc_id exercising every normalization rule — mixed-case
     * scheme/host, `www.`, default ports (`:443`, `:80`), tracking
-    * parameters leading/mid/trailing, fragments, trailing slashes.
+    * parameters leading/mid/trailing (variant 3's is UPPERCASE —
+    * `UTM_Campaign` — exercising the case-insensitive strip),
+    * fragments, trailing slashes.
     * Variants 0 and 3 are two surface forms of the SAME shared-site
     * page (`news.example.com/articles/{doc_id div 5}`), so every
     * complete 5-block yields one guaranteed URL-dedup collision;
@@ -1329,7 +1331,7 @@ object Queries {
         .when(v === 2, concat(lit("http://"), col("source"),
           lit(".example.com:80/posts/"), col("doc_id"), lit("/")))
         .when(v === 3, concat(lit("https://www.news.example.com/articles/"),
-          b, lit("?utm_campaign=feed")))
+          b, lit("?UTM_Campaign=feed")))
         .otherwise(concat(lit("https://"), col("source"),
           lit(".example.com/articles/"), b, lit("?id="), col("doc_id"),
           lit("&utm_term=x&fbclid=abc"))).as("url"))
@@ -1367,7 +1369,7 @@ object Queries {
       |    WHEN 2 THEN 'http://' || source || '.example.com:80/posts/' ||
       |      doc_id || '/'
       |    WHEN 3 THEN 'https://www.news.example.com/articles/' ||
-      |      (doc_id // 5) || '?utm_campaign=feed'
+      |      (doc_id // 5) || '?UTM_Campaign=feed'
       |    ELSE 'https://' || source || '.example.com/articles/' ||
       |      (doc_id // 5) || '?id=' || doc_id || '&utm_term=x&fbclid=abc'
       |  END AS url FROM $src)""".stripMargin
@@ -1399,7 +1401,8 @@ object Queries {
       |uz AS (SELECT doc_id, url, u, scheme, host, path,
       |  regexp_replace(replace(regexp_replace(
       |    regexp_replace(query0,
-      |      '([?&])(?:utm_[a-z0-9_]*|fbclid|gclid)=[^&]*', '\1', 'g'),
+      |      '([?&])(?i:(?:utm_[a-z0-9_]*)|(?:fbclid)|(?:gclid))=[^&]*',
+      |      '\1', 'g'),
       |    '&&+', '&', 'g'), '?&', '?'), '[?&]+$', '') AS q FROM uy),
       |normed AS (SELECT doc_id, url,
       |  CASE WHEN scheme = '' THEN lower(u)
@@ -2405,7 +2408,10 @@ object Queries {
         .head()
       val voc = enc.select(explode(col("pieces")).as("p"))
         .agg(count_distinct(col("p"))).head().getLong(0)
-      enc.unpersist() // both consumers above are materialized
+      // Both consumers above are materialized; release through the
+      // bridge — Dataset.unpersist alone never reaches a
+      // localCheckpoint's blocks (the CacheManager never saw them).
+      graft.core.Checkpoints.release(enc)
       import s.implicits._
       if (tot.getLong(0) == 0L)
         Seq((0L, 0L, 0L)).toDF("n_docs", "total_pieces", "n_vocab")
@@ -2471,8 +2477,10 @@ object Queries {
       val n4 = d.join(s3, Seq("doc_id"))
         .groupBy("text").agg(min(col("doc_id")).as("doc_id")).count()
       // Every count above is already taken; release the stage
-      // checkpoints so repeated invocations don't accumulate blocks.
-      s1.unpersist(); s2.unpersist(); s3.unpersist()
+      // checkpoints (via the bridge — bare unpersist is a CacheManager
+      // no-op on localCheckpoints) so repeated invocations don't
+      // accumulate blocks.
+      Seq(s1, s2, s3).foreach(graft.core.Checkpoints.release)
       import s.implicits._
       Seq(("1_decontaminate", n0, n1), ("2_gopher_rules", n1, n2),
           ("3_quality_quantile", n2, n3), ("4_exact_dedup", n3, n4))
@@ -2604,7 +2612,10 @@ object Queries {
         .head()
       val voc = enc.select(explode(col("pieces")).as("p"))
         .agg(count_distinct(col("p"))).head().getLong(0)
-      enc.unpersist() // both consumers above are materialized
+      // Both consumers above are materialized; release through the
+      // bridge — Dataset.unpersist alone never reaches a
+      // localCheckpoint's blocks (the CacheManager never saw them).
+      graft.core.Checkpoints.release(enc)
       import s.implicits._
       if (tot.getLong(0) == 0L) Seq((0L, 0L, 0L)).toDF("n_docs", "total_pieces", "n_vocab")
       else Seq((tot.getLong(0), tot.getLong(1), voc))
@@ -2928,7 +2939,7 @@ object Queries {
       val summary = un.crossJoin(cp)
       val rows = summary.collect().toSeq
       val schema = summary.schema
-      sets.unpersist()
+      graft.core.Checkpoints.release(sets)
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.asJava, schema)
     }),
@@ -3054,11 +3065,12 @@ object Queries {
         .crossJoin(cl.agg(count(lit(1)).as("n_input")))
         .crossJoin(aug.agg(count(lit(1)).as("n_crawled")))
       // Materialize the 1-row summary, then release both checkpointed
-      // frames — otherwise every invocation (bench pass + reruns)
-      // leaks two persisted block sets for the rest of the session.
+      // frames (bridge release — bare unpersist never reaches a
+      // localCheckpoint's blocks) — otherwise every invocation (bench
+      // pass + reruns) leaks two persisted block sets for the session.
       val rows = summary.collect().toSeq
       val schema = summary.schema
-      cl.unpersist(); scored.unpersist()
+      Seq(cl, scored).foreach(graft.core.Checkpoints.release)
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.asJava, schema)
     }),

@@ -166,15 +166,18 @@ object Sampling {
     * plan frame (`stratum`, `epochs`, any other columns ignored) — so
     * a plan from any planner ([[mixturePlan]],
     * [[temperatureMixturePlan]], [[doremiReweight]]) executes through
-    * one implementation. Precondition: every plan row has
-    * `epochs > 0` (all three planners guarantee it — `sequence` on a
-    * non-positive ceil would DESCEND, not empty out). Same per-row
-    * cost and determinism contract as [[executeMixture]]: the plan
-    * broadcasts, the keep decision is a scan-side md5 predicate, and
-    * the copy set is a pure function of the data. */
+    * one implementation. Plan rows with `epochs <= 0` are FILTERED
+    * OUT here (a zero-weight stratum contributes zero copies) — the
+    * contract is enforced, not trusted, because `sequence` on a
+    * non-positive ceil would DESCEND (emitting a bogus `rep = -1`
+    * copy), not empty out. Same per-row cost and determinism contract
+    * as [[executeMixture]]: the plan broadcasts, the keep decision is
+    * a scan-side md5 predicate, and the copy set is a pure function
+    * of the data. */
   def executePlan(df: DataFrame, stratumCol: String, keyCol: String,
       plan: DataFrame): DataFrame = {
     val p = plan.select(col("stratum").as(stratumCol), col("epochs"))
+      .filter(col("epochs") > 0)
     val frac = col("epochs") - floor(col("epochs"))
     val drawNum = conv(substring(
       draw(concat(col(keyCol).cast("string"), lit("#"), col("rep").cast("string"))),

@@ -25,9 +25,11 @@ object Web {
     *  - `norm_url`: scheme and host lowercased; `www.` and the
     *    scheme's default port (`:80` http, `:443` https) dropped;
     *    fragment dropped; tracking parameters (`stripParams`,
-    *    default `utm_*`/`fbclid`/`gclid`) removed with separator
-    *    repair (`&&` runs collapse, `?&` heals, trailing `?`/`&`
-    *    strip); trailing slashes on the path dropped (root included:
+    *    default `utm_*`/`fbclid`/`gclid`, matched CASE-INSENSITIVELY —
+    *    real crawls carry `UTM_SOURCE=` next to a host that IS being
+    *    lowercased) removed with separator repair (`&&` runs
+    *    collapse, `?&` heals, trailing `?`/`&` strip); trailing
+    *    slashes on the path dropped (root included:
     *    `https://a.com/` = `https://a.com`). Path and surviving query
     *    keep their case — they are case-sensitive per RFC 3986.
     *  - `domain`: the canonical host, the key for domain-level gates
@@ -38,7 +40,13 @@ object Web {
     * carries garbage rows, and a normalizer that errors on them (or
     * silently nulls) poisons the downstream dedup key either way.
     * NULL urls normalize to the empty string (the extractMainContent
-    * null-payload convention). */
+    * null-payload convention).
+    *
+    * `stripParams` entries are REGEX FRAGMENTS (so `utm_[a-z0-9_]*`
+    * covers the whole family); each is wrapped `(?:...)` before
+    * joining the alternation, so a fragment containing `|` or a
+    * capturing group cannot shift the `$1` separator backreference or
+    * widen the alternation past its own entry. */
   def normalizeUrls(df: DataFrame, urlCol: String = "url",
       stripParams: Seq[String] = Seq("utm_[a-z0-9_]*", "fbclid", "gclid"))
       : DataFrame = {
@@ -61,7 +69,8 @@ object Web {
     // `?p=v`/`&p=v` leaves its lead separator, so `&&` runs collapse,
     // a `?&` heals to `?`, and a trailing `?`/`&` run strips.
     val q1 = regexp_replace(query0,
-      s"([?&])(?:${stripParams.mkString("|")})=[^&]*", "$1")
+      s"([?&])(?i:${stripParams.map(p => s"(?:$p)").mkString("|")})=[^&]*",
+      "$1")
     val q = regexp_replace(
       replace(regexp_replace(q1, "&&+", "&"), lit("?&"), lit("?")),
       "[?&]+$", "")

@@ -448,7 +448,8 @@ class PropertiesSpec extends SparkSpec {
     keep <- Gen.choose(0, 2).flatMap(n => Gen.listOfN(n,
       Gen.oneOf("id=9", "q=Spark", "page=2")))
     strip <- Gen.choose(0, 2).flatMap(n => Gen.listOfN(n,
-      Gen.oneOf("utm_source=feed", "utm_medium=rss", "fbclid=xYz", "gclid=1")))
+      Gen.oneOf("utm_source=feed", "utm_medium=rss", "fbclid=xYz", "gclid=1",
+        "UTM_SOURCE=Feed", "UTM_Campaign=x", "FBCLID=aB")))
     shuffleFirstStrip <- Gen.oneOf(true, false)
     frag <- Gen.oneOf(None, Some("sec-2"))
   } yield {

@@ -1108,6 +1108,25 @@ class TrainPrepSpec extends SparkSpec {
         s"$src: $c copies outside [floor, ceil] of epochs $e")
     }
   }
+
+  test("executePlan drops zero- and negative-epoch plan rows instead of descending") {
+    // A zero-weight stratum must contribute ZERO copies — before the
+    // enforcement, sequence(0, ceil(0)-1) DESCENDED to [0, -1] and the
+    // bogus rep = -1 passed the `rep < floor(epochs)` filter, emitting
+    // one phantom copy per doc. Reachable via doremiReweight with a
+    // smoothing floor below 1/nDomains.
+    import spark.implicits._
+    val plan = Seq(("en", 2.0), ("de", 0.0), ("es", -1.0))
+      .toDF("stratum", "epochs")
+    val out = graft.ops.Sampling
+      .executePlan(docs, "lang", "doc_id", plan)
+      .groupBy("lang").agg(count(lit(1)).as("c"), min(col("rep")).as("min_rep"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(!out.contains("de") && !out.contains("es"),
+      s"zero/negative-epoch strata must yield zero copies, got $out")
+    assert(out("en")._1 > 0 && out("en")._2 == 0L,
+      s"positive stratum unaffected and reps non-negative: $out")
+  }
 }
 
 
