@@ -2005,6 +2005,33 @@ object Queries {
           .otherwise(lit(0L))).as("dropped_ids_fp"))
     }),
 
+    // SEMANTIC benchmark decontamination (d23): the d09 scrub at the
+    // embedding level — near-PARAPHRASES of benchmark items that share
+    // no trigram still sit at high cosine. Benchmark = the id%20==0
+    // originals; corpus = everything else in the augmented table, so
+    // the perturbed copies of benchmark rows (cosine 0.9927-0.9948 to
+    // their originals, background <= 0.633 — the augEmb margins) are
+    // the planted paraphrases. Truth comes from the exact broadcast
+    // scan IN-QUERY, found from the bench-fitted IVF blocking
+    // (8 cells / 2 probes); blocked hits are a subset of exact by
+    // construction, so n_found/n_truth is the blocking's recall —
+    // measured and pinned, the d11 discipline.
+    "d23_semantic_decontaminate" -> ((s, dir) => {
+      val e = augEmb(s, dir)
+      val bench = e.filter(col("id") < 1000000L && col("id") % 20 === 0)
+      val corpus = e.filter(col("id") >= 1000000L || col("id") % 20 =!= 0)
+      val exact = Decontaminate
+        .semanticOverlapExact(corpus, bench, "id", "features", 0.9)
+        .select(col("id"), (col("n_hits") > 0).as("t"))
+      val blocked = Decontaminate
+        .semanticOverlap(corpus, bench, "id", "features", 0.9)
+        .select(col("id"), (col("n_hits") > 0).as("f"))
+      exact.join(blocked, Seq("id"))
+        .agg(count(lit(1)).as("n_corpus"),
+          sum(when(col("t"), 1L).otherwise(0L)).as("n_truth"),
+          sum(when(col("t") && col("f"), 1L).otherwise(0L)).as("n_found"))
+    }),
+
     // Near-dup CLUSTERS: connected components over the near-dup pair
     // graph — every doc gets a cluster id (min doc id in its component)
     // and a keep flag on the canonical representative. The declared path
@@ -4300,6 +4327,17 @@ object Queries {
     // boundary.
     "d11_semantic_pairs" -> Seq(
       "n_truth" -> (500L, 500L, 2000L), "n_found" -> (492L, 486L, 1922L)),
+    // Measured 2026-08-15 (round 14, PinDump, first measurement).
+    // Semantic decontamination: truth = the planted perturbed copies
+    // of the id%20==0 benchmark originals (25/25/100 — exactly
+    // |bench| at every SF: nothing else reaches cosine 0.9, the
+    // augEmb margin); the bench-fitted 8-cell/2-probe blocking
+    // recovers all of them (the paraphrase sits cosine ~0.993 from
+    // its original, so its nearest cell is inside the original's
+    // 2-probe set on this fixture).
+    "d23_semantic_decontaminate" -> Seq(
+      "n_corpus" -> (975L, 975L, 3900L), "n_truth" -> (25L, 25L, 100L),
+      "n_found" -> (25L, 25L, 100L)),
     // Measured 2026-08-15 (round 12, PinDump, first measurement).
     // IVF-fronted hard negatives vs the exact fused form: recall
     // 0.84-0.87 — squarely the IVF front's own regime (s04's 32/16

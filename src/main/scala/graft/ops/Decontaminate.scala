@@ -99,6 +99,75 @@ object Decontaminate {
       .filter(col("s").isNotNull)
       .select(col("id"), xxhash64(col("s")).as("g"))
 
+  /** SEMANTIC (embedding-level) benchmark decontamination — the scrub
+    * [[overlapCounts]]' n-gram test cannot do: a paraphrase of a
+    * benchmark item shares almost no trigrams with it but sits at
+    * high cosine in embedding space. Flags every corpus document
+    * whose embedding reaches cosine ≥ `tau` against ANY benchmark
+    * vector: `(idCol, n_candidates, n_hits, max_cosine)` per corpus
+    * row (`n_hits > 0` ⇔ contaminated; `n_candidates` is the number
+    * of benchmark vectors actually compared — the blocking's scan
+    * census; `max_cosine` is null when no benchmark vector shared a
+    * probed cell).
+    *
+    * Scale shape (the d09 broadcast-benchmark contract at the
+    * embedding level, blocked by the d11/s04 recipe): the benchmark
+    * is always tiny relative to the corpus, so the cell geometry is
+    * trained ON THE BENCHMARK (a driver-local fit over ≤ `sampleSize`
+    * collected vectors — the regions where decisions happen are
+    * exactly the benchmark's neighborhoods), each benchmark vector is
+    * replicated to its `nProbe` nearest cells and BROADCAST, and the
+    * corpus streams through one codegen'd nearest-cell projection +
+    * a broadcast-hash join — the corpus is NEVER shuffled by content;
+    * the only shuffle is the per-document aggregation, which
+    * partial-combines to ~1 row per doc per partition because a
+    * document's candidates are generated co-located from its row.
+    *
+    * Blocked hits are a SUBSET of the exact scan's by construction
+    * (candidates ⊆ all pairs, identical cosine expression tree), so
+    * the blocking can only lower recall, never flag a clean doc —
+    * recall vs [[semanticOverlapExact]] is a measured, pinned fact
+    * (d23), not a claim. Misses happen only when a corpus doc's
+    * single nearest cell is outside its benchmark twin's `nProbe`
+    * probe set — raise `nProbe`/`nCells` per corpus as usual (IVF
+    * dials). Deterministic end to end: seeded driver fit, stateless
+    * assignment, max over doubles — partition/retry-stable, pinnable.
+    *
+    * No reference analog (`/root/reference/.../NND.scala:62-66` is a
+    * vectors-only K-NN build with no curation surface). */
+  def semanticOverlap(corpus: DataFrame, bench: DataFrame, idCol: String,
+                      vecCol: String, tau: Double, nCells: Int = 8,
+                      nProbe: Int = 2, seed: Long = 42L): DataFrame = {
+    require(nCells >= 1 && nProbe >= 1, s"bad nCells=$nCells/nProbe=$nProbe")
+    val b0 = bench.select(col(idCol).as("id"), col(vecCol).as("features"))
+    val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("features"))
+    val centroids = SimilaritySearch.trainIvfCentroids(b0, nCells, seed = seed)
+    val probes = SimilaritySearch.probeCells(b0, centroids, nProbe)
+    SimilaritySearch.cellAssign(c0, centroids)
+      .join(broadcast(probes), Seq("cell"), "left")
+      .withColumn("cosine",
+        graft.functions.VectorFunctions.vector_dot(col("v_q"), col("v_c")) /
+          (col("n_q") * col("n_c")))
+      .groupBy(col("nbr_id").as(idCol))
+      .agg(count(col("query_id")).as("n_candidates"),
+        sum(when(col("cosine") >= tau, 1L).otherwise(0L)).as("n_hits"),
+        max(col("cosine")).as("max_cosine"))
+  }
+
+  /** [[semanticOverlap]]'s exact-scan truth: every corpus vector
+    * against EVERY benchmark vector — the degenerate blocking
+    * (one cell, one probe), so the cosine expression tree and output
+    * shape are [[semanticOverlap]]'s bit-for-bit and blocked hits are
+    * provably a subset. The right tool outright whenever
+    * |bench| · per-row cost is affordable (it prices one broadcast
+    * cross per corpus row); the blocked form exists for when it
+    * isn't. */
+  def semanticOverlapExact(corpus: DataFrame, bench: DataFrame,
+                           idCol: String, vecCol: String,
+                           tau: Double): DataFrame =
+    semanticOverlap(corpus, bench, idCol, vecCol, tau,
+      nCells = 1, nProbe = 1)
+
   private def countOverlap(corpusGrams: DataFrame, benchGrams: DataFrame,
                            idCol: String): DataFrame =
     corpusGrams.join(benchGrams, Seq("g"), "left")

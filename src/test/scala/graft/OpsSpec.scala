@@ -885,6 +885,85 @@ class OpsSpec extends SparkSpec {
     assert(recall >= 0.95, s"recall $recall below the d11 operating point")
   }
 
+  test("semanticOverlap: planted paraphrases flagged per a local double reference; " +
+      "blocked hits subset of exact; full probing equals the exact scan") {
+    import spark.implicits._
+    import graft.ops.Decontaminate
+    val rnd = new scala.util.Random(7)
+    val dim = 16
+    def gauss() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    val benchVecs = (0L until 10L).map(i => (i, gauss()))
+    // Planted paraphrases: a small deterministic perturbation of six
+    // benchmark vectors (cosine ~0.999 to the original) — the
+    // embedding-space shape of a reworded benchmark item, which the
+    // n-gram scrub cannot see.
+    val para = benchVecs.take(6).map { case (i, v) =>
+      (1000L + i, v.zipWithIndex.map { case (x, j) =>
+        x + 0.02f * v((j.toInt + 1) % dim) })
+    }
+    val noise = (0L until 30L).map(i => (2000L + i, gauss()))
+    val corpus = (para ++ noise).toDF("id", "features")
+    val bench = benchVecs.toDF("id", "features")
+    val tau = 0.9
+    // Independent reference: plain double cosine over the local arrays.
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i).toDouble * b(i); na += a(i).toDouble * a(i)
+        nb += b(i).toDouble * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val expectMax = (para ++ noise).map { case (id, v) =>
+      id -> benchVecs.map { case (_, b) => cos(v, b) }.max
+    }.toMap
+    val expectFlag = expectMax.filter(_._2 >= tau).keySet
+    assert(para.map(_._1).toSet.subsetOf(expectFlag),
+      "fixture check: every planted paraphrase must exceed tau")
+    assert(noise.map(_._1).forall(!expectFlag(_)),
+      "fixture check: no noise doc reaches tau")
+
+    def run(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3)))
+    }.toMap
+    val exact = run(Decontaminate
+      .semanticOverlapExact(corpus, bench, "id", "features", tau))
+    assert(exact.keySet == expectMax.keySet,
+      "every corpus doc appears exactly once, flagged or not")
+    exact.foreach { case (id, (nc, nh, mx)) =>
+      assert(nc == benchVecs.size.toLong, s"$id: exact scan sees all of bench")
+      assert((nh > 0) == expectFlag(id), s"$id: flag diverged from reference")
+      assert(math.abs(mx - expectMax(id)) < 1e-9,
+        s"$id: max cosine $mx != reference ${expectMax(id)}")
+    }
+    // Blocked: no false positives by construction (candidates subset +
+    // identical cosine tree); recall on this clustered fixture is 6/6.
+    val blocked = run(Decontaminate
+      .semanticOverlap(corpus, bench, "id", "features", tau,
+        nCells = 4, nProbe = 2))
+    assert(blocked.keySet == expectMax.keySet)
+    blocked.foreach { case (id, (nc, nh, _)) =>
+      assert(nc <= benchVecs.size.toLong)
+      assert(nh == 0 || exact(id)._2 > 0, s"$id: blocked flagged a clean doc")
+    }
+    val blockedFlags = blocked.filter(_._2._2 > 0).keySet
+    assert(blockedFlags == expectFlag,
+      s"blocked recall on the clustered fixture: $blockedFlags != $expectFlag")
+    // Full probing (nProbe = nCells) degenerates to the exact scan —
+    // same rows, same counts, same doubles (identical expression tree).
+    val full = run(Decontaminate
+      .semanticOverlap(corpus, bench, "id", "features", tau,
+        nCells = 4, nProbe = 4))
+    assert(full.keySet == exact.keySet)
+    full.foreach { case (id, (nc, nh, mx)) =>
+      val (enc, enh, emx) = exact(id)
+      assert(nc == enc && nh == enh &&
+        (mx == emx || (mx.isNaN && emx.isNaN)),
+        s"$id: full-probe blocked != exact: ($nc,$nh,$mx) vs ($enc,$enh,$emx)")
+    }
+  }
+
   test("MIPS-to-cosine reduction is exact under full probing on norm-skewed data") {
     import spark.implicits._
     // Norms vary 20x, so MIPS and cosine rankings genuinely differ —
