@@ -1358,6 +1358,13 @@ object Queries {
 
   /** The t48-family URL synthesis as a DuckDB CTE —
     * `urls(doc_id, url)` over `src` — mirroring [[urlifiedDocs]]. */
+  /** 1-based fixed-point lookup table as a DuckDB VALUES list — the
+    * carrier for [[graft.ops.Retrieval]]'s driver-computed rank
+    * discounts, so the operator and its twin share the SAME literal
+    * integers and no transcendental ever evaluates cross-engine. */
+  private def fpValuesList(vals: Seq[Long]): String =
+    vals.zipWithIndex.map { case (v, i) => s"(${i + 1}, $v)" }.mkString(", ")
+
   private def urlSynthCte(src: String): String =
     s"""urls AS (SELECT doc_id,
       |  CASE doc_id % 5
@@ -2695,6 +2702,42 @@ object Queries {
       val sparse = TextAnalysis.bm25TopK(docs(s, dir), bm25Query)
         .select(col("doc_id"), row_number().over(w).as("rank"))
       graft.ops.Retrieval.rrfFuse(Seq(dense, sparse))
+    }),
+
+    // Ranked-retrieval evaluation (t50): MRR@10 / nDCG@10 of the st13
+    // BM25 more-like-this serve (batch re-derivation — same impact
+    // index, same rank cut) against token-overlap pseudo-qrels
+    // (docs sharing >= 20 distinct terms with the query doc). All
+    // rank discounts are driver-computed fixed-point literals shared
+    // with the twin, every sum is a BIGINT add of pre-quantized terms
+    // (the t19 discipline), and nDCG's division is integer `div` —
+    // bit-exact end to end. Exercises the zero-rel path in production:
+    // query 0 has no >= 20-overlap doc at sf0.001/0.01 (its rr/dcg/
+    // ndcg read 0), while sf0.1 flips which queries are covered.
+    "t50_ranked_eval" -> ((s, dir) => {
+      val corpus = docs(s, dir)
+      val q = corpus.filter(col("doc_id") < 3)
+        .select(col("doc_id").as("query_id"),
+          explode(array_distinct(TextAnalysis.tokens(col("text"))))
+            .as("term"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("score_fp").desc, col("id").asc)
+      val run = q.join(TextAnalysis.bm25Impacts(corpus), Seq("term"))
+        .filter(col("id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("id"))
+        .agg(sum(col("s_fp")).as("score_fp"))
+        .withColumn("rank", row_number().over(w))
+        .filter(col("rank") <= 10)
+        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+      val toks = corpus.select(col("doc_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("term"))
+      val qrels = q.join(toks, Seq("term"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 20)
+        .select("query_id", "doc_id")
+      graft.ops.Retrieval.rankedEval(run, qrels, 10)
     }),
 
     // DSIR importance selection: top-100 docs by the fixed-point log
@@ -5545,6 +5588,86 @@ object Queries {
         |SELECT query_id, CAST(rank AS BIGINT) AS rank, id AS doc_id,
         |  score_fp
         |FROM ranked WHERE rank <= 10""".stripMargin,
+
+    // Mirrors Retrieval.rankedEval over the st13 run re-derivation:
+    // the discount/reciprocal/ideal-prefix tables are the OPERATOR's
+    // own driver-computed fixed-point literals (dcgGainFp/idcgPrefixFp
+    // /rrFp via fpValuesList — single source, no cross-engine
+    // transcendental), every sum is a BIGINT add of pre-quantized
+    // terms, and nDCG divides with `//` (== Spark's `div` on
+    // non-negative BIGINTs). Zero-rel queries (NULL after the left
+    // joins) read 0 on every metric — DuckDB's least() skips NULLs
+    // like Spark's, so the ideal mass is CASE-masked, not coalesced.
+    "t50_ranked_eval" ->
+      s"""WITH toks AS (
+        |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS term
+        |  FROM documents),
+        |dls AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+        |scalars AS (
+        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+        |  FROM dls),
+        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+        |impacts AS (
+        |  SELECT term, id,
+        |    CAST(round(
+        |      ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+        |      (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+        |      (tf + CAST(1.2 AS DOUBLE) *
+        |        (1 - CAST(0.75 AS DOUBLE)
+        |         + CAST(0.75 AS DOUBLE) * dl / avgdl)) *
+        |      1048576) AS BIGINT) AS s_fp
+        |  FROM tf JOIN dfs USING (term) JOIN dls USING (id), scalars),
+        |queries AS (
+        |  SELECT DISTINCT id AS query_id, term FROM toks WHERE id < 3),
+        |totals AS (
+        |  SELECT q.query_id, i.id, CAST(sum(i.s_fp) AS BIGINT) AS score_fp
+        |  FROM queries q JOIN impacts i USING (term)
+        |  WHERE i.id != q.query_id
+        |  GROUP BY q.query_id, i.id),
+        |run AS (
+        |  SELECT query_id, id AS doc_id, rank FROM (
+        |    SELECT query_id, id, score_fp,
+        |      row_number() OVER (
+        |        PARTITION BY query_id ORDER BY score_fp DESC, id ASC) AS rank
+        |    FROM totals)
+        |  WHERE rank <= 10),
+        |qrels AS (
+        |  SELECT q.query_id, t.id AS doc_id
+        |  FROM queries q JOIN (SELECT DISTINCT id, term FROM toks) t
+        |    USING (term)
+        |  WHERE t.id <> q.query_id
+        |  GROUP BY q.query_id, t.id HAVING count(*) >= 20),
+        |gains(r, g_fp) AS (VALUES ${fpValuesList(
+             graft.ops.Retrieval.dcgGainFp(10))}),
+        |pref(m, p_fp) AS (VALUES ${fpValuesList(
+             graft.ops.Retrieval.idcgPrefixFp(10))}),
+        |rrs(r, v_fp) AS (VALUES ${fpValuesList(
+             graft.ops.Retrieval.rrFp(10))}),
+        |hits AS (
+        |  SELECT run.query_id, min(run.rank) AS first_rk,
+        |    CAST(sum(g_fp) AS BIGINT) AS dcg_fp, count(*) AS n_hits
+        |  FROM run JOIN qrels USING (query_id, doc_id)
+        |    JOIN gains ON gains.r = run.rank
+        |  GROUP BY run.query_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels
+        |  GROUP BY query_id),
+        |base AS (SELECT DISTINCT query_id FROM run)
+        |SELECT b.query_id,
+        |  CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(rr.v_fp, 0) AS BIGINT) AS rr_fp,
+        |  CAST(coalesce(h.dcg_fp, 0) AS BIGINT) AS dcg_fp,
+        |  CAST(CASE WHEN n.n_rel IS NULL THEN 0 ELSE p.p_fp END
+        |    AS BIGINT) AS idcg_fp,
+        |  CAST(CASE WHEN n.n_rel IS NOT NULL AND p.p_fp > 0
+        |    THEN (coalesce(h.dcg_fp, 0) * 1048576) // p.p_fp
+        |    ELSE 0 END AS BIGINT) AS ndcg_fp
+        |FROM base b
+        |LEFT JOIN nrel n USING (query_id)
+        |LEFT JOIN hits h USING (query_id)
+        |LEFT JOIN rrs rr ON rr.r = h.first_rk
+        |LEFT JOIN pref p ON p.m = least(n.n_rel, 10)""".stripMargin,
 
     // Dense CTE mirrors the s01 oracle (ranks agree with the Spark
     // float-cosine ordering — the same rank-margin argument); sparse

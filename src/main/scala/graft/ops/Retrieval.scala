@@ -166,4 +166,99 @@ object Retrieval {
       }
       .toDF("query_id", "rank", "nbr_id", "mmr_fp")
   }
+
+  /** Fixed-point DCG rank discounts for [[rankedEval]]:
+    * `round(2²⁰ / log₂(r+1))` for ranks 1..k. Computed ONCE on the
+    * driver with StrictMath and injected as literals into both the
+    * Spark plan and the DuckDB twin (single source — the bm25Query
+    * discipline), so no cross-engine transcendental ever evaluates:
+    * the measured margin of every table value from its .5 rounding
+    * boundary is ≥ 0.055, nine orders above any libm-vs-fdlibm ulp. */
+  def dcgGainFp(k: Int): Seq[Long] = (1 to k).map(r =>
+    math.round(1048576.0 / (StrictMath.log(r + 1.0) / StrictMath.log(2.0))))
+
+  /** Ideal-DCG prefix sums of [[dcgGainFp]]: `idcgPrefixFp(k)(m-1)` is
+    * the DCG of m relevant docs ranked 1..m — the normalizer for a
+    * query with m relevant docs (capped at k). */
+  def idcgPrefixFp(k: Int): Seq[Long] = dcgGainFp(k).scanLeft(0L)(_ + _).tail
+
+  /** Fixed-point reciprocal ranks `round(2²⁰ / r)`, r = 1..k. */
+  def rrFp(k: Int): Seq[Long] = (1 to k).map(r => math.round(1048576.0 / r))
+
+  /** Ranked-retrieval evaluation (t50) — MRR@k and nDCG@k over a run
+    * frame vs a binary relevance frame, the standard ranked-run-vs-
+    * qrels grading a pipeline that ships an index runs per release
+    * (every serving exhibit here graded itself with an ad-hoc recall
+    * scaffold until this operator; OpsSpec re-derives one exhibit's
+    * recall through it).
+    *
+    * Inputs: `run` carries (`queryCol`, `docCol`, `rankCol`) with
+    * 1-based per-query ranks (any of the family's serves); `qrels`
+    * carries (`queryCol`, `docCol`) — the relevant set, deduplicated
+    * here. Output, one row per run query:
+    *  - `n_rel`: the query's total relevant count (0 if none — the
+    *    query still evaluates: rr/dcg/ndcg read 0, and the caller can
+    *    exclude zero-rel queries from a mean, the trec_eval
+    *    convention).
+    *  - `n_hits`: relevant docs inside the top-k.
+    *  - `rr_fp = round(2²⁰/first_hit_rank)` (0 if no hit) — MRR@k is
+    *    `avg(rr_fp)/2²⁰`.
+    *  - `dcg_fp = Σ_hits round(2²⁰/log₂(rank+1))` (binary gains);
+    *    `idcg_fp` = the same mass for a perfect ranking of
+    *    `min(n_rel, k)` docs; `ndcg_fp = (dcg_fp · 2²⁰) div idcg_fp`
+    *    — exact BIGINT arithmetic end to end (the t19 discipline:
+    *    every per-item term is quantized BEFORE summation, so sums
+    *    are order-independent integer adds and the whole row pins; a
+    *    perfect ranking reads exactly 2²⁰).
+    *
+    * 100 TB shape: runs are per-query top-k lists (|Q|·k rows) and
+    * qrels are eval-suite-sized — both tiny next to a corpus; the
+    * plan is one equi-join on (query, doc) + two partial-agg'd
+    * per-query aggregations + the literal-array rank lookups
+    * (codegen'd projections). Nothing global, nothing driver-side
+    * beyond the k-entry tables; millions of queries scale out on the
+    * query key. */
+  def rankedEval(run: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(k >= 1, s"bad k=$k")
+    val gains = dcgGainFp(k)
+    val prefix = idcgPrefixFp(k)
+    val rrs = rrFp(k)
+    val r = run.select(col(queryCol).as("q"), col(docCol).as("d"),
+        col(rankCol).cast("int").as("rk"))
+      .filter(col("rk") >= 1 && col("rk") <= k)
+    val rel = qrels.select(col(queryCol).as("q"), col(docCol).as("d"))
+      .distinct()
+    val hits = r.join(rel, Seq("q", "d"))
+      .groupBy("q")
+      .agg(min(col("rk")).as("first_rk"),
+        sum(element_at(typedlit(gains), col("rk"))).as("dcg_hits_fp"),
+        count(lit(1)).as("hit_cnt"))
+    val nrel = rel.groupBy("q").agg(count(lit(1)).as("rel_cnt"))
+    r.select("q").distinct()
+      .join(nrel, Seq("q"), "left")
+      .join(hits, Seq("q"), "left")
+      .select(col("q").as(queryCol),
+        coalesce(col("rel_cnt"), lit(0L)).as("n_rel"),
+        coalesce(col("hit_cnt"), lit(0L)).as("n_hits"),
+        // Explicit null short-circuit, NOT coalesce-over-lookup: the
+        // codegen'd element_at does not contract to null-in/null-out
+        // on a null index (observed reading an arbitrary slot), so
+        // the guard must run before the lookup.
+        when(col("first_rk").isNull, lit(0L))
+          .otherwise(element_at(typedlit(rrs), col("first_rk")))
+          .as("rr_fp"),
+        coalesce(col("dcg_hits_fp"), lit(0L)).as("dcg_fp"),
+        // least() skips nulls in Spark (least(null, k) = k), so a
+        // zero-rel query must short-circuit BEFORE the lookup or it
+        // would read a full-k ideal mass.
+        when(col("rel_cnt").isNull, lit(0L))
+          .otherwise(element_at(typedlit(prefix),
+            least(col("rel_cnt"), lit(k.toLong)).cast("int")))
+          .as("idcg_fp"))
+      .withColumn("ndcg_fp", expr(
+        "CASE WHEN idcg_fp > 0 THEN (dcg_fp * CAST(1048576 AS BIGINT)) div idcg_fp " +
+          "ELSE CAST(0 AS BIGINT) END"))
+  }
 }

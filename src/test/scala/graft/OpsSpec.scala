@@ -2805,6 +2805,67 @@ class OpsSpec extends SparkSpec {
     assert(shuffled == base, "mmrDiversify must be partition-invariant")
   }
 
+  test("rankedEval: hand-computed MRR/nDCG cases — partial hit, perfect ranking, " +
+      "zero-rel query, n_rel > k, qrel dedup, beyond-k rows ignored") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    // k=3 tables (independently derived): g = round(2^20/log2(r+1)) =
+    // [1048576, 661578, 524288]; prefix = [1048576, 1710154, 2234442];
+    // rr = [1048576, 524288, 349525].
+    val run = Seq(
+      ("A", 101L, 1), ("A", 102L, 2), ("A", 103L, 3), ("A", 109L, 4),
+      ("B", 201L, 1), ("B", 202L, 2),
+      ("C", 305L, 1),
+      ("D", 401L, 1), ("D", 407L, 2), ("D", 408L, 3)
+    ).toDF("query_id", "doc_id", "rank")
+    val qrels = Seq(
+      ("A", 102L), ("A", 102L), ("A", 109L), // dup row; 109 only at rank 4 > k
+      ("B", 201L), ("B", 202L),              // perfect ranking
+      ("D", 407L), ("D", 409L), ("D", 410L), ("D", 411L) // n_rel 4 > k
+    ).toDF("query_id", "doc_id")
+    val got = Retrieval.rankedEval(run, qrels, 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6)))).toMap
+    // A: n_rel 2 (dedup), hit only d102@2 (109 is beyond k): rr g2;
+    //    dcg 661578; idcg prefix(min(2,3)) = 1710154;
+    //    ndcg = 661578*2^20 div 1710154 = 405644.
+    assert(got("A") == ((2L, 1L, 524288L, 661578L, 1710154L, 405644L)))
+    // B: perfect 2-of-2 inside k: ndcg exactly 2^20.
+    assert(got("B") == ((2L, 2L, 1048576L, 1710154L, 1710154L, 1048576L)))
+    // C: zero-rel query still evaluates, all metrics 0.
+    assert(got("C") == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    // D: 4 relevant (> k) so idcg saturates at prefix(3) = 2234442;
+    //    one hit at rank 2: ndcg = 661578*2^20 div 2234442 = 310464.
+    assert(got("D") == ((4L, 1L, 524288L, 661578L, 2234442L, 310464L)))
+    assert(got.size == 4, "one row per run query, no phantom queries")
+  }
+
+  test("rankedEval re-derives a serving exhibit's recall: sum(n_hits)/sum(n_rel) " +
+      "equals the ad-hoc scaffold on the s02 LSH serve") {
+    import graft.ops.Retrieval
+    val queries = emb.filter(col("id") < 50)
+    val k = 10
+    val exact = SimilaritySearch.bruteForceTopK(emb, queries, k)
+    val approx = SimilaritySearch.lshTopK(emb, queries, k)
+    val run = approx.select(col("query_id"), col("nbr_id").as("doc_id"),
+      col("rank"))
+    val qrels = exact.select(col("query_id"), col("nbr_id").as("doc_id"))
+    val ev = Retrieval.rankedEval(run, qrels, k)
+      .agg(sum(col("n_hits")).as("h"), sum(col("n_rel")).as("t"))
+      .head()
+    // The scaffold counts |approx ∩ exact| over |exact| — exactly
+    // sum(n_hits) / sum(n_rel) when qrels = the exact top-k.
+    val scaffoldHits = exact.select(col("query_id"), col("nbr_id"))
+      .join(approx.select(col("query_id"), col("nbr_id")),
+        Seq("query_id", "nbr_id"))
+      .count()
+    assert(ev.getLong(0) == scaffoldHits,
+      s"rankedEval hits ${ev.getLong(0)} != scaffold $scaffoldHits")
+    assert(ev.getLong(1) == queries.count() * k)
+    assert(ev.getLong(0) > 0, "vacuous: LSH found nothing")
+  }
+
   test("dsirSelect: hand-computed log-ratio weights pull target-like docs first") {
     import spark.implicits._
     // Target (en) docs speak 'aa', source-only docs speak 'bb'; doc 5
