@@ -1226,7 +1226,11 @@ object Queries {
     * the extracted column to the t01 token stats (the end-to-end
     * witness). One function consumed by BOTH the batch query (t46) and
     * the streaming serve (st23), so the two surfaces cannot drift. */
-  private[graft] def htmlExtractFrame(d: DataFrame): DataFrame = {
+  /** The t46 HTML-ification as a column over `text` — the 10-token
+    * <p> reflow between [[HtmlHead]] and [[HtmlFoot]]. Factored so the
+    * WARC synthesis (m08/p10) serializes the SAME html the extraction
+    * exhibits consume — one definition, no drift. */
+  private[graft] def htmlifiedCol: Column = {
     val w = split(col("text"), " ")
     val nPar = ceil(size(w) / lit(10.0)).cast("int")
     val paras = when(size(w) >= 1,
@@ -1234,9 +1238,12 @@ object Queries {
         concat(lit("<p>"),
           array_join(slice(w, i * 10 + 1, lit(10)), " "), lit("</p>"))))
       .otherwise(array().cast("array<string>"))
-    val html = concat(lit(HtmlHead), array_join(paras, ""), lit(HtmlFoot))
+    concat(lit(HtmlHead), array_join(paras, ""), lit(HtmlFoot))
+  }
+
+  private[graft] def htmlExtractFrame(d: DataFrame): DataFrame = {
     val ex = TextAnalysis.extractMainContent(
-      d.withColumn("html", html), "doc_id", "html")
+      d.withColumn("html", htmlifiedCol), "doc_id", "html")
     TextAnalysis.tokenStats(ex, "extracted")
       .select(col("doc_id"), col("n_lines"), col("n_kept"),
         col("extracted"),
@@ -1248,7 +1255,10 @@ object Queries {
     * n_kept, extracted)`) parameterized on the source relation, so t46
     * consumes it over `documents` and p07 over the duplicate-augmented
     * corpus — one definition, no drift. */
-  private def htmlExtractCtes(src: String): String =
+  /** [[htmlifiedCol]]'s CTE twin — `h(doc_id, html)` over `src` —
+    * shared by the extraction chain and the WARC synthesis censuses
+    * (m08/p10), mirroring the Scala-side factoring. */
+  private def htmlSynthCtes(src: String): String =
       s"""base AS (SELECT doc_id, str_split(text, ' ') AS w
         |  FROM $src),
         |h AS (SELECT doc_id,
@@ -1258,7 +1268,10 @@ object Queries {
         |        '<p>' || array_to_string(
         |          list_slice(w, i*10 + 1, i*10 + 10), ' ') || '</p>'),
         |      '') ||
-        |    '$HtmlFoot' AS html FROM base),
+        |    '$HtmlFoot' AS html FROM base)""".stripMargin
+
+  private def htmlExtractCtes(src: String): String =
+      s"""${htmlSynthCtes(src)},
         |s1 AS (SELECT doc_id, regexp_replace(regexp_replace(regexp_replace(
         |    replace(replace(html, chr(1), ''), chr(2), ''),
         |    '(?is)<script[^>]*>.*?</script>', '', 'g'),
@@ -2948,6 +2961,37 @@ object Queries {
     "m07_anim_frames" -> ((s, dir) =>
       Multimodal.animationFrames(Multimodal.asMedia(docs(s, dir)))),
 
+    // WARC-shaped crawl ingest (m08): the documents fixture URL-ified
+    // (t48 surface forms) and HTML-ified (the t46 reflow), serialized
+    // into Content-Length-framed WARC/1.0 segment files (doc_id div 50
+    // — one ~50-record file per segment, the m01-m07 binary precedent
+    // one level up: a whole CONTAINER, not one blob per row), then
+    // parsed back by the byte-cursor kernel. The census pins the
+    // round-trip bit-exactly: record/file counts, byte mass, distinct
+    // URLs, and order-independent md5 fingerprints of every payload
+    // and URL — the twin computes the same numbers STRAIGHT from the
+    // documents table (no WARC model in SQL), so any framing or
+    // parsing defect that moves a byte moves a fingerprint.
+    "m08_warc_census" -> ((s, dir) => {
+      val recs = urlifiedDocs(docs(s, dir))
+        .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+        .select(col("doc_id"), col("url"), htmlifiedCol.as("html"),
+          concat(lit("seg-"), expr("doc_id div 50")).as("seg"))
+      val parsed = graft.ops.Warc.parseRecords(
+        graft.ops.Warc.buildFiles(recs)).toDF()
+      parsed.agg(
+        count(lit(1)).as("n_records"),
+        count_distinct(col("path")).as("n_files"),
+        sum(col("content_length")).as("payload_bytes"),
+        count_distinct(col("url")).as("n_urls"),
+        sum(conv(substring(md5(col("payload")), 1, 8), 16, 10)
+          .cast("long")).as("payload_fp"),
+        sum(conv(substring(md5(col("url").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("url_fp"),
+        sum(regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+          .cast("long")).as("ids_fp"))
+    }),
+
     // Rolling-hash content fingerprint (order-sensitive).
     "t07_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir)).select("doc_id", "rolling_fp")),
@@ -3141,6 +3185,67 @@ object Queries {
       val rows = summary.collect().toSeq
       val schema = summary.schema
       Seq(cl, scored).foreach(graft.core.Checkpoints.release)
+      import scala.jdk.CollectionConverters._
+      s.createDataFrame(rows.asJava, schema)
+    }),
+
+    // WARC-fed web assembly (p10): p07's chain with an HONEST stage -1
+    // — the corpus enters as Content-Length-framed WARC segment files
+    // (p07's augmented crawl, surface-form URLs and t46-HTML-ified
+    // bodies, serialized then PARSED BACK by the m08 kernel), and
+    // every downstream stage consumes only what the parser recovered:
+    // URL canonicalization + min-id dedup on the parsed Target-URIs
+    // (stage 0), extraction on the parsed payload html (NOT
+    // re-synthesized from the table), md5 text-dedup on the extracted
+    // text. The twin rebuilds the same stages relationally from
+    // documents — it can, because the WARC round-trip is bit-lossless,
+    // which is exactly what m08's fingerprint census pins.
+    "p10_warc_assembly" -> ((s, dir) => {
+      val aug = docs(s, dir).select(col("doc_id"), col("text"))
+        .unionByName(docs(s, dir)
+          .filter(col("doc_id") % 10 === 0)
+          .select((col("doc_id") + lit(1000000L)).as("doc_id"), col("text")))
+      val urled = aug.withColumn("url",
+        when(col("doc_id") < 1000000L,
+          concat(lit("https://crawl.example.com/doc/"), col("doc_id")))
+          .otherwise(concat(lit("HTTPS://WWW.Crawl.Example.COM:443/doc/"),
+            col("doc_id") - lit(1000000L),
+            lit("?utm_source=recrawl#cached"))))
+        .select(col("doc_id"), col("url"), htmlifiedCol.as("html"),
+          concat(lit("seg-"), expr("doc_id div 50")).as("seg"))
+      // Stage -1: serialize + parse. Checkpointed: the parsed frame
+      // feeds the URL-dedup aggregation AND the survivor join-back,
+      // and without materialization each consumer re-runs the whole
+      // build+parse (the p07 truncate-once precedent).
+      val parsed = graft.ops.Warc.parseRecords(
+          graft.ops.Warc.buildFiles(urled)).toDF()
+        .select(
+          regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+            .cast("long").as("doc_id"),
+          col("url"), col("payload").cast("string").as("html"))
+        .localCheckpoint(true)
+      val sv0 = graft.ops.Web.normalizeUrls(parsed)
+        .groupBy("norm_url").agg(min(col("doc_id")).as("doc_id"))
+        .select("doc_id")
+      val stage0 = parsed.join(sv0, "doc_id")
+      val ex = TextAnalysis
+        .extractMainContent(stage0, "doc_id", "html")
+        .select(col("doc_id"), col("extracted").as("text"))
+        .localCheckpoint(true)
+      val sv = ex.groupBy(md5(col("text")).as("h"))
+        .agg(min(col("doc_id")).as("doc_id")).select("doc_id")
+      val svt = ex.join(sv, "doc_id")
+      val summary = svt.agg(
+          count(lit(1)).as("n_unique"),
+          sum(size(split(col("text"), " ")).cast("long"))
+            .as("survivor_tokens"),
+          sum(col("doc_id")).as("ids_fp"))
+        .crossJoin(parsed.agg(count(lit(1)).as("n_crawled"),
+          count_distinct(col("url")).as("n_urls")))
+        .crossJoin(stage0.agg(count(lit(1)).as("n_after_url")))
+      val rows = summary.collect().toSeq
+      val schema = summary.schema
+      Seq(parsed, ex).foreach(graft.core.Checkpoints.release)
       import scala.jdk.CollectionConverters._
       s.createDataFrame(rows.asJava, schema)
     }),
@@ -6175,6 +6280,40 @@ object Queries {
         |  (SELECT CAST(count(*) AS BIGINT) FROM cl) AS n_input,
         |  (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_crawled
         |FROM kp2""".stripMargin,
+
+    // p10's twin = p07's first stages rebuilt relationally from
+    // documents (same d0/urls/normalization/extraction CTEs) — legal
+    // because the WARC round-trip the Spark side actually executes is
+    // bit-lossless, which m08's fingerprint census pins separately.
+    "p10_warc_assembly" ->
+      s"""WITH d0 AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id, text FROM documents
+        |  WHERE doc_id % 10 = 0),
+        |urls AS (SELECT doc_id,
+        |  CASE WHEN doc_id < 1000000
+        |    THEN 'https://crawl.example.com/doc/' || doc_id
+        |    ELSE 'HTTPS://WWW.Crawl.Example.COM:443/doc/' ||
+        |      (doc_id - 1000000) || '?utm_source=recrawl#cached'
+        |  END AS url FROM d0),
+        |$urlNormCtes,
+        |sv0 AS (SELECT min(doc_id) AS doc_id FROM normed GROUP BY norm_url),
+        |s0 AS (SELECT d0.doc_id, d0.text FROM d0 JOIN sv0 USING (doc_id)),
+        |${htmlExtractCtes("s0")},
+        |cl AS (SELECT doc_id, extracted AS text FROM ex),
+        |sv AS (SELECT min(doc_id) AS doc_id FROM cl GROUP BY md5(text)),
+        |svt AS (SELECT cl.doc_id, cl.text FROM cl JOIN sv USING (doc_id))
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_unique,
+        |  CAST(sum(len(str_split(text, ' '))) AS BIGINT)
+        |    AS survivor_tokens,
+        |  CAST(sum(doc_id) AS BIGINT) AS ids_fp,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM d0) AS n_crawled,
+        |  (SELECT CAST(count(DISTINCT url) AS BIGINT) FROM urls)
+        |    AS n_urls,
+        |  (SELECT CAST(count(*) AS BIGINT) FROM s0) AS n_after_url
+        |FROM svt""".stripMargin,
     // Stub-path aHash: first 64 UTF-8 BYTES as the pixel grid (hex-pair
     // slicing of encode(text) — byte-exact vs Spark's bytes(i), unlike
     // a character-indexed ord/substr form that diverges on any
@@ -6182,6 +6321,30 @@ object Queries {
     // no fractional mean); bit 63 contributes the signed minimum so
     // the packed value equals the JVM's two's-complement long
     // bit-for-bit.
+    // The m08 round-trip census STRAIGHT from the documents table —
+    // no WARC model in SQL: if serialize→parse moved a single byte in
+    // any payload or URL, or dropped/duplicated a record, a
+    // fingerprint or count diverges. Fingerprints are the established
+    // order-independent md5-prefix sums (the 5162-line convention);
+    // strlen == Spark's octet_length on this ASCII fixture (the
+    // parser's byte-framing on non-ASCII is OpsSpec's hand fixture).
+    "m08_warc_census" ->
+      s"""WITH ${urlSynthCte("documents")},
+        |${htmlSynthCtes("documents")},
+        |rec AS (SELECT u.doc_id, u.url, h.html
+        |  FROM urls u JOIN h USING (doc_id))
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_records,
+        |  CAST(count(DISTINCT doc_id // 50) AS BIGINT) AS n_files,
+        |  CAST(sum(strlen(html)) AS BIGINT) AS payload_bytes,
+        |  CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+        |  CAST(sum(CAST(('0x' || substr(md5(html), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS payload_fp,
+        |  CAST(sum(CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS url_fp,
+        |  CAST(sum(doc_id) AS BIGINT) AS ids_fp
+        |FROM rec""".stripMargin,
+
     "m04_phash" ->
       """WITH hx AS (
         |  SELECT doc_id, hex(encode(text)) AS h,

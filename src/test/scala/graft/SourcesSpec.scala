@@ -84,4 +84,82 @@ class SourcesSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     assert(agg(li) == agg(csvLi))
   }
+
+  // --- WARC ingest (m08/p10) ---
+
+  private def warcBytes(s: String): Array[Byte] = s.getBytes("UTF-8")
+
+  test("WARC parser: hand-framed records incl. multibyte payload, CRLF inside payload, " +
+      "empty payload — Content-Length framing is byte-exact") {
+    // Payload 1 carries a CRLF CRLF INSIDE it (delimiter-split would
+    // shear here) plus multibyte UTF-8 (é = 2 bytes: char length 18,
+    // byte length 19 — a char-counted parser misframes everything
+    // after it). Payload 2 is empty.
+    val p1 = "café\r\n\r\nstill body"
+    assert(p1.length == 18 && warcBytes(p1).length == 19)
+    val file =
+      "WARC/1.0\r\n" +
+        "WARC-Type: response\r\n" +
+        "WARC-Record-ID: <urn:graft:7>\r\n" +
+        "WARC-Target-URI: https://a.example.com/x\r\n" +
+        s"Content-Length: ${warcBytes(p1).length}\r\n" +
+        "\r\n" + p1 + "\r\n\r\n" +
+        "WARC/1.0\r\n" +
+        "content-length: 0\r\n" + // header names are case-insensitive
+        "WARC-Type: metadata\r\n" +
+        "\r\n" + "\r\n\r\n"
+    val got = graft.ops.Warc.parseWarcBytes("f", warcBytes(file)).toSeq
+    assert(got.size == 2, s"expected 2 records, got ${got.map(_.rec_index)}")
+    val r0 = got.head
+    assert(r0.warc_type == "response" && r0.record_id == "<urn:graft:7>" &&
+      r0.url == "https://a.example.com/x" && r0.content_length == 19L)
+    assert(new String(r0.payload, "UTF-8") == p1, "payload must round-trip byte-exactly")
+    val r1 = got(1)
+    assert(r1.warc_type == "metadata" && r1.url == "" &&
+      r1.content_length == 0L && r1.payload.isEmpty)
+    assert(r0.rec_offset == 0L && r1.rec_offset > 0L && r1.rec_index == 1)
+  }
+
+  test("WARC parser: truncation and garbage end the file at the last good record") {
+    val good = "WARC/1.0\r\nContent-Length: 4\r\nWARC-Target-URI: u1\r\n\r\nbody\r\n\r\n"
+    // (a) payload truncated mid-declared-length
+    val truncated = good + "WARC/1.0\r\nContent-Length: 100\r\n\r\nshort"
+    assert(graft.ops.Warc.parseWarcBytes("f", warcBytes(truncated)).map(_.url).toSeq
+      == Seq("u1"))
+    // (b) missing Content-Length
+    val noLen = good + "WARC/1.0\r\nWARC-Target-URI: u2\r\n\r\nbody\r\n\r\n"
+    assert(graft.ops.Warc.parseWarcBytes("f", warcBytes(noLen)).map(_.url).toSeq
+      == Seq("u1"))
+    // (c) non-WARC garbage where a version line should be — no
+    // fabricated records from resync-into-noise
+    val garbage = good + "HTTP/1.1 200 OK\r\nContent-Length: 4\r\n\r\nbody\r\n\r\n"
+    assert(graft.ops.Warc.parseWarcBytes("f", warcBytes(garbage)).map(_.url).toSeq
+      == Seq("u1"))
+    // (d) empty input
+    assert(graft.ops.Warc.parseWarcBytes("f", Array.emptyByteArray).isEmpty)
+  }
+
+  test("WARC buildFiles -> parseRecords round-trips every (id, url, payload) row") {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, "https://a.example.com/1", "alpha beta", "s0"),
+      (2L, "https://a.example.com/2", "", "s0"), // empty body
+      (42L, "https://b.example.com/q?x=1", "gamma é世 delta", "s1"),
+      (7L, "https://a.example.com/7", "zeta", "s0"))
+      .toDF("doc_id", "url", "html", "seg")
+    val files = graft.ops.Warc.buildFiles(rows)
+    assert(files.count() == 2)
+    assert(files.filter(col("path") === "s0").head().getLong(1) == 3L)
+    val got = graft.ops.Warc.parseRecords(files).collect()
+      .map(r => (r.record_id, r.url, new String(r.payload, "UTF-8"), r.path))
+      .toSet
+    val want = rows.collect().map(r =>
+      (s"<urn:graft:${r.getLong(0)}>", r.getString(1), r.getString(2),
+        r.getString(3))).toSet
+    assert(got == want, s"round-trip diverged: $got vs $want")
+    // In-file order is ascending id (deterministic serialization).
+    val s0 = graft.ops.Warc.parseRecords(files.filter(col("path") === "s0"))
+      .collect().sortBy(_.rec_index).map(_.record_id).toSeq
+    assert(s0 == Seq("<urn:graft:1>", "<urn:graft:2>", "<urn:graft:7>"))
+  }
 }
