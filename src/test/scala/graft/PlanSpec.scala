@@ -237,6 +237,54 @@ class PlanSpec extends SparkSpec {
       s"d22 lost map-side combine:\n$p")
   }
 
+  test("d23: probed benchmark broadcasts — the corpus never shuffles by content, " +
+      "one exchange for the per-doc agg") {
+    import org.apache.spark.sql.functions.col
+    val e = Queries.augEmb(spark, sf0001)
+    val bench = e.filter(col("id") < 1000000L && col("id") % 20 === 0)
+    val corpus = e.filter(col("id") >= 1000000L || col("id") % 20 =!= 0)
+    val df = graft.ops.Decontaminate
+      .semanticOverlap(corpus, bench, "id", "features", 0.9)
+    df.collect()
+    val fin = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert(fin.contains("BroadcastHashJoin"),
+      s"bench probes must broadcast-join:\n$fin")
+    assert(!fin.contains("SortMergeJoin") && !fin.contains("CartesianProduct"),
+      s"corpus must not shuffle into the join:\n$fin")
+    assert(fin.split("Exchange hashpartitioning").length - 1 == 1,
+      s"exactly one content shuffle (the per-doc agg):\n$fin")
+    assert(fin.contains("partial_max") || fin.contains("partial_count"),
+      s"per-doc agg lost map-side combine:\n$fin")
+  }
+
+  test("t50: rank-table lookups stay codegen'd — no UDF, no cartesian, " +
+      "map-side combine on the per-query aggs") {
+    val p = plan("t50_ranked_eval")
+    val fin = p.split("== Initial Plan ==")(0)
+    assert(!fin.contains("ScalaUDF") && !fin.contains("BatchEvalPython"),
+      s"t50 fell out of codegen'd built-ins:\n$fin")
+    assert(!fin.contains("CartesianProduct"), s"t50 planned a cartesian:\n$fin")
+    assert(fin.contains("partial_min") || fin.contains("partial_count"),
+      s"t50 lost map-side combine:\n$fin")
+  }
+
+  test("m08: WARC serialize+parse+census shuffles once, on the segment key") {
+    val p = plan("m08_warc_census")
+    val fin = p.split("== Initial Plan ==")(0)
+    // The parse itself is a mapPartitions projection — the only
+    // content shuffles are buildFiles' per-segment groupBy and the
+    // census's count_distinct rewrite (Expand + one record-stream
+    // shuffle — the standard exact-distinct price; the census is a
+    // diagnostic, the p10 PIPELINE consumes the parse without it).
+    assert(fin.contains("Exchange hashpartitioning(path"),
+      s"m08 must group on the segment key:\n$fin")
+    assert(fin.split("Exchange hashpartitioning").length - 1 == 2,
+      s"m08 must shuffle exactly twice (segment groupBy + distinct rewrite):\n$fin")
+    assert(!fin.contains("ScalaUDF") && !fin.contains("BatchEvalPython"),
+      s"m08 fell out of codegen'd built-ins:\n$fin")
+  }
+
   test("p06/p07: selection pipelines carry no cartesian product, no UDF") {
     // Both compose iterative/checkpointed stages, so the single
     // executedPlan string covers only the FINAL job — the pin is the
