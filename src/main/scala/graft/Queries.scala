@@ -1458,14 +1458,43 @@ object Queries {
     * 0.9927–0.9948, background stays ≤ 0.633 (measured at sf0.001/0.01/
     * 0.1), so a 0.9 threshold has ≥ 0.09 margin on both sides — the
     * float-parity hazard of a threshold decision never engages. */
-  private[graft] def augEmb(s: SparkSession, dir: String): DataFrame = {
-    val e = emb(s, dir)
+  /** The augmentation TRANSFORM itself (per-row projections + a
+    * self-union — row-local, so it commutes with any micro-batch
+    * slicing; the st25 streaming serve relies on exactly that). */
+  private[graft] def augmentEmb(e: DataFrame): DataFrame = {
     val d = size(col("features"))
     val pert = e.select((col("id") + lit(1000000L)).as("id"),
       transform(col("features"), (x, j) =>
         x + lit(0.12f) * element_at(col("features"), pmod(j + 1, d) + 1))
         .as("features"))
     e.unionByName(pert)
+  }
+
+  private[graft] def augEmb(s: SparkSession, dir: String): DataFrame =
+    augmentEmb(emb(s, dir))
+
+  /** d23's bench/corpus split of the augmented embedding table and its
+    * truth/found summary — one definition shared by the batch query
+    * and the st25 streaming serve, so the two surfaces and their
+    * shared pinned oracle cannot drift. `blocked` is any frame with
+    * d23's (`id`, ..., `n_hits`) shape; truth always comes from the
+    * batch exact scan. */
+  private[graft] def d23Bench(aug: DataFrame): DataFrame =
+    aug.filter(col("id") < 1000000L && col("id") % 20 === 0)
+  private[graft] def d23Corpus(aug: DataFrame): DataFrame =
+    aug.filter(col("id") >= 1000000L || col("id") % 20 =!= 0)
+  private[graft] def d23Summary(s: SparkSession, dir: String,
+      blocked: DataFrame): DataFrame = {
+    val aug = augEmb(s, dir)
+    val exact = graft.ops.Decontaminate
+      .semanticOverlapExact(d23Corpus(aug), d23Bench(aug),
+        "id", "features", 0.9)
+      .select(col("id"), (col("n_hits") > 0).as("t"))
+    exact.join(blocked.select(col("id"), (col("n_hits") > 0).as("f")),
+        Seq("id"))
+      .agg(count(lit(1)).as("n_corpus"),
+        sum(when(col("t"), 1L).otherwise(0L)).as("n_truth"),
+        sum(when(col("t") && col("f"), 1L).otherwise(0L)).as("n_found"))
   }
 
   /** Session-memoized prebuilt artifacts. A production deployment builds
@@ -2036,21 +2065,27 @@ object Queries {
     // (8 cells / 2 probes); blocked hits are a subset of exact by
     // construction, so n_found/n_truth is the blocking's recall —
     // measured and pinned, the d11 discipline.
-    "d23_semantic_decontaminate" -> ((s, dir) => {
-      val e = augEmb(s, dir)
-      val bench = e.filter(col("id") < 1000000L && col("id") % 20 === 0)
-      val corpus = e.filter(col("id") >= 1000000L || col("id") % 20 =!= 0)
-      val exact = Decontaminate
-        .semanticOverlapExact(corpus, bench, "id", "features", 0.9)
-        .select(col("id"), (col("n_hits") > 0).as("t"))
-      val blocked = Decontaminate
-        .semanticOverlap(corpus, bench, "id", "features", 0.9)
-        .select(col("id"), (col("n_hits") > 0).as("f"))
-      exact.join(blocked, Seq("id"))
-        .agg(count(lit(1)).as("n_corpus"),
-          sum(when(col("t"), 1L).otherwise(0L)).as("n_truth"),
-          sum(when(col("t") && col("f"), 1L).otherwise(0L)).as("n_found"))
-    }),
+    "d23_semantic_decontaminate" -> ((s, dir) =>
+      d23Summary(s, dir,
+        Decontaminate.semanticOverlap(
+          d23Corpus(augEmb(s, dir)), d23Bench(augEmb(s, dir)),
+          "id", "features", 0.9))),
+
+    // Streaming semantic decontamination at ingest (st25): the d23
+    // blocked scrub applied to the embedding STREAM — the benchmark
+    // side is a static artifact, the corpus side arrives in
+    // micro-batches, and per-document independence (a doc's candidates
+    // are generated from its own row against the broadcast probes)
+    // makes the drained per-doc frame equal the batch one under any
+    // slicing; the summary therefore shares d23's pinned oracle
+    // verbatim (the st24/t49 convention). foreachBatch (the st19
+    // idiom): the kernel's centroid fit is a batch-side collect the
+    // incremental planner cannot run.
+    "st25_semantic_decon_serve" -> ((s, dir) =>
+      d23Summary(s, dir,
+        graft.streaming.EventsStream.semanticDeconServe(
+          s, dir, d23Bench(augEmb(s, dir)),
+          b => d23Corpus(augmentEmb(b)), 0.9))),
 
     // Near-dup CLUSTERS: connected components over the near-dup pair
     // graph — every doc gets a cluster id (min doc id in its component)
@@ -4484,6 +4519,13 @@ object Queries {
     // its original, so its nearest cell is inside the original's
     // 2-probe set on this fixture).
     "d23_semantic_decontaminate" -> Seq(
+      "n_corpus" -> (975L, 975L, 3900L), "n_truth" -> (25L, 25L, 100L),
+      "n_found" -> (25L, 25L, 100L)),
+    // st25 = d23's blocked scrub drained from the embedding stream;
+    // per-doc independence makes drained == batch (OpsSpec row
+    // equality), so the pins are d23's verbatim (measured 2026-08-15,
+    // round 14, PinDump).
+    "st25_semantic_decon_serve" -> Seq(
       "n_corpus" -> (975L, 975L, 3900L), "n_truth" -> (25L, 25L, 100L),
       "n_found" -> (25L, 25L, 100L)),
     // Measured 2026-08-15 (round 12, PinDump, first measurement).

@@ -766,6 +766,31 @@ object EventsStream {
       lit(all).as("n_points"))
   }
 
+  /** Streaming semantic benchmark decontamination (st25) — the d23
+    * blocked scrub applied AT INGEST: the benchmark is a static
+    * release artifact, embedding micro-batches stream against it, and
+    * each batch runs [[graft.ops.Decontaminate.semanticOverlap]]
+    * through `foreachBatch` (the st19 idiom — the kernel's
+    * driver-local centroid fit is a batch-side collect the
+    * incremental planner cannot run; it re-fits per micro-batch from
+    * the STATIC bench, so every batch sees bit-identical cells — a
+    * production deployment hoists the fit once, same numbers). A
+    * document's candidates are generated from its own row against the
+    * broadcast probes, so per-batch outputs union to the batch result
+    * under any slicing: the drained frame equals batch d23's
+    * row-for-row (OpsSpec asserts) and the declared summary shares
+    * d23's pinned oracle verbatim. Stream state: ZERO. */
+  def semanticDeconServe(spark: SparkSession, dir: String,
+      bench: DataFrame, toCorpus: DataFrame => DataFrame,
+      tau: Double, nCells: Int = 8, nProbe: Int = 2): DataFrame =
+    runDrainedForeachBatch(spark, dir, "embeddings",
+        embeddingsSchema, "semdecon") { batch =>
+      graft.ops.Decontaminate.semanticOverlap(
+        toCorpus(batch.select(col("vec_id").as("id"),
+          col("embedding").as("features"))),
+        bench, "id", "features", tau, nCells, nProbe)
+    }
+
   /** Streaming tokenizer serving — the t36 Viterbi encode applied at
     * ingest time (tokenizer-as-a-service, the artifact-serving half of
     * the t35 lifecycle): the trained vocabulary is a static broadcast

@@ -964,6 +964,21 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  test("st25: drained streaming semantic decontamination equals batch d23 row-for-row") {
+    import graft.ops.Decontaminate
+    val aug = Queries.augEmb(spark, sf001)
+    val bench = Queries.d23Bench(aug)
+    val batch = Decontaminate.semanticOverlap(
+      Queries.d23Corpus(aug), bench, "id", "features", 0.9)
+    val streamed = graft.streaming.EventsStream.semanticDeconServe(
+      spark, sf001, bench,
+      b => Queries.d23Corpus(Queries.augmentEmb(b)), 0.9)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "drained per-doc frame must equal the batch scrub exactly")
+  }
+
   test("MIPS-to-cosine reduction is exact under full probing on norm-skewed data") {
     import spark.implicits._
     // Norms vary 20x, so MIPS and cosine rankings genuinely differ —
