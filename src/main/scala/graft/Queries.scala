@@ -5792,11 +5792,17 @@ object Queries {
         |rrs(r, v_fp) AS (VALUES ${fpValuesList(
              graft.ops.Retrieval.rrFp(10))}),
         |hits AS (
-        |  SELECT run.query_id, min(run.rank) AS first_rk,
-        |    CAST(sum(g_fp) AS BIGINT) AS dcg_fp, count(*) AS n_hits
-        |  FROM run JOIN qrels USING (query_id, doc_id)
-        |    JOIN gains ON gains.r = run.rank
-        |  GROUP BY run.query_id),
+        |  SELECT query_id, min(rank) AS first_rk,
+        |    CAST(sum(g_fp) AS BIGINT) AS dcg_fp, count(*) AS n_hits,
+        |    CAST(sum((2097152 * hit_i + rank) // (2 * rank)) AS BIGINT)
+        |      AS ap_num_fp
+        |  FROM (
+        |    SELECT run.query_id, run.rank, g_fp,
+        |      row_number() OVER (
+        |        PARTITION BY run.query_id ORDER BY run.rank) AS hit_i
+        |    FROM run JOIN qrels USING (query_id, doc_id)
+        |      JOIN gains ON gains.r = run.rank)
+        |  GROUP BY query_id),
         |nrel AS (SELECT query_id, count(*) AS n_rel FROM qrels
         |  GROUP BY query_id),
         |base AS (SELECT DISTINCT query_id FROM run)
@@ -5809,7 +5815,10 @@ object Queries {
         |    AS BIGINT) AS idcg_fp,
         |  CAST(CASE WHEN n.n_rel IS NOT NULL AND p.p_fp > 0
         |    THEN (coalesce(h.dcg_fp, 0) * 1048576) // p.p_fp
-        |    ELSE 0 END AS BIGINT) AS ndcg_fp
+        |    ELSE 0 END AS BIGINT) AS ndcg_fp,
+        |  CAST(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |    THEN coalesce(h.ap_num_fp, 0) // n.n_rel
+        |    ELSE 0 END AS BIGINT) AS ap_fp
         |FROM base b
         |LEFT JOIN nrel n USING (query_id)
         |LEFT JOIN hits h USING (query_id)

@@ -210,6 +210,11 @@ object Retrieval {
     *    every per-item term is quantized BEFORE summation, so sums
     *    are order-independent integer adds and the whole row pins; a
     *    perfect ranking reads exactly 2²⁰).
+    *  - `ap_fp`: average precision at k, trec_eval's form —
+    *    `(Σ_{i-th hit at rank rᵢ} round(2²⁰·i/rᵢ)) div n_rel` — MAP@k
+    *    is `avg(ap_fp)/2²⁰`. The per-hit precision quantizes by PURE
+    *    integer half-up rounding, `(2²¹·i + r) div (2r)` — no float
+    *    touches this metric anywhere, so the twin needs no table.
     *
     * 100 TB shape: runs are per-query top-k lists (|Q|·k rows) and
     * qrels are eval-suite-sized — both tiny next to a corpus; the
@@ -230,11 +235,19 @@ object Retrieval {
       .filter(col("rk") >= 1 && col("rk") <= k)
     val rel = qrels.select(col(queryCol).as("q"), col(docCol).as("d"))
       .distinct()
+    // hit_i = how many hits rank at or above this one — the running
+    // numerator of precision@rank. The window runs over the HITS
+    // frame (≤ |Q|·k rows), never the run or the corpus.
+    val hw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("rk"))
     val hits = r.join(rel, Seq("q", "d"))
+      .withColumn("hit_i", row_number().over(hw))
       .groupBy("q")
       .agg(min(col("rk")).as("first_rk"),
         sum(element_at(typedlit(gains), col("rk"))).as("dcg_hits_fp"),
-        count(lit(1)).as("hit_cnt"))
+        count(lit(1)).as("hit_cnt"),
+        sum(expr("(CAST(2097152 AS BIGINT) * hit_i + rk) div " +
+          "(2 * CAST(rk AS BIGINT))")).as("ap_num_fp"))
     val nrel = rel.groupBy("q").agg(count(lit(1)).as("rel_cnt"))
     r.select("q").distinct()
       .join(nrel, Seq("q"), "left")
@@ -256,9 +269,14 @@ object Retrieval {
         when(col("rel_cnt").isNull, lit(0L))
           .otherwise(element_at(typedlit(prefix),
             least(col("rel_cnt"), lit(k.toLong)).cast("int")))
-          .as("idcg_fp"))
+          .as("idcg_fp"),
+        coalesce(col("ap_num_fp"), lit(0L)).as("ap_num_fp"))
       .withColumn("ndcg_fp", expr(
         "CASE WHEN idcg_fp > 0 THEN (dcg_fp * CAST(1048576 AS BIGINT)) div idcg_fp " +
           "ELSE CAST(0 AS BIGINT) END"))
+      .withColumn("ap_fp", expr(
+        "CASE WHEN n_rel > 0 THEN ap_num_fp div n_rel " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .drop("ap_num_fp")
   }
 }

@@ -2841,18 +2841,22 @@ class OpsSpec extends SparkSpec {
     val got = Retrieval.rankedEval(run, qrels, 3)
       .collect().map(r => r.getString(0) ->
         ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
-          r.getLong(5), r.getLong(6)))).toMap
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
     // A: n_rel 2 (dedup), hit only d102@2 (109 is beyond k): rr g2;
     //    dcg 661578; idcg prefix(min(2,3)) = 1710154;
-    //    ndcg = 661578*2^20 div 1710154 = 405644.
-    assert(got("A") == ((2L, 1L, 524288L, 661578L, 1710154L, 405644L)))
-    // B: perfect 2-of-2 inside k: ndcg exactly 2^20.
-    assert(got("B") == ((2L, 2L, 1048576L, 1710154L, 1710154L, 1048576L)))
+    //    ndcg = 661578*2^20 div 1710154 = 405644;
+    //    ap = round(2^20·1/2) div 2 = 524288 div 2 = 262144.
+    assert(got("A") == ((2L, 1L, 524288L, 661578L, 1710154L, 405644L, 262144L)))
+    // B: perfect 2-of-2 inside k: ndcg AND ap exactly 2^20.
+    assert(got("B") == ((2L, 2L, 1048576L, 1710154L, 1710154L, 1048576L,
+      1048576L)))
     // C: zero-rel query still evaluates, all metrics 0.
-    assert(got("C") == ((0L, 0L, 0L, 0L, 0L, 0L)))
+    assert(got("C") == ((0L, 0L, 0L, 0L, 0L, 0L, 0L)))
     // D: 4 relevant (> k) so idcg saturates at prefix(3) = 2234442;
-    //    one hit at rank 2: ndcg = 661578*2^20 div 2234442 = 310464.
-    assert(got("D") == ((4L, 1L, 524288L, 661578L, 2234442L, 310464L)))
+    //    one hit at rank 2: ndcg = 661578*2^20 div 2234442 = 310464;
+    //    ap = 524288 div 4 = 131072 (trec_eval divides by ALL n_rel).
+    assert(got("D") == ((4L, 1L, 524288L, 661578L, 2234442L, 310464L,
+      131072L)))
     assert(got.size == 4, "one row per run query, no phantom queries")
   }
 
