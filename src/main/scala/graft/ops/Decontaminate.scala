@@ -141,6 +141,16 @@ object Decontaminate {
     require(nCells >= 1 && nProbe >= 1, s"bad nCells=$nCells/nProbe=$nProbe")
     val b0 = bench.select(col(idCol).as("id"), col(vecCol).as("features"))
     val c0 = corpus.select(col(idCol).as("id"), col(vecCol).as("features"))
+    // An EMPTY benchmark means nothing can be contaminated — return
+    // every corpus doc unflagged instead of letting the centroid fit
+    // throw (a pipeline pointed at a not-yet-released eval suite must
+    // degrade to a no-op scrub, not crash). The probe is one ≤1-row
+    // collect against the tiny side.
+    if (b0.isEmpty) {
+      return c0.select(col("id").as(idCol),
+        lit(0L).as("n_candidates"), lit(0L).as("n_hits"),
+        lit(null).cast("double").as("max_cosine"))
+    }
     val centroids = SimilaritySearch.trainIvfCentroids(b0, nCells, seed = seed)
     val probes = SimilaritySearch.probeCells(b0, centroids, nProbe)
     SimilaritySearch.cellAssign(c0, centroids)

@@ -533,4 +533,38 @@ class EdgeCasesSpec extends SparkSpec {
     assert(ex2.getMessage.contains("labeled"),
       s"wrong failure for label-free corpus: ${ex2.getMessage}")
   }
+
+  test("semanticOverlap: an empty benchmark is a no-op scrub, not a crash; " +
+      "an empty corpus yields an empty frame") {
+    import spark.implicits._
+    import graft.ops.Decontaminate
+    val corpus = Seq((1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)))
+      .toDF("id", "features")
+    val emptyV = spark.emptyDataset[(Long, Array[Float])]
+      .toDF("id", "features")
+    val noBench = Decontaminate
+      .semanticOverlap(corpus, emptyV, "id", "features", 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.isNullAt(3))).sortBy(_._1)
+    assert(noBench.toSeq == Seq((1L, 0L, 0L, true), (2L, 0L, 0L, true)),
+      s"empty bench must return every doc unflagged: ${noBench.toSeq}")
+    assert(Decontaminate
+      .semanticOverlap(emptyV, corpus, "id", "features", 0.9).isEmpty)
+  }
+
+  test("rankedEval: empty qrels zero every metric; empty run is an empty frame; " +
+      "k < 1 rejected") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val run = Seq(("A", 1L, 1), ("A", 2L, 2)).toDF("query_id", "doc_id", "rank")
+    val noRel = spark.emptyDataset[(String, Long)].toDF("query_id", "doc_id")
+    val got = Retrieval.rankedEval(run, noRel, 10).collect()
+    assert(got.length == 1 && (1 to 7).forall(got.head.getLong(_) == 0L),
+      "empty qrels must evaluate the query to all-zero metrics")
+    assert(Retrieval.rankedEval(noRel.limit(0).toDF("query_id", "doc_id")
+      .withColumn("rank", lit(1)), run.select("query_id", "doc_id"), 10).isEmpty)
+    intercept[IllegalArgumentException] {
+      Retrieval.rankedEval(run, noRel, 0)
+    }
+  }
 }
