@@ -1371,6 +1371,87 @@ object Queries {
 
   /** The t48-family URL synthesis as a DuckDB CTE —
     * `urls(doc_id, url)` over `src` — mirroring [[urlifiedDocs]]. */
+  /** t50/t51's shared BM25 more-like-this run: the st13 impact-index
+    * re-derivation in batch (same formula, same rank cut) — queries
+    * are the first 3 documents, ranks 1..10 per query. */
+  private[graft] def t50Run(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val q = corpus.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"),
+        explode(array_distinct(TextAnalysis.tokens(col("text"))))
+          .as("term"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("score_fp").desc, col("id").asc)
+    q.join(TextAnalysis.bm25Impacts(corpus), Seq("term"))
+      .filter(col("id") =!= col("query_id"))
+      .groupBy(col("query_id"), col("id"))
+      .agg(sum(col("s_fp")).as("score_fp"))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 10)
+      .select(col("query_id"), col("id").as("doc_id"), col("rank"))
+  }
+
+  /** t50/t51's pseudo-relevance evidence: distinct-token overlap
+    * counts `(query_id, doc_id, shared)` between each query doc and
+    * every other doc — t50 thresholds it binary (>= 20), t51 grades
+    * it (>= 24 -> 2, >= 20 -> 1). */
+  private[graft] def t50Overlap(s: SparkSession, dir: String): DataFrame = {
+    val corpus = docs(s, dir)
+    val toks = corpus.select(col("doc_id"),
+      explode(array_distinct(TextAnalysis.tokens(col("text")))).as("term"))
+    toks.filter(col("doc_id") < 3)
+      .select(col("doc_id").as("query_id"), col("term"))
+      .join(toks, Seq("term"))
+      .filter(col("doc_id") =!= col("query_id"))
+      .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
+  }
+
+  /** The t50/t51 shared SQL chain: the st13 impact-index re-derivation
+    * through `run(query_id, doc_id, rank)` plus the token-overlap
+    * evidence `ovl(query_id, doc_id, shared)` — one definition for
+    * both oracles, mirroring the Scala-side [[t50Run]]/[[t50Overlap]]
+    * factoring. */
+  private def t50RunCtes: String =
+    """toks AS (
+      |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS term
+      |  FROM documents),
+      |dls AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
+      |scalars AS (
+      |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
+      |  FROM dls),
+      |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
+      |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      |impacts AS (
+      |  SELECT term, id,
+      |    CAST(round(
+      |      ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
+      |      (tf * (CAST(1.2 AS DOUBLE) + 1)) /
+      |      (tf + CAST(1.2 AS DOUBLE) *
+      |        (1 - CAST(0.75 AS DOUBLE)
+      |         + CAST(0.75 AS DOUBLE) * dl / avgdl)) *
+      |      1048576) AS BIGINT) AS s_fp
+      |  FROM tf JOIN dfs USING (term) JOIN dls USING (id), scalars),
+      |queries AS (
+      |  SELECT DISTINCT id AS query_id, term FROM toks WHERE id < 3),
+      |totals AS (
+      |  SELECT q.query_id, i.id, CAST(sum(i.s_fp) AS BIGINT) AS score_fp
+      |  FROM queries q JOIN impacts i USING (term)
+      |  WHERE i.id != q.query_id
+      |  GROUP BY q.query_id, i.id),
+      |run AS (
+      |  SELECT query_id, id AS doc_id, rank FROM (
+      |    SELECT query_id, id, score_fp,
+      |      row_number() OVER (
+      |        PARTITION BY query_id ORDER BY score_fp DESC, id ASC) AS rank
+      |    FROM totals)
+      |  WHERE rank <= 10),
+      |ovl AS (
+      |  SELECT q.query_id, t.id AS doc_id, count(*) AS shared
+      |  FROM queries q JOIN (SELECT DISTINCT id, term FROM toks) t
+      |    USING (term)
+      |  WHERE t.id <> q.query_id
+      |  GROUP BY q.query_id, t.id)""".stripMargin
+
   /** 1-based fixed-point lookup table as a DuckDB VALUES list — the
     * carrier for [[graft.ops.Retrieval]]'s driver-computed rank
     * discounts, so the operator and its twin share the SAME literal
@@ -2762,31 +2843,24 @@ object Queries {
     // bit-exact end to end. Exercises the zero-rel path in production:
     // query 0 has no >= 20-overlap doc at sf0.001/0.01 (its rr/dcg/
     // ndcg read 0), while sf0.1 flips which queries are covered.
-    "t50_ranked_eval" -> ((s, dir) => {
-      val corpus = docs(s, dir)
-      val q = corpus.filter(col("doc_id") < 3)
-        .select(col("doc_id").as("query_id"),
-          explode(array_distinct(TextAnalysis.tokens(col("text"))))
-            .as("term"))
-      val w = Window.partitionBy("query_id")
-        .orderBy(col("score_fp").desc, col("id").asc)
-      val run = q.join(TextAnalysis.bm25Impacts(corpus), Seq("term"))
-        .filter(col("id") =!= col("query_id"))
-        .groupBy(col("query_id"), col("id"))
-        .agg(sum(col("s_fp")).as("score_fp"))
-        .withColumn("rank", row_number().over(w))
-        .filter(col("rank") <= 10)
-        .select(col("query_id"), col("id").as("doc_id"), col("rank"))
-      val toks = corpus.select(col("doc_id"),
-        explode(array_distinct(TextAnalysis.tokens(col("text"))))
-          .as("term"))
-      val qrels = q.join(toks, Seq("term"))
-        .filter(col("doc_id") =!= col("query_id"))
-        .groupBy("query_id", "doc_id").agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 20)
-        .select("query_id", "doc_id")
-      graft.ops.Retrieval.rankedEval(run, qrels, 10)
-    }),
+    "t50_ranked_eval" -> ((s, dir) =>
+      graft.ops.Retrieval.rankedEval(t50Run(s, dir),
+        t50Overlap(s, dir).filter(col("shared") >= 20)
+          .select("query_id", "doc_id"), 10)),
+
+    // Graded-relevance ranked evaluation (t51): the TREC qrels shape —
+    // rel 2 for >= 24 shared distinct tokens, rel 1 for >= 20 — over
+    // the same BM25 run as t50. nDCG gains scale the SAME fixed-point
+    // discount table by exact integers (2^rel - 1), the ideal ranking
+    // places grades descending (doc tie-break), and the binary metrics
+    // (rr/ap, relevant = rel > 0) come from rankedEval itself, so the
+    // two exhibits share every literal and the graded columns are the
+    // only new math. Bit-exact twin.
+    "t51_graded_eval" -> ((s, dir) =>
+      graft.ops.Retrieval.rankedEvalGraded(t50Run(s, dir),
+        t50Overlap(s, dir).withColumn("rel",
+          when(col("shared") >= 24, 2).when(col("shared") >= 20, 1)
+            .otherwise(0)), 10)),
 
     // DSIR importance selection: top-100 docs by the fixed-point log
     // importance ratio of the en-language target distribution vs the
@@ -5746,45 +5820,9 @@ object Queries {
     // joins) read 0 on every metric — DuckDB's least() skips NULLs
     // like Spark's, so the ideal mass is CASE-masked, not coalesced.
     "t50_ranked_eval" ->
-      s"""WITH toks AS (
-        |  SELECT doc_id AS id, unnest(str_split(text, ' ')) AS term
-        |  FROM documents),
-        |dls AS (SELECT id, count(*) AS dl FROM toks GROUP BY id),
-        |scalars AS (
-        |  SELECT count(*) AS n, CAST(sum(dl) AS DOUBLE) / count(*) AS avgdl
-        |  FROM dls),
-        |tf AS (SELECT id, term, count(*) AS tf FROM toks GROUP BY id, term),
-        |dfs AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-        |impacts AS (
-        |  SELECT term, id,
-        |    CAST(round(
-        |      ln(1 + (CAST(n AS DOUBLE) - df + 0.5) / (df + 0.5)) *
-        |      (tf * (CAST(1.2 AS DOUBLE) + 1)) /
-        |      (tf + CAST(1.2 AS DOUBLE) *
-        |        (1 - CAST(0.75 AS DOUBLE)
-        |         + CAST(0.75 AS DOUBLE) * dl / avgdl)) *
-        |      1048576) AS BIGINT) AS s_fp
-        |  FROM tf JOIN dfs USING (term) JOIN dls USING (id), scalars),
-        |queries AS (
-        |  SELECT DISTINCT id AS query_id, term FROM toks WHERE id < 3),
-        |totals AS (
-        |  SELECT q.query_id, i.id, CAST(sum(i.s_fp) AS BIGINT) AS score_fp
-        |  FROM queries q JOIN impacts i USING (term)
-        |  WHERE i.id != q.query_id
-        |  GROUP BY q.query_id, i.id),
-        |run AS (
-        |  SELECT query_id, id AS doc_id, rank FROM (
-        |    SELECT query_id, id, score_fp,
-        |      row_number() OVER (
-        |        PARTITION BY query_id ORDER BY score_fp DESC, id ASC) AS rank
-        |    FROM totals)
-        |  WHERE rank <= 10),
+      s"""WITH $t50RunCtes,
         |qrels AS (
-        |  SELECT q.query_id, t.id AS doc_id
-        |  FROM queries q JOIN (SELECT DISTINCT id, term FROM toks) t
-        |    USING (term)
-        |  WHERE t.id <> q.query_id
-        |  GROUP BY q.query_id, t.id HAVING count(*) >= 20),
+        |  SELECT query_id, doc_id FROM ovl WHERE shared >= 20),
         |gains(r, g_fp) AS (VALUES ${fpValuesList(
              graft.ops.Retrieval.dcgGainFp(10))}),
         |pref(m, p_fp) AS (VALUES ${fpValuesList(
@@ -5824,6 +5862,70 @@ object Queries {
         |LEFT JOIN hits h USING (query_id)
         |LEFT JOIN rrs rr ON rr.r = h.first_rk
         |LEFT JOIN pref p ON p.m = least(n.n_rel, 10)""".stripMargin,
+
+    // t51 = t50's chain with graded qrels: the binary metrics reuse
+    // t50's CTEs verbatim over rel > 0 (the same >= 20 set), and the
+    // graded gain scales the SAME g_fp table by exact (2^rel - 1)
+    // integers; the ideal ranking windows over the eval-suite-sized
+    // grels only.
+    "t51_graded_eval" ->
+      s"""WITH $t50RunCtes,
+        |grels AS (
+        |  SELECT query_id, doc_id,
+        |    CASE WHEN shared >= 24 THEN 2 ELSE 1 END AS rel
+        |  FROM ovl WHERE shared >= 20),
+        |qrels AS (SELECT query_id, doc_id FROM grels),
+        |gains(r, g_fp) AS (VALUES ${fpValuesList(
+             graft.ops.Retrieval.dcgGainFp(10))}),
+        |rrs(r, v_fp) AS (VALUES ${fpValuesList(
+             graft.ops.Retrieval.rrFp(10))}),
+        |hits AS (
+        |  SELECT query_id, min(rank) AS first_rk, count(*) AS n_hits,
+        |    CAST(sum((2097152 * hit_i + rank) // (2 * rank)) AS BIGINT)
+        |      AS ap_num_fp
+        |  FROM (
+        |    SELECT run.query_id, run.rank,
+        |      row_number() OVER (
+        |        PARTITION BY run.query_id ORDER BY run.rank) AS hit_i
+        |    FROM run JOIN qrels USING (query_id, doc_id))
+        |  GROUP BY query_id),
+        |nrel AS (SELECT query_id, count(*) AS n_rel FROM grels
+        |  GROUP BY query_id),
+        |gdcg AS (
+        |  SELECT run.query_id,
+        |    CAST(sum(((CAST(1 AS BIGINT) << rel) - 1) * g_fp) AS BIGINT)
+        |      AS gdcg_fp
+        |  FROM run JOIN grels USING (query_id, doc_id)
+        |    JOIN gains ON gains.r = run.rank
+        |  GROUP BY run.query_id),
+        |gidcg AS (
+        |  SELECT query_id,
+        |    CAST(sum(((CAST(1 AS BIGINT) << rel) - 1) * g_fp) AS BIGINT)
+        |      AS gidcg_fp
+        |  FROM (SELECT query_id, rel, row_number() OVER (
+        |      PARTITION BY query_id ORDER BY rel DESC, doc_id) AS irk
+        |    FROM grels)
+        |  JOIN gains ON gains.r = irk
+        |  WHERE irk <= 10 GROUP BY query_id),
+        |base AS (SELECT DISTINCT query_id FROM run)
+        |SELECT b.query_id,
+        |  CAST(coalesce(n.n_rel, 0) AS BIGINT) AS n_rel,
+        |  CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+        |  CAST(coalesce(rr.v_fp, 0) AS BIGINT) AS rr_fp,
+        |  CAST(CASE WHEN coalesce(n.n_rel, 0) > 0
+        |    THEN coalesce(h.ap_num_fp, 0) // n.n_rel
+        |    ELSE 0 END AS BIGINT) AS ap_fp,
+        |  CAST(coalesce(g.gdcg_fp, 0) AS BIGINT) AS dcg_fp,
+        |  CAST(coalesce(i.gidcg_fp, 0) AS BIGINT) AS idcg_fp,
+        |  CAST(CASE WHEN coalesce(i.gidcg_fp, 0) > 0
+        |    THEN (coalesce(g.gdcg_fp, 0) * 1048576) // i.gidcg_fp
+        |    ELSE 0 END AS BIGINT) AS ndcg_fp
+        |FROM base b
+        |LEFT JOIN nrel n USING (query_id)
+        |LEFT JOIN hits h USING (query_id)
+        |LEFT JOIN rrs rr ON rr.r = h.first_rk
+        |LEFT JOIN gdcg g USING (query_id)
+        |LEFT JOIN gidcg i USING (query_id)""".stripMargin,
 
     // Dense CTE mirrors the s01 oracle (ranks agree with the Spark
     // float-cosine ordering — the same rank-margin argument); sparse

@@ -279,4 +279,61 @@ object Retrieval {
           "ELSE CAST(0 AS BIGINT) END"))
       .drop("ap_num_fp")
   }
+
+  /** [[rankedEval]] for GRADED relevance (the TREC qrels shape: `rel`
+    * grades 0..maxGrade per (query, doc), 0 = judged-irrelevant):
+    * nDCG uses the standard exponential gain `(2^rel − 1)` per rank —
+    * as exact integer scaling of the same fixed-point discount table,
+    * `(2^rel − 1) · round(2²⁰/log₂(r+1))`, so the whole metric stays
+    * in BIGINT — and the ideal ranking places the query's grades in
+    * descending order at ranks 1..k (ties broken by doc for
+    * determinism; any tie order yields the same ideal mass). The
+    * binary metrics (rr/ap/n_hits, with "relevant" = rel > 0) come
+    * from [[rankedEval]] itself — one definition, the graded columns
+    * replace only the gain family. Duplicate qrel rows keep the MAX
+    * grade. Same row contract: one row per run query,
+    * `(queryCol, n_rel, n_hits, rr_fp, ap_fp, dcg_fp, idcg_fp,
+    * ndcg_fp)`; a perfectly graded ranking reads ndcg_fp = 2²⁰
+    * exactly. Same scale shape as [[rankedEval]] plus one window over
+    * the QRELS (eval-suite-sized, never the run or corpus). */
+  def rankedEvalGraded(run: DataFrame, qrels: DataFrame, k: Int,
+      queryCol: String = "query_id", docCol: String = "doc_id",
+      rankCol: String = "rank", relCol: String = "rel",
+      maxGrade: Int = 15): DataFrame = {
+    require(k >= 1 && maxGrade >= 1 && maxGrade <= 30,
+      s"bad k=$k/maxGrade=$maxGrade")
+    val gains = dcgGainFp(k)
+    val g = qrels.select(col(queryCol).as("q"), col(docCol).as("d"),
+        col(relCol).cast("int").as("rel"))
+      .filter(col("rel") > 0 && col("rel") <= maxGrade)
+      .groupBy("q", "d").agg(max(col("rel")).as("rel"))
+    val gainOf = expr("(CAST(1 AS BIGINT) << rel) - 1")
+    val r = run.select(col(queryCol).as("q"), col(docCol).as("d"),
+        col(rankCol).cast("int").as("rk"))
+      .filter(col("rk") >= 1 && col("rk") <= k)
+    val dcg = r.join(g, Seq("q", "d"))
+      .groupBy("q")
+      .agg(sum(gainOf * element_at(typedlit(gains), col("rk")))
+        .as("gdcg_fp"))
+    val iw = org.apache.spark.sql.expressions.Window
+      .partitionBy("q").orderBy(col("rel").desc, col("d"))
+    val idcg = g.withColumn("irk", row_number().over(iw))
+      .filter(col("irk") <= k)
+      .groupBy("q")
+      .agg(sum(gainOf * element_at(typedlit(gains), col("irk")))
+        .as("gidcg_fp"))
+    rankedEval(run, g.select(col("q").as(queryCol), col("d").as(docCol)),
+        k, queryCol, docCol, rankCol)
+      .drop("dcg_fp", "idcg_fp", "ndcg_fp")
+      .join(dcg.select(col("q").as(queryCol), col("gdcg_fp")),
+        Seq(queryCol), "left")
+      .join(idcg.select(col("q").as(queryCol), col("gidcg_fp")),
+        Seq(queryCol), "left")
+      .withColumn("dcg_fp", coalesce(col("gdcg_fp"), lit(0L)))
+      .withColumn("idcg_fp", coalesce(col("gidcg_fp"), lit(0L)))
+      .withColumn("ndcg_fp", expr(
+        "CASE WHEN idcg_fp > 0 THEN (dcg_fp * CAST(1048576 AS BIGINT)) div idcg_fp " +
+          "ELSE CAST(0 AS BIGINT) END"))
+      .drop("gdcg_fp", "gidcg_fp")
+  }
 }

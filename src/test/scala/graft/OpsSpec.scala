@@ -2860,6 +2860,42 @@ class OpsSpec extends SparkSpec {
     assert(got.size == 4, "one row per run query, no phantom queries")
   }
 
+  test("rankedEvalGraded: hand-computed exponential gains, graded ideal ordering, " +
+      "perfect ranking reads 2^20, grade swap detected where binary nDCG is blind") {
+    import spark.implicits._
+    import graft.ops.Retrieval
+    val run = Seq(
+      ("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3),
+      ("B", 11L, 1), ("B", 12L, 2), // grades descend with rank: perfect
+      ("S", 21L, 1), ("S", 22L, 2)  // grades INVERTED vs rank
+    ).toDF("query_id", "doc_id", "rank")
+    val grels = Seq(
+      ("A", 2L, 2), ("A", 3L, 1), ("A", 9L, 2), // d9 relevant, unranked
+      ("B", 11L, 2), ("B", 12L, 1),
+      ("S", 21L, 1), ("S", 22L, 2),
+      ("A", 5L, 0) // judged-irrelevant row must be ignored entirely
+    ).toDF("query_id", "doc_id", "rel")
+    val got = Retrieval.rankedEvalGraded(run, grels, 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getLong(6), r.getLong(7)))).toMap
+    // A: n_rel 3 (rel-0 row ignored), hits d2@2 (rel 2), d3@3 (rel 1):
+    //    rr = g_rr(2) = 524288; ap = (524288 + 699051) div 3 = 407779;
+    //    dcg = 3·661578 + 1·524288 = 2509022; ideal = d2,d9,d3 →
+    //    idcg = 3·1048576 + 3·661578 + 1·524288 = 5654750;
+    //    ndcg = 2509022·2^20 div 5654750 = 465254.
+    assert(got("A") == ((3L, 2L, 524288L, 407779L, 2509022L, 5654750L,
+      465254L)))
+    // B: perfectly graded ranking — ndcg exactly 2^20.
+    assert(got("B") == ((2L, 2L, 1048576L, 1048576L, 3807306L, 3807306L,
+      1048576L)))
+    // S: same binary facts as B (2 hits at ranks 1,2 — binary nDCG is
+    //    blind), but the grades are inverted: dcg = 1·1048576 +
+    //    3·661578 = 3033310 over the same ideal → ndcg = 835408 < 2^20.
+    assert(got("S") == ((2L, 2L, 1048576L, 1048576L, 3033310L, 3807306L,
+      835408L)))
+  }
+
   test("rankedEval re-derives a serving exhibit's recall: sum(n_hits)/sum(n_rel) " +
       "equals the ad-hoc scaffold on the s02 LSH serve") {
     import graft.ops.Retrieval
