@@ -650,6 +650,29 @@ object Queries {
       ops.Dedup.dupSpanRemove(docs(s, dir), "doc_id", "text",
         keepFirst = true)),
 
+    // Cross-document LINE dedup (the CCNet/Dolma paragraph-dedup
+    // stage): the corpus keeps exactly one copy of every non-empty
+    // line — its (doc_id, line_index)-first occurrence — and later
+    // occurrences are deleted, within-document repeats included;
+    // empty lines are structural and always survive. The single-line
+    // fixture is reflowed DETERMINISTICALLY into 10-token lines (the
+    // t43 convention at the p10 paragraph width — long enough that
+    // organic text mostly survives while shared 10-gram runs collapse
+    // to their first owner: at sf0.01 the gate removes 151 of 2949
+    // lines across 57 touched docs, 4 of them scrubbed to '').
+    // Hash-df sliver + exact-text ownership make the result
+    // bit-identical to the text-level oracle.
+    "d24_line_dedup" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val lines10 = transform(
+        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+      ops.Dedup.lineDedup(
+        docs(s, dir).withColumn("text", concat_ws("\n", lines10))
+          .select("doc_id", "text"),
+        "doc_id", "text")
+    }),
+
     // Variable-length EXACT-SUBSTRING dedup (Lee et al.'s ExactSubstr
     // semantics — the suffix-array half that d13's fixed trigrams
     // approximate): tokens inside any >= 20-token substring occurring
@@ -1135,6 +1158,37 @@ object Queries {
     // to ''). Grouping by the raw span string where Spark groups by
     // xxhash64 of it — identical up to 64-bit collisions, the d12
     // equivalence.
+    // The identical deterministic 10-token reflow (t43's ceil/slice
+    // arithmetic at the p10 width), then CCNet line dedup expressed
+    // with a window: the global first occurrence of every non-empty
+    // line in the (doc_id, line_index) total order keeps (r = 1),
+    // later occurrences drop; empty lines always keep. string_agg
+    // skips the NULL-ed removed lines but INCLUDES kept empty-string
+    // lines, exactly the kernel's array_join; fully-scrubbed docs
+    // coalesce to ''. The Spark side groups by xxhash64 only to THIN
+    // (df >= 2 sliver) and elects owners by the text itself, so there
+    // is no hash-equivalence caveat — this twin is bit-exact.
+    "d24_line_dedup" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |rf AS (SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+        |      i -> array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))
+        |      AS ls FROM tk),
+        |lines AS (SELECT doc_id,
+        |    unnest([{'p': i - 1, 'line': ls[i]}
+        |            for i in range(1, len(ls) + 1)], recursive := true)
+        |  FROM rf),
+        |rn AS (SELECT doc_id, p, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS r
+        |  FROM lines)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(count(*) FILTER (r > 1 AND len(line) > 0) AS BIGINT)
+        |    AS n_removed,
+        |  coalesce(string_agg(CASE WHEN r = 1 OR len(line) = 0 THEN line END,
+        |    chr(10) ORDER BY p), '') AS clean_text
+        |FROM rn GROUP BY doc_id""".stripMargin,
+
     "d13_dupspan_remove" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
         |spans AS (

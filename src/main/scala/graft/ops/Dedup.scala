@@ -1191,4 +1191,82 @@ object Dedup {
           .when(col("h1") <=> col("h2"), lit("unchanged"))
           .otherwise(lit("changed")).as("status"))
   }
+
+  /** Cross-document LINE-level dedup — the CCNet/Dolma paragraph-dedup
+    * stage (Wenzek et al. 2019 §3.1 dedups line hashes across shards;
+    * Dolma and C4 run the same pass at paragraph granularity), the
+    * cross-document complement of the WITHIN-document t43 census and
+    * the n-gram-span d13 scrub: the corpus keeps exactly ONE copy of
+    * every non-empty line — its first occurrence in the
+    * (doc_id ASC, line_index ASC) total order — and every later
+    * occurrence is deleted, including later repeats inside the first
+    * document itself. Empty lines are structural (paragraph breaks)
+    * and always survive; documents whose every content line is
+    * removed stay in the output with `clean_text = ''` (a removal
+    * pass must not silently drop rows). Emits
+    * (idCol, n_lines, n_removed, clean_text) with n_lines counting
+    * ALL lines of the input split, empty ones included.
+    *
+    * Scale shape: line document-frequency is an 8-byte xxhash64 key
+    * aggregation with map-side combine (the d12/d18 discipline —
+    * unique lines, the overwhelming mass of a healthy corpus, never
+    * shuffle their text past the first hop). Only the df ≥ 2 sliver
+    * carries text further, and first-owner election is a
+    * (hash, line)-keyed partial-agg min of struct(id, pos) — grouping
+    * by the TEXT inside the sliver makes the result exact under
+    * 64-bit hash collisions (two distinct colliding lines regroup
+    * separately; a collision only ever widens the candidate sliver,
+    * never changes the answer — the d18 verify argument). Removed
+    * positions are materialized once (localCheckpoint; sliver-sized)
+    * and only the documents they touch take the line-level
+    * explode/rejoin; every untouched document passes through verbatim
+    * with its text column unread by the rebuild. The one skew hazard
+    * — a white-hot boilerplate line in millions of documents — hits
+    * only the ownership JOIN back onto the sliver (the df agg and the
+    * owner min both partial-agg before the shuffle), which AQE
+    * skew-splits; the join's per-row work is a comparison. No
+    * reference analog (vectors-only, `NND.scala:62-66`); extends the
+    * §2.9 dedup family. */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val w = df.select(col(idCol).as("id"), col(textCol).as("text"),
+      split(col(textCol), "\n", -1).as("ls"))
+    // Positioned non-empty lines with their 8-byte hash; empty lines
+    // never enter the dedup stream (always kept).
+    val lines = w.select(col("id"), posexplode(col("ls")))
+      .filter(length(col("col")) > 0)
+      .select(col("id"), col("pos").as("p"), col("col").as("line"),
+        xxhash64(col("col")).as("g"))
+    // df >= 2 candidate hashes (8-byte keys, map-side combined); only
+    // this sliver's occurrences carry text into ownership.
+    val hot = lines.groupBy("g").agg(count(lit(1)).as("c"))
+      .filter(col("c") >= 2).select("g")
+    val sliver = lines.join(hot, Seq("g"), "left_semi")
+    // Exact first owner per (hash, TEXT): min struct(id, p) is the
+    // (doc_id, line_index) lexicographic first occurrence.
+    val owners = sliver.groupBy("g", "line")
+      .agg(min(struct(col("id"), col("p"))).as("o"))
+    val removed = sliver.join(owners, Seq("g", "line"))
+      .filter(!(col("id") === col("o.id") && col("p") === col("o.p")))
+      .select(col("id"), col("p"), lit(1L).as("rm"))
+      .localCheckpoint()
+    // Touched-doc routing (the rebuildScrubbed discipline at line
+    // granularity): untouched documents pass through verbatim.
+    val touched = removed.select("id").distinct()
+    val untouched = w.join(touched, Seq("id"), "left_anti")
+      .select(col("id").as(idCol), size(col("ls")).cast("long").as("n_lines"),
+        lit(0L).as("n_removed"), col("text").as("clean_text"))
+    val rebuilt = w.join(touched, Seq("id"), "left_semi")
+      .select(col("id"), posexplode(col("ls")))
+      .select(col("id"), col("pos").as("p"), col("col").as("line"))
+      .join(removed, Seq("id", "p"), "left")
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_lines"),
+        coalesce(sum(col("rm")), lit(0L)).as("n_removed"),
+        array_join(transform(array_sort(collect_list(
+          when(col("rm").isNull, struct(col("p"), col("line"))))),
+          x => x("line")), "\n").as("clean_text"))
+      .select(col("id").as(idCol), col("n_lines"), col("n_removed"),
+        col("clean_text"))
+    untouched.unionByName(rebuilt)
+  }
 }

@@ -2587,6 +2587,72 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((4L, 3L, "t")))
   }
 
+  test("lineDedup: global first occurrence keeps, later copies drop, empties survive") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "alpha beta\ncookie banner\n\ngamma"), // every line first-owned here
+      (1L, "cookie banner\ndelta"),               // loses the banner to doc 0
+      (2L, "gamma\ngamma\n\ncookie banner")       // doc 0 owns gamma AND banner;
+                                                  // the in-doc gamma repeat goes too
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.lineDedup(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((4L, 0L, "alpha beta\ncookie banner\n\ngamma")),
+      "first-owner doc must pass through verbatim (empty line included)")
+    assert(out(1L) == ((2L, 1L, "delta")), "doc 1 loses only the owned banner")
+    assert(out(2L) == ((4L, 3L, "")),
+      "both gamma copies and the banner drop; only the structural empty line " +
+        "survives, joining to ''")
+  }
+
+  test("lineDedup: a repeat INSIDE the first document drops after its first occurrence") {
+    import spark.implicits._
+    val d = Seq((0L, "x\ny\nx")).toDF("doc_id", "text")
+    val out = graft.ops.Dedup.lineDedup(d, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((3L, 1L, "x\ny")),
+      "global first OCCURRENCE wins, not first document")
+  }
+
+  test("lineDedup equals an independent seen-set reference on the reflowed corpus") {
+    // The d24 shape end-to-end: 10-token reflow of the fixture docs,
+    // then the kernel vs a plain-Scala first-occurrence scrubber
+    // walking documents in (doc_id, line_index) order.
+    val toks = split(col("text"), " ")
+    val lines10 = transform(
+      sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+    val reflowed = docs.withColumn("text", concat_ws("\n", lines10))
+      .select("doc_id", "text")
+    val expected = {
+      val seen = scala.collection.mutable.HashSet[String]()
+      reflowed.collect().map(r => (r.getLong(0), r.getString(1)))
+        .sortBy(_._1).map { case (id, text) =>
+          val ls = text.split("\n", -1)
+          val kept = ls.filter(l => l.isEmpty || seen.add(l))
+          id -> ((ls.length.toLong, (ls.length - kept.length).toLong,
+            kept.mkString("\n")))
+        }.toMap
+    }
+    val out = graft.ops.Dedup.lineDedup(reflowed, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out.keySet == expected.keySet, "every document stays in the output")
+    val bad = out.keySet.filter(k => out(k) != expected(k))
+    assert(bad.isEmpty, s"diverged on docs $bad: " +
+      bad.take(3).map(k => s"$k got ${out(k)} want ${expected(k)}").mkString("; "))
+    assert(expected.values.exists(_._2 > 0L),
+      "fixture must actually exercise removal (exact-dup docs exist)")
+    // Partition invariance: the (id, pos) total order is data, not layout.
+    val shuffled = graft.ops.Dedup
+      .lineDedup(reflowed.repartition(13), "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(shuffled == out, "result must be partition-invariant")
+  }
+
   test("dupSpanRemove: short docs are whole-text spans (d12 convention)") {
     import spark.implicits._
     val d = Seq((0L, "hi yo"), (1L, "hi yo"), (2L, "bye")).toDF("doc_id", "text")
