@@ -2916,6 +2916,17 @@ object Queries {
           when(col("shared") >= 24, 2).when(col("shared") >= 20, 1)
             .otherwise(0)), 10)),
 
+    // Soft-dedup reweighting (SoftDedup, He et al. ACL 2024 — the
+    // reweight-don't-drop alternative to destructive dedup): every doc
+    // gets an exact 2^-20 fixed-point weight 2^20 div |near-dup
+    // cluster| over the audited d06 component assignment, so k copies
+    // of one page carry one copy's total mass without the hard-dedup
+    // cliff. All-integer metric; bit-exact twin reusing d06's
+    // component CTE.
+    "t52_soft_dedup" -> ((s, dir) =>
+      graft.ops.Sampling.softDedupWeights(docs(s, dir), "doc_id", "text",
+        0.7)),
+
     // DSIR importance selection: top-100 docs by the fixed-point log
     // importance ratio of the en-language target distribution vs the
     // full corpus, over 256 md5-hashed token buckets. One token-stream
@@ -5122,6 +5133,37 @@ object Queries {
         |SELECT id AS doc_id, min(r) AS component,
         |  CAST(id = min(r) AS INT) AS keep
         |FROM reach GROUP BY id""".stripMargin,
+
+    // d06's component CTE, then SoftDedup weights: cluster size by a
+    // window over the assignment and the exact integer division
+    // 2^20 // size — both engines do pure BIGINT arithmetic, so the
+    // twin is bit-exact.
+    "t52_soft_dedup" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id)
+        |SELECT id AS doc_id, component,
+        |  count(*) OVER (PARTITION BY component) AS cluster_size,
+        |  CAST(1048576 AS BIGINT)
+        |    // count(*) OVER (PARTITION BY component) AS weight_fp
+        |FROM comp""".stripMargin,
 
     // d06's component CTE + t02's quality formula; the survivor is the
     // per-component max by (quality DESC, id ASC) — a total order, so

@@ -571,4 +571,43 @@ object Sampling {
     df.join(broadcast(thr), Seq(groupCol))
       .withColumn("keep", col(valueCol) >= col("thr"))
   }
+
+  /** Soft-dedup reweighting (He et al., ACL 2024 "SoftDedup" — the
+    * reweight-don't-drop alternative to destructive dedup): instead of
+    * deleting near-duplicates, every document gets a sampling/loss
+    * weight inversely proportional to its data COMMONNESS, here
+    * instantiated as the size of its near-dup cluster
+    * ([[graft.ops.Dedup.clusterNearDups]]'s components — MinHash-LSH
+    * candidates, exact Jaccard verify, min-id components), so k copies
+    * of one page carry the same total mass one copy would, without the
+    * hard-dedup cliff at the similarity threshold. Weights are EXACT
+    * 2⁻²⁰ fixed point: `weight_fp = 2²⁰ div cluster_size` (integer
+    * division — the t19/t47 discipline, no float in the metric), every
+    * member of a cluster reads the identical weight, singletons read
+    * exactly 2²⁰. Emits (idCol, component, cluster_size, weight_fp).
+    * Downstream: feed `weight_fp` to a loss-weighting column, or thin
+    * with any of this file's deterministic md5-draw samplers at
+    * probability weight_fp/2²⁰ (expected one surviving copy per
+    * cluster).
+    *
+    * Scale shape: the cluster build is the audited d06 path (LSH
+    * candidate generation linear in the corpus, verify on the
+    * candidate sliver, pointer-doubling components on the dup-pair
+    * graph — every stage partial-aggs); on top of it this adds ONE
+    * component-keyed count with map-side combine and one co-keyed join
+    * of that count back onto the assignment (cluster ids are already
+    * hash-distributed; the join's big side shuffles once on the same
+    * key). The weight arithmetic is a codegen'd integer projection. No
+    * reference analog (vectors-only, `NND.scala:62-66`); extends the
+    * §2.9 sampling family. */
+  def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
+      threshold: Double = 0.7, useLsh: Boolean = true): DataFrame = {
+    val cl = Dedup.clusterNearDups(df, idCol, textCol, threshold,
+      useLsh = useLsh).select(col("id"), col("component"))
+    val sizes = cl.groupBy("component")
+      .agg(count(lit(1)).as("cluster_size"))
+    cl.join(sizes, Seq("component"))
+      .select(col("id").as(idCol), col("component"), col("cluster_size"),
+        expr("CAST(1048576 AS BIGINT) div cluster_size").as("weight_fp"))
+  }
 }

@@ -2587,6 +2587,47 @@ class OpsSpec extends SparkSpec {
     assert(out(1L) == ((4L, 3L, "t")))
   }
 
+  test("softDedupWeights: cluster-size commonness weights, exact fixed point") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "a b c d e f g"),
+      (1L, "a b c d e f g"), // exact copy of 0 -> cluster {0, 1}
+      (2L, "totally different text here now")
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Sampling
+      .softDedupWeights(d, "doc_id", "text", 0.7, useLsh = false)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(out(0L) == ((0L, 2L, 524288L)), "pair member: 2^20 div 2")
+    assert(out(1L) == ((0L, 2L, 524288L)), "same cluster, same weight")
+    assert(out(2L) == ((2L, 1L, 1048576L)), "singleton: exactly 2^20")
+  }
+
+  test("softDedupWeights: per-cluster weight invariants on the corpus") {
+    val rows = graft.ops.Sampling
+      .softDedupWeights(docs, "doc_id", "text", 0.7)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.length == docs.count(), "reweighting never drops a doc")
+    rows.groupBy(_._2).foreach { case (comp, members) =>
+      val sizes = members.map(_._3).distinct.toSeq
+      val weights = members.map(_._4).distinct.toSeq
+      assert(sizes == Seq(members.length.toLong),
+        s"component $comp: stored size ${sizes} != member count ${members.length}")
+      assert(weights.length == 1,
+        s"component $comp: members disagree on weight: $weights")
+      val w = weights.head
+      val n = members.length.toLong
+      assert(w == 1048576L / n, s"component $comp: weight_fp $w != 2^20 div $n")
+      assert(w * n <= 1048576L && w * n > 1048576L - n,
+        s"component $comp: mass ${w * n} outside the exact-div band")
+    }
+    assert(rows.exists(_._3 > 1L),
+      "fixture must contain at least one multi-member near-dup cluster")
+    assert(rows.exists(_._3 == 1L), "and singletons keeping exactly 2^20")
+  }
+
   test("lineDedup: global first occurrence keeps, later copies drop, empties survive") {
     import spark.implicits._
     val d = Seq(
