@@ -2362,6 +2362,15 @@ object Queries {
       TextAnalysis.bpeTokenStats(docs(s, dir))
         .select("doc_id", "n_bpe", "n_bpe_distinct", "bpe_chars")),
 
+    // Tokenizer fertility census (t53): per-language subword-per-word
+    // fertility plus chars/token and bytes/token compression — the
+    // tokenizer-eval table a multilingual release ships. One scan,
+    // one languages-sized partial-agg groupBy; every ratio exact
+    // 2^-20 fixed point via the Euclidean split division. Bit-exact
+    // twin.
+    "t53_fertility" -> ((s, dir) =>
+      TextAnalysis.tokenizerFertility(docs(s, dir))),
+
     // TF-IDF: top-3 scored terms per document (deterministic ln/product
     // arithmetic, id tie-breaks).
     "t06_tfidf" -> ((s, dir) => TextAnalysis.tfidfTopTerms(docs(s, dir), 3)),
@@ -5341,6 +5350,39 @@ object Queries {
         |FROM (SELECT doc_id,
         |  regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tk
         |  FROM documents)""".stripMargin,
+
+    // t13's regex runs per doc, whitespace words, UTF-8 octets
+    // (strlen = bytes in DuckDB, octet_length in Spark), then the
+    // identical Euclidean split division (num div den)*2^20 +
+    // ((num mod den)*2^20) div den on pure BIGINTs — bit-exact; a
+    // zero denominator reads NULL via nullif on both sides.
+    "t53_fertility" ->
+      """WITH per AS (SELECT lang,
+        |    CAST(len(tk) AS BIGINT) AS d_tokens,
+        |    CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+        |      AS BIGINT) AS d_chars,
+        |    CAST(strlen(text) AS BIGINT) AS d_bytes,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS d_words
+        |  FROM (SELECT lang, text,
+        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tk
+        |    FROM documents)),
+        |agg AS (SELECT lang, count(*) AS n_docs,
+        |    CAST(sum(d_tokens) AS BIGINT) AS n_tokens,
+        |    CAST(sum(d_chars) AS BIGINT) AS n_chars,
+        |    CAST(sum(d_bytes) AS BIGINT) AS n_bytes,
+        |    CAST(sum(d_words) AS BIGINT) AS n_words
+        |  FROM per GROUP BY lang)
+        |SELECT lang, n_docs, n_tokens, n_chars, n_bytes, n_words,
+        |  (n_tokens // nullif(n_words, 0)) * 1048576
+        |    + ((n_tokens % nullif(n_words, 0)) * 1048576)
+        |      // nullif(n_words, 0) AS fertility_fp,
+        |  (n_chars // nullif(n_tokens, 0)) * 1048576
+        |    + ((n_chars % nullif(n_tokens, 0)) * 1048576)
+        |      // nullif(n_tokens, 0) AS chars_per_token_fp,
+        |  (n_bytes // nullif(n_tokens, 0)) * 1048576
+        |    + ((n_bytes % nullif(n_tokens, 0)) * 1048576)
+        |      // nullif(n_tokens, 0) AS bytes_per_token_fp
+        |FROM agg""".stripMargin,
 
     // Same Laplace smoothing and 2^-20 pre-sum rounding as
     // TextAnalysis.unigramLogProb; the cross join against the

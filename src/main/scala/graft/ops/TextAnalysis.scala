@@ -1451,4 +1451,54 @@ object TextAnalysis {
         (col("logprob_fp").cast("double") / col("n_trigrams"))
           .as("mean_lp_fp"))
   }
+
+  /** Tokenizer fertility census — the per-language tokenizer-eval
+    * artifact every multilingual release ships (fertility = subword
+    * tokens per word, Ács/mBERT convention; plus the compression
+    * ratios chars/token and bytes/token that price a tokenizer's
+    * context-window efficiency per language). Tokens are the [[bpePattern]]
+    * pre-tokenizer runs (t13's "what the trainer sees" estimate), words
+    * are whitespace splits, bytes are UTF-8 octets. All three ratios
+    * are EXACT 2⁻²⁰ fixed point with no float anywhere: the scaled
+    * division `(2²⁰·num) div den` is computed by the split identity
+    * `(num div den)·2²⁰ + ((num mod den)·2²⁰) div den`, exact for any
+    * group with num mod den < 2⁴³ (per-LANGUAGE remainders stay inside
+    * int64 up to ~35 TB of single-language text; a larger monolith
+    * needs one more split level, documented in SCALE.md). Groups whose
+    * denominator is zero (a language of empty documents) read NULL
+    * ratios, never a division error.
+    *
+    * Scale shape: one corpus scan computing four per-doc integers
+    * inside the projection (regex runs, token char mass, octet length,
+    * word count — all codegen'd), then ONE partial-agg'd groupBy on
+    * the language key (bounded cardinality: languages, not documents).
+    * Nothing else moves; the ratio arithmetic runs on the
+    * languages-sized aggregate frame. No reference analog
+    * (vectors-only, `NND.scala:62-66`); extends the §2.9 text-analysis
+    * family. */
+  def tokenizerFertility(df: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame = {
+    val tk = regexp_extract_all(col(textCol), lit(bpePattern), lit(0))
+    val perDoc = df.select(col(langCol).as("lang"),
+      size(tk).cast("long").as("d_tokens"),
+      aggregate(tk, lit(0L), (acc, x) => acc + length(x)).as("d_chars"),
+      octet_length(col(textCol)).cast("long").as("d_bytes"),
+      size(split(col(textCol), " ")).cast("long").as("d_words"))
+    val agg = perDoc.groupBy("lang").agg(
+      count(lit(1)).as("n_docs"),
+      sum("d_tokens").as("n_tokens"),
+      sum("d_chars").as("n_chars"),
+      sum("d_bytes").as("n_bytes"),
+      sum("d_words").as("n_words"))
+    // (2^20 * num) div den without the 2^20-inflated product ever
+    // materializing: exact for num, den >= 0 by the Euclidean split.
+    def fpDiv(num: String, den: String) = expr(
+      s"($num div nullif($den, 0)) * 1048576 + " +
+        s"(($num % nullif($den, 0)) * 1048576) div nullif($den, 0)")
+    agg.select(col("lang"), col("n_docs"), col("n_tokens"), col("n_chars"),
+      col("n_bytes"), col("n_words"),
+      fpDiv("n_tokens", "n_words").as("fertility_fp"),
+      fpDiv("n_chars", "n_tokens").as("chars_per_token_fp"),
+      fpDiv("n_bytes", "n_tokens").as("bytes_per_token_fp"))
+  }
 }

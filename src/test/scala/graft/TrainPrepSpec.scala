@@ -1127,6 +1127,53 @@ class TrainPrepSpec extends SparkSpec {
     assert(out("en")._1 > 0 && out("en")._2 == 0L,
       s"positive stratum unaffected and reps non-negative: $out")
   }
+
+  test("tokenizerFertility: hand-computed ratios, UTF-8 bytes, zero-token NULLs") {
+    import graft.ops.TextAnalysis
+    val d = Seq(
+      ("aa", "ab cd!"), // tokens [ab, cd, !]: 3 tok / 5 tok-chars / 6 bytes / 2 words
+      ("bb", "é"), // é: 1 token, 1 char, 2 UTF-8 bytes, 1 word
+      ("cc", "")        // no tokens: ratio denominators go NULL, fertility 0/1
+    ).toDF("lang", "text")
+    val out = TextAnalysis.tokenizerFertility(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val aa = out("aa")
+    assert((aa.getLong(2), aa.getLong(3), aa.getLong(4), aa.getLong(5)) ==
+      ((3L, 5L, 6L, 2L)), "aa sums")
+    assert(aa.getLong(6) == 1572864L, // (3*2^20) div 2
+      s"fertility: ${aa.getLong(6)}")
+    assert(aa.getLong(7) == 1747626L, // (5*2^20) div 3
+      s"chars/token: ${aa.getLong(7)}")
+    assert(aa.getLong(8) == 2097152L, "bytes/token: exactly 2.0")
+    val bb = out("bb")
+    assert((bb.getLong(3), bb.getLong(4)) == ((1L, 2L)),
+      "multibyte char: 1 char but 2 UTF-8 octets")
+    assert(bb.getLong(7) == 1048576L && bb.getLong(8) == 2097152L,
+      "bb ratios diverge exactly 2x between chars and bytes")
+    val cc = out("cc")
+    assert(cc.getLong(6) == 0L, "0 tokens / 1 word: fertility exactly 0")
+    assert(cc.isNullAt(7) && cc.isNullAt(8),
+      "zero token mass must read NULL ratios, not a division error")
+  }
+
+  test("tokenizerFertility: split division equals the BigInt reference on the corpus") {
+    import graft.ops.TextAnalysis
+    val rows = TextAnalysis.tokenizerFertility(docs).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (tok, ch, by, wo) =
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))
+      def ref(num: Long, den: Long): Option[Long] =
+        if (den == 0) None
+        else Some(((BigInt(num) * 1048576) / den).toLong)
+      assert(Option(r.get(6)).map(_.asInstanceOf[Long]) == ref(tok, wo),
+        s"${r.getString(0)}: fertility split-div != BigInt reference")
+      assert(Option(r.get(7)).map(_.asInstanceOf[Long]) == ref(ch, tok),
+        s"${r.getString(0)}: chars/token split-div != BigInt reference")
+      assert(Option(r.get(8)).map(_.asInstanceOf[Long]) == ref(by, tok),
+        s"${r.getString(0)}: bytes/token split-div != BigInt reference")
+    }
+  }
 }
 
 
