@@ -673,6 +673,26 @@ object Queries {
         "doc_id", "text")
     }),
 
+    // Line-level benchmark decontamination (d25 — d24's cross-set form
+    // and the line-granular analog of d19's W-token windows): every
+    // train-split line appearing VERBATIM among the benchmark split's
+    // lines (doc_id % 20 == 0, the d09/d19 convention; same 10-token
+    // reflow as d24) is deleted. Benchmark lines broadcast (the d09
+    // carrier contract), corpus never shuffles, scrub exact on the
+    // line text. A real gate: 11 lines / 2 docs at sf0.01, 421 / 325
+    // at sf0.1.
+    "d25_line_decontaminate" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val lines10 = transform(
+        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+      val d = docs(s, dir).withColumn("text", concat_ws("\n", lines10))
+        .select("doc_id", "text")
+      ops.Dedup.lineDecontaminate(
+        d.filter(col("doc_id") % 20 =!= 0),
+        d.filter(col("doc_id") % 20 === 0), "doc_id", "text")
+    }),
+
     // Variable-length EXACT-SUBSTRING dedup (Lee et al.'s ExactSubstr
     // semantics — the suffix-array half that d13's fixed trigrams
     // approximate): tokens inside any >= 20-token substring occurring
@@ -801,6 +821,39 @@ object Queries {
         .na.fill(0L, Seq("n_click", "n_error", "n_purchase", "n_signup", "n_view"))
     })
   )
+
+  /** d25's DuckDB twin — d24's 10-token reflow on BOTH splits, then
+    * the cross-set membership test: a train line is removed iff
+    * non-empty and verbatim-present in the benchmark split's distinct
+    * line set. string_agg skips the NULL-ed removed lines, keeps
+    * empty-string structural lines, fully-scrubbed docs coalesce to
+    * ''. Bit-exact (the Spark side joins on the line text itself).
+    * Single source shared verbatim by the streaming serve's oracle
+    * (st26): per-document independence makes the drained frame equal
+    * batch d25 under any batch slicing, so the two queries must never
+    * desync. */
+  val LineDeconOracle: String =
+    """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
+      |  FROM documents),
+      |rf AS (SELECT doc_id,
+      |    list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+      |      i -> array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))
+      |      AS ls FROM tk),
+      |bl AS (SELECT DISTINCT u.l AS line FROM rf, unnest(ls) AS u(l)
+      |  WHERE doc_id % 20 = 0 AND len(u.l) > 0),
+      |lines AS (SELECT doc_id,
+      |    unnest([{'p': i - 1, 'line': ls[i]}
+      |            for i in range(1, len(ls) + 1)], recursive := true)
+      |  FROM rf WHERE doc_id % 20 <> 0),
+      |mk AS (SELECT doc_id, p, line,
+      |    CASE WHEN len(line) > 0 AND line IN (SELECT line FROM bl)
+      |      THEN 1 ELSE 0 END AS rm
+      |  FROM lines)
+      |SELECT doc_id, count(*) AS n_lines,
+      |  CAST(sum(rm) AS BIGINT) AS n_removed,
+      |  coalesce(string_agg(CASE WHEN rm = 0 THEN line END,
+      |    chr(10) ORDER BY p), '') AS clean_text
+      |FROM mk GROUP BY doc_id""".stripMargin
 
   val relational2Oracles: Map[String, String] = Map(
     "q17_sessionize" ->
@@ -1188,6 +1241,14 @@ object Queries {
         |  coalesce(string_agg(CASE WHEN r = 1 OR len(line) = 0 THEN line END,
         |    chr(10) ORDER BY p), '') AS clean_text
         |FROM rn GROUP BY doc_id""".stripMargin,
+
+    // d24's reflow on BOTH splits, then the cross-set membership test
+    // (single-source SQL shared verbatim with the st26 stream serve).
+    "d25_line_decontaminate" -> LineDeconOracle,
+
+    // The stream serve drains to the identical per-doc frame
+    // (per-document independence under any batch slicing).
+    "st26_line_decon_serve" -> LineDeconOracle,
 
     "d13_dupspan_remove" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
@@ -2221,6 +2282,24 @@ object Queries {
         graft.streaming.EventsStream.semanticDeconServe(
           s, dir, d23Bench(augEmb(s, dir)),
           b => d23Corpus(augmentEmb(b)), 0.9))),
+
+    // Streaming line-level decontamination at ingest (st26): d25's
+    // cross-set line scrub per micro-batch against the static
+    // broadcast benchmark line set — zero stream state, per-document
+    // independence, drained frame == batch d25 row-for-row (shares
+    // LineDeconOracle verbatim).
+    "st26_line_decon_serve" -> ((s, dir) => {
+      val toks = split(col("text"), " ")
+      val lines10 = transform(
+        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+      def reflow(df: DataFrame) =
+        df.withColumn("text", concat_ws("\n", lines10))
+          .select("doc_id", "text")
+      graft.streaming.EventsStream.lineDeconServe(s, dir,
+        reflow(docs(s, dir)).filter(col("doc_id") % 20 === 0),
+        b => reflow(b).filter(col("doc_id") % 20 =!= 0))
+    }),
 
     // Near-dup CLUSTERS: connected components over the near-dup pair
     // graph — every doc gets a cluster id (min doc id in its component)

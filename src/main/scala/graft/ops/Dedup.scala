@@ -1249,8 +1249,19 @@ object Dedup {
       .filter(!(col("id") === col("o.id") && col("p") === col("o.p")))
       .select(col("id"), col("p"), lit(1L).as("rm"))
       .localCheckpoint()
-    // Touched-doc routing (the rebuildScrubbed discipline at line
-    // granularity): untouched documents pass through verbatim.
+    rebuildLines(w, removed, idCol)
+  }
+
+  /** Shared line-level reassembly of the line-scrub family
+    * ([[lineDedup]], [[lineDecontaminate]]) — [[rebuildScrubbed]]'s
+    * discipline at line granularity: given the positioned line table
+    * `w` = (id, text, ls ARRAY<STRING>) and the materialized
+    * removed-position sliver (id, p, rm = 1), emit
+    * (idCol, n_lines, n_removed, clean_text). Only documents with
+    * >= 1 removed line take the line-level explode/rejoin; untouched
+    * documents pass through verbatim with their text column unread. */
+  private def rebuildLines(w: DataFrame, removed: DataFrame,
+      idCol: String): DataFrame = {
     val touched = removed.select("id").distinct()
     val untouched = w.join(touched, Seq("id"), "left_anti")
       .select(col("id").as(idCol), size(col("ls")).cast("long").as("n_lines"),
@@ -1268,5 +1279,44 @@ object Dedup {
       .select(col("id").as(idCol), col("n_lines"), col("n_removed"),
         col("clean_text"))
     untouched.unionByName(rebuilt)
+  }
+
+  /** Line-level benchmark decontamination — [[lineDedup]]'s cross-set
+    * form and the line-granular analog of [[substrDecontaminate]]:
+    * every non-empty corpus line whose text appears VERBATIM as a line
+    * of the benchmark set is deleted (train-test leakage at the
+    * paragraph/boilerplate granularity the d09 trigram test and the
+    * d19 W-token windows bracket from both sides); empty lines are
+    * structural and survive, fully-scrubbed documents stay as ''.
+    * Emits the [[lineDedup]] shape (idCol, n_lines, n_removed,
+    * clean_text).
+    *
+    * Scale shape: the d09/d19 broadcast-carrier contract — the
+    * benchmark's distinct non-empty lines are eval-suite-sized and
+    * broadcast, so the corpus NEVER shuffles: the scrub decision is a
+    * broadcast semi-join probing corpus lines where they already sit,
+    * exact on the line text itself (no hash round-trip, no collision
+    * caveat), and only the touched-document sliver enters the
+    * [[rebuildLines]] reassembly. At 100 TB the cost is one corpus
+    * line scan. Per-document independence (a doc's scrub depends only
+    * on its own lines and the static benchmark) is what makes the
+    * streaming serve (st26) equal the batch run under any batch
+    * slicing. No reference analog (vectors-only, `NND.scala:62-66`);
+    * extends the §2.9 dedup family. */
+  def lineDecontaminate(corpus: DataFrame, bench: DataFrame,
+      idCol: String, textCol: String): DataFrame = {
+    val w = corpus.select(col(idCol).as("id"), col(textCol).as("text"),
+      split(col(textCol), "\n", -1).as("ls"))
+    val lines = w.select(col("id"), posexplode(col("ls")))
+      .filter(length(col("col")) > 0)
+      .select(col("id"), col("pos").as("p"), col("col").as("line"))
+    val bLines = bench
+      .select(explode(split(col(textCol), "\n", -1)).as("line"))
+      .filter(length(col("line")) > 0)
+      .distinct()
+    val removed = lines.join(broadcast(bLines), Seq("line"), "left_semi")
+      .select(col("id"), col("p"), lit(1L).as("rm"))
+      .localCheckpoint()
+    rebuildLines(w, removed, idCol)
   }
 }

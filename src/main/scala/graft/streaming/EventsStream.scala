@@ -791,6 +791,25 @@ object EventsStream {
         bench, "id", "features", tau, nCells, nProbe)
     }
 
+  /** Streaming line-level decontamination at ingest — d25's cross-set
+    * line scrub applied to the document STREAM (the st08/st25 idiom
+    * one granularity up): the benchmark's line set is a static
+    * broadcast artifact (eval suites change by release, not by
+    * micro-batch), and each micro-batch runs the batch
+    * [[graft.ops.Dedup.lineDecontaminate]] kernel through
+    * `foreachBatch`; the stream holds ZERO state. A document's scrub
+    * depends only on its own lines and the static benchmark —
+    * per-document independence — so the drained frame equals batch
+    * d25 row-for-row under ANY batch slicing and shares its bit-exact
+    * DuckDB twin verbatim ([[graft.Queries.LineDeconOracle]]). */
+  def lineDeconServe(spark: SparkSession, dir: String,
+      bench: DataFrame, toCorpus: DataFrame => DataFrame): DataFrame =
+    runDrainedForeachBatch(spark, dir, "documents",
+        documentsSchema, "linedecon") { batch =>
+      graft.ops.Dedup.lineDecontaminate(toCorpus(batch), bench,
+        "doc_id", "text")
+    }
+
   /** Streaming tokenizer serving — the t36 Viterbi encode applied at
     * ingest time (tokenizer-as-a-service, the artifact-serving half of
     * the t35 lifecycle): the trained vocabulary is a static broadcast

@@ -979,6 +979,17 @@ class OpsSpec extends SparkSpec {
       "drained per-doc frame must equal the batch scrub exactly")
   }
 
+  test("st26: drained streaming line decontamination equals batch d25 row-for-row") {
+    val batch = Queries.all("d25_line_decontaminate")(spark, sf001)
+    val streamed = Queries.all("st26_line_decon_serve")(spark, sf001)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "drained per-doc frame must equal the batch scrub exactly")
+    val removed = batch.agg(sum(col("n_removed"))).head().getLong(0)
+    assert(removed > 0L, "the sf0.001 split must actually leak lines")
+  }
+
   test("MIPS-to-cosine reduction is exact under full probing on norm-skewed data") {
     import spark.implicits._
     // Norms vary 20x, so MIPS and cosine rankings genuinely differ —
@@ -2692,6 +2703,35 @@ class OpsSpec extends SparkSpec {
       .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
       .toMap
     assert(shuffled == out, "result must be partition-invariant")
+  }
+
+  test("lineDecontaminate: bench lines scrub, corpus-internal dups survive, empty bench is a no-op") {
+    import spark.implicits._
+    val bench = Seq((100L, "leaked paragraph\nbench only")).toDF("doc_id", "text")
+    val corpus = Seq(
+      (0L, "own prose\nleaked paragraph\n\nshared line"),
+      (1L, "shared line\nmore prose"), // shares a line with doc 0, NOT bench:
+                                       // cross-set scrub must keep BOTH copies
+      (2L, "leaked paragraph")         // everything leaks: scrubs to ''
+    ).toDF("doc_id", "text")
+    val out = graft.ops.Dedup
+      .lineDecontaminate(corpus, bench, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+      .toMap
+    assert(out(0L) == ((4L, 1L, "own prose\n\nshared line")),
+      "only the bench line goes; the empty line and the corpus-dup line stay")
+    assert(out(1L) == ((2L, 0L, "shared line\nmore prose")),
+      "corpus-internal duplicates are NOT cross-set leaks — both copies keep")
+    assert(out(2L) == ((1L, 1L, "")), "fully-leaked doc stays as ''")
+    // Degenerate benchmark: the scrub must become a verbatim no-op.
+    val empty = bench.filter(col("doc_id") < 0L)
+    val noop = graft.ops.Dedup
+      .lineDecontaminate(corpus, empty, "doc_id", "text").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(noop(0L) == ((0L, "own prose\nleaked paragraph\n\nshared line")) &&
+      noop(1L) == ((0L, "shared line\nmore prose")) &&
+      noop(2L) == ((0L, "leaked paragraph")),
+      s"empty benchmark must scrub nothing: $noop")
   }
 
   test("dupSpanRemove: short docs are whole-text spans (d12 convention)") {
