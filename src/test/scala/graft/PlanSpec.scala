@@ -473,6 +473,39 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("t53: the fertility census shuffles once, on the language key only") {
+    // One scan computing per-doc integers inside the projection, then
+    // ONE partial-agg'd groupBy on lang: a second exchange or any join
+    // would mean per-doc rows moved for a languages-sized answer.
+    // Count in the FINAL adaptive plan only — the plan string echoes
+    // the pre-AQE "Initial Plan" section, which repeats the exchange.
+    val p = plan("t53_fertility").split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(p).size
+    assert(exchanges == 1, s"expected exactly 1 exchange, got $exchanges:\n$p")
+    assert(!p.contains("Join"), s"fertility census joined:\n$p")
+    assert(p.contains("partial_count"),
+      s"no partial aggregation before the exchange:\n$p")
+    assert(p.contains("ReadSchema: struct<text:string,lang:string>"),
+      s"scan must prune to exactly (text, lang):\n$p")
+  }
+
+  test("d25: the benchmark line set is broadcast — the corpus is never sort-merge-joined") {
+    // The d09/d19 carrier contract at line granularity: the scrub
+    // decision must be a broadcast semi-join probing corpus lines in
+    // place. A SortMergeJoin anywhere in the scrub would mean the
+    // corpus line stream shuffled by content for an eval-suite-sized
+    // membership test.
+    val plans = capturedPlans {
+      Queries.all("d25_line_decontaminate")(spark, sf0001).collect()
+    }
+    assert(plans.exists(_.contains("BroadcastHashJoin")),
+      "no broadcast join appeared in the d25 scrub")
+    val smjOnLine = plans.filter(p =>
+      p.contains("SortMergeJoin") && p.contains("line"))
+    assert(smjOnLine.isEmpty,
+      s"corpus lines were sort-merge-joined:\n${smjOnLine.headOption.getOrElse("")}")
+  }
+
   test("t38: weighted sampling is a bounded TakeOrdered, not a window or full sort") {
     val df = Queries.all("t38_weighted_sample")(spark, sf0001)
     df.collect()
