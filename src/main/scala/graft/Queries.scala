@@ -2429,6 +2429,15 @@ object Queries {
     "t03_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir)).select("doc_id", "pred_lang")),
 
+    // Langid confusion matrix (t54): the per-class error report the
+    // t03 heuristic ships with — one row per observed (truth,
+    // predicted) pair with count and the exact 2^-20 fixed-point row
+    // share (recall diagonal / leakage off-diagonal). One pair-keyed
+    // partial agg + a classes-sized totals join; bit-exact twin.
+    "t54_langid_confusion" -> ((s, dir) =>
+      graft.ops.Classifier.confusionMatrix(
+        TextAnalysis.languageId(docs(s, dir)), "lang", "pred_lang")),
+
     // Bag-of-words fingerprint.
     "t04_fingerprint" -> ((s, dir) =>
       TextAnalysis.fingerprint(docs(s, dir)).select("doc_id", "fingerprint")),
@@ -3462,6 +3471,46 @@ object Queries {
     // text. The twin rebuilds the same stages relationally from
     // documents — it can, because the WARC round-trip is bit-lossless,
     // which is exactly what m08's fingerprint census pins.
+    // Dedup-policy ablation card (p11): the release-report table a
+    // corpus ships next to its dedup decision — what each policy
+    // keeps, on one exact basis. Four rows (policy, n_docs, mass_fp):
+    // baseline char mass at weight 1; HARD near-dup dedup (d06's
+    // min-id representative survives); SOFT dedup (every doc kept at
+    // its t52 cluster-size weight — mass_fp = Σ weight_fp·chars, the
+    // reweight-don't-drop accounting); LINE dedup (d24's surviving
+    // clean_text mass — the reflow is unconditionally char-count-
+    // preserving: single-char separators both ways, so baseline and
+    // line masses share one unit). All-integer 2^-20 fixed point;
+    // pure composition of audited operators.
+    "p11_dedup_policy_card" -> ((s, dir) => {
+      val d = docs(s, dir).select("doc_id", "text")
+      def card(df: DataFrame, policy: String) =
+        df.agg(count(lit(1)).as("n_docs"),
+            coalesce(sum(col("m")), lit(0L)).as("mass_fp"))
+          .select(lit(policy).as("policy"), col("n_docs"), col("mass_fp"))
+      val chars = length(col("text")).cast("long")
+      val baseline = card(d.select((chars * 1048576L).as("m")), "baseline")
+      val cl = Dedup.clusterNearDups(d, "doc_id", "text", 0.7, useLsh = true)
+        .select(col("id").as("doc_id"), col("keep"))
+      val hard = card(d.join(cl, "doc_id").filter(col("keep") === 1)
+        .select((chars * 1048576L).as("m")), "hard_neardup")
+      val soft = card(
+        graft.ops.Sampling.softDedupWeights(d, "doc_id", "text", 0.7)
+          .join(d, "doc_id")
+          .select((col("weight_fp") * chars).as("m")), "soft_neardup")
+      val toks = split(col("text"), " ")
+      val lines10 = transform(
+        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+      val line = card(
+        Dedup.lineDedup(
+          d.withColumn("text", concat_ws("\n", lines10))
+            .select("doc_id", "text"), "doc_id", "text")
+          .select((length(col("clean_text")).cast("long") * 1048576L)
+            .as("m")), "line_dedup")
+      baseline.unionByName(hard).unionByName(soft).unionByName(line)
+    }),
+
     "p10_warc_assembly" -> ((s, dir) => {
       val aug = docs(s, dir).select(col("doc_id"), col("text"))
         .unionByName(docs(s, dir)
@@ -6316,6 +6365,41 @@ object Queries {
         |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
 
+    // t03's marker-overlap argmax (same profiles, same tie order, same
+    // zero-evidence 'und' guard) with the table's own lang carried as
+    // truth, then the (truth, pred) census and the Euclidean-split
+    // fixed-point row share — all BIGINT, bit-exact.
+    "t54_langid_confusion" ->
+      """WITH pred AS (
+        |  SELECT lang,
+        |    CASE
+        |      WHEN g = 0 THEN 'und'
+        |      WHEN s_en = g THEN 'en' WHEN s_de = g THEN 'de' WHEN s_es = g THEN 'es'
+        |      WHEN s_fr = g THEN 'fr' WHEN s_zh = g THEN 'zh' ELSE 'und' END AS pl
+        |  FROM (
+        |    SELECT lang,
+        |      CAST(len(list_filter(w, x -> x IN ('the','a','order','table','key'))) AS DOUBLE) / len(w) AS s_en,
+        |      CAST(len(list_filter(w, x -> x IN ('customer','hash','join','group','row'))) AS DOUBLE) / len(w) AS s_de,
+        |      CAST(len(list_filter(w, x -> x IN ('slow','agg','data','scan','part'))) AS DOUBLE) / len(w) AS s_es,
+        |      CAST(len(list_filter(w, x -> x IN ('scan','batch','data','merge','filter'))) AS DOUBLE) / len(w) AS s_fr,
+        |      CAST(len(list_filter(w, x -> x IN ('join','small','row','stream','window'))) AS DOUBLE) / len(w) AS s_zh,
+        |      greatest(
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','order','table','key'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('customer','hash','join','group','row'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('slow','agg','data','scan','part'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('scan','batch','data','merge','filter'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('join','small','row','stream','window'))) AS DOUBLE) / len(w)) AS g
+        |    FROM (SELECT lang, str_split(text, ' ') AS w FROM documents))),
+        |pairs AS (SELECT lang AS truth, pl AS pred,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM pred GROUP BY 1, 2),
+        |tot AS (SELECT truth, CAST(sum(n) AS BIGINT) AS row_total
+        |  FROM pairs GROUP BY 1)
+        |SELECT truth, pred, n, row_total,
+        |  (n // row_total) * 1048576
+        |    + ((n % row_total) * 1048576) // row_total AS row_share_fp
+        |FROM pairs JOIN tot USING (truth)""".stripMargin,
+
     "t05_term_doc_freq" ->
       """SELECT term, count(*) AS doc_freq FROM (
         |  SELECT DISTINCT doc_id, unnest(str_split(text, ' ')) AS term FROM documents)
@@ -6597,6 +6681,69 @@ object Queries {
     "t49_domain_gate" -> urlGateSql,
     "st24_url_gate_serve" -> urlGateSql,
     "st23_html_extract_serve" -> htmlExtractSql,
+
+    // One exact basis for all four policies: d06's component CTE gives
+    // hard survivors (id = component) and soft cluster sizes (window
+    // count -> 2^20 // size); d24's reflow/window SQL gives the line
+    // survivors; masses are character counts scaled to 2^-20 fixed
+    // point (BIGINT end to end, HUGEINT sums cast back down).
+    "p11_dedup_policy_card" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM documents)) ),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |prs AS (
+        |  SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM prs UNION SELECT doc_b, doc_a FROM prs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM documents
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |wts AS (SELECT id AS doc_id,
+        |    CAST(1048576 AS BIGINT)
+        |      // (count(*) OVER (PARTITION BY component)) AS weight_fp
+        |  FROM comp),
+        |tk AS (SELECT doc_id, str_split(text, ' ') AS t FROM documents),
+        |rf AS (SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+        |      i -> array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))
+        |      AS ls FROM tk),
+        |lns AS (SELECT doc_id,
+        |    unnest([{'p': i - 1, 'line': ls[i]}
+        |            for i in range(1, len(ls) + 1)], recursive := true)
+        |  FROM rf),
+        |rn AS (SELECT doc_id, p, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS r
+        |  FROM lns),
+        |clean AS (SELECT doc_id,
+        |    coalesce(string_agg(CASE WHEN r = 1 OR len(line) = 0 THEN line END,
+        |      chr(10) ORDER BY p), '') AS ct
+        |  FROM rn GROUP BY doc_id)
+        |SELECT 'baseline' AS policy, CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(length(text)) * 1048576 AS BIGINT) AS mass_fp
+        |FROM documents
+        |UNION ALL
+        |SELECT 'hard_neardup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(length(d.text)) * 1048576 AS BIGINT)
+        |FROM comp c JOIN documents d ON d.doc_id = c.id
+        |WHERE c.id = c.component
+        |UNION ALL
+        |SELECT 'soft_neardup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(w.weight_fp * length(d.text)) AS BIGINT)
+        |FROM wts w JOIN documents d USING (doc_id)
+        |UNION ALL
+        |SELECT 'line_dedup', CAST(count(*) AS BIGINT),
+        |  CAST(sum(length(ct)) * 1048576 AS BIGINT)
+        |FROM clean""".stripMargin,
 
     // The four-stage assembly over the duplicate-augmented corpus:
     // the shared extraction CTE chain re-sourced at d0 (the builder —

@@ -595,4 +595,34 @@ object Classifier {
       .withColumn("pred_hash", lit(predHash))
       .withColumn("w_hash", lit(wHash))
   }
+
+  /** Confusion matrix — the per-class error report any shipped
+    * classifier (langid, quality gate, domain router) is graded by:
+    * one row per observed (truth, predicted) pair with its count and
+    * the exact 2⁻²⁰ fixed-point row share `n · 2²⁰ div row_total`
+    * (share of the TRUTH class routed to each prediction — the recall
+    * diagonal / leakage off-diagonal view; integer arithmetic only,
+    * the t50/t53 discipline). Pairs that never occur are absent, not
+    * zero-filled — the frame stays |observed pairs|-sized, never
+    * |classes|², and downstream pivots can zero-fill if they want the
+    * dense matrix.
+    *
+    * Scale shape: ONE partial-agg'd groupBy on the (truth, pred) pair
+    * key — classes-squared-bounded output regardless of corpus size —
+    * plus a truth-keyed second partial agg for row totals joined back
+    * on the classes-sized frame. Nothing else moves. No reference
+    * analog (vectors-only, `NND.scala:62-66`); extends the §2.9
+    * classifier family. */
+  def confusionMatrix(df: DataFrame, truthCol: String,
+      predCol: String): DataFrame = {
+    val pairs = df.groupBy(col(truthCol).as("truth"),
+        col(predCol).as("pred"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy("truth").agg(sum(col("n")).as("row_total"))
+    pairs.join(totals, Seq("truth"))
+      .select(col("truth"), col("pred"), col("n"), col("row_total"),
+        org.apache.spark.sql.functions.expr(
+          "(n div row_total) * 1048576 + ((n % row_total) * 1048576) div row_total")
+          .as("row_share_fp"))
+  }
 }

@@ -364,4 +364,28 @@ class ClassifierSpec extends SparkSpec {
       withNoise.biasFp == pure.biasFp,
       "out-of-class docs changed the trained weights")
   }
+
+  test("confusionMatrix: hand-computed pairs, exact row shares, no zero-fill") {
+    val d = Seq(
+      ("en", "en"), ("en", "en"), ("en", "de"), // en: 2/3 recalled, 1/3 to de
+      ("de", "de"),                             // de: perfect
+      ("zh", "en")                              // zh: fully leaked
+    ).toDF("truth_lang", "pred")
+    val out = Classifier.confusionMatrix(d, "truth_lang", "pred").collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out(("en", "en")) == ((2L, 3L, 699050L)), // (2*2^20) div 3
+      s"en diagonal: ${out(("en", "en"))}")
+    assert(out(("en", "de")) == ((1L, 3L, 349525L)), // (1*2^20) div 3
+      s"en leakage: ${out(("en", "de"))}")
+    assert(out(("de", "de")) == ((1L, 1L, 1048576L)),
+      "a perfect class reads exactly 2^20")
+    assert(out(("zh", "en")) == ((1L, 1L, 1048576L)),
+      "a fully-leaked class reads 2^20 on its one (observed) pair")
+    assert(out.size == 4, s"unobserved pairs must be absent, got ${out.keySet}")
+    // Truncation invariant: shares within a truth row sum into
+    // (2^20 - pairs, 2^20].
+    val enShares = out.collect { case (("en", _), (_, _, s)) => s }.sum
+    assert(enShares == 1048575L, s"en shares must sum to 2^20 - 1: $enShares")
+  }
 }

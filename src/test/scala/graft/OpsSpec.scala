@@ -990,6 +990,27 @@ class OpsSpec extends SparkSpec {
     assert(removed > 0L, "the sf0.001 split must actually leak lines")
   }
 
+  test("p11: the dedup-policy card's masses are mutually consistent") {
+    val rows = Queries.all("p11_dedup_policy_card")(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rows.keySet ==
+      Set("baseline", "hard_neardup", "soft_neardup", "line_dedup"))
+    val (bn, bm) = rows("baseline")
+    val (hn, hm) = rows("hard_neardup")
+    val (sn, sm) = rows("soft_neardup")
+    val (ln, lm) = rows("line_dedup")
+    assert(hn < bn && hm < bm,
+      s"hard dedup must drop docs AND mass: ($hn,$hm) vs ($bn,$bm)")
+    assert(sn == bn, "soft dedup never drops a document")
+    assert(sm < bm, "multi-member clusters must downweight soft mass")
+    assert(ln == bn, "line dedup keeps every document row")
+    assert(lm < bm, "duplicated lines must remove line-dedup mass")
+    // NOTE deliberately no hard-vs-soft mass ordering: soft keeps each
+    // cluster's AVERAGE member mass while hard keeps its min-id
+    // member's — either can be larger (at sf0.001 they differ by
+    // <0.01%, hard slightly ahead).
+  }
+
   test("MIPS-to-cosine reduction is exact under full probing on norm-skewed data") {
     import spark.implicits._
     // Norms vary 20x, so MIPS and cosine rankings genuinely differ —
