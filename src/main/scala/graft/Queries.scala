@@ -855,6 +855,38 @@ object Queries {
       |    chr(10) ORDER BY p), '') AS clean_text
       |FROM mk GROUP BY doc_id""".stripMargin
 
+  /** t53's DuckDB twin — shared verbatim by the streaming
+    * fertility monitor (st27): the sums are associative integers, so
+    * the drained re-merge equals the batch census bit-for-bit and the
+    * two oracles must never desync. */
+  val FertilityOracle: String =
+    """WITH per AS (SELECT lang,
+      |    CAST(len(tk) AS BIGINT) AS d_tokens,
+      |    CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
+      |      AS BIGINT) AS d_chars,
+      |    CAST(strlen(text) AS BIGINT) AS d_bytes,
+      |    CAST(len(str_split(text, ' ')) AS BIGINT) AS d_words
+      |  FROM (SELECT lang, text,
+      |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tk
+      |    FROM documents)),
+      |agg AS (SELECT lang, count(*) AS n_docs,
+      |    CAST(sum(d_tokens) AS BIGINT) AS n_tokens,
+      |    CAST(sum(d_chars) AS BIGINT) AS n_chars,
+      |    CAST(sum(d_bytes) AS BIGINT) AS n_bytes,
+      |    CAST(sum(d_words) AS BIGINT) AS n_words
+      |  FROM per GROUP BY lang)
+      |SELECT lang, n_docs, n_tokens, n_chars, n_bytes, n_words,
+      |  (n_tokens // nullif(n_words, 0)) * 1048576
+      |    + ((n_tokens % nullif(n_words, 0)) * 1048576)
+      |      // nullif(n_words, 0) AS fertility_fp,
+      |  (n_chars // nullif(n_tokens, 0)) * 1048576
+      |    + ((n_chars % nullif(n_tokens, 0)) * 1048576)
+      |      // nullif(n_tokens, 0) AS chars_per_token_fp,
+      |  (n_bytes // nullif(n_tokens, 0)) * 1048576
+      |    + ((n_bytes % nullif(n_tokens, 0)) * 1048576)
+      |      // nullif(n_tokens, 0) AS bytes_per_token_fp
+      |FROM agg""".stripMargin
+
   val relational2Oracles: Map[String, String] = Map(
     "q17_sessionize" ->
       """SELECT user_id, event_id,
@@ -2282,6 +2314,13 @@ object Queries {
         graft.streaming.EventsStream.semanticDeconServe(
           s, dir, d23Bench(augEmb(s, dir)),
           b => d23Corpus(augmentEmb(b)), 0.9))),
+
+    // Streaming tokenizer-fertility monitor (st27): t53's census kept
+    // live at ingest — per-batch integer partial sums re-merged once,
+    // the shared fixed-point ratios applied to the merged totals only.
+    // Zero stream state; shares FertilityOracle verbatim.
+    "st27_fertility_serve" -> ((s, dir) =>
+      graft.streaming.EventsStream.fertilityServe(s, dir)),
 
     // Streaming line-level decontamination at ingest (st26): d25's
     // cross-set line scrub per micro-batch against the static
@@ -5484,33 +5523,9 @@ object Queries {
     // identical Euclidean split division (num div den)*2^20 +
     // ((num mod den)*2^20) div den on pure BIGINTs — bit-exact; a
     // zero denominator reads NULL via nullif on both sides.
-    "t53_fertility" ->
-      """WITH per AS (SELECT lang,
-        |    CAST(len(tk) AS BIGINT) AS d_tokens,
-        |    CAST(COALESCE(list_sum(list_transform(tk, x -> length(x))), 0)
-        |      AS BIGINT) AS d_chars,
-        |    CAST(strlen(text) AS BIGINT) AS d_bytes,
-        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS d_words
-        |  FROM (SELECT lang, text,
-        |    regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]+') AS tk
-        |    FROM documents)),
-        |agg AS (SELECT lang, count(*) AS n_docs,
-        |    CAST(sum(d_tokens) AS BIGINT) AS n_tokens,
-        |    CAST(sum(d_chars) AS BIGINT) AS n_chars,
-        |    CAST(sum(d_bytes) AS BIGINT) AS n_bytes,
-        |    CAST(sum(d_words) AS BIGINT) AS n_words
-        |  FROM per GROUP BY lang)
-        |SELECT lang, n_docs, n_tokens, n_chars, n_bytes, n_words,
-        |  (n_tokens // nullif(n_words, 0)) * 1048576
-        |    + ((n_tokens % nullif(n_words, 0)) * 1048576)
-        |      // nullif(n_words, 0) AS fertility_fp,
-        |  (n_chars // nullif(n_tokens, 0)) * 1048576
-        |    + ((n_chars % nullif(n_tokens, 0)) * 1048576)
-        |      // nullif(n_tokens, 0) AS chars_per_token_fp,
-        |  (n_bytes // nullif(n_tokens, 0)) * 1048576
-        |    + ((n_bytes % nullif(n_tokens, 0)) * 1048576)
-        |      // nullif(n_tokens, 0) AS bytes_per_token_fp
-        |FROM agg""".stripMargin,
+    "t53_fertility" -> FertilityOracle,
+
+    "st27_fertility_serve" -> FertilityOracle,
 
     // Same Laplace smoothing and 2^-20 pre-sum rounding as
     // TextAnalysis.unigramLogProb; the cross join against the

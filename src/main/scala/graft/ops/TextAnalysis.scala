@@ -1477,19 +1477,34 @@ object TextAnalysis {
     * (vectors-only, `NND.scala:62-66`); extends the §2.9 text-analysis
     * family. */
   def tokenizerFertility(df: DataFrame, langCol: String = "lang",
+      textCol: String = "text"): DataFrame =
+    fertilityRatios(fertilitySums(df, langCol, textCol))
+
+  /** [[tokenizerFertility]]'s aggregation half: the per-language
+    * partial sums (n_docs, n_tokens, n_chars, n_bytes, n_words). Pure
+    * integer sums — associative and order-independent, so per-batch
+    * partials re-aggregate to the batch answer exactly; the streaming
+    * serve (st27) rides this property. */
+  def fertilitySums(df: DataFrame, langCol: String = "lang",
       textCol: String = "text"): DataFrame = {
     val tk = regexp_extract_all(col(textCol), lit(bpePattern), lit(0))
-    val perDoc = df.select(col(langCol).as("lang"),
-      size(tk).cast("long").as("d_tokens"),
-      aggregate(tk, lit(0L), (acc, x) => acc + length(x)).as("d_chars"),
-      octet_length(col(textCol)).cast("long").as("d_bytes"),
-      size(split(col(textCol), " ")).cast("long").as("d_words"))
-    val agg = perDoc.groupBy("lang").agg(
-      count(lit(1)).as("n_docs"),
-      sum("d_tokens").as("n_tokens"),
-      sum("d_chars").as("n_chars"),
-      sum("d_bytes").as("n_bytes"),
-      sum("d_words").as("n_words"))
+    df.select(col(langCol).as("lang"),
+        size(tk).cast("long").as("d_tokens"),
+        aggregate(tk, lit(0L), (acc, x) => acc + length(x)).as("d_chars"),
+        octet_length(col(textCol)).cast("long").as("d_bytes"),
+        size(split(col(textCol), " ")).cast("long").as("d_words"))
+      .groupBy("lang").agg(
+        count(lit(1)).as("n_docs"),
+        sum("d_tokens").as("n_tokens"),
+        sum("d_chars").as("n_chars"),
+        sum("d_bytes").as("n_bytes"),
+        sum("d_words").as("n_words"))
+  }
+
+  /** [[tokenizerFertility]]'s ratio half over an already-summed (or
+    * re-merged) per-language frame — one definition of the fixed-point
+    * arithmetic for the batch census and the streaming serve. */
+  def fertilityRatios(agg: DataFrame): DataFrame = {
     // (2^20 * num) div den without the 2^20-inflated product ever
     // materializing: exact for num, den >= 0 by the Euclidean split.
     def fpDiv(num: String, den: String) = expr(

@@ -810,6 +810,30 @@ object EventsStream {
         "doc_id", "text")
     }
 
+  /** Streaming tokenizer-fertility monitor — the t53 census kept live
+    * at ingest (the per-language mix/fertility dashboard a crawl
+    * operator watches): each micro-batch contributes its per-language
+    * PARTIAL sums (`TextAnalysis.fertilitySums` — pure integer sums,
+    * associative and order-independent), the drained partials re-merge
+    * with one languages-sized aggregation, and the fixed-point ratios
+    * (`fertilityRatios`, the single shared definition) apply ONCE to
+    * the merged totals — never per batch, which would average ratios
+    * instead of summing masses. Zero stream state; the drained frame
+    * equals batch t53 bit-for-bit under any batch slicing and shares
+    * its DuckDB twin verbatim. */
+  def fertilityServe(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.functions.sum
+    val partials = runDrainedForeachBatch(spark, dir, "documents",
+        documentsSchema, "fertility") { batch =>
+      graft.ops.TextAnalysis.fertilitySums(batch)
+    }
+    graft.ops.TextAnalysis.fertilityRatios(
+      partials.groupBy("lang").agg(
+        sum("n_docs").as("n_docs"), sum("n_tokens").as("n_tokens"),
+        sum("n_chars").as("n_chars"), sum("n_bytes").as("n_bytes"),
+        sum("n_words").as("n_words")))
+  }
+
   /** Streaming tokenizer serving — the t36 Viterbi encode applied at
     * ingest time (tokenizer-as-a-service, the artifact-serving half of
     * the t35 lifecycle): the trained vocabulary is a static broadcast

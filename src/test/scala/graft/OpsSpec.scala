@@ -990,6 +990,15 @@ class OpsSpec extends SparkSpec {
     assert(removed > 0L, "the sf0.001 split must actually leak lines")
   }
 
+  test("st27: drained streaming fertility census equals batch t53 row-for-row") {
+    val batch = Queries.all("t53_fertility")(spark, sf001)
+    val streamed = Queries.all("st27_fertility_serve")(spark, sf001)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "re-merged drained partials must equal the batch census exactly")
+  }
+
   test("p11: the dedup-policy card's masses are mutually consistent") {
     val rows = Queries.all("p11_dedup_policy_card")(spark, sf001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
