@@ -3302,6 +3302,42 @@ object Queries {
           .cast("long")).as("ids_fp"))
     }),
 
+    // JSONL round-trip census (m09): the documents table serialized
+    // into per-segment JSONL shards (canonical to_json lines, id
+    // order) and parsed back with native from_json against an
+    // explicit schema; the census fingerprints text/id/char mass, so
+    // any value moved by the round trip moves the census. The twin
+    // computes everything STRAIGHT from documents — no JSON model in
+    // SQL (the m08 convention).
+    "m09_jsonl_census" -> ((s, dir) => {
+      val sch = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("source",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars",
+          org.apache.spark.sql.types.LongType)))
+      val parsed = graft.ops.Jsonl.parseLines(
+        graft.ops.Jsonl.buildFiles(
+          t(s, dir, "documents").withColumn("seg", expr("doc_id div 50")),
+          Seq("doc_id", "text", "lang", "source", "n_chars")), sch)
+      parsed.agg(
+        count(lit(1)).as("n_lines"),
+        count_distinct(col("path")).as("n_files"),
+        sum(when(col("parse_ok"), 1L).otherwise(0L)).as("n_parsed"),
+        count_distinct(col("doc_id")).as("n_docs"),
+        sum(col("n_chars")).as("chars_total"),
+        sum(conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("text_fp"),
+        sum(conv(substring(md5(col("lang").cast("binary")), 1, 8), 16, 10)
+          .cast("long")).as("lang_fp"),
+        sum(col("doc_id")).as("ids_fp"))
+    }),
+
     // Rolling-hash content fingerprint (order-sensitive).
     "t07_rolling_fp" -> ((s, dir) =>
       TextAnalysis.rollingFingerprint(docs(s, dir)).select("doc_id", "rolling_fp")),
@@ -3529,12 +3565,20 @@ object Queries {
           .select(lit(policy).as("policy"), col("n_docs"), col("mass_fp"))
       val chars = length(col("text")).cast("long")
       val baseline = card(d.select((chars * 1048576L).as("m")), "baseline")
+      // ONE cluster build prices both policies: the assignment is
+      // materialized once (localCheckpoint) and hard/soft read it —
+      // without this the d06 LSH+verify+components chain, the card's
+      // dominant cost, would execute twice.
       val cl = Dedup.clusterNearDups(d, "doc_id", "text", 0.7, useLsh = true)
-        .select(col("id").as("doc_id"), col("keep"))
-      val hard = card(d.join(cl, "doc_id").filter(col("keep") === 1)
-        .select((chars * 1048576L).as("m")), "hard_neardup")
+        .select(col("id"), col("component"), col("keep"))
+        .localCheckpoint()
+      val hard = card(
+        d.join(cl.filter(col("keep") === 1).select(col("id").as("doc_id")),
+            "doc_id")
+          .select((chars * 1048576L).as("m")), "hard_neardup")
       val soft = card(
-        graft.ops.Sampling.softDedupWeights(d, "doc_id", "text", 0.7)
+        graft.ops.Sampling.softDedupWeightsFrom(
+            cl.select("id", "component"), "doc_id")
           .join(d, "doc_id")
           .select((col("weight_fp") * chars).as("m")), "soft_neardup")
       val toks = split(col("text"), " ")
@@ -6876,6 +6920,23 @@ object Queries {
         |    AS BIGINT) AS url_fp,
         |  CAST(sum(doc_id) AS BIGINT) AS ids_fp
         |FROM rec""".stripMargin,
+
+    // Straight from documents — no JSON model in SQL: if the Spark
+    // side's to_json/from_json round trip moved any value, a
+    // fingerprint moves.
+    "m09_jsonl_census" ->
+      """SELECT
+        |  CAST(count(*) AS BIGINT) AS n_lines,
+        |  CAST(count(DISTINCT doc_id // 50) AS BIGINT) AS n_files,
+        |  CAST(count(*) AS BIGINT) AS n_parsed,
+        |  CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars_total,
+        |  CAST(sum(CAST(('0x' || substr(md5(text), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS text_fp,
+        |  CAST(sum(CAST(('0x' || substr(md5(lang), 1, 8)) AS BIGINT))
+        |    AS BIGINT) AS lang_fp,
+        |  CAST(sum(doc_id) AS BIGINT) AS ids_fp
+        |FROM documents""".stripMargin,
 
     "m04_phash" ->
       """WITH hx AS (

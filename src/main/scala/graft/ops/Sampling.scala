@@ -601,9 +601,18 @@ object Sampling {
     * reference analog (vectors-only, `NND.scala:62-66`); extends the
     * §2.9 sampling family. */
   def softDedupWeights(df: DataFrame, idCol: String, textCol: String,
-      threshold: Double = 0.7, useLsh: Boolean = true): DataFrame = {
-    val cl = Dedup.clusterNearDups(df, idCol, textCol, threshold,
-      useLsh = useLsh).select(col("id"), col("component"))
+      threshold: Double = 0.7, useLsh: Boolean = true): DataFrame =
+    softDedupWeightsFrom(
+      Dedup.clusterNearDups(df, idCol, textCol, threshold, useLsh = useLsh)
+        .select(col("id"), col("component")), idCol)
+
+  /** [[softDedupWeights]]'s arithmetic half over an ALREADY-BUILT
+    * (id, component) assignment — so a pipeline that materializes the
+    * d06 clusters once (p11 prices hard and soft policies on the SAME
+    * assignment) never pays the cluster build twice. One
+    * component-keyed partial-agg count + one co-keyed join + the
+    * codegen'd integer division. */
+  def softDedupWeightsFrom(cl: DataFrame, idCol: String): DataFrame = {
     val sizes = cl.groupBy("component")
       .agg(count(lit(1)).as("cluster_size"))
     cl.join(sizes, Seq("component"))

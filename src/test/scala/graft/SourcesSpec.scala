@@ -162,4 +162,53 @@ class SourcesSpec extends SparkSpec {
       .collect().sortBy(_.rec_index).map(_.record_id).toSeq
     assert(s0 == Seq("<urn:graft:1>", "<urn:graft:2>", "<urn:graft:7>"))
   }
+
+  private val jsonlSchema = org.apache.spark.sql.types.StructType(Seq(
+    org.apache.spark.sql.types.StructField("doc_id",
+      org.apache.spark.sql.types.LongType),
+    org.apache.spark.sql.types.StructField("text",
+      org.apache.spark.sql.types.StringType)))
+
+  test("JSONL buildFiles -> parseLines round-trips values incl. JSON-hostile text") {
+    import spark.implicits._
+    val d = Seq(
+      (0L, "plain text", 0L),
+      (1L, "quotes \" and \\ backslash", 0L),
+      (2L, "embedded\nnewline and\ttab", 0L), // the framing stressor: a raw
+                                              // newline must escape, not split
+      (3L, "unicode é中", 1L),
+      (4L, "", 1L) // empty string survives as "", not null
+    ).toDF("doc_id", "text", "seg")
+    val files = graft.ops.Jsonl.buildFiles(d, Seq("doc_id", "text"))
+    assert(files.count() == 2, "one file per segment")
+    val parsed = graft.ops.Jsonl.parseLines(files, jsonlSchema).collect()
+      .map(r => r.getLong(3) -> ((r.getBoolean(2), r.getString(4)))).toMap
+    assert(parsed.size == 5 && parsed.values.forall(_._1),
+      s"all five lines must parse: $parsed")
+    val want = Map(0L -> "plain text", 1L -> "quotes \" and \\ backslash",
+      2L -> "embedded\nnewline and\ttab", 3L -> "unicode é中", 4L -> "")
+    want.foreach { case (id, txt) =>
+      assert(parsed(id)._2 == txt, s"doc $id round-trip moved the text")
+    }
+    // In-file line order is ascending id (deterministic serialization).
+    val seg0 = graft.ops.Jsonl.parseLines(
+      files.filter(col("path") === "jsonl-0"), jsonlSchema)
+      .orderBy("line_index").collect().map(_.getLong(3)).toSeq
+    assert(seg0 == Seq(0L, 1L, 2L), s"seg 0 order: $seg0")
+  }
+
+  test("JSONL parseLines: a malformed line reads parse_ok = false with nulls, never drops") {
+    import spark.implicits._
+    val files = Seq(
+      ("jsonl-bad", 3L,
+        "{\"doc_id\":7,\"text\":\"ok\"}\nnot json at all\n{\"doc_id\":9,\"text\":\"also ok\"}")
+    ).toDF("path", "n_lines", "content")
+    val rows = graft.ops.Jsonl.parseLines(files, jsonlSchema)
+      .orderBy("line_index").collect()
+    assert(rows.length == 3, "garbage must not drop rows")
+    assert(rows(0).getBoolean(2) && rows(0).getLong(3) == 7L)
+    assert(!rows(1).getBoolean(2) && rows(1).isNullAt(3) && rows(1).isNullAt(4),
+      "the garbage line reads parse_ok = false with null fields")
+    assert(rows(2).getBoolean(2) && rows(2).getLong(3) == 9L)
+  }
 }
