@@ -129,6 +129,9 @@ object Bench {
         // The on-disk MinHash dedup-index write (declared d15 then
         // measures the batch SERVE against the artifact).
         "d15_index_build" -> (() => { Queries.minhashIndexPath(spark, sfDir); 0L }),
+        // The on-disk line-inventory write (declared d26 then measures
+        // the batch SERVE against the artifact).
+        "d26_index_build" -> (() => { Queries.lineIndexPath(spark, sfDir); 0L }),
         // The IRLS training + model-artifact write (declared t31 then
         // VERIFIES the loaded model's scores; st20 serves it).
         "t31_model_build" -> (() => { Queries.qualityModelPath(spark, sfDir); 0L }),
@@ -177,6 +180,7 @@ object Bench {
       "n11_inloop_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n11_graph")),
       "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)),
       "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
+      "d26_index_build" -> (() => Queries.evictLineIndex(spark, sfDir)),
       "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),
       "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)),
       "t35_vocab_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "unigram_vocab")))

@@ -662,16 +662,8 @@ object Queries {
     // lines across 57 touched docs, 4 of them scrubbed to '').
     // Hash-df sliver + exact-text ownership make the result
     // bit-identical to the text-level oracle.
-    "d24_line_dedup" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val lines10 = transform(
-        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
-        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
-      ops.Dedup.lineDedup(
-        docs(s, dir).withColumn("text", concat_ws("\n", lines10))
-          .select("doc_id", "text"),
-        "doc_id", "text")
-    }),
+    "d24_line_dedup" -> ((s, dir) =>
+      ops.Dedup.lineDedup(reflow10(docs(s, dir)), "doc_id", "text")),
 
     // Line-level benchmark decontamination (d25 — d24's cross-set form
     // and the line-granular analog of d19's W-token windows): every
@@ -682,16 +674,22 @@ object Queries {
     // line text. A real gate: 11 lines / 2 docs at sf0.01, 421 / 325
     // at sf0.1.
     "d25_line_decontaminate" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val lines10 = transform(
-        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
-        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
-      val d = docs(s, dir).withColumn("text", concat_ws("\n", lines10))
-        .select("doc_id", "text")
+      val d = reflow10(docs(s, dir))
       ops.Dedup.lineDecontaminate(
         d.filter(col("doc_id") % 20 =!= 0),
         d.filter(col("doc_id") % 20 === 0), "doc_id", "text")
     }),
+
+    // Persisted line-inventory dedup (d26): the d15/st16 lifecycle at
+    // d24's granularity — the resident (even-id) half's line set is a
+    // saved artifact; each ingest batch (odd ids) scrubs lines the
+    // index owns (OLD WINS, the d07 convention) plus its own
+    // within-batch repeats, without re-reading the resident corpus.
+    // Probe joins keyed on (xxhash64, text) — exact under collisions.
+    "d26_line_index" -> ((s, dir) =>
+      ops.Dedup.lineDedupFromIndex(s, lineIndexPath(s, dir),
+        reflow10(docs(s, dir)).filter(col("doc_id") % 2 === 1),
+        "doc_id", "text")),
 
     // Variable-length EXACT-SUBSTRING dedup (Lee et al.'s ExactSubstr
     // semantics — the suffix-array half that d13's fixed trigrams
@@ -1281,6 +1279,39 @@ object Queries {
     // The stream serve drains to the identical per-doc frame
     // (per-document independence under any batch slicing).
     "st26_line_decon_serve" -> LineDeconOracle,
+
+    // d24's reflow over ALL docs, then the OLD-WINS incremental rule
+    // on the odd (batch) half: a batch line is removed iff non-empty
+    // and EITHER present among the even (resident) half's lines OR a
+    // later occurrence within the batch's own (doc_id, line_index)
+    // order — exactly what probing the persisted index + batch-local
+    // first-occurrence dedup computes.
+    "d26_line_index" ->
+      """WITH tk AS (SELECT doc_id, str_split(text, ' ') AS t
+        |  FROM documents),
+        |rf AS (SELECT doc_id,
+        |    list_transform(range(0, CAST(ceil(len(t) / 10.0) AS INT)),
+        |      i -> array_to_string(list_slice(t, i*10 + 1, i*10 + 10), ' '))
+        |      AS ls FROM tk),
+        |lns AS (SELECT doc_id,
+        |    unnest([{'p': i - 1, 'line': ls[i]}
+        |            for i in range(1, len(ls) + 1)], recursive := true)
+        |  FROM rf),
+        |old_l AS (SELECT DISTINCT line FROM lns
+        |  WHERE doc_id % 2 = 0 AND len(line) > 0),
+        |rn AS (SELECT doc_id, p, line,
+        |    row_number() OVER (PARTITION BY line ORDER BY doc_id, p) AS r
+        |  FROM lns WHERE doc_id % 2 = 1),
+        |mk AS (SELECT doc_id, p, line,
+        |    CASE WHEN len(line) > 0 AND (r > 1
+        |        OR line IN (SELECT line FROM old_l))
+        |      THEN 1 ELSE 0 END AS rm
+        |  FROM rn)
+        |SELECT doc_id, count(*) AS n_lines,
+        |  CAST(sum(rm) AS BIGINT) AS n_removed,
+        |  coalesce(string_agg(CASE WHEN rm = 0 THEN line END,
+        |    chr(10) ORDER BY p), '') AS clean_text
+        |FROM mk GROUP BY doc_id""".stripMargin,
 
     "d13_dupspan_remove" ->
       """WITH w AS (SELECT doc_id, str_split(text, ' ') AS w FROM documents),
@@ -1881,6 +1912,33 @@ object Queries {
         docs(s, dir).filter(col("doc_id") % 2 === 0), p, "doc_id", "text")
     }
 
+  /** The deterministic 10-token reflow shared by the line-granularity
+    * family (d24/d25/d26/st26/p11): the t43 ceil/slice convention at
+    * the p10 width. Unconditionally char-count-preserving — 1-char
+    * separators both ways, so baseline and line-scrub masses share a
+    * unit. */
+  def reflow10(df: DataFrame): DataFrame = {
+    val toks = split(col("text"), " ")
+    val lines10 = transform(
+      sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
+      i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
+    df.withColumn("text", concat_ws("\n", lines10)).select("doc_id", "text")
+  }
+
+  /** The d26 persisted line-inventory artifact: the resident (even-id)
+    * half's reflowed line set, saved once and probed per ingest batch
+    * (memoized per session like the other index artifacts). */
+  def lineIndexPath(s: SparkSession, dir: String): String =
+    memoPath(s, dir, "line_index") { p =>
+      ops.Dedup.saveLineIndex(
+        reflow10(docs(s, dir)).filter(col("doc_id") % 2 === 0),
+        p, "doc_id", "text")
+    }
+
+  /** Drop the memoized d26 line-index path (Bench rerun contract). */
+  def evictLineIndex(s: SparkSession, dir: String): Unit =
+    artifactPaths.remove(s"${s.sparkContext.applicationId}|$dir|line_index")
+
   /** Drop the memoized d15 index path (Bench rerun contract, as
     * [[evictIvfIndex]]). */
   def evictMinhashIndex(s: SparkSession, dir: String): Unit =
@@ -2327,18 +2385,10 @@ object Queries {
     // broadcast benchmark line set — zero stream state, per-document
     // independence, drained frame == batch d25 row-for-row (shares
     // LineDeconOracle verbatim).
-    "st26_line_decon_serve" -> ((s, dir) => {
-      val toks = split(col("text"), " ")
-      val lines10 = transform(
-        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
-        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
-      def reflow(df: DataFrame) =
-        df.withColumn("text", concat_ws("\n", lines10))
-          .select("doc_id", "text")
+    "st26_line_decon_serve" -> ((s, dir) =>
       graft.streaming.EventsStream.lineDeconServe(s, dir,
-        reflow(docs(s, dir)).filter(col("doc_id") % 20 === 0),
-        b => reflow(b).filter(col("doc_id") % 20 =!= 0))
-    }),
+        reflow10(docs(s, dir)).filter(col("doc_id") % 20 === 0),
+        b => reflow10(b).filter(col("doc_id") % 20 =!= 0))),
 
     // Near-dup CLUSTERS: connected components over the near-dup pair
     // graph — every doc gets a cluster id (min doc id in its component)
@@ -3581,14 +3631,8 @@ object Queries {
             cl.select("id", "component"), "doc_id")
           .join(d, "doc_id")
           .select((col("weight_fp") * chars).as("m")), "soft_neardup")
-      val toks = split(col("text"), " ")
-      val lines10 = transform(
-        sequence(lit(0), ceil(size(toks) / lit(10.0)).cast("int") - 1),
-        i => concat_ws(" ", slice(toks, i * 10 + 1, lit(10))))
       val line = card(
-        Dedup.lineDedup(
-          d.withColumn("text", concat_ws("\n", lines10))
-            .select("doc_id", "text"), "doc_id", "text")
+        Dedup.lineDedup(reflow10(d), "doc_id", "text")
           .select((length(col("clean_text")).cast("long") * 1048576L)
             .as("m")), "line_dedup")
       baseline.unionByName(hard).unionByName(soft).unionByName(line)

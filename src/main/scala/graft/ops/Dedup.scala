@@ -1281,6 +1281,73 @@ object Dedup {
     untouched.unionByName(rebuilt)
   }
 
+  /** Persist a resident corpus's line inventory — the artifact that
+    * lets incremental crawl batches line-dedup WITHOUT re-scanning
+    * 100 TB per ingest (the d15/st16 persisted-index lifecycle at d24's
+    * granularity): the distinct non-empty lines, stored as
+    * (g = xxhash64(line), line) so the probe can join on the 8-byte
+    * key and verify on the text. At production scale write `bucketBy`
+    * g (the d15 layout note) so per-batch probes shuffle only the
+    * batch side. */
+  def saveLineIndex(corpus: DataFrame, path: String, idCol: String,
+      textCol: String): Unit =
+    corpus.select(explode(split(col(textCol), "\n", -1)).as("line"))
+      .filter(length(col("line")) > 0).distinct()
+      .select(xxhash64(col("line")).as("g"), col("line"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Line-dedup an ingest batch against a [[saveLineIndex]] artifact —
+    * the OLD-WINS incremental convention (d07's): a batch line is
+    * deleted iff it exists in the resident index, or an earlier
+    * occurrence of it exists in the batch itself (the [[lineDedup]]
+    * (doc_id, line_index) order, applied batch-locally). The resident
+    * corpus is never read beyond the index; per-ingest cost scales
+    * with the batch. Emits the [[lineDedup]] shape. Probe joins are
+    * keyed on the 8-byte hash AND the text — exact under collisions,
+    * the d18 argument. */
+  def lineDedupFromIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val idx = spark.read.parquet(path)
+    val w = batch.select(col(idCol).as("id"), col(textCol).as("text"),
+      split(col(textCol), "\n", -1).as("ls"))
+    val lines = w.select(col("id"), posexplode(col("ls")))
+      .filter(length(col("col")) > 0)
+      .select(col("id"), col("pos").as("p"), col("col").as("line"),
+        xxhash64(col("col")).as("g"))
+    // Resident lines always win; the anti-joined remainder is the
+    // batch's FRESH line stream, which dedups among itself exactly
+    // like lineDedup.
+    val rmIdx = lines.join(idx, Seq("g", "line"), "left_semi")
+      .select("id", "p")
+    val fresh = lines.join(idx, Seq("g", "line"), "left_anti")
+    val owners = fresh.groupBy("g", "line")
+      .agg(min(struct(col("id"), col("p"))).as("o"))
+    val rmBatch = fresh.join(owners, Seq("g", "line"))
+      .filter(!(col("id") === col("o.id") && col("p") === col("o.p")))
+      .select("id", "p")
+    val removed = rmIdx.unionByName(rmBatch)
+      .withColumn("rm", lit(1L)).localCheckpoint()
+    rebuildLines(w, removed, idCol)
+  }
+
+  /** Append an ingested batch's newly-owned lines to the index — the
+    * gated-batch half of the lifecycle: the batch's distinct non-empty
+    * lines not already resident append as (g, line) rows, after which
+    * re-ingesting the same batch scrubs to structural-only (OpsSpec
+    * holds this). Append-only, batch-sized work; bit-identical to a
+    * scratch [[saveLineIndex]] over the union. */
+  def appendToLineIndex(spark: org.apache.spark.sql.SparkSession,
+      path: String, batch: DataFrame, idCol: String,
+      textCol: String): Unit = {
+    val idx = spark.read.parquet(path)
+    batch.select(explode(split(col(textCol), "\n", -1)).as("line"))
+      .filter(length(col("line")) > 0).distinct()
+      .select(xxhash64(col("line")).as("g"), col("line"))
+      .join(idx, Seq("g", "line"), "left_anti")
+      .write.mode("append").parquet(path)
+  }
+
   /** Line-level benchmark decontamination — [[lineDedup]]'s cross-set
     * form and the line-granular analog of [[substrDecontaminate]]:
     * every non-empty corpus line whose text appears VERBATIM as a line

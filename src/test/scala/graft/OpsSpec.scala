@@ -2735,6 +2735,86 @@ class OpsSpec extends SparkSpec {
     assert(shuffled == out, "result must be partition-invariant")
   }
 
+  test("lineDedupFromIndex: old wins on interleaved ids, batch repeats dedup locally") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_lidx_test")
+    try {
+      // Resident doc has a LARGER id than the batch doc — the index
+      // must still win (the discriminating case vs a plain union d24,
+      // whose (doc_id, p) order would let batch doc 1 own the line).
+      val resident = Seq((2L, "shared line\nresident only")).toDF("doc_id", "text")
+      graft.ops.Dedup.saveLineIndex(resident, dir.toString, "doc_id", "text")
+      val batch = Seq(
+        (1L, "shared line\nbatch fresh"),
+        (3L, "batch fresh\nbatch fresh\n\nanother")
+      ).toDF("doc_id", "text")
+      val out = graft.ops.Dedup
+        .lineDedupFromIndex(spark, dir.toString, batch, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(out(1L) == ((2L, 1L, "batch fresh")),
+        "the resident copy owns 'shared line' despite its larger id")
+      assert(out(3L) == ((4L, 2L, "\nanother")),
+        "doc 1 owns the batch-fresh line; doc 3 loses both copies, " +
+          "keeps the structural empty and its private line")
+      // Append lifecycle: after gating the batch in, re-ingesting it
+      // scrubs every non-empty line (everything is now resident).
+      graft.ops.Dedup.appendToLineIndex(spark, dir.toString, batch,
+        "doc_id", "text")
+      val again = graft.ops.Dedup
+        .lineDedupFromIndex(spark, dir.toString, batch, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+      assert(again(1L) == ((2L, "")) && again(3L) == ((3L, "")),
+        s"re-ingesting a gated batch must scrub to structural-only " +
+          s"(doc 3's lone surviving empty line joins to ''): $again")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
+  test("lineDedupFromIndex equals an old-preloaded seen-set reference on the fixture") {
+    val all = Queries.reflow10(docs)
+    val dir = java.nio.file.Files.createTempDirectory("graft_lidx_ref")
+    try {
+      graft.ops.Dedup.saveLineIndex(
+        all.filter(col("doc_id") % 2 === 0), dir.toString, "doc_id", "text")
+      val batch = all.filter(col("doc_id") % 2 === 1)
+      val expected = {
+        val seen = scala.collection.mutable.HashSet[String]()
+        all.filter(col("doc_id") % 2 === 0).collect()
+          .foreach(r => r.getString(1).split("\n", -1)
+            .filter(_.nonEmpty).foreach(seen.add))
+        batch.collect().map(r => (r.getLong(0), r.getString(1)))
+          .sortBy(_._1).map { case (id, text) =>
+            val ls = text.split("\n", -1)
+            val kept = ls.filter(l => l.isEmpty || seen.add(l))
+            id -> ((ls.length.toLong, (ls.length - kept.length).toLong,
+              kept.mkString("\n")))
+          }.toMap
+      }
+      val out = graft.ops.Dedup
+        .lineDedupFromIndex(spark, dir.toString, batch, "doc_id", "text")
+        .collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3))))
+        .toMap
+      assert(out.keySet == expected.keySet)
+      val bad = out.keySet.filter(k => out(k) != expected(k))
+      assert(bad.isEmpty, s"diverged on $bad")
+      assert(expected.values.exists(_._2 > 0L),
+        "the fixture batch must actually collide with the resident index")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("lineDecontaminate: bench lines scrub, corpus-internal dups survive, empty bench is a no-op") {
     import spark.implicits._
     val bench = Seq((100L, "leaked paragraph\nbench only")).toDF("doc_id", "text")
