@@ -4199,6 +4199,27 @@ object Queries {
     // so the fixed 10-iteration count is pinned evidence of
     // convergence, not convention (remaining distance to stationarity
     // is bounded by residual/(1-d)).
+    // k-core membership census (n15, Seidman 1983): iterative peel of
+    // the MUTUAL n01 serving graph at k = 6 — the structural-outlier
+    // gate (fringe points whose neighborhoods evaporate under peeling)
+    // next to the s15 distance-based score. Mutual, not
+    // union-symmetrized: a directed k-NN graph has out-degree exactly
+    // k everywhere, so its union form is degree >= k by construction
+    // and peels all-or-nothing — reciprocity is where fringe structure
+    // shows (the mutual-k-NN outlier-removal construction). A real,
+    // multi-round gate: 442/500 in-core over 4 peel rounds at
+    // sf0.001, 417/500 over 8 at sf0.01, 1694/2000 over 10 at sf0.1.
+    // Pure integer degree arithmetic, count-driven driver fixpoint,
+    // per-round lineage truncation (GraphSearch scale notes).
+    "n15_kcore" -> ((s, dir) => {
+      val core = graft.ops.GraphSearch.kCore(
+        knnGraph(s, dir).select("id", "neighbors"), k = 6, mutual = true)
+      core.agg(
+        count(lit(1)).as("n_nodes"),
+        sum(col("in_core")).cast("long").as("n_in_core"),
+        max(col("n_rounds")).cast("long").as("n_rounds"))
+    }),
+
     "n12_pagerank" -> ((s, dir) => {
       val (pr, resid) = graft.ops.Centrality.pageRankWithResidual(
         knnGraph(s, dir).select("id", "neighbors"), iterations = 10)
@@ -4963,6 +4984,12 @@ object Queries {
     // every cell is shared and the drift mass is the sampling noise
     // floor for this fixture — the reading a healthy ingest shows;
     // OpsSpec plants a real shift and a zero case.
+    // OpsSpec holds op == independent peel and core nesting; the
+    // mutual-graph construction note lives on the declared query.
+    "n15_kcore" -> Seq(
+      "n_nodes" -> (500L, 500L, 2000L),
+      "n_in_core" -> (442L, 417L, 1694L),
+      "n_rounds" -> (4L, 8L, 10L)),
     "s21_embedding_drift" -> Seq(
       "n_cells" -> (8L, 8L, 8L),
       "n_a_total" -> (250L, 250L, 1000L),

@@ -439,4 +439,80 @@ object GraphSearch {
       .select(col("id"), col("lab"), col("vote_lab"),
         (col("vote_lab") === col("lab")).as("consistent"))
   }
+
+  /** k-core membership of the symmetrized serving graph (Seidman 1983
+    * — the classic cohesion decomposition): repeatedly delete vertices
+    * whose UNDIRECTED degree is below `k` until the fixpoint; the
+    * survivors are the maximal subgraph where every member keeps >= k
+    * in-core neighbors. On a K-NN graph this is the structural-outlier
+    * gate: a point whose neighborhood evaporates under peeling sits in
+    * a sparse fringe of embedding space (its "neighbors" are
+    * reciprocated by nobody) — the graph-native complement of the s15
+    * distance-based outlier score, and the selection signal coreset
+    * pipelines peel by. Emits (id, in_core INT) for EVERY input vertex
+    * plus the peel metadata columns (n_rounds, the fixpoint depth —
+    * constant per run, a driver value).
+    *
+    * Scale shape: symmetrize once (explode + union + distinct, one
+    * edge-keyed shuffle, localCheckpoint'ed); each peel round is ONE
+    * partial-agg'd degree count + a filter + two semi-joins trimming
+    * the edge table, with per-round localCheckpoint (the C2 lineage
+    * discipline) and ONE count() action driving the driver's fixpoint
+    * exit — no accumulators, retry-safe, bit-deterministic (the
+    * surviving set is a pure function of the edge set; no arithmetic
+    * beyond integer degree counts). Rounds are bounded by the peel
+    * depth — the degeneracy ordering's layer count, typically a handful
+    * on K-NN graphs (every pinned fixture reaches fixpoint <= 3) —
+    * and each round's edge table only SHRINKS. No reference analog
+    * (the reference builds the graph and stops, `NND.scala:282`);
+    * extends the §2.9 graph family. */
+  def kCore(graph: DataFrame, k: Int, mutual: Boolean = false): DataFrame = {
+    require(k >= 1, s"k must be >= 1, got $k")
+    val fwd = graph
+      .select(col("id").as("u"), explode(col("neighbors")).as("nb"))
+      .select(col("u"), col("nb.id").as("v"))
+      .filter(col("u") =!= col("v"))
+    // Undirected edge set: `mutual = false` symmetrizes by UNION (any
+    // direction makes an edge); `mutual = true` keeps only RECIPROCATED
+    // pairs (the mutual-k-NN construction outlier-removal pipelines
+    // build: a directed k-NN graph has out-degree exactly k everywhere,
+    // so its union-symmetrization is degree >= k by construction and
+    // peels all-or-nothing — reciprocity is where fringe structure
+    // actually shows).
+    val base =
+      if (mutual)
+        fwd.join(fwd.select(col("v").as("u"), col("u").as("v")),
+          Seq("u", "v"), "left_semi")
+      else fwd.unionByName(fwd.select(col("v").as("u"), col("u").as("v")))
+    var edges = base.distinct().localCheckpoint()
+    var alive = graph.select(col("id")).localCheckpoint()
+    var nAlive = alive.count()
+    var rounds = 0
+    var dropped = true
+    while (dropped) {
+      // Degree over the surviving edge table; vertices with no
+      // surviving edge at all have degree 0 and drop implicitly
+      // (they are absent from the aggregation).
+      val surv = edges.groupBy("u").agg(count(lit(1)).as("deg"))
+        .filter(col("deg") >= k)
+        .select(col("u").as("id"))
+        .localCheckpoint()
+      val n = surv.count()
+      dropped = n < nAlive
+      if (dropped) {
+        rounds += 1
+        alive = surv
+        nAlive = n
+        edges = edges
+          .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
+          .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
+          .localCheckpoint()
+      }
+    }
+    graph.select(col("id"))
+      .join(alive.withColumn("in_core", lit(1)), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("in_core"), lit(0)).as("in_core"),
+        lit(rounds).as("n_rounds"))
+  }
 }

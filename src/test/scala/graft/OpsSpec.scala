@@ -2735,6 +2735,59 @@ class OpsSpec extends SparkSpec {
     assert(shuffled == out, "result must be partition-invariant")
   }
 
+  test("kCore: triangle survives the 2-core, the dangling chain peels in order") {
+    import spark.implicits._
+    val g = Seq(
+      (0L, Seq((1L, 0.9), (2L, 0.8))),
+      (1L, Seq((0L, 0.9), (2L, 0.7))),
+      (2L, Seq((0L, 0.8), (1L, 0.7))),
+      (3L, Seq((2L, 0.5))), // chain onto the triangle
+      (4L, Seq((3L, 0.4)))  // chain tail
+    ).toDF("id", "neighbors")
+      .withColumn("neighbors", transform(col("neighbors"),
+        x => struct(x("_1").as("id"), x("_2").as("similarity"))))
+    val out = graft.ops.GraphSearch.kCore(g, 2).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2)))).toMap
+    assert(out(0L)._1 == 1 && out(1L)._1 == 1 && out(2L)._1 == 1,
+      "the triangle is the 2-core")
+    assert(out(3L)._1 == 0 && out(4L)._1 == 0,
+      "the chain peels even though node 3 starts at degree 2 — " +
+        "peeling node 4 drops it below k, the cascade k-core exists for")
+    assert(out.values.map(_._2).toSet == Set(2),
+      s"two peel rounds (tail, then its support): ${out.values.map(_._2)}")
+  }
+
+  test("kCore on the mutual serving graph matches an independent peel; cores nest") {
+    val g = Queries.knnGraph(spark, sf001).select("id", "neighbors")
+    def refCore(k: Int): Set[Long] = {
+      val fwd = g.select(col("id"), explode(col("neighbors.id")).as("v"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+        .filter(e => e._1 != e._2).toSet
+      val und = fwd.filter(e => fwd(e.swap)) // mutual: both directions
+      var alive = g.select("id").collect().map(_.getLong(0)).toSet
+      var changed = true
+      while (changed) {
+        val deg = und.toSeq.filter(e => alive(e._1) && alive(e._2))
+          .groupBy(_._1).map { case (u, es) => u -> es.length }
+        val surv = alive.filter(u => deg.getOrElse(u, 0) >= k)
+        changed = surv.size < alive.size
+        alive = surv
+      }
+      alive
+    }
+    def opCore(k: Int): Set[Long] =
+      graft.ops.GraphSearch.kCore(g, k, mutual = true)
+        .filter(col("in_core") === 1).collect().map(_.getLong(0)).toSet
+    val (op5, ref5) = (opCore(5), refCore(5))
+    assert(op5 == ref5,
+      s"k=5 mismatch: op-only=${op5 -- ref5} ref-only=${ref5 -- op5}")
+    val op6 = opCore(6)
+    assert(op6 == refCore(6) && op6.subsetOf(op5),
+      "the 6-core must match the reference and nest inside the 5-core")
+    assert(op6.nonEmpty && op6.size < g.count(),
+      "k=6 must split the fixture graph non-trivially")
+  }
+
   test("lineDedupFromIndex: old wins on interleaved ids, batch repeats dedup locally") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft_lidx_test")
