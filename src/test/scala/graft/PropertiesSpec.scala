@@ -484,5 +484,74 @@ class PropertiesSpec extends SparkSpec {
         s"url='$messy': ${got(i.toLong)} != ${(canon, host)}")
     }
   }
+
+  test("line family: random line-alphabet corpora match the seen-set references") {
+    // CONSTRUCTIVE: documents are assembled from a small line alphabet
+    // (duplicates guaranteed, empty lines included), so the references
+    // are plain-Scala seen-set scrubbers over the same construction —
+    // no Spark re-implementation to drift against.
+    val alphabet = Vector("alpha beta", "gamma", "delta epsilon zeta",
+      "", "eta", "theta iota")
+    val docGen: Gen[Seq[Int]] = for {
+      n <- Gen.choose(1, 7)
+      ls <- Gen.listOfN(n, Gen.choose(0, alphabet.size - 1))
+    } yield ls
+    val corpus = sample(docGen, 60).zipWithIndex
+      .map { case (ls, i) => (i.toLong, ls.map(alphabet).mkString("\n")) }
+    val df = corpus.toDF("doc_id", "text")
+    type Out = (Long, Long, String)
+    def collectOut(d: org.apache.spark.sql.DataFrame): Map[Long, Out] =
+      d.collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    def refScrub(preSeen: Set[String]): Map[Long, Out] = {
+      val seen = scala.collection.mutable.HashSet[String](preSeen.toSeq: _*)
+      corpus.sortBy(_._1).map { case (id, text) =>
+        val ls = text.split("\n", -1)
+        val kept = ls.filter(l => l.isEmpty || seen.add(l))
+        id -> ((ls.length.toLong, (ls.length - kept.length).toLong,
+          kept.mkString("\n")))
+      }.toMap
+    }
+    // d24: global first-occurrence dedup.
+    val d24 = collectOut(graft.ops.Dedup.lineDedup(df, "doc_id", "text"))
+    val ref24 = refScrub(Set.empty)
+    assert(d24 == ref24, s"d24 diverged on ${
+      d24.keySet.filter(k => d24(k) != ref24(k)).take(3)}")
+    // d25: cross-set scrub against a fixed benchmark line set; a
+    // corpus-internal duplicate NOT in the bench must survive in every
+    // copy, so the reference pre-seeds ONLY the bench lines and never
+    // adds corpus lines.
+    val benchLines = Set("gamma", "eta")
+    val bench = benchLines.toSeq.zipWithIndex
+      .map { case (l, i) => (1000L + i, l) }.toDF("doc_id", "text")
+    val d25 = collectOut(
+      graft.ops.Dedup.lineDecontaminate(df, bench, "doc_id", "text"))
+    val ref25 = corpus.map { case (id, text) =>
+      val ls = text.split("\n", -1)
+      val kept = ls.filter(l => l.isEmpty || !benchLines(l))
+      id -> ((ls.length.toLong, (ls.length - kept.length).toLong,
+        kept.mkString("\n")))
+    }.toMap
+    assert(d25 == ref25, s"d25 diverged on ${
+      d25.keySet.filter(k => d25(k) != ref25(k)).take(3)}")
+    // d26: old-wins against a resident index = first-occurrence dedup
+    // with the resident lines pre-seeded.
+    val dir = java.nio.file.Files.createTempDirectory("graft_prop_lidx")
+    try {
+      val resident = Seq((0L, "gamma\ntheta iota")).toDF("doc_id", "text")
+      graft.ops.Dedup.saveLineIndex(resident, dir.toString,
+        "doc_id", "text")
+      val d26 = collectOut(graft.ops.Dedup.lineDedupFromIndex(
+        spark, dir.toString, df, "doc_id", "text"))
+      val ref26 = refScrub(Set("gamma", "theta iota"))
+      assert(d26 == ref26, s"d26 diverged on ${
+        d26.keySet.filter(k => d26(k) != ref26(k)).take(3)}")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
 }
 
