@@ -1511,6 +1511,33 @@ object Queries {
     * complete 5-block yields one guaranteed URL-dedup collision;
     * variants 1/2/4 live on per-source hosts, the domain-gate (t49)
     * key. Single source for the Spark queries and the SQL twins. */
+  /** The m08/st28 WARC fixture: URL-ified + HTML-ified documents with
+    * their per-segment assignment (doc_id div 50 — whole containers).
+    * Single source so the batch round trip and the streaming ingest
+    * serialize byte-identical segments. */
+  private[graft] def warcRecs(s: SparkSession, dir: String): DataFrame =
+    urlifiedDocs(docs(s, dir))
+      .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
+      .select(col("doc_id"), col("url"), htmlifiedCol.as("html"),
+        concat(lit("seg-"), expr("doc_id div 50")).as("seg"))
+
+  /** The m08/st28 record census over a parsed WarcRecord frame —
+    * order-independent fingerprints of every payload, URL, and record
+    * id, so any moved byte moves the census. Single source with the
+    * streaming serve (the drained frame must census identically). */
+  private[graft] def warcCensus(parsed: DataFrame): DataFrame =
+    parsed.agg(
+      count(lit(1)).as("n_records"),
+      count_distinct(col("path")).as("n_files"),
+      sum(col("content_length")).as("payload_bytes"),
+      count_distinct(col("url")).as("n_urls"),
+      sum(conv(substring(md5(col("payload")), 1, 8), 16, 10)
+        .cast("long")).as("payload_fp"),
+      sum(conv(substring(md5(col("url").cast("binary")), 1, 8), 16, 10)
+        .cast("long")).as("url_fp"),
+      sum(regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
+        .cast("long")).as("ids_fp"))
+
   private[graft] def urlifiedDocs(d: DataFrame): DataFrame = {
     val b = expr("doc_id div 5")
     val v = pmod(col("doc_id"), lit(5))
@@ -3332,25 +3359,20 @@ object Queries {
     // and URL — the twin computes the same numbers STRAIGHT from the
     // documents table (no WARC model in SQL), so any framing or
     // parsing defect that moves a byte moves a fingerprint.
-    "m08_warc_census" -> ((s, dir) => {
-      val recs = urlifiedDocs(docs(s, dir))
-        .join(docs(s, dir).select(col("doc_id"), col("text")), "doc_id")
-        .select(col("doc_id"), col("url"), htmlifiedCol.as("html"),
-          concat(lit("seg-"), expr("doc_id div 50")).as("seg"))
-      val parsed = graft.ops.Warc.parseRecords(
-        graft.ops.Warc.buildFiles(recs)).toDF()
-      parsed.agg(
-        count(lit(1)).as("n_records"),
-        count_distinct(col("path")).as("n_files"),
-        sum(col("content_length")).as("payload_bytes"),
-        count_distinct(col("url")).as("n_urls"),
-        sum(conv(substring(md5(col("payload")), 1, 8), 16, 10)
-          .cast("long")).as("payload_fp"),
-        sum(conv(substring(md5(col("url").cast("binary")), 1, 8), 16, 10)
-          .cast("long")).as("url_fp"),
-        sum(regexp_extract(col("record_id"), "urn:graft:([0-9]+)", 1)
-          .cast("long")).as("ids_fp"))
-    }),
+    "m08_warc_census" -> ((s, dir) =>
+      warcCensus(graft.ops.Warc.parseRecords(
+        graft.ops.Warc.buildFiles(warcRecs(s, dir))).toDF())),
+
+    // Streaming WARC ingest (st28): the m08 segments materialized as
+    // REAL files and tailed through the binaryFile file source in
+    // bounded micro-batches, each parsed by the stateless m08 kernel
+    // in foreachBatch — per-FILE independence makes the drained
+    // record set equal the batch parse under any file-to-batch
+    // assignment, so st28 shares m08's bit-exact census twin verbatim
+    // (single-source WarcCensusOracle).
+    "st28_warc_ingest_serve" -> ((s, dir) =>
+      warcCensus(graft.streaming.EventsStream.warcIngestServe(
+        s, graft.ops.Warc.buildFiles(warcRecs(s, dir))))),
 
     // JSONL round-trip census (m09): the documents table serialized
     // into per-segment JSONL shards (canonical to_json lines, id
@@ -5221,6 +5243,27 @@ object Queries {
       |    * 1048576) AS BIGINT)) AS BIGINT) AS jdiv_fp
       |FROM j, tot""".stripMargin
 
+  /** m08's DuckDB twin — shared verbatim by the streaming WARC
+    * ingest (st28): per-file independence makes the drained record
+    * census equal the batch round trip, so the two oracles must
+    * never desync. */
+  val WarcCensusOracle: String =
+    s"""WITH ${urlSynthCte("documents")},
+      |${htmlSynthCtes("documents")},
+      |rec AS (SELECT u.doc_id, u.url, h.html
+      |  FROM urls u JOIN h USING (doc_id))
+      |SELECT
+      |  CAST(count(*) AS BIGINT) AS n_records,
+      |  CAST(count(DISTINCT doc_id // 50) AS BIGINT) AS n_files,
+      |  CAST(sum(strlen(html)) AS BIGINT) AS payload_bytes,
+      |  CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
+      |  CAST(sum(CAST(('0x' || substr(md5(html), 1, 8)) AS BIGINT))
+      |    AS BIGINT) AS payload_fp,
+      |  CAST(sum(CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT))
+      |    AS BIGINT) AS url_fp,
+      |  CAST(sum(doc_id) AS BIGINT) AS ids_fp
+      |FROM rec""".stripMargin
+
   val pipelineOracles: Map[String, String] = Map(
     "d01_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
@@ -6975,22 +7018,9 @@ object Queries {
     // order-independent md5-prefix sums (the 5162-line convention);
     // strlen == Spark's octet_length on this ASCII fixture (the
     // parser's byte-framing on non-ASCII is OpsSpec's hand fixture).
-    "m08_warc_census" ->
-      s"""WITH ${urlSynthCte("documents")},
-        |${htmlSynthCtes("documents")},
-        |rec AS (SELECT u.doc_id, u.url, h.html
-        |  FROM urls u JOIN h USING (doc_id))
-        |SELECT
-        |  CAST(count(*) AS BIGINT) AS n_records,
-        |  CAST(count(DISTINCT doc_id // 50) AS BIGINT) AS n_files,
-        |  CAST(sum(strlen(html)) AS BIGINT) AS payload_bytes,
-        |  CAST(count(DISTINCT url) AS BIGINT) AS n_urls,
-        |  CAST(sum(CAST(('0x' || substr(md5(html), 1, 8)) AS BIGINT))
-        |    AS BIGINT) AS payload_fp,
-        |  CAST(sum(CAST(('0x' || substr(md5(url), 1, 8)) AS BIGINT))
-        |    AS BIGINT) AS url_fp,
-        |  CAST(sum(doc_id) AS BIGINT) AS ids_fp
-        |FROM rec""".stripMargin,
+    "m08_warc_census" -> WarcCensusOracle,
+
+    "st28_warc_ingest_serve" -> WarcCensusOracle,
 
     // Straight from documents — no JSON model in SQL: if the Spark
     // side's to_json/from_json round trip moved any value, a

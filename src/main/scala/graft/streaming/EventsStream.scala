@@ -810,6 +810,69 @@ object EventsStream {
         "doc_id", "text")
     }
 
+  /** Streaming WARC ingest — the m08 byte-cursor parser applied to a
+    * LIVE crawl output directory through Spark's `binaryFile` FILE
+    * source (the production shape: the fetcher appends ~1 GB segment
+    * files to a directory, the engine tails it in bounded micro-batches
+    * via `maxFilesPerTrigger`): each batch's (path, content) rows run
+    * the stateless `Warc.parseRecords` kernel in `foreachBatch`, the
+    * stream holds ZERO state, and per-FILE independence (a WARC file
+    * parses alone, by construction) makes the drained record set equal
+    * the batch parse under any file-to-batch assignment — st28 shares
+    * m08's bit-exact census twin verbatim. The harness materializes
+    * `files` (a [[graft.ops.Warc.buildFiles]] frame) into real files
+    * driver-side, standing in for the fetcher; in production the
+    * directory already exists and this helper is just
+    * readStream-binaryFile → foreachBatch(parseRecords). */
+  def warcIngestServe(spark: SparkSession, files: DataFrame,
+      filesPerTrigger: Int = 3): DataFrame = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_warc_stream")
+    sys.addShutdownHook {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp.toFile)
+    }
+    files.select(col("path"), col("content").cast("binary")).collect()
+      .foreach { r =>
+        java.nio.file.Files.write(tmp.resolve(r.getString(0) + ".warc"),
+          r.getAs[Array[Byte]](1)): Unit
+      }
+    // The binaryFile source's fixed schema, stated explicitly — a
+    // streaming file source never infers (the m09 argument, enforced
+    // by the API here).
+    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("path",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("modificationTime",
+        org.apache.spark.sql.types.TimestampType),
+      org.apache.spark.sql.types.StructField("length",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("content",
+        org.apache.spark.sql.types.BinaryType)))
+    val src = spark.readStream.format("binaryFile")
+      .schema(binarySchema)
+      .option("maxFilesPerTrigger", filesPerTrigger)
+      .load(tmp.toString)
+    val buf = java.util.Collections.synchronizedList(
+      new java.util.ArrayList[org.apache.spark.sql.Row]())
+    @volatile var outSchema: Option[org.apache.spark.sql.types.StructType] =
+      None
+    val fn: (DataFrame, Long) => Unit = (batch, _) => {
+      val out = graft.ops.Warc
+        .parseRecords(batch.select(col("path"), col("content"))).toDF()
+      outSchema = Some(out.schema)
+      buf.addAll(java.util.Arrays.asList(out.collect(): _*)): Unit
+    }
+    val q = src.writeStream.foreachBatch(fn).start()
+    try q.processAllAvailable() finally q.stop()
+    val sch = outSchema.getOrElse(
+      org.apache.spark.sql.catalyst.ScalaReflection
+        .schemaFor[graft.ops.WarcRecord].dataType
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
+    spark.createDataFrame(buf, sch)
+  }
+
   /** Streaming tokenizer-fertility monitor — the t53 census kept live
     * at ingest (the per-language mix/fertility dashboard a crawl
     * operator watches): each micro-batch contributes its per-language

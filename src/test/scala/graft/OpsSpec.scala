@@ -990,6 +990,22 @@ class OpsSpec extends SparkSpec {
     assert(removed > 0L, "the sf0.001 split must actually leak lines")
   }
 
+  test("st28: drained streaming WARC ingest parses the identical record set") {
+    val files = graft.ops.Warc.buildFiles(Queries.warcRecs(spark, sf001))
+    val batch = graft.ops.Warc.parseRecords(files).toDF()
+      .drop("path") // the stream's paths are real file URIs, not seg names
+    val streamed = graft.streaming.EventsStream
+      .warcIngestServe(spark, files, filesPerTrigger = 2).drop("path")
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "drained records must equal the batch parse byte-for-byte")
+    // And the file-count census field survives the path renaming.
+    val nf = Queries.warcCensus(graft.streaming.EventsStream
+      .warcIngestServe(spark, files)).head().getLong(1)
+    assert(nf == files.count(), "every segment file must arrive")
+  }
+
   test("st27: drained streaming fertility census equals batch t53 row-for-row") {
     val batch = Queries.all("t53_fertility")(spark, sf001)
     val streamed = Queries.all("st27_fertility_serve")(spark, sf001)
