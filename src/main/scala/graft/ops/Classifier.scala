@@ -619,7 +619,11 @@ object Classifier {
         col(predCol).as("pred"))
       .agg(count(lit(1)).as("n"))
     val totals = pairs.groupBy("truth").agg(sum(col("n")).as("row_total"))
-    pairs.join(totals, Seq("truth"))
+      .withColumnRenamed("truth", "__truth")
+    // Null-safe equality: a NULL truth class (an unlabeled row is still
+    // an observed class here) must keep its (truth, pred) rows — a plain
+    // equi-join would silently drop the whole NULL-truth group.
+    pairs.join(totals, pairs("truth") <=> totals("__truth"))
       .select(col("truth"), col("pred"), col("n"), col("row_total"),
         org.apache.spark.sql.functions.expr(
           "(n div row_total) * 1048576 + ((n % row_total) * 1048576) div row_total")

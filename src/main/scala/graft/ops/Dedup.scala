@@ -1226,7 +1226,16 @@ object Dedup {
     * owner min both partial-agg before the shuffle), which AQE
     * skew-splits; the join's per-row work is a comparison. No
     * reference analog (vectors-only, `NND.scala:62-66`); extends the
-    * §2.9 dedup family. */
+    * §2.9 dedup family.
+    *
+    * Ownership order: "first occurrence" is min struct(id, pos) under
+    * the id column's NATURAL type ordering — numeric ids give the
+    * documented (doc_id ASC) order the oracles and the d07 old-wins
+    * convention assume; STRING ids order lexicographically (doc "10"
+    * before doc "9"). Callers with non-numeric ids who need a specific
+    * total order should pass a numeric order column as `idCol` (any
+    * deterministic total order yields a valid — just different —
+    * first-owner election; the removed-line COUNT is order-invariant). */
   def lineDedup(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val w = df.select(col(idCol).as("id"), col(textCol).as("text"),
       split(col(textCol), "\n", -1).as("ls"))
@@ -1336,16 +1345,29 @@ object Dedup {
     * lines not already resident append as (g, line) rows, after which
     * re-ingesting the same batch scrubs to structural-only (OpsSpec
     * holds this). Append-only, batch-sized work; bit-identical to a
-    * scratch [[saveLineIndex]] over the union. */
+    * scratch [[saveLineIndex]] over the union.
+    *
+    * The anti-joined delta is MATERIALIZED (localCheckpoint) before the
+    * append starts, so the write never reads the path it is appending
+    * to mid-write (the file listing is snapshotted at read time, but
+    * staging severs the dependency outright). NOT atomic: a mid-write
+    * failure leaves a partial append, and a blind retry re-appends the
+    * surviving rows — harmless for the semi-join probes (duplicates
+    * never change a semi-join's answer) but it grows the artifact;
+    * a production retry should rebuild via [[saveLineIndex]] over the
+    * union or write to a fresh path and swap. */
   def appendToLineIndex(spark: org.apache.spark.sql.SparkSession,
       path: String, batch: DataFrame, idCol: String,
       textCol: String): Unit = {
     val idx = spark.read.parquet(path)
-    batch.select(explode(split(col(textCol), "\n", -1)).as("line"))
+    val delta = batch
+      .select(explode(split(col(textCol), "\n", -1)).as("line"))
       .filter(length(col("line")) > 0).distinct()
       .select(xxhash64(col("line")).as("g"), col("line"))
       .join(idx, Seq("g", "line"), "left_anti")
-      .write.mode("append").parquet(path)
+      .localCheckpoint()
+    delta.write.mode("append").parquet(path)
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(delta)
   }
 
   /** Line-level benchmark decontamination — [[lineDedup]]'s cross-set

@@ -501,14 +501,30 @@ object GraphSearch {
       dropped = n < nAlive
       if (dropped) {
         rounds += 1
+        val prevAlive = alive
+        val prevEdges = edges
         alive = surv
         nAlive = n
         edges = edges
           .join(alive.select(col("id").as("u")), Seq("u"), "left_semi")
           .join(alive.select(col("id").as("v")), Seq("v"), "left_semi")
           .localCheckpoint()
+        // The new round's edges checkpoint is eager, so the superseded
+        // round's blocks have no remaining reader — release them now
+        // (the NND C2 loop discipline, `nnd/NND.scala:255-259`) instead
+        // of accumulating O(rounds) edge-table copies on a graph with
+        // deep degeneracy layers.
+        org.apache.spark.sql.GraftColumnBridge
+          .releaseLocalCheckpoint(prevEdges)
+        org.apache.spark.sql.GraftColumnBridge
+          .releaseLocalCheckpoint(prevAlive)
+      } else {
+        // Fixpoint: surv replicates alive's content and nothing reads it.
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(surv)
       }
     }
+    // Only `alive` feeds the (lazy) output; the final edge table is done.
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(edges)
     graph.select(col("id"))
       .join(alive.withColumn("in_core", lit(1)), Seq("id"), "left")
       .select(col("id"),

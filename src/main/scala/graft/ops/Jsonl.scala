@@ -34,7 +34,11 @@ object Jsonl {
     * only shuffle. */
   def buildFiles(df: DataFrame, cols: Seq[String], idCol: String = "doc_id",
       segCol: String = "seg"): DataFrame =
-    df.select(col(segCol), col(idCol).cast("long").as("__id"),
+    // The ordering key is the RAW id column (struct array_sort handles
+    // any orderable type) — a lossy cast("long") would turn a string id
+    // into a silent NULL sort key and scramble the documented
+    // deterministic ascending-id line order.
+    df.select(col(segCol), col(idCol).as("__id"),
         to_json(struct(cols.map(col): _*)).as("__line"))
       .groupBy(col(segCol))
       .agg(count(lit(1)).as("n_lines"),

@@ -826,13 +826,15 @@ object EventsStream {
     * readStream-binaryFile → foreachBatch(parseRecords). */
   def warcIngestServe(spark: SparkSession, files: DataFrame,
       filesPerTrigger: Int = 3): DataFrame = {
+    // The fixture materialization below is a DRIVER-side collect (it
+    // stands in for the fetcher writing the directory); hard-bound it
+    // so nobody points the exhibit harness at a real corpus frame.
+    val nFiles = files.count()
+    require(nFiles <= 64,
+      s"warcIngestServe materializes its fixture on the driver and is " +
+        s"bounded to <= 64 segment files (got $nFiles); in production " +
+        s"the crawl directory already exists — readStream the real path")
     val tmp = java.nio.file.Files.createTempDirectory("graft_warc_stream")
-    sys.addShutdownHook {
-      def rm(f: java.io.File): Unit = {
-        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
-      }
-      rm(tmp.toFile)
-    }
     files.select(col("path"), col("content").cast("binary")).collect()
       .foreach { r =>
         java.nio.file.Files.write(tmp.resolve(r.getString(0) + ".warc"),
@@ -865,7 +867,16 @@ object EventsStream {
       buf.addAll(java.util.Arrays.asList(out.collect(): _*)): Unit
     }
     val q = src.writeStream.foreachBatch(fn).start()
-    try q.processAllAvailable() finally q.stop()
+    // Temp fixture deleted as soon as the stream drains (not a JVM
+    // shutdown hook — repeated invocations in tests/Bench would
+    // accumulate hooks and undeleted-until-exit directories).
+    try q.processAllAvailable() finally {
+      q.stop()
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(tmp.toFile)
+    }
     val sch = outSchema.getOrElse(
       org.apache.spark.sql.catalyst.ScalaReflection
         .schemaFor[graft.ops.WarcRecord].dataType

@@ -2773,6 +2773,32 @@ class OpsSpec extends SparkSpec {
       s"two peel rounds (tail, then its support): ${out.values.map(_._2)}")
   }
 
+  test("kCore deep peel: a 41-node path peels in 21 rounds with flat block residency") {
+    import spark.implicits._
+    // Path graph 0-1-...-40: endpoints peel each round, so the 2-core
+    // peel runs 21 rounds — the degeneracy-depth regime where a loop
+    // that leaks its per-round localCheckpoints accumulates O(rounds)
+    // edge-table copies. The fixture witnesses both the fixpoint math
+    // and the release discipline.
+    val n = 41
+    val g = (0 until n).map { i =>
+      val nbs = Seq(i - 1, i + 1).filter(j => j >= 0 && j < n)
+        .map(j => (j.toLong, 0.5))
+      (i.toLong, nbs)
+    }.toDF("id", "neighbors")
+      .withColumn("neighbors", transform(col("neighbors"),
+        x => struct(x("_1").as("id"), x("_2").as("similarity"))))
+    val before = spark.sparkContext.getPersistentRDDs.size
+    val out = graft.ops.GraphSearch.kCore(g, 2).collect()
+    val after = spark.sparkContext.getPersistentRDDs.size
+    assert(out.forall(_.getInt(1) == 0), "a path has no 2-core")
+    assert(out.map(_.getInt(2)).toSet == Set(21),
+      s"21 peel rounds expected, got ${out.map(_.getInt(2)).toSet}")
+    assert(after - before <= 3,
+      s"per-round checkpoints must be released as superseded " +
+        s"(resident RDD delta $before -> $after; a leak reads ~2x rounds)")
+  }
+
   test("kCore on the mutual serving graph matches an independent peel; cores nest") {
     val g = Queries.knnGraph(spark, sf001).select("id", "neighbors")
     def refCore(k: Int): Set[Long] = {
