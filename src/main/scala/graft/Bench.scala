@@ -75,6 +75,80 @@ object Bench {
     } catch { case _: Throwable => }
   }
 
+  /** Parse a prior bench artifact's per-phase medians. Accepts both
+    * shapes in the repo: the raw bench line (top-level `queries`) and
+    * the driver's per-round wrapper, whose reliable machine part is
+    * the compact line under `parsed.queries` (the wrapper's `tail`
+    * holds a truncated stdout copy of the full line). Any read/parse
+    * failure degrades to an empty map, never a crashed bench. */
+  private[graft] def loadPriorQueries(p: java.nio.file.Path): Map[String, Double] =
+    try {
+      import org.json4s._
+      val j = jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      val q = (j \ "queries") match {
+        case JObject(f) if f.nonEmpty => JObject(f)
+        case _ => j \ "parsed" \ "queries"
+      }
+      q match {
+        case JObject(fields) => fields.collect {
+          case (k, JDouble(v)) => k -> v
+          case (k, JInt(v)) => k -> v.toDouble
+          case (k, JLong(v)) => k -> v.toDouble
+          case (k, JDecimal(v)) => k -> v.toDouble
+        }.toMap
+        case _ => Map.empty
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] prior-bench parse failed ($p): $e")
+      Map.empty
+    }
+
+  /** Prior per-phase medians for the regression guard, with their
+    * provenance label. Default sources, merged: the repo's committed
+    * `bench.json` (the previous round's close-tree run — the FULL
+    * per-phase map, read before this run overwrites it) overlaid by
+    * the newest driver artifact `BENCH_r*.json` (top-10 compact map).
+    * An explicit path (SPARK_GRAFT_BENCH_PREV) overrides both. */
+  private[graft] def priorMedians(
+      explicit: Option[String],
+      dir: java.nio.file.Path = java.nio.file.Paths.get(".")):
+      Option[(String, Map[String, Double])] =
+    explicit.map(java.nio.file.Paths.get(_)) match {
+      case Some(p) =>
+        val m = loadPriorQueries(p)
+        if (m.isEmpty) None else Some(p.getFileName.toString -> m)
+      case None =>
+        val roundArtifact = {
+          import scala.jdk.CollectionConverters._
+          val re = "BENCH_r(\\d+)\\.json".r
+          try java.nio.file.Files.list(dir).iterator().asScala
+            .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
+              .map(m => (m.group(1).toInt, p)))
+            .toSeq.sortBy(-_._1).headOption.map(_._2)
+          catch { case _: Throwable => None }
+        }
+        val closeTree = Some(dir.resolve("bench.json"))
+          .filter(java.nio.file.Files.isRegularFile(_))
+        val merged = closeTree.map(loadPriorQueries).getOrElse(Map.empty) ++
+          roundArtifact.map(loadPriorQueries).getOrElse(Map.empty)
+        if (merged.isEmpty) None
+        else Some((closeTree.toSeq ++ roundArtifact.toSeq)
+          .map(_.getFileName.toString).mkString("+") -> merged)
+    }
+
+  /** The regression rule: a phase flags when its current median
+    * exceeds 1.5x its prior one and the prior is >= 0.5 s (below
+    * that, scheduler noise dominates and ratios are meaningless).
+    * Returns (phase, prev, cur), current-order. */
+  private[graft] def flagRegressions(current: Seq[(String, Double)],
+      prior: Map[String, Double]): Seq[(String, Double, Double)] =
+    current.flatMap { case (name, med) =>
+      prior.get(name).collect {
+        case prev if prev >= 0.5 && med > 1.5 * prev => (name, prev, med)
+      }
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // Parsed up front: a malformed value must fail before pass 1, not
@@ -252,6 +326,32 @@ object Bench {
       }
     }
 
+    // --- Per-phase regression guard (round-15 directive) ---
+    // The bench total has crept round-over-round while per-phase stayed
+    // flat, and proving "nothing regressed" required hand-diffing two
+    // top-10 lists. Self-attribute instead: load the PREVIOUS round's
+    // per-phase medians (the newest driver-written BENCH_r*.json in the
+    // working directory, overridable via SPARK_GRAFT_BENCH_PREV), and
+    // flag any phase whose current median exceeds 1.5x its prior one in
+    // a durable `regressions` section carrying both values. Phases under
+    // 0.5 s prior are exempt (scheduler noise dominates them); a flagged
+    // phase still needs human adjudication (code change vs co-tenancy —
+    // the per-sample arrays attribute that), but the DETECTION is now
+    // mechanical. Any parse/read failure degrades to "no prior", never
+    // to a crashed bench.
+    val prevBench = priorMedians(sys.env.get("SPARK_GRAFT_BENCH_PREV"))
+    val prevMedians = prevBench.map(_._2).getOrElse(Map.empty[String, Double])
+    val regressions = flagRegressions(
+      results.map { case (name, med, _, _) => name -> med }, prevMedians)
+    val regressionsJson = regressions.map { case (name, prev, cur) =>
+      "\"" + name + "\":{\"prev\":" + (math.round(prev * 1000) / 1000.0) +
+        ",\"cur\":" + (math.round(cur * 1000) / 1000.0) +
+        ",\"ratio\":" + (math.round(cur / prev * 100) / 100.0) + "}"
+    }.mkString("{", ",", "}")
+    regressions.foreach { case (name, prev, cur) =>
+      System.err.println(f"[bench] REGRESSION $name: $prev%.2f -> $cur%.2f s")
+    }
+
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val sh = results.map { case (k, _, b, _) => "\"" + k + "\":" + b }
@@ -279,10 +379,13 @@ object Bench {
     val rerunGcJson = gcLog.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    val prevName = prevBench.map(_._1).getOrElse("none")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"max_stage_shuffle_bytes":$mx,""" +
       s""""total_shuffle_bytes":$totalShuffle,"gc_ms":$gcTotal,""" +
-      s""""samples":$samplesJson,"rerun_gc_ms":$rerunGcJson,"sf":"$sfDir"}"""
+      s""""samples":$samplesJson,"rerun_gc_ms":$rerunGcJson,""" +
+      s""""regressions":$regressionsJson,"prev_bench":"$prevName",""" +
+      s""""sf":"$sfDir"}"""
     // Durable copy first: round 1 lost the stdout line to interleaved
     // logging, so the driver's parser got only a tail. The file is the
     // source of truth; stdout is printed after spark.stop() so no
@@ -307,6 +410,7 @@ object Bench {
       s""""queries":$slowQs,"total_shuffle_bytes":$totalShuffle,""" +
       s""""max_stage_shuffle_bytes":$maxStage,"gc_ms":$gcTotal,""" +
       s""""n_queries":${SparkEntry.queries.size},"n_phases":${results.size},""" +
+      s""""n_regressions":${regressions.size},"prev_bench":"$prevName",""" +
       s""""sf":"$sfDir","detail":"bench.json"}"""
     spark.stop()
     System.out.println(line)

@@ -60,6 +60,46 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"pins without queries: $orphans")
   }
 
+  test("bench regression guard: parses both prior-artifact shapes and merges sources") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_benchprev")
+    try {
+      // The raw bench line (close-tree bench.json): full per-phase map.
+      java.nio.file.Files.writeString(dir.resolve("bench.json"),
+        """{"metric":"total","value":9.9,"queries":{"a_q":2.0,"b_q":4.0,"c_q":0.2}}""")
+      // The driver wrapper: compact map under parsed.queries (overlays).
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r14.json"),
+        """{"n":1,"tail":"...","parsed":{"queries":{"b_q":3.0}}}""")
+      // An older round artifact that must NOT win the newest-selection.
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r09.json"),
+        """{"n":1,"parsed":{"queries":{"b_q":99.0}}}""")
+      val Some((label, m)) = Bench.priorMedians(None, dir): @unchecked
+      assert(label == "bench.json+BENCH_r14.json")
+      assert(m == Map("a_q" -> 2.0, "b_q" -> 3.0, "c_q" -> 0.2),
+        "full close-tree map overlaid by the NEWEST driver artifact")
+      // Explicit override takes precedence over both defaults.
+      val Some((l2, m2)) = Bench.priorMedians(
+        Some(dir.resolve("BENCH_r09.json").toString), dir): @unchecked
+      assert(l2 == "BENCH_r09.json" && m2 == Map("b_q" -> 99.0))
+      // Garbage degrades to no-prior, never an exception.
+      java.nio.file.Files.writeString(dir.resolve("bad.json"), "{not json")
+      assert(Bench.priorMedians(Some(dir.resolve("bad.json").toString), dir).isEmpty)
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
+  test("bench regression guard: flags >1.5x on >=0.5s priors only") {
+    val prior = Map("slow_q" -> 2.0, "ok_q" -> 2.0, "tiny_q" -> 0.2)
+    val cur = Seq("slow_q" -> 3.1, "ok_q" -> 2.9, "tiny_q" -> 5.0,
+      "new_q" -> 9.0)
+    assert(Bench.flagRegressions(cur, prior) == Seq(("slow_q", 2.0, 3.1)),
+      "3.1 > 1.5*2.0 flags; 2.9 <= 3.0 passes; sub-0.5s priors and " +
+        "phases with no prior are exempt")
+  }
+
   test("oracle SQL references only fixture tables") {
     val tables = Set("region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
