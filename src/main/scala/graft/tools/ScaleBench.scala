@@ -72,9 +72,17 @@ object ScaleBench {
         graft.ops.Dedup.clusterNearDups(
           docs.select("doc_id", "text"), "doc_id", "text", 0.7,
           useLsh = true))),
-      ("d11_semantic_pairs", "vecs", () => noop(
-        graft.ops.Dedup.semanticPairs(
-          graft.Queries.augmentEmb(emb), "id", "features", 0.9))),
+      ("d11_semantic_pairs", "vecs", () => {
+        // The cluster count is the documented scan dial (SemDeDup runs
+        // k ∝ N in production — constant expected cluster size keeps
+        // Σ size(c)² linear; holding k at the sf0.1 default while N
+        // grows 50x would measure the knob, not the operator). ~500
+        // vectors per cluster, the sf0.1 operating point.
+        val aug = graft.Queries.augmentEmb(emb)
+        val k = math.max(8L, aug.count() / 500L).toInt
+        noop(graft.ops.Dedup.semanticPairs(aug, "id", "features", 0.9,
+          k = k))
+      }),
       ("d13_dupspan_remove", "docs", () => noop(
         graft.ops.Dedup.dupSpanRemove(docs, "doc_id", "text"))),
       ("d24_line_dedup", "docs", () => noop(
@@ -142,7 +150,9 @@ object ScaleBench {
         .filter { case (name, _, _) => only.forall(_.contains(name)) }
         .foreach { case (name, dim, run) =>
           phaseDim += name -> dim
-          prior(): Unit // n02's prior never inside any phase's timing
+          // n02's prior is never inside any phase's timing — prebuild
+          // it (only) for the phase that reads it.
+          if (name == "n02_graph_update") prior(): Unit
           val samples = (1 to reps).flatMap { i =>
             Thread.sleep(150)
             curShuffle.set(0L); maxStageShuffle.set(0L)

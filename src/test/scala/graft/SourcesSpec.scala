@@ -197,6 +197,46 @@ class SourcesSpec extends SparkSpec {
     assert(seg0 == Seq(0L, 1L, 2L), s"seg 0 order: $seg0")
   }
 
+  test("attributes sidecar: the alignment census detects a scrambled sidecar") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // The m10 contract: attribute shards align to text shards by
+    // (shard, line_index) BECAUSE buildFiles orders both sides by the
+    // same id. This witness breaks that premise deliberately (the
+    // attribute side serializes in DESCENDING id order via a negated
+    // ordering column) and asserts the census's n_aligned counter
+    // actually catches it — without this, n_aligned == n_lines would
+    // be unfalsified plumbing.
+    val d = Seq((0L, "a", 0L), (1L, "bb", 0L), (2L, "ccc", 0L),
+      (10L, "x", 1L), (11L, "yy", 1L), (12L, "zzz", 1L))
+      .toDF("doc_id", "text", "seg")
+    val textShards = graft.ops.Jsonl.buildFiles(d, Seq("doc_id", "text"))
+    val attrFrame = d.select(col("doc_id"), (-col("doc_id")).as("ord"),
+      length(col("text")).cast("long").as("n_chars"), col("seg"))
+    val tSch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("text", StringType)))
+    val aSch = StructType(Seq(StructField("doc_id", LongType),
+      StructField("n_chars", LongType)))
+    def census(attrShards: org.apache.spark.sql.DataFrame): (Long, Long) = {
+      val tp = graft.ops.Jsonl.parseLines(textShards, tSch)
+        .select(col("path"), col("line_index"), col("doc_id").as("t_id"))
+      val ap = graft.ops.Jsonl.parseLines(attrShards, aSch)
+        .select(col("path"), col("line_index"), col("doc_id").as("a_id"))
+      val r = tp.join(ap, Seq("path", "line_index"))
+        .agg(count(lit(1)), sum(when(col("t_id") === col("a_id"), 1L)
+          .otherwise(0L))).collect().head
+      (r.getLong(0), r.getLong(1))
+    }
+    val ok = census(graft.ops.Jsonl.buildFiles(attrFrame,
+      Seq("doc_id", "n_chars")))
+    assert(ok == ((6L, 6L)), s"aligned sidecar must fully align: $ok")
+    val bad = census(graft.ops.Jsonl.buildFiles(attrFrame,
+      Seq("doc_id", "n_chars"), idCol = "ord"))
+    assert(bad._1 == 6L && bad._2 == 2L,
+      s"descending-order sidecar must misalign on all but each " +
+        s"3-line shard's middle row: $bad")
+  }
+
   test("JSONL parseLines: a malformed line reads parse_ok = false with nulls, never drops") {
     import spark.implicits._
     val files = Seq(
