@@ -2059,6 +2059,30 @@ object Queries {
         graft.nnd.NND.Params(k = 10, maxIterations = 5))
     }
 
+  /** The s22 HNSW layer stack: layer 0 is the memoized n01 serving
+    * graph; each upper layer l is an NND build over the
+    * [[ops.GraphSearch.assignLayers]] level >= l subset (fanout 4 —
+    * layer sizes N/4^l), the top layer sized >= ~16 nodes. Upper
+    * builds are session-memoized like every serving artifact; their
+    * total build cost is the geometric tail Σ N/4^l ≈ N/3 extra
+    * vectors on top of the n01 build. */
+  private def s22LayerGraphs(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val e = emb(s, dir)
+    val maxLevel = math.max(1,
+      (math.log(e.count() / 16.0) / math.log(4.0)).toInt)
+    val levels = memo(s, dir, "s22_levels")(
+      graft.ops.GraphSearch.assignLayers(e, maxLevel))
+    val base = knnGraph(s, dir)
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    base +: (1 to maxLevel).map { l =>
+      memo(s, dir, s"s22_layer_$l")(
+        graft.nnd.NND.buildGraph(
+          e.join(levels.filter(col("level") >= l).select("id"), "id"),
+          graft.nnd.NND.Params(k = 8, maxIterations = 3))
+          .filter(col("neighbors").isNotNull).select("id", "neighbors"))
+    }
+  }
+
   /** The n02 prior: a graph over the 80% "existing" corpus (ids not
     * divisible by 5) — the artifact an incremental deployment already
     * has on disk before the day's append arrives. Built once per
@@ -4199,6 +4223,38 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, q, 10))
     }),
 
+    // HNSW-style layered serving (s22 — Malkov & Yashunin 2016 over
+    // the existing NND artifacts; VERDICT r14 optional #8): geometric
+    // layers (deterministic hash levels, fanout 4) each carry their
+    // own small NND graph, and search DESCENDS — top layer from fixed
+    // seeds, each lower layer entered AT the layer above's per-query
+    // result, only the base layer paying a full beam. The census
+    // prices the HNSW thesis as a controlled pair: the base layer runs
+    // at ONE QUARTER of s03's serving budget (beam 8 / hops 2 vs 32 /
+    // 4) with navigated vs random-seed entries, over one shared
+    // brute-force truth — entries hold 3-4x the flat recall (122 vs 31
+    // of 200 at sf0.1). The residual gap to s03's wide-beam 193 is the
+    // fixture's near-isotropic geometry (greedy descent's worst case,
+    // the s13 IVF caveat, measured background cosine <= 0.63); the
+    // OpsSpec clustered exhibit shows the production geometry, where
+    // the quarter-budget descent closes on the wide beam itself.
+    "s22_layered_search" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      val layers = s22LayerGraphs(s, dir)
+      val truth = SimilaritySearch.bruteForceTopK(e, q, 10)
+      val layered = recallCounts(
+        graft.ops.GraphSearch.searchHierarchical(layers, e, q, k = 10,
+          beam = 8, hops = 2, entries = 4, upperBeam = 8, upperHops = 3,
+          seeds = 4), truth)
+      val flat = recallCounts(
+        graft.ops.GraphSearch.searchGraph(layers.head, e, q, k = 10,
+          beam = 8, hops = 2, seeds = 4), truth)
+      layered.select(col("n_hits").as("n_hits_layered"), col("n_total"))
+        .crossJoin(flat.select(col("n_hits").as("n_hits_flat")))
+        .select(col("n_hits_layered"), col("n_hits_flat"), col("n_total"))
+    }),
+
     // Beam search over the PERSISTED graph artifact (n03): the n01
     // graph written to parquet once and reloaded — the durable
     // serving-graph lifecycle, search parameters and pins identical
@@ -4770,6 +4826,18 @@ object Queries {
       "n_incompressible" -> (39L, 30L, 352L)),
     "s03_graph_search" -> Seq(
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
+    // The s22 discriminating pair: layered search at a QUARTER of
+    // s03's base-layer budget vs the flat search at that same reduced
+    // budget — navigated entry points hold 3-4x the flat recall
+    // (122 vs 31 at sf0.1). Below s03's wide-beam 193 on THIS fixture
+    // because near-isotropic geometry is greedy descent's worst case
+    // (the s13 IVF caveat); OpsSpec carries the clustered-geometry
+    // exhibit where the descent closes on the wide beam. Measured
+    // 2026-08-16 (round 15, PinDump).
+    "s22_layered_search" -> Seq(
+      "n_hits_layered" -> (165L, 172L, 122L),
+      "n_hits_flat" -> (50L, 85L, 31L),
+      "n_total" -> (200L, 200L, 200L)),
     // = s03 by construction: the persisted (id, neighbors) table
     // round-trips parquet exactly, so the loaded-graph search emits
     // s03's rows (OpsSpec asserts row equality on a fresh build).

@@ -36,6 +36,13 @@ object GraphSearch {
     *   s03/n03 serving default) or "l2sim" (the graph's own 1/(1+L2),
     *   so beam membership, final ranking, and the stored adjacency all
     *   use ONE metric — what [[appendedLists]] needs)
+    * @param entryPoints optional PER-QUERY entry frontier
+    *   (query_id, node) replacing the shared deterministic seed set —
+    *   the hook [[searchHierarchical]]'s layer descent uses to start
+    *   each layer's search AT the previous layer's result instead of
+    *   at random-looking seeds. None (the default) keeps the original
+    *   seed plan byte-for-byte (s03/n03 pins and PlanSpec shapes
+    *   untouched).
     * @return (query_id, rank, nbr_id, score) — `score` in the chosen
     *   metric, rank by (score desc, id asc)
     */
@@ -47,7 +54,8 @@ object GraphSearch {
       beam: Int = 20,
       hops: Int = 3,
       seeds: Int = 8,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine",
+      entryPoints: Option[DataFrame] = None): DataFrame = {
     require(metric == "cosine" || metric == "l2sim", s"unknown metric '$metric'")
     // Fail fast like NND's param gates: k = 0 or seeds = 0 would
     // otherwise return an empty frame silently (and appendToGraph
@@ -106,7 +114,9 @@ object GraphSearch {
     // keeps the windowless TakeOrdered plan.
     val wBeam = Window.partitionBy("query_id").orderBy(desc("score"), asc("node"))
 
-    var visited = score(
+    var visited = score(entryPoints match {
+      case Some(e) => e.select(col("query_id"), col("node"))
+      case None =>
       if (hasPart) {
         val wSeed = Window.partitionBy("partition")
           .orderBy(xxhash64(col("node")), col("node"))
@@ -120,7 +130,8 @@ object GraphSearch {
         val seedNodes = corpus.select(col("id").as("node"))
           .orderBy(xxhash64(col("node")), col("node")).limit(seeds)
         q.select("query_id").crossJoin(seedNodes)
-      })
+      }
+    })
     var hop = 0
     while (hop < hops) {
       val frontier = visited
@@ -154,6 +165,91 @@ object GraphSearch {
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("score"))
+  }
+
+  /** HNSW-style layer assignment (Malkov & Yashunin 2016, the level
+    * draw ℓ ~ ⌊−ln(U)·mL⌋ made DETERMINISTIC): node id's xxhash64 is
+    * read as base-`fanout` digits and the level is the count of
+    * leading zero digits, capped at `maxLevel` — P(level ≥ l) =
+    * fanout^−l, exactly the HNSW geometric layer sizes, but stable
+    * under any partitioning, retry, or rebuild (the engine-wide
+    * seeded-hash convention; HNSW's RNG draw would make the hierarchy
+    * unreproducible). One codegen'd projection, zero shuffle. */
+  def assignLayers(corpus: DataFrame, maxLevel: Int,
+      fanout: Int = 4): DataFrame = {
+    require(maxLevel >= 1, s"maxLevel must be >= 1, got $maxLevel")
+    require(fanout >= 2, s"fanout must be >= 2, got $fanout")
+    val h = pmod(xxhash64(col("id"), lit(7919)),
+      lit(math.pow(fanout.toDouble, maxLevel.toDouble).toLong))
+    // level = largest l <= maxLevel with h % fanout^l == 0.
+    val level = (1 to maxLevel).foldLeft(lit(0)) { (acc, l) =>
+      when(pmod(h, lit(math.pow(fanout.toDouble, l.toDouble).toLong)) === 0L,
+        lit(l)).otherwise(acc)
+    }
+    corpus.select(col("id"), level.as("level"))
+  }
+
+  /** HNSW-style hierarchical search over a STACK of K-NN graphs:
+    * `layerGraphs(l)` is a serving graph over the nodes with
+    * [[assignLayers]] level ≥ l (index 0 = the full base graph, last =
+    * the sparsest top layer). The search descends: the top layer is
+    * searched from its deterministic seeds, every lower layer from the
+    * layer above's top-`entries` results per query
+    * ([[searchGraph]]'s `entryPoints` hook), and only the base layer
+    * runs at the full (k, beam, hops) budget — upper layers run at
+    * (entries, upperBeam, upperHops) over fanout^l-smaller graphs.
+    *
+    * What this buys (the HNSW thesis, graded as s22): the base-layer
+    * search starts at entry points already NEAR the query instead of
+    * at fixed random-looking seeds, so the SERVING budget — beam ×
+    * hops, the per-query distance-computation bill — drops for equal
+    * recall; the declared exhibit pins layered recall at a quarter of
+    * s03's beam against the flat search at the SAME reduced budget.
+    * Upper-layer probe cost is a geometric tail (Σ_l N/fanout^l ≈
+    * N/(fanout−1) extra BUILD vectors, a few × upperBeam × upperHops
+    * extra probes per query at serve time).
+    *
+    * Scale shape: each layer search is [[searchGraph]]'s relational
+    * loop (broadcast queries, narrow candidate-feature joins, bounded
+    * per-query beam windows, per-hop checkpoints released as
+    * superseded); the descent adds `maxLevel` such loops over
+    * geometrically shrinking graphs. Layer graphs are built by the
+    * same NND machinery as the base (each layer is just a smaller
+    * corpus) and persist like any serving artifact. No reference
+    * analog (the reference builds one flat graph and stops,
+    * `NND.scala:282`); extends the §2.9 search family. */
+  def searchHierarchical(
+      layerGraphs: Seq[DataFrame],
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      beam: Int = 8,
+      hops: Int = 2,
+      entries: Int = 2,
+      upperBeam: Int = 4,
+      upperHops: Int = 2,
+      seeds: Int = 4,
+      metric: String = "cosine"): DataFrame = {
+    require(layerGraphs.nonEmpty, "need at least the base layer graph")
+    require(entries > 0, s"entries must be positive, got $entries")
+    // Top layer searches from its deterministic seeds; each result
+    // frontier is checkpointed so the descent's plan depth stays
+    // bounded by one layer, then released once the next layer's
+    // frontier is materialized (the searchGraph hop discipline, one
+    // level up).
+    var entry: Option[DataFrame] = None
+    layerGraphs.reverse.dropRight(1).foreach { g =>
+      val res = searchGraph(g, corpus, queries, k = entries,
+        beam = upperBeam, hops = upperHops, seeds = seeds,
+        metric = metric, entryPoints = entry)
+        .select(col("query_id"), col("nbr_id").as("node"))
+        .localCheckpoint(true)
+      entry.foreach(
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
+      entry = Some(res)
+    }
+    searchGraph(layerGraphs.head, corpus, queries, k, beam, hops,
+      seeds, metric, entryPoints = entry)
   }
 
   /** Cheap small-append for the K-NN graph: attach `newPoints` to an

@@ -2751,6 +2751,110 @@ class OpsSpec extends SparkSpec {
     assert(shuffled == out, "result must be partition-invariant")
   }
 
+  test("assignLayers: deterministic geometric levels, capped at maxLevel") {
+    import spark.implicits._
+    val e = (0L until 4096L).map(i => (i, Array(0.1f))).toDF("id", "features")
+    val lv = graft.ops.GraphSearch.assignLayers(e, maxLevel = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // Same input, same levels (hash, not RNG).
+    val lv2 = graft.ops.GraphSearch.assignLayers(e.repartition(7), maxLevel = 3)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(lv == lv2, "levels must be partition-invariant")
+    val byLevel = lv.values.groupBy(identity).view.mapValues(_.size).toMap
+    // P(level >= l) = 4^-l: of 4096 ids expect ~1024 at >=1, ~256 at
+    // >=2, ~64 at 3 (capped). Generous 2x bands — the draw is a hash,
+    // not a quota.
+    val geL1 = lv.values.count(_ >= 1)
+    val geL2 = lv.values.count(_ >= 2)
+    val eq3 = byLevel.getOrElse(3, 0)
+    assert(geL1 > 512 && geL1 < 2048, s"level>=1 count $geL1 far from 1024")
+    assert(geL2 > 128 && geL2 < 512, s"level>=2 count $geL2 far from 256")
+    assert(eq3 > 16 && eq3 < 256, s"level==3 count $eq3 far from 64")
+    assert(lv.values.max <= 3, "cap must hold")
+  }
+
+  test("searchGraph entryPoints: a perfect entry finds the neighborhood a random seed misses") {
+    import spark.implicits._
+    // Two far-apart cliques; the deterministic seed set (smallest
+    // id-hashes) may land anywhere, so force the discriminating case:
+    // a query in clique B searched with hops = 0 (no expansion —
+    // entry quality IS the result) from an entry in B vs the default
+    // seeds drawn from the whole corpus.
+    val vecs = (0L until 10L).map(i => (i, Array(10f, 0f))) ++
+      (10L until 20L).map(i => (i, Array(-10f, 0.1f * (i - 10))))
+    val e = vecs.toDF("id", "features")
+    val g = graft.nnd.NND.buildGraph(e,
+        graft.nnd.NND.Params(k = 4, maxIterations = 4))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    val q = e.filter(col("id") === 15L)
+    val entry = Seq((15L, 12L)).toDF("query_id", "node")
+    val withEntry = graft.ops.GraphSearch.searchGraph(g, e, q, k = 3,
+        beam = 4, hops = 1, seeds = 1, entryPoints = Some(entry))
+      .collect().map(_.getLong(2)).toSet
+    assert(withEntry.nonEmpty && withEntry.forall(_ >= 10L),
+      s"entry in clique B + 1 hop must stay in B: $withEntry")
+    // Default path (entryPoints = None) is untouched: byte-identical
+    // parameters reproduce the s03-convention plan and still work.
+    val flat = graft.ops.GraphSearch.searchGraph(g, e, q, k = 3,
+      beam = 4, hops = 1, seeds = 1).collect()
+    assert(flat.nonEmpty, "default-seed path must still return results")
+  }
+
+  test("s22 layered search: clustered geometry — quarter-budget descent closes on the wide beam") {
+    import spark.implicits._
+    // The production embedding geometry (the declared s22 pins the
+    // near-isotropic fixture's operating point — greedy descent's
+    // documented worst case; HERE the metric has structure): 1000
+    // vectors in 50 well-separated 20-member clusters, 50-d,
+    // deterministic. Cluster size sits INSIDE the quarter-budget
+    // visited cap (max(4·beam, k+1) = 32 > 20), so once the descent
+    // lands in the right cluster the base beam can actually hold its
+    // top-10 — the regime the layer hierarchy serves; upper layers
+    // (~1-5 members per cluster) force cross-cluster edges, which is
+    // what makes the stack navigable where a flat k-NN graph's
+    // all-in-cluster adjacency is not.
+    val vecs = (0L until 1000L).map { i =>
+      val c = (i % 50).toInt
+      val rnd = new scala.util.Random(i)
+      val v = Array.tabulate(50)(d =>
+        (if (d == c) 3.0f else 0f) + (rnd.nextFloat() - 0.5f) * 0.6f)
+      (i, v)
+    }
+    val e = vecs.toDF("id", "features")
+    val base = graft.nnd.NND.buildGraph(e,
+        graft.nnd.NND.Params(k = 10, maxIterations = 5))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    val levels = graft.ops.GraphSearch.assignLayers(e, maxLevel = 2)
+    val uppers = (1 to 2).map { l =>
+      graft.nnd.NND.buildGraph(
+          e.join(levels.filter(col("level") >= l).select("id"), "id"),
+          graft.nnd.NND.Params(k = 8, maxIterations = 3))
+        .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    }
+    val q = e.filter(col("id") < 20)
+    val truth = graft.ops.SimilaritySearch.bruteForceTopK(e, q, 10)
+      .select(col("query_id"), col("nbr_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def hits(res: org.apache.spark.sql.DataFrame): Int =
+      res.select(col("query_id"), col("nbr_id")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).count(truth)
+    val layered = hits(graft.ops.GraphSearch.searchHierarchical(
+      base +: uppers, e, q, k = 10, beam = 8, hops = 2, entries = 4,
+      upperBeam = 8, upperHops = 3, seeds = 4))
+    val flatSame = hits(graft.ops.GraphSearch.searchGraph(base, e, q,
+      k = 10, beam = 8, hops = 2, seeds = 4))
+    val flatWide = hits(graft.ops.GraphSearch.searchGraph(base, e, q,
+      k = 10, beam = 32, hops = 4, seeds = 16))
+    info(s"hits of 200: layered(beam 8)=$layered " +
+      s"flat(beam 8)=$flatSame flat(beam 32)=$flatWide")
+    assert(layered >= (flatWide * 9) / 10,
+      s"clustered geometry: layered at beam 8/hops 2 must reach >= 90% " +
+        s"of the wide beam 32/hops 4 (layered=$layered wide=$flatWide)")
+    assert(layered > flatSame,
+      s"navigated entries must beat random seeds at the same budget " +
+        s"(layered=$layered flat=$flatSame)")
+  }
+
   test("kCore: triangle survives the 2-core, the dangling chain peels in order") {
     import spark.implicits._
     val g = Seq(
