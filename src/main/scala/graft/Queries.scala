@@ -2066,6 +2066,25 @@ object Queries {
     * builds are session-memoized like every serving artifact; their
     * total build cost is the geometric tail Σ N/4^l ≈ N/3 extra
     * vectors on top of the n01 build. */
+  /** The persisted s22 layer-stack artifact (n16): a one-row manifest
+    * (max_level) plus each layer graph written once to parquet — the
+    * durable form of the hierarchical serving stack (the n03/s14
+    * persisted-artifact lifecycle applied to s22). The narrow
+    * (id, neighbors) tables round-trip parquet exactly, so the
+    * loaded-stack search is bit-identical to s22's in-memory one
+    * (OpsSpec asserts row equality; the two queries share pin
+    * values). */
+  def layerStackPath(s: SparkSession, dir: String): String =
+    memoPath(s, dir, "s22_stack") { p =>
+      val layers = s22LayerGraphs(s, dir)
+      import s.implicits._
+      Seq(layers.size - 1).toDF("max_level")
+        .write.mode("overwrite").parquet(s"$p/meta")
+      layers.zipWithIndex.foreach { case (g, l) =>
+        g.write.mode("overwrite").parquet(s"$p/layer_$l")
+      }
+    }
+
   private def s22LayerGraphs(s: SparkSession, dir: String): Seq[DataFrame] = {
     val e = emb(s, dir)
     val maxLevel = math.max(1,
@@ -2168,6 +2187,61 @@ object Queries {
         Seq("query_id", "nbr_id"), "left")
       .agg(coalesce(sum(col("hit")), lit(0L)).as("n_hits"),
         count(lit(1)).as("n_total"))
+
+  /** The m10/p12 sidecar construction, single-sourced: immutable JSONL
+    * text shards (seg = doc_id div 50, the m09 layout) plus SEPARATE
+    * aligned attribute shards carrying the tagger outputs (t03 langid,
+    * t37 gopher n_words/n_stop/kept, the t10 PII patterns as span
+    * COUNTS — a Dolma attribute row carries spans/counts; the consumer
+    * decides), both PARSED BACK through the engine's own JSONL reader —
+    * m10 proves the alignment census, p12 consumes the attributes to
+    * materialize a filtered corpus. Returns (textRows, attrRows) keyed
+    * by (seg, line_index), text side carrying (t_doc_id, text,
+    * n_chars), attr side (a_doc_id, pred_lang, n_pii, n_words, n_stop,
+    * gopher_kept). */
+  private def m10ParsedShards(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val d = t(s, dir, "documents").withColumn("seg", expr("doc_id div 50"))
+    val textShards = graft.ops.Jsonl.buildFiles(d,
+      Seq("doc_id", "text", "lang", "source", "n_chars"))
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+    val phone = "\\+?\\d[\\d()\\s.-]{7,}\\d"
+    val attrs = TextAnalysis.languageId(d)
+      .select(col("doc_id"), col("seg"), col("pred_lang"),
+        (size(regexp_extract_all(col("text"), lit(email), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(ipv4), lit(0))) +
+          size(regexp_extract_all(col("text"), lit(phone), lit(0))))
+          .cast("long").as("n_pii"))
+      .join(TextAnalysis.gopherRules(d, "doc_id", "text",
+          stopWords = Seq("the", "a", "of", "and", "in"))
+        .select(col("doc_id"), col("n_words"), col("n_stop"),
+          col("kept").as("gopher_kept")), Seq("doc_id"))
+    val attrShards = graft.ops.Jsonl.buildFiles(attrs,
+        Seq("doc_id", "pred_lang", "n_pii", "n_words", "n_stop",
+          "gopher_kept"))
+      .select(regexp_replace(col("path"), "^jsonl-", "attr-").as("path"),
+        col("n_lines"), col("content"))
+    import org.apache.spark.sql.types._
+    val textSch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("text", StringType),
+      StructField("lang", StringType), StructField("source", StringType),
+      StructField("n_chars", LongType)))
+    val attrSch = StructType(Seq(
+      StructField("doc_id", LongType), StructField("pred_lang", StringType),
+      StructField("n_pii", LongType), StructField("n_words", LongType),
+      StructField("n_stop", LongType), StructField("gopher_kept", LongType)))
+    val tp = graft.ops.Jsonl.parseLines(textShards, textSch)
+      .select(regexp_extract(col("path"), "([0-9]+)$", 1).cast("long")
+          .as("seg"),
+        col("line_index"), col("doc_id").as("t_doc_id"), col("text"),
+        col("n_chars"))
+    val ap = graft.ops.Jsonl.parseLines(attrShards, attrSch)
+      .select(regexp_extract(col("path"), "([0-9]+)$", 1).cast("long")
+          .as("seg"),
+        col("line_index"), col("doc_id").as("a_doc_id"), col("pred_lang"),
+        col("n_pii"), col("n_words"), col("n_stop"), col("gopher_kept"))
+    (tp, ap)
+  }
 
   val pipeline: Map[String, (SparkSession, String) => DataFrame] = Map(
     // Exact dedup: one hash shuffle on the text key.
@@ -3458,47 +3532,7 @@ object Queries {
     // the same shard partitioning (the published-layout property this
     // operator exists to prove). Nothing collects, nothing infers.
     "m10_attributes_sidecar" -> ((s, dir) => {
-      val d = t(s, dir, "documents").withColumn("seg", expr("doc_id div 50"))
-      val textShards = graft.ops.Jsonl.buildFiles(d,
-        Seq("doc_id", "text", "lang", "source", "n_chars"))
-      // The t10 scrub patterns, counted instead of replaced (a Dolma
-      // attribute row carries spans/counts; the consumer decides).
-      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-      val ipv4 = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
-      val phone = "\\+?\\d[\\d()\\s.-]{7,}\\d"
-      val attrs = TextAnalysis.languageId(d)
-        .select(col("doc_id"), col("seg"), col("pred_lang"),
-          (size(regexp_extract_all(col("text"), lit(email), lit(0))) +
-            size(regexp_extract_all(col("text"), lit(ipv4), lit(0))) +
-            size(regexp_extract_all(col("text"), lit(phone), lit(0))))
-            .cast("long").as("n_pii"))
-        .join(TextAnalysis.gopherRules(d, "doc_id", "text",
-            stopWords = Seq("the", "a", "of", "and", "in"))
-          .select(col("doc_id"), col("n_words"), col("n_stop"),
-            col("kept").as("gopher_kept")), Seq("doc_id"))
-      val attrShards = graft.ops.Jsonl.buildFiles(attrs,
-          Seq("doc_id", "pred_lang", "n_pii", "n_words", "n_stop",
-            "gopher_kept"))
-        .select(regexp_replace(col("path"), "^jsonl-", "attr-").as("path"),
-          col("n_lines"), col("content"))
-      import org.apache.spark.sql.types._
-      val textSch = StructType(Seq(
-        StructField("doc_id", LongType), StructField("text", StringType),
-        StructField("lang", StringType), StructField("source", StringType),
-        StructField("n_chars", LongType)))
-      val attrSch = StructType(Seq(
-        StructField("doc_id", LongType), StructField("pred_lang", StringType),
-        StructField("n_pii", LongType), StructField("n_words", LongType),
-        StructField("n_stop", LongType), StructField("gopher_kept", LongType)))
-      val tp = graft.ops.Jsonl.parseLines(textShards, textSch)
-        .select(regexp_extract(col("path"), "([0-9]+)$", 1).cast("long")
-            .as("seg"),
-          col("line_index"), col("doc_id").as("t_doc_id"), col("text"))
-      val ap = graft.ops.Jsonl.parseLines(attrShards, attrSch)
-        .select(regexp_extract(col("path"), "([0-9]+)$", 1).cast("long")
-            .as("seg"),
-          col("line_index"), col("doc_id").as("a_doc_id"), col("pred_lang"),
-          col("n_pii"), col("n_words"), col("n_stop"), col("gopher_kept"))
+      val (tp, ap) = m10ParsedShards(s, dir)
       tp.join(ap, Seq("seg", "line_index"))
         .agg(count(lit(1)).as("n_lines"),
           count_distinct(col("seg")).as("n_files"),
@@ -3513,6 +3547,43 @@ object Queries {
           sum(col("n_stop")).as("stop_total"),
           sum(col("gopher_kept")).as("kept_total"),
           sum(col("n_pii")).as("pii_total"))
+    }),
+
+    // Sidecar-driven corpus materialization (p12 — the consumption
+    // half of m10's contract, i.e. the Dolma "mix" step): the filter
+    // decision reads ONLY the attribute shards — the text shards are
+    // never re-tagged, which is the entire point of publishing
+    // attributes separately — and the kept corpus is the (seg,
+    // line_index)-aligned join of the two shard sets under the mix
+    // rule (pred_lang = 'en' AND n_words >= 45 AND n_pii = 0 — the
+    // t31 "quality = en" convention plus a length gate plus the PII
+    // veto). Census: per-rule independent failure counts (a doc can
+    // fail several), kept doc count, kept EXACT char mass, and the
+    // kept text fingerprint — the release numbers a mixed corpus
+    // ships. Twin recomputes the taggers directly over documents and
+    // applies the identical predicate.
+    //
+    // Scale shape: m10's two parse projections + ONE shard-local
+    // (seg, line_index) join + a filter — the corpus text moves
+    // exactly once, the decision columns are integers/strings riding
+    // the attribute shards, and re-mixing with a different rule
+    // re-reads ONLY the sidecar (attribute shards are eval-config
+    // sized per doc, not corpus-sized).
+    "p12_sidecar_filter" -> ((s, dir) => {
+      val (tp, ap) = m10ParsedShards(s, dir)
+      val j = tp.join(ap, Seq("seg", "line_index"))
+      val keep = col("pred_lang") === "en" && col("n_words") >= 45L &&
+        col("n_pii") === 0L
+      j.agg(count(lit(1)).as("n_docs"),
+        sum(when(keep, 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("pred_lang") =!= "en", 1L).otherwise(0L))
+          .as("n_fail_lang"),
+        sum(when(col("n_words") < 45L, 1L).otherwise(0L)).as("n_fail_len"),
+        sum(when(col("n_pii") =!= 0L, 1L).otherwise(0L)).as("n_fail_pii"),
+        sum(when(keep, col("n_chars")).otherwise(0L)).as("kept_chars"),
+        sum(when(keep,
+          conv(substring(md5(col("text").cast("binary")), 1, 8), 16, 10)
+            .cast("long")).otherwise(0L)).as("kept_text_fp"))
     }),
 
     // Rolling-hash content fingerprint (order-sensitive).
@@ -4255,6 +4326,25 @@ object Queries {
         .select(col("n_hits_layered"), col("n_hits_flat"), col("n_total"))
     }),
 
+    // Hierarchical search over the PERSISTED layer stack (n16): the
+    // s22 stack written to parquet once (manifest + per-layer graphs)
+    // and reloaded — the durable serving-artifact lifecycle (n03/s14)
+    // applied to the hierarchy. Parameters and pins identical to
+    // s22's layered column because the narrow (id, neighbors) tables
+    // round-trip parquet bit-exactly (OpsSpec asserts row equality).
+    "n16_layered_persisted" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      val p = layerStackPath(s, dir)
+      val maxLevel = s.read.parquet(s"$p/meta").head().getInt(0)
+      val layers = (0 to maxLevel).map(l => s.read.parquet(s"$p/layer_$l"))
+      recallCounts(
+        graft.ops.GraphSearch.searchHierarchical(layers, e, q, k = 10,
+          beam = 8, hops = 2, entries = 4, upperBeam = 8, upperHops = 3,
+          seeds = 4),
+        SimilaritySearch.bruteForceTopK(e, q, 10))
+    }),
+
     // Beam search over the PERSISTED graph artifact (n03): the n01
     // graph written to parquet once and reloaded — the durable
     // serving-graph lifecycle, search parameters and pins identical
@@ -4838,6 +4928,12 @@ object Queries {
       "n_hits_layered" -> (165L, 172L, 122L),
       "n_hits_flat" -> (50L, 85L, 31L),
       "n_total" -> (200L, 200L, 200L)),
+    // = s22's layered column by construction: the persisted stack's
+    // narrow tables round-trip parquet exactly (OpsSpec asserts row
+    // equality on a fresh build), so divergence between these two pin
+    // rows is a bug, not drift.
+    "n16_layered_persisted" -> Seq(
+      "n_hits" -> (165L, 172L, 122L), "n_total" -> (200L, 200L, 200L)),
     // = s03 by construction: the persisted (id, neighbors) table
     // round-trips parquet exactly, so the loaded-graph search emits
     // s03's rows (OpsSpec asserts row equality on a fresh build).
@@ -7257,6 +7353,60 @@ object Queries {
         |FROM documents d
         |JOIN lang USING (doc_id) JOIN gop USING (doc_id)
         |JOIN pii USING (doc_id)""".stripMargin,
+
+    // p12 recomputes the taggers directly over documents and applies
+    // the same mix rule the Spark side reads off the attribute shards
+    // — the sidecar round trip being lossless makes the two equal.
+    "p12_sidecar_filter" ->
+      """WITH lang AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN g = 0 THEN 'und'
+        |      WHEN s_en = g THEN 'en' WHEN s_de = g THEN 'de' WHEN s_es = g THEN 'es'
+        |      WHEN s_fr = g THEN 'fr' WHEN s_zh = g THEN 'zh' ELSE 'und' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(list_filter(w, x -> x IN ('the','a','order','table','key'))) AS DOUBLE) / len(w) AS s_en,
+        |      CAST(len(list_filter(w, x -> x IN ('customer','hash','join','group','row'))) AS DOUBLE) / len(w) AS s_de,
+        |      CAST(len(list_filter(w, x -> x IN ('slow','agg','data','scan','part'))) AS DOUBLE) / len(w) AS s_es,
+        |      CAST(len(list_filter(w, x -> x IN ('scan','batch','data','merge','filter'))) AS DOUBLE) / len(w) AS s_fr,
+        |      CAST(len(list_filter(w, x -> x IN ('join','small','row','stream','window'))) AS DOUBLE) / len(w) AS s_zh,
+        |      greatest(
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','order','table','key'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('customer','hash','join','group','row'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('slow','agg','data','scan','part'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('scan','batch','data','merge','filter'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('join','small','row','stream','window'))) AS DOUBLE) / len(w)) AS g
+        |    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))),
+        |m AS (
+        |  SELECT doc_id,
+        |    CAST(len(str_split(text, ' ')) AS BIGINT) AS n_words,
+        |    CAST(len(regexp_extract_all(text,
+        |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+        |      + len(regexp_extract_all(text,
+        |        '\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b'))
+        |      + len(regexp_extract_all(text,
+        |        '\+?\d[\d()\s.-]{7,}\d')) AS BIGINT) AS n_pii
+        |  FROM documents)
+        |SELECT
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(CASE WHEN lang.pred_lang = 'en' AND m.n_words >= 45
+        |    AND m.n_pii = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |  CAST(sum(CASE WHEN lang.pred_lang <> 'en' THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fail_lang,
+        |  CAST(sum(CASE WHEN m.n_words < 45 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fail_len,
+        |  CAST(sum(CASE WHEN m.n_pii <> 0 THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS n_fail_pii,
+        |  CAST(sum(CASE WHEN lang.pred_lang = 'en' AND m.n_words >= 45
+        |    AND m.n_pii = 0 THEN d.n_chars ELSE 0 END) AS BIGINT)
+        |    AS kept_chars,
+        |  CAST(sum(CASE WHEN lang.pred_lang = 'en' AND m.n_words >= 45
+        |    AND m.n_pii = 0
+        |    THEN CAST(('0x' || substr(md5(d.text), 1, 8)) AS BIGINT)
+        |    ELSE 0 END) AS BIGINT) AS kept_text_fp
+        |FROM documents d
+        |JOIN lang USING (doc_id) JOIN m USING (doc_id)""".stripMargin,
 
     "m04_phash" ->
       """WITH hx AS (

@@ -2855,6 +2855,51 @@ class OpsSpec extends SparkSpec {
         s"(layered=$layered flat=$flatSame)")
   }
 
+  test("n16 persisted layer stack: loaded-stack search equals the in-memory stack row-for-row") {
+    import spark.implicits._
+    val vecs = (0L until 200L).map { i =>
+      val c = (i % 10).toInt
+      val rnd = new scala.util.Random(i)
+      val v = Array.tabulate(16)(d =>
+        (if (d == c) 3.0f else 0f) + (rnd.nextFloat() - 0.5f) * 0.6f)
+      (i, v)
+    }
+    val e = vecs.toDF("id", "features")
+    val base = graft.nnd.NND.buildGraph(e,
+        graft.nnd.NND.Params(k = 8, maxIterations = 4))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    val levels = graft.ops.GraphSearch.assignLayers(e, maxLevel = 1)
+    val upper = graft.nnd.NND.buildGraph(
+        e.join(levels.filter(col("level") >= 1).select("id"), "id"),
+        graft.nnd.NND.Params(k = 6, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    val dir = java.nio.file.Files.createTempDirectory("graft_stack_test")
+    try {
+      base.write.mode("overwrite").parquet(s"$dir/layer_0")
+      upper.write.mode("overwrite").parquet(s"$dir/layer_1")
+      val loaded = Seq(spark.read.parquet(s"$dir/layer_0"),
+        spark.read.parquet(s"$dir/layer_1"))
+      val q = e.filter(col("id") < 10)
+      def rows(stack: Seq[org.apache.spark.sql.DataFrame]) =
+        graft.ops.GraphSearch.searchHierarchical(stack, e, q, k = 5,
+          beam = 6, hops = 2, entries = 2, upperBeam = 4, upperHops = 2,
+          seeds = 4)
+          .collect().map(r =>
+            (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+      val mem = rows(Seq(base, upper))
+      val disk = rows(loaded)
+      assert(mem == disk,
+        s"parquet round trip must not move a single ranked row: " +
+          s"mem-only=${mem -- disk} disk-only=${disk -- mem}")
+      assert(mem.nonEmpty, "the comparison must cover actual results")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
+      }
+      rm(dir.toFile)
+    }
+  }
+
   test("kCore: triangle survives the 2-core, the dangling chain peels in order") {
     import spark.implicits._
     val g = Seq(
