@@ -4268,6 +4268,23 @@ object Queries {
         SimilaritySearch.bruteForceTopK(e, e.filter(col("id") < 20), 10))
     }),
 
+    // Streaming layered-ANN serving (st29): the s22 hierarchy served
+    // over the query stream from the RELOADED n16 artifact — the
+    // serving triptych's third leg (s22 in-memory, n16 persisted,
+    // st29 streamed), the st10/st22 convention applied to the layer
+    // stack. Zero stream state; per-query independence makes the
+    // drain equal the batch descent under any slicing, so the three
+    // queries share one pin row.
+    "st29_layered_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val p = layerStackPath(s, dir)
+      val maxLevel = s.read.parquet(s"$p/meta").head().getInt(0)
+      val layers = (0 to maxLevel).map(l => s.read.parquet(s"$p/layer_$l"))
+      recallCounts(
+        graft.streaming.AnnServe.layeredServe(s, dir, layers, e),
+        SimilaritySearch.bruteForceTopK(e, e.filter(col("id") < 20), 10))
+    }),
+
     // Streaming heavy hitters: sharded Misra-Gries state (capacity
     // counters per shard FOREVER — vocabulary-scale-free) maintained
     // through mapGroupsWithState over a streaming read of documents,
@@ -4933,6 +4950,11 @@ object Queries {
     // equality on a fresh build), so divergence between these two pin
     // rows is a bug, not drift.
     "n16_layered_persisted" -> Seq(
+      "n_hits" -> (165L, 172L, 122L), "n_total" -> (200L, 200L, 200L)),
+    // = s22/n16 by construction (per-query-independent descent over
+    // the same reloaded stack; AnnServeSpec asserts drained-vs-batch
+    // row equality, scores included).
+    "st29_layered_serve" -> Seq(
       "n_hits" -> (165L, 172L, 122L), "n_total" -> (200L, 200L, 200L)),
     // = s03 by construction: the persisted (id, neighbors) table
     // round-trips parquet exactly, so the loaded-graph search emits

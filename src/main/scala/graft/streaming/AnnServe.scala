@@ -109,4 +109,28 @@ object AnnServe {
       // straight back out here, once per micro-batch.
       graft.ops.GraphSearch.appendedLists(prior, corpus, nw, k, beam, hops, seeds)
     }
+
+  /** Streaming HIERARCHICAL-ANN serving (st29) — the s22 layer-stack
+    * descent run per query micro-batch through `foreachBatch` (the
+    * st19/st22 idiom: the batch engine plans every micro-batch, the
+    * stream holds ZERO state) against the RESIDENT stack — in
+    * production the n16 parquet artifact, loaded once. The descent is
+    * per-query independent (it reads only the static stack and the
+    * query's own vector), so per-batch results union to the batch
+    * [[graft.ops.GraphSearch.searchHierarchical]] under ANY batch
+    * slicing — st29 shares s22/n16's pinned recall by construction,
+    * and AnnServeSpec asserts drained-vs-batch ROW equality, scores
+    * included. Defaults are s22's serving operating point. */
+  def layeredServe(spark: SparkSession, dir: String, layers: Seq[DataFrame],
+      corpus: DataFrame, k: Int = 10, beam: Int = 8, hops: Int = 2,
+      entries: Int = 4, upperBeam: Int = 8, upperHops: Int = 3,
+      seeds: Int = 4, maxQueryId: Long = 20): DataFrame =
+    EventsStream.runDrainedForeachBatch(
+      spark, dir, "embeddings", EventsStream.embeddingsSchema, "layered") { src =>
+      val q = src
+        .select(col("vec_id").as("id"), col("embedding").as("features"))
+        .filter(col("id") < maxQueryId)
+      graft.ops.GraphSearch.searchHierarchical(layers, corpus, q, k,
+        beam, hops, entries, upperBeam, upperHops, seeds)
+    }
 }

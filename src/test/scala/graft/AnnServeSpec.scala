@@ -29,6 +29,35 @@ class AnnServeSpec extends SparkSpec {
         s"only-served=${served.toSet -- batch.toSet}")
   }
 
+  test("streaming layered serve equals the batch hierarchical search row-for-row") {
+    val e = emb
+    val q = e.filter(col("id") < 20)
+    // A small in-memory stack suffices — the serve's claim is drain ==
+    // batch over the SAME stack, whatever the stack is.
+    val base = graft.nnd.NND.buildGraph(e,
+        graft.nnd.NND.Params(k = 8, maxIterations = 4))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val upper = graft.nnd.NND.buildGraph(
+        e.join(graft.ops.GraphSearch.assignLayers(e, maxLevel = 1)
+          .filter(col("level") >= 1).select("id"), "id"),
+        graft.nnd.NND.Params(k = 6, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val layers = Seq(base, upper)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val batch = rows(graft.ops.GraphSearch.searchHierarchical(
+      layers, e, q, k = 10, beam = 8, hops = 2, entries = 4,
+      upperBeam = 8, upperHops = 3, seeds = 4))
+    val served = rows(AnnServe.layeredServe(spark, sf001, layers, e))
+    assert(batch.nonEmpty)
+    assert(served.toSet == batch.toSet,
+      s"layered serve diverged from batch: " +
+        s"only-batch=${batch.toSet -- served.toSet} " +
+        s"only-served=${served.toSet -- batch.toSet}")
+  }
+
   test("streaming BM25 serve equals the batch impact-sum row-for-row") {
     val docs = spark.read.parquet(s"$sf001/documents.parquet")
     val impacts = graft.ops.TextAnalysis.bm25Impacts(docs)
