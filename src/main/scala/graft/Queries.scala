@@ -2643,6 +2643,34 @@ object Queries {
     "t03_langid" -> ((s, dir) =>
       TextAnalysis.languageId(docs(s, dir)).select("doc_id", "pred_lang")),
 
+    // Quality-score CALIBRATION report (t55) — the reliability table a
+    // shipped filter gets audited with: the t02 heuristic score binned
+    // into deciles (floor(quality·10), capped into the top bin at
+    // quality = 1.0) against the t03 'en' label, per bin the doc
+    // count, positive count, exact 2⁻²⁰ fixed-point positive rate
+    // (integer Euclidean split, the t54 discipline), and the exact
+    // char mass the bin gates. Bin membership is a floor of a double
+    // both engines compute bit-identically (t02's twin), so the table
+    // is bit-exact, not pinned. One partial-agg'd groupBy on a
+    // 10-value key over two row-local projections; nothing else moves
+    // — at 100 TB this is one corpus scan.
+    "t55_quality_calibration" -> ((s, dir) => {
+      val scored = TextAnalysis.qualityScore(
+        TextAnalysis.languageId(docs(s, dir)))
+      scored.select(
+          least(floor(col("quality") * 10).cast("long"), lit(9L)).as("bin"),
+          (col("pred_lang") === "en").cast("long").as("pos"),
+          col("n_chars"))
+        .groupBy("bin")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("pos")).as("n_pos"),
+          org.apache.spark.sql.functions.expr(
+            "(sum(pos) div count(1)) * 1048576 + " +
+              "((sum(pos) % count(1)) * 1048576) div count(1)")
+            .as("pos_rate_fp"),
+          sum(col("n_chars")).as("chars"))
+    }),
+
     // Langid confusion matrix (t54): the per-class error report the
     // t03 heuristic ships with — one row per observed (truth,
     // predicted) pair with count and the exact 2^-20 fixed-point row
@@ -6804,6 +6832,50 @@ object Queries {
       """SELECT doc_id,
         |  md5(array_to_string(list_sort(list_distinct(str_split(text, ' '))), ' ')) AS fingerprint
         |FROM documents""".stripMargin,
+
+    // t55: t02's quality expression and t03's langid CASE recomposed;
+    // bin membership is floor of a double both engines produce
+    // bit-identically, so the whole table is exact.
+    "t55_quality_calibration" ->
+      """WITH q AS (
+        |  SELECT doc_id, n_chars,
+        |    (CASE WHEN len(w) BETWEEN 20 AND 90 THEN 1.0 ELSE 0.5 END) * 0.4
+        |      + (CAST(len(list_distinct(w)) AS DOUBLE) / len(w)) * 0.3
+        |      + least((CAST(len(list_filter(w, x -> x IN ('the','a','of','and','in'))) AS DOUBLE) / len(w)) * 10.0, 1.0) * 0.3 AS quality
+        |  FROM (SELECT doc_id, n_chars, str_split(text, ' ') AS w FROM documents)),
+        |lang AS (
+        |  SELECT doc_id,
+        |    CASE
+        |      WHEN g = 0 THEN 'und'
+        |      WHEN s_en = g THEN 'en' WHEN s_de = g THEN 'de' WHEN s_es = g THEN 'es'
+        |      WHEN s_fr = g THEN 'fr' WHEN s_zh = g THEN 'zh' ELSE 'und' END AS pred_lang
+        |  FROM (
+        |    SELECT doc_id,
+        |      CAST(len(list_filter(w, x -> x IN ('the','a','order','table','key'))) AS DOUBLE) / len(w) AS s_en,
+        |      CAST(len(list_filter(w, x -> x IN ('customer','hash','join','group','row'))) AS DOUBLE) / len(w) AS s_de,
+        |      CAST(len(list_filter(w, x -> x IN ('slow','agg','data','scan','part'))) AS DOUBLE) / len(w) AS s_es,
+        |      CAST(len(list_filter(w, x -> x IN ('scan','batch','data','merge','filter'))) AS DOUBLE) / len(w) AS s_fr,
+        |      CAST(len(list_filter(w, x -> x IN ('join','small','row','stream','window'))) AS DOUBLE) / len(w) AS s_zh,
+        |      greatest(
+        |        CAST(len(list_filter(w, x -> x IN ('the','a','order','table','key'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('customer','hash','join','group','row'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('slow','agg','data','scan','part'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('scan','batch','data','merge','filter'))) AS DOUBLE) / len(w),
+        |        CAST(len(list_filter(w, x -> x IN ('join','small','row','stream','window'))) AS DOUBLE) / len(w)) AS g
+        |    FROM (SELECT doc_id, str_split(text, ' ') AS w FROM documents))),
+        |b AS (
+        |  SELECT least(CAST(floor(q.quality * 10) AS BIGINT), 9) AS bin,
+        |    CASE WHEN lang.pred_lang = 'en' THEN 1 ELSE 0 END AS pos,
+        |    q.n_chars
+        |  FROM q JOIN lang USING (doc_id))
+        |SELECT bin,
+        |  CAST(count(*) AS BIGINT) AS n_docs,
+        |  CAST(sum(pos) AS BIGINT) AS n_pos,
+        |  CAST((sum(pos) // count(*)) * 1048576
+        |    + ((sum(pos) % count(*)) * 1048576) // count(*) AS BIGINT)
+        |    AS pos_rate_fp,
+        |  CAST(sum(n_chars) AS BIGINT) AS chars
+        |FROM b GROUP BY 1""".stripMargin,
 
     // t03's marker-overlap argmax (same profiles, same tie order, same
     // zero-evidence 'und' guard) with the table's own lang carried as

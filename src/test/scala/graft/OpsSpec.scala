@@ -2855,6 +2855,27 @@ class OpsSpec extends SparkSpec {
         s"(layered=$layered flat=$flatSame)")
   }
 
+  test("searchHierarchical on a single-layer stack degenerates to searchGraph exactly") {
+    import spark.implicits._
+    val e = (0L until 100L).map { i =>
+      val rnd = new scala.util.Random(i)
+      (i, Array.fill(8)(rnd.nextFloat()))
+    }.toDF("id", "features")
+    val g = graft.nnd.NND.buildGraph(e,
+        graft.nnd.NND.Params(k = 5, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    val q = e.filter(col("id") < 5)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3))).toSet
+    val hier = rows(graft.ops.GraphSearch.searchHierarchical(Seq(g), e, q,
+      k = 3, beam = 5, hops = 2, seeds = 3))
+    val flat = rows(graft.ops.GraphSearch.searchGraph(g, e, q,
+      k = 3, beam = 5, hops = 2, seeds = 3))
+    assert(hier == flat && hier.nonEmpty,
+      "with no upper layers the descent IS the flat search (entry " +
+        "frontier never engages), row-for-row")
+  }
+
   test("n16 persisted layer stack: loaded-stack search equals the in-memory stack row-for-row") {
     import spark.implicits._
     val vecs = (0L until 200L).map { i =>
