@@ -4371,6 +4371,39 @@ object Queries {
         .select(col("n_hits_layered"), col("n_hits_flat"), col("n_total"))
     }),
 
+    // Tombstone-aware graph serving (n17 — the FreshDiskANN delete
+    // semantics, the production concern every vector store bolts on
+    // between index rebuilds): 14% of the corpus (id % 7 == 3) is
+    // deleted; dead nodes stay fully TRAVERSABLE — their adjacency
+    // still routes the beam, so graph connectivity survives the
+    // deletes without a rebuild — but can never be RETURNED (results
+    // re-rank after suppression, so k live answers come back whenever
+    // the beam surfaced that many; OpsSpec carries the
+    // bridge-through-a-tombstone discriminating witness where
+    // deleting nodes FROM THE GRAPH would strand the search). Census:
+    // pinned recall vs the brute-force truth over the LIVE corpus,
+    // plus n_dead (returned tombstones — structurally zero; a
+    // non-zero value is a bug, not drift). Consolidation — actually
+    // rewiring the lists — is the existing n08 prune over the live
+    // subset; this query prices the serve-between-consolidations
+    // state.
+    "n17_tombstone_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val dead = e.select("id").filter(col("id") % 7 === 3)
+      val live = e.join(dead, Seq("id"), "left_anti")
+      val q = live.filter(col("id") < 20)
+      val g = knnGraph(s, dir)
+        .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      val res = graft.ops.GraphSearch.searchGraph(g, e, q, k = 10,
+        beam = 32, hops = 4, seeds = 16, tombstones = Some(dead))
+        .localCheckpoint()
+      recallCounts(res, SimilaritySearch.bruteForceTopK(live, q, 10))
+        .crossJoin(res.join(dead.select(col("id").as("nbr_id")),
+            Seq("nbr_id"), "left_semi")
+          .agg(count(lit(1)).as("n_dead")))
+        .select(col("n_hits"), col("n_total"), col("n_dead"))
+    }),
+
     // Hierarchical search over the PERSISTED layer stack (n16): the
     // s22 stack written to parquet once (manifest + per-layer graphs)
     // and reloaded — the durable serving-artifact lifecycle (n03/s14)
@@ -4984,6 +5017,16 @@ object Queries {
     // row equality, scores included).
     "st29_layered_serve" -> Seq(
       "n_hits" -> (165L, 172L, 122L), "n_total" -> (200L, 200L, 200L)),
+    // n_dead is structurally zero (the suppression anti-join); the pin
+    // keeps it asserted. Recall is vs the LIVE-corpus brute truth with
+    // live queries (17-18 of the first 20 ids survive id % 7 == 3).
+    // Measured 2026-08-16 (round 15, PinDump): recall 0.95-0.97 vs the
+    // live-corpus truth — serving THROUGH the tombstones holds
+    // s03-grade recall with 14% of the corpus deleted and no rebuild.
+    "n17_tombstone_serve" -> Seq(
+      "n_hits" -> (165L, 166L, 161L),
+      "n_total" -> (170L, 170L, 170L),
+      "n_dead" -> (0L, 0L, 0L)),
     // = s03 by construction: the persisted (id, neighbors) table
     // round-trips parquet exactly, so the loaded-graph search emits
     // s03's rows (OpsSpec asserts row equality on a fresh build).

@@ -43,6 +43,13 @@ object GraphSearch {
     *   at random-looking seeds. None (the default) keeps the original
     *   seed plan byte-for-byte (s03/n03 pins and PlanSpec shapes
     *   untouched).
+    * @param tombstones optional deleted-id set (one `id` column): a
+    *   tombstoned node stays fully TRAVERSABLE — its adjacency still
+    *   routes the beam, so graph connectivity survives deletes without
+    *   a rebuild (the FreshDiskANN delete semantics) — but can never
+    *   be RETURNED. Results re-rank after the suppression, so the
+    *   caller still gets k live neighbors whenever the beam surfaced
+    *   that many. None (the default) changes nothing.
     * @return (query_id, rank, nbr_id, score) — `score` in the chosen
     *   metric, rank by (score desc, id asc)
     */
@@ -55,7 +62,8 @@ object GraphSearch {
       hops: Int = 3,
       seeds: Int = 8,
       metric: String = "cosine",
-      entryPoints: Option[DataFrame] = None): DataFrame = {
+      entryPoints: Option[DataFrame] = None,
+      tombstones: Option[DataFrame] = None): DataFrame = {
     require(metric == "cosine" || metric == "l2sim", s"unknown metric '$metric'")
     // Fail fast like NND's param gates: k = 0 or seeds = 0 would
     // otherwise return an empty frame silently (and appendToGraph
@@ -160,7 +168,15 @@ object GraphSearch {
       hop += 1
     }
 
-    visited
+    // Tombstone suppression happens at RESULT time, after traversal:
+    // dead nodes routed the beam above, they just cannot be answers.
+    val live = tombstones match {
+      case Some(t) =>
+        visited.join(broadcast(t.select(col("id").as("node"))),
+          Seq("node"), "left_anti")
+      case None => visited
+    }
+    live
       .filter(col("query_id") =!= col("node"))
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)

@@ -2876,6 +2876,44 @@ class OpsSpec extends SparkSpec {
         "frontier never engages), row-for-row")
   }
 
+  test("n17 tombstones: dead nodes route the beam but never return — a deleted bridge still carries the search") {
+    import spark.implicits._
+    // Two cliques joined ONLY through node 100: A = {0..4} (far from
+    // the query), B = {10..14} (the query's true neighborhood), and
+    // the bridge 100 placed between them. The graph is hand-built so
+    // the A->B path runs exclusively through the bridge; with the
+    // bridge TOMBSTONED, the FreshDiskANN semantics must still reach
+    // B (traverse through), while a graph-minus-dead search would
+    // strand in A — and the bridge itself must never be returned.
+    val vecs =
+      (0L to 4L).map(i => (i, Array(-10f + 0.1f * i, 0f))) ++
+      (10L to 14L).map(i => (i, Array(10f + 0.1f * (i - 10), 0f))) :+
+      ((100L, Array(0f, 1f)))
+    val e = vecs.toDF("id", "features")
+    def nbrs(ids: Seq[Long]) = ids.map(i => (i, 0.5))
+    val adj = Seq(
+      (0L, nbrs(Seq(1L, 2L, 100L))), (1L, nbrs(Seq(0L, 2L))),
+      (2L, nbrs(Seq(0L, 1L))), (3L, nbrs(Seq(0L, 1L))),
+      (4L, nbrs(Seq(0L, 1L))),
+      (100L, nbrs(Seq(0L, 10L))),
+      (10L, nbrs(Seq(11L, 12L, 100L))), (11L, nbrs(Seq(10L, 12L))),
+      (12L, nbrs(Seq(10L, 11L))), (13L, nbrs(Seq(10L, 11L))),
+      (14L, nbrs(Seq(10L, 11L)))
+    ).toDF("id", "neighbors")
+      .withColumn("neighbors", transform(col("neighbors"),
+        x => struct(x("_1").as("id"), x("_2").as("similarity"))))
+    val q = e.filter(col("id") === 14L) // in B; entry forced into A
+    val entry = Seq((14L, 0L)).toDF("query_id", "node")
+    val dead = Seq(Tuple1(100L)).toDF("id")
+    val res = graft.ops.GraphSearch.searchGraph(adj, e, q, k = 4,
+        beam = 4, hops = 4, seeds = 1, entryPoints = Some(entry),
+        tombstones = Some(dead))
+      .collect().map(_.getLong(2)).toSet
+    assert(res.intersect(Set(10L, 11L, 12L, 13L)).nonEmpty,
+      s"the beam must cross the tombstoned bridge into clique B: $res")
+    assert(!res.contains(100L), s"the tombstone itself must never return: $res")
+  }
+
   test("n16 persisted layer stack: loaded-stack search equals the in-memory stack row-for-row") {
     import spark.implicits._
     val vecs = (0L until 200L).map { i =>
