@@ -119,21 +119,58 @@ object Bench {
         val m = loadPriorQueries(p)
         if (m.isEmpty) None else Some(p.getFileName.toString -> m)
       case None =>
-        val roundArtifact = {
+        val newest = {
           import scala.jdk.CollectionConverters._
           val re = "BENCH_r(\\d+)\\.json".r
           try java.nio.file.Files.list(dir).iterator().asScala
             .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
               .map(m => (m.group(1).toInt, p)))
-            .toSeq.sortBy(-_._1).headOption.map(_._2)
+            .toSeq.sortBy(-_._1).headOption
           catch { case _: Throwable => None }
         }
+        // Frozen per-round baseline: bench.json is OVERWRITTEN by every
+        // run, so a second same-round run would otherwise compare
+        // against its own round's earlier output and mask exactly the
+        // within-round regressions the guard exists to catch
+        // (round-15 self-review finding). The first run after a new
+        // driver artifact BENCH_rN.json appears freezes the inherited
+        // bench.json (the previous round's close) as
+        // bench_baseline.json stamped with N; later runs of the same
+        // round read the frozen copy untouched.
+        val basePath = dir.resolve("bench_baseline.json")
+        val newestRound = newest.map(_._1).getOrElse(0)
+        val storedRound: Int =
+          try {
+            import org.json4s._
+            jackson.JsonMethods.parse(new String(
+              java.nio.file.Files.readAllBytes(basePath), "UTF-8")) \ "round" match {
+              case JInt(r) => r.toInt
+              case _ => -1
+            }
+          } catch { case _: Throwable => -1 }
         val closeTree = Some(dir.resolve("bench.json"))
           .filter(java.nio.file.Files.isRegularFile(_))
-        val merged = closeTree.map(loadPriorQueries).getOrElse(Map.empty) ++
-          roundArtifact.map(loadPriorQueries).getOrElse(Map.empty)
+        if (storedRound < newestRound) {
+          closeTree.map(loadPriorQueries).filter(_.nonEmpty).foreach { m =>
+            val qs = m.map { case (k, v) => "\"" + k + "\":" + v }
+              .mkString("{", ",", "}")
+            try java.nio.file.Files.write(basePath,
+              (s"""{"round":$newestRound,"queries":$qs}""" + "\n")
+                .getBytes("UTF-8")): Unit
+            catch { case _: Throwable => () }
+          }
+        }
+        val baseline = Some(basePath)
+          .filter(java.nio.file.Files.isRegularFile(_))
+        // Baseline (full map, frozen at round start) overlaid by the
+        // newest driver artifact's compact top-10 (always a PRIOR
+        // round's graded medians); raw bench.json is only the fallback
+        // when no baseline could be captured.
+        val base = baseline.orElse(closeTree)
+        val merged = base.map(loadPriorQueries).getOrElse(Map.empty) ++
+          newest.map(n => loadPriorQueries(n._2)).getOrElse(Map.empty)
         if (merged.isEmpty) None
-        else Some((closeTree.toSeq ++ roundArtifact.toSeq)
+        else Some((base.toSeq ++ newest.map(_._2).toSeq)
           .map(_.getFileName.toString).mkString("+") -> merged)
     }
 
@@ -227,8 +264,13 @@ object Bench {
       curShuffle.set(0L)
       maxStageShuffle.set(0L)
       val t0 = System.nanoTime()
-      try { run() } catch { case _: Throwable => -1L }
-      val secs = (System.nanoTime() - t0) / 1e9
+      // A crashed phase must record -1, never its time-to-failure: st28
+      // broke at sf0.1 for half of round 15 and its "0.28 s" wall read
+      // as a speedup instead of a failure (the silent-swallow hole).
+      val ok = try { run(); true } catch { case e: Throwable =>
+        System.err.println(s"[bench] PHASE FAILED $name: $e"); false
+      }
+      val secs = if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       Thread.sleep(150)
       (name, secs, curShuffle.get(), maxStageShuffle.get())
     }
@@ -410,6 +452,7 @@ object Bench {
       s""""queries":$slowQs,"total_shuffle_bytes":$totalShuffle,""" +
       s""""max_stage_shuffle_bytes":$maxStage,"gc_ms":$gcTotal,""" +
       s""""n_queries":${SparkEntry.queries.size},"n_phases":${results.size},""" +
+      s""""n_failed":${results.count(_._2 < 0)},""" +
       s""""n_regressions":${regressions.size},"prev_bench":"$prevName",""" +
       s""""sf":"$sfDir","detail":"bench.json"}"""
     spark.stop()

@@ -2059,13 +2059,6 @@ object Queries {
         graft.nnd.NND.Params(k = 10, maxIterations = 5))
     }
 
-  /** The s22 HNSW layer stack: layer 0 is the memoized n01 serving
-    * graph; each upper layer l is an NND build over the
-    * [[ops.GraphSearch.assignLayers]] level >= l subset (fanout 4 —
-    * layer sizes N/4^l), the top layer sized >= ~16 nodes. Upper
-    * builds are session-memoized like every serving artifact; their
-    * total build cost is the geometric tail Σ N/4^l ≈ N/3 extra
-    * vectors on top of the n01 build. */
   /** The persisted s22 layer-stack artifact (n16): a one-row manifest
     * (max_level) plus each layer graph written once to parquet — the
     * durable form of the hierarchical serving stack (the n03/s14
@@ -2085,6 +2078,13 @@ object Queries {
       }
     }
 
+  /** The s22 HNSW layer stack: layer 0 is the memoized n01 serving
+    * graph; each upper layer l is an NND build over the
+    * [[ops.GraphSearch.assignLayers]] level >= l subset (fanout 4 —
+    * layer sizes N/4^l), the top layer sized >= ~16 nodes. Upper
+    * builds are session-memoized like every serving artifact; their
+    * total build cost is the geometric tail Σ N/4^l ≈ N/3 extra
+    * vectors on top of the n01 build. */
   private def s22LayerGraphs(s: SparkSession, dir: String): Seq[DataFrame] = {
     val e = emb(s, dir)
     val maxLevel = math.max(1,
@@ -4996,14 +4996,17 @@ object Queries {
       "n_hits" -> (199L, 199L, 193L), "n_total" -> (200L, 200L, 200L)),
     // The s22 discriminating pair: layered search at a QUARTER of
     // s03's base-layer budget vs the flat search at that same reduced
-    // budget — navigated entry points hold 3-4x the flat recall
-    // (122 vs 31 at sf0.1). Below s03's wide-beam 193 on THIS fixture
-    // because near-isotropic geometry is greedy descent's worst case
-    // (the s13 IVF caveat); OpsSpec carries the clustered-geometry
-    // exhibit where the descent closes on the wide beam. Measured
-    // 2026-08-16 (round 15, PinDump).
+    // budget — navigated entry points hold 2-5x the flat recall
+    // (160 vs 31 at sf0.1, within 17% of s03's wide-beam 193 at 4x
+    // the budget; the residual gap is the fixture's near-isotropic
+    // geometry, greedy descent's worst case — the s13 IVF caveat).
+    // OpsSpec carries the clustered-geometry exhibit where the
+    // quarter-budget descent BEATS the wide beam. Re-measured
+    // 2026-08-16 after the round-15 self-review seed fix (top-layer
+    // seeds drawn from the layer, not the full corpus: 122 -> 160 at
+    // sf0.1).
     "s22_layered_search" -> Seq(
-      "n_hits_layered" -> (165L, 172L, 122L),
+      "n_hits_layered" -> (192L, 175L, 160L),
       "n_hits_flat" -> (50L, 85L, 31L),
       "n_total" -> (200L, 200L, 200L)),
     // = s22's layered column by construction: the persisted stack's
@@ -5011,12 +5014,12 @@ object Queries {
     // equality on a fresh build), so divergence between these two pin
     // rows is a bug, not drift.
     "n16_layered_persisted" -> Seq(
-      "n_hits" -> (165L, 172L, 122L), "n_total" -> (200L, 200L, 200L)),
+      "n_hits" -> (192L, 175L, 160L), "n_total" -> (200L, 200L, 200L)),
     // = s22/n16 by construction (per-query-independent descent over
     // the same reloaded stack; AnnServeSpec asserts drained-vs-batch
     // row equality, scores included).
     "st29_layered_serve" -> Seq(
-      "n_hits" -> (165L, 172L, 122L), "n_total" -> (200L, 200L, 200L)),
+      "n_hits" -> (192L, 175L, 160L), "n_total" -> (200L, 200L, 200L)),
     // n_dead is structurally zero (the suppression anti-join); the pin
     // keeps it asserted. Recall is vs the LIVE-corpus brute truth with
     // live queries (17-18 of the first 20 ids survive id % 7 == 3).

@@ -63,7 +63,30 @@ object GraphSearch {
       seeds: Int = 8,
       metric: String = "cosine",
       entryPoints: Option[DataFrame] = None,
-      tombstones: Option[DataFrame] = None): DataFrame = {
+      tombstones: Option[DataFrame] = None): DataFrame =
+    searchGraphCk(graph, corpus, queries, k, beam, hops, seeds, metric,
+      entryPoints, tombstones)._1
+
+  /** [[searchGraph]]'s body, additionally returning the last hop's
+    * `visited` localCheckpoint (None when hops = 0): the returned
+    * result is a LAZY projection over that checkpoint, so a caller
+    * that materializes the result into its own checkpoint (the
+    * [[searchHierarchical]] descent) can release the inner one
+    * immediately instead of leaving it to driver GC + ContextCleaner
+    * — the kCore/NND release discipline, one level up. Callers that
+    * return the lazy result to THEIR caller (the public
+    * [[searchGraph]]) must not release it. */
+  private def searchGraphCk(
+      graph: DataFrame,
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      beam: Int,
+      hops: Int,
+      seeds: Int,
+      metric: String,
+      entryPoints: Option[DataFrame],
+      tombstones: Option[DataFrame]): (DataFrame, Option[DataFrame]) = {
     require(metric == "cosine" || metric == "l2sim", s"unknown metric '$metric'")
     // Fail fast like NND's param gates: k = 0 or seeds = 0 would
     // otherwise return an empty frame silently (and appendToGraph
@@ -176,11 +199,12 @@ object GraphSearch {
           Seq("node"), "left_anti")
       case None => visited
     }
-    live
+    val result = live
       .filter(col("query_id") =!= col("node"))
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("score"))
+    (result, if (hops > 0) Some(visited) else None)
   }
 
   /** HNSW-style layer assignment (Malkov & Yashunin 2016, the level
@@ -255,11 +279,30 @@ object GraphSearch {
     // level up).
     var entry: Option[DataFrame] = None
     layerGraphs.reverse.dropRight(1).foreach { g =>
-      val res = searchGraph(g, corpus, queries, k = entries,
-        beam = upperBeam, hops = upperHops, seeds = seeds,
-        metric = metric, entryPoints = entry)
-        .select(col("query_id"), col("nbr_id").as("node"))
+      // Seeds must be MEMBERS of this layer's graph: searchGraph draws
+      // its deterministic seeds from the corpus it is handed, and a
+      // seed outside the layer has no adjacency — it scores but never
+      // expands, so a top layer seeded from the FULL corpus
+      // (P(membership) = fanout^-l per seed) would navigate almost
+      // never (round-15 self-review finding). Entry frontiers need no
+      // such restriction: levels NEST, so a layer-(l+1) result is a
+      // member of every layer below it by construction.
+      val layerCorpus =
+        if (entry.isEmpty)
+          corpus.join(g.select(col("id")), Seq("id"), "left_semi")
+        else corpus
+      val (resRaw, innerCk) = searchGraphCk(g, layerCorpus, queries,
+        k = entries, beam = upperBeam, hops = upperHops, seeds = seeds,
+        metric = metric, entryPoints = entry, tombstones = None)
+      val res = resRaw.select(col("query_id"), col("nbr_id").as("node"))
         .localCheckpoint(true)
+      // res is materialized: the inner search's last-hop checkpoint
+      // and the previous layer's entry frontier have no remaining
+      // reader — release both now instead of leaving their blocks to
+      // driver GC + ContextCleaner (the leak class the kCore fix
+      // closed this round).
+      innerCk.foreach(
+        org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
       entry.foreach(
         org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
       entry = Some(res)

@@ -829,59 +829,68 @@ object EventsStream {
     // The fixture materialization below is a DRIVER-side collect (it
     // stands in for the fetcher writing the directory); hard-bound it
     // so nobody points the exhibit harness at a real corpus frame.
-    val nFiles = files.count()
-    require(nFiles <= 64,
+    // Bound = 256 segments (the sf0.1 exhibit legitimately carries 100
+    // — the first cut at 64 silently broke the sf0.1 phase, caught by
+    // the round-15 per-SF verify sweep). ONE job: limit(bound+1) stops
+    // the scan right past the bound, and the collected rows are reused
+    // for the writes (a separate count() would execute the whole
+    // file-assembly pipeline twice).
+    val rows = files.select(col("path"), col("content").cast("binary"))
+      .limit(257).collect()
+    require(rows.length <= 256,
       s"warcIngestServe materializes its fixture on the driver and is " +
-        s"bounded to <= 64 segment files (got $nFiles); in production " +
+        s"bounded to <= 256 segment files (got > 256); in production " +
         s"the crawl directory already exists — readStream the real path")
     val tmp = java.nio.file.Files.createTempDirectory("graft_warc_stream")
-    files.select(col("path"), col("content").cast("binary")).collect()
-      .foreach { r =>
+    // Temp fixture deleted as soon as the harness exits on ANY path —
+    // including a failure before the stream even starts (a write
+    // throwing, readStream throwing). Not a JVM shutdown hook:
+    // repeated invocations in tests/Bench would accumulate hooks and
+    // undeleted-until-exit directories.
+    try {
+      rows.foreach { r =>
         java.nio.file.Files.write(tmp.resolve(r.getString(0) + ".warc"),
           r.getAs[Array[Byte]](1)): Unit
       }
-    // The binaryFile source's fixed schema, stated explicitly — a
-    // streaming file source never infers (the m09 argument, enforced
-    // by the API here).
-    val binarySchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("path",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("modificationTime",
-        org.apache.spark.sql.types.TimestampType),
-      org.apache.spark.sql.types.StructField("length",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("content",
-        org.apache.spark.sql.types.BinaryType)))
-    val src = spark.readStream.format("binaryFile")
-      .schema(binarySchema)
-      .option("maxFilesPerTrigger", filesPerTrigger)
-      .load(tmp.toString)
-    val buf = java.util.Collections.synchronizedList(
-      new java.util.ArrayList[org.apache.spark.sql.Row]())
-    @volatile var outSchema: Option[org.apache.spark.sql.types.StructType] =
-      None
-    val fn: (DataFrame, Long) => Unit = (batch, _) => {
-      val out = graft.ops.Warc
-        .parseRecords(batch.select(col("path"), col("content"))).toDF()
-      outSchema = Some(out.schema)
-      buf.addAll(java.util.Arrays.asList(out.collect(): _*)): Unit
-    }
-    val q = src.writeStream.foreachBatch(fn).start()
-    // Temp fixture deleted as soon as the stream drains (not a JVM
-    // shutdown hook — repeated invocations in tests/Bench would
-    // accumulate hooks and undeleted-until-exit directories).
-    try q.processAllAvailable() finally {
-      q.stop()
+      // The binaryFile source's fixed schema, stated explicitly — a
+      // streaming file source never infers (the m09 argument, enforced
+      // by the API here).
+      val binarySchema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("path",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("modificationTime",
+          org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("length",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("content",
+          org.apache.spark.sql.types.BinaryType)))
+      val src = spark.readStream.format("binaryFile")
+        .schema(binarySchema)
+        .option("maxFilesPerTrigger", filesPerTrigger)
+        .load(tmp.toString)
+      val buf = java.util.Collections.synchronizedList(
+        new java.util.ArrayList[org.apache.spark.sql.Row]())
+      @volatile var outSchema: Option[org.apache.spark.sql.types.StructType] =
+        None
+      val fn: (DataFrame, Long) => Unit = (batch, _) => {
+        val out = graft.ops.Warc
+          .parseRecords(batch.select(col("path"), col("content"))).toDF()
+        outSchema = Some(out.schema)
+        buf.addAll(java.util.Arrays.asList(out.collect(): _*)): Unit
+      }
+      val q = src.writeStream.foreachBatch(fn).start()
+      try q.processAllAvailable() finally q.stop()
+      val sch = outSchema.getOrElse(
+        org.apache.spark.sql.catalyst.ScalaReflection
+          .schemaFor[graft.ops.WarcRecord].dataType
+          .asInstanceOf[org.apache.spark.sql.types.StructType])
+      spark.createDataFrame(buf, sch)
+    } finally {
       def rm(f: java.io.File): Unit = {
         Option(f.listFiles).foreach(_.foreach(rm)); f.delete(): Unit
       }
       rm(tmp.toFile)
     }
-    val sch = outSchema.getOrElse(
-      org.apache.spark.sql.catalyst.ScalaReflection
-        .schemaFor[graft.ops.WarcRecord].dataType
-        .asInstanceOf[org.apache.spark.sql.types.StructType])
-    spark.createDataFrame(buf, sch)
   }
 
   /** Streaming tokenizer-fertility monitor — the t53 census kept live

@@ -188,11 +188,20 @@ object ScaleBench {
           // prebuild each (only) for the phase that reads it.
           if (name == "n02_graph_update") prior(): Unit
           if (name == "s22_layered_serve") stack(): Unit
+          // Shuffle telemetry is recorded from the last SUCCESSFUL rep
+          // — a failed rep's partial bytes would otherwise poison the
+          // tier's shuffle exponent while looking like a measurement.
+          var okShuffle = 0L
+          var okMaxStage = 0L
           val samples = (1 to reps).flatMap { i =>
             Thread.sleep(150)
             curShuffle.set(0L); maxStageShuffle.set(0L)
             val t0 = System.nanoTime()
-            try { run(); Some((System.nanoTime() - t0) / 1e9 )}
+            try {
+              run()
+              okShuffle = curShuffle.get(); okMaxStage = maxStageShuffle.get()
+              Some((System.nanoTime() - t0) / 1e9)
+            }
             catch { case e: Throwable =>
               System.err.println(s"[scale] $label/$name rep $i failed: $e")
               None
@@ -204,10 +213,10 @@ object ScaleBench {
             else (samples(samples.size / 2 - 1) + samples(samples.size / 2)) / 2
           System.err.println(f"[scale] $label%-5s $name%-24s median=$med%8.2f s " +
             samples.map(s => f"$s%.2f").mkString("[", ",", "]") +
-            s" shuffle=${curShuffle.get()} maxStage=${maxStageShuffle.get()}")
+            s" shuffle=$okShuffle maxStage=$okMaxStage")
           recs.getOrElseUpdate(name,
             scala.collection.mutable.LinkedHashMap()) +=
-            label -> ((samples, med, curShuffle.get(), maxStageShuffle.get()))
+            label -> ((samples, med, okShuffle, okMaxStage))
         }
       // Release the tier's artifacts before moving on.
       priorCache.foreach(

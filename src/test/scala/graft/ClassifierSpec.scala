@@ -388,4 +388,23 @@ class ClassifierSpec extends SparkSpec {
     val enShares = out.collect { case (("en", _), (_, _, s)) => s }.sum
     assert(enShares == 1048575L, s"en shares must sum to 2^20 - 1: $enShares")
   }
+
+  test("confusionMatrix: a NULL truth class keeps its rows (null-safe totals join)") {
+    // An unlabeled row is still an observed class; the round-15 ADVICE
+    // fix made the totals join null-safe — this pins it so a refactor
+    // back to the simpler (wrong) equi-join goes red instead of
+    // silently dropping the whole NULL-truth group.
+    val d = Seq(
+      (Option("en"), "en"),
+      (Option.empty[String], "en"), (Option.empty[String], "de")
+    ).toDF("truth_lang", "pred")
+    val out = Classifier.confusionMatrix(d, "truth_lang", "pred").collect()
+      .map(r => (Option(r.getString(0)), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out.size == 3, s"NULL-truth pairs must survive: ${out.keySet}")
+    assert(out((None, "en")) == ((1L, 2L, 524288L)) &&
+      out((None, "de")) == ((1L, 2L, 524288L)),
+      s"NULL truth row_total must cover both its pairs: $out")
+    assert(out((Some("en"), "en")) == ((1L, 1L, 1048576L)))
+  }
 }

@@ -73,9 +73,25 @@ class ContractSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(dir.resolve("BENCH_r09.json"),
         """{"n":1,"parsed":{"queries":{"b_q":99.0}}}""")
       val Some((label, m)) = Bench.priorMedians(None, dir): @unchecked
-      assert(label == "bench.json+BENCH_r14.json")
+      assert(label == "bench_baseline.json+BENCH_r14.json")
       assert(m == Map("a_q" -> 2.0, "b_q" -> 3.0, "c_q" -> 0.2),
-        "full close-tree map overlaid by the NEWEST driver artifact")
+        "frozen round-start baseline overlaid by the NEWEST driver artifact")
+      // Same-round freeze: a later run overwrites bench.json with its
+      // own output; the guard must keep comparing against the frozen
+      // round-start baseline, never same-round numbers (which would
+      // mask exactly the within-round regressions it exists to catch).
+      java.nio.file.Files.writeString(dir.resolve("bench.json"),
+        """{"queries":{"a_q":9.0,"b_q":9.0}}""")
+      val Some((labelFroz, mFroz)) = Bench.priorMedians(None, dir): @unchecked
+      assert(labelFroz == "bench_baseline.json+BENCH_r14.json" &&
+        mFroz("a_q") == 2.0, "same-round output must not replace the baseline")
+      // New round: a newer driver artifact refreshes the baseline from
+      // the inherited bench.json (the previous round's close).
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r15.json"),
+        """{"parsed":{"queries":{"b_q":1.0}}}""")
+      val Some((_, mRoll)) = Bench.priorMedians(None, dir): @unchecked
+      assert(mRoll("a_q") == 9.0 && mRoll("b_q") == 1.0,
+        "round rollover must re-freeze from the inherited close")
       // Explicit override takes precedence over both defaults.
       val Some((l2, m2)) = Bench.priorMedians(
         Some(dir.resolve("BENCH_r09.json").toString), dir): @unchecked

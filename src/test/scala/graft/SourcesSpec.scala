@@ -197,6 +197,24 @@ class SourcesSpec extends SparkSpec {
     assert(seg0 == Seq(0L, 1L, 2L), s"seg 0 order: $seg0")
   }
 
+  test("JSONL buildFiles: STRING ids order naturally, never through a lossy cast") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // The round-15 ADVICE fix: the in-file ordering key is the RAW id
+    // column. With string ids the documented order is the natural
+    // (lexicographic) one — and crucially never a silent NULL sort key
+    // from cast("long") scrambling the alignment contract.
+    val d = Seq(("doc-b", "2nd", 0L), ("doc-a", "1st", 0L),
+      ("doc-c", "3rd", 0L)).toDF("doc_id", "text", "seg")
+    val files = graft.ops.Jsonl.buildFiles(d, Seq("doc_id", "text"))
+    val sch = StructType(Seq(StructField("doc_id", StringType),
+      StructField("text", StringType)))
+    val order = graft.ops.Jsonl.parseLines(files, sch)
+      .orderBy("line_index").collect().map(_.getString(3)).toSeq
+    assert(order == Seq("doc-a", "doc-b", "doc-c"),
+      s"string ids must serialize in natural ascending order: $order")
+  }
+
   test("attributes sidecar: the alignment census detects a scrambled sidecar") {
     import spark.implicits._
     import org.apache.spark.sql.types._
