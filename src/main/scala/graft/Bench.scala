@@ -25,6 +25,39 @@ object Bench {
       .asScala.map(b => math.max(b.getCollectionTime, 0L)).sum
   }
 
+  /** Sink defeating dead-code elimination of the probe loops; the xor
+    * of per-thread LCG states is never read for its value. */
+  @volatile private var probeSink: Long = 0L
+
+  /** Fixed-work host-health probe (round-15 directive): a deterministic
+    * parallel CPU spin — `threads` dependent-chain LCG loops of `iters`
+    * steps each, no allocation, no Spark — whose wall time measures the
+    * HOST's sustained-parallel throughput and nothing else (~25-40 ms
+    * nominal here). Recorded next to gc_ms per phase and per rerun
+    * sample, it makes a wall-time flag machine-adjudicable: a flagged
+    * phase whose probe readings are inflated too is the host degrading
+    * (the r15 q20/t46/d12s/d13s/d18s class — the builder measured the
+    * session host's parallel throughput collapsing 2-4x late-session on
+    * byte-identical code), not the code. */
+  private[graft] def hostProbeMillis(threads: Int = 8,
+      iters: Long = 20000000L): Long = {
+    val t0 = System.nanoTime()
+    val ts = (0 until threads).map { t =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + t
+        var i = 0L
+        while (i < iters) {
+          x = x * 6364136223846793005L + 1442695040888963407L
+          i += 1
+        }
+        probeSink ^= x
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1000000
+  }
+
   private class ShuffleListener extends SparkListener {
     override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
       val w = sc.stageInfo.taskMetrics.shuffleWriteMetrics.bytesWritten
@@ -150,39 +183,78 @@ object Bench {
           } catch { case _: Throwable => -1 }
         val closeTree = Some(dir.resolve("bench.json"))
           .filter(java.nio.file.Files.isRegularFile(_))
+        var baselineRound = storedRound
         if (storedRound < newestRound) {
-          closeTree.map(loadPriorQueries).filter(_.nonEmpty).foreach { m =>
+          // Crashed-phase medians (-1) are excluded from the frozen
+          // baseline: a negative prior can never flag anything AND
+          // would exempt the phase's recovery from ever re-baselining
+          // (round-15 ADVICE finding).
+          closeTree.map(loadPriorQueries(_).filter(_._2 >= 0))
+            .filter(_.nonEmpty).foreach { m =>
             val qs = m.map { case (k, v) => "\"" + k + "\":" + v }
               .mkString("{", ",", "}")
-            try java.nio.file.Files.write(basePath,
-              (s"""{"round":$newestRound,"queries":$qs}""" + "\n")
-                .getBytes("UTF-8")): Unit
-            catch { case _: Throwable => () }
+            try {
+              java.nio.file.Files.write(basePath,
+                (s"""{"round":$newestRound,"queries":$qs}""" + "\n")
+                  .getBytes("UTF-8")): Unit
+              baselineRound = newestRound
+            } catch { case _: Throwable => () }
           }
         }
         val baseline = Some(basePath)
           .filter(java.nio.file.Files.isRegularFile(_))
-        // Baseline (full map, frozen at round start) overlaid by the
-        // newest driver artifact's compact top-10 (always a PRIOR
-        // round's graded medians); raw bench.json is only the fallback
-        // when no baseline could be captured.
+        // The frozen round-start baseline is the full prior map. The
+        // newest driver artifact's compact top-10 overlays it ONLY
+        // when no baseline for that round could be captured: once a
+        // round-N baseline exists, BENCH_rN carries the SAME round's
+        // numbers, and overlaying them would partially compare
+        // same-round medians — the within-round masking the frozen
+        // baseline exists to prevent (round-15 ADVICE finding). Raw
+        // bench.json is the fallback when no baseline exists at all.
         val base = baseline.orElse(closeTree)
-        val merged = base.map(loadPriorQueries).getOrElse(Map.empty) ++
-          newest.map(n => loadPriorQueries(n._2)).getOrElse(Map.empty)
+        val overlay =
+          if (baselineRound >= newestRound) Map.empty[String, Double]
+          else newest.map(n => loadPriorQueries(n._2)).getOrElse(Map.empty)
+        val merged =
+          (base.map(loadPriorQueries).getOrElse(Map.empty) ++ overlay)
+            .filter(_._2 >= 0)
         if (merged.isEmpty) None
-        else Some((base.toSeq ++ newest.map(_._2).toSeq)
-          .map(_.getFileName.toString).mkString("+") -> merged)
+        else Some((base.map(_.getFileName.toString).toSeq ++
+          (if (overlay.isEmpty) Seq.empty
+           else newest.map(_._2.getFileName.toString).toSeq))
+          .mkString("+") -> merged)
     }
 
   /** The regression rule: a phase flags when its current median
     * exceeds 1.5x its prior one and the prior is >= 0.5 s (below
-    * that, scheduler noise dominates and ratios are meaningless).
-    * Returns (phase, prev, cur), current-order. */
-  private[graft] def flagRegressions(current: Seq[(String, Double)],
-      prior: Map[String, Double]): Seq[(String, Double, Double)] =
-    current.flatMap { case (name, med) =>
+    * that, scheduler noise dominates and ratios are meaningless). A
+    * phase that CRASHED (median -1) against a valid prior flags
+    * unconditionally with verdict "failed" — working-to-failing is the
+    * one regression a ratio can never show (round-15 ADVICE finding).
+    *
+    * Adjudication is mechanical via the min-of-samples secondary
+    * statistic (round-15 directive): when the phase's FASTEST sample
+    * still ran at prior speed (min <= 1.25x prev), the code still
+    * reaches its prior performance and the median is reporting the
+    * host — verdict "host-swing" (the r15 d13_skewed exhibit: samples
+    * [2.77..40.36] with the first reps AT the r14 level). Only a
+    * phase whose best sample is also degraded is "code-suspect".
+    * Single-sample phases have min == median, so a genuine flag there
+    * stays code-suspect unless the host probe says otherwise.
+    *
+    * Input (phase, median, min-of-samples); returns
+    * (phase, prev, cur, min, verdict), current-order. */
+  private[graft] def flagRegressions(
+      current: Seq[(String, Double, Double)],
+      prior: Map[String, Double]):
+      Seq[(String, Double, Double, Double, String)] =
+    current.flatMap { case (name, med, mn) =>
       prior.get(name).collect {
-        case prev if prev >= 0.5 && med > 1.5 * prev => (name, prev, med)
+        case prev if prev >= 0.5 && med < 0 =>
+          (name, prev, med, mn, "failed")
+        case prev if prev >= 0.5 && med > 1.5 * prev =>
+          (name, prev, med, mn,
+            if (mn <= 1.25 * prev) "host-swing" else "code-suspect")
       }
     }
 
@@ -258,9 +330,13 @@ object Bench {
         Queries.benchOnly.toSeq.sortBy(_._1)
           .map { case (name, fn) => name -> (() => materialize(fn(spark, sfDir))) }
 
+    // Per-phase host-health readings (pass 1) — the fixed-work CPU spin
+    // recorded like gc_ms, destined for the durable bench.json.
+    val probeLog = scala.collection.mutable.LinkedHashMap[String, Long]()
     val pass1 = phases.map { case (name, run) =>
       // Let stage-completed events from the previous query drain.
       Thread.sleep(150)
+      probeLog(name) = hostProbeMillis()
       curShuffle.set(0L)
       maxStageShuffle.set(0L)
       val t0 = System.nanoTime()
@@ -319,6 +395,10 @@ object Bench {
     // a round) — wall samples and per-rerun GC deltas per rerun query.
     val sampleLog = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
     val gcLog = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
+    // Per-rerun host-probe readings: one spin before each sample, so a
+    // wall outlier within a sample array is attributable to the host
+    // at THAT moment, not just to the session on average.
+    val rerunProbeLog = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
       if (!heavy(name) && !rerunPrep.contains(name) && !forced(name)) r
       else {
@@ -331,8 +411,10 @@ object Bench {
         // not a build time); if every rerun fails, pass 1 stands.
         // Each sample carries its GC delta so a wall outlier is
         // attributable (collection pause vs scheduler/JIT swing).
+        val probes = scala.collection.mutable.ArrayBuffer[Long]()
         val reruns = (1 to extra).flatMap { _ =>
           rerunPrep.get(name).foreach(_())
+          probes += hostProbeMillis()
           val g0 = gcMillis()
           val t0 = System.nanoTime()
           try {
@@ -342,20 +424,25 @@ object Bench {
             System.err.println(s"[bench] rerun of $name failed: $e"); None
           }
         }
+        rerunProbeLog(name) = probes.toSeq
         val gcs = reruns.map(_._2)
         if (gcs.nonEmpty) {
           System.err.println(s"[bench] $name rerun gc_ms=" +
             gcs.mkString("[", ",", "]"))
           gcLog(name) = gcs
         }
-        val ts = (t1 +: reruns.map(_._1)).sorted
+        // A crashed pass-1 run contributes NO sample either (its -1
+        // marker is not a wall time and would drag the median/min).
+        val ts = ((if (t1 >= 0) Seq(t1) else Seq.empty) ++
+          reruns.map(_._1)).sorted
         sampleLog(name) = ts
         // True median: with an even surviving-sample count (a rerun
         // crashed), average the two middle values instead of always
         // taking the upper one — ts(n/2) alone is a systematic
-        // slow-side bias.
+        // slow-side bias. Every sample failing = the phase failed.
         val med =
-          if (ts.size % 2 == 1) ts(ts.size / 2)
+          if (ts.isEmpty) -1.0
+          else if (ts.size % 2 == 1) ts(ts.size / 2)
           else (ts(ts.size / 2 - 1) + ts(ts.size / 2)) / 2.0
         // Per-sample telemetry (stderr, not the JSON line): the build
         // phases have swung 2-5x across rounds with the code untouched;
@@ -384,14 +471,26 @@ object Bench {
     val prevBench = priorMedians(sys.env.get("SPARK_GRAFT_BENCH_PREV"))
     val prevMedians = prevBench.map(_._2).getOrElse(Map.empty[String, Double])
     val regressions = flagRegressions(
-      results.map { case (name, med, _, _) => name -> med }, prevMedians)
-    val regressionsJson = regressions.map { case (name, prev, cur) =>
-      "\"" + name + "\":{\"prev\":" + (math.round(prev * 1000) / 1000.0) +
-        ",\"cur\":" + (math.round(cur * 1000) / 1000.0) +
-        ",\"ratio\":" + (math.round(cur / prev * 100) / 100.0) + "}"
+      results.map { case (name, med, _, _) =>
+        // min-of-samples secondary statistic: the fastest surviving
+        // sample (single-pass phases have exactly one).
+        (name, med, sampleLog.get(name).flatMap(_.headOption).getOrElse(med))
+      }, prevMedians)
+    val regressionsJson = regressions.map {
+      case (name, prev, cur, mn, verdict) =>
+        val ratio =
+          if (cur < 0) "\"failed\""
+          else (math.round(cur / prev * 100) / 100.0).toString
+        "\"" + name + "\":{\"prev\":" + (math.round(prev * 1000) / 1000.0) +
+          ",\"cur\":" + (math.round(cur * 1000) / 1000.0) +
+          ",\"ratio\":" + ratio +
+          ",\"min\":" + (math.round(mn * 1000) / 1000.0) +
+          ",\"verdict\":\"" + verdict + "\"}"
     }.mkString("{", ",", "}")
-    regressions.foreach { case (name, prev, cur) =>
-      System.err.println(f"[bench] REGRESSION $name: $prev%.2f -> $cur%.2f s")
+    regressions.foreach { case (name, prev, cur, mn, verdict) =>
+      System.err.println(
+        f"[bench] REGRESSION $name: $prev%.2f -> $cur%.2f s " +
+          f"(min $mn%.2f, $verdict)")
     }
 
     val qs = results.map { case (k, v, _, _) => "\"" + k + "\":" + v }
@@ -421,11 +520,27 @@ object Bench {
     val rerunGcJson = gcLog.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // Host-health record: per-phase pass-1 probe walls, per-rerun probe
+    // arrays, and the session summary (median + max) a later round's
+    // adjudication reads first — probe medians near the nominal ~25-40
+    // ms with a flagged phase mean the host was healthy (code-suspect
+    // stands); an inflated probe next to the inflated wall closes the
+    // flag as host degradation, mechanically.
+    val probeJson = probeLog.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val rerunProbeJson = rerunProbeLog.map { case (k, v) =>
+      "\"" + k + "\":" + v.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
+    val probeVals = (probeLog.values ++ rerunProbeLog.values.flatten).toSeq.sorted
+    val probeMedian = if (probeVals.isEmpty) -1L else probeVals(probeVals.size / 2)
+    val probeMax = if (probeVals.isEmpty) -1L else probeVals.last
     val prevName = prevBench.map(_._1).getOrElse("none")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""shuffle_bytes":$sh,"max_stage_shuffle_bytes":$mx,""" +
       s""""total_shuffle_bytes":$totalShuffle,"gc_ms":$gcTotal,""" +
       s""""samples":$samplesJson,"rerun_gc_ms":$rerunGcJson,""" +
+      s""""host_probe_ms":$probeJson,"rerun_probe_ms":$rerunProbeJson,""" +
+      s""""host_probe_median_ms":$probeMedian,"host_probe_max_ms":$probeMax,""" +
       s""""regressions":$regressionsJson,"prev_bench":"$prevName",""" +
       s""""sf":"$sfDir"}"""
     // Durable copy first: round 1 lost the stdout line to interleaved
@@ -453,7 +568,10 @@ object Bench {
       s""""max_stage_shuffle_bytes":$maxStage,"gc_ms":$gcTotal,""" +
       s""""n_queries":${SparkEntry.queries.size},"n_phases":${results.size},""" +
       s""""n_failed":${results.count(_._2 < 0)},""" +
-      s""""n_regressions":${regressions.size},"prev_bench":"$prevName",""" +
+      s""""n_regressions":${regressions.size},""" +
+      s""""n_code_suspect":${regressions.count(_._5 != "host-swing")},""" +
+      s""""host_probe_median_ms":$probeMedian,""" +
+      s""""prev_bench":"$prevName",""" +
       s""""sf":"$sfDir","detail":"bench.json"}"""
     spark.stop()
     System.out.println(line)

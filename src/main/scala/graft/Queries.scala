@@ -2102,6 +2102,30 @@ object Queries {
     }
   }
 
+  /** The n18 PRIOR layer stack: the s22 hierarchy built over the 80%
+    * "existing" corpus (ids not divisible by 5) — layer 0 is the
+    * memoized [[n02Prior]] graph, upper layers are NND builds over its
+    * [[ops.GraphSearch.assignLayers]] level >= l subsets (fanout 4,
+    * same construction as [[s22LayerGraphs]]). This is the resident
+    * serving artifact the day's append arrives AGAINST; n18 then
+    * stack-appends the 20% increment and serves through it. */
+  private def n18LayerGraphs(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val e = emb(s, dir).filter(col("id") % 5 =!= 0)
+    val maxLevel = math.max(1,
+      (math.log(e.count() / 16.0) / math.log(4.0)).toInt)
+    val levels = memo(s, dir, "n18_levels")(
+      graft.ops.GraphSearch.assignLayers(e, maxLevel))
+    val base = n02Prior(s, dir)
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+    base +: (1 to maxLevel).map { l =>
+      memo(s, dir, s"n18_layer_$l")(
+        graft.nnd.NND.buildGraph(
+          e.join(levels.filter(col("level") >= l).select("id"), "id"),
+          graft.nnd.NND.Params(k = 8, maxIterations = 3))
+          .filter(col("neighbors").isNotNull).select("id", "neighbors"))
+    }
+  }
+
   /** The n02 prior: a graph over the 80% "existing" corpus (ids not
     * divisible by 5) — the artifact an incremental deployment already
     * has on disk before the day's append arrives. Built once per
@@ -4404,6 +4428,44 @@ object Queries {
         .select(col("n_hits"), col("n_total"), col("n_dead"))
     }),
 
+    // Hierarchical INSERT + delete + layered serve (n18 — the round-15
+    // VERDICT gap: appendToGraph patches only the base layer, so a
+    // point whose assignLayers level is >= 1 never enters the
+    // navigable hierarchy until a full rebuild). The full
+    // FreshDiskANN-style serve-between-rebuilds lifecycle in one
+    // census: the resident stack is built over the 80% corpus
+    // (n18LayerGraphs), the 20% increment stack-appends (each new
+    // point beam-inserts into every layer <= its deterministic level,
+    // WITH reverse edges — old members link back, re-capped to the
+    // layer degree — so high-level inserts become traversal
+    // waypoints), 14% of ALL ids (old and new) are tombstoned, and
+    // the layered descent serves THROUGH the appended+deleted stack.
+    // Pinned recall is vs the brute-force truth over the LIVE full
+    // corpus — it prices append staleness (no new<->new links until
+    // rebuild) plus delete suppression on top of descent recall;
+    // n_dead is structurally zero (the suppression anti-join).
+    "n18_stack_append_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val existing = e.filter(col("id") % 5 =!= 0)
+      val fresh = e.filter(col("id") % 5 === 0)
+      val appended = graft.ops.GraphSearch.appendToGraphStack(
+        n18LayerGraphs(s, dir), existing, fresh, k = 10, fanout = 4,
+        beam = 64, hops = 5, seeds = 16,
+        upperK = 8, upperBeam = 8, upperHops = 3)
+      val dead = e.select("id").filter(col("id") % 7 === 3)
+      val live = e.join(dead, Seq("id"), "left_anti")
+      val q = live.filter(col("id") < 20)
+      val res = graft.ops.GraphSearch.searchHierarchical(appended, e, q,
+        k = 10, beam = 8, hops = 2, entries = 4, upperBeam = 8,
+        upperHops = 3, seeds = 4, tombstones = Some(dead))
+        .localCheckpoint()
+      recallCounts(res, SimilaritySearch.bruteForceTopK(live, q, 10))
+        .crossJoin(res.join(dead.select(col("id").as("nbr_id")),
+            Seq("nbr_id"), "left_semi")
+          .agg(count(lit(1)).as("n_dead")))
+        .select(col("n_hits"), col("n_total"), col("n_dead"))
+    }),
+
     // Hierarchical search over the PERSISTED layer stack (n16): the
     // s22 stack written to parquet once (manifest + per-layer graphs)
     // and reloaded — the durable serving-artifact lifecycle (n03/s14)
@@ -4972,6 +5034,33 @@ object Queries {
     * make cosine and L2 beam membership coincide (the metric-mix fix
     * shows up on norm-skewed data only, pinned in OpsSpec), and the
     * purge subtree folds away when nothing is finished. */
+  /** Query-id REGISTRY (round-15 VERDICT bookkeeping): every name-keyed
+    * artifact — the bench guard's prior medians, the pin table below,
+    * the DuckDB oracles, the driver's CORRECTNESS entries — joins on
+    * the FULL query name, so a rename silently decouples a query from
+    * its history unless it is recorded here. Rules:
+    *  - ids are never reused: a gapped id stays a GAP in its family's
+    *    numbering forever (its old artifacts keep meaning what they
+    *    meant). Gaps so far: q35 (q35_rollup removed as a duplicate of
+    *    q09_rollup, commit 24f151c) and d20 (never assigned — the d
+    *    family numbering skipped from d19 to d21).
+    *  - one numeric prefix normally maps to one declared query; t45 is
+    *    the deliberate exception (t45_capped_pairs / t45_winnow_pairs
+    *    are the two halves of one winnowing exhibit and share the id).
+    *  - [[benchOnly]] exhibits and Bench's build phases REUSE a
+    *    declared id's prefix with a distinct full name on purpose
+    *    (d13_skewed_removal prices d13's worst case; n01_graph_build
+    *    prices n01's artifact) — the shared prefix is the link, the
+    *    distinct full name keeps their artifacts separate.
+    * ContractSpec asserts all three rules against the declared maps,
+    * so a rename or an id reuse goes red instead of silently orphaning
+    * a phase's prior median. */
+  val retiredQueryIds: Set[String] = Set("q35", "d20")
+
+  /** Declared-query prefixes that intentionally carry more than one
+    * query (see [[retiredQueryIds]]'s registry note). */
+  val sharedQueryPrefixes: Set[String] = Set("t45")
+
   val pinnedValues: Seq[(String, Seq[(String, (Long, Long, Long))])] = Seq(
     "s02_ann_lsh" -> Seq(
       "n_hits" -> (177L, 191L, 190L), "n_total" -> (200L, 200L, 200L)),
@@ -5028,6 +5117,16 @@ object Queries {
     // s03-grade recall with 14% of the corpus deleted and no rebuild.
     "n17_tombstone_serve" -> Seq(
       "n_hits" -> (165L, 166L, 161L),
+      "n_total" -> (170L, 170L, 170L),
+      "n_dead" -> (0L, 0L, 0L)),
+    // The full serve-between-rebuilds lifecycle (hierarchical INSERT
+    // with reverse edges + tombstoned deletes + layered descent) vs
+    // the LIVE full-corpus brute truth: prices append staleness (no
+    // new<->new links until rebuild) plus delete suppression on top
+    // of s22-grade descent recall. n_dead structurally zero (the
+    // suppression anti-join). Measured 2026-08-16 (round 16, PinDump).
+    "n18_stack_append_serve" -> Seq(
+      "n_hits" -> (141L, 138L, 130L),
       "n_total" -> (170L, 170L, 170L),
       "n_dead" -> (0L, 0L, 0L)),
     // = s03 by construction: the persisted (id, neighbors) table

@@ -145,23 +145,38 @@ object GraphSearch {
     // keeps the windowless TakeOrdered plan.
     val wBeam = Window.partitionBy("query_id").orderBy(desc("score"), asc("node"))
 
-    var visited = score(entryPoints match {
-      case Some(e) => e.select(col("query_id"), col("node"))
-      case None =>
+    // (query_id, node) deterministic-seed frontier for the given query
+    // set — the default entry plan, and the PER-QUERY FALLBACK when a
+    // caller-supplied entry frontier is missing a query entirely.
+    def seedFrontier(qq: DataFrame): DataFrame =
       if (hasPart) {
         val wSeed = Window.partitionBy("partition")
           .orderBy(xxhash64(col("node")), col("node"))
         val seedNodes = corpus.select(col("id").as("node"), col("partition"))
           .withColumn("rk", row_number().over(wSeed))
           .filter(col("rk") <= seeds)
-        q.select(col("query_id"), col("p_q"))
+        qq.select(col("query_id"), col("p_q"))
           .join(seedNodes, col("p_q") === col("partition"))
           .select("query_id", "node")
       } else {
         val seedNodes = corpus.select(col("id").as("node"))
           .orderBy(xxhash64(col("node")), col("node")).limit(seeds)
-        q.select("query_id").crossJoin(seedNodes)
+        qq.select("query_id").crossJoin(seedNodes)
       }
+
+    var visited = score(entryPoints match {
+      case Some(e) =>
+        // A query ABSENT from the supplied frontier (e.g. an upper
+        // layer's beam surfaced only the query node itself, which the
+        // result filter removed) would otherwise silently vanish from
+        // every layer below — fall back to the deterministic seeds for
+        // exactly those queries, leaving covered queries' frontiers
+        // byte-untouched (round-15 ADVICE finding).
+        val ef = e.select(col("query_id"), col("node"))
+        ef.unionByName(seedFrontier(
+          q.join(ef.select("query_id").distinct(), Seq("query_id"),
+            "left_anti")))
+      case None => seedFrontier(q)
     })
     var hop = 0
     while (hop < hops) {
@@ -193,9 +208,15 @@ object GraphSearch {
 
     // Tombstone suppression happens at RESULT time, after traversal:
     // dead nodes routed the beam above, they just cannot be answers.
+    // No forced broadcast hint on the tombstone side (the
+    // nnd/NND.scala updateGraph carve-out principle): a tombstone set
+    // is typically tiny and AQE broadcasts it on its own, but a
+    // MASS-DELETE set can be corpus-sized, and a forced hint there
+    // OOMs the driver; unhinted, the anti-join degrades gracefully to
+    // a shuffled join.
     val live = tombstones match {
       case Some(t) =>
-        visited.join(broadcast(t.select(col("id").as("node"))),
+        visited.join(t.select(col("id").as("node")),
           Seq("node"), "left_anti")
       case None => visited
     }
@@ -210,7 +231,8 @@ object GraphSearch {
   /** HNSW-style layer assignment (Malkov & Yashunin 2016, the level
     * draw ℓ ~ ⌊−ln(U)·mL⌋ made DETERMINISTIC): node id's xxhash64 is
     * read as base-`fanout` digits and the level is the count of
-    * leading zero digits, capped at `maxLevel` — P(level ≥ l) =
+    * TRAILING zero digits — the largest l with h % fanout^l == 0 —
+    * capped at `maxLevel`; P(level ≥ l) =
     * fanout^−l, exactly the HNSW geometric layer sizes, but stable
     * under any partitioning, retry, or rebuild (the engine-wide
     * seeded-hash convention; HNSW's RNG draw would make the hierarchy
@@ -269,7 +291,8 @@ object GraphSearch {
       upperBeam: Int = 4,
       upperHops: Int = 2,
       seeds: Int = 4,
-      metric: String = "cosine"): DataFrame = {
+      metric: String = "cosine",
+      tombstones: Option[DataFrame] = None): DataFrame = {
     require(layerGraphs.nonEmpty, "need at least the base layer graph")
     require(entries > 0, s"entries must be positive, got $entries")
     // Top layer searches from its deterministic seeds; each result
@@ -307,8 +330,12 @@ object GraphSearch {
         org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
       entry = Some(res)
     }
+    // Tombstones apply to the BASE search only: upper layers exist
+    // solely to produce entry frontiers, and a dead node is a
+    // perfectly good waypoint (the n17 FreshDiskANN semantics — dead
+    // nodes route, never return); only the base layer RETURNS results.
     searchGraph(layerGraphs.head, corpus, queries, k, beam, hops,
-      seeds, metric, entryPoints = entry)
+      seeds, metric, entryPoints = entry, tombstones = tombstones)
   }
 
   /** Cheap small-append for the K-NN graph: attach `newPoints` to an
@@ -362,6 +389,151 @@ object GraphSearch {
     graft.core.Neighbors.assemble(
       searchGraph(graph, corpus, newPoints, k, beam, hops, seeds, metric = "l2sim"),
       col("query_id"), col("nbr_id"), col("score"))
+
+  /** HNSW-style insert into the LAYER STACK — the half of the
+    * FreshDiskANN serve-between-rebuilds lifecycle that [[appendToGraph]]
+    * (flat, base-layer-only) cannot give. Each new point draws its
+    * deterministic [[assignLayers]] level and is inserted into EVERY
+    * layer l <= level (Malkov & Yashunin 2016 §4 insert, minus the
+    * in-batch links): per layer, the point's own list is its top-k
+    * beam-search result over the EXISTING layer graph (the
+    * [[appendedLists]] machinery, in the graph's own 1/(1+L2) metric),
+    * and — the part flat append skips — each result node gets a
+    * REVERSE edge back to the new point, its list re-capped to the
+    * layer degree by (similarity desc, id asc). The reverse edges are
+    * what make a high-level insert a genuine traversal WAYPOINT: the
+    * descent can now route THROUGH the fresh point, instead of only
+    * returning it when its own list happens to surface (OpsSpec
+    * carries the discriminating witness; without them, a point whose
+    * level >= 1 never enters the navigable hierarchy until a full
+    * rebuild — the round-15 VERDICT gap this closes).
+    *
+    * Documented staleness (smaller than flat append's): new points do
+    * not link to OTHER new points of the same batch (each searches the
+    * prior stack only — which is also what makes per-point insertion
+    * order-independent and the streaming serve sliceable); new<->new
+    * edges appear at the next scheduled `updateGraph`/rebuild. Deletes
+    * compose as n17 tombstones at serve time.
+    *
+    * Scale shape: one beam search per (new point, layer) — upper
+    * layers are fanout^l smaller and run at the upper budget — plus,
+    * per layer, ONE edge-sized reverse shuffle and a bounded per-node
+    * top-k window over only the TOUCHED rows (at most |new| * layerK
+    * of them); untouched rows pass through byte-identical. `newPoints`
+    * rides the broadcast-query side, so the same chunking rule as
+    * [[appendToGraph]] applies to oversized batches.
+    *
+    * @param layerGraphs the stack, index 0 = base (as [[searchHierarchical]])
+    * @param corpus      (id, features) covering every EXISTING member
+    * @param newPoints   (id, features) to insert; ids must be new
+    * @param k           base-layer degree for fresh lists and re-capped
+    *                    touched lists; `upperK` the same for layers >= 1
+    * @param fanout      must match the stack's [[assignLayers]] fanout
+    * @return the appended stack, same layer order */
+  def appendToGraphStack(
+      layerGraphs: Seq[DataFrame],
+      corpus: DataFrame,
+      newPoints: DataFrame,
+      k: Int,
+      fanout: Int = 4,
+      beam: Int = 20,
+      hops: Int = 3,
+      seeds: Int = 8,
+      upperK: Int = 8,
+      upperBeam: Int = 8,
+      upperHops: Int = 3): Seq[DataFrame] =
+    patchStackWithFresh(layerGraphs,
+      stackFreshLists(layerGraphs, corpus, newPoints, k, fanout, beam,
+        hops, seeds, upperK, upperBeam, upperHops),
+      k, upperK)
+
+  /** Phase 1 of [[appendToGraphStack]]: each new point's OWN per-layer
+    * neighbor list (one entry per layer it joins, layer order matching
+    * `layerGraphs`). Per-point independent — each list reads only the
+    * static prior stack and the point's own vector — so per-micro-batch
+    * results union to the batch result under ANY slicing: this is the
+    * surface [[graft.streaming.AnnServe.stackAppendServe]] streams, and
+    * what makes the drained==batch witness hold by construction. */
+  private[graft] def stackFreshLists(
+      layerGraphs: Seq[DataFrame],
+      corpus: DataFrame,
+      newPoints: DataFrame,
+      k: Int,
+      fanout: Int,
+      beam: Int,
+      hops: Int,
+      seeds: Int,
+      upperK: Int,
+      upperBeam: Int,
+      upperHops: Int): Seq[DataFrame] = {
+    require(layerGraphs.nonEmpty, "need at least the base layer graph")
+    val maxLevel = layerGraphs.size - 1
+    val levels =
+      if (maxLevel == 0) newPoints.select(col("id"), lit(0).as("level"))
+      else assignLayers(newPoints, maxLevel, fanout)
+    layerGraphs.zipWithIndex.map { case (g, l) =>
+      val newL = newPoints.join(
+        levels.filter(col("level") >= l).select("id"), Seq("id"), "left_semi")
+      val layerK = if (l == 0) k else upperK
+      val b = if (l == 0) beam else upperBeam
+      val h = if (l == 0) hops else upperHops
+      // Score candidates against LAYER members only — the layer graph's
+      // adjacency never leaves the layer, and a seed outside it would
+      // never expand (the searchHierarchical membership rule).
+      val layerCorpus = corpus.join(g.select(col("id")), Seq("id"), "left_semi")
+      appendedLists(g, layerCorpus, newL, layerK, b, h, seeds)
+    }
+  }
+
+  /** Phase 2 of [[appendToGraphStack]]: splice precomputed fresh lists
+    * (one frame per layer, [[stackFreshLists]] shape) into the stack —
+    * union the fresh rows, and patch each TOUCHED old row with its
+    * reverse arrivals, re-capped to the layer degree. Deterministic in
+    * the SET of fresh lists (the merge is a per-node top-k over
+    * existing ∪ arrivals), so drained streaming arrivals and the batch
+    * ones produce the identical appended stack. */
+  private[graft] def patchStackWithFresh(
+      layerGraphs: Seq[DataFrame],
+      freshPerLayer: Seq[DataFrame],
+      k: Int,
+      upperK: Int): Seq[DataFrame] = {
+    require(layerGraphs.size == freshPerLayer.size,
+      s"stack/fresh layer-count mismatch: ${layerGraphs.size} vs ${freshPerLayer.size}")
+    layerGraphs.lazyZip(freshPerLayer).lazyZip(layerGraphs.indices).map {
+      (g, freshRaw, l) =>
+      val layerK = if (l == 0) k else upperK
+      // Materialized once: read twice below (output union + reverse
+      // derivation), and each read would otherwise re-run the beam.
+      val fresh = freshRaw.localCheckpoint(true)
+      // Reverse edges (old member -> new point): 1/(1+L2) is symmetric,
+      // so the stored similarity IS the reverse similarity — no
+      // re-scoring join.
+      val rev = fresh
+        .select(col("id").as("new_id"), explode(col("neighbors")).as("nb"))
+        .select(col("nb.id").as("id"), col("new_id").as("nbr_id"),
+          col("nb.similarity").as("sim"))
+      val touched = rev.select(col("id")).distinct()
+      val untouched = g.join(touched, Seq("id"), "left_anti")
+        .select(col("id"), col("neighbors"))
+      // Touched rows: merge existing entries with the reverse arrivals,
+      // re-cap at the layer degree. A touched row with a null list
+      // contributes no existing entries (explode drops it) and is
+      // rebuilt from its arrivals alone.
+      val mergedRows = g.join(touched, Seq("id"), "left_semi")
+        .select(col("id"), explode(col("neighbors")).as("nb"))
+        .select(col("id"), col("nb.id").as("nbr_id"),
+          col("nb.similarity").as("sim"))
+        .unionByName(rev)
+      val wDeg = Window.partitionBy("id").orderBy(desc("sim"), asc("nbr_id"))
+      val patched = graft.core.Neighbors.assemble(
+        mergedRows.withColumn("rk", row_number().over(wDeg))
+          .filter(col("rk") <= layerK),
+        col("id"), col("nbr_id"), col("sim"))
+      untouched
+        .unionByName(patched)
+        .unionByName(fresh.select(col("id"), col("neighbors")))
+    }.toSeq
+  }
 
   /** α-occlusion prune of a built K-NN graph (Vamana/DiskANN
     * RobustPrune, Subramanya et al. 2019, applied to the stored lists):

@@ -133,4 +133,31 @@ object AnnServe {
       graft.ops.GraphSearch.searchHierarchical(layers, corpus, q, k,
         beam, hops, entries, upperBeam, upperHops, seeds)
     }
+
+  /** Streaming HIERARCHICAL insert (the st22 idiom lifted to the layer
+    * stack): each micro-batch of new points emits its per-layer FRESH
+    * lists ([[graft.ops.GraphSearch.stackFreshLists]], tagged with a
+    * `layer` column) against the RESIDENT prior stack. Fresh lists are
+    * per-point independent — each reads only the static stack and the
+    * point's own vector — so drained per-batch emissions union to the
+    * batch result under ANY slicing, and feeding the drained lists to
+    * [[graft.ops.GraphSearch.patchStackWithFresh]] (the consolidation
+    * step a downstream maintainer runs on its own cadence) reproduces
+    * the batch [[graft.ops.GraphSearch.appendToGraphStack]] exactly
+    * (AnnServeSpec asserts both, scores included). */
+  def stackAppendServe(spark: SparkSession, dir: String,
+      layers: Seq[DataFrame], corpus: DataFrame, k: Int = 10,
+      fanout: Int = 4, beam: Int = 64, hops: Int = 5, seeds: Int = 16,
+      upperK: Int = 8, upperBeam: Int = 8, upperHops: Int = 3): DataFrame =
+    EventsStream.runDrainedForeachBatch(
+      spark, dir, "embeddings", EventsStream.embeddingsSchema, "sappend") { src =>
+      val nw = src
+        .select(col("vec_id").as("id"), col("embedding").as("features"))
+        .filter(col("id") % 5 === 0)
+      graft.ops.GraphSearch.stackFreshLists(layers, corpus, nw, k,
+        fanout, beam, hops, seeds, upperK, upperBeam, upperHops)
+        .zipWithIndex
+        .map { case (f, l) => f.withColumn("layer", lit(l)) }
+        .reduce(_.unionByName(_))
+    }
 }

@@ -31,7 +31,7 @@ import org.apache.spark.sql.functions._
   *    phases do real navigation work rather than degenerate uniform
   *    scans; `label` = cluster id as in the fixture.
   *
-  * Usage: runMain graft.tools.ScaleGen <outDir> <multiplier>
+  * Usage: runMain graft.tools.ScaleGen <outDir> <multiplier> [dims]
   */
 object ScaleGen {
 
@@ -86,21 +86,31 @@ object ScaleGen {
               / lit(2000.0))).cast("float")))
       .select("vec_id", "embedding", "label")
 
-  def generate(spark: SparkSession, outDir: String, mult: Int): Unit = {
+  def generate(spark: SparkSession, outDir: String, mult: Int,
+      dims: Int = 64): Unit = {
     require(mult >= 1, s"multiplier must be >= 1, got $mult")
+    require(dims >= 2, s"dims must be >= 2, got $dims")
     val parts = math.max(16, 4 * mult)
     documents(spark, 5000L * mult, parts)
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
-    embeddings(spark, 2000L * mult, parts)
+    embeddings(spark, 2000L * mult, parts, dims = dims)
       .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
   }
 
   def main(args: Array[String]): Unit = {
-    require(args.length == 2, "usage: ScaleGen <outDir> <multiplier>")
+    // Optional dims (default 64, the fixture's): production embedding
+    // pipelines run 384-1024-d, which multiplies the similarity-kernel
+    // and features-join BYTES by 6-16x at unchanged row counts — the
+    // dim-scaling tier the round-15 VERDICT asked to measure instead
+    // of argue (SCALE_BENCH.md dim addendum).
+    require(args.length == 2 || args.length == 3,
+      "usage: ScaleGen <outDir> <multiplier> [dims]")
+    val dims = if (args.length == 3) args(2).toInt else 64
     val spark = graft.Bench.session()
-    generate(spark, args(0), args(1).toInt)
+    generate(spark, args(0), args(1).toInt, dims)
     println(s"[scalegen] wrote ${args(0)} at ${args(1)}x " +
-      s"(${5000L * args(1).toInt} docs, ${2000L * args(1).toInt} vectors)")
+      s"(${5000L * args(1).toInt} docs, ${2000L * args(1).toInt} vectors, " +
+      s"$dims-d)")
     spark.stop()
   }
 }

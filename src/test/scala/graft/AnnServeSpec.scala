@@ -85,6 +85,62 @@ class AnnServeSpec extends SparkSpec {
       s"serve diverged: only-batch=${batch -- served} only-served=${served -- batch}")
   }
 
+  test("streaming stack-append serve: drained fresh lists equal the batch ones, " +
+      "and consolidation reproduces the batch appended stack") {
+    val e = emb
+    val existing = e.filter(col("id") % 5 =!= 0)
+    // A small two-layer prior stack over the existing corpus.
+    val base = graft.nnd.NND.buildGraph(existing,
+        graft.nnd.NND.Params(k = 8, maxIterations = 4))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val upper = graft.nnd.NND.buildGraph(
+        existing.join(graft.ops.GraphSearch.assignLayers(existing, maxLevel = 1)
+          .filter(col("level") >= 1).select("id"), "id"),
+        graft.nnd.NND.Params(k = 6, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val layers = Seq(base, upper)
+    val fresh = e.filter(col("id") % 5 === 0)
+    def listRows(df: org.apache.spark.sql.DataFrame) = df.collect().map { r =>
+      (r.getLong(0), Option(r.getSeq[org.apache.spark.sql.Row](1))
+        .map(_.map(n => (n.getLong(0), n.getDouble(1))).toList))
+    }
+    // (a) drained per-batch fresh lists == the batch fresh lists, per
+    // layer, scores included (per-point independence is the claim).
+    val batchFresh = graft.ops.GraphSearch.stackFreshLists(layers, existing,
+      fresh, k = 10, fanout = 4, beam = 32, hops = 3, seeds = 8,
+      upperK = 6, upperBeam = 8, upperHops = 3)
+    val served = AnnServe.stackAppendServe(spark, sf001, layers, existing,
+      k = 10, fanout = 4, beam = 32, hops = 3, seeds = 8,
+      upperK = 6, upperBeam = 8, upperHops = 3).localCheckpoint()
+    batchFresh.zipWithIndex.foreach { case (bf, l) =>
+      val b = listRows(bf).toSet
+      val s = listRows(served.filter(col("layer") === l)
+        .select("id", "neighbors")).toSet
+      assert(l > 0 || b.nonEmpty, "base-layer fresh lists empty")
+      assert(s == b, s"layer $l drained fresh lists diverged: " +
+        s"only-batch=${(b -- s).take(3)} only-served=${(s -- b).take(3)}")
+    }
+    // (b) consolidating the DRAINED lists reproduces the batch
+    // appendToGraphStack exactly — the maintainer's offline patch step
+    // commutes with batch slicing.
+    val fromDrained = graft.ops.GraphSearch.patchStackWithFresh(layers,
+      layers.indices.map(l => served.filter(col("layer") === l)
+        .select("id", "neighbors")),
+      k = 10, upperK = 6)
+    val batchStack = graft.ops.GraphSearch.appendToGraphStack(layers,
+      existing, fresh, k = 10, fanout = 4, beam = 32, hops = 3, seeds = 8,
+      upperK = 6, upperBeam = 8, upperHops = 3)
+    fromDrained.lazyZip(batchStack).lazyZip(layers.indices).foreach {
+      (d, b, l) =>
+        val ds = listRows(d).toSet
+        val bs = listRows(b).toSet
+        assert(ds == bs, s"layer $l consolidated stack diverged: " +
+          s"only-batch=${(bs -- ds).take(3)} only-drained=${(ds -- bs).take(3)}")
+    }
+  }
+
   test("bm25Impacts: maxPostings keeps each term's top postings by impact") {
     import spark.implicits._
     val d = Seq((1L, "hash hash"), (2L, "hash"), (3L, "hash join"))

@@ -60,6 +60,37 @@ class ContractSpec extends AnyFunSuite {
     assert(orphans.isEmpty, s"pins without queries: $orphans")
   }
 
+  test("query-id registry: names unique across maps, gaps and shared prefixes " +
+      "are exactly the documented ones") {
+    // Full names key every name-keyed artifact (guard medians, pins,
+    // oracles, CORRECTNESS entries) — a declared/benchOnly collision
+    // would silently merge two phases' histories.
+    val declared = SparkEntry.queries.keySet
+    val benchOnly = Queries.benchOnly.keySet
+    val clash = declared.intersect(benchOnly)
+    assert(clash.isEmpty, s"declared/benchOnly name collision: $clash")
+    // Numeric-prefix census over the DECLARED queries: gaps in each
+    // family's numbering must be exactly the registry's retired ids,
+    // and prefixes carrying >1 declared query exactly the documented
+    // shared set — an id reuse or an undocumented gap goes red here.
+    val pref = "^([a-z]+)(\\d+)([a-z]?)_".r
+    val byFamily = declared.toSeq.flatMap { n =>
+      pref.findFirstMatchIn(n)
+        .map(m => (m.group(1), m.group(2).toInt, m.group(3), n))
+    }
+    val gaps = byFamily.groupBy(_._1).flatMap { case (fam, entries) =>
+      val nums = entries.map(_._2).toSet
+      (1 to nums.max).filterNot(nums).map(i => s"$fam$i")
+    }.toSet
+    assert(gaps == Queries.retiredQueryIds,
+      s"numbering gaps != registry: gaps=$gaps registry=${Queries.retiredQueryIds}")
+    // Letter-suffixed ids (s20 vs s20b) are distinct prefixes.
+    val shared = byFamily.groupBy(e => s"${e._1}${e._2}${e._3}")
+      .collect { case (p, es) if es.map(_._4).distinct.size > 1 => p }.toSet
+    assert(shared == Queries.sharedQueryPrefixes,
+      s"multi-query prefixes != registry: $shared vs ${Queries.sharedQueryPrefixes}")
+  }
+
   test("bench regression guard: parses both prior-artifact shapes and merges sources") {
     val dir = java.nio.file.Files.createTempDirectory("graft_benchprev")
     try {
@@ -73,25 +104,37 @@ class ContractSpec extends AnyFunSuite {
       java.nio.file.Files.writeString(dir.resolve("BENCH_r09.json"),
         """{"n":1,"parsed":{"queries":{"b_q":99.0}}}""")
       val Some((label, m)) = Bench.priorMedians(None, dir): @unchecked
-      assert(label == "bench_baseline.json+BENCH_r14.json")
-      assert(m == Map("a_q" -> 2.0, "b_q" -> 3.0, "c_q" -> 0.2),
-        "frozen round-start baseline overlaid by the NEWEST driver artifact")
+      assert(label == "bench_baseline.json",
+        "once a round-N baseline exists, the same round's driver " +
+          "artifact must NOT overlay it (within-round masking)")
+      assert(m == Map("a_q" -> 2.0, "b_q" -> 4.0, "c_q" -> 0.2),
+        "frozen round-start baseline, full map, no same-round overlay")
       // Same-round freeze: a later run overwrites bench.json with its
       // own output; the guard must keep comparing against the frozen
       // round-start baseline, never same-round numbers (which would
       // mask exactly the within-round regressions it exists to catch).
       java.nio.file.Files.writeString(dir.resolve("bench.json"),
-        """{"queries":{"a_q":9.0,"b_q":9.0}}""")
+        """{"queries":{"a_q":9.0,"b_q":9.0,"dead_q":-1.0}}""")
       val Some((labelFroz, mFroz)) = Bench.priorMedians(None, dir): @unchecked
-      assert(labelFroz == "bench_baseline.json+BENCH_r14.json" &&
+      assert(labelFroz == "bench_baseline.json" &&
         mFroz("a_q") == 2.0, "same-round output must not replace the baseline")
       // New round: a newer driver artifact refreshes the baseline from
-      // the inherited bench.json (the previous round's close).
+      // the inherited bench.json (the previous round's close) — minus
+      // crashed-phase medians, which are not priors (a -1 can never
+      // flag and would exempt the phase's recovery forever).
       java.nio.file.Files.writeString(dir.resolve("BENCH_r15.json"),
         """{"parsed":{"queries":{"b_q":1.0}}}""")
       val Some((_, mRoll)) = Bench.priorMedians(None, dir): @unchecked
-      assert(mRoll("a_q") == 9.0 && mRoll("b_q") == 1.0,
-        "round rollover must re-freeze from the inherited close")
+      assert(mRoll == Map("a_q" -> 9.0, "b_q" -> 9.0),
+        "round rollover must re-freeze from the inherited close, " +
+          "exclude crashed medians, and not overlay same-round numbers")
+      // With NO baseline and no close-tree bench.json, the newest
+      // driver artifact is the only prior and DOES apply.
+      java.nio.file.Files.delete(dir.resolve("bench.json"))
+      java.nio.file.Files.delete(dir.resolve("bench_baseline.json"))
+      val Some((labelOnly, mOnly)) = Bench.priorMedians(None, dir): @unchecked
+      assert(labelOnly == "BENCH_r15.json" && mOnly == Map("b_q" -> 1.0),
+        "driver artifact is the fallback prior when nothing was frozen")
       // Explicit override takes precedence over both defaults.
       val Some((l2, m2)) = Bench.priorMedians(
         Some(dir.resolve("BENCH_r09.json").toString), dir): @unchecked
@@ -107,13 +150,33 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
-  test("bench regression guard: flags >1.5x on >=0.5s priors only") {
-    val prior = Map("slow_q" -> 2.0, "ok_q" -> 2.0, "tiny_q" -> 0.2)
-    val cur = Seq("slow_q" -> 3.1, "ok_q" -> 2.9, "tiny_q" -> 5.0,
-      "new_q" -> 9.0)
-    assert(Bench.flagRegressions(cur, prior) == Seq(("slow_q", 2.0, 3.1)),
-      "3.1 > 1.5*2.0 flags; 2.9 <= 3.0 passes; sub-0.5s priors and " +
-        "phases with no prior are exempt")
+  test("bench regression guard: flags >1.5x on >=0.5s priors only, " +
+      "min-of-samples adjudicates, crashes flag as failed") {
+    val prior = Map("slow_q" -> 2.0, "ok_q" -> 2.0, "tiny_q" -> 0.2,
+      "burst_q" -> 2.0, "dead_q" -> 2.0, "tinydead_q" -> 0.2)
+    val cur = Seq(
+      ("slow_q", 3.1, 3.0),    // median AND min degraded -> code-suspect
+      ("ok_q", 2.9, 2.1),      // 2.9 <= 1.5*2.0 passes
+      ("tiny_q", 5.0, 5.0),    // sub-0.5s prior exempt
+      ("new_q", 9.0, 9.0),     // no prior exempt
+      ("burst_q", 4.0, 2.2),   // flagged, but best sample at prior speed
+      ("dead_q", -1.0, -1.0),  // crashed against a valid prior
+      ("tinydead_q", -1.0, -1.0)) // crashed, but prior sub-noise-floor
+    assert(Bench.flagRegressions(cur, prior) == Seq(
+      ("slow_q", 2.0, 3.1, 3.0, "code-suspect"),
+      ("burst_q", 2.0, 4.0, 2.2, "host-swing"),
+      ("dead_q", 2.0, -1.0, -1.0, "failed")),
+      "median>1.5x flags with min-of-samples verdict; working-to-" +
+        "failing flags as failed; sub-0.5s priors and no-prior exempt")
+  }
+
+  test("bench host probe: fixed work, returns a plausible wall") {
+    // One tiny probe (1 thread, 1M iters) — the contract is shape, not
+    // speed: non-negative wall, and repeated calls don't accumulate
+    // state (the sink is write-only).
+    val a = Bench.hostProbeMillis(threads = 1, iters = 1000000L)
+    val b = Bench.hostProbeMillis(threads = 1, iters = 1000000L)
+    assert(a >= 0 && b >= 0, s"probe walls must be non-negative: $a, $b")
   }
 
   test("oracle SQL references only fixture tables") {

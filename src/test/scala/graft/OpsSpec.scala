@@ -2914,6 +2914,82 @@ class OpsSpec extends SparkSpec {
     assert(!res.contains(100L), s"the tombstone itself must never return: $res")
   }
 
+  test("n18 stack append: a high-level insert becomes a traversal waypoint — flat append cannot") {
+    import spark.implicits._
+    // Two tight clusters 100 apart: A = ids 100..107 at x ~ 0 (where
+    // the prior hierarchy's upper layer lives), B = ids 200..207 at
+    // x ~ 100 (the query's true neighborhood). The prior base graph is
+    // NND-built and stays within-cluster (asserted); the prior upper
+    // layer is hand-built over three A members. The new point X sits
+    // at x = 100.5 (inside B's region) and is chosen to have
+    // assignLayers level >= 1, so the STACK append inserts it into the
+    // upper layer with REVERSE edges from the old upper members —
+    // after which the descent for a B-side query routes A-entry -> X
+    // (upper) -> X's base list (all B): the insert is a waypoint.
+    // Flat appendToGraph gives X its own base list but no reverse
+    // edges and no upper-layer presence, so the same descent stays
+    // stranded in A — the round-15 VERDICT gap, witnessed.
+    val xId = {
+      val pool = graft.ops.GraphSearch.assignLayers(
+          (0L until 500L).map(Tuple1(_)).toDF("id"), maxLevel = 1, fanout = 4)
+        .filter(col("level") >= 1).select("id").collect().map(_.getLong(0))
+      pool.find(i => i < 100L || (i > 107L && i < 200L) || i > 207L).get
+    }
+    val aIds = (100L to 107L)
+    val bIds = (200L to 207L)
+    val vecs = aIds.map(i => (i, Array(0.01f * (i - 100), 0f))) ++
+      bIds.map(i => (i, Array(100f + 0.01f * (i - 200), 0f)))
+    val existing = vecs.toDF("id", "features")
+    val feats = vecs.toMap + (xId -> Array(100.5f, 0f))
+    val base = graft.nnd.NND.buildGraph(existing,
+        graft.nnd.NND.Params(k = 4, maxIterations = 4))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    // Fixture precondition: the prior base graph must not already
+    // bridge the clusters (otherwise the flat column proves nothing).
+    val cross = base.select(col("id"), explode(col("neighbors")).as("nb"))
+      .filter((col("id") < 200 && col("nb.id") >= 200) ||
+        (col("id") >= 200 && col("nb.id") < 200)).count()
+    assert(cross == 0, s"prior base graph has $cross cross-cluster edges")
+    // Hand-built upper layer over three A members, true l2Sim weights
+    // (the same kernel the appended lists' scores use), lists UNDER the
+    // layer degree so the reverse edge survives the re-cap.
+    val upperIds = Seq(100L, 101L, 102L)
+    val upper = upperIds.map { i =>
+      graft.core.NeighborList(i, upperIds.filterNot(_ == i).map(j =>
+        graft.core.Neighbor(j, graft.core.Similarity.l2Sim(feats(i), feats(j)))))
+    }.toDS().toDF()
+    val stack = Seq(base, upper)
+    val newPt = Seq((xId, feats(xId))).toDF("id", "features")
+    val appended = graft.ops.GraphSearch.appendToGraphStack(stack,
+      existing, newPt, k = 4, fanout = 4, beam = 8, hops = 3, seeds = 4,
+      upperK = 4, upperBeam = 4, upperHops = 2)
+    // Structural half: X entered the upper layer, and at least one OLD
+    // upper member reverse-links to it.
+    val upRows = appended(1).collect().map(r => r.getLong(0) ->
+      r.getSeq[org.apache.spark.sql.Row](1).map(_.getLong(0))).toMap
+    assert(upRows.contains(xId), s"X=$xId missing from the appended upper layer")
+    assert(upperIds.exists(i => upRows(i).contains(xId)),
+      s"no old upper member reverse-links to X=$xId: $upRows")
+    // Behavioral half: a query at x = 100.2 (true neighbors all in B).
+    val q = Seq((999L, Array(100.2f, 0f))).toDF("id", "features")
+    val corpusAll = existing.unionByName(newPt)
+    val truth = Set(204L, 205L, 206L, 207L)
+    def hits(stk: Seq[org.apache.spark.sql.DataFrame]): Set[Long] =
+      graft.ops.GraphSearch.searchHierarchical(stk, corpusAll, q, k = 4,
+        beam = 4, hops = 1, entries = 1, upperBeam = 4, upperHops = 2,
+        seeds = 2).collect().map(_.getLong(2)).toSet.intersect(truth)
+    val flatStack = Seq(graft.ops.GraphSearch.appendToGraph(base,
+      existing, newPt, k = 4, beam = 8, hops = 3, seeds = 4), upper)
+    val layeredHits = hits(appended)
+    val flatHits = hits(flatStack)
+    info(s"X=$xId layered=$layeredHits flat=$flatHits")
+    assert(layeredHits.size >= 3,
+      s"descent through the inserted waypoint must reach B: $layeredHits")
+    assert(flatHits.isEmpty,
+      s"flat append must leave the descent stranded in A: $flatHits")
+  }
+
   test("n16 persisted layer stack: loaded-stack search equals the in-memory stack row-for-row") {
     import spark.implicits._
     val vecs = (0L until 200L).map { i =>
