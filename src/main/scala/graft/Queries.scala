@@ -2744,6 +2744,18 @@ object Queries {
     "t25_bigram_logprob" -> ((s, dir) =>
       TextAnalysis.bigramLogProb(docs(s, dir))),
 
+    // CCNet perplexity-bucket corpus card (t56 — Wenzek et al. 2020:
+    // per language, rank by t19's unigram mean log-prob and split
+    // into head/middle/tail terciles; the card a curator reads before
+    // choosing the head+middle training cut). Exact ntile form with a
+    // full DuckDB twin (rank key = IEEE-divided mean desc + id asc, a
+    // total order both engines realize identically; card aggregates
+    // exact BIGINT). The sort-free production form is
+    // ccnetBucketsSampled (sketch boundaries + comparison; OpsSpec
+    // measures its tranche skew vs this exact card).
+    "t56_ccnet_buckets" -> ((s, dir) =>
+      TextAnalysis.ccnetBuckets(docs(s, dir))),
+
     // Temperature mixture (w_i ∝ √n_i, the XLM-R multilingual
     // sampling exponent): the plan when no hand-curated target
     // mixture exists. sqrt is correctly rounded (bit-stable across
@@ -6143,6 +6155,38 @@ object Queries {
         |  CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp_fp
         |FROM toks JOIN lp USING (term)
         |GROUP BY doc_id""".stripMargin,
+
+    // t19's scoring CTEs verbatim, then the standard ntile over the
+    // total order (mean desc — CAST(sum AS DOUBLE)/count is the same
+    // correctly-rounded division both engines compute — id asc) and
+    // exact BIGINT card aggregates. DuckDB's ntile is BIGINT, cast to
+    // match Spark's INT.
+    "t56_ccnet_buckets" ->
+      """WITH toks AS (
+        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+        |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+        |lp AS (
+        |  SELECT term,
+        |    CAST(round(ln((c + 1) / CAST(n + v AS DOUBLE)) * 1048576) AS BIGINT)
+        |      AS lp_fp
+        |  FROM counts, tot),
+        |scored AS (
+        |  SELECT doc_id, count(*) AS n_tokens,
+        |    CAST(sum(lp_fp) AS BIGINT) AS logprob_fp,
+        |    CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp
+        |  FROM toks JOIN lp USING (term)
+        |  GROUP BY doc_id),
+        |bucketed AS (
+        |  SELECT d.lang, s.n_tokens, s.logprob_fp,
+        |    CAST(ntile(3) OVER (
+        |      PARTITION BY d.lang ORDER BY s.mean_lp DESC, s.doc_id ASC)
+        |      AS INT) AS bucket
+        |  FROM scored s JOIN documents d USING (doc_id))
+        |SELECT lang, bucket, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  CAST(sum(logprob_fp) AS BIGINT) AS sum_logprob_fp
+        |FROM bucketed GROUP BY 1, 2""".stripMargin,
 
     // w_i = sq_fp_i / Z with sq_fp = round(sqrt(n)*2^20) (correctly
     // rounded sqrt + exact BIGINT partition function); budget/epochs

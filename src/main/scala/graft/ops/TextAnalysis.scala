@@ -649,6 +649,79 @@ object TextAnalysis {
         (col("logprob_fp").cast("double") / col("n_bigrams")).as("mean_lp_fp"))
   }
 
+  /** CCNet-style perplexity-bucket corpus card (Wenzek et al. 2020
+    * §4.3, arXiv:1911.00359): per language, documents rank by their
+    * [[unigramLogProb]] mean log-probability and split into `buckets`
+    * equal tranches — head (bucket 1, most-fluent / lowest
+    * perplexity), middle, tail — and the card reports per
+    * (lang, bucket) the doc count, token sum, and exact fixed-point
+    * log-prob sum. This is THE standard pretraining quality gate:
+    * CCNet trains on head+middle and drops tail; the card is what a
+    * data curator reads before choosing the cut.
+    *
+    * Determinism across engines: the rank key is
+    * (mean log-prob desc, id asc) — mean = exact BIGINT `logprob_fp`
+    * IEEE-divided by `n_tokens` (correctly-rounded division, bit-equal
+    * in any engine) and the id tiebreak makes the order total, so the
+    * standard ntile assignment is identical everywhere; the card's
+    * aggregates are exact BIGINT sums. Full DuckDB twin (t56).
+    *
+    * Scale shape: this exact form pays one lang-keyed shuffle and a
+    * per-language SORT — the verifier shape, fine to terabytes but
+    * the sort is the 100 TB bottleneck. The production form is
+    * [[ccnetBucketsSampled]]: tranche BOUNDARIES from a one-pass
+    * mergeable quantile sketch, then a stateless comparison — no
+    * sort anywhere, which is also exactly how CCNet itself does it
+    * (quantiles fitted on a sample of the reference corpus). */
+  def ccnetBuckets(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val scored = unigramLogProb(df, idCol, textCol)
+    val withLang = scored.join(df.select(col(idCol), col(langCol)), idCol)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(langCol).orderBy(desc("mean_lp_fp"), asc(idCol))
+    withLang.withColumn("bucket", ntile(buckets).over(w))
+      .groupBy(col(langCol), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        sum(col("logprob_fp")).as("sum_logprob_fp"))
+  }
+
+  /** [[ccnetBuckets]]' sort-free production form: per-language tranche
+    * boundaries from `approx_percentile` over the mean log-prob (a
+    * one-pass MERGEABLE sketch — vocabulary-free, partial-aggregated,
+    * |langs|·(buckets−1) doubles on the driver), then each document
+    * buckets by comparing its mean against its language's boundaries —
+    * a broadcast join plus a codegen'd comparison, NO per-language
+    * sort. At 100 TB this is the only viable shape; the trade is that
+    * tranche sizes are approximate (sketch accuracy, ties at the
+    * boundary all land one side) — OpsSpec measures the skew vs the
+    * exact [[ccnetBuckets]] tranches on the fixture. Returns one row
+    * per document: (id, lang, n_tokens, logprob_fp, bucket). */
+  def ccnetBucketsSampled(df: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", langCol: String = "lang",
+      buckets: Int = 3, accuracy: Int = 10000): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
+    val scored = unigramLogProb(df, idCol, textCol)
+    val withLang = scored.join(df.select(col(idCol), col(langCol)), idCol)
+    // Boundaries at the (1/b .. (b-1)/b) quantiles of mean_lp_fp,
+    // DESCENDING fluency order to match ccnetBuckets' bucket ids
+    // (bucket 1 = most fluent): a doc whose mean sits above the
+    // q-th-from-top boundary joins tranche q.
+    val qs = (1 until buckets).map(i => 1.0 - i.toDouble / buckets)
+    val bounds = withLang.groupBy(langCol)
+      .agg(percentile_approx(col("mean_lp_fp"),
+        array(qs.map(lit): _*), lit(accuracy)).as("bnd"))
+    withLang.join(broadcast(bounds), Seq(langCol))
+      .withColumn("bucket",
+        (lit(buckets) - aggregate(col("bnd"), lit(0),
+          (acc, b) => acc + when(col("mean_lp_fp") >= b, 1).otherwise(0)))
+          .cast("int"))
+      .select(col(idCol), col(langCol), col("n_tokens"),
+        col("logprob_fp"), col("bucket"))
+  }
+
   /** Retrieval/RAG chunking: each document flat-mapped to overlapping
     * token windows of `size` tokens advancing by `stride` — the
     * chunk-for-embedding pre-pass of every retrieval pipeline (and the

@@ -139,10 +139,11 @@ object ScaleBench {
         spark.read.parquet(s"$dir/embeddings.parquet").count()))
     }.toMap
 
-    // phase -> tier -> (samples, median, totalShuffle, maxStageShuffle)
+    // phase -> tier -> (samples, median, totalShuffle, maxStageShuffle,
+    //                   per-rep host-probe walls)
     val recs = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.LinkedHashMap[
-        String, (Seq[Double], Double, Long, Long)]]()
+        String, (Seq[Double], Double, Long, Long, Seq[Long])]]()
     var phaseDim = Map.empty[String, String]
 
     tiers.foreach { case (label, dir) =>
@@ -193,8 +194,14 @@ object ScaleBench {
           // tier's shuffle exponent while looking like a measurement.
           var okShuffle = 0L
           var okMaxStage = 0L
+          // Host-health probe per rep (the Bench telemetry, here too):
+          // a wall swing on bit-identical shuffle bytes is adjudicated
+          // by the probe next to it — the n01-isolated-exponent
+          // attribution the round-15/16 rehearsals needed by hand.
+          val probes = scala.collection.mutable.ArrayBuffer[Long]()
           val samples = (1 to reps).flatMap { i =>
             Thread.sleep(150)
+            probes += graft.Bench.hostProbeMillis()
             curShuffle.set(0L); maxStageShuffle.set(0L)
             val t0 = System.nanoTime()
             try {
@@ -213,10 +220,11 @@ object ScaleBench {
             else (samples(samples.size / 2 - 1) + samples(samples.size / 2)) / 2
           System.err.println(f"[scale] $label%-5s $name%-24s median=$med%8.2f s " +
             samples.map(s => f"$s%.2f").mkString("[", ",", "]") +
-            s" shuffle=$okShuffle maxStage=$okMaxStage")
+            s" shuffle=$okShuffle maxStage=$okMaxStage" +
+            s" probe_ms=${probes.mkString("[", ",", "]")}")
           recs.getOrElseUpdate(name,
             scala.collection.mutable.LinkedHashMap()) +=
-            label -> ((samples, med, okShuffle, okMaxStage))
+            label -> ((samples, med, okShuffle, okMaxStage, probes.toSeq))
         }
       // Release the tier's artifacts before moving on.
       priorCache.foreach(
@@ -234,10 +242,11 @@ object ScaleBench {
       val dim = phaseDim(name)
       def n(label: String): Long =
         if (dim == "docs") counts(label)._1 else counts(label)._2
-      val tiersStr = byTier.map { case (label, (ss, med, sh, mx)) =>
+      val tiersStr = byTier.map { case (label, (ss, med, sh, mx, pr)) =>
         s""""$label":{"samples":${ss.map(r3).mkString("[", ",", "]")},""" +
           s""""median":${r3(med)},"shuffle_bytes":$sh,""" +
-          s""""max_stage_shuffle_bytes":$mx}"""
+          s""""max_stage_shuffle_bytes":$mx,""" +
+          s""""probe_ms":${pr.mkString("[", ",", "]")}}"""
       }.mkString("{", ",", "}")
       val labels = byTier.keys.toSeq
       val exps = labels.sliding(2).collect {

@@ -4298,5 +4298,38 @@ class OpsSpec extends SparkSpec {
       .select("doc_id", "kept").as[(Long, Long)].collect().toMap
     assert(got == Map(1L -> 1L, 2L -> 0L, 3L -> 1L))
   }
+
+  test("t56 CCNet buckets: head tranche is more fluent than tail, and the " +
+      "sort-free sampled form lands within a few docs of the exact tranches") {
+    val exact = graft.ops.TextAnalysis.ccnetBuckets(docs).collect()
+      .map(r => (r.getString(0), r.getInt(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    val langs = exact.keys.map(_._1).toSet
+    assert(langs.size == 5 && exact.keys.map(_._2).toSet == Set(1, 2, 3))
+    // Tranches are balanced per language (ntile contract) and ordered
+    // by fluency: head's per-token log-prob strictly above tail's.
+    langs.foreach { l =>
+      val sizes = (1 to 3).map(b => exact((l, b))._1)
+      assert(sizes.max - sizes.min <= 1, s"$l tranches unbalanced: $sizes")
+      def perTok(b: Int) = { val (_, tk, lpf) = exact((l, b)); lpf.toDouble / tk }
+      assert(perTok(1) > perTok(3),
+        s"$l head per-token log-prob must exceed tail: ${perTok(1)} vs ${perTok(3)}")
+    }
+    // Sampled (sketch-boundary) form: same per-(lang,bucket) doc counts
+    // within a small absolute skew — the boundary-tie cost the scaladoc
+    // documents, not a different partition.
+    val sampled = graft.ops.TextAnalysis.ccnetBucketsSampled(docs)
+      .groupBy("lang", "bucket").count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(sampled.keys.map(_._1).toSet == langs)
+    langs.foreach { l =>
+      (1 to 3).foreach { b =>
+        val e = exact((l, b))._1
+        val s = sampled.getOrElse((l, b), 0L)
+        assert(math.abs(e - s) <= 3,
+          s"($l, $b) sampled tranche drifted: exact=$e sampled=$s")
+      }
+    }
+  }
 }
 
