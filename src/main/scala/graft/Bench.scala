@@ -318,6 +318,12 @@ object Bench {
         // The IRLS training + model-artifact write (declared t31 then
         // VERIFIES the loaded model's scores; st20 serves it).
         "t31_model_build" -> (() => { Queries.qualityModelPath(spark, sfDir); 0L }),
+        // The hierarchical-insert append (declared n18 then serves
+        // THROUGH the memoized appended stack, the s03/n01 convention;
+        // n19 reads its health card). Prices appendToGraphStack: one
+        // beam search per (new point, layer) + per-layer reverse-edge
+        // patches, over the prebuilt n18 prior stack.
+        "n18_append_build" -> (() => { Queries.n18AppendBuild(spark, sfDir); 0L }),
         // The unigram-LM tokenizer training (declared t35 summarizes
         // the memoized vocabulary; t36/p03 encode with it — without
         // this phase the alphabetically-first consumer pays the train
@@ -374,6 +380,8 @@ object Bench {
       "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
       "d26_index_build" -> (() => Queries.evictLineIndex(spark, sfDir)),
       "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),
+      "n18_append_build" -> (() =>
+        Queries.evictPrebuiltPrefix(spark, sfDir, "n18_app_layer_")),
       "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)),
       "t35_vocab_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "unigram_vocab")))
     // Forced median-of-5 (with per-sample telemetry): the historical

@@ -1839,6 +1839,13 @@ object Queries {
   def evictPrebuilt(s: SparkSession, dir: String, tag: String): Unit =
     prebuilt.remove(s"${s.sparkContext.applicationId}|$dir|$tag")
 
+  /** Drop every memoized artifact whose tag starts with `prefix` —
+    * for per-layer artifact families whose layer count is data-derived
+    * (the n18 appended stack). */
+  def evictPrebuiltPrefix(s: SparkSession, dir: String, prefix: String): Unit =
+    prebuilt.keySet.removeIf(
+      _.startsWith(s"${s.sparkContext.applicationId}|$dir|$prefix")): Unit
+
   /** Session-memoized ON-DISK artifacts (the path-valued sibling of
     * [[memo]]): first touch creates a temp directory, runs `build`
     * into it, and registers a JVM-exit cleanup hook; later touches
@@ -2125,6 +2132,30 @@ object Queries {
           .filter(col("neighbors").isNotNull).select("id", "neighbors"))
     }
   }
+
+  /** The n18 APPENDED stack — [[n18LayerGraphs]] plus the 20%
+    * increment via [[ops.GraphSearch.appendToGraphStack]] — memoized
+    * per layer and shared by the n18 serve census, the n19 health
+    * census, and Bench's `n18_append_build` phase (pair with
+    * [[evictPrebuiltPrefix]]("n18_app_layer_") for rerun medians).
+    * The whole-stack build runs lazily: a full memo hit never
+    * re-executes the append's eager per-layer beam searches. */
+  private def n18AppendedStack(s: SparkSession, dir: String): Seq[DataFrame] = {
+    val layers = n18LayerGraphs(s, dir)
+    lazy val appended = {
+      val e = emb(s, dir)
+      graft.ops.GraphSearch.appendToGraphStack(layers,
+        e.filter(col("id") % 5 =!= 0), e.filter(col("id") % 5 === 0),
+        k = 10, fanout = 4, beam = 64, hops = 5, seeds = 16,
+        upperK = 8, upperBeam = 8, upperHops = 3)
+    }
+    layers.indices.map(l => memo(s, dir, s"n18_app_layer_$l")(appended(l)))
+  }
+
+  /** Force the memoized n18 appended-stack build (Bench's timed
+    * `n18_append_build` phase). */
+  def n18AppendBuild(s: SparkSession, dir: String): Unit =
+    n18AppendedStack(s, dir): Unit
 
   /** The n02 prior: a graph over the 80% "existing" corpus (ids not
     * divisible by 5) — the artifact an incremental deployment already
@@ -4458,12 +4489,10 @@ object Queries {
     // n_dead is structurally zero (the suppression anti-join).
     "n18_stack_append_serve" -> ((s, dir) => {
       val e = emb(s, dir)
-      val existing = e.filter(col("id") % 5 =!= 0)
-      val fresh = e.filter(col("id") % 5 === 0)
-      val appended = graft.ops.GraphSearch.appendToGraphStack(
-        n18LayerGraphs(s, dir), existing, fresh, k = 10, fanout = 4,
-        beam = 64, hops = 5, seeds = 16,
-        upperK = 8, upperBeam = 8, upperHops = 3)
+      // The appended stack is a deployment artifact (built once,
+      // memoized; Bench prices it as n18_append_build) — the declared
+      // census measures the SERVE through it, the s03/n01 convention.
+      val appended = n18AppendedStack(s, dir)
       val dead = e.select("id").filter(col("id") % 7 === 3)
       val live = e.join(dead, Seq("id"), "left_anti")
       val q = live.filter(col("id") < 20)
@@ -4476,6 +4505,31 @@ object Queries {
             Seq("nbr_id"), "left_semi")
           .agg(count(lit(1)).as("n_dead")))
         .select(col("n_hits"), col("n_total"), col("n_dead"))
+    }),
+
+    // Stack-health census (n19 — graphHealth lifted to the layer
+    // stack, the rebuild trigger of the hierarchical lifecycle): over
+    // the n18 APPENDED stack, one row per layer rolled up to the
+    // one-row card a maintenance job reads — layer count, node/edge
+    // totals, NESTING violations (layer l+1 ⊆ layer l; structurally
+    // zero through appendToGraphStack, which inserts into every layer
+    // <= level — a non-zero value means a maintenance path skipped a
+    // layer), and the minimum per-layer reciprocity (the decay gauge:
+    // stack append's reverse edges hold it up where flat append's
+    // one-directional lists let it rot; OpsSpec measures that
+    // difference directly). All-BIGINT, pinned per SF.
+    "n19_stack_health" -> ((s, dir) => {
+      val h = graft.ops.GraphSearch.stackHealth(n18AppendedStack(s, dir))
+        .localCheckpoint()
+      val above = h.select((col("layer") - 1).as("layer"),
+        col("n_nodes").as("n_nodes_up"))
+      h.join(above, Seq("layer"), "left_outer")
+        .agg(count(lit(1)).as("n_layers"),
+          sum(col("n_nodes")).as("n_nodes_total"),
+          sum(col("n_edges")).as("n_edges_total"),
+          sum(when(col("n_above") =!= coalesce(col("n_nodes_up"), lit(0L)),
+            1L).otherwise(0L)).as("n_nest_violations"),
+          min(col("reciprocity_fp")).as("min_reciprocity_fp"))
     }),
 
     // Hierarchical search over the PERSISTED layer stack (n16): the
@@ -5141,6 +5195,17 @@ object Queries {
       "n_hits" -> (141L, 138L, 130L),
       "n_total" -> (170L, 170L, 170L),
       "n_dead" -> (0L, 0L, 0L)),
+    // n_nest_violations is structurally zero (appendToGraphStack
+    // inserts into every layer <= level, so levels keep nesting);
+    // min reciprocity stays well above zero because the insert's
+    // reverse edges keep appended layers reciprocal (the OpsSpec
+    // flat-vs-stack witness). Measured 2026-08-16 (round 16, PinDump).
+    "n19_stack_health" -> Seq(
+      "n_layers" -> (3L, 3L, 4L),
+      "n_nodes_total" -> (670L, 670L, 2669L),
+      "n_edges_total" -> (6360L, 6360L, 25352L),
+      "n_nest_violations" -> (0L, 0L, 0L),
+      "min_reciprocity_fp" -> (854016L, 835584L, 784322L)),
     // = s03 by construction: the persisted (id, neighbors) table
     // round-trips parquet exactly, so the loaded-graph search emits
     // s03's rows (OpsSpec asserts row equality on a fresh build).

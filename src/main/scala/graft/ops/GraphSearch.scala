@@ -670,6 +670,36 @@ object GraphSearch {
         "reciprocity_fp")
   }
 
+  /** [[graphHealth]] lifted to the LAYER STACK — the rebuild trigger
+    * of the hierarchical serve-between-rebuilds lifecycle (n18's
+    * missing gauge): one [[graphHealth]] row per layer, tagged with
+    * the layer index, plus `n_above` — how many of the layer's nodes
+    * also appear in the layer above (the HNSW nesting invariant:
+    * levels nest, so layer l+1's node set must be a subset of layer
+    * l's; `n_above` == the upper layer's n_nodes exactly when nesting
+    * holds, and a shortfall means an insert path skipped a layer —
+    * structurally impossible through [[appendToGraphStack]], which
+    * inserts into every layer <= level, but exactly what a hand-rolled
+    * maintenance job gets wrong). Reciprocity per layer is the decay
+    * gauge: [[appendToGraphStack]]'s reverse edges keep appended
+    * layers reciprocal where flat append's one-directional fresh lists
+    * decay it — the OpsSpec witness measures the difference directly.
+    *
+    * Cost: one adjacency explode + one reversed-pair semi-join + one
+    * id semi-join per layer — edge-table-sized shuffles on
+    * geometrically shrinking layers, features never touched. */
+  def stackHealth(layerGraphs: Seq[DataFrame]): DataFrame = {
+    require(layerGraphs.nonEmpty, "need at least the base layer graph")
+    layerGraphs.zipWithIndex.map { case (g, l) =>
+      val nAbove =
+        if (l + 1 >= layerGraphs.size) lit(0L)
+        else lit(layerGraphs(l + 1).select(col("id"))
+          .join(g.select(col("id")), Seq("id"), "left_semi").count())
+      graphHealth(g).select(lit(l).as("layer"), col("*"),
+        nAbove.as("n_above"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** Semi-supervised label PROPAGATION over the prebuilt K-NN graph —
     * the hard-clamped majority variant of Zhu & Ghahramani's (2002)
     * graph SSL, and [[labelConsistency]]'s constructive sibling: the

@@ -4331,5 +4331,60 @@ class OpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("n19 stackHealth: nesting survives the stack append, and reverse links " +
+      "keep the appended upper layer reciprocal where flat append cannot") {
+    import spark.implicits._
+    val e = (0L until 200L).map { i =>
+      val c = (i % 8).toInt
+      val rnd = new scala.util.Random(i)
+      (i, Array.tabulate(16)(d =>
+        (if (d == c) 3.0f else 0f) + (rnd.nextFloat() - 0.5f) * 0.6f))
+    }.toDF("id", "features")
+    val existing = e.filter(col("id") % 5 =!= 0)
+    val fresh = e.filter(col("id") % 5 === 0)
+    val base = graft.nnd.NND.buildGraph(existing,
+        graft.nnd.NND.Params(k = 6, maxIterations = 4))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val upper = graft.nnd.NND.buildGraph(
+        existing.join(graft.ops.GraphSearch.assignLayers(existing, maxLevel = 1)
+          .filter(col("level") >= 1).select("id"), "id"),
+        graft.nnd.NND.Params(k = 4, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val stacked = graft.ops.GraphSearch.appendToGraphStack(Seq(base, upper),
+      existing, fresh, k = 6, fanout = 4, beam = 16, hops = 3, seeds = 4,
+      upperK = 4, upperBeam = 8, upperHops = 2)
+    def health(stk: Seq[org.apache.spark.sql.DataFrame]) =
+      graft.ops.GraphSearch.stackHealth(stk).collect()
+        .map(r => r.getInt(0) -> r).toMap
+    val hs = health(stacked)
+    // Base layer holds everything (every fresh point has level >= 0);
+    // nesting: the upper layer's node set sits inside the base layer.
+    assert(hs(0).getLong(1) == 200L,
+      s"base layer must hold all 200 nodes: ${hs(0).getLong(1)}")
+    assert(hs(0).getAs[Long]("n_above") == hs(1).getLong(1),
+      "nesting violated: upper nodes missing from the base layer")
+    assert(hs(1).getLong(1) > upper.count(),
+      "at least one fresh point must have entered the upper layer")
+    // Reciprocity retention: the flat append patches no reverse edges
+    // and never touches the upper layer, so the stack-appended upper
+    // must carry MORE nodes and at least as high a reciprocity as the
+    // flat stack's untouched one serves stale.
+    val flat = Seq(graft.ops.GraphSearch.appendToGraph(base, existing,
+      fresh, k = 6, beam = 16, hops = 3, seeds = 4), upper)
+    val hf = health(flat)
+    assert(hs(1).getAs[Long]("reciprocity_fp") > 0L,
+      "appended upper layer lost all reciprocity")
+    // The flat BASE layer's fresh lists are one-directional: its
+    // reciprocity is strictly below the stack-appended base's, whose
+    // reverse patches reciprocate every surviving fresh edge.
+    assert(hs(0).getAs[Long]("reciprocity_fp") >
+      hf(0).getAs[Long]("reciprocity_fp"),
+      s"stack append must beat flat append on base reciprocity: " +
+        s"${hs(0).getAs[Long]("reciprocity_fp")} vs " +
+        s"${hf(0).getAs[Long]("reciprocity_fp")}")
+  }
 }
 
