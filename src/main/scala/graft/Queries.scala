@@ -4532,6 +4532,35 @@ object Queries {
           min(col("reciprocity_fp")).as("min_reciprocity_fp"))
     }),
 
+    // Streaming serve over the APPENDED stack with live deletes
+    // (st30 — the n18 lifecycle's online leg, completing the
+    // serving triptych for the insert+delete regime): queries stream
+    // per micro-batch through the layered descent over the memoized
+    // n18 appended stack, tombstones suppress dead answers AND dead
+    // queriers (liveQueriesOnly — the id space is shared, so a
+    // deleted id must neither return nor ask). Per-query-independent
+    // descent over static artifacts => drained results equal the
+    // batch n18 search under any slicing (AnnServeSpec asserts row
+    // equality, scores included), so st30 shares n18's pins by
+    // construction.
+    "st30_stack_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val appended = n18AppendedStack(s, dir)
+      val dead = e.select("id").filter(col("id") % 7 === 3)
+      val live = e.join(dead, Seq("id"), "left_anti")
+      val q = live.filter(col("id") < 20)
+      val res = graft.streaming.AnnServe.layeredServe(s, dir, appended, e,
+        k = 10, beam = 8, hops = 2, entries = 4, upperBeam = 8,
+        upperHops = 3, seeds = 4, maxQueryId = 20,
+        tombstones = Some(dead), liveQueriesOnly = true)
+        .localCheckpoint()
+      recallCounts(res, SimilaritySearch.bruteForceTopK(live, q, 10))
+        .crossJoin(res.join(dead.select(col("id").as("nbr_id")),
+            Seq("nbr_id"), "left_semi")
+          .agg(count(lit(1)).as("n_dead")))
+        .select(col("n_hits"), col("n_total"), col("n_dead"))
+    }),
+
     // Hierarchical search over the PERSISTED layer stack (n16): the
     // s22 stack written to parquet once (manifest + per-layer graphs)
     // and reloaded — the durable serving-artifact lifecycle (n03/s14)
@@ -5206,6 +5235,15 @@ object Queries {
       "n_edges_total" -> (6360L, 6360L, 25352L),
       "n_nest_violations" -> (0L, 0L, 0L),
       "min_reciprocity_fp" -> (854016L, 835584L, 784322L)),
+    // = n18 by construction (per-query-independent descent over the
+    // same memoized appended stack and tombstone set; AnnServeSpec
+    // asserts drained-vs-batch ROW equality, scores included) — the
+    // s22/n16/st29 shared-pin convention applied to the appended
+    // stack.
+    "st30_stack_serve" -> Seq(
+      "n_hits" -> (141L, 138L, 130L),
+      "n_total" -> (170L, 170L, 170L),
+      "n_dead" -> (0L, 0L, 0L)),
     // = s03 by construction: the persisted (id, neighbors) table
     // round-trips parquet exactly, so the loaded-graph search emits
     // s03's rows (OpsSpec asserts row equality on a fresh build).

@@ -124,14 +124,22 @@ object AnnServe {
   def layeredServe(spark: SparkSession, dir: String, layers: Seq[DataFrame],
       corpus: DataFrame, k: Int = 10, beam: Int = 8, hops: Int = 2,
       entries: Int = 4, upperBeam: Int = 8, upperHops: Int = 3,
-      seeds: Int = 4, maxQueryId: Long = 20): DataFrame =
+      seeds: Int = 4, maxQueryId: Long = 20,
+      tombstones: Option[DataFrame] = None,
+      liveQueriesOnly: Boolean = false): DataFrame =
     EventsStream.runDrainedForeachBatch(
       spark, dir, "embeddings", EventsStream.embeddingsSchema, "layered") { src =>
-      val q = src
+      val q0 = src
         .select(col("vec_id").as("id"), col("embedding").as("features"))
         .filter(col("id") < maxQueryId)
+      // Deleted ids stop QUERYING too when the caller says so (the
+      // st30 shape: the query stream and the corpus share the id
+      // space, so a tombstoned id's queries must not come back).
+      val q = tombstones.filter(_ => liveQueriesOnly)
+        .fold(q0)(t => q0.join(t.select("id"), Seq("id"), "left_anti"))
       graft.ops.GraphSearch.searchHierarchical(layers, corpus, q, k,
-        beam, hops, entries, upperBeam, upperHops, seeds)
+        beam, hops, entries, upperBeam, upperHops, seeds,
+        tombstones = tombstones)
     }
 
   /** Streaming HIERARCHICAL insert (the st22 idiom lifted to the layer

@@ -141,6 +141,41 @@ class AnnServeSpec extends SparkSpec {
     }
   }
 
+  test("streaming layered serve with tombstones equals the batch search " +
+      "row-for-row, and dead ids neither return nor query") {
+    val e = emb
+    val dead = e.select("id").filter(col("id") % 7 === 3)
+    val liveQ = e.join(dead, Seq("id"), "left_anti").filter(col("id") < 20)
+    val base = graft.nnd.NND.buildGraph(e,
+        graft.nnd.NND.Params(k = 8, maxIterations = 4))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val upper = graft.nnd.NND.buildGraph(
+        e.join(graft.ops.GraphSearch.assignLayers(e, maxLevel = 1)
+          .filter(col("level") >= 1).select("id"), "id"),
+        graft.nnd.NND.Params(k = 6, maxIterations = 3))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val layers = Seq(base, upper)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    val batch = rows(graft.ops.GraphSearch.searchHierarchical(
+      layers, e, liveQ, k = 10, beam = 8, hops = 2, entries = 4,
+      upperBeam = 8, upperHops = 3, seeds = 4, tombstones = Some(dead)))
+    val served = rows(AnnServe.layeredServe(spark, sf001, layers, e,
+      tombstones = Some(dead), liveQueriesOnly = true))
+    assert(batch.nonEmpty)
+    assert(served.toSet == batch.toSet,
+      s"tombstoned layered serve diverged from batch: " +
+        s"only-batch=${(batch.toSet -- served.toSet).take(3)} " +
+        s"only-served=${(served.toSet -- batch.toSet).take(3)}")
+    val deadIds = dead.collect().map(_.getLong(0)).toSet
+    assert(served.forall(r => !deadIds.contains(r._3)),
+      "a tombstoned id was returned")
+    assert(served.forall(r => !deadIds.contains(r._1)),
+      "a tombstoned id queried")
+  }
+
   test("bm25Impacts: maxPostings keeps each term's top postings by impact") {
     import spark.implicits._
     val d = Seq((1L, "hash hash"), (2L, "hash"), (3L, "hash join"))
