@@ -171,11 +171,20 @@ object GraphSearch {
         // result filter removed) would otherwise silently vanish from
         // every layer below — fall back to the deterministic seeds for
         // exactly those queries, leaving covered queries' frontiers
-        // byte-untouched (round-15 ADVICE finding).
+        // byte-untouched (round-15 ADVICE finding). The missing set is
+        // decided DRIVER-SIDE first: entry frontiers are tiny (they
+        // arrive checkpointed from the descent) and queries are the
+        // broadcast side, so the count is a trivial job — while
+        // unconditionally attaching the fallback plan would bolt a
+        // corpus seed-draw + anti-join onto EVERY entry-point search
+        // (measured: st29's per-micro-batch descent regressed 1.9x
+        // under the unconditional form; the common all-covered case
+        // must keep the caller's frontier plan byte-identical).
         val ef = e.select(col("query_id"), col("node"))
-        ef.unionByName(seedFrontier(
-          q.join(ef.select("query_id").distinct(), Seq("query_id"),
-            "left_anti")))
+        val missing = q.join(ef.select("query_id").distinct(),
+          Seq("query_id"), "left_anti")
+        if (missing.isEmpty) ef
+        else ef.unionByName(seedFrontier(missing))
       case None => seedFrontier(q)
     })
     var hop = 0
@@ -208,16 +217,21 @@ object GraphSearch {
 
     // Tombstone suppression happens at RESULT time, after traversal:
     // dead nodes routed the beam above, they just cannot be answers.
-    // No forced broadcast hint on the tombstone side (the
-    // nnd/NND.scala updateGraph carve-out principle): a tombstone set
-    // is typically tiny and AQE broadcasts it on its own, but a
-    // MASS-DELETE set can be corpus-sized, and a forced hint there
-    // OOMs the driver; unhinted, the anti-join degrades gracefully to
-    // a shuffled join.
+    // The broadcast is COUNT-GATED (the nnd/NND.scala updateGraph
+    // carve-out principle, resolved by measurement instead of a forced
+    // hint either way): the common tombstone set is tiny and the
+    // broadcast anti-join is the fast plan (unhinted, the static
+    // planner picks a shuffled join and AQE only converts it after
+    // paying the map-side shuffle write — measured +1.5x on n17's
+    // serve), while a MASS-DELETE set can be corpus-sized and a
+    // forced hint there OOMs the driver. One cheap narrow count
+    // decides; results are plan-independent either way.
     val live = tombstones match {
       case Some(t) =>
-        visited.join(t.select(col("id").as("node")),
-          Seq("node"), "left_anti")
+        val ts = t.select(col("id").as("node"))
+        val hinted =
+          if (ts.count() <= 4000000L) broadcast(ts) else ts
+        visited.join(hinted, Seq("node"), "left_anti")
       case None => visited
     }
     val result = live
