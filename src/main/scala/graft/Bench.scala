@@ -26,8 +26,9 @@ object Bench {
   }
 
   /** Sink defeating dead-code elimination of the probe loops; the xor
-    * of per-thread LCG states is never read for its value. */
-  @volatile private var probeSink: Long = 0L
+    * of per-thread LCG states is never read for its value (atomic only
+    * so the concurrent accumulate is well-defined). */
+  private val probeSink = new AtomicLong(0L)
 
   /** Fixed-work host-health probe (round-15 directive): a deterministic
     * parallel CPU spin — `threads` dependent-chain LCG loops of `iters`
@@ -50,7 +51,7 @@ object Bench {
           x = x * 6364136223846793005L + 1442695040888963407L
           i += 1
         }
-        probeSink ^= x
+        probeSink.getAndAccumulate(x, _ ^ _): Unit
       })
       th.start(); th
     }
