@@ -213,12 +213,18 @@ object Bench {
         // baseline exists to prevent (round-15 ADVICE finding). Raw
         // bench.json is the fallback when no baseline exists at all.
         val base = baseline.orElse(closeTree)
+        // The overlay is negative-filtered BEFORE the merge: a crashed
+        // phase's -1 in the driver artifact must not ERASE a valid
+        // baseline prior for that phase (post-merge filtering would
+        // first overwrite 5.0 with -1, then drop the key — and the
+        // phase's next regression or repeat crash would go unflagged).
         val overlay =
           if (baselineRound >= newestRound) Map.empty[String, Double]
-          else newest.map(n => loadPriorQueries(n._2)).getOrElse(Map.empty)
+          else newest.map(n => loadPriorQueries(n._2).filter(_._2 >= 0))
+            .getOrElse(Map.empty)
         val merged =
-          (base.map(loadPriorQueries).getOrElse(Map.empty) ++ overlay)
-            .filter(_._2 >= 0)
+          base.map(loadPriorQueries).getOrElse(Map.empty)
+            .filter(_._2 >= 0) ++ overlay
         if (merged.isEmpty) None
         else Some((base.map(_.getFileName.toString).toSeq ++
           (if (overlay.isEmpty) Seq.empty
@@ -319,11 +325,16 @@ object Bench {
         // The IRLS training + model-artifact write (declared t31 then
         // VERIFIES the loaded model's scores; st20 serves it).
         "t31_model_build" -> (() => { Queries.qualityModelPath(spark, sfDir); 0L }),
+        // The n18 PRIOR layer stack (the 80%-corpus hierarchy the
+        // day's append arrives against — n02_prior as its base plus
+        // the upper-layer NND builds), priced as its own phase so the
+        // append phase below never times prior construction.
+        "n18_prior_build" -> (() => { Queries.n18PriorBuild(spark, sfDir); 0L }),
         // The hierarchical-insert append (declared n18 then serves
         // THROUGH the memoized appended stack, the s03/n01 convention;
-        // n19 reads its health card). Prices appendToGraphStack: one
-        // beam search per (new point, layer) + per-layer reverse-edge
-        // patches, over the prebuilt n18 prior stack.
+        // n19 reads its health card). Prices appendToGraphStack alone:
+        // one beam search per (new point, layer) + per-layer
+        // reverse-edge patches, over the prebuilt n18 prior stack.
         "n18_append_build" -> (() => { Queries.n18AppendBuild(spark, sfDir); 0L }),
         // The unigram-LM tokenizer training (declared t35 summarizes
         // the memoized vocabulary; t36/p03 encode with it — without
@@ -381,6 +392,10 @@ object Bench {
       "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
       "d26_index_build" -> (() => Queries.evictLineIndex(spark, sfDir)),
       "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),
+      "n18_prior_build" -> (() => {
+        Queries.evictPrebuiltPrefix(spark, sfDir, "n18_layer_")
+        Queries.evictPrebuilt(spark, sfDir, "n18_levels")
+      }),
       "n18_append_build" -> (() =>
         Queries.evictPrebuiltPrefix(spark, sfDir, "n18_app_layer_")),
       "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)),
@@ -408,6 +423,10 @@ object Bench {
     // wall outlier within a sample array is attributable to the host
     // at THAT moment, not just to the session on average.
     val rerunProbeLog = scala.collection.mutable.LinkedHashMap[String, Seq[Long]]()
+    // Run-order (wall, gc) per attempted rerun, index-aligned with
+    // rerunProbeLog (crashed rerun: wall -1).
+    val rerunDetailLog =
+      scala.collection.mutable.LinkedHashMap[String, Seq[(Double, Long)]]()
     val results = pass1.map { case r @ (name, t1, sh, mx) =>
       if (!heavy(name) && !rerunPrep.contains(name) && !forced(name)) r
       else {
@@ -421,6 +440,12 @@ object Bench {
         // Each sample carries its GC delta so a wall outlier is
         // attributable (collection pause vs scheduler/JIT swing).
         val probes = scala.collection.mutable.ArrayBuffer[Long]()
+        // RUN-ORDER (wall, gc) per attempted rerun — aligned index-for-
+        // index with `probes`, a crashed rerun holding wall -1 — so a
+        // wall outlier in the durable record is attributable to the
+        // probe reading taken at THAT moment (the sorted `samples`
+        // array alone cannot be re-aligned with chronological probes).
+        val runOrder = scala.collection.mutable.ArrayBuffer[(Double, Long)]()
         val reruns = (1 to extra).flatMap { _ =>
           rerunPrep.get(name).foreach(_())
           probes += hostProbeMillis()
@@ -428,12 +453,17 @@ object Bench {
           val t0 = System.nanoTime()
           try {
             runFn(name)()
-            Some(((System.nanoTime() - t0) / 1e9, gcMillis() - g0))
+            val r = ((System.nanoTime() - t0) / 1e9, gcMillis() - g0)
+            runOrder += r
+            Some(r)
           } catch { case e: Throwable =>
-            System.err.println(s"[bench] rerun of $name failed: $e"); None
+            System.err.println(s"[bench] rerun of $name failed: $e")
+            runOrder += ((-1.0, gcMillis() - g0))
+            None
           }
         }
         rerunProbeLog(name) = probes.toSeq
+        rerunDetailLog(name) = runOrder.toSeq
         val gcs = reruns.map(_._2)
         if (gcs.nonEmpty) {
           System.err.println(s"[bench] $name rerun gc_ms=" +
@@ -540,6 +570,14 @@ object Bench {
     val rerunProbeJson = rerunProbeLog.map { case (k, v) =>
       "\"" + k + "\":" + v.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
+    // The adjudication record: per rerun IN RUN ORDER, the aligned
+    // [wall_s, gc_ms, probe_ms] triple (wall -1 = crashed rerun).
+    val rerunDetailJson = rerunDetailLog.map { case (k, v) =>
+      val probes = rerunProbeLog.getOrElse(k, Seq.empty)
+      "\"" + k + "\":" + v.zipWithIndex.map { case ((w, g), i) =>
+        s"[${math.round(w * 1000) / 1000.0},$g,${probes.lift(i).getOrElse(-1L)}]"
+      }.mkString("[", ",", "]")
+    }.mkString("{", ",", "}")
     val probeVals = (probeLog.values ++ rerunProbeLog.values.flatten).toSeq.sorted
     val probeMedian = if (probeVals.isEmpty) -1L else probeVals(probeVals.size / 2)
     val probeMax = if (probeVals.isEmpty) -1L else probeVals.last
@@ -549,6 +587,7 @@ object Bench {
       s""""total_shuffle_bytes":$totalShuffle,"gc_ms":$gcTotal,""" +
       s""""samples":$samplesJson,"rerun_gc_ms":$rerunGcJson,""" +
       s""""host_probe_ms":$probeJson,"rerun_probe_ms":$rerunProbeJson,""" +
+      s""""rerun_detail":$rerunDetailJson,""" +
       s""""host_probe_median_ms":$probeMedian,"host_probe_max_ms":$probeMax,""" +
       s""""regressions":$regressionsJson,"prev_bench":"$prevName",""" +
       s""""sf":"$sfDir"}"""

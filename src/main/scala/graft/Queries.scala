@@ -2095,7 +2095,8 @@ object Queries {
   private def s22LayerGraphs(s: SparkSession, dir: String): Seq[DataFrame] = {
     val e = emb(s, dir)
     val maxLevel = math.max(1,
-      (math.log(e.count() / 16.0) / math.log(4.0)).toInt)
+      (math.log(memoScalar(s, dir, "s22_count")(e.count()) / 16.0) /
+        math.log(4.0)).toInt)
     val levels = memo(s, dir, "s22_levels")(
       graft.ops.GraphSearch.assignLayers(e, maxLevel))
     val base = knnGraph(s, dir)
@@ -2116,10 +2117,23 @@ object Queries {
     * same construction as [[s22LayerGraphs]]). This is the resident
     * serving artifact the day's append arrives AGAINST; n18 then
     * stack-appends the 20% increment and serves through it. */
+  /** Session-memoized driver scalars (a corpus count is a Spark job;
+    * re-running it on every memo-hit call of a layer-stack helper
+    * would make "a full memo hit runs zero jobs" false). Entries from
+    * dead sessions stay correct (same dir, same count), so no
+    * cleanup is needed. */
+  private val scalarMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Long]()
+  private def memoScalar(s: SparkSession, dir: String, tag: String)(
+      compute: => Long): Long =
+    scalarMemo.computeIfAbsent(
+      s"${s.sparkContext.applicationId}|$dir|$tag", _ => compute)
+
   private def n18LayerGraphs(s: SparkSession, dir: String): Seq[DataFrame] = {
     val e = emb(s, dir).filter(col("id") % 5 =!= 0)
+    val n = memoScalar(s, dir, "n18_count")(e.count())
     val maxLevel = math.max(1,
-      (math.log(e.count() / 16.0) / math.log(4.0)).toInt)
+      (math.log(n / 16.0) / math.log(4.0)).toInt)
     val levels = memo(s, dir, "n18_levels")(
       graft.ops.GraphSearch.assignLayers(e, maxLevel))
     val base = n02Prior(s, dir)
@@ -2152,8 +2166,15 @@ object Queries {
     layers.indices.map(l => memo(s, dir, s"n18_app_layer_$l")(appended(l)))
   }
 
+  /** Force the memoized n18 PRIOR stack build (Bench's timed
+    * `n18_prior_build` phase — the artifact the day's append arrives
+    * against, priced separately so `n18_append_build` times the
+    * APPEND alone, never the prior uppers). */
+  def n18PriorBuild(s: SparkSession, dir: String): Unit =
+    n18LayerGraphs(s, dir): Unit
+
   /** Force the memoized n18 appended-stack build (Bench's timed
-    * `n18_append_build` phase). */
+    * `n18_append_build` phase; run after [[n18PriorBuild]]). */
   def n18AppendBuild(s: SparkSession, dir: String): Unit =
     n18AppendedStack(s, dir): Unit
 

@@ -11,6 +11,14 @@ import org.apache.spark.sql.functions._
   * whether a wall swing is the operator (unbalanced blocking or pair
   * blow-up) or the host/JVM (both stable while the wall moves).
   *
+  * Freshness caveat: with several tier dirs in one invocation, only
+  * the FIRST runs in a truly fresh session — later tiers execute in
+  * a JVM the earlier ones warmed (JIT, code cache, grown heap). The
+  * round-16 attribution therefore rests on cross-INVOCATION
+  * repeatability (three separate runs agreeing per tier), plus a
+  * single-dir 384-d-only run confirming the second-position number;
+  * for a strict per-tier fresh reading, pass one dir per invocation.
+  *
   * Usage: runMain graft.tools.ProbeDim <tierDir> [tierDir ...]
   * (fork with the scale config: SPARK_GRAFT_SHUFFLE=64, -Xmx32g). */
 object ProbeDim {

@@ -140,10 +140,11 @@ object ScaleBench {
     }.toMap
 
     // phase -> tier -> (samples, median, totalShuffle, maxStageShuffle,
-    //                   per-rep host-probe walls)
+    //                   per-rep host-probe walls, run-order walls —
+    //                   probe/run-order index-aligned, crashed rep -1)
     val recs = scala.collection.mutable.LinkedHashMap[
       String, scala.collection.mutable.LinkedHashMap[
-        String, (Seq[Double], Double, Long, Long, Seq[Long])]]()
+        String, (Seq[Double], Double, Long, Long, Seq[Long], Seq[Double])]]()
     var phaseDim = Map.empty[String, String]
 
     tiers.foreach { case (label, dir) =>
@@ -199,6 +200,10 @@ object ScaleBench {
           // by the probe next to it — the n01-isolated-exponent
           // attribution the round-15/16 rehearsals needed by hand.
           val probes = scala.collection.mutable.ArrayBuffer[Long]()
+          // Run-order walls, index-aligned with `probes` (crashed rep:
+          // -1) — the sorted `samples` alone cannot be re-aligned with
+          // the chronological probe readings for outlier attribution.
+          val runOrder = scala.collection.mutable.ArrayBuffer[Double]()
           val samples = (1 to reps).flatMap { i =>
             Thread.sleep(150)
             probes += graft.Bench.hostProbeMillis()
@@ -207,10 +212,13 @@ object ScaleBench {
             try {
               run()
               okShuffle = curShuffle.get(); okMaxStage = maxStageShuffle.get()
-              Some((System.nanoTime() - t0) / 1e9)
+              val w = (System.nanoTime() - t0) / 1e9
+              runOrder += w
+              Some(w)
             }
             catch { case e: Throwable =>
               System.err.println(s"[scale] $label/$name rep $i failed: $e")
+              runOrder += -1.0
               None
             }
           }.sorted
@@ -224,7 +232,8 @@ object ScaleBench {
             s" probe_ms=${probes.mkString("[", ",", "]")}")
           recs.getOrElseUpdate(name,
             scala.collection.mutable.LinkedHashMap()) +=
-            label -> ((samples, med, okShuffle, okMaxStage, probes.toSeq))
+            label -> ((samples, med, okShuffle, okMaxStage, probes.toSeq,
+              runOrder.toSeq))
         }
       // Release the tier's artifacts before moving on.
       priorCache.foreach(
@@ -242,11 +251,12 @@ object ScaleBench {
       val dim = phaseDim(name)
       def n(label: String): Long =
         if (dim == "docs") counts(label)._1 else counts(label)._2
-      val tiersStr = byTier.map { case (label, (ss, med, sh, mx, pr)) =>
+      val tiersStr = byTier.map { case (label, (ss, med, sh, mx, pr, ro)) =>
         s""""$label":{"samples":${ss.map(r3).mkString("[", ",", "]")},""" +
           s""""median":${r3(med)},"shuffle_bytes":$sh,""" +
           s""""max_stage_shuffle_bytes":$mx,""" +
-          s""""probe_ms":${pr.mkString("[", ",", "]")}}"""
+          s""""probe_ms":${pr.mkString("[", ",", "]")},""" +
+          s""""samples_runorder":${ro.map(r3).mkString("[", ",", "]")}}"""
       }.mkString("{", ",", "}")
       val labels = byTier.keys.toSeq
       val exps = labels.sliding(2).collect {

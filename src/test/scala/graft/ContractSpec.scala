@@ -135,6 +135,16 @@ class ContractSpec extends AnyFunSuite {
       val Some((labelOnly, mOnly)) = Bench.priorMedians(None, dir): @unchecked
       assert(labelOnly == "BENCH_r15.json" && mOnly == Map("b_q" -> 1.0),
         "driver artifact is the fallback prior when nothing was frozen")
+      // An overlay-side crashed median (-1) must not ERASE a valid
+      // stale-baseline prior: the negative filter applies to the
+      // overlay BEFORE the merge, so b_q keeps its baseline value.
+      java.nio.file.Files.writeString(dir.resolve("bench_baseline.json"),
+        """{"round":15,"queries":{"b_q":5.0}}""")
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r16.json"),
+        """{"parsed":{"queries":{"b_q":-1.0}}}""")
+      val Some((_, mCrash)) = Bench.priorMedians(None, dir): @unchecked
+      assert(mCrash("b_q") == 5.0,
+        "a crashed overlay median replaced (then dropped) a valid prior")
       // Explicit override takes precedence over both defaults.
       val Some((l2, m2)) = Bench.priorMedians(
         Some(dir.resolve("BENCH_r09.json").toString), dir): @unchecked
