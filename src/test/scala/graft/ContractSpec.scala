@@ -171,13 +171,63 @@ class ContractSpec extends AnyFunSuite {
       ("new_q", 9.0, 9.0),     // no prior exempt
       ("burst_q", 4.0, 2.2),   // flagged, but best sample at prior speed
       ("dead_q", -1.0, -1.0),  // crashed against a valid prior
-      ("tinydead_q", -1.0, -1.0)) // crashed, but prior sub-noise-floor
+      ("tinydead_q", -1.0, -1.0)) // crashed: floor gates ratios, not crashes
     assert(Bench.flagRegressions(cur, prior) == Seq(
       ("slow_q", 2.0, 3.1, 3.0, "code-suspect"),
       ("burst_q", 2.0, 4.0, 2.2, "host-swing"),
-      ("dead_q", 2.0, -1.0, -1.0, "failed")),
+      ("dead_q", 2.0, -1.0, -1.0, "failed"),
+      ("tinydead_q", 0.2, -1.0, -1.0, "failed")),
       "median>1.5x flags with min-of-samples verdict; working-to-" +
-        "failing flags as failed; sub-0.5s priors and no-prior exempt")
+        "failing flags as failed regardless of the noise floor " +
+        "(round-16 ADVICE); sub-0.5s priors exempt from RATIO flags " +
+        "and no-prior exempt entirely")
+  }
+
+  test("bench regression guard consumes rerun probes: the r16 n10 " +
+      "sustained-degradation fixture closes as host-swing") {
+    // Verbatim from BENCH_r16.json / bench.json rerun_detail:
+    // n10_part_build prior 2.479, session median 12.865, min-of-samples
+    // 3.177 (= 1.28x, just past the 1.25x min rule), run-order samples
+    // [3.18@31ms, 12.87@159ms, 23.19@88ms, 15.62@284ms] against a 33 ms
+    // session-nominal probe. The written adjudication rule ("an
+    // inflated probe next to the inflated wall closes the flag as host
+    // degradation") must now be applied BY the verdict field: the
+    // probe-normalized samples (12.87x33/159=2.67, 15.62x33/284=1.82,
+    // ...) sit at prior speed, so this is host, not code.
+    val fixture = Seq(
+      (3.177, 31L), (12.87, 159L), (23.19, 88L), (15.62, 284L))
+    val flags = Bench.flagRegressions(
+      Seq(("n10_part_build", 12.865, 3.177)),
+      Map("n10_part_build" -> 2.479),
+      Map("n10_part_build" -> fixture),
+      nominalProbeMs = 33L)
+    assert(flags == Seq(
+      ("n10_part_build", 2.479, 12.865, 3.177, "host-swing")),
+      "every sample's wall inflated + probes inflated alongside = " +
+        "sustained host degradation, never code-suspect")
+    // Control: the same walls with HEALTHY probes (host fine, code
+    // slow on every sample) must stay code-suspect — the probe data
+    // distinguishes the two cases, not the walls.
+    val healthy = fixture.map { case (w, _) => (w, 33L) }
+    val flags2 = Bench.flagRegressions(
+      Seq(("n10_part_build", 12.865, 3.177)),
+      Map("n10_part_build" -> 2.479),
+      Map("n10_part_build" -> healthy),
+      nominalProbeMs = 33L)
+    assert(flags2.map(_._5) == Seq("code-suspect"),
+      "healthy probes + degraded walls on every sample stays code-suspect")
+    // Crashed samples (wall -1) are excluded from the adjusted stats,
+    // and a missing probe map falls back to the min-of-samples rule.
+    val withCrash = (-1.0, 400L) +: fixture
+    assert(Bench.flagRegressions(
+      Seq(("n10_part_build", 12.865, 3.177)),
+      Map("n10_part_build" -> 2.479),
+      Map("n10_part_build" -> withCrash), 33L).map(_._5) ==
+      Seq("host-swing"), "crashed walls don't poison the adjusted min")
+    assert(Bench.flagRegressions(
+      Seq(("n10_part_build", 12.865, 3.177)),
+      Map("n10_part_build" -> 2.479)).map(_._5) == Seq("code-suspect"),
+      "no probe data = the pre-r17 behavior (min rule only)")
   }
 
   test("bench host probe: fixed work, returns a plausible wall") {
