@@ -109,12 +109,16 @@ object Bench {
     } catch { case _: Throwable => }
   }
 
-  /** Parse a prior bench artifact's per-phase medians. Accepts both
-    * shapes in the repo: the raw bench line (top-level `queries`) and
-    * the driver's per-round wrapper, whose reliable machine part is
-    * the compact line under `parsed.queries` (the wrapper's `tail`
-    * holds a truncated stdout copy of the full line). Any read/parse
-    * failure degrades to an empty map, never a crashed bench. */
+  /** Parse a prior bench artifact's per-phase medians. Accepts every
+    * shape in the repo: the raw bench line (top-level `queries` of
+    * plain numbers), the driver's per-round wrapper, whose reliable
+    * machine part is the compact line under `parsed.queries` (the
+    * wrapper's `tail` holds a truncated stdout copy of the full line),
+    * and the round-17 durable-baseline shape where each phase's value
+    * is an object `{"med":…,"samples":[…],"probes":[…]}` (the guard
+    * keys on `med`; samples/probes are the adjudication record). Any
+    * read/parse failure degrades to an empty map, never a crashed
+    * bench. */
   private[graft] def loadPriorQueries(p: java.nio.file.Path): Map[String, Double] =
     try {
       import org.json4s._
@@ -124,12 +128,17 @@ object Bench {
         case JObject(f) if f.nonEmpty => JObject(f)
         case _ => j \ "parsed" \ "queries"
       }
+      def num: PartialFunction[JValue, Double] = {
+        case JDouble(v) => v
+        case JInt(v) => v.toDouble
+        case JLong(v) => v.toDouble
+        case JDecimal(v) => v.toDouble
+      }
       q match {
         case JObject(fields) => fields.collect {
-          case (k, JDouble(v)) => k -> v
-          case (k, JInt(v)) => k -> v.toDouble
-          case (k, JLong(v)) => k -> v.toDouble
-          case (k, JDecimal(v)) => k -> v.toDouble
+          case (k, v) if num.isDefinedAt(v) => k -> num(v)
+          case (k, o: JObject) if num.isDefinedAt(o \ "med") =>
+            k -> num(o \ "med")
         }.toMap
         case _ => Map.empty
       }
@@ -137,6 +146,151 @@ object Bench {
       System.err.println(s"[bench] prior-bench parse failed ($p): $e")
       Map.empty
     }
+
+  /** The per-phase sample/probe arrays of a prior bench.json — the
+    * durable telemetry [[writeBaseline]] carries into the frozen
+    * baseline so adjudication never needs the (overwritten) close-tree
+    * file. Phase probes = the pass-1 reading (`host_probe_ms`)
+    * followed by the per-rerun readings (`rerun_probe_ms`), run order
+    * preserved. Parse failure degrades to empty maps. */
+  private[graft] def loadPriorDetail(p: java.nio.file.Path):
+      (Map[String, Seq[Double]], Map[String, Seq[Long]]) =
+    try {
+      import org.json4s._
+      val j = jackson.JsonMethods.parse(new String(
+        java.nio.file.Files.readAllBytes(p), "UTF-8"))
+      def num: PartialFunction[JValue, Double] = {
+        case JDouble(v) => v
+        case JInt(v) => v.toDouble
+        case JLong(v) => v.toDouble
+        case JDecimal(v) => v.toDouble
+      }
+      def arr(v: JValue): Seq[Double] = v match {
+        case JArray(xs) => xs.collect(num)
+        case _ => Seq.empty
+      }
+      def objMap(v: JValue): Map[String, JValue] = v match {
+        case JObject(fs) => fs.toMap
+        case _ => Map.empty
+      }
+      // bench.json shape: top-level samples / host_probe_ms (pass-1
+      // single reading) / rerun_probe_ms maps.
+      val flatSamples = objMap(j \ "samples").map { case (k, v) => k -> arr(v) }
+        .filter(_._2.nonEmpty)
+      val p1 = objMap(j \ "host_probe_ms")
+        .collect { case (k, v) if num.isDefinedAt(v) => k -> num(v).toLong }
+      val rr = objMap(j \ "rerun_probe_ms")
+        .map { case (k, v) => k -> arr(v).map(_.toLong) }
+      val flatProbes = (p1.keySet ++ rr.keySet).map { k =>
+        k -> (p1.get(k).toSeq ++ rr.getOrElse(k, Seq.empty))
+      }.toMap.filter(_._2.nonEmpty)
+      // Frozen-baseline shape: the arrays live INSIDE each phase's
+      // {med,samples,probes} object under `queries`.
+      val nested = objMap(j \ "queries").collect { case (k, o: JObject) =>
+        k -> (arr(o \ "samples"), arr(o \ "probes").map(_.toLong))
+      }
+      val nestedSamples = nested.map { case (k, v) => k -> v._1 }
+        .filter(_._2.nonEmpty)
+      val nestedProbes = nested.map { case (k, v) => k -> v._2 }
+        .filter(_._2.nonEmpty)
+      (flatSamples ++ nestedSamples, flatProbes ++ nestedProbes)
+    } catch { case _: Throwable => (Map.empty, Map.empty) }
+
+  /** Write a frozen baseline in the round-17 durable shape: per phase
+    * `{"med":…,"samples":[…],"probes":[…]}` — the median the guard
+    * keys on, the sorted wall samples behind it, and the host-probe
+    * readings that date-stamp the host's health when those walls were
+    * taken (a prior without its probes cannot be adjudicated against,
+    * which is how round 16 minted six false code-suspect flags).
+    * Missing telemetry degrades to a 1-element sample array (the
+    * median itself) and an empty probe array, never a lost phase. */
+  private[graft] def writeBaseline(path: java.nio.file.Path, round: Int,
+      meds: Map[String, Double],
+      samples: Map[String, Seq[Double]],
+      probes: Map[String, Seq[Long]]): Boolean = {
+    val qs = meds.toSeq.sortBy(_._1).map { case (k, v) =>
+      val s = samples.getOrElse(k, Seq(v))
+        .map(t => math.round(t * 1000) / 1000.0)
+      "\"" + k + "\":{\"med\":" + (math.round(v * 1000) / 1000.0) +
+        ",\"samples\":" + s.mkString("[", ",", "]") +
+        ",\"probes\":" +
+        probes.getOrElse(k, Seq.empty).mkString("[", ",", "]") + "}"
+    }.mkString("{", ",", "}")
+    try {
+      java.nio.file.Files.write(path,
+        (s"""{"round":$round,"queries":$qs}""" + "\n").getBytes("UTF-8"))
+      true
+    } catch { case _: Throwable => false }
+  }
+
+  /** Explicit quiet-host baseline RE-freeze (round-17 VERDICT
+    * directive; enabled per-run via `SPARK_GRAFT_FREEZE_BASELINE=1`):
+    * replace the frozen priors with THIS run's medians — but only
+    * when the measurements are actually adjudicable as quiet-host.
+    * Policy, mechanical:
+    *  - the whole freeze is REFUSED when the session-nominal probe
+    *    exceeds 40 ms (healthy nominal on this host is ~25-40 ms;
+    *    r16's degraded sessions read 88-284) — a loud session must
+    *    never become the priors;
+    *  - per phase, the fresh median is frozen only if the phase is
+    *    non-crashed AND at least one of its recorded probes is
+    *    <= 45 ms (every-probe-hot means a transient burst owned that
+    *    phase's walls even in a quiet session); every other phase
+    *    RETAINS its existing baseline entry — a prior is never
+    *    silently dropped by a freeze, and the retention is logged.
+    * Returns the set of phases frozen fresh, or None when refused. */
+  private[graft] def refreezeBaseline(path: java.nio.file.Path,
+      round: Int,
+      meds: Map[String, Double],
+      samples: Map[String, Seq[Double]],
+      probes: Map[String, Seq[Long]],
+      sessionProbeMs: Long): Option[Set[String]] = {
+    if (sessionProbeMs < 0 || sessionProbeMs > 40) {
+      System.err.println(s"[bench] baseline re-freeze REFUSED: session " +
+        s"probe median $sessionProbeMs ms > 40 (not a quiet host)")
+      None
+    } else {
+      val fresh = meds.filter { case (n, m) =>
+        m >= 0 && probes.getOrElse(n, Seq.empty).exists(_ <= 45)
+      }
+      val excluded = meds.keySet -- fresh.keySet
+      val existing = loadPriorQueries(path).filter(_._2 >= 0)
+      val (exSamples, exProbes) = loadPriorDetail(path)
+      val retained = existing -- fresh.keySet
+      val dropped = excluded -- retained.keySet
+      if (excluded.nonEmpty)
+        System.err.println(s"[bench] re-freeze: retaining prior entries " +
+          s"for ${retained.keySet.intersect(excluded).toSeq.sorted.mkString(",")}" +
+          (if (dropped.nonEmpty)
+            s"; NO prior available for ${dropped.toSeq.sorted.mkString(",")}"
+          else ""))
+      val ok = writeBaseline(path, round, retained ++ fresh,
+        exSamples.view.filterKeys(retained.keySet).toMap ++
+          samples.view.filterKeys(fresh.keySet).toMap,
+        exProbes.view.filterKeys(retained.keySet).toMap ++
+          probes.view.filterKeys(fresh.keySet).toMap)
+      if (ok) {
+        System.err.println(s"[bench] baseline re-frozen (round $round): " +
+          s"${fresh.size} fresh, ${retained.size} retained, " +
+          s"session probe $sessionProbeMs ms")
+        Some(fresh.keySet)
+      } else None
+    }
+  }
+
+  /** The newest driver-written `BENCH_r<N>.json` in `dir`, with its
+    * round number — the round stamp for baseline freezes and the
+    * compact-overlay source for the guard. */
+  private[graft] def newestDriverBench(dir: java.nio.file.Path):
+      Option[(Int, java.nio.file.Path)] = {
+    import scala.jdk.CollectionConverters._
+    val re = "BENCH_r(\\d+)\\.json".r
+    try java.nio.file.Files.list(dir).iterator().asScala
+      .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
+        .map(m => (m.group(1).toInt, p)))
+      .toSeq.sortBy(-_._1).headOption
+    catch { case _: Throwable => None }
+  }
 
   /** Prior per-phase medians for the regression guard, with their
     * provenance label. Default sources, merged: the repo's committed
@@ -153,15 +307,7 @@ object Bench {
         val m = loadPriorQueries(p)
         if (m.isEmpty) None else Some(p.getFileName.toString -> m)
       case None =>
-        val newest = {
-          import scala.jdk.CollectionConverters._
-          val re = "BENCH_r(\\d+)\\.json".r
-          try java.nio.file.Files.list(dir).iterator().asScala
-            .flatMap(p => re.findFirstMatchIn(p.getFileName.toString)
-              .map(m => (m.group(1).toInt, p)))
-            .toSeq.sortBy(-_._1).headOption
-          catch { case _: Throwable => None }
-        }
+        val newest = newestDriverBench(dir)
         // Frozen per-round baseline: bench.json is OVERWRITTEN by every
         // run, so a second same-round run would otherwise compare
         // against its own round's earlier output and mask exactly the
@@ -189,17 +335,17 @@ object Bench {
           // Crashed-phase medians (-1) are excluded from the frozen
           // baseline: a negative prior can never flag anything AND
           // would exempt the phase's recovery from ever re-baselining
-          // (round-15 ADVICE finding).
-          closeTree.map(loadPriorQueries(_).filter(_._2 >= 0))
-            .filter(_.nonEmpty).foreach { m =>
-            val qs = m.map { case (k, v) => "\"" + k + "\":" + v }
-              .mkString("{", ",", "}")
-            try {
-              java.nio.file.Files.write(basePath,
-                (s"""{"round":$newestRound,"queries":$qs}""" + "\n")
-                  .getBytes("UTF-8")): Unit
-              baselineRound = newestRound
-            } catch { case _: Throwable => () }
+          // (round-15 ADVICE finding). The freeze carries the close
+          // tree's per-phase samples + probes forward (round-17
+          // durable shape) so the priors stay adjudicable after
+          // bench.json is overwritten.
+          closeTree.foreach { ct =>
+            val m = loadPriorQueries(ct).filter(_._2 >= 0)
+            if (m.nonEmpty) {
+              val (samples, probes) = loadPriorDetail(ct)
+              if (writeBaseline(basePath, newestRound, m, samples, probes))
+                baselineRound = newestRound
+            }
           }
         }
         val baseline = Some(basePath)
@@ -391,6 +537,12 @@ object Bench {
         // one beam search per (new point, layer) + per-layer
         // reverse-edge patches, over the prebuilt n18 prior stack.
         "n18_append_build" -> (() => { Queries.n18AppendBuild(spark, sfDir); 0L }),
+        // The stack-consolidation refinement (declared n20 then serves
+        // THROUGH the memoized consolidated stack — the s03/n01
+        // convention). Prices consolidateStack alone: NN-descent over
+        // the prebuilt n18 appended stack's lists with batch-incident
+        // edges flagged fresh.
+        "n20_cons_build" -> (() => { Queries.n20ConsBuild(spark, sfDir); 0L }),
         // The unigram-LM tokenizer training (declared t35 summarizes
         // the memoized vocabulary; t36/p03 encode with it — without
         // this phase the alphabetically-first consumer pays the train
@@ -426,6 +578,8 @@ object Bench {
     }),
     "n18_append_build" -> (() =>
       Queries.evictPrebuiltPrefix(spark, sfDir, "n18_app_layer_")),
+    "n20_cons_build" -> (() =>
+      Queries.evictPrebuiltPrefix(spark, sfDir, "n20_cons_layer_")),
     "t31_model_build" -> (() => Queries.evictQualityModel(spark, sfDir)),
     "t35_vocab_build" -> (() => Queries.evictPrebuilt(spark, sfDir, "unigram_vocab")))
 
@@ -674,6 +828,24 @@ object Bench {
     val outPath = java.nio.file.Paths.get(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench.json"))
     java.nio.file.Files.write(outPath, (line + "\n").getBytes("UTF-8"))
+    // Opt-in quiet-host baseline re-freeze (see refreezeBaseline) —
+    // after the durable record, so a refused freeze still leaves the
+    // run fully recorded.
+    if (sys.env.get("SPARK_GRAFT_FREEZE_BASELINE").contains("1")) {
+      val phaseProbes: Map[String, Seq[Long]] =
+        pass1.map { case (name, _, _, _) =>
+          name -> (probeLog.get(name).toSeq ++
+            rerunProbeLog.getOrElse(name, Seq.empty))
+        }.toMap
+      val meds = results.map { case (n, m, _, _) => n -> m }.toMap
+      val freshSamples = meds.collect { case (n, m) =>
+        n -> sampleLog.getOrElse(n, if (m >= 0) Seq(m) else Seq.empty)
+      }
+      refreezeBaseline(java.nio.file.Paths.get("bench_baseline.json"),
+        newestDriverBench(java.nio.file.Paths.get(".")).map(_._1)
+          .getOrElse(0),
+        meds, freshSamples, phaseProbes, probeMedian): Unit
+    }
     // The driver captures only a bounded stdout tail (~4 KB) and the full
     // line above grew past it two rounds running (69 queries x 3 maps ~8 KB,
     // so the tail started mid-line -> parsed:null). Emit the full line

@@ -464,9 +464,48 @@ object NND {
         }
       }
 
-    var active: Dataset[FlaggedList] = truncate(
+    val active: Dataset[FlaggedList] = truncate(
       mergeTopK(initCands, k)
         .map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))))
+    val allLists = refineLoop(nodes, stable, active, k, newCount, p)
+    val result = base.join(
+      allLists.map(nl => NeighborList(nl.id, nl.neighbors.take(p.k)))
+        .toDF().select($"id", $"neighbors"),
+      Seq("id"), "left_outer")
+    nodes.unpersist()
+    result
+  }
+
+  /** The NN-descent absorption loop shared by [[updateGraph]] and
+    * [[consolidateGraph]] — iterate forward/reverse edge exchange +
+    * incremental local join + carved-out top-k re-merge until the
+    * update count δ (normalized by k·`newCount`) hits the early-
+    * termination floor. Only the INITIALIZATION differs between the
+    * two callers (bucket draws for a genuine increment; the appended
+    * lists' own fresh flags for consolidation); the loop body is the
+    * one the reference's iteration implements (`/root/reference/src/
+    * main/scala/com/github/fvictorio/nnd/NND.scala:117-247`),
+    * restricted to groups holding a fresh member.
+    *
+    * @param stable0 lists with NO fresh entries (pass through until a
+    *   candidate targets them); `active0` lists holding >= 1 fresh
+    *   entry, truncated by the caller. Returns stable ∪ active after
+    *   convergence — internal k'-wide lists, flags dropped by the
+    *   caller's final projection. */
+  private def refineLoop(
+      nodes: Dataset[NodeRow],
+      stable0: Dataset[FlaggedList],
+      active0: Dataset[FlaggedList],
+      k: Int,
+      newCount: Long,
+      p: Params): Dataset[FlaggedList] = {
+    val spark = nodes.sparkSession
+    import spark.implicits._
+    def truncate[T](ds: Dataset[T]): Dataset[T] =
+      if (p.checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint(true)
+    val seed = p.seed
+    var stable = stable0
+    var active = active0
     // Checkpoint backing `active` (buildGraph's graphCk pattern): from
     // iteration 1 on, `active` is a map over the checkpointed `merged`;
     // release() targets the checkpointed frame itself.
@@ -585,7 +624,105 @@ object NND {
       if (ratio <= p.earlyTermination) finished = true
     }
 
-    val allLists = stable.unionByName(active)
+    stable.unionByName(active)
+  }
+
+  /** Consolidation refinement of an APPENDED graph — the scheduled
+    * maintenance pass between per-point serving appends and a full
+    * rebuild (the FreshDiskANN StreamingMerge role, Singh et al.
+    * 2021, realized with NN-descent instead of a disk merge). Runs
+    * [[refineLoop]] over the appended lists with every edge INCIDENT
+    * TO THE BATCH flagged fresh — the batch members' own lists, and
+    * the reverse-patch arrivals inside touched old lists — so the
+    * first local joins happen exactly where the append left structure
+    * stale: two same-batch points that share an old neighbor meet in
+    * that neighbor's adjacency group on iteration 1 (the new<->new
+    * edge a per-point append structurally cannot create, because each
+    * inserted point beam-searched the PRIOR graph only), and the
+    * cascade then propagates second-order re-rankings exactly as
+    * [[updateGraph]] does. No bucket re-init: the appended lists are
+    * already high-quality in the old corpus, so they ARE the init —
+    * the refinement pays only the absorption iterations, restricted
+    * to groups holding a fresh member (untouched old lists pass
+    * through stable until a candidate targets them).
+    *
+    * @param input    (id, features) for EVERY graph member, new
+    *                 points included (same schema as [[buildGraph]])
+    * @param appended (id, neighbors) — the appended graph, e.g. one
+    *                 layer of
+    *                 [[graft.ops.GraphSearch.appendToGraphStack]]
+    * @param freshIds one `id` column: the appended batch
+    * @return same shape as [[buildGraph]] over `input`
+    */
+  def consolidateGraph(input: DataFrame, appended: DataFrame,
+      freshIds: DataFrame, p: Params = Params()): DataFrame = {
+    require(input.columns.contains("id") && input.columns.contains("features"),
+      s"consolidateGraph input needs 'id' and 'features' columns; got [${input.columns.mkString(", ")}]")
+    require(appended.columns.contains("id") && appended.columns.contains("neighbors"),
+      s"appended graph needs 'id' and 'neighbors' columns; got [${appended.columns.mkString(", ")}]")
+    gateParams(p)
+    val spark = input.sparkSession
+    import spark.implicits._
+    p.checkpointDir.foreach(spark.sparkContext.setCheckpointDir)
+    def truncate[T](ds: Dataset[T]): Dataset[T] =
+      if (p.checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint(true)
+
+    val base = withDefaultCols(input)
+    val nodes = base
+      .filter(!col("finished"))
+      .select(col("id").cast("long").as("id"),
+        col("features").cast("array<float>").as("features"),
+        col("partition").cast("long").as("partition"))
+      .repartition(col("id"))
+      .as[NodeRow]
+      .persist(StorageLevel.MEMORY_AND_DISK)
+
+    val k = math.max(p.k, math.ceil(p.k * p.expansion).toInt)
+    val fresh = freshIds.select(col("id").cast("long").as("id"))
+    val newCount = math.max(1L, fresh.count())
+
+    val lists = appended
+      .select(col("id").cast("long").as("id"),
+        col("neighbors").cast("array<struct<id:bigint,similarity:double>>").as("neighbors"))
+      .filter(col("neighbors").isNotNull)
+
+    // Carve-out before any wide work: a list is ACTIVE iff its owner
+    // is in the batch or it holds an entry referencing the batch (a
+    // reverse-patch arrival). The membership probe explodes ONLY the
+    // narrow (id, nb.id) projection; every other list passes to
+    // stable with all-old flags and is never regrouped.
+    val narrowEdges = lists.select(col("id"), explode(col("neighbors.id")).as("nbid"))
+    val activeIds = narrowEdges
+      .join(fresh.select(col("id").as("nbid")), Seq("nbid"), "left_semi")
+      .select("id").distinct()
+      .unionByName(lists.select("id").join(fresh, Seq("id"), "left_semi"))
+      .distinct()
+    val stable0: Dataset[FlaggedList] = truncate(
+      lists.join(activeIds, Seq("id"), "left_anti")
+        .as[NeighborList]
+        .map(nl => FlaggedList(nl.id, nl.neighbors, nl.neighbors.map(_ => false))))
+
+    // Per-entry fresh flags for the active lists, order-preserving
+    // (posexplode + sort-by-pos regroup keeps the stored
+    // (sim desc, id asc) list order bit-exact).
+    val active0: Dataset[FlaggedList] = truncate(
+      lists.join(activeIds, Seq("id"), "left_semi")
+        .join(fresh.withColumn("owner_fresh", lit(true)), Seq("id"), "left_outer")
+        .withColumn("owner_fresh", coalesce(col("owner_fresh"), lit(false)))
+        .select(col("id"), col("owner_fresh"),
+          posexplode(col("neighbors")).as(Seq("pos", "nb")))
+        .join(fresh.select(col("id").as("fid")).withColumn("e_fresh", lit(true)),
+          col("nb.id") === col("fid"), "left_outer")
+        .select(col("id"), col("pos"), col("nb"),
+          (col("owner_fresh") || coalesce(col("e_fresh"), lit(false))).as("fresh"))
+        .as[(Long, Int, Neighbor, Boolean)]
+        .groupByKey(_._1)
+        .mapGroups { (id, it) =>
+          val rows = it.toArray.sortBy(_._2)
+          FlaggedList(id, rows.map(_._3).toIndexedSeq, rows.map(_._4).toIndexedSeq)
+        })
+
+    val allLists = refineLoop(nodes, stable0, active0, k, newCount, p)
     val result = base.join(
       allLists.map(nl => NeighborList(nl.id, nl.neighbors.take(p.k)))
         .toDF().select($"id", $"neighbors"),

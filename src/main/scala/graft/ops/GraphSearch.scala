@@ -611,6 +611,62 @@ object GraphSearch {
     (out, freshCks.toSeq)
   }
 
+  /** Scheduled consolidation of an APPENDED layer stack — the
+    * maintenance response to a [[stackHealth]] trigger, closing the
+    * staleness [[appendToGraphStack]] documents: same-batch inserts
+    * never link to EACH OTHER through the append (each new point
+    * beam-searches the prior stack only — which is also what makes
+    * the append streamable), so serve recall through an appended
+    * stack sits measurably below a fresh build until new<->new edges
+    * exist. This pass restores them per layer via
+    * [[graft.nnd.NND.consolidateGraph]]: the appended lists are the
+    * init, every edge incident to the batch is flagged fresh, and
+    * NN-descent's incremental local join does the rest (two
+    * same-batch points that share an old neighbor meet in that
+    * neighbor's adjacency group on the first iteration) — no bucket
+    * re-init, no full rebuild.
+    *
+    * Scale shape: per layer, the refinement loop moves only
+    * fresh-incident groups until the cascade saturates, and upper
+    * layers are fanout^l smaller, so the stack tax over the base-layer
+    * consolidation is the usual geometric ~1/3. The batch's layer
+    * membership is re-derived from [[assignLayers]] (deterministic in
+    * ids), so the pass needs no insert-time bookkeeping.
+    *
+    * @param layerGraphs the APPENDED stack, index 0 = base (the
+    *                    [[appendToGraphStack]] output)
+    * @param corpus      (id, features) for EVERY member, batch included
+    * @param newPoints   the appended batch; only `id` is read
+    * @param k           base-layer degree; `upperK` for layers >= 1
+    * @param fanout      must match the stack's [[assignLayers]] fanout
+    * @param maxIterations absorption-iteration cap per layer
+    * @return the consolidated stack, same layer order */
+  def consolidateStack(
+      layerGraphs: Seq[DataFrame],
+      corpus: DataFrame,
+      newPoints: DataFrame,
+      k: Int,
+      fanout: Int = 4,
+      upperK: Int = 8,
+      maxIterations: Int = 3): Seq[DataFrame] = {
+    require(layerGraphs.nonEmpty, "need at least the base layer graph")
+    val maxLevel = layerGraphs.size - 1
+    val levels =
+      if (maxLevel == 0) newPoints.select(col("id"), lit(0).as("level"))
+      else assignLayers(newPoints, maxLevel, fanout)
+    layerGraphs.zipWithIndex.map { case (g, l) =>
+      val layerK = if (l == 0) k else upperK
+      val freshL = levels.filter(col("level") >= l).select("id")
+      // Refine against LAYER members only — the layer graph's
+      // adjacency never leaves the layer (the stackFreshLists rule).
+      val layerCorpus = corpus.join(g.select(col("id")), Seq("id"), "left_semi")
+      graft.nnd.NND.consolidateGraph(layerCorpus, g, freshL,
+        graft.nnd.NND.Params(k = layerK, maxIterations = maxIterations))
+        .filter(col("neighbors").isNotNull)
+        .select(col("id"), col("neighbors"))
+    }
+  }
+
   /** α-occlusion prune of a built K-NN graph (Vamana/DiskANN
     * RobustPrune, Subramanya et al. 2019, applied to the stored lists):
     * per node, walk its neighbor list in distance order and keep a

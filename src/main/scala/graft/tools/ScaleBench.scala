@@ -56,7 +56,8 @@ object ScaleBench {
     * Each entry: (phase, driving dimension, thunk). */
   private def phases(spark: SparkSession, dir: String,
       prior: () => DataFrame,
-      stack: () => Seq[DataFrame]): Seq[(String, String, () => Unit)] = {
+      stack: () => Seq[DataFrame],
+      featTbl: () => DataFrame): Seq[(String, String, () => Unit)] = {
     def docs = spark.read.parquet(s"$dir/documents.parquet")
     def emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("features"))
@@ -69,6 +70,17 @@ object ScaleBench {
       // sit well below 1.
       ("s22_layered_serve", "vecs", () => noop(
         graft.ops.GraphSearch.searchHierarchical(stack(), emb,
+          emb.filter(col("id") < 20), k = 10, beam = 8, hops = 2,
+          entries = 4, upperBeam = 8, upperHops = 3, seeds = 4))),
+      // The same serve reading features from the ID-BUCKETED store
+      // (Queries.featuresTableName — the round-16 dim finding's
+      // storage answer): the corpus side of every per-hop fetch is
+      // exchange-free by layout, so serve shuffle must stay
+      // dim-linear WITHOUT any broadcast-threshold override (the
+      // scale_serve_dim re-measurement the round-16 VERDICT asked
+      // for; the table build is untimed, the artifact convention).
+      ("s22_serve_bucketed", "vecs", () => noop(
+        graft.ops.GraphSearch.searchHierarchical(stack(), featTbl(),
           emb.filter(col("id") < 20), k = 10, beam = 8, hops = 2,
           entries = 4, upperBeam = 8, upperHops = 3, seeds = 4))),
       ("n01_graph_build", "vecs", () => {
@@ -182,7 +194,14 @@ object ScaleBench {
           }
         stackCache = Some(st); st
       }
-      phases(spark, dir, () => prior(), () => stack())
+      // The id-bucketed features store (a deployment-time layout
+      // artifact like the stack): written once per tier, untimed.
+      var featCache: Option[DataFrame] = None
+      def featTbl(): DataFrame = featCache.getOrElse {
+        val f = spark.table(graft.Queries.featuresTableName(spark, dir))
+        featCache = Some(f); f
+      }
+      phases(spark, dir, () => prior(), () => stack(), () => featTbl())
         .filter { case (name, _, _) => only.forall(_.contains(name)) }
         .foreach { case (name, dim, run) =>
           phaseDim += name -> dim
@@ -190,6 +209,7 @@ object ScaleBench {
           // prebuild each (only) for the phase that reads it.
           if (name == "n02_graph_update") prior(): Unit
           if (name == "s22_layered_serve") stack(): Unit
+          if (name == "s22_serve_bucketed") { stack(): Unit; featTbl(): Unit }
           // Shuffle telemetry is recorded from the last SUCCESSFUL rep
           // — a failed rep's partial bytes would otherwise poison the
           // tier's shuffle exponent while looking like a measurement.

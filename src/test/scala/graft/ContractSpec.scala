@@ -160,6 +160,71 @@ class ContractSpec extends AnyFunSuite {
     }
   }
 
+  test("bench baseline: durable {med,samples,probes} shape round-trips, " +
+      "auto-freeze carries close-tree telemetry, re-freeze is quiet-host-gated") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_baseline")
+    try {
+      // (1) The guard reads medians from the rich shape (and still
+      // from plain numbers in the same map).
+      java.nio.file.Files.writeString(dir.resolve("mixed.json"),
+        """{"queries":{"a_q":{"med":2.5,"samples":[2.4,2.5,2.9],"probes":[31,33]},"b_q":4.0}}""")
+      assert(Bench.loadPriorQueries(dir.resolve("mixed.json")) ==
+        Map("a_q" -> 2.5, "b_q" -> 4.0),
+        "rich per-phase objects must yield their med alongside plain numbers")
+      // (2) Round-rollover auto-freeze carries the close tree's
+      // samples + probes into the frozen baseline (pass-1 probe first,
+      // then the rerun probes, run order preserved).
+      java.nio.file.Files.writeString(dir.resolve("bench.json"),
+        """{"queries":{"a_q":2.0,"b_q":4.0},""" +
+          """"samples":{"a_q":[1.9,2.0,2.2]},""" +
+          """"host_probe_ms":{"a_q":30,"b_q":28},""" +
+          """"rerun_probe_ms":{"a_q":[33,29,31]}}""")
+      java.nio.file.Files.writeString(dir.resolve("BENCH_r17.json"),
+        """{"parsed":{"queries":{"a_q":2.1}}}""")
+      val Some((label, m)) = Bench.priorMedians(None, dir): @unchecked
+      assert(label == "bench_baseline.json" && m("a_q") == 2.0)
+      val (s, p) = Bench.loadPriorDetail(dir.resolve("bench_baseline.json"))
+      assert(s("a_q") == Seq(1.9, 2.0, 2.2),
+        s"frozen baseline must carry the close tree's samples: $s")
+      assert(p("a_q") == Seq(30L, 33L, 29L, 31L) && p("b_q") == Seq(28L),
+        s"frozen baseline must carry pass-1 + rerun probes in run order: $p")
+      // (3) A loud session can never become the priors.
+      assert(Bench.refreezeBaseline(dir.resolve("bench_baseline.json"),
+        round = 17, meds = Map("a_q" -> 1.0),
+        samples = Map("a_q" -> Seq(1.0)),
+        probes = Map("a_q" -> Seq(30L)), sessionProbeMs = 88L).isEmpty,
+        "re-freeze must refuse a session whose nominal probe is loud")
+      assert(Bench.loadPriorQueries(dir.resolve("bench_baseline.json"))("a_q") == 2.0,
+        "a refused re-freeze must leave the baseline untouched")
+      // (4) A quiet-session re-freeze freezes healthy-probe phases
+      // fresh, RETAINS the existing prior for an all-hot-probe phase
+      // and for phases not re-measured, and drops crashed medians.
+      val frozen = Bench.refreezeBaseline(dir.resolve("bench_baseline.json"),
+        round = 17,
+        meds = Map("a_q" -> 1.5, "c_q" -> 3.0, "dead_q" -> -1.0),
+        samples = Map("a_q" -> Seq(1.4, 1.5, 1.6), "c_q" -> Seq(2.9, 3.1)),
+        probes = Map("a_q" -> Seq(29L, 31L), "c_q" -> Seq(120L, 95L),
+          "dead_q" -> Seq(30L)),
+        sessionProbeMs = 31L)
+      assert(frozen == Some(Set("a_q")),
+        s"only the healthy-probe non-crashed phase freezes fresh: $frozen")
+      val after = Bench.loadPriorQueries(dir.resolve("bench_baseline.json"))
+      assert(after == Map("a_q" -> 1.5, "b_q" -> 4.0),
+        s"fresh a_q, retained b_q (not re-measured), no hot-probe c_q " +
+          s"prior existed to retain, crashed dead_q dropped: $after")
+      val (s2, p2) = Bench.loadPriorDetail(dir.resolve("bench_baseline.json"))
+      assert(s2("a_q") == Seq(1.4, 1.5, 1.6) && p2("a_q") == Seq(29L, 31L),
+        "the re-frozen prior must carry ITS OWN samples + probes")
+      assert(p2("b_q") == Seq(28L),
+        "a retained prior must keep its original probe record")
+    } finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(dir).iterator().asScala
+        .foreach(java.nio.file.Files.delete)
+      java.nio.file.Files.delete(dir)
+    }
+  }
+
   test("bench regression guard: flags >1.5x on >=0.5s priors only, " +
       "min-of-samples adjudicates, crashes flag as failed") {
     val prior = Map("slow_q" -> 2.0, "ok_q" -> 2.0, "tiny_q" -> 0.2,

@@ -2990,6 +2990,80 @@ class OpsSpec extends SparkSpec {
       s"flat append must leave the descent stranded in A: $flatHits")
   }
 
+  test("n20 consolidateStack: same-batch inserts become mutual neighbors — " +
+      "the appended stack structurally lacks the edge") {
+    import spark.implicits._
+    // Old corpus: a tight cluster near x ~ 0. The batch {A, B} lands
+    // together at x ~ 100 — each new point's TRUE nearest neighbor is
+    // the OTHER ONE, but the append beam-searches the prior stack
+    // only (that independence is what makes it streamable), so
+    // neither appended list can hold the other: the documented n18
+    // staleness, witnessed structurally. Consolidation must restore
+    // the edge without a rebuild: A and B arrive as fresh reverse
+    // patches in the SAME old frontier lists, meet in those nodes'
+    // adjacency groups on refinement iteration 1, and their mutual
+    // similarity (1/(1+0.3)) dwarfs every old one (1/(1+~60)).
+    val oldVecs = (0L until 40L).map(i => (i, Array(0.05f * i, 0f)))
+    val existing = oldVecs.toDF("id", "features")
+    val base = graft.nnd.NND.buildGraph(existing,
+        graft.nnd.NND.Params(k = 4, maxIterations = 4))
+      .filter(col("neighbors").isNotNull).select("id", "neighbors")
+      .localCheckpoint()
+    val feats = oldVecs.toMap
+    val upperIds = Seq(0L, 1L, 2L)
+    val upper = upperIds.map { i =>
+      graft.core.NeighborList(i, upperIds.filterNot(_ == i).map(j =>
+        graft.core.Neighbor(j, graft.core.Similarity.l2Sim(feats(i), feats(j)))))
+    }.toDS().toDF()
+    // Batch ids chosen level-0 under the stack's assignLayers (fanout
+    // 4, maxLevel 1) so the upper layer must come through the
+    // consolidation BYTE-UNTOUCHED — the empty-fresh layer case.
+    val pool = graft.ops.GraphSearch.assignLayers(
+        (1000L until 1200L).map(Tuple1(_)).toDF("id"), maxLevel = 1, fanout = 4)
+      .filter(col("level") === 0).select("id").collect().map(_.getLong(0))
+    val aId = pool(0)
+    val bId = pool(1)
+    val batch = Seq((aId, Array(100.0f, 0f)), (bId, Array(100.3f, 0f)))
+      .toDF("id", "features")
+    val stack = Seq(base, upper)
+    val appended = graft.ops.GraphSearch.appendToGraphStack(stack,
+      existing, batch, k = 4, fanout = 4, beam = 8, hops = 3, seeds = 4,
+      upperK = 4, upperBeam = 4, upperHops = 2)
+    def baseLists(stk: Seq[org.apache.spark.sql.DataFrame]): Map[Long, Seq[(Long, Double)]] =
+      stk(0).collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1)
+          .map(n => (n.getLong(0), n.getDouble(1))).toSeq).toMap
+    val appendedBase = baseLists(appended)
+    assert(appendedBase(aId).nonEmpty && appendedBase(bId).nonEmpty,
+      "both batch points must enter the appended base layer")
+    assert(!appendedBase(aId).exists(_._1 == bId) &&
+      !appendedBase(bId).exists(_._1 == aId),
+      s"fixture precondition: the append must NOT link same-batch points " +
+        s"(A=${appendedBase(aId)}, B=${appendedBase(bId)})")
+    val corpusAll = existing.unionByName(batch)
+    val cons = graft.ops.GraphSearch.consolidateStack(appended, corpusAll,
+      batch, k = 4, fanout = 4, upperK = 4, maxIterations = 3)
+    val consBase = baseLists(cons)
+    // The restored edge, BOTH directions, at the TOP of each list
+    // (their mutual similarity beats every old edge by ~50x).
+    assert(consBase(aId).headOption.exists(_._1 == bId),
+      s"A's consolidated list must lead with B: ${consBase(aId)}")
+    assert(consBase(bId).headOption.exists(_._1 == aId),
+      s"B's consolidated list must lead with A: ${consBase(bId)}")
+    // Untouched old lists pass through content-identical (the stable
+    // carve-out): node 0 sits at the far end of the old cluster, no
+    // fresh edge ever reaches it.
+    assert(consBase(0L) == appendedBase(0L),
+      s"an untouched old list must pass through the consolidation " +
+        s"unchanged: ${appendedBase(0L)} -> ${consBase(0L)}")
+    // The empty-fresh upper layer (batch is all level 0) is unchanged
+    // row-for-row.
+    val upBefore = appended(1).collect().map(_.toString).sorted.toSeq
+    val upAfter = cons(1).collect().map(_.toString).sorted.toSeq
+    assert(upBefore == upAfter,
+      "a layer with no fresh members must come through unchanged")
+  }
+
   test("n16 persisted layer stack: loaded-stack search equals the in-memory stack row-for-row") {
     import spark.implicits._
     val vecs = (0L until 200L).map { i =>

@@ -124,6 +124,55 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("bucketed features store: the per-hop fetch keeps the corpus side " +
+      "exchange-free in the shuffle-join regime (the 384-d flip answer)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val ft = Queries.featuresTableName(spark, sf0001)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // -1 = the regime every dimension hits at 100 TB: the corpus
+      // NEVER broadcasts, so the per-hop candidates-to-features join
+      // is always a shuffle join — the question is which SIDES
+      // exchange. With the id-bucketed store, the features scan
+      // carries HashPartitioning(id) through searchGraph's
+      // alias-preserving projections, so only the candidate sliver
+      // shuffles; the raw-parquet corpus pays one more exchange on
+      // the same key.
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // Trivial adjacency: at hops = 0 searchGraph's plan is exactly
+      // one seed draw + one per-hop fetch join (the graph subtree is
+      // never referenced), which isolates the join under audit.
+      val g = Seq((0L, Seq((0L, 1.0)))).toDF("id", "neighbors")
+        .withColumn("neighbors", transform(col("neighbors"),
+          x => struct(x("_1").as("id"), x("_2").as("similarity"))))
+      val q = spark.table(ft).limit(2)
+      def searchPlan(corpus: org.apache.spark.sql.DataFrame): String = {
+        val r = graft.ops.GraphSearch.searchGraph(g, corpus, q, k = 3,
+          beam = 4, hops = 0, seeds = 4)
+        r.collect()
+        r.queryExecution.executedPlan.toString
+      }
+      val bucketed = searchPlan(spark.table(ft))
+      val raw = searchPlan(
+        spark.read.parquet(s"$sf0001/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("features")))
+      // AQE's plan string prints the Final AND Initial plans; count
+      // exchanges in the final (executed) section only.
+      def nNodeExchanges(p: String): Int =
+        "Exchange hashpartitioning\\(node".r
+          .findAllIn(p.split("== Initial Plan ==").head).size
+      assert(bucketed.contains("Bucketed: true"),
+        s"features scan not bucket-aware:\n$bucketed")
+      assert(nNodeExchanges(bucketed) == nNodeExchanges(raw) - 1,
+        "the bucketed corpus side must skip exactly its features " +
+          s"exchange (bucketed=${nNodeExchanges(bucketed)}, " +
+          s"raw=${nNodeExchanges(raw)}):\n$bucketed")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    }
+  }
+
   test("q32/hashSample: the md5 split predicate is a pure scan-side filter (no shuffle, no UDF)") {
     val df = graft.ops.Sampling.hashSample(
       spark.read.parquet(s"$sf0001/orders.parquet"), "o_orderkey", 0.2)
