@@ -885,6 +885,43 @@ object Queries {
       |      // nullif(n_tokens, 0) AS bytes_per_token_fp
       |FROM agg""".stripMargin
 
+  /** t56's DuckDB twin — shared verbatim by the streaming CCNet card
+    * (st31): the serve's per-document scoring against the frozen
+    * corpus-fit LM has no OOV, so the drained scored frame equals the
+    * batch scoring and the identical post-drain card makes the two
+    * results bit-equal — one oracle, never desynced. t19's scoring
+    * CTEs verbatim, then the standard ntile over the total order
+    * (mean desc — CAST(sum AS DOUBLE)/count is the same
+    * correctly-rounded division both engines compute — id asc) and
+    * exact BIGINT card aggregates. DuckDB's ntile is BIGINT, cast to
+    * match Spark's INT. */
+  val CcnetOracle: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
+      |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
+      |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
+      |lp AS (
+      |  SELECT term,
+      |    CAST(round(ln((c + 1) / CAST(n + v AS DOUBLE)) * 1048576) AS BIGINT)
+      |      AS lp_fp
+      |  FROM counts, tot),
+      |scored AS (
+      |  SELECT doc_id, count(*) AS n_tokens,
+      |    CAST(sum(lp_fp) AS BIGINT) AS logprob_fp,
+      |    CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp
+      |  FROM toks JOIN lp USING (term)
+      |  GROUP BY doc_id),
+      |bucketed AS (
+      |  SELECT d.lang, s.n_tokens, s.logprob_fp,
+      |    CAST(ntile(3) OVER (
+      |      PARTITION BY d.lang ORDER BY s.mean_lp DESC, s.doc_id ASC)
+      |      AS INT) AS bucket
+      |  FROM scored s JOIN documents d USING (doc_id))
+      |SELECT lang, bucket, count(*) AS n_docs,
+      |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+      |  CAST(sum(logprob_fp) AS BIGINT) AS sum_logprob_fp
+      |FROM bucketed GROUP BY 1, 2""".stripMargin
+
   val relational2Oracles: Map[String, String] = Map(
     "q17_sessionize" ->
       """SELECT user_id, event_id,
@@ -2092,6 +2129,13 @@ object Queries {
         graft.nnd.NND.Params(k = 10, maxIterations = 5))
     }
 
+  /** The frozen corpus-fit unigram LM (term, lp_fp) — the release
+    * artifact st31's streaming CCNet card scores against, memoized per
+    * session (train once, serve many; identical to the model t56's
+    * batch path fits internally, so the serve's card equals t56). */
+  def ccnetLm(s: SparkSession, dir: String): DataFrame =
+    memo(s, dir, "ccnet_lm")(ops.TextAnalysis.unigramLm(docs(s, dir)))
+
   /** The persisted t31 quality-classifier model artifact: IRLS-trained
     * once per session (6 iterations over the langid-labeled corpus)
     * and written via [[ops.Classifier.saveModel]] — the train-once /
@@ -2686,6 +2730,18 @@ object Queries {
     "st27_fertility_serve" -> ((s, dir) =>
       graft.streaming.EventsStream.fertilityServe(s, dir)),
 
+    // Streaming CCNet perplexity-bucket card (st31): t56 kept live at
+    // ingest — the frozen corpus-fit unigram LM is a session-memoized
+    // broadcast artifact (CCNet's reference-LM architecture: models
+    // ship by release), micro-batches score statelessly against it,
+    // and the exact ntile card applies once over the drained scored
+    // frame (tranches are corpus-relative — per-batch ntile would rank
+    // each batch against itself). Zero stream state; equals batch t56
+    // bit-for-bit (no OOV under the corpus-fit LM) and shares
+    // CcnetOracle verbatim.
+    "st31_ccnet_serve" -> ((s, dir) =>
+      graft.streaming.EventsStream.ccnetServe(s, dir, ccnetLm(s, dir))),
+
     // Streaming line-level decontamination at ingest (st26): d25's
     // cross-set line scrub per micro-batch against the static
     // broadcast benchmark line set — zero stream state, per-document
@@ -3235,6 +3291,54 @@ object Queries {
           ("3_quality_quantile", n2, n3), ("4_exact_dedup", n3, n4))
         .toDF("stage", "n_in", "n_out")
         .withColumn("n_dropped", col("n_in") - col("n_out"))
+    }),
+
+    // Dolma-style full-pipeline composition card (p13) — the corpus
+    // card a released dataset ships (Soldaini et al. 2024's per-stage
+    // attrition table): gopher quality rules -> NEAR-dup survivors
+    // (LSH candidate generation + exact verify + connected components
+    // — the corpus-scale path; p04's dedup stage is the exact-text
+    // form, this is the shingled one) -> benchmark decontamination ->
+    // temperature mixture, each stage reported with BOTH doc and
+    // whitespace-token attrition, then one row per mixture stratum
+    // carrying its allocated token budget (Σ budgets ≈ surviving
+    // tokens within fixed-point rounding — the conservation a reader
+    // checks first). Pure composition of shipped operators — zero new
+    // kernels; every stage is the operator the standalone query
+    // already proves (t37/d06/d09/t29), so the full DuckDB twin is
+    // their CTEs chained. The card itself is bounded (4 + |langs|
+    // rows) and computed eagerly so the stage checkpoints release
+    // before return (p04's discipline).
+    "p13_dolma_card" -> ((s, dir) => {
+      import s.implicits._
+      val d = docs(s, dir)
+      val toks = size(split(col("text"), " ")).cast("long")
+      val corpus = d.filter(col("doc_id") % 20 =!= 0).localCheckpoint(true)
+      val bench = d.filter(col("doc_id") % 20 === 0)
+      val kept = corpus.join(TextAnalysis.gopherRules(corpus,
+            stopWords = Seq("the", "a", "of", "and", "in"))
+          .filter(col("kept") === 1).select("doc_id"), Seq("doc_id"))
+        .localCheckpoint(true)
+      val surv = kept.join(
+        Dedup.clusterNearDups(kept, "doc_id", "text", 0.7, useLsh = true)
+          .filter(col("keep") === 1).select(col("id").as("doc_id")),
+        Seq("doc_id")).localCheckpoint(true)
+      val fin = surv.join(
+        Decontaminate.overlapCounts(surv, bench, "doc_id", "text")
+          .filter(col("n_contaminated") === 0).select("doc_id"),
+        Seq("doc_id")).localCheckpoint(true)
+      def stat(name: String, df: DataFrame): (String, Long, Long) = {
+        val r = df.agg(count(lit(1)), coalesce(sum(toks), lit(0L))).head()
+        (name, r.getLong(0), r.getLong(1))
+      }
+      val mix = graft.ops.Sampling.temperatureMixturePlan(fin, "lang", toks)
+        .select(concat(lit("4_mix_"), col("stratum")), col("n_docs"),
+          col("budget_tokens"))
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      val rows = Seq(stat("0_corpus", corpus), stat("1_gopher", kept),
+        stat("2_neardup", surv), stat("3_decon", fin)) ++ mix
+      Seq(corpus, kept, surv, fin).foreach(graft.core.Checkpoints.release)
+      rows.toDF("stage", "n_docs", "n_tokens")
     }),
 
     // Coreset-balanced subsampling pipeline (p05): the s18 k-center
@@ -6500,37 +6604,9 @@ object Queries {
         |FROM toks JOIN lp USING (term)
         |GROUP BY doc_id""".stripMargin,
 
-    // t19's scoring CTEs verbatim, then the standard ntile over the
-    // total order (mean desc — CAST(sum AS DOUBLE)/count is the same
-    // correctly-rounded division both engines compute — id asc) and
-    // exact BIGINT card aggregates. DuckDB's ntile is BIGINT, cast to
-    // match Spark's INT.
-    "t56_ccnet_buckets" ->
-      """WITH toks AS (
-        |  SELECT doc_id, unnest(str_split(text, ' ')) AS term FROM documents),
-        |counts AS (SELECT term, count(*) AS c FROM toks GROUP BY term),
-        |tot AS (SELECT sum(c) AS n, count(*) AS v FROM counts),
-        |lp AS (
-        |  SELECT term,
-        |    CAST(round(ln((c + 1) / CAST(n + v AS DOUBLE)) * 1048576) AS BIGINT)
-        |      AS lp_fp
-        |  FROM counts, tot),
-        |scored AS (
-        |  SELECT doc_id, count(*) AS n_tokens,
-        |    CAST(sum(lp_fp) AS BIGINT) AS logprob_fp,
-        |    CAST(sum(lp_fp) AS DOUBLE) / count(*) AS mean_lp
-        |  FROM toks JOIN lp USING (term)
-        |  GROUP BY doc_id),
-        |bucketed AS (
-        |  SELECT d.lang, s.n_tokens, s.logprob_fp,
-        |    CAST(ntile(3) OVER (
-        |      PARTITION BY d.lang ORDER BY s.mean_lp DESC, s.doc_id ASC)
-        |      AS INT) AS bucket
-        |  FROM scored s JOIN documents d USING (doc_id))
-        |SELECT lang, bucket, count(*) AS n_docs,
-        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
-        |  CAST(sum(logprob_fp) AS BIGINT) AS sum_logprob_fp
-        |FROM bucketed GROUP BY 1, 2""".stripMargin,
+    "t56_ccnet_buckets" -> CcnetOracle,
+
+    "st31_ccnet_serve" -> CcnetOracle,
 
     // w_i = sq_fp_i / Z with sq_fp = round(sqrt(n)*2^20) (correctly
     // rounded sqrt + exact BIGINT partition function); budget/epochs
@@ -6953,6 +7029,92 @@ object Queries {
         |UNION ALL SELECT '2_gopher_rules', n1, n2, n1 - n2 FROM n
         |UNION ALL SELECT '3_quality_quantile', n2, n3, n2 - n3 FROM n
         |UNION ALL SELECT '4_exact_dedup', n3, n4, n3 - n4 FROM n""".stripMargin,
+
+    // The standalone stages' CTEs chained in pipeline order: t37's
+    // gopher metrics over the bench-excluded corpus, d06's shingle/
+    // component dedup over the gopher survivors, p04's gram-overlap
+    // decontamination of the dedup survivors against the benchmark
+    // split, then t29's fixed-point temperature budget over what's
+    // left. Every aggregate an exact BIGINT (coalesced so an empty
+    // stage reads 0, matching the Spark side), names positional
+    // through the UNION ALL.
+    "p13_dolma_card" ->
+      """WITH RECURSIVE corpus AS (
+        |  SELECT doc_id, text, lang FROM documents WHERE doc_id % 20 <> 0),
+        |gop AS (
+        |  SELECT doc_id FROM (
+        |    SELECT doc_id, len(t) AS n_words,
+        |      CAST(list_sum(list_transform(t, w -> len(w))) AS DOUBLE)
+        |        / len(t) AS mean_word_len,
+        |      CAST(len(list_filter(t, w -> contains(w, '#')
+        |          OR contains(w, '...'))) AS DOUBLE) / len(t) AS symbol_ratio,
+        |      CAST(len(list_filter(t, w -> regexp_matches(w, '[A-Za-z]')))
+        |        AS DOUBLE) / len(t) AS alpha_frac,
+        |      len(list_filter(['the','a','of','and','in'],
+        |        x -> list_contains(t, x))) AS n_stop
+        |    FROM (SELECT doc_id, str_split(text, ' ') AS t FROM corpus))
+        |  WHERE n_words BETWEEN 50 AND 100000
+        |    AND mean_word_len BETWEEN 3 AND 10
+        |    AND symbol_ratio <= 0.1 AND alpha_frac >= 0.8 AND n_stop >= 2),
+        |kept AS (SELECT c.* FROM corpus c JOIN gop USING (doc_id)),
+        |sh AS (
+        |  SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM kept)) ),
+        |sz AS (SELECT id, count(*) AS n FROM sh GROUP BY id),
+        |inter AS (
+        |  SELECT a.id AS doc_a, b.id AS doc_b, count(*) AS inter
+        |  FROM sh a JOIN sh b ON a.s = b.s AND a.id < b.id
+        |  GROUP BY 1, 2),
+        |pairs AS (
+        |  SELECT doc_a, doc_b FROM inter JOIN sz x ON doc_a = x.id JOIN sz y ON doc_b = y.id
+        |  WHERE CAST(inter AS DOUBLE) / (x.n + y.n - inter) >= 0.7),
+        |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs UNION SELECT doc_b, doc_a FROM pairs),
+        |reach(id, r) AS (
+        |  SELECT doc_id, doc_id FROM kept
+        |  UNION
+        |  SELECT e.v, reach.r FROM reach JOIN edges e ON e.u = reach.id),
+        |comp AS (SELECT id, min(r) AS component FROM reach GROUP BY id),
+        |surv AS (SELECT k.* FROM kept k JOIN comp ON k.doc_id = comp.id
+        |  WHERE comp.id = comp.component),
+        |bgr AS (SELECT DISTINCT s FROM (
+        |    SELECT unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT text, str_split(text, ' ') AS w FROM documents
+        |      WHERE doc_id % 20 = 0))),
+        |sgr AS (SELECT DISTINCT doc_id AS id, s FROM (
+        |    SELECT doc_id, unnest(CASE WHEN len(w) >= 3
+        |      THEN [array_to_string(w[i:i+2], ' ') for i in range(1, len(w)-1)]
+        |      ELSE [text] END) AS s
+        |    FROM (SELECT doc_id, text, str_split(text, ' ') AS w FROM surv))),
+        |decon_ok AS (
+        |  SELECT c.id AS doc_id FROM sgr c LEFT JOIN bgr b USING (s)
+        |  GROUP BY c.id HAVING count(b.s) = 0),
+        |fin AS (SELECT s2.* FROM surv s2 JOIN decon_ok USING (doc_id)),
+        |stats AS (SELECT lang AS stratum, count(*) AS n_docs,
+        |    CAST(sum(len(str_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM fin GROUP BY 1),
+        |fp AS (SELECT stratum, n_docs, n_tokens,
+        |    CAST(round(sqrt(CAST(n_tokens AS DOUBLE)) * 1048576) AS BIGINT)
+        |      AS sq_fp
+        |  FROM stats),
+        |tot AS (SELECT CAST(sum(sq_fp) AS BIGINT) AS z,
+        |    CAST(sum(n_tokens) AS BIGINT) AS tt FROM fp)
+        |SELECT '0_corpus' AS stage, count(*) AS n_docs,
+        |  CAST(coalesce(sum(len(str_split(text, ' '))), 0) AS BIGINT)
+        |    AS n_tokens FROM corpus
+        |UNION ALL SELECT '1_gopher', count(*),
+        |  CAST(coalesce(sum(len(str_split(text, ' '))), 0) AS BIGINT) FROM kept
+        |UNION ALL SELECT '2_neardup', count(*),
+        |  CAST(coalesce(sum(len(str_split(text, ' '))), 0) AS BIGINT) FROM surv
+        |UNION ALL SELECT '3_decon', count(*),
+        |  CAST(coalesce(sum(len(str_split(text, ' '))), 0) AS BIGINT) FROM fin
+        |UNION ALL SELECT '4_mix_' || stratum, n_docs,
+        |  CAST(round(CAST(sq_fp AS DOUBLE) / CAST(z AS DOUBLE) * tt) AS BIGINT)
+        |  FROM fp, tot""".stripMargin,
 
     // Text equality stands in for the Spark side's md5-manifest
     // equality (collision-free on the fixture, and md5(x)=md5(y) iff

@@ -535,30 +535,50 @@ object TextAnalysis {
     * partition (a document's tokens are co-located). The N/V scalars
     * are a 2-value bounded collect. */
   def unigramLogProb(df: DataFrame, idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val toks = df.select(col(idCol).as("id"),
-      explode(tokens(col(textCol))).as("term"))
+      textCol: String = "text"): DataFrame =
+    scoreAgainstUnigramLm(df, unigramLm(df, textCol), idCol, textCol)
+
+  /** The corpus-fit add-one unigram LM as a standalone (term, lp_fp)
+    * artifact — [[unigramLogProb]]'s model half, exposed so serving
+    * paths can freeze it as a release artifact (st31: LMs change by
+    * RELEASE, not by micro-batch) and score later corpora against it
+    * ([[scoreAgainstUnigramLm]]). Vocabulary-sized. */
+  def unigramLm(df: DataFrame, textCol: String = "text"): DataFrame = {
+    val toks = df.select(explode(tokens(col(textCol))).as("term"))
     // Vocabulary-sized; checkpointed because BOTH the totals action and
-    // the broadcast model read it — without this the corpus-wide
+    // the model projection read it — without this the corpus-wide
     // explode+groupBy (the only data-sized stage here) executes twice
     // (the bigramLogProb pattern).
     val counts = toks.groupBy("term").agg(count(lit(1)).as("c"))
       .localCheckpoint()
     val totals = counts.agg(sum(col("c")), count(lit(1))).head()
     // Empty corpus: sum aggregates to null; any denominator works
-    // because the join below is empty (output schema is preserved).
+    // because the scoring join is empty (output schema is preserved).
     val denom =
       if (totals.isNullAt(0)) 1.0
       else (totals.getLong(0) + totals.getLong(1)).toDouble
-    val lp = counts.select(col("term"),
+    counts.select(col("term"),
       round(log((col("c") + 1).cast("double") / lit(denom)) * lit(1048576.0))
         .cast("long").as("lp_fp"))
-    toks.join(broadcast(lp), Seq("term"))
+  }
+
+  /** Score documents against a STATIC unigram LM ((term, lp_fp) rows,
+    * e.g. [[unigramLm]]'s output): per document, the token count and
+    * exact fixed-point log-prob sum over the LM's terms. Stateless and
+    * per-document independent — a document's row depends only on its
+    * own text and the frozen LM, which is what makes the streaming
+    * card's drained scoring equal the batch scoring under any batch
+    * slicing. Terms absent from the LM are out-of-vocabulary and drop
+    * from both sums (for a corpus-fit LM over the same corpus there
+    * are none, so this equals [[unigramLogProb]] bit-for-bit). */
+  def scoreAgainstUnigramLm(df: DataFrame, lm: DataFrame,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    df.select(col(idCol).as("id"), explode(tokens(col(textCol))).as("term"))
+      .join(broadcast(lm), Seq("term"))
       .groupBy("id")
       .agg(count(lit(1)).as("n_tokens"), sum(col("lp_fp")).as("logprob_fp"))
       .select(col("id").as(idCol), col("n_tokens"), col("logprob_fp"),
         (col("logprob_fp").cast("double") / col("n_tokens")).as("mean_lp_fp"))
-  }
 
   /** Bigram-LM document scoring — [[unigramLogProb]]'s order-sensitive
     * refinement: each document scored by Σ ln p(w_i | w_{i-1}) under a
@@ -678,10 +698,25 @@ object TextAnalysis {
       buckets: Int = 3): DataFrame = {
     require(buckets >= 2, s"buckets must be >= 2: $buckets")
     val scored = unigramLogProb(df, idCol, textCol)
-    val withLang = scored.join(df.select(col(idCol), col(langCol)), idCol)
+    ccnetCardExact(scored.join(df.select(col(idCol), col(langCol)), idCol),
+      idCol, langCol, buckets)
+  }
+
+  /** The exact (lang, bucket) card over an already-SCORED frame
+    * ((id, n_tokens, logprob_fp, mean_lp_fp, lang) rows —
+    * [[unigramLogProb]]/[[scoreAgainstUnigramLm]] output joined with
+    * the language column): the per-language ntile tranche assignment
+    * on the total (mean desc, id asc) order plus the exact BIGINT
+    * aggregates. Factored out of [[ccnetBuckets]] so the streaming
+    * serve (st31) can apply the identical card once over its drained
+    * scored frame — tranches are corpus-relative, so the card can only
+    * run over the COMPLETE scored population, never per batch. */
+  def ccnetCardExact(scoredWithLang: DataFrame, idCol: String = "doc_id",
+      langCol: String = "lang", buckets: Int = 3): DataFrame = {
+    require(buckets >= 2, s"buckets must be >= 2: $buckets")
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(langCol).orderBy(desc("mean_lp_fp"), asc(idCol))
-    withLang.withColumn("bucket", ntile(buckets).over(w))
+    scoredWithLang.withColumn("bucket", ntile(buckets).over(w))
       .groupBy(col(langCol), col("bucket"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("sum_tokens"),

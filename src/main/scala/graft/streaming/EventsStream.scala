@@ -917,6 +917,37 @@ object EventsStream {
         sum("n_words").as("n_words")))
   }
 
+  /** Streaming CCNet perplexity-bucket corpus card (st31) — t56 kept
+    * live at ingest, the quality-gate dashboard a crawl operator
+    * watches fill: the unigram LM is a STATIC broadcast artifact
+    * (CCNet's own architecture — the reference LM is trained once on
+    * a reference corpus and shipped; models change by RELEASE, not by
+    * micro-batch — the t36/t31 artifact-serving idiom), and each
+    * document micro-batch scores statelessly against it
+    * (`TextAnalysis.scoreAgainstUnigramLm`: a document's
+    * (n_tokens, logprob_fp) row depends only on its own text and the
+    * frozen LM), so the drained scored frame equals the batch scoring
+    * under any batch slicing. The CARD — per-language ntile tranches
+    * + exact BIGINT aggregates — applies ONCE over the drained frame:
+    * tranche boundaries are corpus-relative, so running them per
+    * batch would rank each batch against itself (the same
+    * masses-not-ratios rule as st27). Zero stream state; with the LM
+    * fit on the same corpus there is no OOV and the result equals
+    * batch t56 bit-for-bit — it shares t56's DuckDB twin verbatim.
+    * At 100 TB the post-drain card swaps to the sort-free
+    * `ccnetBucketsSampled` boundary form, whose quantile sketch is
+    * MERGEABLE across the drained per-batch partials — same
+    * scored-row schema, no per-language sort anywhere. */
+  def ccnetServe(spark: SparkSession, dir: String, lm: DataFrame,
+      buckets: Int = 3): DataFrame = {
+    val scored = runDrainedForeachBatch(spark, dir, "documents",
+        documentsSchema, "ccnet") { batch =>
+      graft.ops.TextAnalysis.scoreAgainstUnigramLm(batch, lm)
+        .join(batch.select(col("doc_id"), col("lang")), "doc_id")
+    }
+    graft.ops.TextAnalysis.ccnetCardExact(scored, buckets = buckets)
+  }
+
   /** Streaming tokenizer serving — the t36 Viterbi encode applied at
     * ingest time (tokenizer-as-a-service, the artifact-serving half of
     * the t35 lifecycle): the trained vocabulary is a static broadcast

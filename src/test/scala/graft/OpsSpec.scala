@@ -1015,6 +1015,37 @@ class OpsSpec extends SparkSpec {
       "re-merged drained partials must equal the batch census exactly")
   }
 
+  test("st31: drained streaming CCNet card equals batch t56 row-for-row") {
+    val batch = Queries.all("t56_ccnet_buckets")(spark, sf001)
+    val streamed = Queries.all("st31_ccnet_serve")(spark, sf001)
+    assert(streamed.count() == batch.count() && batch.count() > 0)
+    assert(batch.exceptAll(streamed).isEmpty &&
+      streamed.exceptAll(batch).isEmpty,
+      "stateless scoring against the frozen LM + one post-drain card " +
+        "must equal the batch card exactly (no OOV under the corpus-fit LM)")
+  }
+
+  test("p13: the Dolma card's attrition is monotone and the mixture " +
+      "budget conserves the surviving token mass") {
+    val rows = Queries.all("p13_dolma_card")(spark, sf001).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val stages = Seq("0_corpus", "1_gopher", "2_neardup", "3_decon")
+    assert(stages.forall(rows.contains), s"missing stages: ${rows.keySet}")
+    val seq = stages.map(rows)
+    assert(seq.zip(seq.tail).forall { case ((d0, t0), (d1, t1)) =>
+      d1 <= d0 && t1 <= t0 }, s"attrition must be monotone: $seq")
+    assert(seq.last._1 > 0, "the fixture pipeline must not drain to empty")
+    val mix = rows.filter(_._1.startsWith("4_mix_"))
+    assert(mix.nonEmpty, "mixture rows missing")
+    assert(mix.values.map(_._1).sum == seq.last._1,
+      "mixture strata must partition the surviving docs")
+    val budget = mix.values.map(_._2).sum
+    val survTok = seq.last._2
+    // Σ round(w_i·T) vs T: off by at most one rounding step per stratum.
+    assert(math.abs(budget - survTok) <= mix.size.toLong,
+      s"budget conservation: $budget vs $survTok (${mix.size} strata)")
+  }
+
   test("p11: the dedup-policy card's masses are mutually consistent") {
     val rows = Queries.all("p11_dedup_policy_card")(spark, sf001).collect()
       .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
