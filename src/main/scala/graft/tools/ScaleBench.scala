@@ -57,7 +57,9 @@ object ScaleBench {
   private def phases(spark: SparkSession, dir: String,
       prior: () => DataFrame,
       stack: () => Seq[DataFrame],
-      featTbl: () => DataFrame): Seq[(String, String, () => Unit)] = {
+      featTbl: () => DataFrame,
+      appended: Long => (Seq[DataFrame], DataFrame)):
+      Seq[(String, String, () => Unit)] = {
     def docs = spark.read.parquet(s"$dir/documents.parquet")
     def emb = spark.read.parquet(s"$dir/embeddings.parquet")
       .select(col("vec_id").as("id"), col("embedding").as("features"))
@@ -86,6 +88,32 @@ object ScaleBench {
       ("n01_graph_build", "vecs", () => {
         graft.nnd.NND.buildGraph(emb,
           graft.nnd.NND.Params(k = 10, maxIterations = 5)).count(): Unit
+      }),
+      // The n20 maintenance pass at a PRODUCTION batch fraction (2% —
+      // the fixture census uses 20%, where fresh-incidence touches
+      // nearly every list and the carve-out can't pay): consolidation
+      // over the prebuilt appended stack (append untimed, the
+      // artifact convention). The claim under measurement is the
+      // between-appends-and-rebuild story: this wall must sit WELL
+      // under n01_graph_build's at the same tier, because the refine
+      // loop moves only fresh-incident groups and upper layers are
+      // geometrically small.
+      ("n20_consolidate", "vecs", () => {
+        val (stk, batch) = appended(50L)
+        graft.ops.GraphSearch.consolidateStack(stk, emb, batch,
+          k = 10, fanout = 4, upperK = 8, maxIterations = 3)
+          .foreach(df => noop(df))
+      }),
+      // The same pass at a PRODUCTION batch fraction (0.4% — a
+      // realistic daily increment): consolidation cost is supposed to
+      // track batch INCIDENCE (fresh-touched lists ~ k·|batch|), not
+      // corpus size — this phase against n20_consolidate measures
+      // that dial directly.
+      ("n20_consolidate_sparse", "vecs", () => {
+        val (stk, batch) = appended(250L)
+        graft.ops.GraphSearch.consolidateStack(stk, emb, batch,
+          k = 10, fanout = 4, upperK = 8, maxIterations = 3)
+          .foreach(df => noop(df))
       }),
       ("n02_graph_update", "vecs", () => {
         graft.nnd.NND.updateGraph(emb, prior(),
@@ -201,7 +229,41 @@ object ScaleBench {
         val f = spark.table(graft.Queries.featuresTableName(spark, dir))
         featCache = Some(f); f
       }
-      phases(spark, dir, () => prior(), () => stack(), () => featTbl())
+      // The n20 prebuild: a prior stack over the "existing" corpus
+      // plus a per-point append of every 1-in-`mod` id — the
+      // day's-batch shape at a chosen batch fraction. Both untimed;
+      // the n20_consolidate* phases time the consolidation alone.
+      val appendedCache =
+        scala.collection.mutable.Map[Long, (Seq[DataFrame], DataFrame)]()
+      def appended(mod: Long): (Seq[DataFrame], DataFrame) =
+        appendedCache.getOrElseUpdate(mod, {
+        val e = spark.read.parquet(s"$dir/embeddings.parquet")
+          .select(col("vec_id").as("id"), col("embedding").as("features"))
+        val batch = e.filter(col("id") % mod === 0).localCheckpoint()
+        val old = e.filter(col("id") % mod =!= 0)
+        val maxLevel = math.max(1,
+          (math.log(old.count() / 16.0) / math.log(4.0)).toInt)
+        val levels = graft.ops.GraphSearch.assignLayers(old, maxLevel)
+          .localCheckpoint()
+        val priorStk = (graft.nnd.NND.buildGraph(old,
+            graft.nnd.NND.Params(k = 10, maxIterations = 5))
+            .filter(col("neighbors").isNotNull).select("id", "neighbors")
+            .localCheckpoint()) +:
+          (1 to maxLevel).map { l =>
+            graft.nnd.NND.buildGraph(
+                old.join(levels.filter(col("level") >= l).select("id"), "id"),
+                graft.nnd.NND.Params(k = 8, maxIterations = 3))
+              .filter(col("neighbors").isNotNull).select("id", "neighbors")
+              .localCheckpoint()
+          }
+        val stk = graft.ops.GraphSearch.appendToGraphStack(priorStk, old,
+            batch, k = 10, fanout = 4, beam = 8, hops = 2, seeds = 4,
+            upperK = 8, upperBeam = 8, upperHops = 3)
+          .map(_.localCheckpoint())
+        (stk, batch.select("id"))
+      })
+      phases(spark, dir, () => prior(), () => stack(), () => featTbl(),
+        appended)
         .filter { case (name, _, _) => only.forall(_.contains(name)) }
         .foreach { case (name, dim, run) =>
           phaseDim += name -> dim
@@ -210,6 +272,8 @@ object ScaleBench {
           if (name == "n02_graph_update") prior(): Unit
           if (name == "s22_layered_serve") stack(): Unit
           if (name == "s22_serve_bucketed") { stack(): Unit; featTbl(): Unit }
+          if (name == "n20_consolidate") appended(50L): Unit
+          if (name == "n20_consolidate_sparse") appended(250L): Unit
           // Shuffle telemetry is recorded from the last SUCCESSFUL rep
           // — a failed rep's partial bytes would otherwise poison the
           // tier's shuffle exponent while looking like a measurement.
