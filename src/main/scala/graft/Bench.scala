@@ -237,21 +237,26 @@ object Bench {
     *    <= 45 ms (every-probe-hot means a transient burst owned that
     *    phase's walls even in a quiet session); every other phase
     *    RETAINS its existing baseline entry — a prior is never
-    *    silently dropped by a freeze, and the retention is logged.
+    *    silently dropped by a freeze, and the retention is logged;
+    *  - a phase the SAME run flagged (`suspect`: code-suspect or
+    *    failed verdict) retains its existing prior too — a flagged
+    *    phase must never re-baseline itself, else one slow run buries
+    *    a real regression from every later guard comparison.
     * Returns the set of phases frozen fresh, or None when refused. */
   private[graft] def refreezeBaseline(path: java.nio.file.Path,
       round: Int,
       meds: Map[String, Double],
       samples: Map[String, Seq[Double]],
       probes: Map[String, Seq[Long]],
-      sessionProbeMs: Long): Option[Set[String]] = {
+      sessionProbeMs: Long,
+      suspect: Set[String] = Set.empty): Option[Set[String]] = {
     if (sessionProbeMs < 0 || sessionProbeMs > 40) {
       System.err.println(s"[bench] baseline re-freeze REFUSED: session " +
         s"probe median $sessionProbeMs ms > 40 (not a quiet host)")
       None
     } else {
       val fresh = meds.filter { case (n, m) =>
-        m >= 0 && probes.getOrElse(n, Seq.empty).exists(_ <= 45)
+        m >= 0 && !suspect(n) && probes.getOrElse(n, Seq.empty).exists(_ <= 45)
       }
       val excluded = meds.keySet -- fresh.keySet
       val existing = loadPriorQueries(path).filter(_._2 >= 0)
@@ -844,7 +849,11 @@ object Bench {
       refreezeBaseline(java.nio.file.Paths.get("bench_baseline.json"),
         newestDriverBench(java.nio.file.Paths.get(".")).map(_._1)
           .getOrElse(0),
-        meds, freshSamples, phaseProbes, probeMedian): Unit
+        meds, freshSamples, phaseProbes, probeMedian,
+        suspect = regressions.collect {
+          case (name, _, _, _, v) if v == "code-suspect" || v == "failed" =>
+            name
+        }.toSet): Unit
     }
     // The driver captures only a bounded stdout tail (~4 KB) and the full
     // line above grew past it two rounds running (69 queries x 3 maps ~8 KB,

@@ -217,6 +217,20 @@ class ContractSpec extends AnyFunSuite {
         "the re-frozen prior must carry ITS OWN samples + probes")
       assert(p2("b_q") == Seq(28L),
         "a retained prior must keep its original probe record")
+      // (5) A phase the same run flagged code-suspect must NOT
+      // re-baseline itself — one slow run would otherwise bury a real
+      // regression from every later guard comparison.
+      val frozen2 = Bench.refreezeBaseline(dir.resolve("bench_baseline.json"),
+        round = 17,
+        meds = Map("a_q" -> 9.9, "b_q" -> 4.1),
+        samples = Map("a_q" -> Seq(9.9), "b_q" -> Seq(4.1)),
+        probes = Map("a_q" -> Seq(30L), "b_q" -> Seq(31L)),
+        sessionProbeMs = 31L, suspect = Set("a_q"))
+      assert(frozen2 == Some(Set("b_q")),
+        s"the flagged phase must be excluded from the fresh set: $frozen2")
+      val after2 = Bench.loadPriorQueries(dir.resolve("bench_baseline.json"))
+      assert(after2("a_q") == 1.5 && after2("b_q") == 4.1,
+        s"flagged a_q retains its prior; unflagged b_q freezes fresh: $after2")
     } finally {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.list(dir).iterator().asScala
