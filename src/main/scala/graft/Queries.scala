@@ -4651,6 +4651,37 @@ object Queries {
     // the s13 IVF caveat, measured background cosine <= 0.63); the
     // OpsSpec clustered exhibit shows the production geometry, where
     // the quarter-budget descent closes on the wide beam itself.
+    // The id-bucketed features store wired into the DECLARED serving
+    // path (s23): the s22 layered descent with the corpus read from
+    // the bucketed (id, features) table instead of raw parquet — the
+    // layout the 384-d dim finding prescribes for 100 TB (the scan
+    // itself carries HashPartitioning(id), so the per-hop fetch's
+    // corpus side is exchange-free; PlanSpec pins the plan, ScaleBench
+    // measures the dim-invariant shuffle). The layout changes the
+    // plan's exchanges, never the data — parquet float round-trip is
+    // exact and every kernel is deterministic — so the serve must be
+    // ROW-IDENTICAL to the raw-corpus serve: the census carries the
+    // two-way divergence count alongside the recall, and a nonzero
+    // n_rows_diverging is a bug, not drift (the n16 convention).
+    "s23_bucketed_serve" -> ((s, dir) => {
+      val e = emb(s, dir)
+      val q = e.filter(col("id") < 20)
+      val layers = s22LayerGraphs(s, dir)
+      def serve(corpus: DataFrame): DataFrame =
+        graft.ops.GraphSearch.searchHierarchical(layers, corpus, q,
+          k = 10, beam = 8, hops = 2, entries = 4, upperBeam = 8,
+          upperHops = 3, seeds = 4)
+      val bucketed = serve(s.table(featuresTableName(s, dir)))
+        .localCheckpoint()
+      val raw = serve(e).localCheckpoint()
+      val truth = SimilaritySearch.bruteForceTopK(e, q, 10)
+      recallCounts(bucketed, truth)
+        .select(col("n_hits").as("n_hits_bucketed"), col("n_total"))
+        .crossJoin(
+          bucketed.exceptAll(raw).unionByName(raw.exceptAll(bucketed))
+            .agg(count(lit(1)).as("n_rows_diverging")))
+    }),
+
     "s22_layered_search" -> ((s, dir) => {
       val e = emb(s, dir)
       val q = e.filter(col("id") < 20)
@@ -5518,6 +5549,16 @@ object Queries {
       "n_hits_layered" -> (192L, 175L, 160L),
       "n_hits_flat" -> (50L, 85L, 31L),
       "n_total" -> (200L, 200L, 200L)),
+    // = s22's layered hits by construction (same stack, same queries,
+    // same budget — only the corpus SCAN's layout differs), with the
+    // two-way row-divergence count structurally zero: the bucketed
+    // table is the same floats round-tripped through parquet and
+    // every serve kernel is deterministic. Divergence here is a bug,
+    // not drift (the n16 convention).
+    "s23_bucketed_serve" -> Seq(
+      "n_hits_bucketed" -> (192L, 175L, 160L),
+      "n_total" -> (200L, 200L, 200L),
+      "n_rows_diverging" -> (0L, 0L, 0L)),
     // = s22's layered column by construction: the persisted stack's
     // narrow tables round-trip parquet exactly (OpsSpec asserts row
     // equality on a fresh build), so divergence between these two pin
