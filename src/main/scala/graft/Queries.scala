@@ -2203,7 +2203,11 @@ object Queries {
       graft.ops.GraphSearch.assignLayers(e, maxLevel))
     val base = knnGraph(s, dir)
       .filter(col("neighbors").isNotNull).select("id", "neighbors")
-    base +: (1 to maxLevel).map { l =>
+    // Upper-layer NND builds are mutually independent (each over its
+    // own level >= l subset) and geometric-tail-sized — overlap their
+    // job chains (guide §2.6; the base graph and `levels` are forced
+    // above, so the parallel branches touch only their own memo key).
+    base +: graft.core.Par.map((1 to maxLevel).toSeq) { l =>
       memo(s, dir, s"s22_layer_$l")(
         graft.nnd.NND.buildGraph(
           e.join(levels.filter(col("level") >= l).select("id"), "id"),
@@ -2240,7 +2244,10 @@ object Queries {
       graft.ops.GraphSearch.assignLayers(e, maxLevel))
     val base = n02Prior(s, dir)
       .filter(col("neighbors").isNotNull).select("id", "neighbors")
-    base +: (1 to maxLevel).map { l =>
+    // Independent upper-layer builds overlapped — the s22LayerGraphs
+    // rationale (prior graph + levels forced above the parallel
+    // region).
+    base +: graft.core.Par.map((1 to maxLevel).toSeq) { l =>
       memo(s, dir, s"n18_layer_$l")(
         graft.nnd.NND.buildGraph(
           e.join(levels.filter(col("level") >= l).select("id"), "id"),
@@ -2276,7 +2283,11 @@ object Queries {
       graft.ops.GraphSearch.patchStackWithFreshCk(layers, fresh,
         k = 10, upperK = 8)
     }
-    val out = layers.indices.map(l =>
+    // The heavy eager work (per-layer beam searches + splices) runs
+    // when the first branch forces the lazy `appended` (already
+    // layer-parallel inside); the per-layer memo checkpoints then
+    // materialize concurrently too.
+    val out = graft.core.Par.map(layers.indices.toSeq)(l =>
       memo(s, dir, s"n18_app_layer_$l")(appended._1(l)))
     // Release only when THIS call actually built the stack (a full
     // memo hit never forces the lazy block — zero jobs, and no fresh
@@ -2318,7 +2329,10 @@ object Queries {
         e.filter(col("id") % 5 === 0), k = 10, fanout = 4, upperK = 8,
         maxIterations = 3)
     }
-    appended.indices.map(l => memo(s, dir, s"n20_cons_layer_$l")(cons(l)))
+    // First branch forces the lazy `cons` (layer-parallel inside);
+    // the per-layer memo checkpoints materialize concurrently.
+    graft.core.Par.map(appended.indices.toSeq)(l =>
+      memo(s, dir, s"n20_cons_layer_$l")(cons(l)))
   }
 
   /** Force the memoized n20 consolidated-stack build (Bench's timed
@@ -4671,9 +4685,11 @@ object Queries {
         graft.ops.GraphSearch.searchHierarchical(layers, corpus, q,
           k = 10, beam = 8, hops = 2, entries = 4, upperBeam = 8,
           upperHops = 3, seeds = 4)
-      val bucketed = serve(s.table(featuresTableName(s, dir)))
-        .localCheckpoint()
-      val raw = serve(e).localCheckpoint()
+      // The two serves read disjoint corpus layouts and only combine
+      // at the final one-row census — overlap them (guide §2.6).
+      val (bucketed, raw) = graft.core.Par.pair(
+        serve(s.table(featuresTableName(s, dir))).localCheckpoint(),
+        serve(e).localCheckpoint())
       val truth = SimilaritySearch.bruteForceTopK(e, q, 10)
       recallCounts(bucketed, truth)
         .select(col("n_hits").as("n_hits_bucketed"), col("n_total"))
@@ -4687,13 +4703,16 @@ object Queries {
       val q = e.filter(col("id") < 20)
       val layers = s22LayerGraphs(s, dir)
       val truth = SimilaritySearch.bruteForceTopK(e, q, 10)
-      val layered = recallCounts(
+      // Layered and flat searches are independent comparator arms —
+      // overlap their eager descent jobs (guide §2.6).
+      val (layeredRes, flatRes) = graft.core.Par.pair(
         graft.ops.GraphSearch.searchHierarchical(layers, e, q, k = 10,
           beam = 8, hops = 2, entries = 4, upperBeam = 8, upperHops = 3,
-          seeds = 4), truth)
-      val flat = recallCounts(
+          seeds = 4),
         graft.ops.GraphSearch.searchGraph(layers.head, e, q, k = 10,
-          beam = 8, hops = 2, seeds = 4), truth)
+          beam = 8, hops = 2, seeds = 4))
+      val layered = recallCounts(layeredRes, truth)
+      val flat = recallCounts(flatRes, truth)
       layered.select(col("n_hits").as("n_hits_layered"), col("n_total"))
         .crossJoin(flat.select(col("n_hits").as("n_hits_flat")))
         .select(col("n_hits_layered"), col("n_hits_flat"), col("n_total"))
@@ -4826,14 +4845,10 @@ object Queries {
       val dead = e.select("id").filter(col("id") % 7 === 3)
       val live = e.join(dead, Seq("id"), "left_anti")
       val q = live.filter(col("id") < 20)
-      val truth = SimilaritySearch.bruteForceTopK(live, q, 10)
-        .localCheckpoint()
       def serve(stk: Seq[DataFrame]): DataFrame =
         graft.ops.GraphSearch.searchHierarchical(stk, e, q, k = 10,
           beam = 8, hops = 2, entries = 4, upperBeam = 8, upperHops = 3,
           seeds = 4, tombstones = Some(dead)).localCheckpoint()
-      val resCons = serve(cons)
-      val resFresh = serve(freshStack)
       // New-cohort adjacency audit in the lists' own metric (l2Sim).
       val nw = e.filter(col("id") % 5 === 0)
       val cc = e.select(col("id").as("nbr_id"), col("features").as("v_c"))
@@ -4850,11 +4865,21 @@ object Queries {
         .join(nw.select("id"), Seq("id"), "left_semi")
         .select(col("id"), explode(col("neighbors")).as("nb"))
         .select(col("id"), col("nb.id").as("nbr_id"))
-      val adjCounts = adjTruth
-        .join(adjEdges.withColumn("hit", lit(1L)),
-          Seq("id", "nbr_id"), "left")
-        .agg(coalesce(sum(col("hit")), lit(0L)).as("n_adj_new_hits"),
-          count(lit(1)).as("n_adj_new_total"))
+      // The census's four pipelines (brute truth, the two serves, the
+      // adjacency audit) are independent until the final one-row
+      // combine — overlap their job chains (guide §2.6); each result
+      // is checkpointed by its own branch, values unchanged.
+      val Seq(truth, resCons, resFresh, adjCounts) =
+        graft.core.Par.map(Seq[() => DataFrame](
+          () => SimilaritySearch.bruteForceTopK(live, q, 10).localCheckpoint(),
+          () => serve(cons),
+          () => serve(freshStack),
+          () => adjTruth
+            .join(adjEdges.withColumn("hit", lit(1L)),
+              Seq("id", "nbr_id"), "left")
+            .agg(coalesce(sum(col("hit")), lit(0L)).as("n_adj_new_hits"),
+              count(lit(1)).as("n_adj_new_total"))
+            .localCheckpoint()))(f => f())
       recallCounts(resCons, truth)
         .select(col("n_hits").as("n_hits_cons"), col("n_total"))
         .crossJoin(recallCounts(resFresh, truth)

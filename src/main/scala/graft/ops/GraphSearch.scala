@@ -187,7 +187,23 @@ object GraphSearch {
         qq.select("query_id").crossJoin(seedNodes)
       }
 
-    var visited = score(entryPoints match {
+    // `visited` carries its beam rank: every hop needs the rank twice
+    // (frontier selection now, state bound at the previous hop), and
+    // the window is deterministic-total-ordered (score desc, node asc),
+    // so the rank computed when the frame was BOUNDED is byte-identical
+    // to recomputing it next hop — materializing it once removes one
+    // Exchange+Sort window pass per hop (guide §2.4: two operations
+    // keyed the same way share one pass). The seed frame is
+    // checkpointed for the same reason the hop frames are: hop 0's
+    // single plan otherwise re-evaluates the seed scoring join three
+    // times (frontier, seen-set anti-join, union — Catalyst does not
+    // dedupe common subtrees across joins). At hops = 0 the loop never
+    // runs and the result is the only reader, so the seed frame stays
+    // LAZY and unranked — the original single-plan shape, which is
+    // also what PlanSpec's hops = 0 exchange pin inspects (a
+    // checkpoint would hide the features join from the result's
+    // executed plan).
+    val seedScored = score(entryPoints match {
       case Some(e) =>
         // A query ABSENT from the supplied frontier (e.g. an upper
         // layer's beam surfaced only the query node itself, which the
@@ -220,10 +236,13 @@ object GraphSearch {
           corpus.join(graph.select("id"), Seq("id"), "left_semi")))
       case None => seedFrontier(q)
     })
+    var visited =
+      if (hops == 0) seedScored
+      else seedScored.withColumn("rk", row_number().over(wBeam))
+        .localCheckpoint(true)
     var hop = 0
     while (hop < hops) {
       val frontier = visited
-        .withColumn("rk", row_number().over(wBeam))
         .filter(col("rk") <= beam)
         .select("query_id", "node")
       val discovered = frontier.join(adj, "node")
@@ -233,17 +252,17 @@ object GraphSearch {
           Seq("query_id", "node"), "left_anti")
       val prevVisited = visited
       visited = visited
+        .select("query_id", "node", "score")
         .unionByName(score(discovered))
         // bound state growth: keep a generous multiple of the beam, but
         // never fewer rows than the caller asked for
         .withColumn("rk", row_number().over(wBeam))
         .filter(col("rk") <= math.max(4 * beam, k + 1))
-        .drop("rk")
         .localCheckpoint(true)
       // Per-hop checkpoint blocks are dead once the next hop is
       // materialized; Dataset.unpersist never reaches them (see
-      // GraftColumnBridge.releaseLocalCheckpoint). No-op on hop 0's
-      // un-checkpointed seed frame.
+      // GraftColumnBridge.releaseLocalCheckpoint). Hop 0 releases the
+      // ranked seed checkpoint.
       org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(prevVisited)
       hop += 1
     }
@@ -277,6 +296,8 @@ object GraphSearch {
     }
     val result = live
       .filter(col("query_id") =!= col("node"))
+      // The final rank cannot reuse `rk`: the tombstone and self-hit
+      // filters above remove rows, which shifts ranks.
       .withColumn("rank", row_number().over(wBeam))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("node").as("nbr_id"), col("score"))
@@ -526,7 +547,13 @@ object GraphSearch {
     val levels =
       if (maxLevel == 0) newPoints.select(col("id"), lit(0).as("level"))
       else assignLayers(newPoints, maxLevel, fanout)
-    layerGraphs.zipWithIndex.map { case (g, l) =>
+    // Layers are mutually independent (each beam-searches only ITS
+    // prior layer graph against its own level cohort), and the upper
+    // layers are geometric-tail-sized — overlap their job chains so
+    // the small layers back-fill the base layer's stragglers
+    // (guide §2.6; per-layer results are bit-identical to the
+    // sequential map).
+    graft.core.Par.map(layerGraphs.zipWithIndex) { case (g, l) =>
       val newL = newPoints.join(
         levels.filter(col("level") >= l).select("id"), Seq("id"), "left_semi")
       val layerK = if (l == 0) k else upperK
@@ -572,14 +599,16 @@ object GraphSearch {
       upperK: Int): (Seq[DataFrame], Seq[DataFrame]) = {
     require(layerGraphs.size == freshPerLayer.size,
       s"stack/fresh layer-count mismatch: ${layerGraphs.size} vs ${freshPerLayer.size}")
-    val freshCks = scala.collection.mutable.ArrayBuffer[DataFrame]()
-    val out = layerGraphs.lazyZip(freshPerLayer).lazyZip(layerGraphs.indices).map {
-      (g, freshRaw, l) =>
+    // Per-layer splices are independent (each reads its own layer graph
+    // + fresh lists); overlap their eager fresh-list materializations
+    // (guide §2.6 — the stackFreshLists discipline, phase 2).
+    val outPairs = graft.core.Par.map(
+      layerGraphs.lazyZip(freshPerLayer).lazyZip(layerGraphs.indices).toSeq) {
+      case (g, freshRaw, l) =>
       val layerK = if (l == 0) k else upperK
       // Materialized once: read twice below (output union + reverse
       // derivation), and each read would otherwise re-run the beam.
       val fresh = freshRaw.localCheckpoint(true)
-      freshCks += fresh
       // Reverse edges (old member -> new point): 1/(1+L2) is symmetric,
       // so the stored similarity IS the reverse similarity — no
       // re-scoring join.
@@ -604,11 +633,12 @@ object GraphSearch {
         mergedRows.withColumn("rk", row_number().over(wDeg))
           .filter(col("rk") <= layerK),
         col("id"), col("nbr_id"), col("sim"))
-      untouched
+      (untouched
         .unionByName(patched)
-        .unionByName(fresh.select(col("id"), col("neighbors")))
-    }.toSeq
-    (out, freshCks.toSeq)
+        .unionByName(fresh.select(col("id"), col("neighbors"))),
+        fresh)
+    }
+    (outPairs.map(_._1), outPairs.map(_._2))
   }
 
   /** Scheduled consolidation of an APPENDED layer stack — the
@@ -664,7 +694,12 @@ object GraphSearch {
     val freshPerLevel: Map[Int, Long] = levels.groupBy("level")
       .agg(org.apache.spark.sql.functions.count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    layerGraphs.zipWithIndex.map { case (g, l) =>
+    // Per-layer consolidations are independent (each refines its own
+    // appended layer against its own member set) — overlap their
+    // absorption loops so the geometric upper-layer tail back-fills
+    // the base layer's stragglers (guide §2.6; results per layer are
+    // bit-identical to the sequential map).
+    graft.core.Par.map(layerGraphs.zipWithIndex) { case (g, l) =>
       val nFresh = (l to maxLevel).map(freshPerLevel.getOrElse(_, 0L)).sum
       if (nFresh == 0L) g
       else {
