@@ -2182,9 +2182,10 @@ object Queries {
       import s.implicits._
       Seq(layers.size - 1).toDF("max_level")
         .write.mode("overwrite").parquet(s"$p/meta")
-      layers.zipWithIndex.foreach { case (g, l) =>
+      // Independent per-layer files — overlap the writes (guide §2.6).
+      graft.core.Par.map(layers.zipWithIndex) { case (g, l) =>
         g.write.mode("overwrite").parquet(s"$p/layer_$l")
-      }
+      }: Unit
     }
 
   /** The s22 HNSW layer stack: layer 0 is the memoized n01 serving
@@ -4155,10 +4156,20 @@ object Queries {
       // ONE cluster build prices both policies: the assignment is
       // materialized once (localCheckpoint) and hard/soft read it —
       // without this the d06 LSH+verify+components chain, the card's
-      // dominant cost, would execute twice.
-      val cl = Dedup.clusterNearDups(d, "doc_id", "text", 0.7, useLsh = true)
-        .select(col("id"), col("component"), col("keep"))
-        .localCheckpoint()
+      // dominant cost, would execute twice. The line-dedup arm is
+      // independent of the cluster build (disjoint pipelines until the
+      // final 4-row union) — overlap the two heavy chains (guide
+      // §2.6); previously the line arm executed inside the final
+      // union's single action, strictly after the cluster build.
+      val (cl, line) = graft.core.Par.pair(
+        Dedup.clusterNearDups(d, "doc_id", "text", 0.7, useLsh = true)
+          .select(col("id"), col("component"), col("keep"))
+          .localCheckpoint(),
+        card(
+          Dedup.lineDedup(reflow10(d), "doc_id", "text")
+            .select((length(col("clean_text")).cast("long") * 1048576L)
+              .as("m")), "line_dedup")
+          .localCheckpoint())
       val hard = card(
         d.join(cl.filter(col("keep") === 1).select(col("id").as("doc_id")),
             "doc_id")
@@ -4168,10 +4179,6 @@ object Queries {
             cl.select("id", "component"), "doc_id")
           .join(d, "doc_id")
           .select((col("weight_fp") * chars).as("m")), "soft_neardup")
-      val line = card(
-        Dedup.lineDedup(reflow10(d), "doc_id", "text")
-          .select((length(col("clean_text")).cast("long") * 1048576L)
-            .as("m")), "line_dedup")
       baseline.unionByName(hard).unionByName(soft).unionByName(line)
     }),
 
@@ -4602,9 +4609,12 @@ object Queries {
     // (AnnServeSpec), so the pinned recall equals s04's.
     "st10_ann_serve" -> ((s, dir) => {
       val e = emb(s, dir)
-      recallCounts(
-        graft.streaming.AnnServe.ivfServeTopK(s, dir),
-        SimilaritySearch.bruteForceTopK(e, e.filter(col("id") < 20), 10))
+      // Drain and brute-force truth overlapped (guide §2.6).
+      val (res, truth) = graft.core.Par.pair(
+        graft.streaming.AnnServe.ivfServeTopK(s, dir).localCheckpoint(),
+        SimilaritySearch.bruteForceTopK(e, e.filter(col("id") < 20), 10)
+          .localCheckpoint())
+      recallCounts(res, truth)
     }),
 
     // Streaming layered-ANN serving (st29): the s22 hierarchy served
@@ -4619,9 +4629,13 @@ object Queries {
       val p = layerStackPath(s, dir)
       val maxLevel = s.read.parquet(s"$p/meta").head().getInt(0)
       val layers = (0 to maxLevel).map(l => s.read.parquet(s"$p/layer_$l"))
-      recallCounts(
-        graft.streaming.AnnServe.layeredServe(s, dir, layers, e),
-        SimilaritySearch.bruteForceTopK(e, e.filter(col("id") < 20), 10))
+      // Drain and brute-force truth overlapped (guide §2.6).
+      val (res, truth) = graft.core.Par.pair(
+        graft.streaming.AnnServe.layeredServe(s, dir, layers, e)
+          .localCheckpoint(),
+        SimilaritySearch.bruteForceTopK(e, e.filter(col("id") < 20), 10)
+          .localCheckpoint())
+      recallCounts(res, truth)
     }),
 
     // Streaming heavy hitters: sharded Misra-Gries state (capacity
@@ -4644,10 +4658,12 @@ object Queries {
       // beam/hops/seeds sized for the bench corpus: 3 hops from 8 seeds
       // under-covers a 2000-node graph (measured 112/200 hits at sf0.1);
       // 4 hops x 32 beam reaches 193/200 at the same wall cost.
-      recallCounts(
+      // Search and brute-force truth overlapped (guide §2.6).
+      val (res, truth) = graft.core.Par.pair(
         graft.ops.GraphSearch.searchGraph(g, e, q, k = 10,
           beam = 32, hops = 4, seeds = 16),
-        SimilaritySearch.bruteForceTopK(e, q, 10))
+        SimilaritySearch.bruteForceTopK(e, q, 10).localCheckpoint())
+      recallCounts(res, truth)
     }),
 
     // HNSW-style layered serving (s22 — Malkov & Yashunin 2016 over
@@ -4741,10 +4757,13 @@ object Queries {
       val q = live.filter(col("id") < 20)
       val g = knnGraph(s, dir)
         .filter(col("neighbors").isNotNull).select("id", "neighbors")
-      val res = graft.ops.GraphSearch.searchGraph(g, e, q, k = 10,
-        beam = 32, hops = 4, seeds = 16, tombstones = Some(dead))
-        .localCheckpoint()
-      recallCounts(res, SimilaritySearch.bruteForceTopK(live, q, 10))
+      // Serve and brute-force truth overlapped (guide §2.6).
+      val (res, truth) = graft.core.Par.pair(
+        graft.ops.GraphSearch.searchGraph(g, e, q, k = 10,
+          beam = 32, hops = 4, seeds = 16, tombstones = Some(dead))
+          .localCheckpoint(),
+        SimilaritySearch.bruteForceTopK(live, q, 10).localCheckpoint())
+      recallCounts(res, truth)
         .crossJoin(res.join(dead.select(col("id").as("nbr_id")),
             Seq("nbr_id"), "left_semi")
           .agg(count(lit(1)).as("n_dead")))
@@ -4776,11 +4795,15 @@ object Queries {
       val dead = e.select("id").filter(col("id") % 7 === 3)
       val live = e.join(dead, Seq("id"), "left_anti")
       val q = live.filter(col("id") < 20)
-      val res = graft.ops.GraphSearch.searchHierarchical(appended, e, q,
-        k = 10, beam = 8, hops = 2, entries = 4, upperBeam = 8,
-        upperHops = 3, seeds = 4, tombstones = Some(dead))
-        .localCheckpoint()
-      recallCounts(res, SimilaritySearch.bruteForceTopK(live, q, 10))
+      // Serve and brute-force truth are independent until the final
+      // recall join — overlap them (guide §2.6).
+      val (res, truth) = graft.core.Par.pair(
+        graft.ops.GraphSearch.searchHierarchical(appended, e, q,
+          k = 10, beam = 8, hops = 2, entries = 4, upperBeam = 8,
+          upperHops = 3, seeds = 4, tombstones = Some(dead))
+          .localCheckpoint(),
+        SimilaritySearch.bruteForceTopK(live, q, 10).localCheckpoint())
+      recallCounts(res, truth)
         .crossJoin(res.join(dead.select(col("id").as("nbr_id")),
             Seq("nbr_id"), "left_semi")
           .agg(count(lit(1)).as("n_dead")))
@@ -4909,12 +4932,16 @@ object Queries {
       val dead = e.select("id").filter(col("id") % 7 === 3)
       val live = e.join(dead, Seq("id"), "left_anti")
       val q = live.filter(col("id") < 20)
-      val res = graft.streaming.AnnServe.layeredServe(s, dir, appended, e,
-        k = 10, beam = 8, hops = 2, entries = 4, upperBeam = 8,
-        upperHops = 3, seeds = 4, maxQueryId = 20,
-        tombstones = Some(dead), liveQueriesOnly = true)
-        .localCheckpoint()
-      recallCounts(res, SimilaritySearch.bruteForceTopK(live, q, 10))
+      // Drain and brute-force truth are independent until the final
+      // recall join — overlap them (guide §2.6).
+      val (res, truth) = graft.core.Par.pair(
+        graft.streaming.AnnServe.layeredServe(s, dir, appended, e,
+          k = 10, beam = 8, hops = 2, entries = 4, upperBeam = 8,
+          upperHops = 3, seeds = 4, maxQueryId = 20,
+          tombstones = Some(dead), liveQueriesOnly = true)
+          .localCheckpoint(),
+        SimilaritySearch.bruteForceTopK(live, q, 10).localCheckpoint())
+      recallCounts(res, truth)
         .crossJoin(res.join(dead.select(col("id").as("nbr_id")),
             Seq("nbr_id"), "left_semi")
           .agg(count(lit(1)).as("n_dead")))
@@ -5164,10 +5191,18 @@ object Queries {
       val g = partitionedGraph(s, dir)
         .filter(col("neighbors").isNotNull).select("id", "neighbors")
       val q = e2.filter(col("id") < 20)
-      val res = graft.ops.GraphSearch.searchGraph(
-        g, e2.select("id", "features", "partition"),
-        q.select("id", "features", "partition"), k = 10,
-        beam = 32, hops = 4, seeds = 16).localCheckpoint()
+      // Serve and the two per-partition brute truths overlapped
+      // (guide §2.6).
+      val (res, truth) = graft.core.Par.pair(
+        graft.ops.GraphSearch.searchGraph(
+          g, e2.select("id", "features", "partition"),
+          q.select("id", "features", "partition"), k = 10,
+          beam = 32, hops = 4, seeds = 16).localCheckpoint(),
+        Seq(0L, 1L).map { p =>
+          SimilaritySearch.bruteForceTopK(
+            e2.filter(col("partition") === p).select("id", "features"),
+            q.filter(col("partition") === p).select("id", "features"), 10)
+        }.reduce(_ unionByName _).localCheckpoint())
       val crossed = res
         .join(q.select(col("id").as("query_id"),
           col("partition").as("q_part")), "query_id")
@@ -5176,11 +5211,6 @@ object Queries {
         .agg(count(lit(1)).as("n_results"),
           coalesce(sum(when(col("nbr_part") =!= col("q_part"), 1L)
             .otherwise(0L)), lit(0L)).as("n_cross"))
-      val truth = Seq(0L, 1L).map { p =>
-        SimilaritySearch.bruteForceTopK(
-          e2.filter(col("partition") === p).select("id", "features"),
-          q.filter(col("partition") === p).select("id", "features"), 10)
-      }.reduce(_ unionByName _)
       recallCounts(res, truth).crossJoin(crossed)
     }),
 

@@ -587,10 +587,6 @@ object NND {
       val oldCands: Dataset[Cand] = touchedOld.flatMap(nl =>
         nl.neighbors.iterator.map(nb => Cand(nl.id, nb.id, nb.similarity, isOld = true)))
 
-      val merged = truncate(mergeTopK(pairCands.unionByName(oldCands), k))
-      val updates = merged.map(_._2.updated.toLong).toDF("u")
-        .agg(coalesce(sum($"u"), lit(0L))).as[Long].head()
-
       // Untouched actives have been fully exploited — retire to stable
       // with flags dropped; stable loses any node the merge re-emitted.
       val retired = active.toDF().join(targets, Seq("id"), "left_anti")
@@ -598,9 +594,18 @@ object NND {
         .map(nl => FlaggedList(nl.id, nl.neighbors, nl.neighbors.map(_ => false)))
       val prevStable = stable
       val prevActive = activeCk
-      stable = truncate(
-        stable.toDF().join(targets, Seq("id"), "left_anti").as[FlaggedList]
-          .unionByName(retired))
+      // The merge and the stable-set rebuild read only the ALREADY
+      // materialized pairCands/stable/active checkpoints and are
+      // independent of each other — overlap their truncation jobs
+      // (guide §2.6; per-frame contents unchanged).
+      val (merged, newStable) = graft.core.Par.pair(
+        truncate(mergeTopK(pairCands.unionByName(oldCands), k)),
+        truncate(
+          stable.toDF().join(targets, Seq("id"), "left_anti").as[FlaggedList]
+            .unionByName(retired)))
+      val updates = merged.map(_._2.updated.toLong).toDF("u")
+        .agg(coalesce(sum($"u"), lit(0L))).as[Long].head()
+      stable = newStable
       val (newActive, newActiveCk): (Dataset[FlaggedList], Dataset[_]) =
         p.pruneAlpha match {
           case None =>

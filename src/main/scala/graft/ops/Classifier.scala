@@ -397,9 +397,17 @@ object Classifier {
   private def featurizeLab(df: DataFrame, labelExpr: Column,
       classes: Seq[String], idCol: String, textCol: String,
       dim: Int): DataFrame = {
-    val lab = classes.zipWithIndex.foldRight(lit(-1): Column) {
-      case ((c, i), acc) => when(labelExpr === c, lit(i)).otherwise(acc)
-    }
+    // One labelExpr evaluation per row: the when-chain form referenced
+    // labelExpr once PER CLASS, and when the label is itself a heavy
+    // derived expression (t32 passes languageId's pred_lang CASE,
+    // which CollapseProject inlines), each reference re-ran it.
+    // array_position over the class-list literal is value-identical:
+    // first-match index (classes are distinct), 0 when absent, null
+    // only for a null label — both map to -1 exactly as the chain's
+    // fallthrough did.
+    val lab = (coalesce(
+      array_position(typedlit(classes.toIndexedSeq), labelExpr), lit(0L))
+      - 1L).cast("int")
     val toks = TextAnalysis.tokens(col(textCol))
     df.select(
         col(idCol).as("id"), lab.as("lab"),

@@ -94,18 +94,37 @@ object TextAnalysis {
     val scored = langProfiles.foldLeft(df) { case (d, (lang, words)) =>
       d.withColumn(s"score_$lang", overlapRatio(tk, words))
     }
-    val best = greatest(langProfiles.map { case (l, _) => col(s"score_$l") }: _*)
-    // foldRight gives profile-order priority on ties (first match wins).
-    // The zero-evidence guard comes FIRST: with every score 0.0 the
-    // first profile's score trivially equals `best`, so without the
-    // guard a document matching NO marker word would silently label as
-    // the first profile and 'und' would be unreachable (the oracle
-    // applies the identical leading CASE arm).
-    val pred = when(best === 0.0, lit("und"))
-      .otherwise(langProfiles.foldRight(lit("und"): Column) {
-        case ((l, _), acc) =>
-          when(col(s"score_$l") === best, lit(l)).otherwise(acc)
-      })
+    // The prediction evaluates each overlap score ONCE per row.
+    // Referencing the score_$lang COLUMNS here (as before round 17)
+    // made CollapseProject inline each heavy filter()-over-tokens
+    // expression into every reference — ~7 references per score
+    // between `greatest` and the tie chain, and higher-order functions
+    // are interpreted AND excluded from subexpression elimination
+    // (SPARK-35410), so every doc paid ~35 full token-scan filters.
+    // Binding the score array as a transform() lambda variable makes
+    // each reference an O(1) array lookup while keeping the CASE
+    // structure (and its null behavior) expression-identical — still
+    // a pure projection, no exchange, no barrier. Measured on the t32
+    // featurize checkpoint: 3.46 s -> see OPTIMIZATION_r17.md.
+    val scoresArr = array(langProfiles.map { case (_, words) =>
+      overlapRatio(tk, words) }: _*)
+    val predOf = (s: Column) => {
+      val sc = langProfiles.indices.map(i => element_at(s, i + 1))
+      val best = greatest(sc: _*)
+      // foldRight gives profile-order priority on ties (first match
+      // wins). The zero-evidence guard comes FIRST: with every score
+      // 0.0 the first profile's score trivially equals `best`, so
+      // without the guard a document matching NO marker word would
+      // silently label as the first profile and 'und' would be
+      // unreachable (the oracle applies the identical leading CASE
+      // arm).
+      when(best === 0.0, lit("und"))
+        .otherwise(langProfiles.indices.foldRight(lit("und"): Column) {
+          case (i, acc) =>
+            when(sc(i) === best, lit(langProfiles(i)._1)).otherwise(acc)
+        })
+    }
+    val pred = element_at(transform(array(scoresArr), s => predOf(s)), 1)
     scored.withColumn("pred_lang", pred)
   }
 
