@@ -220,9 +220,16 @@ object Centrality {
     var residual = 0L
     var iter = 0
     while (iter < iterations) {
-      val dangMass = ranks.join(dangling, Seq("id"), "left_semi")
-        .agg(coalesce(sum(col("rank")), lit(0L))).as[Long].head()
-      val dangShare = dangMass / tgtCount
+      // Dangling mass rides IN-PLAN as a broadcast 1-row aggregate
+      // instead of a synchronous driver head() per iteration — the
+      // move the original scaladoc prescribed for high iteration
+      // counts, taken now because the round-trip was HALF of every
+      // iteration's actions (2 jobs -> 1). `dm DIV tgtCount` is the
+      // identical floor division the driver did (both operands
+      // non-negative), so ranks are bit-unchanged.
+      val dangShareDf = broadcast(ranks.join(dangling, Seq("id"), "left_semi")
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("dm"))
+        .select(expr(s"dm DIV ${tgtCount}L").as("dang_share")))
       val contrib =
         if (!weighted) expr("rank DIV outdeg")
         else expr(
@@ -232,10 +239,11 @@ object Centrality {
         .groupBy("id").agg(sum(col("c")).as("in_sum"))
       val next = truncate(teleport
         .join(inSum, Seq("id"), "left")
+        .crossJoin(dangShareDf)
         .select(col("id"),
           (col("base") +
             expr(s"(${dampingNum}L * (coalesce(in_sum, 0L) +" +
-              s" (CASE WHEN tgt THEN ${dangShare}L ELSE 0L END)))" +
+              s" (CASE WHEN tgt THEN dang_share ELSE 0L END)))" +
               s" DIV ${dampingDen}L")).as("rank")))
       val prev = ranks
       ranks = next

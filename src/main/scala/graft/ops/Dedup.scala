@@ -1240,11 +1240,18 @@ object Dedup {
     val w = df.select(col(idCol).as("id"), col(textCol).as("text"),
       split(col(textCol), "\n", -1).as("ls"))
     // Positioned non-empty lines with their 8-byte hash; empty lines
-    // never enter the dedup stream (always kept).
+    // never enter the dedup stream (always kept). Materialized ONCE:
+    // the df >= 2 probe, the sliver semi-join, and the ownership join
+    // re-reference this table — inline, Catalyst duplicates the
+    // subtree and the `removed` job re-ran the upstream
+    // split/explode (and any caller-side reflow, e.g. d24's) FOUR
+    // times; the checkpoint makes each reference a block read. The
+    // blocks release as soon as `removed` is materialized.
     val lines = w.select(col("id"), posexplode(col("ls")))
       .filter(length(col("col")) > 0)
       .select(col("id"), col("pos").as("p"), col("col").as("line"),
         xxhash64(col("col")).as("g"))
+      .localCheckpoint(true)
     // df >= 2 candidate hashes (8-byte keys, map-side combined); only
     // this sliver's occurrences carry text into ownership.
     val hot = lines.groupBy("g").agg(count(lit(1)).as("c"))
@@ -1258,6 +1265,7 @@ object Dedup {
       .filter(!(col("id") === col("o.id") && col("p") === col("o.p")))
       .select(col("id"), col("p"), lit(1L).as("rm"))
       .localCheckpoint()
+    graft.core.Checkpoints.release(lines)
     rebuildLines(w, removed, idCol)
   }
 
