@@ -1829,8 +1829,8 @@ object Queries {
     * materialized plan. Keyed by (applicationId, dir): localCheckpoint
     * blocks die with their SparkContext, so a fresh session rebuilds
     * rather than reusing a dead cache entry. */
-  private val prebuilt =
-    new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
+  private val prebuilt = new java.util.concurrent.ConcurrentHashMap[
+    String, java.util.concurrent.CompletableFuture[DataFrame]]()
   private def memo(s: SparkSession, dir: String, tag: String)
       (build: => DataFrame): DataFrame = {
     val appId = s.sparkContext.applicationId
@@ -1841,7 +1841,31 @@ object Queries {
     // dead DataFrame references.
     if (!prebuilt.containsKey(key))
       prebuilt.keySet.removeIf(k => !k.startsWith(s"$appId|"))
-    prebuilt.computeIfAbsent(key, _ => build.localCheckpoint())
+    // Claim the key with an incomplete future and BUILD OUTSIDE the
+    // map's bin lock (round-17 ADVICE): memo() builds run concurrently
+    // under Par, and a long Spark build inside computeIfAbsent held its
+    // CHM bin lock — parallel layer keys hashing to one bin silently
+    // serialized, and a memo call nested inside a build lambda risked
+    // CHM's recursive-update IllegalStateException. Waiters block on
+    // the claimed future; a failed build removes its claim (so a retry
+    // rebuilds, computeIfAbsent's semantics) and rethrows everywhere.
+    val fresh = new java.util.concurrent.CompletableFuture[DataFrame]()
+    val existing = prebuilt.putIfAbsent(key, fresh)
+    val fut = if (existing != null) existing else {
+      try fresh.complete(build.localCheckpoint())
+      catch {
+        case e: Throwable =>
+          fresh.completeExceptionally(e)
+          prebuilt.remove(key, fresh)
+          throw e
+      }
+      fresh
+    }
+    try fut.join()
+    catch {
+      case e: java.util.concurrent.CompletionException =>
+        throw Option(e.getCause).getOrElse(e)
+    }
   }
 
   /** The t26-trained BPE merge rules in rank order, session-memoized
@@ -1884,7 +1908,16 @@ object Queries {
     * by hand. */
   def evictPrebuilt(s: SparkSession, dir: String, tag: String): Unit =
     Option(prebuilt.remove(s"${s.sparkContext.applicationId}|$dir|$tag"))
-      .foreach(org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
+      .foreach(releaseEvicted)
+
+  /** Release a removed memo entry's checkpoint blocks — only when its
+    * build actually COMPLETED: an in-flight build's claim has no
+    * blocks to release yet (and its builder still owns the frame), a
+    * failed build never produced any. */
+  private def releaseEvicted(
+      f: java.util.concurrent.CompletableFuture[DataFrame]): Unit =
+    if (f.isDone && !f.isCompletedExceptionally)
+      org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(f.join())
 
   /** Drop every memoized artifact whose tag starts with `prefix` —
     * for per-layer artifact families whose layer count is data-derived
@@ -1894,8 +1927,7 @@ object Queries {
     import scala.jdk.CollectionConverters._
     val p = s"${s.sparkContext.applicationId}|$dir|$prefix"
     prebuilt.keySet.asScala.filter(_.startsWith(p)).toList.foreach { key =>
-      Option(prebuilt.remove(key))
-        .foreach(org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint)
+      Option(prebuilt.remove(key)).foreach(releaseEvicted)
     }
   }
 

@@ -84,13 +84,55 @@ object Classifier {
     require(weightsFp.length == dim, s"dim $dim vs ${weightsFp.length} weights")
   }
 
+  /** The `(n, bkts, cnts)` feature columns as ONE `inline` generator
+    * over the token-bucket array — shared by [[hashedDocFeatures]] and
+    * [[featurizeLab]] so the two featurizers cannot drift.
+    *
+    * Shape (round-18 rework of the run-length encoding): the bucket
+    * array binds once as a lambda variable, its SORTED copy binds in a
+    * nested lambda, the run-start index list binds in a third, and the
+    * three outputs come off those bindings — `bkts` = the sorted
+    * array's run-start values (== sorted distinct buckets), `cnts` =
+    * successive run-start differences (== per-bucket occurrence
+    * counts), `n` = the array size. Everything heavy is therefore
+    * evaluated ONCE per row and the per-element lambda work is O(1)
+    * lookups, so the row cost is O(tokens) plus one codegen'd sort —
+    * the previous form counted each distinct bucket with its own
+    * filter() scan of the full bucket array, O(distinct-buckets x
+    * tokens) interpreted-HOF work per row (dim=256 docs paid ~100x).
+    * The `inline` generator emits the struct's fields as columns from
+    * exactly one evaluation (1 element -> exactly 1 row; references
+    * are attribute reads, so CollapseProject cannot duplicate the
+    * subtree). Values, names, order, and null behavior are identical
+    * to the old projection (null token array -> null n/bkts/cnts). */
+  private def packedFeatureCols(toks: Column, dim: Int): Column =
+    inline(transform(array(
+        transform(toks, t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))),
+      a => element_at(transform(array(sort_array(a)), s =>
+        element_at(transform(array(
+            // 1-based indices where a run of equal values starts; the
+            // when() guard keeps sequence() off the empty array (it
+            // would generate a DESCENDING [1,0] there, not []).
+            when(size(s) > 0,
+              filter(sequence(lit(1), size(s)), i =>
+                (i === 1) || (element_at(s, i) =!= element_at(s, i - 1))))
+              .otherwise(array().cast("array<int>"))), st =>
+          struct(
+            size(s).cast("long").as("n"),
+            when(isnull(s), lit(null).cast("array<int>"))
+              .otherwise(transform(st, i => element_at(s, i))).as("bkts"),
+            when(isnull(s), lit(null).cast("array<bigint>"))
+              .otherwise(transform(st, (i, j) =>
+                (coalesce(get(st, j + 1), size(s) + 1) - i).cast("long")))
+              .as("cnts"))), 1)), 1)))
+
   /** Per-document sparse hashed features, as a pure projection (NO
     * shuffle): tokens hash into `dim` buckets (`pmod(xxhash64(tok),
     * dim)`), and the per-doc (bucket, count) pairs are run-length
     * encoded with array HOFs over the materialized bucket array.
     * Output: `(id, y, n, bkts, cnts)` with `bkts` the doc's distinct
-    * buckets ascending and `cnts` the aligned counts. O(k * tokens)
-    * per row for k <= dim distinct buckets — projection work, traded
+    * buckets ascending and `cnts` the aligned counts. O(tokens) per
+    * row (see [[packedFeatureCols]]) — projection work, traded
     * deliberately against the corpus-wide explode+groupBy shuffle it
     * replaces (ClassifierSpec proves equality to that path). */
   def hashedDocFeatures(df: DataFrame, labelExpr: Column, idCol: String,
@@ -98,18 +140,9 @@ object Classifier {
     require(dim >= 2 && dim <= 1024, s"bad dim=$dim")
     val toks = TextAnalysis.tokens(col(textCol))
     df.select(
-        col(idCol).as("id"),
-        coalesce(when(labelExpr, 1L).otherwise(0L), lit(0L)).as("y"),
-        transform(toks, t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
-          .as("all_bkts"))
-      .select(col("id"), col("y"), col("all_bkts"),
-        sort_array(array_distinct(col("all_bkts"))).as("bkts"))
-      .select(col("id"), col("y"),
-        size(col("all_bkts")).cast("long").as("n"),
-        col("bkts"),
-        transform(col("bkts"),
-          b => size(filter(col("all_bkts"), x => x === b)).cast("long"))
-          .as("cnts"))
+      col(idCol).as("id"),
+      coalesce(when(labelExpr, 1L).otherwise(0L), lit(0L)).as("y"),
+      packedFeatureCols(toks, dim))
   }
 
   /** The fixed margin/probability expressions shared by training and
@@ -410,17 +443,8 @@ object Classifier {
       - 1L).cast("int")
     val toks = TextAnalysis.tokens(col(textCol))
     df.select(
-        col(idCol).as("id"), lab.as("lab"),
-        transform(toks, t => pmod(xxhash64(t), lit(dim.toLong)).cast("int"))
-          .as("all_bkts"))
-      .select(col("id"), col("lab"), col("all_bkts"),
-        sort_array(array_distinct(col("all_bkts"))).as("bkts"))
-      .select(col("id"), col("lab"),
-        size(col("all_bkts")).cast("long").as("n"),
-        col("bkts"),
-        transform(col("bkts"),
-          b => size(filter(col("all_bkts"), x => x === b)).cast("long"))
-          .as("cnts"))
+      col(idCol).as("id"), lab.as("lab"),
+      packedFeatureCols(toks, dim))
   }
 
   /** The fixed curvature matrix's sufficient statistics, X'X/4 —
@@ -448,8 +472,10 @@ object Classifier {
     * margin/p column from the current weights, then per-feature
     * fixed-point contributions keyed (class, index). Shuffle bounded
     * by |classes| * (dim+1) keys per partition. */
-  private def multiGradStats(feats: DataFrame, classes: Seq[String],
-      w: Seq[Array[Long]], b: Seq[Long], dim: Int): Map[(Int, Long), Long] = {
+  /** The gradient-scan frame alone (analysis/execution split exposed
+    * for the round-18 ProbeIrls measurement tool). */
+  private[graft] def multiGradFrame(feats: DataFrame, classes: Seq[String],
+      w: Seq[Array[Long]], b: Seq[Long], dim: Int): DataFrame = {
     // One codegen'd explode of the feature list with |classes| SUM
     // AGGREGATES per feature key, replacing the per-class
     // interpreted-lambda struct stream (|classes|x fewer generated
@@ -467,11 +493,15 @@ object Classifier {
     }
     ex.groupBy(col("u.i").as("k"))
       .agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def multiGradStats(feats: DataFrame, classes: Seq[String],
+      w: Seq[Array[Long]], b: Seq[Long], dim: Int): Map[(Int, Long), Long] =
+    multiGradFrame(feats, classes, w, b, dim)
       .collect().flatMap { r =>
         val k = r.getLong(0)
         classes.indices.map(c => (c, k) -> r.getLong(c + 1))
       }.toMap
-  }
 
   /** One-vs-rest multiclass training with the Bohning-Lindsay bounded
     * curvature method: the Newton Hessian is replaced by the uniform

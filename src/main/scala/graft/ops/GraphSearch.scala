@@ -96,7 +96,11 @@ object GraphSearch {
     * immediately instead of leaving it to driver GC + ContextCleaner
     * — the kCore/NND release discipline, one level up. Callers that
     * return the lazy result to THEIR caller (the public
-    * [[searchGraph]]) must not release it. */
+    * [[searchGraph]]) must not release it. Since round 17 the returned
+    * `visited` frame carries the internal beam-rank column `rk`
+    * alongside (query_id, node, score) — the one-window-pass-per-hop
+    * change keeps the bounding rank on the checkpoint; consumers that
+    * do more than release the frame must drop or ignore it. */
   private def searchGraphCk(
       graph: DataFrame,
       corpus: DataFrame,
@@ -816,39 +820,60 @@ object GraphSearch {
     * One adjacency explode, one self-semi-join on the reversed pair,
     * bounded aggregations — edge-table-sized shuffle (N·k narrow
     * rows), features never touched. */
-  def graphHealth(graph: DataFrame): DataFrame = {
+  def graphHealth(graph: DataFrame): DataFrame =
+    healthRow(graph, above = None)._1
+
+  /** The one-action census behind [[graphHealth]] / [[stackHealth]]:
+    * the reciprocity semi-join count, the degree aggregate, and (stack
+    * layers only) the nesting count ride ONE collected row via cross
+    * joins of independent 1-row aggregates — previously 2-3 sequential
+    * driver actions per graph/layer plus the edge checkpoint (guide
+    * §5: the driver round-trips, not the data, dominated n07/n19).
+    * Scalar arithmetic on the collected values is unchanged, so the
+    * emitted rows are bit-identical.
+    *
+    * Degree census over EVERY graph row — a node with a null/empty
+    * neighbor list is degree 0, and it must count: isolated nodes are
+    * exactly what a degenerating appended graph accumulates, and
+    * dropping them (an explode-side census would) overstates
+    * n_nodes/min_deg health. Also the empty-graph guard: with zero
+    * rows the ungrouped agg returns null sum/min/max, which the
+    * isNullAt check turns into the zeroed summary row instead of an
+    * unboxing NPE. */
+  private def healthRow(graph: DataFrame,
+      above: Option[DataFrame]): (DataFrame, Long) = {
     val edges = graph.filter(col("neighbors").isNotNull)
       .select(col("id").as("src"), explode(col("neighbors")).as("nb"))
       .select(col("src"), col("nb.id").as("dst"))
       .localCheckpoint()
-    val nRec = edges.as("a").join(edges.as("b"),
+    val rec = edges.as("a").join(edges.as("b"),
         col("a.src") === col("b.dst") && col("a.dst") === col("b.src"),
         "left_semi")
-      .count()
-    // Degree census over EVERY graph row — a node with a null/empty
-    // neighbor list is degree 0, and it must count: isolated nodes are
-    // exactly what a degenerating appended graph accumulates, and
-    // dropping them (an explode-side census would) overstates
-    // n_nodes/min_deg health. Also the empty-graph guard: with zero
-    // rows the ungrouped agg returns null sum/min/max, which the
-    // isNullAt check turns into the zeroed summary row instead of an
-    // unboxing NPE.
+      .agg(count(lit(1)).as("n_reciprocal"))
     val deg = graph.select(
         coalesce(size(col("neighbors")), lit(0)).cast("long").as("d"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("d")).as("n_edges"),
         min(col("d")).as("min_deg"), max(col("d")).as("max_deg"))
-      .head()
+    val combined = above.foldLeft(deg.crossJoin(rec))(_.crossJoin(_))
+    val row = combined.head()
+    // The edge checkpoint exists only for the self-semi-join (both
+    // sides read the same blocks instead of re-exploding); its blocks
+    // are dead the moment the census row is collected.
+    org.apache.spark.sql.GraftColumnBridge.releaseLocalCheckpoint(edges)
     val spark = graph.sparkSession
     import spark.implicits._
-    val empty = deg.isNullAt(1)
-    val nEdges = if (empty) 0L else deg.getLong(1)
-    Seq((deg.getLong(0), nEdges,
-      if (empty) 0L else deg.getLong(2),
-      if (empty) 0L else deg.getLong(3), nRec,
+    val empty = row.isNullAt(1)
+    val nEdges = if (empty) 0L else row.getLong(1)
+    val nRec = row.getLong(4)
+    val nAbove = if (above.isDefined) row.getLong(5) else 0L
+    (Seq((row.getLong(0), nEdges,
+      if (empty) 0L else row.getLong(2),
+      if (empty) 0L else row.getLong(3), nRec,
       if (nEdges == 0L) 0L
       else math.round(nRec.toDouble / nEdges.toDouble * 1048576.0)))
       .toDF("n_nodes", "n_edges", "min_deg", "max_deg", "n_reciprocal",
-        "reciprocity_fp")
+        "reciprocity_fp"),
+      nAbove)
   }
 
   /** [[graphHealth]] lifted to the LAYER STACK — the rebuild trigger
@@ -868,16 +893,23 @@ object GraphSearch {
     *
     * Cost: one adjacency explode + one reversed-pair semi-join + one
     * id semi-join per layer — edge-table-sized shuffles on
-    * geometrically shrinking layers, features never touched. */
+    * geometrically shrinking layers, features never touched. Round 18:
+    * each layer's census is ONE collected row (see [[healthRow]]) and
+    * the per-layer chains — independent by construction, each reading
+    * only its own layer (plus the one above for nesting) — overlap
+    * from the driver pool (guide §2.6), so the census costs one
+    * round-trip-wave instead of 3-4 sequential actions per layer. */
   def stackHealth(layerGraphs: Seq[DataFrame]): DataFrame = {
     require(layerGraphs.nonEmpty, "need at least the base layer graph")
-    layerGraphs.zipWithIndex.map { case (g, l) =>
-      val nAbove =
-        if (l + 1 >= layerGraphs.size) lit(0L)
-        else lit(layerGraphs(l + 1).select(col("id"))
-          .join(g.select(col("id")), Seq("id"), "left_semi").count())
-      graphHealth(g).select(lit(l).as("layer"), col("*"),
-        nAbove.as("n_above"))
+    graft.core.Par.map(layerGraphs.zipWithIndex) { case (g, l) =>
+      val above =
+        if (l + 1 >= layerGraphs.size) None
+        else Some(layerGraphs(l + 1).select(col("id"))
+          .join(g.select(col("id")), Seq("id"), "left_semi")
+          .agg(count(lit(1)).as("n_above")))
+      val (health, nAbove) = healthRow(g, above)
+      health.select(lit(l).as("layer"), col("*"),
+        lit(nAbove).as("n_above"))
     }.reduce(_.unionByName(_))
   }
 

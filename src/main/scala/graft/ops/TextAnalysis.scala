@@ -91,21 +91,22 @@ object TextAnalysis {
     * (profile order). */
   def languageId(df: DataFrame, textCol: String = "text"): DataFrame = {
     val tk = tokens(col(textCol))
-    val scored = langProfiles.foldLeft(df) { case (d, (lang, words)) =>
-      d.withColumn(s"score_$lang", overlapRatio(tk, words))
-    }
-    // The prediction evaluates each overlap score ONCE per row.
-    // Referencing the score_$lang COLUMNS here (as before round 17)
-    // made CollapseProject inline each heavy filter()-over-tokens
-    // expression into every reference — ~7 references per score
-    // between `greatest` and the tie chain, and higher-order functions
-    // are interpreted AND excluded from subexpression elimination
-    // (SPARK-35410), so every doc paid ~35 full token-scan filters.
-    // Binding the score array as a transform() lambda variable makes
-    // each reference an O(1) array lookup while keeping the CASE
-    // structure (and its null behavior) expression-identical — still
-    // a pure projection, no exchange, no barrier. Measured on the t32
-    // featurize checkpoint: 3.46 s -> see OPTIMIZATION_r17.md.
+    // ONE evaluation of the five overlap HOFs per row, for ALL six
+    // output columns. Round 17 bound the score array as a transform()
+    // lambda variable so `pred_lang`'s CASE references became O(1)
+    // lookups — but the score_$lang OUTPUT columns still re-ran their
+    // own overlapRatio each, so every languageId consumer paid the
+    // heavy filter()-over-tokens HOFs twice per row (once for the
+    // score columns, once inside pred's bound array; higher-order
+    // functions are interpreted AND excluded from subexpression
+    // elimination, SPARK-35410). Round 18: the bound lambda now builds
+    // a STRUCT of all six outputs (element_at lookups for the scores,
+    // the identical CASE for pred) and an `inline` generator emits its
+    // fields as columns — Generate evaluates the struct exactly once
+    // per row and downstream references are plain attribute reads, so
+    // CollapseProject cannot inline the HOFs anywhere. Still a pure
+    // narrow projection: no exchange, 1 element -> exactly 1 row.
+    // Values, column names/order, and null behavior are identical.
     val scoresArr = array(langProfiles.map { case (_, words) =>
       overlapRatio(tk, words) }: _*)
     val predOf = (s: Column) => {
@@ -124,8 +125,11 @@ object TextAnalysis {
             when(sc(i) === best, lit(langProfiles(i)._1)).otherwise(acc)
         })
     }
-    val pred = element_at(transform(array(scoresArr), s => predOf(s)), 1)
-    scored.withColumn("pred_lang", pred)
+    val packed = transform(array(scoresArr), s =>
+      struct((langProfiles.zipWithIndex.map { case ((lang, _), i) =>
+        element_at(s, i + 1).as(s"score_$lang")
+      } :+ predOf(s).as("pred_lang")): _*))
+    df.select(col("*"), inline(packed))
   }
 
   /** Bag-of-words fingerprint: md5 of the sorted distinct token set.

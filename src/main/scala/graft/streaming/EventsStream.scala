@@ -823,8 +823,9 @@ object EventsStream {
     * `files` (a [[graft.ops.Warc.buildFiles]] frame) into real files
     * driver-side, standing in for the fetcher; in production the
     * directory already exists and this helper is just
-    * readStream-binaryFile → foreachBatch(parseRecords). */
-  /** `filesPerTrigger` is the micro-batch sizing knob (guide §2.2:
+    * readStream-binaryFile → foreachBatch(parseRecords).
+    *
+    * `filesPerTrigger` is the micro-batch sizing knob (guide §2.2:
     * fewer, larger batches — per-trigger scheduler overhead is fixed,
     * so 3 files/trigger made the sf0.1 exhibit pay ~34 engine
     * round-trips for 100 tiny segments, ~70% of its wall). Per-FILE

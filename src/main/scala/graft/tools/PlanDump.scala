@@ -53,8 +53,9 @@ object PlanDump {
     recording = true
     run()
     recording = false
-    // Listener callbacks are asynchronous; give the bus a moment.
-    Thread.sleep(2000)
+    // Listener callbacks are asynchronous; drain the bus (bounded)
+    // instead of racing it with a fixed sleep (round-17 ADVICE).
+    org.apache.spark.sql.GraftColumnBridge.waitListenerBusEmpty(spark, 30000L)
 
     import scala.jdk.CollectionConverters._
     val body = plans.asScala.toSeq.mkString("\n")
