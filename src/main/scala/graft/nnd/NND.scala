@@ -467,10 +467,7 @@ object NND {
     val active: Dataset[FlaggedList] = truncate(
       mergeTopK(initCands, k)
         .map(g => FlaggedList(g._1, g._2.neighbors, g._2.old.map(!_))))
-    // The features-bloom gate needs the corpus size; it is already on
-    // the driver from the partition-counts collect — free.
-    val allLists = refineLoop(nodes, stable, active, k, newCount, p,
-      () => counts.values.sum)
+    val allLists = refineLoop(nodes, stable, active, k, newCount, p)
     val result = base.join(
       allLists.map(nl => NeighborList(nl.id, nl.neighbors.take(p.k)))
         .toDF().select($"id", $"neighbors"),
@@ -501,38 +498,21 @@ object NND {
       active0: Dataset[FlaggedList],
       k: Int,
       newCount: Long,
-      p: Params,
-      nTotal: () => Long): Dataset[FlaggedList] = {
+      p: Params): Dataset[FlaggedList] = {
     val spark = nodes.sparkSession
     import spark.implicits._
-    // §3.2 Bloom pre-filter sizing for the per-iteration features join
-    // (round-17 VERDICT next-round #1). The adjacency join probes the
-    // FULL feature table every iteration even when the touched set is
-    // a sliver of the corpus (the daily-append / consolidation case) —
-    // a Bloom filter over the iteration's edge-destination ids drops
-    // definitely-untouched feature rows before their scan-side
-    // exchange. Two data-derived gates, not local-mode constants:
-    //  - corpus size: below `minNodes` the whole feature side is a few
-    //    MB and the filter's extra build pass costs more than the scan
-    //    it saves (the driver's sf0.1 bench stays byte-comparable;
-    //    production inherits the gate at any cluster size);
-    //  - saturation: once the activation cascade covers the corpus
-    //    (see the updateGraph scaladoc — active_r saturates toward N
-    //    within a few rounds for large increments), the edge dst set
-    //    IS ~the corpus and the filter would drop nothing while still
-    //    paying its build pass. The touched-set bound is estimated
-    //    from driver-resident scalars only (the increment size before
-    //    iteration 1, the previous iteration's update count after —
-    //    an OVERestimate of touched lists, so the filter switches off
-    //    early, never late); ~2k destinations per touched list must
-    //    stay under half the corpus for the filter to pay.
-    // expectedNumItems = N is the safe upper bound (false positives
-    // only shuffle a few extra rows; never false negatives, so the
-    // join result — and every pinned oracle — is unchanged).
-    val bloomMinNodes = spark.conf.get(
-      "graft.nnd.bloom.minNodes", "50000").toLong
-    lazy val bloomN: Long = nTotal()
-    var lastUpdates = -1L
+    // A §3.2 Bloom pre-filter on the features probe side of the
+    // adjacency join was IMPLEMENTED AND MEASURED here in round 18
+    // (VERDICT r17 next-round #1), then removed on the evidence: in
+    // the sparse regime (daily append / consolidation) the carved
+    // edge side is small enough that AQE broadcasts it, so the
+    // features side never shuffles and the filter can only save scan
+    // work on an already-persisted table — while its build pass ADDS
+    // an edge-set scan + semi-join shuffle per early iteration
+    // (x50 n20_consolidate_sparse: +14 MB shuffle, no wall win —
+    // scale_r18_nnd_{before,after}.json); in the saturated regime the
+    // destination set IS ~the corpus and any such filter drops
+    // nothing. See OPTIMIZATION_r18.md §6 for the full adjudication.
     def truncate[T](ds: Dataset[T]): Dataset[T] =
       if (p.checkpointDir.isDefined) ds.checkpoint() else ds.localCheckpoint(true)
     val seed = p.seed
@@ -590,30 +570,10 @@ object NND {
         .as[FlaggedList]
         .flatMap(nl => nl.neighbors.iterator.map(nb => (nl.id, nb.id, false)))
         .toDF("src", "dst", "isNew")
-      val adjEdges = adjInput
+      val adj: Dataset[AdjRow] = adjInput
         .union(stableOldEdges)
         .join(activeSrcs, Seq("src"), "left_semi")
-      // Bloom-prune the features probe side (see the sizing note at
-      // the top of the loop): one narrow pass over the iteration's
-      // edge set builds the filter; the features scan then ships only
-      // rows some edge can actually join. The broadcast is destroyed
-      // as soon as the iteration's pair candidates materialize.
-      val estTouched = if (lastUpdates < 0) newCount else lastUpdates
-      val bloomBc =
-        if (bloomN < bloomMinNodes || estTouched * 2L * k >= bloomN / 2L) None
-        else Some(spark.sparkContext.broadcast(
-          adjEdges.select($"dst").stat.bloomFilter("dst", bloomN, 0.01)))
-      val featSide = {
-        val all = nodes.toDF().select($"id".as("dst"), $"features", $"partition")
-        bloomBc match {
-          case Some(bc) =>
-            val mightContain = udf((id: Long) => bc.value.mightContainLong(id))
-            all.filter(mightContain($"dst"))
-          case None => all
-        }
-      }
-      val adj: Dataset[AdjRow] = adjEdges
-        .join(featSide, "dst")
+        .join(nodes.toDF().select($"id".as("dst"), $"features", $"partition"), "dst")
         .select($"src", $"dst", $"features", $"partition", $"isNew")
         .as[AdjRow]
 
@@ -627,10 +587,6 @@ object NND {
       // job); materialize it once instead of re-running the similarity
       // loop per consumer (cross-action exchange reuse does not exist).
       val pairCands = truncate(pairCandsRaw)
-      // The Bloom broadcast's only consumer (the adjacency plan) has
-      // executed; free the executor copies now instead of letting one
-      // per iteration accumulate until context teardown.
-      bloomBc.foreach(_.destroy())
 
       // Re-merge ONLY nodes that received candidates; everyone else's
       // list is carried untouched via semi/anti joins on the
@@ -680,7 +636,6 @@ object NND {
       release(prevActive)
       release(pairCands)
       iter += 1
-      lastUpdates = updates
 
       val ratio = updates.toDouble / (k.toDouble * newCount.toDouble)
       if (ratio <= p.earlyTermination) finished = true
@@ -784,13 +739,7 @@ object NND {
           FlaggedList(id, rows.map(_._3).toIndexedSeq, rows.map(_._4).toIndexedSeq)
         })
 
-    // The bloom gate's corpus count is only taken when the gate can
-    // matter (lazy in refineLoop) — one narrow count of the persisted
-    // node table per consolidation, nothing at all below the loop's
-    // first iteration... and never on the (tiny) declared fixtures'
-    // hot path: see the sizing note in refineLoop.
-    val allLists = refineLoop(nodes, stable0, active0, k, newCount, p,
-      () => nodes.count())
+    val allLists = refineLoop(nodes, stable0, active0, k, newCount, p)
     val result = base.join(
       allLists.map(nl => NeighborList(nl.id, nl.neighbors.take(p.k)))
         .toDF().select($"id", $"neighbors"),

@@ -427,7 +427,7 @@ object Classifier {
   /** [[hashedDocFeatures]] with an integer CLASS label: `lab` = index
     * of `labelExpr`'s value in `classes` (-1 if absent — scored but
     * never counted as agreement). */
-  private def featurizeLab(df: DataFrame, labelExpr: Column,
+  private[graft] def featurizeLab(df: DataFrame, labelExpr: Column,
       classes: Seq[String], idCol: String, textCol: String,
       dim: Int): DataFrame = {
     // One labelExpr evaluation per row: the when-chain form referenced
